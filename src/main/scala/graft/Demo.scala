@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.tables.GraftTable
+
+/** Library smoke driver: full table lifecycle on the real sf0.001 testdata.
+  * Run: sbt "runMain graft.Demo" */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-demo-").toFile.getAbsolutePath
+
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    println(s"source orders rows = ${orders.count()}")
+
+    val t = GraftTable.create(spark, orders, s"$dir/orders_t",
+      rangeColumns = Seq("o_orderpriority"), hashColumns = Seq("o_orderkey"),
+      bucketNum = 4)
+    println(s"table rows after create = ${t.toDF.count()}")
+    val ts1 = t.lastCommitTs
+
+    // upsert: bump totalprice for 100 orders + insert 5 brand-new keys
+    val mod = orders.limit(100).withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = orders.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10_000_000L))
+    t.upsert(mod.unionByName(fresh))
+    val after = t.toDF
+    println(s"rows after upsert = ${after.count()} (expect +5)")
+    println(s"doubled rows = ${
+      after.join(orders.limit(100).select(col("o_orderkey"),
+        (col("o_totalprice") * 2).as("exp")), "o_orderkey")
+        .filter(col("o_totalprice") === col("exp")).count()} (expect 100)")
+    println(s"time-travel rows @ts1 = ${t.snapshotAt(ts1).count()}")
+    println(s"incremental rows = ${t.incremental(ts1, t.lastCommitTs).count()} (expect 105)")
+
+    t.delete(col("o_orderstatus") === "F")
+    println(s"rows after delete F = ${t.toDF.count()}")
+    t.compaction()
+    println(s"rows after compaction = ${t.toDF.count()} ; runs/partition = ${
+      t.partitions.map(_.snapshot.size).max}")
+    t.toDF.filter(col("o_orderkey") < 100).show(5, false)
+
+    // error-path probes
+    try { GraftTable.create(spark, orders, s"$dir/orders_t") }
+    catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }
+    val noPk = GraftTable.create(spark, orders.limit(10), s"$dir/nopk_t")
+    try { noPk.upsert(orders.limit(1)) }
+    catch { case e: Exception => println(s"probe upsert-no-pk -> ${e.getMessage}") }
+    try { t.upsert(orders.limit(1).drop("o_orderkey")) }
+    catch { case e: Exception => println(s"probe upsert-missing-pk-col -> ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.mergeop
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Column merge operators (SURVEY.md §2.2 M2/M3; reference:
+  * rust/lakesoul-io/src/physical_plan/merge/sorted/merge_operator.rs:21-167
+  * and v2/merge/parquet/batch/merge_operator/MergeOperator.scala:17-85).
+  *
+  * Semantics: all rows sharing a primary key (within one range partition)
+  * collapse to one row; each non-key column is combined by its operator over
+  * the values ordered by write version. Expressed here as Spark aggregate
+  * expressions over a `(versionExpr, value)` pair, which makes every operator
+  * codegen-friendly (no UDFs) and associative — the same operator is applied
+  * within a batch at write time (dedup-on-write) and across sorted runs at
+  * read time, which is what makes the two-level application correct.
+  *
+  * Null semantics match the reference (merge_operator.rs:489-532):
+  *   - use_last keeps a later explicit NULL (overwrites with null);
+  *   - use_last_not_null scans back to the newest non-null value;
+  *   - sum_all yields NULL if ANY contributing value is NULL;
+  *   - joined_all concatenates non-null values in version order.
+  */
+sealed trait MergeOp {
+  def name: String
+
+  /** Aggregate expression producing the merged value of `value`.
+    * `version` orders writes (newer = larger); rows where the column was
+    * physically absent from the source file pass `present=false` (schema
+    * evolution: absent != explicit null, MergeParquetScan.scala:211-257). */
+  def agg(value: Column, version: Column, present: Column, dt: DataType): Column
+}
+
+object MergeOps {
+  /** Default: last writer wins (among files containing the column).
+    * Reference: `UseLast` / DefaultMergeOp. */
+  case object UseLast extends MergeOp {
+    val name = "use_last"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      // max over (version-if-present, value): picks the value at the highest
+      // version where the column physically exists; a null version field
+      // sorts below all non-null versions, so absent-column rows never win.
+      max(struct(when(present, version).as("v"), value.as("c"))).getField("c")
+  }
+
+  /** Last non-null writer wins. Reference: `UseLastNotNull`. */
+  case object UseLastNotNull extends MergeOp {
+    val name = "use_last_not_null"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      max(struct(when(present && value.isNotNull, version).as("v"), value.as("c")))
+        .getField("c")
+  }
+
+  /** Sum of all values; NULL if any contributing value is NULL.
+    * Reference: `SumAll` / MergeOpInt / MergeOpLong. */
+  case object SumAll extends MergeOp {
+    val name = "sum_all"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      when(max(when(present && value.isNull, 1).otherwise(0)) === 1,
+        lit(null).cast(dt))
+        .otherwise(sum(when(present, value)).cast(dt))
+  }
+
+  /** Non-null values concatenated in version order. Reference:
+    * `JoinedAllByComma` / `JoinedAllBySemicolon` / MergeOpString. */
+  final case class JoinedAll(sep: String) extends MergeOp {
+    val name = if (sep == ",") "joined_all_by_comma" else s"joined_all_by_$sep"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column = {
+      val pairs = collect_list(
+        when(present && value.isNotNull, struct(version.as("v"), value.cast("string").as("c"))))
+      array_join(transform(array_sort(pairs), _.getField("c")), sep)
+    }
+  }
+
+  val builtins: Map[String, MergeOp] = Seq(
+    UseLast, UseLastNotNull, SumAll, JoinedAll(","), JoinedAll(";"))
+    .map(op => op.name -> op).toMap
+
+  def forName(name: String): MergeOp =
+    builtins.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown merge operator '$name' (known: ${builtins.keys.mkString(", ")})"))
+}

@@ -1,0 +1,83 @@
+package graft.meta
+
+/** Core metadata model for the graft table format.
+  *
+  * Mirrors the reference's five logical meta tables (see SURVEY.md §1.1;
+  * reference: lakesoul-spark .../utils/MetaData.scala:34-102 and
+  * docker/lakesoul-docker-compose-env/meta_init.sql:5-99) but persisted in an
+  * embedded, driver-local store instead of PostgreSQL.
+  */
+object CommitOp {
+  val Append = "append" // plain insert of new files
+  val Merge = "merge" // delta / upsert files (merge-on-read applies)
+  val Update = "update" // full rewrite of a partition (replaces snapshot)
+  val Compaction = "compaction" // rewrite of merged state (replaces snapshot)
+}
+
+/** One physical file belonging to a commit.
+  * Reference: DataOperation.scala:35-49 (`DataFileInfo`).
+  *
+  * @param path     absolute file path
+  * @param fileOp   "add" | "del"
+  * @param size     bytes
+  * @param bucketId hash-bucket id parsed from the file's directory, -1 if the
+  *                 table has no primary key
+  * @param existCols comma-joined list of columns physically present in the
+  *                  file (schema evolution: absent columns read as null)
+  */
+case class DataFileInfo(
+    path: String,
+    fileOp: String,
+    size: Long,
+    bucketId: Int,
+    existCols: String = "")
+
+/** One atomic commit against one range partition.
+  * Reference: TransactionCommit.scala:268-376, meta_init.sql:71-99.
+  */
+case class DataCommitInfo(
+    commitId: String,
+    partitionDesc: String,
+    files: Seq[DataFileInfo],
+    commitOp: String,
+    timestamp: Long)
+
+/** One version of one range partition: snapshot = ordered commit-id list
+  * (oldest first). Reference: partition_info (meta_init.sql:85-99).
+  */
+case class PartitionInfo(
+    partitionDesc: String,
+    version: Int,
+    snapshot: Seq[String],
+    commitOp: String,
+    timestamp: Long)
+
+/** Table-level metadata. Reference: MetaData.scala:34-102 (`TableInfo`). */
+case class TableInfo(
+    tableId: String,
+    tablePath: String,
+    schemaJson: String, // Spark StructType.json
+    rangeColumns: Seq[String],
+    hashColumns: Seq[String],
+    bucketNum: Int,
+    properties: Map[String, String],
+    shortName: Option[String] = None) {
+  def hasPrimaryKey: Boolean = hashColumns.nonEmpty
+  def cdcColumn: Option[String] = properties.get(TableInfo.CdcColumnProp)
+}
+
+object TableInfo {
+  /** Reference: `lakesoul_cdc_change_column` (LakeSoulUtils.scala:228-247). */
+  val CdcColumnProp = "graft.cdc.column"
+  /** Reference: `skip_merge_on_read` (LakeSoulUtils.scala:232). */
+  val SkipMergeOnReadProp = "graft.skipMergeOnRead"
+  /** Per-column merge operators, e.g. "sum" -> "sum_all". */
+  def mergeOpProp(col: String): String = s"graft.mergeop.$col"
+  /** Root partition desc for tables without range partitions; reference uses
+    * the same sentinel (PartitionFilter.scala:79-82). */
+  val RootPartition = "-5"
+}
+
+/** Resolved view of a partition version: files with their commit ordinal
+  * (position of their commit in the snapshot — lower = older write). */
+case class ResolvedFile(file: DataFileInfo, commitOrdinal: Int, partitionDesc: String)

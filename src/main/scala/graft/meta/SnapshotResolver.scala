@@ -1,0 +1,95 @@
+package graft.meta
+
+/** Pure version/visibility algebra over the meta store — the heart of the
+  * format (SURVEY.md §1.3; reference: DataOperation.scala:101-254).
+  */
+class SnapshotResolver(store: MetaStore) {
+
+  /** Files visible at one partition version: fold the snapshot's commits
+    * newest -> oldest, dropping paths seen with a `del` op
+    * (DataOperation.scala:101-149). Returned oldest-commit-first with the
+    * commit ordinal (the MOR merge order). */
+  def filesAt(tablePath: String, pi: PartitionInfo): Seq[ResolvedFile] = {
+    val commits = store.getCommits(tablePath, pi.snapshot)
+    val deleted = scala.collection.mutable.HashSet[String]()
+    val out = scala.collection.mutable.ArrayBuffer[ResolvedFile]()
+    // newest -> oldest so a `del` hides any older `add` of the same path
+    pi.snapshot.zipWithIndex.reverse.foreach { case (cid, ordinal) =>
+      val c = commits(cid)
+      c.files.foreach { f =>
+        f.fileOp match {
+          case "del" => deleted += f.path
+          case "add" =>
+            if (!deleted.contains(f.path))
+              out += ResolvedFile(f, ordinal, pi.partitionDesc)
+          case other => throw new IllegalArgumentException(s"bad fileOp $other")
+        }
+      }
+    }
+    out.sortBy(_.commitOrdinal).toSeq
+  }
+
+  /** Current files of every partition matching `partitionPred`. */
+  def currentFiles(
+      tablePath: String,
+      partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
+    store.listPartitionHeads(tablePath)
+      .filter(pi => partitionPred(pi.partitionDesc))
+      .flatMap(pi => filesAt(tablePath, pi))
+
+  /** Time travel: latest version with timestamp <= endTime
+    * (DataOperation.getLastedVersionUptoTime, :166-207). */
+  def versionUptoTime(
+      tablePath: String,
+      partitionDesc: String,
+      endTime: Long): Option[PartitionInfo] =
+    store.partitionVersions(tablePath, partitionDesc)
+      .filter(_.timestamp <= endTime)
+      .lastOption
+
+  def filesUptoTime(
+      tablePath: String,
+      endTime: Long,
+      partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
+    store.listPartitionHeads(tablePath)
+      .filter(pi => partitionPred(pi.partitionDesc))
+      .flatMap(pi => versionUptoTime(tablePath, pi.partitionDesc, endTime))
+      .flatMap(pi => filesAt(tablePath, pi))
+
+  /** Incremental read of one partition over (startTime, endTime]: the union
+    * of non-compaction commits in range; aborts (empty) if an Update commit
+    * intervened (DataOperation.scala:209-254). Compaction commits are
+    * skipped: their data is a rewrite of already-delivered rows. */
+  def incrementalFiles(
+      tablePath: String,
+      partitionDesc: String,
+      startTime: Long,
+      endTime: Long): Seq[ResolvedFile] = {
+    val versions = store.partitionVersions(tablePath, partitionDesc)
+      .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
+    if (versions.exists(_.commitOp == CommitOp.Update)) return Nil
+    val fresh = versions.filterNot(_.commitOp == CommitOp.Compaction)
+    // New commits of each version = snapshot minus previous version's snapshot.
+    val commitIds = scala.collection.mutable.LinkedHashSet[String]()
+    val all = store.partitionVersions(tablePath, partitionDesc)
+    fresh.foreach { v =>
+      val prev = all.filter(_.version < v.version).lastOption
+        .map(_.snapshot.toSet).getOrElse(Set.empty)
+      v.snapshot.filterNot(prev).foreach(commitIds += _)
+    }
+    val commits = store.getCommits(tablePath, commitIds.toSeq)
+    commitIds.toSeq.zipWithIndex.flatMap { case (cid, ordinal) =>
+      commits(cid).files.filter(_.fileOp == "add")
+        .map(f => ResolvedFile(f, ordinal, partitionDesc))
+    }
+  }
+
+  def incrementalFilesAll(
+      tablePath: String,
+      startTime: Long,
+      endTime: Long,
+      partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
+    store.listPartitionHeads(tablePath)
+      .filter(pi => partitionPred(pi.partitionDesc))
+      .flatMap(pi => incrementalFiles(tablePath, pi.partitionDesc, startTime, endTime))
+}

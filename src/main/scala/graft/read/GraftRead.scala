@@ -1,0 +1,95 @@
+package graft.read
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.meta._
+import graft.write.TransactionalWrite
+
+/** Snapshot + merge-on-read scan (SURVEY.md §2.1 S1-S9, §2.2).
+  *
+  * Scan dispatch mirrors the reference's LakeSoulScanBuilder.build
+  * (catalog/LakeSoulScanBuilder.scala:104-134):
+  *   - no primary key, or `skip_merge_on_read`, or every visible partition is
+  *     a single sorted run (freshly written or compacted) -> plain vectorized
+  *     parquet scan, no merge;
+  *   - otherwise -> merge-on-read: each commit's files are read with the full
+  *     table schema (absent columns surface as null — schema evolution,
+  *     MergeParquetScan.scala:211-257), tagged with their commit ordinal and
+  *     physical column list, unioned, and collapsed per (range, pk) group by
+  *     the per-column merge operators.
+  *
+  * The merge is expressed as codegen'd aggregate expressions (no UDFs), so
+  * Catalyst plans a partial/final hash aggregate — map-side combine happens
+  * before the shuffle. Dedup-on-write guarantees each run has unique PKs, so
+  * the shuffled volume is bounded by live rows, not total written rows.
+  * (A shuffle-free bucket-co-located merge via a DSv2 scan reporting
+  * HashPartitioning is the planned next step — SURVEY.md §4 J4.)
+  */
+object GraftRead {
+
+  def emptyDF(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Read the given resolved file set as a merged DataFrame.
+    * @param keepCdcRows when true (incremental/streaming reads), CDC `delete`
+    *                    marker rows are kept (F6 exemption). */
+  def read(
+      spark: SparkSession,
+      table: TableInfo,
+      files: Seq[ResolvedFile],
+      keepCdcRows: Boolean = false): DataFrame = {
+    val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
+    if (files.isEmpty) return emptyDF(spark, schema)
+
+    val skipMerge = table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
+    val needMerge = table.hasPrimaryKey && !skipMerge &&
+      files.groupBy(_.partitionDesc).values
+        .exists(fs => fs.map(_.commitOrdinal).distinct.size > 1)
+
+    val df =
+      if (!needMerge) spark.read.schema(schema).parquet(files.map(_.file.path): _*)
+      else mergeRead(spark, table, schema, files)
+
+    val visible = table.cdcColumn match {
+      // auto-hide delete tombstones (ProcessCDCTableMergeOnRead.scala:17-66)
+      case Some(cdc) if !keepCdcRows => df.filter(col(cdc) =!= "delete")
+      case _ => df
+    }
+    visible.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  private def mergeRead(
+      spark: SparkSession,
+      table: TableInfo,
+      schema: StructType,
+      files: Seq[ResolvedFile]): DataFrame = {
+    // One scan per (commit ordinal, physical column list): the version tag and
+    // column-presence flags are literals per scan, so they constant-fold.
+    val groups = files.groupBy(f => (f.commitOrdinal, f.file.existCols))
+      .toSeq.sortBy(_._1)
+    val allCols = schema.fieldNames.toSeq
+    val tagged = groups.map { case ((ord, exist), fs) =>
+      val existCols: Seq[String] =
+        if (exist == null || exist.isEmpty) allCols else exist.split(",").toSeq
+      spark.read.schema(schema).parquet(fs.map(_.file.path): _*)
+        .withColumn("_g_ver", lit(ord))
+        .withColumn("_g_exist", typedLit(existCols))
+    }
+    val union = tagged.reduce(_ union _)
+
+    val keys = (table.rangeColumns ++ table.hashColumns).distinct
+    val valueFields = schema.fields.filterNot(f => keys.contains(f.name))
+    if (valueFields.isEmpty) {
+      union.select(keys.map(col): _*).distinct()
+    } else {
+      val aggs = valueFields.map { f =>
+        val present = col("_g_exist").isNull || array_contains(col("_g_exist"), f.name)
+        TransactionalWrite.mergeOpFor(table, f.name)
+          .agg(col(f.name), col("_g_ver"), present, f.dataType).as(f.name)
+      }
+      union.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+    }
+  }
+}

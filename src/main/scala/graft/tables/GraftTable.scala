@@ -1,0 +1,248 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.meta._
+import graft.read.GraftRead
+import graft.write.TransactionalWrite
+
+/** User-facing table handle — the analogue of the reference's
+  * `LakeSoulTable` (tables/LakeSoulTable.scala:30-837; SURVEY.md §2.8).
+  *
+  * All operations are optimistic transactions: write files to a
+  * commit-unique directory, then CAS-publish against the partition versions
+  * read at start; a lost race raises MetaRerunException and the operation
+  * re-runs against the new snapshot (TransactionCommit.scala:398-427).
+  */
+class GraftTable(val spark: SparkSession, val tablePath: String,
+    store: MetaStore = MetaStore.default) {
+
+  private val resolver = new SnapshotResolver(store)
+
+  def info: TableInfo = store.getTableInfo(tablePath).getOrElse(
+    throw new IllegalArgumentException(s"no graft table at $tablePath"))
+
+  def schema: StructType = graft.util.SchemaUtil.fromJson(info.schemaJson)
+
+  // ---------------------------------------------------------------- reads
+
+  /** Current snapshot, merged + CDC-filtered. */
+  def toDF: DataFrame = toDF(_ => true)
+
+  def toDF(partitionPred: String => Boolean): DataFrame =
+    GraftRead.read(spark, info, resolver.currentFiles(tablePath, partitionPred))
+
+  /** Time travel (C1 forPathSnapshot): state as of `endTime` (ms). */
+  def snapshotAt(endTime: Long, partitionPred: String => Boolean = _ => true): DataFrame =
+    GraftRead.read(spark, info, resolver.filesUptoTime(tablePath, endTime, partitionPred))
+
+  /** Incremental read over (startTime, endTime] (C1 forPathIncremental):
+    * the merged delta; CDC marker rows are KEPT (F6 exemption). */
+  def incremental(startTime: Long, endTime: Long,
+      partitionPred: String => Boolean = _ => true): DataFrame =
+    GraftRead.read(spark, info,
+      resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred),
+      keepCdcRows = true)
+
+  /** Latest commit timestamp (for snapshot/incremental boundaries). */
+  def lastCommitTs: Long = {
+    val heads = store.listPartitionHeads(tablePath)
+    if (heads.isEmpty) 0L else heads.map(_.timestamp).max
+  }
+
+  def partitions: Seq[PartitionInfo] = store.listPartitionHeads(tablePath)
+
+  // --------------------------------------------------------------- writes
+
+  /** Plain append (INSERT INTO). */
+  def append(df: DataFrame): Unit = withRetry {
+    publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Append))
+  }
+
+  /** Overwrite the whole table (INSERT OVERWRITE): new data replaces every
+    * existing partition; untouched old partitions are expired. */
+  def overwrite(df: DataFrame): Unit = withRetry {
+    val commits = TransactionalWrite.writeFiles(spark, info, df, CommitOp.Update)
+    publish(commits ++ expireCommitsFor(
+      partitions.map(_.partitionDesc).toSet -- commits.map(_.partitionDesc)))
+  }
+
+  /** Upsert (C2, delta-file mode): shuffle the batch into PK buckets and
+    * commit it as a new sorted run — zero read of existing data
+    * (UpsertCommand.scala:98-102). Readers merge on read. New columns are
+    * auto-added to the table schema (additive evolution). */
+  def upsert(df: DataFrame): Unit = {
+    require(info.hasPrimaryKey, "upsert requires a primary-key (hash-partitioned) table")
+    mergeSchema(df.schema)
+    withRetry {
+      publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge))
+    }
+  }
+
+  /** UPDATE (C3): rewrite the partitions containing matching rows with
+    * `when(cond, expr).otherwise(col)` per assignment
+    * (UpdateCommand.buildUpdatedColumns:141-146). */
+  def update(cond: Column, set: Map[String, Column]): Unit = withRetry {
+    val t = info
+    val bad = set.keySet.intersect((t.rangeColumns ++ t.hashColumns).toSet)
+    require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
+    rewritePartitions(affectedPartitions(cond)) { df =>
+      set.foldLeft(df) { case (d, (c, expr)) =>
+        d.withColumn(c, when(cond, expr).otherwise(col(c)))
+      }
+    }
+  }
+
+  /** DELETE (C4). No-arg = truncate (expire all partitions, no rewrite). */
+  def delete(): Unit = withRetry {
+    publish(expireCommitsFor(partitions.map(_.partitionDesc).toSet))
+  }
+
+  def delete(cond: Column): Unit = withRetry {
+    rewritePartitions(affectedPartitions(cond)) { df =>
+      df.filter(!coalesce(cond, lit(false)))
+    }
+  }
+
+  /** Compaction (C6): collapse each partition's sorted runs into one.
+    * Full compaction rewrites CDC `update` markers to `insert` and drops
+    * `delete` tombstones (M8, TransactionalWrite.scala:165-180). */
+  def compaction(partitionPred: String => Boolean = _ => true): Unit = withRetry {
+    val t = info
+    val descs = partitions.map(_.partitionDesc).filter(partitionPred).toSet
+    if (descs.nonEmpty) {
+      val current = GraftRead.read(spark, t,
+        resolver.currentFiles(tablePath, descs.contains), keepCdcRows = true)
+      val compacted = t.cdcColumn match {
+        case Some(cdc) =>
+          current.filter(col(cdc) =!= "delete")
+            .withColumn(cdc, when(col(cdc) === "update", "insert").otherwise(col(cdc)))
+        case None => current
+      }
+      val commits = TransactionalWrite.writeFiles(
+        spark, t, compacted, CommitOp.Compaction, skipPreMerge = true)
+      publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc),
+        CommitOp.Compaction))
+    }
+  }
+
+  /** Roll a partition head back to an old version (C10). */
+  def rollbackPartition(partitionDesc: String, toVersion: Int): Unit =
+    store.rollbackPartition(tablePath, partitionDesc, toVersion)
+
+  def dropPartition(partitionDesc: String): Unit =
+    store.dropPartition(tablePath, partitionDesc)
+
+  def dropTable(): Unit = store.dropTable(tablePath)
+
+  // -------------------------------------------------------------- helpers
+
+  /** Partitions that may contain rows matching `cond`. With no range
+    * partitioning there is one partition; otherwise evaluate the predicate
+    * once to find the touched partitions (the reference's non-metadata
+    * path, UpdateCommand.scala:27-147). */
+  private def affectedPartitions(cond: Column): Set[String] = {
+    val t = info
+    val all = partitions.map(_.partitionDesc).toSet
+    if (t.rangeColumns.isEmpty || all.size <= 1) all
+    else {
+      val rows = toDF.filter(cond)
+        .select(t.rangeColumns.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+      rows.map { r =>
+        t.rangeColumns.zipWithIndex.map { case (c, i) =>
+          val v = r.getString(i)
+          val enc = if (v == null) TransactionalWrite.NullSentinel
+            else if (v.isEmpty) TransactionalWrite.EmptySentinel else v
+          s"$c=$enc"
+        }.mkString(",")
+      }.toSet
+    }
+  }
+
+  /** Read-merge the affected partitions, transform, publish as `update`
+    * commits; partitions left empty by the transform are expired. */
+  private def rewritePartitions(descs: Set[String])(f: DataFrame => DataFrame): Unit = {
+    if (descs.isEmpty) return
+    val t = info
+    val current = GraftRead.read(spark, t,
+      resolver.currentFiles(tablePath, descs.contains), keepCdcRows = true)
+    val rewritten = f(current)
+    val commits = TransactionalWrite.writeFiles(
+      spark, t, rewritten, CommitOp.Update, skipPreMerge = true)
+    publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc)))
+  }
+
+  /** Empty `update` commits expiring entire partitions (metadata-only delete,
+    * DeleteCommand.scala:29-138). */
+  private def expireCommitsFor(descs: Set[String],
+      op: String = CommitOp.Update): Seq[DataCommitInfo] =
+    descs.toSeq.map(d =>
+      DataCommitInfo(MetaStore.newCommitId(), d, Nil, op, 0L))
+
+  private def publish(commits: Seq[DataCommitInfo]): Unit = {
+    if (commits.isEmpty) return
+    val heads = partitions.map(p => p.partitionDesc -> p.version).toMap
+    val expected = commits.map(c =>
+      c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap
+    store.commit(tablePath, commits, expected)
+  }
+
+  /** Additive schema merge on upsert (ImplicitMetadataOperation.scala:116-178). */
+  private def mergeSchema(incoming: StructType): Unit = {
+    val t = info
+    val cur = graft.util.SchemaUtil.fromJson(t.schemaJson)
+    val known = cur.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => known.contains(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    if (added.nonEmpty)
+      store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields ++ added).json))
+  }
+
+  private def withRetry[T](body: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case _: MetaRerunException if attempts < 5 => attempts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object GraftTable {
+
+  /** Create a table from an initial DataFrame (cf. LakeSoulTable create +
+    * write, SURVEY.md §7.3). */
+  def create(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      rangeColumns: Seq[String] = Nil,
+      hashColumns: Seq[String] = Nil,
+      bucketNum: Int = 4,
+      properties: Map[String, String] = Map.empty,
+      store: MetaStore = MetaStore.default): GraftTable = {
+    val missing = (rangeColumns ++ hashColumns).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"partition columns not in data: ${missing.mkString(", ")}")
+    // PK columns are forced non-nullable (ImplicitMetadataOperation.scala:106-113)
+    val schema = StructType(df.schema.fields.map(f =>
+      if (hashColumns.contains(f.name)) f.copy(nullable = false) else f))
+    store.createTable(TableInfo(
+      MetaStore.newCommitId(), new java.io.File(tablePath).getCanonicalPath,
+      schema.json, rangeColumns, hashColumns, bucketNum, properties))
+    val t = new GraftTable(spark, tablePath, store)
+    t.append(df)
+    t
+  }
+
+  def forPath(spark: SparkSession, tablePath: String,
+      store: MetaStore = MetaStore.default): GraftTable =
+    new GraftTable(spark, tablePath, store)
+
+  def exists(tablePath: String, store: MetaStore = MetaStore.default): Boolean =
+    store.getTableInfo(tablePath).isDefined
+}

@@ -1,0 +1,182 @@
+package graft.write
+
+import java.io.File
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.meta._
+import graft.mergeop.{MergeOp, MergeOps}
+
+/** Transactional bucketed write path (SURVEY.md §2.1 S14; reference:
+  * TransactionalWrite.scala:106-285, LakeSoulFileWriter.scala:96-141).
+  *
+  * Layout per commit — files are written into a commit-unique directory and
+  * only become visible through the meta commit (the no-rename trick of
+  * DelayedCommitProtocol.scala):
+  *
+  *   <tablePath>/data/<commitId>/__g_r_<col>=<v>/.../__g_bucket=<k>/part-*.parquet
+  *
+  * Range-partition values are DUPLICATED into `__g_r_*` directory columns so
+  * the physical files keep the real columns (directly readable with the table
+  * schema — no partition-column reconstruction at scan time). Rows are
+  * hash-bucketed by `pmod(hash(pkCols), bucketNum)` — the same murmur3
+  * expression Spark's `HashPartitioning.partitionIdExpression` uses, so
+  * write-side bucketing and read-side bucket pruning can never diverge
+  * (SURVEY.md §7.1; the reference re-implements Spark murmur3 in Rust,
+  * rust/lakesoul-io/src/utils/hash/spark_murmur3.rs).
+  *
+  * PK batches are PRE-MERGED (dedup-on-write): the per-column merge operators
+  * are applied within the batch before bucketing, so every committed sorted
+  * run has unique PKs per range partition. Operators are associative, so
+  * (write-time within batch) then (read-time across commits) equals one flat
+  * merge — and single-commit partitions need no read-time merge at all.
+  */
+object TransactionalWrite {
+
+  val NullSentinel = "__GRAFT_NULL__"
+  val EmptySentinel = "__GRAFT_EMPTY__"
+  val RangePrefix = "__g_r_"
+  val BucketCol = "__g_bucket"
+
+  /** Bucket id expression — identical to Spark's
+    * HashPartitioning(pkCols, n).partitionIdExpression (murmur3 seed 42). */
+  def bucketIdExpr(pkCols: Seq[Column], n: Int): Column =
+    pmod(hash(pkCols: _*), lit(n))
+
+  def mergeOpFor(table: TableInfo, column: String): MergeOp =
+    table.properties.get(TableInfo.mergeOpProp(column))
+      .map(MergeOps.forName).getOrElse(MergeOps.UseLast)
+
+  /** Normalize an incoming batch to the table schema: keep table-schema
+    * column order, cast types; columns absent from the batch stay absent
+    * (schema evolution — recorded in existCols, read back as null). */
+  def normalize(table: TableInfo, df: DataFrame): DataFrame = {
+    val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
+    val present = df.columns.toSet
+    val keep = schema.fields.filter(f => present.contains(f.name))
+    val missing = (table.rangeColumns ++ table.hashColumns).filterNot(present.contains)
+    require(missing.isEmpty,
+      s"batch is missing partition/primary-key columns: ${missing.mkString(", ")}")
+    df.select(keep.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** Apply per-column merge operators within one batch, collapsing duplicate
+    * PKs (per range partition). Intra-batch order = input row order
+    * (monotonically_increasing_id as the version). */
+  def preMerge(table: TableInfo, df: DataFrame): DataFrame = {
+    val keys = (table.rangeColumns ++ table.hashColumns).filter(df.columns.contains)
+    val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
+    // materialized in a Project (non-deterministic exprs may not sit inside
+    // an aggregate); partition-major order stands in for input row order
+    val seq = df.withColumn("_g_seq", monotonically_increasing_id())
+    val aggs = df.schema.fields.filterNot(f => keys.contains(f.name)).map { f =>
+      val dt = schema(f.name).dataType
+      mergeOpFor(table, f.name).agg(col(f.name), col("_g_seq"), lit(true), dt).as(f.name)
+    }
+    if (aggs.isEmpty) df.dropDuplicates(keys)
+    else {
+      val merged = seq.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+      merged.select(df.columns.map(col).toSeq: _*) // restore column order
+    }
+  }
+
+  /** Write `df` as one commit's files. Returns the unpublished per-partition
+    * commits; the caller publishes them via MetaStore.commit (optimistic CAS). */
+  def writeFiles(
+      spark: SparkSession,
+      table: TableInfo,
+      dfIn: DataFrame,
+      commitOp: String,
+      skipPreMerge: Boolean = false): Seq[DataCommitInfo] = {
+    val commitId = MetaStore.newCommitId()
+    val df0 = normalize(table, dfIn)
+    val df = if (table.hasPrimaryKey && !skipPreMerge) preMerge(table, df0) else df0
+    val existCols = df.columns.mkString(",")
+
+    // Duplicate range values into string-typed directory columns with the
+    // reference's null/empty sentinels (TransactionalWrite.scala:188-203).
+    val rangeDirCols = table.rangeColumns.map { c =>
+      val s = col(c).cast("string")
+      (RangePrefix + c,
+        when(col(c).isNull, NullSentinel).when(s === "", EmptySentinel).otherwise(s))
+    }
+    var out = rangeDirCols.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
+
+    val partDirCols: Seq[String] =
+      if (table.hasPrimaryKey) {
+        val pk = table.hashColumns.map(col)
+        out = out.withColumn(BucketCol, bucketIdExpr(pk, table.bucketNum))
+          // co-locate each bucket in one task → one file per (partition, bucket)
+          .repartition(table.bucketNum, col(BucketCol))
+          // sort-on-write by (range, bucket, pk) — the format's sorted-run
+          // contract (LakeSoulFileWriter.scala:125-141)
+          .sortWithinPartitions(
+            (table.rangeColumns.map(col) ++ Seq(col(BucketCol)) ++ pk): _*)
+        rangeDirCols.map(_._1) :+ BucketCol
+      } else rangeDirCols.map(_._1)
+
+    val commitDir = new File(new File(table.tablePath, "data"), commitId)
+    val writer = out.write.mode("errorifexists")
+    (if (partDirCols.nonEmpty) writer.partitionBy(partDirCols: _*) else writer)
+      .parquet(commitDir.getAbsolutePath)
+
+    val files = listCommitFiles(commitDir.toPath, table, existCols)
+    // One DataCommitInfo per touched range partition (TransactionCommit.scala:268-376).
+    files.groupBy(_._1).map { case (desc, fs) =>
+      DataCommitInfo(if (desc == TableInfo.RootPartition) commitId
+        else s"$commitId-${math.abs(desc.hashCode)}",
+        desc, fs.map(_._2), commitOp, 0L)
+    }.toSeq
+  }
+
+  /** Recursively list the parquet files of a commit dir, parsing the range
+    * partition desc and bucket id from the directory path. */
+  private def listCommitFiles(
+      dir: Path,
+      table: TableInfo,
+      existCols: String): Seq[(String, DataFileInfo)] = {
+    if (!Files.exists(dir)) return Nil
+    val files = Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    files.map { p =>
+      val segs = dir.relativize(p).iterator().asScala.map(_.toString).toSeq
+      var bucket = -1
+      val rangeVals = scala.collection.mutable.LinkedHashMap[String, String]()
+      segs.dropRight(1).foreach { seg =>
+        val eq = seg.indexOf('=')
+        if (eq > 0) {
+          val (k, v) = (seg.substring(0, eq), unescapePathName(seg.substring(eq + 1)))
+          if (k == BucketCol) bucket = v.toInt
+          else if (k.startsWith(RangePrefix)) rangeVals(k.stripPrefix(RangePrefix)) = v
+        }
+      }
+      val desc =
+        if (table.rangeColumns.isEmpty) TableInfo.RootPartition
+        else table.rangeColumns.map(c => s"$c=${rangeVals.getOrElse(c, NullSentinel)}")
+          .mkString(",")
+      (desc, DataFileInfo(p.toAbsolutePath.toString, "add", Files.size(p), bucket, existCols))
+    }
+  }
+
+  /** Inverse of Spark's PartitioningUtils.escapePathName (%XX encoding). */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.meta.TableInfo
+import graft.tables.GraftTable
+
+/** End-to-end slice of SURVEY.md §7.3: create PK table → upsert overlapping
+  * batches → merged read; plus update/delete/compaction/time-travel/
+  * incremental — mirrors the reference's command suites (UpsertSuiteBase,
+  * UpdateSuiteBase, DeleteSuiteBase, CompactionSuite, ReadSuite patterns). */
+class TableCoreSuite extends SparkFixture {
+  import spark.implicits._
+
+  test("create + append + read roundtrip (no PK)") {
+    withTempPath { path =>
+      val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+      val t = GraftTable.create(spark, df, path)
+      assertRows(t.toDF, Seq("[1,a]", "[2,b]"))
+      t.append(Seq((3, "c")).toDF("id", "v"))
+      assertRows(t.toDF, Seq("[1,a]", "[2,b]", "[3,c]"))
+    }
+  }
+
+  test("upsert: last-writer-wins merge on read (the §7.3 slice)") {
+    withTempPath { path =>
+      val seed = Seq((20201101, 1, 1), (20201101, 2, 2), (20201101, 3, 3),
+        (20201102, 4, 4)).toDF("range", "hash", "value")
+      val t = GraftTable.create(spark, seed, path,
+        rangeColumns = Seq("range"), hashColumns = Seq("hash"), bucketNum = 2)
+      t.upsert(Seq((20201101, 1, 11), (20201101, 5, 55)).toDF("range", "hash", "value"))
+      assertRows(t.toDF, Seq(
+        "[20201101,1,11]", "[20201101,2,2]", "[20201101,3,3]",
+        "[20201102,4,4]", "[20201101,5,55]"))
+    }
+  }
+
+  test("upsert: three overlapping batches, later null overwrites (use_last)") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, Some("a")), (2, Some("b"))).toDF("id", "v"),
+        path, hashColumns = Seq("id"), bucketNum = 2)
+      t.upsert(Seq((1, Some("a2")), (3, Some("c"))).toDF("id", "v"))
+      t.upsert(Seq((2, None: Option[String])).toDF("id", "v"))
+      assertRows(t.toDF, Seq("[1,a2]", "[2,null]", "[3,c]"))
+    }
+  }
+
+  test("merge operators: sum_all, joined_all_by_comma, use_last_not_null") {
+    withTempPath { path =>
+      val props = Map(
+        TableInfo.mergeOpProp("s") -> "sum_all",
+        TableInfo.mergeOpProp("tags") -> "joined_all_by_comma",
+        TableInfo.mergeOpProp("ln") -> "use_last_not_null")
+      val t = GraftTable.create(spark,
+        Seq((1, 10L, "a", Some("x")), (2, 20L, "b", Some("y")))
+          .toDF("id", "s", "tags", "ln"),
+        path, hashColumns = Seq("id"), bucketNum = 2, properties = props)
+      t.upsert(Seq((1, 5L, "c", None: Option[String])).toDF("id", "s", "tags", "ln"))
+      t.upsert(Seq((1, 2L, "d", None: Option[String])).toDF("id", "s", "tags", "ln"))
+      // id=1: s=10+5+2, tags="a,c,d", ln last-non-null = "x"
+      assertRows(t.toDF, Seq("[1,17,a,c,d,x]", "[2,20,b,y]"))
+    }
+  }
+
+  test("sum_all: any null contribution -> null") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, Some(10L))).toDF("id", "s"), path,
+        hashColumns = Seq("id"), bucketNum = 1,
+        properties = Map(TableInfo.mergeOpProp("s") -> "sum_all"))
+      t.upsert(Seq((1, None: Option[Long])).toDF("id", "s"))
+      assertRows(t.toDF, Seq("[1,null]"))
+    }
+  }
+
+  test("update command") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "v"),
+        path, hashColumns = Seq("id"), bucketNum = 2)
+      t.update($"v" > 15, Map("name" -> upper($"name"), "v" -> ($"v" + 1)))
+      assertRows(t.toDF, Seq("[1,a,10]", "[2,B,21]", "[3,C,31]"))
+    }
+  }
+
+  test("delete command: predicate and truncate") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      t.delete($"v" >= 30)
+      assertRows(t.toDF, Seq("[1,10]", "[2,20]"))
+      t.delete()
+      assert(t.toDF.count() == 0)
+    }
+  }
+
+  test("delete whole range partition expires it") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq(("p1", 1, 1), ("p2", 2, 2)).toDF("r", "id", "v"), path,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 1)
+      t.delete($"r" === "p1")
+      assertRows(t.toDF, Seq("[p2,2,2]"))
+    }
+  }
+
+  test("compaction collapses runs and preserves results") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, 1), (2, 2)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      (1 to 5).foreach(i => t.upsert(Seq((1, i * 100), (i + 10, i)).toDF("id", "v")))
+      val before = t.toDF.collect().map(_.toString).sorted
+      t.compaction()
+      val after = t.toDF.collect().map(_.toString).sorted
+      assert(before.toSeq == after.toSeq)
+      // compacted: every partition is a single run again
+      assert(t.partitions.forall(_.snapshot.size == 1))
+    }
+  }
+
+  test("time travel: snapshotAt sees the old state") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "v1")).toDF("id", "v"), path, hashColumns = Seq("id"), bucketNum = 1)
+      val ts1 = t.lastCommitTs
+      t.upsert(Seq((1, "v2"), (2, "w")).toDF("id", "v"))
+      assertRows(t.snapshotAt(ts1), Seq("[1,v1]"))
+      assertRows(t.toDF, Seq("[1,v2]", "[2,w]"))
+    }
+  }
+
+  test("incremental read returns only the delta in range") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "a")).toDF("id", "v"), path, hashColumns = Seq("id"), bucketNum = 1)
+      val ts1 = t.lastCommitTs
+      t.upsert(Seq((2, "b")).toDF("id", "v"))
+      t.upsert(Seq((3, "c")).toDF("id", "v"))
+      val ts2 = t.lastCommitTs
+      assertRows(t.incremental(ts1, ts2), Seq("[2,b]", "[3,c]"))
+      // update commit aborts incremental (DataOperation.scala:209-254)
+      t.update(lit(true), Map("v" -> lit("z")))
+      assert(t.incremental(ts1, t.lastCommitTs).count() == 0)
+    }
+  }
+
+  test("rollback partition to old version") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "v1")).toDF("id", "v"), path, hashColumns = Seq("id"), bucketNum = 1)
+      t.upsert(Seq((1, "v2")).toDF("id", "v"))
+      t.rollbackPartition(TableInfo.RootPartition, 0)
+      assertRows(t.toDF, Seq("[1,v1]"))
+    }
+  }
+
+  test("cdc table hides delete tombstones; compaction rewrites markers") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "a", "insert"), (2, "b", "insert")).toDF("id", "data", "op"),
+        path, hashColumns = Seq("id"), bucketNum = 2,
+        properties = Map(TableInfo.CdcColumnProp -> "op"))
+      t.upsert(Seq((1, "a2", "update"), (2, "b", "delete"), (3, "c", "insert"))
+        .toDF("id", "data", "op"))
+      assertRows(t.toDF, Seq("[1,a2,update]", "[3,c,insert]"))
+      // incremental-style read keeps tombstones
+      assert(t.incremental(0L, t.lastCommitTs).count() == 3)
+      t.compaction()
+      assertRows(t.toDF, Seq("[1,a2,insert]", "[3,c,insert]"))
+    }
+  }
+
+  test("schema evolution: upsert with new column; old rows read null; "
+    + "absent column does not overwrite") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "a"), (2, "b")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.upsert(Seq((2, "b2", 99)).toDF("id", "v", "extra"))
+      assertRows(t.toDF, Seq("[1,a,null]", "[2,b2,99]"))
+      // a later batch WITHOUT column v must not null out v for id=2
+      t.upsert(Seq((2, 100)).toDF("id", "extra"))
+      assertRows(t.toDF, Seq("[1,a,null]", "[2,b2,100]"))
+    }
+  }
+
+  test("partition-pruned read via partitionPred") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq(("p1", 1, 1), ("p2", 2, 2), ("p3", 3, 3)).toDF("r", "id", "v"), path,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 1)
+      assertRows(t.toDF(_ == "r=p2"), Seq("[p2,2,2]"))
+    }
+  }
+}
