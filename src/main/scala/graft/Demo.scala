@@ -50,6 +50,20 @@ object Demo {
       t.partitions.map(_.snapshot.size).max}")
     t.toDF.filter(col("o_orderkey") < 100).show(5, false)
 
+    // pipeline operators on the real documents/embeddings tables
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    println(s"docs = ${docs.count()}, after exact dedup = ${
+      graft.pipeline.Dedup.exact(docs, "doc_id", "text").count()}")
+    graft.pipeline.TextAnalysis.documentStats(docs)
+      .select("doc_id", "n_tokens", "quality", "lang_pred").show(3, false)
+    println("minhash near-dup pairs (jaccard>=0.7): " +
+      graft.pipeline.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.7).count())
+    val q0 = embs.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0).toArray
+    println("ANN brute-force top-5 of vec 0:")
+    graft.pipeline.Similarity.bruteForceTopK(embs, "vec_id", "embedding", q0, 5).show(false)
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Static kernels shared by interpreted eval and generated code — each
+  * expression's doGenCode emits a single static call, so the expressions stay
+  * inside whole-stage codegen without inline-string bloat. */
+object Kernels {
+  /** popcount(xor) over two long arrays (binary embeddings).
+    * Reference semantics: lakesoul/functions/HammingDistFunc.scala:7-51. */
+  def hamming(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var acc = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1
+    }
+    acc
+  }
+
+  /** cosine similarity of two float vectors. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var acc = 0.0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** 64-bit SimHash over string tokens: per token a 64-bit hash votes +1/-1
+    * on each bit position; the sign vector is the fingerprint. */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = xx64(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** xxHash64-style mix (stable across JVMs; NOT the reference's hash — any
+    * stable 64-bit hash works for fingerprints). */
+  def xx64(bytes: Array[Byte]): Long = {
+    // FNV-1a 64 then avalanche — deterministic, allocation-free
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+}
+
+/** `graft_hamming(Array[Long], Array[Long]) -> Int` — popcount of xor, the
+  * reference's binary-embedding distance (HammingDistFunc.scala:7-51,
+  * registered via catalog loadFunction, LakeSoulCatalog.scala:587-604). */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.hamming($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_hamming"
+}
+
+/** `graft_cosine(Array[Float], Array[Float]) -> Double`. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.cosine($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** `graft_dot(Array[Float], Array[Float]) -> Double`. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.dot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** `graft_simhash(Array[String]) -> Long` — 64-bit SimHash fingerprint. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.simhash(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Kernels.simhash($v);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_xx64(String) -> Long` — stable 64-bit content hash. */
+case class Hash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.xx64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Kernels.xx64($v.getBytes());")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_xx64"
+}
+
+/** Registration + Column helpers. Registered once per session into the
+  * function registry (the Spark-4 equivalent of the reference's catalog
+  * `loadFunction`, SparkFunctions.scala:7-14), then invoked with
+  * `call_function` so the Column API needs no private constructors. */
+object GraftFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("graft_hamming", es => HammingDistance(es(0), es(1))),
+    ("graft_cosine", es => CosineSimilarity(es(0), es(1))),
+    ("graft_dot", es => DotProduct(es(0), es(1))),
+    ("graft_simhash", es => SimHash64(es.head)),
+    ("graft_xx64", es => Hash64(es.head)))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+  }
+
+  def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def xx64(s: Column): Column = call_function("graft_xx64", s)
+}

@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import TextAnalysis.{tokens, wordShingles}
+
+/** Deduplication operators for training-data pipelines. All are expressed as
+  * declarative DataFrame plans (codegen'd expressions + equi-joins) so
+  * Catalyst/AQE handle distribution:
+  *
+  *  - exact: hash-groupBy on normalized content — one shuffle of (hash, id).
+  *  - MinHash+LSH: shingle -> minhash signature -> band -> bucket equi-join;
+  *    only same-bucket pairs are verified, so the candidate join is a shuffle
+  *    on band hashes (skew-safe: near-constant bucket sizes at 100 TB as long
+  *    as band width r is chosen so bucket collision prob stays low).
+  *  - SimHash: 64-bit fingerprint, banded by 16-bit chunks (pigeonhole: any
+  *    pair with hamming distance <= 3 shares at least one of 4 chunks).
+  *  - n-gram Jaccard: exact verification on candidate pairs.
+  *  - embedding cosine: random-hyperplane LSH buckets, cosine-verified.
+  */
+object Dedup {
+
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: one surviving row (min id) per normalized-content group. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = GraftFunctions.xx64(normText(col(textCol)))
+    df.withColumn("_g_h", h)
+      .groupBy(col("_g_h"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("_g_row"))
+      .select(df.columns.map(c => col(s"_g_row.$c")): _*)
+  }
+
+  /** (keeper, dup) pairs removed by exact dedup. */
+  def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withH = df.select(col(idCol), GraftFunctions.xx64(normText(col(textCol))).as("_g_h"))
+    val keeper = withH.groupBy("_g_h").agg(min(idCol).as("keep_id"))
+    withH.join(keeper, "_g_h")
+      .filter(col(idCol) > col("keep_id"))
+      .select(col("keep_id"), col(idCol).as("dup_id"))
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature: H minima over seeded hashes of word k-shingles. */
+  def minhashSignature(text: Column, numHashes: Int = 32, k: Int = 3): Column = {
+    val sh = wordShingles(text, k)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => GraftFunctions.xx64(concat(lit(i + "#"), s))))
+    }: _*)
+  }
+
+  /** Candidate pairs from banded MinHash-LSH (idA < idB, distinct). */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("_g_id"),
+      minhashSignature(col(textCol), numHashes).as("_g_sig"))
+    val banded = sig.select(col("_g_id"), posexplode(
+      array((0 until bands).map(b =>
+        GraftFunctions.xx64(concat_ws(",",
+          slice(col("_g_sig"), b * r + 1, r)))): _*)).as(Seq("_g_band", "_g_bh")))
+    val a = banded.select(col("_g_band"), col("_g_bh"), col("_g_id").as("id_a"))
+    val b = banded.select(col("_g_band"), col("_g_bh"), col("_g_id").as("id_b"))
+    a.join(b, Seq("_g_band", "_g_bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over word-k-shingle SETS for given (id_a, id_b) pairs. */
+  def jaccardVerify(
+      pairs: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      array_distinct(wordShingles(col(textCol), k)).as("_g_sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_g_sh", "_g_sa"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_g_sh", "_g_sb"), "id_b")
+      .withColumn("jaccard",
+        when(size(array_union(col("_g_sa"), col("_g_sb"))) === 0, 0.0)
+          .otherwise(size(array_intersect(col("_g_sa"), col("_g_sb"))).cast("double") /
+            size(array_union(col("_g_sa"), col("_g_sb")))))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs, Jaccard-verified at `threshold`. */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame =
+    jaccardVerify(minhashCandidates(df, idCol, textCol, numHashes, bands),
+      df, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+
+  // ---------------------------------------------------------------- simhash
+
+  /** Per-doc 64-bit SimHash fingerprint of word tokens. */
+  def simhashOf(text: Column): Column = GraftFunctions.simhash(tokens(text))
+
+  /** Near-dup pairs with simhash hamming distance <= maxDist (<= 15 uses
+    * 4x16-bit chunk banding; guaranteed complete for maxDist <= 3). */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("_g_id"), simhashOf(col(textCol)).as("_g_sim"))
+    val banded = sig.select(col("_g_id"), col("_g_sim"), posexplode(
+      array((0 until 4).map(i =>
+        shiftrightunsigned(col("_g_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("_g_chunk", "_g_cv")))
+    val a = banded.select(col("_g_chunk"), col("_g_cv"),
+      col("_g_id").as("id_a"), col("_g_sim").as("_g_sima"))
+    val b = banded.select(col("_g_chunk"), col("_g_cv"),
+      col("_g_id").as("id_b"), col("_g_sim").as("_g_simb"))
+    a.join(b, Seq("_g_chunk", "_g_cv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_g_sima").bitwiseXOR(col("_g_simb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------------------- embeddings
+
+  /** Deterministic random hyperplanes (seeded) for cosine LSH. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Near-dup pairs by embedding cosine >= threshold. Candidates from `tables`
+    * independent b-bit hyperplane signatures; verified with exact cosine. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      dim: Int = 64,
+      bits: Int = 12,
+      tables: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("_g_id"), col(vecCol).as("_g_v"))
+    val bucketCols = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, seed = 42L + t)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        when(GraftFunctions.dot(col("_g_v"), typedLit(p.toSeq)) > 0, 1L << i)
+          .otherwise(0L)
+      }.reduce(_ + _)
+      bucket.as(s"_g_b$t")
+    }
+    val sigs = base.select((col("_g_id") +: col("_g_v") +: bucketCols): _*)
+    val cands = (0 until tables).map { t =>
+      val a = sigs.select(col(s"_g_b$t").as("_g_bk"),
+        col("_g_id").as("id_a"), col("_g_v").as("_g_va"))
+      val b = sigs.select(col(s"_g_b$t").as("_g_bk"),
+        col("_g_id").as("id_b"), col("_g_v").as("_g_vb"))
+      a.join(b, "_g_bk").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "_g_va", "_g_vb")
+    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("cosine", round(GraftFunctions.cosine(col("_g_va"), col("_g_vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Brute-force cosine pairs (exact baseline / oracle path; O(n^2) — only
+    * for bounded subsets). */
+  def bruteForceCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_g_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_g_vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(GraftFunctions.cosine(col("_g_va"), col("_g_vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure Column
+  * expressions (codegen'd builtins + higher-order array functions) — no UDFs,
+  * fully partition-parallel, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased; empty text -> empty array. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: splits on whitespace AND word/punct boundaries —
+    * a cheap deterministic proxy for tokenizer counts. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(trim(text)), "(\\s+|(?<=\\W)|(?=\\W))"),
+      t => length(t) > 0))
+
+  def charCount(text: Column): Column = length(text)
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        length(text))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  def meanWordLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Small per-language stopword lists for the heuristic scorers. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "with", "as", "his", "on", "be", "at", "by", "not", "this", "are"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "des",
+      "ein", "eine", "im", "nicht", "auf", "sich", "auch", "als", "werden"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "qui", "que",
+      "pour", "sur", "pas", "avec", "sont", "ont", "mais", "aux"),
+    "es" -> Seq("el", "los", "las", "una", "es", "por", "con", "para", "del",
+      "se", "su", "lo", "como", "más", "pero", "sus", "hay"))
+
+  /** Fraction of tokens that are stopwords of `lang` (duplicates counted). */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val ts = tokens(text)
+    val sw = typedLit(stopwords(lang))
+    when(size(ts) === 0, 0.0).otherwise(
+      size(filter(ts, t => array_contains(sw, t))).cast("double") / size(ts))
+  }
+
+  /** Heuristic language ID: the language whose stopwords hit most tokens;
+    * "und" (undetermined) when nothing hits. N-gram-free but the same
+    * stopword-profile idea used by fasttext-style heuristics. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(ts, t => array_contains(typedLit(words), t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, high
+    * punctuation/digit density, low stopword density — the usual cheap
+    * pretraining-quality filters. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = when(len < 10, len / 10.0)
+      .when(len > 10000, greatest(lit(0.0), lit(1.0) - (len - 10000) / 90000.0))
+      .otherwise(1.0)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val digitScore = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 4.0)
+    val swScore = least(lit(1.0), stopwordRatio(text) * 4.0)
+    round((lenScore * 0.25 + punctScore * 0.25 + digitScore * 0.25 + swScore * 0.25), 6)
+  }
+
+  /** Word k-shingles ("a b c", sliding window). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < k, array(concat_ws(" ", ts)))
+      .otherwise(transform(sequence(lit(0), size(ts) - k),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    when(length(t) <= n, array(t))
+      .otherwise(transform(sequence(lit(0), length(t) - n),
+        i => t.substr(i + 1, lit(n))))
+  }
+
+  /** Rolling-hash document fingerprint: min over shingle hashes (the
+    * winnowing idea collapsed to one value) + full-content hash. */
+  def fingerprint(text: Column): Column =
+    GraftFunctions.xx64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  def minShingleFingerprint(text: Column, k: Int = 5): Column =
+    array_min(transform(wordShingles(text, k), s => GraftFunctions.xx64(s)))
+
+  /** Full per-document stats frame (the `documents` table operator). */
+  def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_m", charCount(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("mean_word_len", round(meanWordLength(t), 6))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("digit_ratio", round(digitRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.GraftSink
+import graft.tables.GraftTable
+
+class PipelineSuite extends SparkFixture {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = { super.beforeAll(); GraftFunctions.register(spark) }
+
+  def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("custom expressions: hamming / cosine / simhash / xx64") {
+    val df = Seq((Array(0xFFL, 0x0L), Array(0x0L, 0x0L))).toDF("a", "b")
+    assert(df.select(GraftFunctions.hamming($"a", $"b")).head.getInt(0) == 8)
+    val c = Seq((Array(1.0f, 0f), Array(1.0f, 0f)), (Array(1.0f, 0f), Array(0f, 1.0f)))
+      .toDF("a", "b").select(round(GraftFunctions.cosine($"a", $"b"), 6)).collect()
+    assert(c.map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
+    // simhash of identical token arrays identical; different differ
+    val s = Seq(Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y", "z"))
+      .toDF("t").select(GraftFunctions.simhash($"t")).collect().map(_.getLong(0))
+    assert(s(0) == s(1) && s(0) != s(2))
+    // deterministic across eval modes
+    val h1 = Seq("hello").toDF("s").select(GraftFunctions.xx64($"s")).head.getLong(0)
+    val h2 = Seq("hello").toDF("s").select(GraftFunctions.xx64($"s")).head.getLong(0)
+    assert(h1 == h2)
+  }
+
+  test("text analysis stats over documents") {
+    val stats = TextAnalysis.documentStats(docs).limit(50).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val nTokens = r.getAs[Int]("n_tokens")
+      assert(nTokens > 0)
+      assert(r.getAs[Double]("quality") >= 0.0 && r.getAs[Double]("quality") <= 1.0)
+      assert(r.getAs[String]("lang_pred") != null)
+    }
+    // token count matches a trivial recount for one row
+    val one = docs.orderBy("doc_id").limit(1).collect()(0)
+    val expected = one.getAs[String]("text").trim.split("\\s+").count(_.nonEmpty)
+    val got = docs.orderBy("doc_id").limit(1)
+      .select(TextAnalysis.tokenCount($"text")).head.getInt(0)
+    assert(got == expected)
+  }
+
+  test("exact dedup keeps min-id row per duplicated text") {
+    val df = Seq((1L, "same text here"), (2L, "same  TEXT here"), (3L, "unique one"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val pairs = Dedup.exactDupPairs(df, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH finds near-duplicates; jaccard verified") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different words nothing shared at all zebra piano cloud"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash near-dup pairs on documents subset") {
+    val common = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, common + " ending1"), (2L, common + " ending2"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
+  test("embedding LSH near-dup recovers high-cosine pairs vs brute force") {
+    val sub = embs.filter($"vec_id" < 200)
+    val brute = Dedup.bruteForceCosinePairs(sub, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairs(sub, "vec_id", "embedding",
+      threshold = 0.95, bits = 8, tables = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"LSH produced false positives: ${lsh -- brute}")
+    if (brute.nonEmpty) {
+      val recall = lsh.size.toDouble / brute.size
+      assert(recall >= 0.5, s"LSH recall too low: $recall (found ${lsh.size}/${brute.size})")
+    }
+  }
+
+  test("brute-force and IVF ANN top-k") {
+    val q = embs.filter($"vec_id" === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.contains(0L)) // self is its own nearest neighbor
+    val approx = Similarity.annSearch(embs, "vec_id", "embedding", q, 10,
+      nlist = 8, nprobe = 4).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("multimodal: feature extraction + frame sampling plumbing") {
+    val media = Multimodal.asMediaTable(docs.limit(20), "text", "doc_id")
+    val feats = Multimodal.extractImageFeatures(media, "content")
+    val rows = feats.collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[scala.collection.Seq[Float]]("features").length == 16))
+    // determinism
+    val again = Multimodal.extractImageFeatures(media, "content")
+      .orderBy("doc_id").collect().map(_.getAs[scala.collection.Seq[Float]]("features").toSeq)
+    assert(feats.orderBy("doc_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("features").toSeq).toSeq == again.toSeq)
+    val frames = Multimodal.sampleVideoFrames(media, "content", "meta", everyMs = 500)
+    assert(frames.count() > 20) // exploded to multiple frames per doc
+  }
+
+  test("streaming sink: exactly-once per (queryId, batchId); modes") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      val sink = new GraftSink(t, "q1", "update")
+      sink.addBatch(1, Seq((2L, "b")).toDF("id", "v"))
+      sink.addBatch(1, Seq((2L, "DUP")).toDF("id", "v")) // replay -> skipped
+      assertRows(t.toDF, Seq("[1,a]", "[2,b]"))
+      sink.addBatch(2, Seq((1L, "a2")).toDF("id", "v"))
+      assertRows(t.toDF, Seq("[1,a2]", "[2,b]"))
+      val complete = new GraftSink(t, "q2", "complete")
+      complete.addBatch(0, Seq((9L, "z")).toDF("id", "v"))
+      assertRows(t.toDF, Seq("[9,z]"))
+    }
+  }
+}
