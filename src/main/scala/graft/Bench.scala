@@ -1,24 +1,81 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.tables.GraftTable
+
+/** Benchmark main — prints ONE JSON line the driver records as BENCH_r{N}.json.
+  *
+  * Two parts:
+  *  1. headline queries from SparkEntry (scan/agg/join/window/dedup/ANN/text)
+  *  2. the reference's MOR scenario (BASELINE.md): init write -> 10 upserts
+  *     of N/5 rows -> MOR read -> compaction -> post-compaction read.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val headline = Seq(
+      "q1_agg", "q3_top_orders", "q5_region_revenue", "q_window_top2_per_cust",
+      "q_events_hourly", "q_topk_orders", "dedup_exact", "dedup_minhash",
+      "dedup_simhash", "text_stats", "fingerprint", "ann_bruteforce", "ann_ivf")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try results(name) = time { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        results(name) = -1.0
+      }
+    }
+
+    // MOR scenario (2.2.0-blog shape): init N rows, 10 upserts of N/5,
+    // merge-on-read, compaction, compacted read.
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val n = orders.count()
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-").toFile.getAbsolutePath
+      var t: GraftTable = null
+      results("mor_write_init") = time {
+        t = GraftTable.create(spark, orders, dir,
+          hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+      }
+      val batch = orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      batch.cache().count()
+      results("mor_upsert_10x") = time {
+        (1 to 10).foreach(_ => t.upsert(batch))
+      }
+      results("mor_read_10_deltas") = time { t.toDF.count() }
+      results("mor_compaction") = time { t.compaction() }
+      results("mor_read_compacted") = time { t.toDF.count() }
+      batch.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,435 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.meta.TableInfo
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.GraftSink
+import graft.tables.GraftTable
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2 and
+  * has (where SQL-expressible) a DuckDB oracle in `oracleSql` producing the
+  * identical result on the raw parquet tables. Numeric outputs are kept
+  * hash-stable: decimal casts before aggregation, exact double arithmetic
+  * (x*2, x+c) for mutations, round(_,6) for similarity scores.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001: the §7.3 end-to-end slice — create a PK
+    * table, upsert an overlapping delta, read back the merged state. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val t = GraftTable.create(spark, orders, tmp("entry"),
+      hashColumns = Seq("o_orderkey"), bucketNum = 4)
+    t.upsert(orders.limit(100).withColumn("o_totalprice", col("o_totalprice") * 2))
+    t.toDF
+  }
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag-").toFile.getAbsolutePath
+
+  /** Every query self-registers the graft function library (idempotent). */
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => { GraftFunctions.register(s); f(s, d) }
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, read as long nanos
+    // (spark.sql.legacy.parquet.nanosAsLong) -> convert to timestamp
+    if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  // Decimal cast for hash-stable aggregation of double columns.
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------- relational (Spark-delegated)
+    "q1_agg" -> q((s, d) => {
+      rd(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_top_orders" -> q((s, d) => {
+      val c = rd(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = rd(s, d, "orders")
+      val l = rd(s, d, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_region_revenue" -> q((s, d) => {
+      val r = rd(s, d, "region"); val n = rd(s, d, "nation")
+      val cst = rd(s, d, "customer"); val o = rd(s, d, "orders")
+      val l = rd(s, d, "lineitem"); val sup = rd(s, d, "supplier")
+      r.join(n, col("r_regionkey") === col("n_regionkey"))
+        .join(cst, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+    "q_window_top2_per_cust" -> q((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rd(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+    "q_topk_orders" -> q((s, d) =>
+      rd(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+    "q_semi_anti" -> q((s, d) => {
+      val cst = rd(s, d, "customer")
+      val o = rd(s, d, "orders").filter(col("o_orderstatus") === "F")
+      cst.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q_distinct_agg" -> q((s, d) =>
+      rd(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")),
+    "q_events_hourly" -> q((s, d) =>
+      rd(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
+        .orderBy("hour_start", "event_type")),
+    "q_rollup" -> q((s, d) =>
+      rd(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    // ------------------------------------------------ table-format operators (graft)
+    "mor_upsert" -> q((s, d) => {
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("morup"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      t.upsert(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.toDF
+    }),
+    "mor_multi_upsert" -> q((s, d) => {
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("mormulti"),
+        rangeColumns = Seq("o_orderpriority"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      t.upsert(o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.upsert(o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 4))
+      t.toDF
+    }),
+    "merge_op_sum" -> q((s, d) => {
+      val sup = rd(s, d, "supplier")
+      val t = GraftTable.create(s, sup, tmp("mosum"),
+        hashColumns = Seq("s_suppkey"), bucketNum = 4,
+        properties = Map(TableInfo.mergeOpProp("s_acctbal") -> "sum_all"))
+      t.upsert(sup)
+      t.toDF
+    }),
+    "merge_op_concat" -> q((s, d) => {
+      val doc = rd(s, d, "documents").select("doc_id", "lang", "source")
+      val t = GraftTable.create(s, doc, tmp("moconcat"),
+        hashColumns = Seq("doc_id"), bucketNum = 4,
+        properties = Map(TableInfo.mergeOpProp("lang") -> "joined_all_by_comma"))
+      t.upsert(doc.withColumn("lang", lit("xx")))
+      t.toDF
+    }),
+    "cdc_read" -> q((s, d) => {
+      val c = rd(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), lit("insert").as("op"))
+      val t = GraftTable.create(s, c, tmp("cdc"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4,
+        properties = Map(TableInfo.CdcColumnProp -> "op"))
+      t.upsert(c.filter(col("c_custkey") % 7 === 0).withColumn("op", lit("delete")))
+      t.upsert(c.filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 7 =!= 0)
+        .withColumn("c_name", upper(col("c_name"))).withColumn("op", lit("update")))
+      t.toDF
+    }),
+    "update_cmd" -> q((s, d) => {
+      val c = rd(s, d, "customer")
+      val t = GraftTable.create(s, c, tmp("upd"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      t.update(col("c_mktsegment") === "BUILDING",
+        Map("c_acctbal" -> (col("c_acctbal") + 1000)))
+      t.toDF
+    }),
+    "delete_cmd" -> q((s, d) => {
+      val c = rd(s, d, "customer")
+      val t = GraftTable.create(s, c, tmp("del"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      t.delete(col("c_acctbal") < 0)
+      t.toDF
+    }),
+    "compaction_read" -> q((s, d) => {
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("compact"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      t.upsert(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.compaction()
+      t.toDF
+    }),
+    "time_travel" -> q((s, d) => {
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("tt"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      val ts1 = t.lastCommitTs
+      t.upsert(o.withColumn("o_totalprice", col("o_totalprice") * 3))
+      t.snapshotAt(ts1)
+    }),
+    "incremental_read" -> q((s, d) => {
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o.filter(col("o_orderstatus") === "O"),
+        tmp("incr"), hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      val ts1 = t.lastCommitTs
+      t.upsert(o.filter(col("o_orderstatus") === "F"))
+      t.incremental(ts1, t.lastCommitTs)
+    }),
+    "partition_prune_read" -> q((s, d) => {
+      val e = rd(s, d, "events")
+      val t = GraftTable.create(s, e, tmp("prune"),
+        rangeColumns = Seq("event_type"), hashColumns = Seq("event_id"),
+        bucketNum = 4)
+      t.toDF(_ == "event_type=click")
+    }),
+    "streaming_sink_exactly_once" -> q((s, d) => {
+      val e = rd(s, d, "events")
+      val t = GraftTable.create(s, e.filter(col("event_id") % 3 === 0),
+        tmp("sink"), hashColumns = Seq("event_id"), bucketNum = 4)
+      val sink = new GraftSink(t, "q-verify", "update")
+      sink.addBatch(1, e.filter(col("event_id") % 3 === 1))
+      sink.addBatch(1, e.filter(col("event_id") % 3 === 1)
+        .withColumn("value", lit(-1.0))) // replay: must be ignored
+      sink.addBatch(2, e.filter(col("event_id") % 3 === 2))
+      t.toDF
+    }),
+
+    // ------------------------------------------------------- pipeline operators
+    "dedup_exact" -> q((s, d) => {
+      // duplicate every 5th doc under a shifted id, then dedup
+      val doc = rd(s, d, "documents")
+      val dups = doc.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.exact(doc.unionByName(dups), "doc_id", "text")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+    "dedup_minhash" -> q((s, d) =>
+      Dedup.minhashNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8)),
+    "dedup_simhash" -> q((s, d) =>
+      Dedup.simhashNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
+        maxDist = 3)),
+    "dedup_ngram_jaccard" -> q((s, d) => {
+      val doc = rd(s, d, "documents")
+      val pairs = doc.select(col("doc_id").as("id_a"))
+        .crossJoin(doc.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.jaccardVerify(pairs, doc, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+    }),
+    "dedup_embedding" -> q((s, d) => {
+      // synthetic corpora have no organic near-dups (max pairwise cosine
+      // ~0.51), so inject exact copies of every 10th vector under shifted ids
+      val e = rd(s, d, "embeddings")
+      val dups = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      Dedup.embeddingNearDupPairs(e.unionByName(dups), "vec_id", "embedding",
+        threshold = 0.99, bits = 8, tables = 8)
+    }),
+    "ann_bruteforce" -> q((s, d) => {
+      val e = rd(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20)
+    }),
+    "ann_ivf" -> q((s, d) => {
+      val e = rd(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.annSearch(e, "vec_id", "embedding", q, 20, nlist = 16, nprobe = 8)
+    }),
+    "text_stats" -> q((s, d) => {
+      GraftFunctions.register(s)
+      val t = col("text")
+      rd(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.charCount(t).as("n_chars_m"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.digitRatio(t), 6).as("digit_ratio"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"))
+    }),
+    "lang_id" -> q((s, d) => {
+      GraftFunctions.register(s)
+      rd(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    }),
+    "fingerprint" -> q((s, d) => {
+      GraftFunctions.register(s)
+      rd(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.minShingleFingerprint(col("text")).as("min_shingle_fp"))
+    }),
+    "hamming_similarity" -> q((s, d) => {
+      GraftFunctions.register(s)
+      // binarize embeddings (sign bits packed into one long) then hamming
+      val e = rd(s, d, "embeddings").filter(col("vec_id") < 200)
+      val bits = (0 until 64).map(i =>
+        when(element_at(col("embedding"), i + 1) > 0, 1L << i).otherwise(0L))
+        .reduce(_ + _)
+      val sig = e.select(col("vec_id"), array(bits).as("sig"))
+      val a = sig.select(col("vec_id").as("id_a"), col("sig").as("sa"))
+      val b = sig.select(col("vec_id").as("id_b"), col("sig").as("sb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          GraftFunctions.hamming(col("sa"), col("sb")).as("hamming"))
+        .filter(col("hamming") <= 20)
+    }))
+
+  /** DuckDB-equivalent SQL per query (driver hash-compares results; omitted
+    * entries get a rows-only check). Table names = parquet file stems. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q_window_top2_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "mor_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "mor_multi_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 4
+        |       WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "merge_op_sum" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal + s_acctbal AS s_acctbal
+        |FROM supplier""".stripMargin,
+    "merge_op_concat" ->
+      "SELECT doc_id, lang || ',xx' AS lang, source FROM documents",
+    "cdc_read" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 11 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+        |  CASE WHEN c_custkey % 11 = 0 THEN 'update' ELSE 'insert' END AS op
+        |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    "update_cmd" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer""".stripMargin,
+    "delete_cmd" ->
+      "SELECT * FROM customer WHERE NOT (c_acctbal < 0)",
+    "compaction_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "time_travel" -> "SELECT * FROM orders",
+    "incremental_read" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "partition_prune_read" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_type = 'click'",
+    "streaming_sink_exactly_once" -> "SELECT * FROM events",
+    "dedup_exact" ->
+      """WITH uni AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT u.* FROM uni u JOIN (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k, min(doc_id) AS keep
+        |  FROM uni GROUP BY 1) g
+        |ON regexp_replace(lower(trim(u.text)), '\s+', ' ', 'g') = g.k AND u.doc_id = g.keep""".stripMargin,
+    "ann_bruteforce" ->
+      """SELECT vec_id, round(list_cosine_similarity(embedding,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS n_tokens,
+        |  length(text) AS n_chars_m,
+        |  round(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / length(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) END, 6) AS digit_ratio,
+        |  round(CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) = 0 THEN 0
+        |    ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','not','this','are'], t))) * 1.0
+        |      / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) END, 6) AS stopword_ratio
+        |FROM documents""".stripMargin)
+  // omitted oracles (rows-only check): dedup_minhash, dedup_simhash,
+  // dedup_ngram_jaccard, dedup_embedding, ann_ivf, lang_id, fingerprint,
+  // hamming_similarity — hash-function-dependent or approximate operators
+  // with no faithful ANSI-SQL equivalent.
 }

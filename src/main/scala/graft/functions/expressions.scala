@@ -62,6 +62,35 @@ object Kernels {
     out
   }
 
+  /** MinHash signature: one strong hash per shingle + `num` cheap avalanche
+    * mixes (the standard one-hash/k-mix trick) — a single pass over the
+    * array instead of `num` re-hashes of every string. */
+  def minhash(shingles: ArrayData, num: Int): ArrayData = {
+    val mins = Array.fill(num)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val base = xx64(shingles.getUTF8String(i).getBytes)
+        var k = 0
+        while (k < num) {
+          val g = mix64(base + 0x9e3779b97f4a7c15L * (k + 1))
+          if (g < mins(k)) mins(k) = g
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL; z ^= z >>> 33
+    z *= 0xc4ceb9fe1a85ec53L; z ^= z >>> 33
+    z
+  }
+
   /** xxHash64-style mix (stable across JVMs; NOT the reference's hash — any
     * stable 64-bit hash works for fingerprints). */
   def xx64(bytes: Array[Byte]): Long = {
@@ -145,6 +174,20 @@ case class Hash64(child: Expression)
   override def prettyName: String = "graft_xx64"
 }
 
+/** `graft_minhash(Array[String], n) -> Array[Long]` — n-function MinHash
+  * signature in one pass over the shingle array. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhash(v.asInstanceOf[ArrayData], numHashes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Kernels.minhash($v, $numHashes);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_minhash"
+}
+
 /** Registration + Column helpers. Registered once per session into the
   * function registry (the Spark-4 equivalent of the reference's catalog
   * `loadFunction`, SparkFunctions.scala:7-14), then invoked with
@@ -155,6 +198,7 @@ object GraftFunctions {
     ("graft_cosine", es => CosineSimilarity(es(0), es(1))),
     ("graft_dot", es => DotProduct(es(0), es(1))),
     ("graft_simhash", es => SimHash64(es.head)),
+    ("graft_minhash32", es => MinHashSignature(es.head, 32)),
     ("graft_xx64", es => Hash64(es.head)))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
@@ -165,5 +209,6 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def minhash32(shingles: Column): Column = call_function("graft_minhash32", shingles)
   def xx64(s: Column): Column = call_function("graft_xx64", s)
 }

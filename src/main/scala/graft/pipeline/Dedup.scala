@@ -46,13 +46,35 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash signature: H minima over seeded hashes of word k-shingles. */
+  /** MinHash signature: 32 minima over hashed word k-shingles, computed in
+    * one pass by a custom codegen'd expression (inlining 32 array_min/
+    * transform copies would re-tokenize the text 32x per row — lambda
+    * functions defeat Catalyst subexpression elimination). */
   def minhashSignature(text: Column, numHashes: Int = 32, k: Int = 3): Column = {
-    val sh = wordShingles(text, k)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => GraftFunctions.xx64(concat(lit(i + "#"), s))))
-    }: _*)
+    require(numHashes == 32, "one-pass kernel is fixed at 32 hash functions")
+    GraftFunctions.minhash32(wordShingles(text, k))
   }
+
+  /** Same-bucket (id_a, id_b) pairs from a pre-banded frame — ONE shuffle
+    * (groupBy bucket) + in-bucket pair explosion via higher-order functions,
+    * instead of a self-join that would recompute signatures and shuffle
+    * twice. Buckets larger than `maxBucket` are dropped: degenerate buckets
+    * contribute O(B^2) useless candidates and are the classic LSH skew
+    * hazard at scale (a 100 TB corpus WILL have pathological buckets). */
+  private[pipeline] def bucketPairs(
+      banded: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String,
+      maxBucket: Int): DataFrame =
+    banded.groupBy(bucketCols.map(col): _*)
+      .agg(array_sort(collect_set(col(idCol))).as("_g_ids"))
+      .filter(size(col("_g_ids")) >= 2 && size(col("_g_ids")) <= maxBucket)
+      .select(explode(expr(
+        "flatten(transform(_g_ids, (x, i) -> " +
+          "transform(slice(_g_ids, i + 2, size(_g_ids)), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("_g_p"))
+      .select(col("_g_p.id_a").as("id_a"), col("_g_p.id_b").as("id_b"))
+      .distinct()
 
   /** Candidate pairs from banded MinHash-LSH (idA < idB, distinct). */
   def minhashCandidates(
@@ -60,18 +82,18 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucket: Int = 100): DataFrame = {
     val r = numHashes / bands
+    // materialize the signature ONCE per row (a projection), then band it —
+    // inlining it into each band hash would re-tokenize numHashes times
     val sig = df.select(col(idCol).as("_g_id"),
       minhashSignature(col(textCol), numHashes).as("_g_sig"))
     val banded = sig.select(col("_g_id"), posexplode(
       array((0 until bands).map(b =>
         GraftFunctions.xx64(concat_ws(",",
           slice(col("_g_sig"), b * r + 1, r)))): _*)).as(Seq("_g_band", "_g_bh")))
-    val a = banded.select(col("_g_band"), col("_g_bh"), col("_g_id").as("id_a"))
-    val b = banded.select(col("_g_band"), col("_g_bh"), col("_g_id").as("id_b"))
-    a.join(b, Seq("_g_band", "_g_bh")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    bucketPairs(banded, Seq("_g_band", "_g_bh"), "_g_id", maxBucket)
   }
 
   /** Exact Jaccard over word-k-shingle SETS for given (id_a, id_b) pairs. */
@@ -116,20 +138,19 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
     val sig = df.select(col(idCol).as("_g_id"), simhashOf(col(textCol)).as("_g_sim"))
-    val banded = sig.select(col("_g_id"), col("_g_sim"), posexplode(
+    val banded = sig.select(col("_g_id"), posexplode(
       array((0 until 4).map(i =>
         shiftrightunsigned(col("_g_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .as(Seq("_g_chunk", "_g_cv")))
-    val a = banded.select(col("_g_chunk"), col("_g_cv"),
-      col("_g_id").as("id_a"), col("_g_sim").as("_g_sima"))
-    val b = banded.select(col("_g_chunk"), col("_g_cv"),
-      col("_g_id").as("id_b"), col("_g_sim").as("_g_simb"))
-    a.join(b, Seq("_g_chunk", "_g_cv")).filter(col("id_a") < col("id_b"))
+    val cands = bucketPairs(banded, Seq("_g_chunk", "_g_cv"), "_g_id", maxBucket)
+    cands
+      .join(sig.select(col("_g_id").as("id_a"), col("_g_sim").as("_g_sima")), "id_a")
+      .join(sig.select(col("_g_id").as("id_b"), col("_g_sim").as("_g_simb")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("_g_sima").bitwiseXOR(col("_g_simb"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 
@@ -161,15 +182,14 @@ object Dedup {
       bucket.as(s"_g_b$t")
     }
     val sigs = base.select((col("_g_id") +: col("_g_v") +: bucketCols): _*)
-    val cands = (0 until tables).map { t =>
-      val a = sigs.select(col(s"_g_b$t").as("_g_bk"),
-        col("_g_id").as("id_a"), col("_g_v").as("_g_va"))
-      val b = sigs.select(col(s"_g_b$t").as("_g_bk"),
-        col("_g_id").as("id_b"), col("_g_v").as("_g_vb"))
-      a.join(b, "_g_bk").filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "_g_va", "_g_vb")
-    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
+    // one (table, bucket) key space -> single groupBy + in-bucket pairs
+    val banded = sigs.select(col("_g_id"), posexplode(
+      array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"_g_b$t").as("b"))): _*)).as(Seq("_g_i", "_g_tb")))
+    val cands = bucketPairs(banded, Seq("_g_tb"), "_g_id", maxBucket = 200)
     cands
+      .join(base.select(col("_g_id").as("id_a"), col("_g_v").as("_g_va")), "id_a")
+      .join(base.select(col("_g_id").as("id_b"), col("_g_v").as("_g_vb")), "id_b")
       .withColumn("cosine", round(GraftFunctions.cosine(col("_g_va"), col("_g_vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
