@@ -65,6 +65,21 @@ object Demo {
     println("ANN brute-force top-5 of vec 0:")
     graft.pipeline.Similarity.bruteForceTopK(embs, "vec_id", "embedding", q0, 5).show(false)
 
+    // DataSource surface: format("graft") batch write/read + options
+    val fmtPath = s"$dir/fmt_t"
+    orders.limit(500).write.format("graft")
+      .option("hashPartitions", "o_orderkey").option("hashBucketNum", "4")
+      .save(fmtPath)
+    orders.limit(50).withColumn("o_totalprice", col("o_totalprice") * 2)
+      .write.format("graft").mode("append").save(fmtPath)
+    val viaFmt = spark.read.format("graft").load(fmtPath)
+    println(s"format(graft) rows = ${viaFmt.count()} (expect 500), doubled = ${
+      viaFmt.join(orders.limit(50).select(col("o_orderkey"),
+        (col("o_totalprice") * 2).as("exp")), "o_orderkey")
+        .filter(col("o_totalprice") === col("exp")).count()} (expect 50)")
+    println(s"pk lookup = ${
+      GraftTable.forPath(spark, fmtPath).lookupByPk(Seq(1L)).count()} row(s)")
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.GraftSink
+import graft.tables.GraftTable
+
+/** `format("graft")` — the reference's DataSource surface (SURVEY.md §3.1,
+  * §3.3; sources/LakeSoulDataSource.scala):
+  *
+  *   spark.read.format("graft").load(path)            // batch read
+  *     .option("readtype", "snapshot"|"incremental")  // time travel
+  *     .option("readendtime", <ms>) .option("readstarttime", <ms>)
+  *     .option("partitiondesc", "k=v")                // partition pruning
+  *   df.write.format("graft")                         // batch write
+  *     .option("hashPartitions", "id").option("hashBucketNum", "4")
+  *     .option("rangePartitions", "date")
+  *     .mode("append"|"overwrite").save(path)         // append=upsert on PK
+  *   spark.readStream.format("graft").load(path)      // incremental source
+  *   df.writeStream.format("graft")                   // exactly-once sink
+  *     .option("path", path).option("queryId", "q1")
+  *
+  * Option names mirror the reference (LakeSoulDataSource.scala:121-148).
+  */
+class GraftDataSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider
+    with SchemaRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' option (or load(path)) required"))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext, pathOf(parameters), parameters)
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
+
+  /** Batch write: creates the table on first write (bucketing options),
+    * then append (non-PK) / upsert (PK) / overwrite. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    if (!GraftTable.exists(path)) {
+      val range = parameters.get("rangePartitions").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val hash = parameters.get("hashPartitions").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val buckets = parameters.getOrElse("hashBucketNum", "4").toInt
+      val props = parameters.view.filterKeys(_.startsWith("graft.")).toMap
+      GraftTable.create(spark, data, path, range, hash, buckets, props)
+    } else {
+      val t = GraftTable.forPath(spark, path)
+      mode match {
+        case SaveMode.Append =>
+          if (t.info.hasPrimaryKey) t.upsert(data) else t.append(data)
+        case SaveMode.Overwrite => t.overwrite(data)
+        case SaveMode.Ignore => ()
+        case SaveMode.ErrorIfExists =>
+          throw new IllegalStateException(s"graft table already exists at $path")
+      }
+    }
+    GraftRelation(sqlContext, path, parameters)
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      GraftTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink =
+    new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      parameters, outputMode)
+}
+
+/** Batch relation with column pruning; Spark re-applies filters above us, so
+  * pushdown is best-effort (partition pruning via `partitiondesc` option). */
+case class GraftRelation(
+    sqlContext: SQLContext,
+    path: String,
+    parameters: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+  private def table: GraftTable = GraftTable.forPath(spark, path)
+
+  override lazy val schema: StructType = table.schema
+
+  private def baseDF: DataFrame = {
+    val partPred: String => Boolean = parameters.get("partitiondesc") match {
+      case Some(desc) => _ == desc
+      case None => _ => true
+    }
+    parameters.getOrElse("readtype", "full") match {
+      case "snapshot" =>
+        table.snapshotAt(parameters("readendtime").toLong, partPred)
+      case "incremental" =>
+        table.incremental(parameters.getOrElse("readstarttime", "0").toLong,
+          parameters.get("readendtime").map(_.toLong)
+            .getOrElse(table.lastCommitTs), partPred)
+      case _ => table.toDF(partPred)
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val df = baseDF
+    val pruned =
+      if (requiredColumns.isEmpty) df
+      else df.select(requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.rdd
+  }
+}
+
+/** Incremental micro-batch source (S10): offsets are commit timestamps; each
+  * batch reads the (start, end] incremental file set
+  * (MergeParquetScan.scala:342-374). */
+class GraftStreamSource(
+    spark: SparkSession,
+    path: String,
+    parameters: Map[String, String]) extends Source {
+
+  private def table: GraftTable = GraftTable.forPath(spark, path)
+  private val startTime = parameters.getOrElse("readstarttime", "0").toLong
+
+  override def schema: StructType = table.schema
+
+  override def getOffset: Option[Offset] = {
+    val ts = table.lastCommitTs
+    if (ts <= 0L) None else Some(LongOffset(ts))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val s = start.map(o => offsetValue(o)).getOrElse(startTime)
+    val e = offsetValue(end)
+    org.apache.spark.sql.graft.StreamShim.asStreaming(table.incremental(s, e))
+  }
+
+  private def offsetValue(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Streaming sink (S11) — exactly-once via (queryId, batchId) bookkeeping. */
+class GraftStreamSink(
+    spark: SparkSession,
+    path: String,
+    parameters: Map[String, String],
+    outputMode: OutputMode) extends Sink {
+
+  private val queryId = parameters.getOrElse("queryId", "graft-stream")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // DSv1 hands us a streaming DF; re-plan it as a batch DF without
+    // collecting to the driver
+    val batch = org.apache.spark.sql.graft.StreamShim.asBatch(data)
+    if (!GraftTable.exists(path)) {
+      val range = parameters.get("rangePartitions").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val hash = parameters.get("hashPartitions").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val buckets = parameters.getOrElse("hashBucketNum", "4").toInt
+      GraftTable.create(spark, batch, path, range, hash, buckets)
+      graft.meta.MetaStore.default.recordBatchId(
+        GraftTable.forPath(spark, path).tablePath, queryId, batchId)
+    } else {
+      val mode =
+        if (outputMode == OutputMode.Complete()) "complete"
+        else if (outputMode == OutputMode.Update()) "update"
+        else "append"
+      val t = GraftTable.forPath(spark, path)
+      val m = if (mode == "append" && t.info.hasPrimaryKey) "update" else mode
+      new GraftSink(t, queryId, m).addBatch(batchId, batch)
+    }
+  }
+}

@@ -128,6 +128,53 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Primary-key point lookup with bucket pruning (M6): only files of the
+    * bucket `pmod(hash(pkValues), bucketNum)` are read — the same expression
+    * the write path used, so they can never disagree (the reference had to
+    * re-implement Spark murmur3 in Rust for this, spark_murmur3.rs). */
+  def lookupByPk(pkValues: Seq[Any]): DataFrame = {
+    val t = info
+    require(t.hasPrimaryKey, "lookupByPk requires a primary-key table")
+    require(pkValues.length == t.hashColumns.length,
+      s"expected ${t.hashColumns.length} pk values, got ${pkValues.length}")
+    val sch = schema
+    val lits = t.hashColumns.zip(pkValues).map { case (c, v) =>
+      lit(v).cast(sch(c).dataType)
+    }
+    val bucket = spark.range(1)
+      .select(TransactionalWrite.bucketIdExpr(lits, t.bucketNum).as("b"))
+      .head.getInt(0)
+    val files = resolver.currentFiles(tablePath)
+      .filter(f => f.file.bucketId == bucket || f.file.bucketId == -1)
+    val pred = t.hashColumns.zip(lits)
+      .map { case (c, l) => col(c) === l }.reduce(_ && _)
+    GraftRead.read(spark, t, files).filter(pred)
+  }
+
+  /** Upsert a delta keyed by non-PK columns (J2, upsertOnJoinKey,
+    * LakeSoulTableOperations.scala:91-111): enrich the delta with the
+    * table's PK/partition columns through a broadcast join, then upsert. */
+  def upsertOnJoinKey(deltaDF: DataFrame, joinKeys: Seq[String]): Unit = {
+    val t = info
+    require(t.hasPrimaryKey, "upsertOnJoinKey requires a primary-key table")
+    val keyCols = (t.hashColumns ++ t.rangeColumns).distinct
+      .filterNot(joinKeys.contains)
+    val mapping = toDF.select((joinKeys ++ keyCols).distinct.map(col): _*)
+    upsert(mapping.join(broadcast(deltaDF), joinKeys, "inner"))
+  }
+
+  /** Upsert one delta into several dimension tables at once (J3,
+    * joinWithTablePathsAndUpsert, LakeSoulTableOperations.scala:113-167):
+    * for each dim table, project the delta onto the dim's schema via a
+    * broadcast join on that table's hash columns and upsert. */
+  def joinWithTablesAndUpsert(deltaDF: DataFrame, dims: Seq[GraftTable]): Unit =
+    dims.foreach { dim =>
+      val di = dim.info
+      val dimCols = dim.schema.fieldNames.filter(deltaDF.columns.contains)
+      dim.upsert(broadcast(deltaDF.select(dimCols.map(col): _*))
+        .join(dim.toDF.select(di.hashColumns.map(col): _*), di.hashColumns, "inner"))
+    }
+
   /** Roll a partition head back to an old version (C10). */
   def rollbackPartition(partitionDesc: String, toVersion: Int): Unit =
     store.rollbackPartition(tablePath, partitionDesc, toVersion)

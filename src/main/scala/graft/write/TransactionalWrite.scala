@@ -67,17 +67,27 @@ object TransactionalWrite {
   /** Apply per-column merge operators within one batch, collapsing duplicate
     * PKs (per range partition). Intra-batch order = input row order
     * (monotonically_increasing_id as the version). */
+  /** Single-shuffle trick: the batch is repartitioned by PK into exactly
+    * `bucketNum` partitions FIRST. `HashPartitioning(pk, n)` satisfies the
+    * aggregate's ClusteredDistribution(range++pk) (pk is a subset, and equal
+    * pk => equal (range,pk) partition), so Catalyst plans the group-by
+    * WITHOUT another exchange — and because the aggregate's partitioning is
+    * the same murmur3-mod expression as [[bucketIdExpr]], the post-merge
+    * partition index IS the bucket id. One shuffle replaces the previous
+    * groupBy-then-repartition pair. */
   def preMerge(table: TableInfo, df: DataFrame): DataFrame = {
     val keys = (table.rangeColumns ++ table.hashColumns).filter(df.columns.contains)
     val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
     // materialized in a Project (non-deterministic exprs may not sit inside
     // an aggregate); partition-major order stands in for input row order
-    val seq = df.withColumn("_g_seq", monotonically_increasing_id())
+    val seq = df
+      .repartition(table.bucketNum, table.hashColumns.map(col): _*)
+      .withColumn("_g_seq", monotonically_increasing_id())
     val aggs = df.schema.fields.filterNot(f => keys.contains(f.name)).map { f =>
       val dt = schema(f.name).dataType
       mergeOpFor(table, f.name).agg(col(f.name), col("_g_seq"), lit(true), dt).as(f.name)
     }
-    if (aggs.isEmpty) df.dropDuplicates(keys)
+    if (aggs.isEmpty) seq.drop("_g_seq").dropDuplicates(keys)
     else {
       val merged = seq.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
       merged.select(df.columns.map(col).toSeq: _*) // restore column order
@@ -109,13 +119,17 @@ object TransactionalWrite {
     val partDirCols: Seq[String] =
       if (table.hasPrimaryKey) {
         val pk = table.hashColumns.map(col)
-        out = out.withColumn(BucketCol, bucketIdExpr(pk, table.bucketNum))
-          // co-locate each bucket in one task → one file per (partition, bucket)
-          .repartition(table.bucketNum, col(BucketCol))
-          // sort-on-write by (range, bucket, pk) — the format's sorted-run
-          // contract (LakeSoulFileWriter.scala:125-141)
-          .sortWithinPartitions(
-            (table.rangeColumns.map(col) ++ Seq(col(BucketCol)) ++ pk): _*)
+        val bucketed = out.withColumn(BucketCol, bucketIdExpr(pk, table.bucketNum))
+        // after preMerge the data is already HashPartitioning(pk, bucketNum)
+        // (partition index == bucket id); only re-shuffle when the batch
+        // bypassed preMerge (update/compaction rewrites)
+        val placed =
+          if (skipPreMerge) bucketed.repartition(table.bucketNum, col(BucketCol))
+          else bucketed
+        // sort-on-write by (range, bucket, pk) — the format's sorted-run
+        // contract (LakeSoulFileWriter.scala:125-141)
+        out = placed.sortWithinPartitions(
+          (table.rangeColumns.map(col) ++ Seq(col(BucketCol)) ++ pk): _*)
         rangeDirCols.map(_._1) :+ BucketCol
       } else rangeDirCols.map(_._1)
 

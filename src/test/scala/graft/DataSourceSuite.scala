@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.tables.GraftTable
+
+class DataSourceSuite extends SparkFixture {
+  import spark.implicits._
+
+  test("format(graft): write creates table, append upserts on PK, read back") {
+    withTempPath { path =>
+      Seq((1, "a"), (2, "b")).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").option("hashBucketNum", "2")
+        .save(path)
+      Seq((2, "b2"), (3, "c")).toDF("id", "v").write.format("graft")
+        .mode("append").save(path)
+      val back = spark.read.format("graft").load(path)
+      assertRows(back, Seq("[1,a]", "[2,b2]", "[3,c]"))
+      // column pruning path
+      assertRows(back.select("id"), Seq("[1]", "[2]", "[3]"))
+      assertRows(back.filter($"id" === 2).select("v"), Seq("[b2]"))
+    }
+  }
+
+  test("format(graft): snapshot and incremental read options") {
+    withTempPath { path =>
+      Seq((1, "a")).toDF("id", "v").write.format("graft")
+        .option("hashPartitions", "id").save(path)
+      val t = GraftTable.forPath(spark, path)
+      val ts1 = t.lastCommitTs
+      t.upsert(Seq((2, "b")).toDF("id", "v"))
+      val snap = spark.read.format("graft")
+        .option("readtype", "snapshot").option("readendtime", ts1.toString)
+        .load(path)
+      assertRows(snap, Seq("[1,a]"))
+      val incr = spark.read.format("graft")
+        .option("readtype", "incremental")
+        .option("readstarttime", ts1.toString)
+        .option("readendtime", t.lastCommitTs.toString)
+        .load(path)
+      assertRows(incr, Seq("[2,b]"))
+    }
+  }
+
+  test("structured streaming: graft source -> memory sink, graft sink e2e") {
+    withTempPath { src =>
+      withTempPath { dst =>
+        withTempPath { ckpt =>
+          val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), src,
+            hashColumns = Seq("id"), bucketNum = 1)
+          // graft -> graft streaming pipe
+          val q = spark.readStream.format("graft").load(src)
+            .writeStream.format("graft")
+            .option("path", dst)
+            .option("hashPartitions", "id").option("hashBucketNum", "1")
+            .option("checkpointLocation", s"$ckpt/sink")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(60000)
+          assertRows(spark.read.format("graft").load(dst), Seq("[1,a]"))
+          // second batch flows through on restart
+          t.upsert(Seq((2L, "b"), (1L, "a2")).toDF("id", "v"))
+          val q2 = spark.readStream.format("graft").load(src)
+            .writeStream.format("graft")
+            .option("path", dst)
+            .option("checkpointLocation", s"$ckpt/sink")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q2.awaitTermination(60000)
+          assertRows(spark.read.format("graft").load(dst), Seq("[1,a2]", "[2,b]"))
+        }
+      }
+    }
+  }
+
+  test("lookupByPk prunes to one bucket and returns the row") {
+    withTempPath { path =>
+      val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      val t = GraftTable.create(spark, df, path,
+        hashColumns = Seq("id"), bucketNum = 8)
+      assertRows(t.lookupByPk(Seq(42L)), Seq("[42,v42]"))
+      assert(t.lookupByPk(Seq(4242L)).count() == 0)
+    }
+  }
+
+  test("upsertOnJoinKey enriches delta via broadcast join") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1L, "k1", 10), (2L, "k2", 20)).toDF("id", "key", "amount"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      // delta keyed by `key`, no id column
+      t.upsertOnJoinKey(Seq(("k2", 99)).toDF("key", "amount"), Seq("key"))
+      assertRows(t.toDF, Seq("[1,k1,10]", "[2,k2,99]"))
+    }
+  }
+
+  test("joinWithTablesAndUpsert fans a delta into dimension tables") {
+    withTempPath { p1 =>
+      withTempPath { p2 =>
+        val d1 = GraftTable.create(spark,
+          Seq((1L, "x")).toDF("id", "a"), p1, hashColumns = Seq("id"), bucketNum = 1)
+        val d2 = GraftTable.create(spark,
+          Seq((1L, "y"), (9L, "z")).toDF("id", "b"), p2,
+          hashColumns = Seq("id"), bucketNum = 1)
+        val delta = Seq((1L, "x2", "y2")).toDF("id", "a", "b")
+        d1.joinWithTablesAndUpsert(delta, Seq(d1, d2))
+        assertRows(d1.toDF, Seq("[1,x2]"))
+        assertRows(d2.toDF, Seq("[1,y2]", "[9,z]"))
+      }
+    }
+  }
+}
