@@ -80,6 +80,17 @@ object Demo {
     println(s"pk lookup = ${
       GraftTable.forPath(spark, fmtPath).lookupByPk(Seq(1L)).count()} row(s)")
 
+    // SQL CALL procedures + maintenance surface
+    val parser = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+    def call(sql: String) = parser.parsePlan(sql)
+      .asInstanceOf[graft.sql.GraftCallCommand].run(spark).head.getString(0)
+    println("CALL graft.compaction -> " +
+      call(s"CALL graft.compaction(table_path => '$fmtPath')"))
+    println("CALL graft.vacuum -> " +
+      call(s"CALL graft.vacuum(table_path => '$fmtPath')"))
+    println(s"runs after CALL compaction = ${
+      GraftTable.forPath(spark, fmtPath).liveFiles.map(_.commitOrdinal).distinct.size}")
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

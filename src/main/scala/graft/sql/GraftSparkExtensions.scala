@@ -1,0 +1,117 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+
+import graft.functions.GraftFunctions
+import graft.tables.{CompactionOptions, GraftTable}
+
+/** Session extensions (the reference's LakeSoulSparkSessionExtension,
+  * sql/LakeSoulSparkSessionExtension.scala:62-114 + the CALL-only SQL
+  * extension parser, C13: LakeSoulSqlExtensions.g4:47-63,
+  * LakeSoulSparkSqlExtensionsParser.scala):
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+  *
+  * Adds:  CALL graft.<proc>(name => 'value', ...)  with procedures
+  * compaction / rollback / vacuum / drop_partition, plus the graft scalar
+  * function library in every session. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
+}
+
+/** Delegating parser: intercepts `CALL graft.<proc>(...)`, hands everything
+  * else to Spark's parser — the same delegation shape as the reference's
+  * extension parser. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val CallRe =
+    """(?is)\s*CALL\s+graft\.(\w+)\s*\((.*)\)\s*;?\s*""".r
+  private val ArgRe = """(?s)\s*(\w+)\s*=>\s*'((?:[^']|'')*)'\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CallRe(proc, argStr) =>
+      val args = if (argStr.trim.isEmpty) Map.empty[String, String]
+        else argStr.split(",(?=(?:[^']*'[^']*')*[^']*$)").map {
+          case ArgRe(k, v) => k.toLowerCase -> v.replace("''", "'")
+          case bad => throw new IllegalArgumentException(
+            s"bad CALL argument '$bad' (expected name => 'value')")
+        }.toMap
+      GraftCallCommand(proc.toLowerCase, args)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `CALL graft.<proc>(...)` dispatch (reference: CallExecCommand.scala:14-185,
+  * procedures rollback/compaction via rules/ProcessCall.scala). */
+case class GraftCallCommand(proc: String, args: Map[String, String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    DataTypeUtils.toAttributes(StructType(Seq(StructField("result", StringType))))
+
+  private def tableOf(spark: SparkSession): GraftTable =
+    (args.get("table_path"), args.get("table_name")) match {
+      case (Some(p), _) => GraftTable.forPath(spark, p)
+      case (_, Some(n)) => GraftTable.forName(spark, n)
+      case _ => throw new IllegalArgumentException(
+        s"CALL graft.$proc requires table_path or table_name")
+    }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftFunctions.register(spark)
+    val result = proc match {
+      case "compaction" =>
+        val t = tableOf(spark)
+        val opts = CompactionOptions(
+          fileNumLimit = args.get("file_num_limit").map(_.toInt),
+          fileSizeLimit = args.get("file_size_limit").map(_.toLong),
+          newBucketNum = args.get("new_bucket_num").map(_.toInt))
+        val pred: String => Boolean = args.get("partition_desc") match {
+          case Some(d) => _ == d
+          case None => _ => true
+        }
+        t.compaction(opts, pred); "compacted"
+      case "rollback" =>
+        val t = tableOf(spark)
+        t.rollbackPartition(
+          args.getOrElse("partition_desc", graft.meta.TableInfo.RootPartition),
+          args("version").toInt)
+        "rolled back"
+      case "vacuum" =>
+        val n = tableOf(spark).vacuum(args.getOrElse("retain_ms", "0").toLong)
+        s"deleted $n files"
+      case "drop_partition" =>
+        tableOf(spark).dropPartition(args("partition_desc")); "dropped"
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure graft.$other")
+    }
+    Seq(Row(result))
+  }
+}

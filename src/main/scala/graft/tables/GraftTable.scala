@@ -54,6 +54,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   def partitions: Seq[PartitionInfo] = store.listPartitionHeads(tablePath)
 
+  /** Files visible at the current head (post del-fold), with run ordinals. */
+  def liveFiles: Seq[ResolvedFile] = resolver.currentFiles(tablePath)
+
   // --------------------------------------------------------------- writes
 
   /** Plain append (INSERT INTO). */
@@ -109,22 +112,81 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   /** Compaction (C6): collapse each partition's sorted runs into one.
     * Full compaction rewrites CDC `update` markers to `insert` and drops
     * `delete` tombstones (M8, TransactionalWrite.scala:165-180). */
-  def compaction(partitionPred: String => Boolean = _ => true): Unit = withRetry {
-    val t = info
-    val descs = partitions.map(_.partitionDesc).filter(partitionPred).toSet
+  def compaction(partitionPred: String => Boolean = _ => true): Unit =
+    compaction(CompactionOptions(), partitionPred)
+
+  /** Compaction with the reference's knobs (C6/C7,
+    * CompactionCommand.scala:40+, LakeSoulTable.scala:314-523):
+    *  - fileNumLimit: only compact partitions with more than N sorted runs
+    *    (the size-tiered trigger — leave freshly-compacted partitions alone);
+    *  - fileSizeLimit: only merge runs smaller than this (large compacted
+    *    files are carried over untouched, the leveled-compaction idea);
+    *  - newBucketNum: re-bucket the table while compacting (re-bucketing
+    *    compaction, LakeSoulTable.scala:516-522). */
+  def compaction(opts: CompactionOptions,
+      partitionPred: String => Boolean): Unit = withRetry {
+    val t0 = info
+    val candidates = partitions.filter(p => partitionPred(p.partitionDesc))
+    val descs = candidates
+      .filter(p => opts.fileNumLimit.forall(n => p.snapshot.size >= n))
+      .map(_.partitionDesc).toSet
     if (descs.nonEmpty) {
-      val current = GraftRead.read(spark, t,
-        resolver.currentFiles(tablePath, descs.contains), keepCdcRows = true)
-      val compacted = t.cdcColumn match {
-        case Some(cdc) =>
-          current.filter(col(cdc) =!= "delete")
-            .withColumn(cdc, when(col(cdc) === "update", "insert").otherwise(col(cdc)))
-        case None => current
+      // re-bucketing updates bucketNum BEFORE the rewrite so writeFiles
+      // places rows with the new bucket count; readers use per-file bucket
+      // ids from the path so old files stay readable until expired
+      val t = opts.newBucketNum match {
+        case Some(n) if n != t0.bucketNum =>
+          val updated = t0.copy(bucketNum = n)
+          store.updateTableInfo(updated); updated
+        case _ => t0
       }
-      val commits = TransactionalWrite.writeFiles(
-        spark, t, compacted, CommitOp.Compaction, skipPreMerge = true)
-      publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc),
-        CommitOp.Compaction))
+      val all = resolver.currentFiles(tablePath, descs.contains)
+      // leveled carry-over: runs above fileSizeLimit are kept as-is (unless
+      // re-bucketing forces a full rewrite)
+      val (keep, merge) = opts.fileSizeLimit match {
+        case Some(limit) if opts.newBucketNum.isEmpty =>
+          // a "run" is one commit ordinal within a partition; carry it over
+          // only if ALL its files exceed the limit AND it is merge-free
+          val byRun = all.groupBy(f => (f.partitionDesc, f.commitOrdinal))
+          val (k, m) = byRun.partition { case (_, fs) =>
+            fs.forall(_.file.size >= limit)
+          }
+          (k.values.flatten.toSeq, m.values.flatten.toSeq)
+        case _ => (Nil, all)
+      }
+      if (merge.nonEmpty) {
+        val current = GraftRead.read(spark, t, merge, keepCdcRows = true)
+        if (keep.isEmpty) {
+          // FULL compaction: one run replaces the partition snapshot;
+          // CDC markers are rewritten (M8)
+          val compacted = t.cdcColumn match {
+            case Some(cdc) =>
+              current.filter(col(cdc) =!= "delete")
+                .withColumn(cdc,
+                  when(col(cdc) === "update", "insert").otherwise(col(cdc)))
+            case None => current
+          }
+          val commits = TransactionalWrite.writeFiles(
+            spark, t, compacted, CommitOp.Compaction, skipPreMerge = true)
+          publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc),
+            CommitOp.Compaction))
+        } else {
+          // PARTIAL (leveled) compaction: publish the merged small runs as a
+          // new sorted run + `del` ops for the files it replaces — large
+          // carried-over runs stay in place and still merge-on-read with the
+          // new run (the reference's discard-file list, CompactBucketIO).
+          val commits = TransactionalWrite.writeFiles(
+            spark, t, current, CommitOp.Merge, skipPreMerge = true)
+          val delsByDesc = merge.groupBy(_.partitionDesc)
+            .view.mapValues(_.map(f => f.file.copy(fileOp = "del"))).toMap
+          val withDels = commits.map(c =>
+            c.copy(files = c.files ++ delsByDesc.getOrElse(c.partitionDesc, Nil)))
+          val leftover = (delsByDesc.keySet -- commits.map(_.partitionDesc)).toSeq
+            .map(d => DataCommitInfo(MetaStore.newCommitId(), d,
+              delsByDesc(d), CommitOp.Merge, 0L))
+          publish(withDels ++ leftover)
+        }
+      }
     }
   }
 
@@ -173,6 +235,55 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       val dimCols = dim.schema.fieldNames.filter(deltaDF.columns.contains)
       dim.upsert(broadcast(deltaDF.select(dimCols.map(col): _*))
         .join(dim.toDF.select(di.hashColumns.map(col): _*), di.hashColumns, "inner"))
+    }
+
+  /** SQL MERGE INTO, restricted translation (C5,
+    * PreprocessTableMergeInto.scala:17-92): condition must be PK equality,
+    * one unconditional matched-UPDATE (attributes only) + one unconditional
+    * not-matched-INSERT — which is exactly an upsert. The restriction is
+    * validated here instead of at parse time. */
+  def mergeInto(source: DataFrame): Unit = {
+    val t = info
+    require(t.hasPrimaryKey, "MERGE INTO requires a primary-key table")
+    val unknown = source.columns.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"MERGE INTO source has columns not in the table: ${unknown.mkString(", ")}")
+    upsert(source)
+  }
+
+  /** Delete physical files no longer referenced by any retained version and
+    * prune version history (C11 TTL sweeper, CleanExpiredData.scala).
+    * Files must be older than `retainMs` AND unreferenced by the current
+    * head of their partition. */
+  def vacuum(retainMs: Long = 0L): Long = {
+    val live = resolver.currentFiles(tablePath).map(_.file.path).toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    val dataDir = java.nio.file.Paths.get(tablePath, "data")
+    if (!java.nio.file.Files.exists(dataDir)) return 0L
+    var deleted = 0L
+    val it = java.nio.file.Files.walk(dataDir).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (java.nio.file.Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet")
+          && !live.contains(p.toAbsolutePath.toString)
+          && java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+        java.nio.file.Files.delete(p); deleted += 1
+      }
+    }
+    deleted
+  }
+
+  /** Partition TTL (C11): expire partitions whose newest commit is older
+    * than `graft.partition.ttl.days`. */
+  def cleanExpiredPartitions(nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    info.properties.get("graft.partition.ttl.days") match {
+      case None => Nil
+      case Some(days) =>
+        val cutoff = nowMs - days.toLong * 24 * 3600 * 1000
+        val expired = partitions.filter(_.timestamp < cutoff).map(_.partitionDesc)
+        expired.foreach(dropPartition)
+        expired
     }
 
   /** Roll a partition head back to an old version (C10). */
@@ -260,6 +371,13 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   }
 }
 
+/** Knobs for [[GraftTable.compaction]] (reference: LakeSoulTable.scala:314-523,
+  * LakeSoulSQLConf.scala:201-308). */
+case class CompactionOptions(
+    fileNumLimit: Option[Int] = None,
+    fileSizeLimit: Option[Long] = None,
+    newBucketNum: Option[Int] = None)
+
 object GraftTable {
 
   /** Create a table from an initial DataFrame (cf. LakeSoulTable create +
@@ -289,6 +407,30 @@ object GraftTable {
   def forPath(spark: SparkSession, tablePath: String,
       store: MetaStore = MetaStore.default): GraftTable =
     new GraftTable(spark, tablePath, store)
+
+  /** Resolve `namespace.table` through the warehouse catalog (C1 forName). */
+  def forName(spark: SparkSession, name: String,
+      store: MetaStore = MetaStore.default): GraftTable = {
+    val path = graft.catalog.GraftCatalog.resolve(spark, name).getOrElse(
+      throw new IllegalArgumentException(s"no graft table named '$name'"))
+    new GraftTable(spark, path, store)
+  }
+
+  /** Create + register under a short name. */
+  def createNamed(
+      spark: SparkSession,
+      name: String,
+      df: DataFrame,
+      tablePath: String,
+      rangeColumns: Seq[String] = Nil,
+      hashColumns: Seq[String] = Nil,
+      bucketNum: Int = 4,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val t = create(spark, df, tablePath, rangeColumns, hashColumns, bucketNum,
+      properties)
+    graft.catalog.GraftCatalog.register(spark, name, t.info.tablePath)
+    t
+  }
 
   def exists(tablePath: String, store: MetaStore = MetaStore.default): Boolean =
     store.getTableInfo(tablePath).isDefined

@@ -61,7 +61,30 @@ object TransactionalWrite {
     val missing = (table.rangeColumns ++ table.hashColumns).filterNot(present.contains)
     require(missing.isEmpty,
       s"batch is missing partition/primary-key columns: ${missing.mkString(", ")}")
-    df.select(keep.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val normalized =
+      df.select(keep.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    enforceInvariants(table, normalized)
+  }
+
+  /** Schema invariants (C15, schema/InvariantCheckerExec): primary-key
+    * columns must be non-null (ImplicitMetadataOperation.scala:106-113), plus
+    * user check constraints from `graft.check.<name>` table properties —
+    * enforced as codegen'd `assert_true` expressions inside the write plan,
+    * failing the job on the first violating row. */
+  private def enforceInvariants(table: TableInfo, df: DataFrame): DataFrame = {
+    val pkChecks = table.hashColumns.filter(df.columns.contains).map(c =>
+      assert_true(col(c).isNotNull,
+        lit(s"primary-key column '$c' must not be null")))
+    val userChecks = table.properties.collect {
+      case (k, v) if k.startsWith("graft.check.") =>
+        assert_true(expr(v), lit(s"check constraint violated: $k = '$v'"))
+    }
+    val checks = pkChecks ++ userChecks
+    if (checks.isEmpty) df
+    // assert_true yields NULL on success (and raises on violation), so the
+    // filter is always-true but cannot be pruned — the assertion must run
+    else df.filter(checks.map(c => coalesce(c.cast("boolean"), lit(true)))
+      .reduce(_ && _))
   }
 
   /** Apply per-column merge operators within one batch, collapsing duplicate

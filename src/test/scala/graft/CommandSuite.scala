@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.catalog.GraftCatalog
+import graft.tables.{CompactionOptions, GraftTable}
+
+class CommandSuite extends SparkFixture {
+  import spark.implicits._
+
+  test("mergeInto validates and upserts") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.mergeInto(Seq((1, "a2"), (2, "b")).toDF("id", "v"))
+      assertRows(t.toDF, Seq("[1,a2]", "[2,b]"))
+      val e = intercept[IllegalArgumentException] {
+        t.mergeInto(Seq((1, "x")).toDF("id", "nope"))
+      }
+      assert(e.getMessage.contains("nope"))
+    }
+  }
+
+  test("leveled compaction: fileNumLimit skips fresh partitions, " +
+    "fileSizeLimit carries big runs") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, (1 to 500).map(i => (i, i)).toDF("id", "v"),
+        path, hashColumns = Seq("id"), bucketNum = 1)
+      (1 to 4).foreach(i => t.upsert(Seq((i, i * 100)).toDF("id", "v")))
+      assert(t.partitions.head.snapshot.size == 5)
+      // fileNumLimit=10 -> nothing compacts
+      t.compaction(CompactionOptions(fileNumLimit = Some(10)), _ => true)
+      assert(t.partitions.head.snapshot.size == 5)
+      // fileSizeLimit: the big initial run carries over, small deltas merge
+      val before = t.toDF.collect().map(_.toString).sorted
+      t.compaction(CompactionOptions(fileSizeLimit = Some(2000L)), _ => true)
+      val runsAfter = t.liveFiles.map(_.commitOrdinal).distinct.size
+      assert(runsAfter < 5, s"expected fewer live runs, got $runsAfter")
+      assert(t.toDF.collect().map(_.toString).sorted.toSeq == before.toSeq)
+      // full compaction collapses to one
+      t.compaction()
+      assert(t.partitions.head.snapshot.size == 1)
+      assert(t.toDF.collect().map(_.toString).sorted.toSeq == before.toSeq)
+    }
+  }
+
+  test("re-bucketing compaction changes bucket count, preserves data") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, (1 to 200).map(i => (i, i)).toDF("id", "v"),
+        path, hashColumns = Seq("id"), bucketNum = 2)
+      t.upsert(Seq((1, 999)).toDF("id", "v"))
+      val before = t.toDF.collect().map(_.toString).sorted
+      t.compaction(CompactionOptions(newBucketNum = Some(8)), _ => true)
+      assert(t.info.bucketNum == 8)
+      assert(t.toDF.collect().map(_.toString).sorted.toSeq == before.toSeq)
+      assert(t.lookupByPk(Seq(1)).head.getInt(1) == 999)
+    }
+  }
+
+  test("vacuum deletes unreferenced files only") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      (1 to 3).foreach(i => t.upsert(Seq((1, s"v$i")).toDF("id", "v")))
+      t.compaction()
+      val deleted = t.vacuum(retainMs = 0L)
+      assert(deleted >= 3, s"expected >=3 stale files deleted, got $deleted")
+      assertRows(t.toDF, Seq("[1,v3]"))
+    }
+  }
+
+  test("partition TTL expires old partitions") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq(("p1", 1, 1), ("p2", 2, 2)).toDF("r", "id", "v"), path,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 1,
+        properties = Map("graft.partition.ttl.days" -> "1"))
+      // pretend "now" is 2 days ahead -> everything expires
+      val expired = t.cleanExpiredPartitions(
+        System.currentTimeMillis() + 2L * 24 * 3600 * 1000)
+      assert(expired.size == 2)
+      assert(t.toDF.count() == 0)
+    }
+  }
+
+  test("invariants: null PK rejected; check constraint enforced") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((Some(1), 10)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1,
+        properties = Map("graft.check.positive_v" -> "v > 0"))
+      val e1 = intercept[Exception] {
+        t.upsert(Seq((None: Option[Int], 5)).toDF("id", "v"))
+      }
+      assert(e1.getMessage.contains("primary-key")
+        || e1.getCause != null && e1.getCause.getMessage.contains("primary-key"))
+      val e2 = intercept[Exception] {
+        t.upsert(Seq((Some(2), -1)).toDF("id", "v"))
+      }
+      assert(e2.getMessage.contains("positive_v")
+        || e2.getCause != null && e2.getCause.getMessage.contains("positive_v"))
+      assertRows(t.toDF, Seq("[1,10]"))
+    }
+  }
+
+  test("catalog: forName, listTables, drop") {
+    withTempPath { path =>
+      val name = s"default.t${System.nanoTime()}"
+      GraftTable.createNamed(spark, name, Seq((1, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      assertRows(GraftTable.forName(spark, name).toDF, Seq("[1,a]"))
+      assert(GraftCatalog.listTables(spark).contains(name))
+      GraftCatalog.drop(spark, name)
+      assert(!GraftCatalog.listTables(spark).contains(name))
+    }
+  }
+
+  test("SQL extension: CALL graft.compaction / rollback / vacuum") {
+    // session extensions only apply at session construction; exercise the
+    // injected parser directly against the shared session
+    val parser = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+    def call(sql: String) =
+      parser.parsePlan(sql).asInstanceOf[graft.sql.GraftCallCommand].run(spark)
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.upsert(Seq((1, "b")).toDF("id", "v"))
+      call(s"CALL graft.compaction(table_path => '$path')")
+      assert(t.partitions.head.snapshot.size == 1)
+      call(s"CALL graft.rollback(table_path => '$path', version => '0')")
+      assert(t.toDF.collect().map(_.toString).toSeq == Seq("[1,a]"))
+      val res = call(s"CALL graft.vacuum(table_path => '$path')")
+      assert(res.head.getString(0).startsWith("deleted"))
+      // plain SQL still parses through the delegate
+      assert(!parser.parsePlan("SELECT 1 + 1")
+        .isInstanceOf[graft.sql.GraftCallCommand])
+    }
+  }
+}
