@@ -235,6 +235,55 @@ object SparkEntry {
       t.toDF
     }),
 
+    "merge_into" -> q((s, d) => {
+      val c = rd(s, d, "customer")
+      val t = GraftTable.create(s, c, tmp("mi"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      t.mergeInto(c.filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 500))
+      t.toDF
+    }),
+    "pk_lookup" -> q((s, d) => {
+      val c = rd(s, d, "customer")
+      val t = GraftTable.create(s, c, tmp("pkl"),
+        hashColumns = Seq("c_custkey"), bucketNum = 8)
+      t.lookupByPk(Seq(1L)).unionByName(t.lookupByPk(Seq(77L)))
+        .unionByName(t.lookupByPk(Seq(142L)))
+    }),
+    "leveled_compaction_read" -> q((s, d) => {
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("lvl"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      t.upsert(o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.upsert(o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 8))
+      // partial: merge only the small delta runs, carry the base run
+      t.compaction(graft.tables.CompactionOptions(fileSizeLimit = Some(64 * 1024L)),
+        _ => true)
+      t.toDF
+    }),
+    "q_cube" -> q((s, d) =>
+      rd(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))),
+    "q_scalar_funcs" -> q((s, d) =>
+      rd(s, d, "orders").select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        length(col("o_orderpriority")).as("len"),
+        abs(col("o_totalprice") * -1).as("absprice"))),
+    "multimodal_features" -> q((s, d) => {
+      val media = graft.pipeline.Multimodal.asMediaTable(
+        rd(s, d, "documents").filter(col("doc_id") < 100), "text", "doc_id")
+      graft.pipeline.Multimodal.extractImageFeatures(media, "content")
+        .select(col("doc_id"), col("meta.width").as("width"),
+          round(element_at(col("features"), 1), 5).as("f0"))
+    }),
+
     // ------------------------------------------------------- pipeline operators
     "dedup_exact" -> q((s, d) => {
       // duplicate every 5th doc under a shifted id, then dedup
@@ -396,6 +445,30 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "merge_into" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer""".stripMargin,
+    "pk_lookup" ->
+      "SELECT * FROM customer WHERE c_custkey IN (1, 77, 142)",
+    "leveled_compaction_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 8
+        |       WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 3)) AS prio,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+        |  CAST(length(o_orderpriority) AS INT) AS len,
+        |  abs(o_totalprice * -1) AS absprice
+        |FROM orders""".stripMargin,
     "time_travel" -> "SELECT * FROM orders",
     "incremental_read" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "partition_prune_read" ->

@@ -44,13 +44,28 @@ object GraftRead {
     if (files.isEmpty) return emptyDF(spark, schema)
 
     val skipMerge = table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
-    val needMerge = table.hasPrimaryKey && !skipMerge &&
-      files.groupBy(_.partitionDesc).values
-        .exists(fs => fs.map(_.commitOrdinal).distinct.size > 1)
+    // split by range partition: only partitions with >1 sorted run pay the
+    // merge (and its shuffle); single-run partitions — the bulk of a
+    // regularly-compacted table — stream through a plain vectorized scan
+    val byDesc = files.groupBy(_.partitionDesc)
+    val (multiRun, singleRun) =
+      if (!table.hasPrimaryKey || skipMerge) (Map.empty[String, Seq[ResolvedFile]], byDesc)
+      else byDesc.partition(_._2.map(_.commitOrdinal).distinct.size > 1)
 
-    val df =
-      if (!needMerge) spark.read.schema(schema).parquet(files.map(_.file.path): _*)
-      else mergeRead(spark, table, schema, files)
+    val plainFiles = singleRun.values.flatten.map(_.file.path).toSeq
+    val plain =
+      if (plainFiles.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(plainFiles: _*))
+    val merged =
+      if (multiRun.isEmpty) None
+      else Some(mergeRead(spark, table, schema, multiRun.values.flatten.toSeq))
+    val df = (plain, merged) match {
+      case (Some(p), Some(m)) => p.select(schema.fieldNames.map(col).toSeq: _*)
+        .union(m.select(schema.fieldNames.map(col).toSeq: _*))
+      case (Some(p), None) => p
+      case (None, Some(m)) => m
+      case (None, None) => emptyDF(spark, schema)
+    }
 
     val visible = table.cdcColumn match {
       // auto-hide delete tombstones (ProcessCDCTableMergeOnRead.scala:17-66)

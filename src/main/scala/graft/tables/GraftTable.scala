@@ -293,6 +293,31 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def dropPartition(partitionDesc: String): Unit =
     store.dropPartition(tablePath, partitionDesc)
 
+  // ------------------------------------------------------------------- DDL
+
+  /** ALTER TABLE ADD COLUMN (C12, alterTableCommands.scala:48-310) —
+    * additive only; existing files read the new column as null. */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
+      nullable: Boolean = true, comment: Option[String] = None): Unit = {
+    val t = info
+    val cur = schema
+    require(!cur.fieldNames.contains(name), s"column '$name' already exists")
+    var f = StructField(name, dataType, nullable)
+    comment.foreach(c => f = f.withComment(c))
+    store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields :+ f).json))
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES (C12). */
+  def setProperties(props: Map[String, String]): Unit = {
+    val t = info
+    store.updateTableInfo(t.copy(properties = t.properties ++ props))
+  }
+
+  def unsetProperty(key: String): Unit = {
+    val t = info
+    store.updateTableInfo(t.copy(properties = t.properties - key))
+  }
+
   def dropTable(): Unit = store.dropTable(tablePath)
 
   // -------------------------------------------------------------- helpers

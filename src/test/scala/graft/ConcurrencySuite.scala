@@ -1,0 +1,56 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.apache.spark.sql.functions._
+import graft.tables.GraftTable
+
+/** Optimistic-commit correctness under concurrency (SURVEY.md §7.5 hard
+  * part: MetaRerunException retry path, TransactionCommit.scala:398-427). */
+class ConcurrencySuite extends SparkFixture {
+  import spark.implicits._
+
+  test("concurrent upserts all land (CAS retry), no lost updates") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((0, 0)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val n = 6
+      val pool = Executors.newFixedThreadPool(n)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to n).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try GraftTable.forPath(spark, path)
+              .upsert(Seq((i, i * 10)).toDF("id", "v"))
+            catch { case e: Throwable => errs.add(e) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"concurrent upserts failed: ${errs.peek()}")
+      // every writer's row is present
+      assertRows(t.toDF.select("id", "v"),
+        (0 to n).map(i => s"[$i,${i * 10}]"))
+      // version advanced once per committed upsert
+      assert(t.partitions.head.version == n)
+    }
+  }
+
+  test("DDL: addColumn + setProperties visible to readers") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.addColumn("score", org.apache.spark.sql.types.IntegerType)
+      assertRows(t.toDF, Seq("[1,a,null]"))
+      t.upsert(Seq((2, "b", 9)).toDF("id", "v", "score"))
+      assertRows(t.toDF, Seq("[1,a,null]", "[2,b,9]"))
+      t.setProperties(Map("graft.custom" -> "x"))
+      assert(t.info.properties("graft.custom") == "x")
+      t.unsetProperty("graft.custom")
+      assert(!t.info.properties.contains("graft.custom"))
+    }
+  }
+}
