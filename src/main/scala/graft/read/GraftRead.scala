@@ -58,7 +58,16 @@ object GraftRead {
       else Some(spark.read.schema(schema).parquet(plainFiles: _*))
     val merged =
       if (multiRun.isEmpty) None
-      else Some(mergeRead(spark, table, schema, multiRun.values.flatten.toSeq))
+      else {
+        val fs = multiRun.values.flatten.toSeq
+        val bucketMergeOn =
+          !table.properties.get("graft.bucketMergeRead").contains("false")
+        // prefer the shuffle-free bucket-aligned k-way merge (M1); fall back
+        // to the aggregate-based merge on schema evolution / exotic ops
+        if (bucketMergeOn && BucketMergeRead.supports(table, schema, fs))
+          Some(BucketMergeRead.read(spark, table, schema, fs))
+        else Some(mergeRead(spark, table, schema, fs))
+      }
     val df = (plain, merged) match {
       case (Some(p), Some(m)) => p.select(schema.fieldNames.map(col).toSeq: _*)
         .union(m.select(schema.fieldNames.map(col).toSeq: _*))

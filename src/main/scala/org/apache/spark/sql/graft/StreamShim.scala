@@ -19,4 +19,35 @@ object StreamShim {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** DataFrame over an RDD of InternalRow (bucket-merge read output). */
+  def dfFromInternalRows(
+      session: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
+  }
+
+  /** Executor-safe parquet row-reader function (Spark's own vectorized
+    * parquet reader; the returned closure carries a broadcast hadoop conf).
+    * private[sql] in FileFormat, hence this shim. */
+  def parquetReadFunction(
+      session: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+    : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    fmt.buildReaderWithPartitionValues(
+      spark,
+      dataSchema = schema,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      requiredSchema = schema,
+      filters = Nil,
+      // rows, not ColumnarBatches — the k-way merge consumes row iterators
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+  }
 }
