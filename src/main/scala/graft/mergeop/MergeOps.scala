@@ -38,18 +38,17 @@ object MergeOps {
   case object UseLast extends MergeOp {
     val name = "use_last"
     def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
-      // max over (version-if-present, value): picks the value at the highest
-      // version where the column physically exists; a null version field
-      // sorts below all non-null versions, so absent-column rows never win.
-      max(struct(when(present, version).as("v"), value.as("c"))).getField("c")
+      // max_by ignores rows whose ordering key is null, so absent-column
+      // rows never win; the carried value may be any type (maps included)
+      // and an explicit NULL at the newest version correctly overwrites.
+      max_by(value, when(present, version))
   }
 
   /** Last non-null writer wins. Reference: `UseLastNotNull`. */
   case object UseLastNotNull extends MergeOp {
     val name = "use_last_not_null"
     def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
-      max(struct(when(present && value.isNotNull, version).as("v"), value.as("c")))
-        .getField("c")
+      max_by(value, when(present && value.isNotNull, version))
   }
 
   /** Sum of all values; NULL if any contributing value is NULL.
