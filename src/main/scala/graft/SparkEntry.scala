@@ -328,6 +328,14 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       Similarity.annSearch(e, "vec_id", "embedding", q, 20, nlist = 16, nprobe = 8)
     }),
+    "ann_index_persisted" -> q((s, d) => {
+      val e = rd(s, d, "embeddings")
+      val q0 = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val idx = graft.pipeline.VectorIndex.build(s, e, tmp("vecidx"),
+        "vec_id", "embedding", nlist = 16)
+      idx.search(q0, k = 20, nprobe = 8)
+    }),
     "text_stats" -> q((s, d) => {
       GraftFunctions.register(s)
       val t = col("text")

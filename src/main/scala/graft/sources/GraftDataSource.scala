@@ -118,25 +118,47 @@ case class GraftRelation(
 
   override lazy val schema: StructType = table.schema
 
-  private def baseDF: DataFrame = {
+  private def baseDF(filters: Array[Filter]): DataFrame = {
+    val t = table
+    val ti = t.info
+    // three-tier partition pruning (F4): explicit partitiondesc option, or
+    // range-column equality filters pushed down by Catalyst
+    val rangeEq: Map[String, String] = filters.collect {
+      case EqualTo(a, v) if ti.rangeColumns.contains(a) =>
+        val s = String.valueOf(v)
+        a -> (if (v == null) graft.write.TransactionalWrite.NullSentinel
+          else if (s.isEmpty) graft.write.TransactionalWrite.EmptySentinel else s)
+    }.toMap
     val partPred: String => Boolean = parameters.get("partitiondesc") match {
       case Some(desc) => _ == desc
+      case None if rangeEq.nonEmpty => desc => {
+        val kv = desc.split(",").map { s =>
+          val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+        }.toMap
+        rangeEq.forall { case (c, v) => kv.get(c).contains(v) }
+      }
       case None => _ => true
     }
     parameters.getOrElse("readtype", "full") match {
       case "snapshot" =>
-        table.snapshotAt(parameters("readendtime").toLong, partPred)
+        t.snapshotAt(parameters("readendtime").toLong, partPred)
       case "incremental" =>
-        table.incremental(parameters.getOrElse("readstarttime", "0").toLong,
+        t.incremental(parameters.getOrElse("readstarttime", "0").toLong,
           parameters.get("readendtime").map(_.toLong)
-            .getOrElse(table.lastCommitTs), partPred)
-      case _ => table.toDF(partPred)
+            .getOrElse(t.lastCommitTs), partPred)
+      case _ =>
+        // PK-equality on every hash column -> bucket-pruned point read (M6)
+        val eq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
+        if (ti.hasPrimaryKey && ti.hashColumns.nonEmpty
+            && ti.hashColumns.forall(eq.contains))
+          t.lookupByPk(ti.hashColumns.map(eq))
+        else t.toDF(partPred)
     }
   }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val df = baseDF
+    val df = baseDF(filters)
     val pruned =
       if (requiredColumns.isEmpty) df
       else df.select(requiredColumns.map(col).toIndexedSeq: _*)

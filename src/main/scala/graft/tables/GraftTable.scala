@@ -1,5 +1,7 @@
 package graft.tables
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -188,6 +190,38 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         }
       }
     }
+  }
+
+  /** Partition pruning against the catalog with an arbitrary predicate over
+    * the range-partition COLUMNS (F4 "general path",
+    * PartitionFilter.scala:177-273): the predicate is evaluated once against
+    * the tiny in-memory frame of live partition values — never against data
+    * files — and the scan reads only surviving partitions. */
+  def toDFWherePartitions(partitionCond: Column): DataFrame = {
+    val t = info
+    require(t.rangeColumns.nonEmpty, "table has no range partitions")
+    val sch = schema
+    val descs = partitions.map(_.partitionDesc)
+    // decode desc strings back to typed range values
+    val rows = descs.map { d =>
+      val vals = d.split(",").map { kv =>
+        val v = kv.substring(kv.indexOf('=') + 1)
+        if (v == TransactionalWrite.NullSentinel) null
+        else if (v == TransactionalWrite.EmptySentinel) "" else v
+      }
+      org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq :+ d)
+    }
+    val descSchema = StructType(
+      t.rangeColumns.map(c => StructField(c, org.apache.spark.sql.types.StringType)) :+
+        StructField("__g_desc", org.apache.spark.sql.types.StringType))
+    val partDF = spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava), descSchema)
+    val typed = t.rangeColumns.foldLeft(partDF) { (df, c) =>
+      df.withColumn(c, col(c).cast(sch(c).dataType))
+    }
+    val surviving = typed.filter(partitionCond)
+      .select("__g_desc").collect().map(_.getString(0)).toSet
+    toDF(surviving.contains)
   }
 
   /** Primary-key point lookup with bucket pruning (M6): only files of the

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.VectorIndex
+import graft.tables.GraftTable
+
+class PruningSuite extends SparkFixture {
+  import spark.implicits._
+
+  test("toDFWherePartitions prunes partitions by typed predicate") {
+    withTempPath { path =>
+      val df = (1 to 30).map(i => (i % 3, i, i * 10)).toDF("bucket3", "id", "v")
+      val t = GraftTable.create(spark, df, path,
+        rangeColumns = Seq("bucket3"), hashColumns = Seq("id"), bucketNum = 2)
+      val out = t.toDFWherePartitions($"bucket3" >= 1)
+      assert(out.count() == 20)
+      assert(out.select("bucket3").distinct().collect().map(_.getInt(0)).toSet == Set(1, 2))
+    }
+  }
+
+  test("format(graft): range-eq filter prunes partitions, pk-eq prunes buckets") {
+    withTempPath { path =>
+      val df = (1 to 40).map(i => (s"p${i % 4}", i.toLong, i)).toDF("r", "id", "v")
+      df.write.format("graft")
+        .option("rangePartitions", "r")
+        .option("hashPartitions", "id").option("hashBucketNum", "4")
+        .save(path)
+      val rel = spark.read.format("graft").load(path)
+      // range pruning via filter pushdown
+      assert(rel.filter($"r" === "p2").count() == 10)
+      // pk point lookup (bucket-pruned) still returns the right row
+      val row = rel.filter($"id" === 17L).collect()
+      assert(row.length == 1 && row.head.getAs[Int]("v") == 17)
+    }
+  }
+
+  test("persisted IVF vector index: build once, search probes few cells") {
+    withTempPath { base =>
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val idx = VectorIndex.build(spark, embs, base, "vec_id", "embedding", nlist = 8)
+      val q = embs.filter($"vec_id" === 3).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val hits = idx.search(q, k = 5, nprobe = 4).collect()
+      assert(hits.nonEmpty && hits.head.getLong(0) == 3L) // self found first
+      // reopen from disk
+      val again = VectorIndex.forPath(spark, base, "vec_id", "embedding")
+        .search(q, 5, 4).collect()
+      assert(again.map(_.getLong(0)).toSeq == hits.map(_.getLong(0)).toSeq)
+    }
+  }
+}
