@@ -263,6 +263,19 @@ object SparkEntry {
         _ => true)
       t.toDF
     }),
+    "bucketed_join" -> q((s, d) => {
+      // two tables co-bucketed on o_custkey -> shuffle-free join (J4)
+      val cst = rd(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+      val ordAgg = rd(s, d, "orders").groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("total_spent"))
+      val t1 = GraftTable.create(s, cst, tmp("bjl"),
+        hashColumns = Seq("custkey"), bucketNum = 4)
+      val t2 = GraftTable.create(s, ordAgg, tmp("bjr"),
+        hashColumns = Seq("custkey"), bucketNum = 4)
+      t1.bucketedJoin(t2)
+    }),
     "q_cube" -> q((s, d) =>
       rd(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -465,6 +478,13 @@ object SparkEntry {
         |       WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "bucketed_join" ->
+      """SELECT c_custkey AS custkey, c_name, c_mktsegment,
+        |  n_orders, total_spent
+        |FROM customer JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,

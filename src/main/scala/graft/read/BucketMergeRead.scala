@@ -63,7 +63,18 @@ object BucketMergeRead {
       spark: SparkSession,
       table: TableInfo,
       schema: StructType,
-      files: Seq[ResolvedFile]): DataFrame = {
+      files: Seq[ResolvedFile]): DataFrame =
+    org.apache.spark.sql.graft.StreamShim.dfFromInternalRows(
+      spark, readRdd(spark, table, schema, files), schema)
+
+  /** The merged rows as an RDD whose partition index == bucket id (the
+    * basis for co-located bucketed joins, SURVEY.md §2.4 J4). */
+  def readRdd(
+      spark: SparkSession,
+      table: TableInfo,
+      schema: StructType,
+      files: Seq[ResolvedFile])
+    : org.apache.spark.rdd.RDD[InternalRow] = {
     val readFn = org.apache.spark.sql.graft.StreamShim.parquetReadFunction(spark, schema)
 
     // bucket -> ordered runs; a "run" r = all ordinal-r files of the bucket
@@ -101,7 +112,7 @@ object BucketMergeRead {
     val keyIdxArr = keyIdx.toArray
     val keyTypesArr = keyTypes.toArray
 
-    val rdd = spark.sparkContext
+    spark.sparkContext
       .parallelize(groups, math.max(1, groups.size))
       .mapPartitions { it =>
         val proj = UnsafeProjection.create(schema.fields.map(_.dataType))
@@ -117,7 +128,6 @@ object BucketMergeRead {
           merged.map(proj)
         }
       }
-    org.apache.spark.sql.graft.StreamShim.dfFromInternalRows(spark, rdd, schema)
   }
 
   /** The vectorized reader yields ColumnarBatch disguised as InternalRow. */

@@ -271,6 +271,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         .join(dim.toDF.select(di.hashColumns.map(col): _*), di.hashColumns, "inner"))
     }
 
+  /** Shuffle-free equi-join with another table bucketed on the same PK
+    * (J4 delta join — see [[graft.read.BucketedJoin]]). */
+  def bucketedJoin(other: GraftTable): DataFrame =
+    graft.read.BucketedJoin.join(this, other)
+
   /** SQL MERGE INTO, restricted translation (C5,
     * PreprocessTableMergeInto.scala:17-92): condition must be PK equality,
     * one unconditional matched-UPDATE (attributes only) + one unconditional
