@@ -35,7 +35,8 @@ object Bench {
     val headline = Seq(
       "q1_agg", "q3_top_orders", "q5_region_revenue", "q_window_top2_per_cust",
       "q_events_hourly", "q_topk_orders", "dedup_exact", "dedup_minhash",
-      "dedup_simhash", "text_stats", "fingerprint", "ann_bruteforce", "ann_ivf")
+      "dedup_simhash", "text_stats", "fingerprint", "ann_bruteforce", "ann_ivf",
+      "bucketed_join")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
