@@ -40,7 +40,10 @@ object BucketMergeRead {
   private case class BucketGroup(bucket: Int, runs: Seq[Seq[PartitionedFile]])
 
   def supports(table: TableInfo, schema: StructType, files: Seq[ResolvedFile]): Boolean = {
-    val fullCols = schema.fieldNames.mkString(",")
+    // existCols always lists the table's full physical columns at write time,
+    // independent of read-side pruning
+    val fullCols = graft.util.SchemaUtil.fromJson(table.schemaJson)
+      .fieldNames.mkString(",")
     table.hasPrimaryKey &&
       files.forall(f => f.file.bucketId >= 0 && f.file.bucketId < table.bucketNum) &&
       files.forall(f => f.file.existCols.isEmpty || f.file.existCols == fullCols) &&

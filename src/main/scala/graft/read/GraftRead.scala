@@ -39,9 +39,21 @@ object GraftRead {
       spark: SparkSession,
       table: TableInfo,
       files: Seq[ResolvedFile],
-      keepCdcRows: Boolean = false): DataFrame = {
-    val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
-    if (files.isEmpty) return emptyDF(spark, schema)
+      keepCdcRows: Boolean = false,
+      requiredColumns: Option[Seq[String]] = None): DataFrame = {
+    val fullSchema = graft.util.SchemaUtil.fromJson(table.schemaJson)
+    // column pruning (F1): scan only requested columns + merge keys + the
+    // CDC marker; extra service columns are dropped at the end
+    val schema = requiredColumns match {
+      case None => fullSchema
+      case Some(req) =>
+        val need = (table.rangeColumns ++ table.hashColumns ++
+          table.cdcColumn.toSeq ++ req).toSet
+        StructType(fullSchema.fields.filter(f => need.contains(f.name)))
+    }
+    val outputCols = requiredColumns.getOrElse(fullSchema.fieldNames.toSeq)
+    if (files.isEmpty)
+      return emptyDF(spark, schema).select(outputCols.map(col): _*)
 
     val skipMerge = table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
     // split by range partition: only partitions with >1 sorted run pay the
@@ -81,7 +93,7 @@ object GraftRead {
       case Some(cdc) if !keepCdcRows => df.filter(col(cdc) =!= "delete")
       case _ => df
     }
-    visible.select(schema.fieldNames.map(col).toSeq: _*)
+    visible.select(outputCols.map(col).toSeq: _*)
   }
 
   private def mergeRead(

@@ -118,7 +118,8 @@ case class GraftRelation(
 
   override lazy val schema: StructType = table.schema
 
-  private def baseDF(filters: Array[Filter]): DataFrame = {
+  private def baseDF(filters: Array[Filter],
+      requiredColumns: Array[String]): DataFrame = {
     val t = table
     val ti = t.info
     // three-tier partition pruning (F4): explicit partitiondesc option, or
@@ -152,13 +153,16 @@ case class GraftRelation(
         if (ti.hasPrimaryKey && ti.hashColumns.nonEmpty
             && ti.hashColumns.forall(eq.contains))
           t.lookupByPk(ti.hashColumns.map(eq))
+        else if (requiredColumns.nonEmpty
+            && requiredColumns.length < t.schema.length)
+          t.toDF(partPred, requiredColumns.toSeq) // column pruning (F1)
         else t.toDF(partPred)
     }
   }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val df = baseDF(filters)
+    val df = baseDF(filters, requiredColumns)
     val pruned =
       if (requiredColumns.isEmpty) df
       else df.select(requiredColumns.map(col).toIndexedSeq: _*)

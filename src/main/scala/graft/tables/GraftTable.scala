@@ -36,6 +36,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def toDF(partitionPred: String => Boolean): DataFrame =
     GraftRead.read(spark, info, resolver.currentFiles(tablePath, partitionPred))
 
+  /** Column-pruned read: only `requiredColumns` (+ merge keys + CDC marker)
+    * reach the parquet scans (F1). */
+  def toDF(partitionPred: String => Boolean, requiredColumns: Seq[String]): DataFrame =
+    GraftRead.read(spark, info, resolver.currentFiles(tablePath, partitionPred),
+      requiredColumns = Some(requiredColumns))
+
   /** Time travel (C1 forPathSnapshot): state as of `endTime` (ms). */
   def snapshotAt(endTime: Long, partitionPred: String => Boolean = _ => true): DataFrame =
     GraftRead.read(spark, info, resolver.filesUptoTime(tablePath, endTime, partitionPred))
