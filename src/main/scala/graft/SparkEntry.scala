@@ -165,6 +165,52 @@ object SparkEntry {
       t.upsert(doc.withColumn("lang", lit("xx")))
       t.toDF
     }),
+    "merge_op_sum_last" -> q((s, d) => {
+      // sum_last: across runs, each run's LAST value is summed (run1 = a,
+      // run2 = 2a -> 3a); intra-batch last-writer-wins is covered by sbt
+      val sup = rd(s, d, "supplier")
+      val t = GraftTable.create(s, sup, tmp("mosumlast"),
+        hashColumns = Seq("s_suppkey"), bucketNum = 4,
+        properties = Map(TableInfo.mergeOpProp("s_acctbal") -> "sum_last"))
+      t.upsert(sup.withColumn("s_acctbal", col("s_acctbal") * 2))
+      t.toDF
+    }),
+    "merge_op_joined_last" -> q((s, d) => {
+      val doc = rd(s, d, "documents").select("doc_id", "lang", "source")
+      val t = GraftTable.create(s, doc, tmp("mojoinlast"),
+        hashColumns = Seq("doc_id"), bucketNum = 4,
+        properties =
+          Map(TableInfo.mergeOpProp("lang") -> "joined_last_by_semicolon"))
+      t.upsert(doc.withColumn("lang", lit("xx")))
+      t.toDF
+    }),
+    "merge_op_custom" -> q((s, d) => {
+      // user-registered operator (M3): resolves through MergeOps.register and
+      // routes through the aggregate merge path automatically
+      graft.mergeop.MergeOps.register(new graft.mergeop.MergeOp {
+        val name = "keep_min"
+        def agg(value: org.apache.spark.sql.Column,
+            version: org.apache.spark.sql.Column,
+            present: org.apache.spark.sql.Column,
+            dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+          min(when(present, value)).cast(dt)
+      })
+      val sup = rd(s, d, "supplier")
+      val t = GraftTable.create(s, sup, tmp("mocustom"),
+        hashColumns = Seq("s_suppkey"), bucketNum = 4,
+        properties = Map(TableInfo.mergeOpProp("s_acctbal") -> "keep_min"))
+      t.upsert(sup.withColumn("s_acctbal", lit(1000.0) - col("s_acctbal")))
+      t.toDF
+    }),
+    "merge_op_override" -> q((s, d) => {
+      // per-QUERY merge-op selection (M4): table default is use_last; this
+      // read sums across runs instead (a + 4a = 5a)
+      val sup = rd(s, d, "supplier")
+      val t = GraftTable.create(s, sup, tmp("mooverride"),
+        hashColumns = Seq("s_suppkey"), bucketNum = 4)
+      t.upsert(sup.withColumn("s_acctbal", col("s_acctbal") * 4))
+      t.readWithMergeOps(Map("s_acctbal" -> "sum_all"))
+    }),
     "cdc_read" -> q((s, d) => {
       val c = rd(s, d, "customer")
         .select(col("c_custkey"), col("c_name"), lit("insert").as("op"))
@@ -312,14 +358,12 @@ object SparkEntry {
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhashNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
         maxDist = 3)),
-    "dedup_ngram_jaccard" -> q((s, d) => {
-      val doc = rd(s, d, "documents")
-      val pairs = doc.select(col("doc_id").as("id_a"))
-        .crossJoin(doc.select(col("doc_id").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-      Dedup.jaccardVerify(pairs, doc, "doc_id", "text")
-        .filter(col("jaccard") >= 0.5)
-    }),
+    "dedup_ngram_jaccard" -> q((s, d) =>
+      // prefix-filtered (AllPairs) candidates — exact-complete for J >= 0.5,
+      // so it matches the full-enumeration DuckDB oracle without an O(n^2)
+      // crossJoin anywhere in the plan
+      Dedup.jaccardNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5)),
     "dedup_embedding" -> q((s, d) => {
       // synthetic corpora have no organic near-dups (max pairwise cosine
       // ~0.51), so inject exact copies of every 10th vector under shifted ids
@@ -375,18 +419,21 @@ object SparkEntry {
     }),
     "hamming_similarity" -> q((s, d) => {
       GraftFunctions.register(s)
-      // binarize embeddings (sign bits packed into one long) then hamming
+      // binarize embeddings (63 sign bits packed into one long; 63 not 64 so
+      // the oracle's integer sum can't overflow BIGINT), plant near-dup
+      // signatures (xor 3 = 2 flipped bits) for every 10th vector, then
+      // banded 4x16-bit-chunk LSH candidates (pigeonhole-complete for
+      // hamming <= 3) + exact popcount verify — no crossJoin in the plan.
       val e = rd(s, d, "embeddings").filter(col("vec_id") < 200)
-      val bits = (0 until 64).map(i =>
+      val bits = (0 until 63).map(i =>
         when(element_at(col("embedding"), i + 1) > 0, 1L << i).otherwise(0L))
         .reduce(_ + _)
-      val sig = e.select(col("vec_id"), array(bits).as("sig"))
-      val a = sig.select(col("vec_id").as("id_a"), col("sig").as("sa"))
-      val b = sig.select(col("vec_id").as("id_b"), col("sig").as("sb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          GraftFunctions.hamming(col("sa"), col("sb")).as("hamming"))
-        .filter(col("hamming") <= 20)
+      val sig = e.select(col("vec_id"), bits.as("sig"))
+      val planted = sig.unionByName(sig.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          col("sig").bitwiseXOR(lit(3L)).as("sig")))
+      Dedup.hammingNearDupPairs(planted, "vec_id", "sig", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }))
 
   /** DuckDB-equivalent SQL per query (driver hash-compares results; omitted
@@ -451,6 +498,17 @@ object SparkEntry {
         |FROM supplier""".stripMargin,
     "merge_op_concat" ->
       "SELECT doc_id, lang || ',xx' AS lang, source FROM documents",
+    "merge_op_sum_last" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal * 3 AS s_acctbal
+        |FROM supplier""".stripMargin,
+    "merge_op_joined_last" ->
+      "SELECT doc_id, lang || ';xx' AS lang, source FROM documents",
+    "merge_op_custom" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  least(s_acctbal, 1000 - s_acctbal) AS s_acctbal FROM supplier""".stripMargin,
+    "merge_op_override" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal * 5 AS s_acctbal
+        |FROM supplier""".stripMargin,
     "cdc_read" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 11 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
@@ -528,9 +586,74 @@ object SparkEntry {
         |    ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |      t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','not','this','are'], t))) * 1.0
         |      / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) END, 6) AS stopword_ratio
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.5""".stripMargin,
+    "hamming_similarity" ->
+      """WITH sig AS (
+        |  SELECT vec_id, CAST(list_sum(list_transform(range(0, 63),
+        |    i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+        |  FROM embeddings WHERE vec_id < 200),
+        |uni AS (SELECT * FROM sig UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, xor(sig, 3::BIGINT) AS sig FROM sig WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+    "lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(t, x -> list_contains(['der','die','und','das','ist','von','mit','den','des','ein','eine','im','nicht','auf','sich','auch','als','werden'], x))) AS hits FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, 'en', len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','not','this','are'], x))) FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, 'es', len(list_filter(t, x -> list_contains(['el','los','las','una','es','por','con','para','del','se','su','lo','como','más','pero','sus','hay'], x))) FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', len(list_filter(t, x -> list_contains(['le','la','les','des','est','une','dans','qui','que','pour','sur','pas','avec','sont','ont','mais','aux'], x))) FROM tok),
+        |best AS (
+        |  SELECT doc_id, lang, hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        |  FROM sc)
+        |SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred, count(*) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "ann_ivf" -> annIvfOracle,
+    "ann_index_persisted" -> annIvfOracle)
+
+  /** Shared oracle for ann_ivf / ann_index_persisted: both run the identical
+    * deterministic IVF (hashed-id centroids, argmax-cosine assignment,
+    * nprobe=8 of nlist=16 cells), so one SQL replay covers both. */
+  private val annIvfOracle: String =
+    """WITH cents AS (
+      |  SELECT * FROM (
+      |    SELECT vec_id AS cell, embedding AS cvec,
+      |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
+      |    FROM embeddings) WHERE rk <= 16),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.rk) AS arn
+      |    FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
+      |probe AS (
+      |  SELECT cell FROM cents, q ORDER BY list_cosine_similarity(cvec, qv) DESC, rk LIMIT 8)
+      |SELECT a.vec_id, round(list_cosine_similarity(a.embedding, qv), 6) AS cosine
+      |FROM assigned a JOIN probe USING (cell), q
+      |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
   // omitted oracles (rows-only check): dedup_minhash, dedup_simhash,
-  // dedup_ngram_jaccard, dedup_embedding, ann_ivf, lang_id, fingerprint,
-  // hamming_similarity — hash-function-dependent or approximate operators
-  // with no faithful ANSI-SQL equivalent.
+  // dedup_embedding, fingerprint, multimodal_features — hash-function-
+  // dependent or stub-backed operators with no faithful ANSI-SQL equivalent.
 }

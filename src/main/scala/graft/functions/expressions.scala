@@ -40,6 +40,17 @@ object Kernels {
     acc
   }
 
+  /** cosine of a row vector against a plain float array (centroid). */
+  def cosineFA(a: ArrayData, b: Array[Float]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** 64-bit SimHash over string tokens: per token a 64-bit hash votes +1/-1
     * on each bit position; the sign vector is the fingerprint. */
   def simhash(tokens: ArrayData): Long = {
@@ -188,6 +199,46 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "graft_minhash"
 }
 
+/** `graft_nearest_cell(vec Array[Float], cells Array[Long],
+  * cvecs Array[Array[Float]]) -> Long` — the cell id of the centroid with
+  * max cosine similarity to `vec` (first wins ties). `cells`/`cvecs` are
+  * foldable literals, decoded once per executor — so the whole IVF
+  * assignment step is ONE map-side codegen'd expression: zero shuffles,
+  * zero broadcast-join row amplification, zero extra jobs. Reference
+  * semantics: coarse quantization in rust/lakesoul-vector (IVF-RaBitQ). */
+case class NearestCentroid(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val cells: Array[Long] =
+    second.eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val cvecs: Array[Array[Float]] = {
+    val a = third.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => a.getArray(i).toFloatArray())
+  }
+
+  def nearest(v: ArrayData): Long = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cvecs.length) {
+      val s = Kernels.cosineFA(v, cvecs(i))
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    cells(best)
+  }
+
+  override def nullSafeEval(v: Any, c: Any, cv: Any): Any =
+    nearest(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this)
+    nullSafeCodeGen(ctx, ev, (v, _, _) => s"${ev.value} = $ref.nearest($v);")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) = copy(f, s, t)
+  override def prettyName: String = "graft_nearest_cell"
+}
+
 /** Registration + Column helpers. Registered once per session into the
   * function registry (the Spark-4 equivalent of the reference's catalog
   * `loadFunction`, SparkFunctions.scala:7-14), then invoked with
@@ -199,7 +250,8 @@ object GraftFunctions {
     ("graft_dot", es => DotProduct(es(0), es(1))),
     ("graft_simhash", es => SimHash64(es.head)),
     ("graft_minhash32", es => MinHashSignature(es.head, 32)),
-    ("graft_xx64", es => Hash64(es.head)))
+    ("graft_xx64", es => Hash64(es.head)),
+    ("graft_nearest_cell", es => NearestCentroid(es(0), es(1), es(2))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -211,4 +263,6 @@ object GraftFunctions {
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
   def minhash32(shingles: Column): Column = call_function("graft_minhash32", shingles)
   def xx64(s: Column): Column = call_function("graft_xx64", s)
+  def nearestCell(vec: Column, cells: Column, cvecs: Column): Column =
+    call_function("graft_nearest_cell", vec, cells, cvecs)
 }

@@ -1,5 +1,7 @@
 package graft.mergeop
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
@@ -22,14 +24,28 @@ import org.apache.spark.sql.types.DataType
   *   - sum_all yields NULL if ANY contributing value is NULL;
   *   - joined_all concatenates non-null values in version order.
   */
-sealed trait MergeOp {
+/** Open for user extension (M3; reference MergeOperator.scala:17-85 lets
+  * users implement `MergeOperator[T]` and register it by name): implement
+  * `name`/`agg` with Column expressions and call [[MergeOps.register]].
+  * Registered ops are applied through the aggregate merge path; the
+  * shuffle-free bucket k-way merge handles the builtins and falls back
+  * automatically for custom ops. */
+trait MergeOp extends Serializable {
   def name: String
 
-  /** Aggregate expression producing the merged value of `value`.
+  /** Aggregate expression producing the merged value of `value` ACROSS
+    * sorted runs (one row per key per run, thanks to dedup-on-write).
     * `version` orders writes (newer = larger); rows where the column was
     * physically absent from the source file pass `present=false` (schema
     * evolution: absent != explicit null, MergeParquetScan.scala:211-257). */
   def agg(value: Column, version: Column, present: Column, dt: DataType): Column
+
+  /** Operator applied WITHIN one write batch (dedup-on-write). Defaults to
+    * the cross-run operator (associative ops); the "last"-family overrides
+    * this with last-writer-wins so e.g. `sum_last` sums the LAST value per
+    * run instead of every value ever written (merge_operator.rs:535-600). */
+  def intraBatchAgg(value: Column, version: Column, present: Column,
+      dt: DataType): Column = agg(value, version, present, dt)
 }
 
 object MergeOps {
@@ -72,12 +88,48 @@ object MergeOps {
     }
   }
 
+  /** Sum of each run's LAST value (null poisons) — reference `SumLast`
+    * (merge_operator.rs:27,293-380,535-600): within a write batch only the
+    * last write survives; across runs those survivors are summed. */
+  case object SumLast extends MergeOp {
+    val name = "sum_last"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      SumAll.agg(value, version, present, dt)
+    override def intraBatchAgg(value: Column, version: Column, present: Column,
+        dt: DataType): Column = UseLast.agg(value, version, present, dt)
+  }
+
+  /** Each run's LAST value, non-nulls concatenated in version order —
+    * reference `JoinedLastByComma` / `JoinedLastBySemicolon`
+    * (merge_operator.rs:28-29,84-96). */
+  final case class JoinedLast(sep: String) extends MergeOp {
+    val name = if (sep == ",") "joined_last_by_comma"
+      else if (sep == ";") "joined_last_by_semicolon"
+      else s"joined_last_by_$sep"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      JoinedAll(sep).agg(value, version, present, dt)
+    override def intraBatchAgg(value: Column, version: Column, present: Column,
+        dt: DataType): Column = UseLast.agg(value, version, present, dt)
+  }
+
   val builtins: Map[String, MergeOp] = Seq(
-    UseLast, UseLastNotNull, SumAll, JoinedAll(","), JoinedAll(";"))
+    UseLast, UseLastNotNull, SumAll, SumLast,
+    JoinedAll(","), JoinedAll(";"), JoinedLast(","), JoinedLast(";"))
     .map(op => op.name -> op).toMap
 
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, MergeOp]()
+
+  /** User extension point (M3): make a custom operator resolvable from the
+    * `graft.mergeop.<col>` table property / per-read overrides. */
+  def register(op: MergeOp): Unit = registered.put(op.name, op)
+
   def forName(name: String): MergeOp =
-    builtins.getOrElse(name,
-      throw new IllegalArgumentException(
-        s"unknown merge operator '$name' (known: ${builtins.keys.mkString(", ")})"))
+    builtins.getOrElse(name, {
+      val custom = registered.get(name)
+      if (custom != null) custom
+      else throw new IllegalArgumentException(
+        s"unknown merge operator '$name' (known: ${
+          (builtins.keys ++ registered.keySet.asScala).mkString(", ")})")
+    })
 }

@@ -127,6 +127,48 @@ object Dedup {
       df, idCol, textCol)
       .filter(col("jaccard") >= threshold)
 
+  /** Exact-COMPLETE Jaccard candidate pairs via prefix filtering (the
+    * public AllPairs / PPJoin technique, Bayardo et al. 2007 / Xiao et al.
+    * 2008): under ANY global token order, J(A,B) >= t implies
+    * |A∩B| >= ceil(t*|A|), so the first (|A| - ceil(t*|A|) + 1) tokens of
+    * each set must contain a shared token. We order by the shingle's 64-bit
+    * hash — uniform, so no document-frequency pass is needed (df-ascending
+    * order is a candidate-count heuristic, not a correctness requirement).
+    * Plan: one shingle+sort projection, explode ONLY the prefixes, one
+    * equi-join shuffle on the hashed token — linear in corpus size +
+    * candidate count, never O(n^2). Unlike MinHash-LSH this misses nothing,
+    * so results match an exact SQL oracle. */
+  def jaccardCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3): DataFrame = {
+    val hs = df.select(col(idCol).as("_g_id"),
+      array_sort(transform(array_distinct(wordShingles(col(textCol), k)),
+        s => GraftFunctions.xx64(s))).as("_g_hs"))
+    val prefLen = (size(col("_g_hs")) -
+      ceil(size(col("_g_hs")) * lit(threshold)) + 1).cast("int")
+    val pref = hs.select(col("_g_id"),
+      explode(slice(col("_g_hs"), lit(1), greatest(prefLen, lit(0)))).as("_g_tok"))
+    pref.select(col("_g_id").as("id_a"), col("_g_tok"))
+      .join(pref.select(col("_g_id").as("id_b"), col("_g_tok")), "_g_tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Prefix-filtered + exactly verified near-dup pairs at Jaccard >= t —
+    * the exact (non-LSH) scale path for n-gram dedup. */
+  def jaccardNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3): DataFrame =
+    jaccardVerify(jaccardCandidates(df, idCol, textCol, threshold, k),
+      df, idCol, textCol, k)
+      .filter(col("jaccard") >= threshold)
+
   // ---------------------------------------------------------------- simhash
 
   /** Per-doc 64-bit SimHash fingerprint of word tokens. */
@@ -141,6 +183,31 @@ object Dedup {
       maxDist: Int = 3,
       maxBucket: Int = 200): DataFrame = {
     val sig = df.select(col(idCol).as("_g_id"), simhashOf(col(textCol)).as("_g_sim"))
+    val banded = sig.select(col("_g_id"), posexplode(
+      array((0 until 4).map(i =>
+        shiftrightunsigned(col("_g_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("_g_chunk", "_g_cv")))
+    val cands = bucketPairs(banded, Seq("_g_chunk", "_g_cv"), "_g_id", maxBucket)
+    cands
+      .join(sig.select(col("_g_id").as("id_a"), col("_g_sim").as("_g_sima")), "id_a")
+      .join(sig.select(col("_g_id").as("id_b"), col("_g_sim").as("_g_simb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_g_sima").bitwiseXOR(col("_g_simb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Banded near-dup pairs over a packed 64-bit signature LONG column:
+    * 4x16-bit chunk LSH buckets (pigeonhole-complete for maxDist <= 3),
+    * exact popcount verify on same-bucket candidates. Same shape as
+    * [[simhashNearDupPairs]] but for externally computed signatures (e.g.
+    * sign-bit binarized embeddings) — replaces the O(n^2) crossJoin. */
+  def hammingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxDist: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
+    val sig = df.select(col(idCol).as("_g_id"), col(sigCol).as("_g_sim"))
     val banded = sig.select(col("_g_id"), posexplode(
       array((0 until 4).map(i =>
         shiftrightunsigned(col("_g_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

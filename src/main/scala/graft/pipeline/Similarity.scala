@@ -13,10 +13,12 @@ import graft.functions.GraftFunctions
   *  - brute-force: one codegen'd map over the table + TakeOrderedAndProject
   *    (no shuffle of vectors; only k rows reach the driver). The exact
   *    baseline every ANN variant is measured against.
-  *  - IVF: coarse quantizer built from a deterministic row sample; vectors
-  *    are assigned to their nearest centroid once (a broadcast join — the
-  *    "index build"), searches probe only `nprobe` cells. At 100 TB the
-  *    assignment is the only full pass; per-query cost is |cell|*nprobe.
+  *  - IVF: coarse quantizer is a deterministic hashed-id sample (one
+  *    TakeOrdered scan); every vector is assigned to its nearest centroid by
+  *    ONE map-side codegen'd argmax expression over the centroid literals —
+  *    no broadcast-join row amplification, no groupBy shuffle, no count()
+  *    pre-passes. At 100 TB the assignment is a single map-only pass;
+  *    per-query cost is |cell| * nprobe.
   */
 object Similarity {
 
@@ -32,43 +34,74 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
-  /** IVF "index": assign every vector to its nearest centroid. Centroids are
-    * a deterministic sample (every `stride`-th id), so the index is
-    * reproducible without any RNG state. Returns (id, vec, cell). */
+  /** Deterministic one-pass centroid pick: the `nlist` rows with the smallest
+    * Knuth-multiplicative-hashed id ((id * 2654435761) mod 2^32) — uniform
+    * over the id space, reproducible with no RNG state, plain-SQL-expressible
+    * (the DuckDB oracle replays it verbatim), and a single
+    * TakeOrderedAndProject scan instead of a count() pass + filter + limit.
+    * Returns (cellId, centroidVec) in hash-rank order (ties broken by id —
+    * the rank order IS the argmax tie-break order). */
+  def selectCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int): Array[(Long, Array[Float])] =
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)),
+        col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Column computing the nearest-centroid cell id for a vector column. */
+  def nearestCell(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    GraftFunctions.nearestCell(vec,
+      typedLit(cents.map(_._1).toSeq),
+      typedLit(cents.map(_._2.toSeq).toSeq))
+
+  /** IVF "index": tag every vector with its nearest-centroid cell. Pure
+    * map-side projection (zero shuffle, zero extra jobs). */
   def ivfAssign(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      nlist: Int): DataFrame = {
-    val n = df.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids = df
-      .filter(pmod(col(idCol), lit(stride)) === 0).limit(nlist)
-      .select(col(idCol).as("_g_cell"), col(vecCol).as("_g_cvec"))
-    df.select(col(idCol), col(vecCol))
-      .join(broadcast(centroids))
-      .withColumn("_g_sim", GraftFunctions.cosine(col(vecCol), col("_g_cvec")))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("_g_cell"), col(vecCol).as("v")), col("_g_sim")).as("_g_best"))
-      .select(col(idCol), col("_g_best.v").as(vecCol), col("_g_best._g_cell").as("cell"))
+      cents: Array[(Long, Array[Float])]): DataFrame =
+    df.select(col(idCol), col(vecCol), nearestCell(col(vecCol), cents).as("cell"))
+
+  /** Driver-side cosine (same double-accumulation as Kernels.cosine). */
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** The `nprobe` cell ids nearest to the query — computed on the driver from
+    * the (tiny) centroid array; no Spark job. */
+  def probeCells(
+      cents: Array[(Long, Array[Float])],
+      query: Array[Float],
+      nprobe: Int): Seq[Long] =
+    cents.zipWithIndex
+      .map { case ((cell, cv), rk) => (cell, cosineLocal(cv, query), rk) }
+      .sortBy { case (_, sim, rk) => (-sim, rk) }
+      .take(nprobe).map(_._1).toSeq
 
   /** ANN top-k through an IVF assignment: probe the `nprobe` cells whose
     * centroids are closest to the query, exact-rank within them. */
   def ivfTopK(
       assigned: DataFrame,
-      centroidsOf: DataFrame, // (cell, centroid vec) — from ivfAssign's sample
+      cents: Array[(Long, Array[Float])],
       idCol: String,
       vecCol: String,
       query: Array[Float],
       k: Int,
       nprobe: Int): DataFrame = {
     val q = typedLit(query.toSeq)
-    val probeCells = centroidsOf
-      .select(col("_g_cell"), GraftFunctions.cosine(col("_g_cvec"), q).as("_g_sim"))
-      .orderBy(col("_g_sim").desc).limit(nprobe)
-      .select(col("_g_cell").as("cell"))
-    assigned.join(broadcast(probeCells), "cell")
+    assigned.filter(col("cell").isin(probeCells(cents, query, nprobe): _*))
       .select(col(idCol),
         round(GraftFunctions.cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -76,7 +109,8 @@ object Similarity {
   }
 
   /** Convenience: build IVF + search in one call (index reused across queries
-    * in real use; rebuilt here for a self-contained operator). */
+    * in real use; rebuilt here for a self-contained operator). Exactly two
+    * jobs: the centroid TakeOrdered and the probe scan. */
   def annSearch(
       df: DataFrame,
       idCol: String,
@@ -85,17 +119,15 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    val n = df.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids = df
-      .filter(pmod(col(idCol), lit(stride)) === 0).limit(nlist)
-      .select(col(idCol).as("_g_cell"), col(vecCol).as("_g_cvec"))
-    val assigned = ivfAssign(df, idCol, vecCol, nlist)
-    ivfTopK(assigned, centroids, idCol, vecCol, query, k, nprobe)
+    val cents = selectCentroids(df, idCol, vecCol, nlist)
+    ivfTopK(ivfAssign(df, idCol, vecCol, cents), cents, idCol, vecCol, query,
+      k, nprobe)
   }
 
   /** Pairwise hamming distance over binary embeddings (Array[Long]) — the
-    * reference's lakesoul_hamming_distance surface (HammingDistFunc.scala). */
+    * reference's lakesoul_hamming_distance surface (HammingDistFunc.scala).
+    * DOCUMENTED BRUTE-FORCE BASELINE (O(n^2) crossJoin) — only for bounded
+    * subsets / verification; the scale path is [[bandedHammingPairs]]. */
   def hammingPairs(
       df: DataFrame,
       idCol: String,
@@ -107,5 +139,30 @@ object Similarity {
       .withColumn("hamming", GraftFunctions.hamming(col("_g_ba"), col("_g_bb")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Banded hamming near-dup pairs over Array[Long] bit signatures: 16-bit
+    * chunk LSH (pigeonhole-complete for maxDist <= 4*words - 1), exact
+    * popcount verify on same-bucket candidates only. One bucket shuffle —
+    * linear in corpus size, never O(n^2). */
+  def bandedHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      bitsCol: String,
+      maxDist: Int,
+      maxBucket: Int = 200): DataFrame = {
+    val sig = df.select(col(idCol).as("_g_id"), col(bitsCol).as("_g_bits"))
+    val banded = sig.select(col("_g_id"), explode(expr(
+      "flatten(transform(_g_bits, (w, j) -> transform(sequence(0, 3), " +
+        "c -> struct(j * 4 + c AS ci, shiftrightunsigned(w, c * 16) & 65535 AS cv))))"))
+      .as("_g_ch"))
+      .select(col("_g_id"), col("_g_ch.ci").as("_g_ci"), col("_g_ch.cv").as("_g_cv"))
+    val cands = Dedup.bucketPairs(banded, Seq("_g_ci", "_g_cv"), "_g_id", maxBucket)
+    cands
+      .join(sig.select(col("_g_id").as("id_a"), col("_g_bits").as("_g_ba")), "id_a")
+      .join(sig.select(col("_g_id").as("id_b"), col("_g_bits").as("_g_bb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.hamming(col("_g_ba"), col("_g_bb")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
   }
 }

@@ -24,13 +24,18 @@ class VectorIndex private (
     idCol: String,
     vecCol: String) {
 
-  /** Top-k by cosine, probing the nprobe nearest cells. */
+  /** Top-k by cosine, probing the nprobe nearest cells. Probe selection is
+    * driver-side over the (tiny) collected centroids, re-sorted into the
+    * deterministic hash-rank order used at build time so tie-breaks match
+    * [[Similarity.annSearch]] exactly. */
   def search(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
     val q = typedLit(query.toSeq)
-    val cells = centroidTable.toDF
-      .select(col("cell"), GraftFunctions.cosine(col("cvec"), q).as("sim"))
-      .orderBy(col("sim").desc).limit(nprobe)
-      .select(col("cell").cast("string")).collect().map(_.getString(0)).toSet
+    val cents = centroidTable.toDF.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy { case (cell, _) =>
+        (Math.floorMod(cell * 2654435761L, 4294967296L), cell) }
+    val cells = Similarity.probeCells(cents, query, nprobe)
+      .map(_.toString).toSet
     val descs = cells.map(c => s"cell=$c")
     indexTable.toDF(d => descs.contains(d))
       .select(col(idCol),
@@ -51,16 +56,22 @@ object VectorIndex {
       vecCol: String,
       nlist: Int = 16): VectorIndex = {
     GraftFunctions.register(spark)
-    val n = df.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids = df.filter(pmod(col(idCol), lit(stride)) === 0).limit(nlist)
-      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
-    val assigned = df.select(col(idCol), col(vecCol))
-      .join(broadcast(centroids))
-      .withColumn("_g_sim", GraftFunctions.cosine(col(vecCol), col("cvec")))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("cell"), col(vecCol).as("v")), col("_g_sim")).as("b"))
-      .select(col("b.cell").as("cell"), col(idCol), col("b.v").as(vecCol))
+    // deterministic hashed-id centroid sample (one TakeOrdered scan), then a
+    // single map-side argmax assignment — the index build's only full pass
+    // is the bucketed table write itself (no count(), no assignment shuffle)
+    val cents = Similarity.selectCentroids(df, idCol, vecCol, nlist)
+    val centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.toSeq.map {
+        case (cell, cv) => org.apache.spark.sql.Row(cell, cv.toSeq)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, cents)
+      .select(col("cell"), col(idCol), col(vecCol))
 
     val idxPath = s"$basePath/_g_vecindex"
     val cenPath = s"$basePath/_g_veccentroids"

@@ -53,11 +53,12 @@ object BucketMergeRead {
   private def mergeSupported(table: TableInfo, f: StructField): Boolean =
     TransactionalWrite.mergeOpFor(table, f.name) match {
       case MergeOps.UseLast | MergeOps.UseLastNotNull => orderableOrAny(f.dataType)
-      case MergeOps.SumAll => f.dataType match {
+      case MergeOps.SumAll | MergeOps.SumLast => f.dataType match {
         case IntegerType | LongType | DoubleType | FloatType | ShortType => true
         case _ => false
       }
-      case MergeOps.JoinedAll(_) => f.dataType == StringType
+      case MergeOps.JoinedAll(_) | MergeOps.JoinedLast(_) => f.dataType == StringType
+      case _ => false // user-registered ops route to the aggregate merge
     }
 
   private def orderableOrAny(dt: DataType): Boolean = true
@@ -100,14 +101,20 @@ object BucketMergeRead {
     val keyTypes = keyIdx.map(schema.fields(_).dataType)
     val fieldMerges: Array[FieldMerge] = schema.fields.zipWithIndex.map {
       case (f, i) => FieldMerge(i, f.dataType,
+        // sum_last/joined_last collapse to sum/join at read time: each run
+        // already holds only its last value per key (dedup-on-write applied
+        // the intra-batch last-writer-wins)
         TransactionalWrite.mergeOpFor(table, f.name) match {
           case MergeOps.UseLast => 0
           case MergeOps.UseLastNotNull => 1
-          case MergeOps.SumAll => 2
-          case MergeOps.JoinedAll(sep) => 3
+          case MergeOps.SumAll | MergeOps.SumLast => 2
+          case MergeOps.JoinedAll(_) | MergeOps.JoinedLast(_) => 3
+          case other => throw new IllegalStateException(
+            s"bucket merge does not support operator '${other.name}'")
         },
         TransactionalWrite.mergeOpFor(table, f.name) match {
           case MergeOps.JoinedAll(sep) => sep
+          case MergeOps.JoinedLast(sep) => sep
           case _ => ","
         })
     }

@@ -42,6 +42,23 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     GraftRead.read(spark, info, resolver.currentFiles(tablePath, partitionPred),
       requiredColumns = Some(requiredColumns))
 
+  /** Per-QUERY merge-operator selection (M4; reference
+    * rules/ExtractMergeOperator.scala:20-88 extracts merge-op marker UDFs
+    * from the projection at analysis time): read the current snapshot with
+    * `ops` (column -> operator name, builtin or [[graft.mergeop.MergeOps
+    * .register]]ed) applied across runs INSTEAD of the table-property
+    * operators. Write-time dedup-on-write is unaffected, exactly like the
+    * reference's scan-time rule. */
+  def readWithMergeOps(ops: Map[String, String],
+      partitionPred: String => Boolean = _ => true): DataFrame = {
+    ops.values.foreach(graft.mergeop.MergeOps.forName) // validate eagerly
+    val ti = info
+    val overridden = ti.copy(properties = ti.properties ++
+      ops.map { case (c, op) => TableInfo.mergeOpProp(c) -> op })
+    GraftRead.read(spark, overridden,
+      resolver.currentFiles(tablePath, partitionPred))
+  }
+
   /** Time travel (C1 forPathSnapshot): state as of `endTime` (ms). */
   def snapshotAt(endTime: Long, partitionPred: String => Boolean = _ => true): DataFrame =
     GraftRead.read(spark, info, resolver.filesUptoTime(tablePath, endTime, partitionPred))

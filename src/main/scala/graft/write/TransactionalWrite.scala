@@ -108,7 +108,8 @@ object TransactionalWrite {
       .withColumn("_g_seq", monotonically_increasing_id())
     val aggs = df.schema.fields.filterNot(f => keys.contains(f.name)).map { f =>
       val dt = schema(f.name).dataType
-      mergeOpFor(table, f.name).agg(col(f.name), col("_g_seq"), lit(true), dt).as(f.name)
+      mergeOpFor(table, f.name)
+        .intraBatchAgg(col(f.name), col("_g_seq"), lit(true), dt).as(f.name)
     }
     if (aggs.isEmpty) seq.drop("_g_seq").dropDuplicates(keys)
     else {

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.meta.TableInfo
+import graft.tables.GraftTable
+
+/** sum_last / joined_last two-level semantics (intra-batch last-writer-wins,
+  * cross-run combine — merge_operator.rs:535-600), the user-registration
+  * surface (M3) and per-query override (M4). */
+class MergeOpSuite extends SparkFixture {
+
+  // single-partition input so intra-batch "write order" is deterministic
+  private def onePartDf(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  private val dSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType)))
+  private val sSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  test("sum_last keeps only the last write within a batch, sums across runs") {
+    withTempPath { p =>
+      val t = GraftTable.create(spark,
+        onePartDf(Seq(Row(1L, 10.0), Row(1L, 20.0), Row(2L, 1.0)), dSchema), p,
+        hashColumns = Seq("k"), bucketNum = 2,
+        properties = Map(TableInfo.mergeOpProp("v") -> "sum_last"))
+      // sum_all would give 30.0; sum_last keeps the batch's last write
+      assertRows(t.toDF, Seq(Row(1L, 20.0), Row(2L, 1.0)))
+      t.upsert(onePartDf(Seq(Row(1L, 5.0)), dSchema))
+      assertRows(t.toDF, Seq(Row(1L, 25.0), Row(2L, 1.0)))
+    }
+  }
+
+  test("joined_last concatenates each run's last value only") {
+    withTempPath { p =>
+      val t = GraftTable.create(spark,
+        onePartDf(Seq(Row(1L, "a"), Row(1L, "b")), sSchema), p,
+        hashColumns = Seq("k"), bucketNum = 2,
+        properties = Map(TableInfo.mergeOpProp("v") -> "joined_last_by_comma"))
+      t.upsert(onePartDf(Seq(Row(1L, "c")), sSchema))
+      // joined_all would give "a,b,c"
+      assertRows(t.toDF, Seq(Row(1L, "b,c")))
+    }
+  }
+
+  test("user-registered operator resolves by name and merges (M3)") {
+    graft.mergeop.MergeOps.register(new graft.mergeop.MergeOp {
+      val name = "keep_max_test"
+      def agg(value: org.apache.spark.sql.Column,
+          version: org.apache.spark.sql.Column,
+          present: org.apache.spark.sql.Column,
+          dt: DataType): org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.when(present, value)).cast(dt)
+    })
+    withTempPath { p =>
+      val t = GraftTable.create(spark, onePartDf(Seq(Row(1L, 7.0)), dSchema), p,
+        hashColumns = Seq("k"), bucketNum = 2,
+        properties = Map(TableInfo.mergeOpProp("v") -> "keep_max_test"))
+      t.upsert(onePartDf(Seq(Row(1L, 3.0)), dSchema))
+      assertRows(t.toDF, Seq(Row(1L, 7.0)))
+    }
+  }
+
+  test("readWithMergeOps overrides per query without touching the table (M4)") {
+    withTempPath { p =>
+      val t = GraftTable.create(spark, onePartDf(Seq(Row(1L, 10.0)), dSchema), p,
+        hashColumns = Seq("k"), bucketNum = 2)
+      t.upsert(onePartDf(Seq(Row(1L, 4.0)), dSchema))
+      assertRows(t.readWithMergeOps(Map("v" -> "sum_all")), Seq(Row(1L, 14.0)))
+      assertRows(t.toDF, Seq(Row(1L, 4.0))) // table default use_last intact
+      intercept[IllegalArgumentException] {
+        t.readWithMergeOps(Map("v" -> "nope"))
+      }
+    }
+  }
+}
