@@ -38,6 +38,14 @@ object Bench {
       "dedup_simhash", "text_stats", "fingerprint", "ann_bruteforce", "ann_ivf",
       "bucketed_join")
 
+    // warm-up: one agg + one join untimed, so the first timed queries
+    // measure steady-state plans instead of JIT/codegen first-run cost
+    // (r1: q1_agg 5.9 s cold vs ~0.7 s warm — pure warmup noise)
+    Seq("q1_agg", "q3_top_orders").foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -140,16 +140,18 @@ object BucketMergeRead {
       }
   }
 
-  /** The vectorized reader yields ColumnarBatch disguised as InternalRow. */
+  /** The vectorized reader yields ColumnarBatch objects erased behind the
+    * Iterator[InternalRow] API; widen to Any BEFORE matching so the lambda's
+    * parameter cast can't fire (a typed param would checkcast InternalRow). */
   private def flatten(it: Iterator[InternalRow]): Iterator[InternalRow] =
-    it.flatMap {
+    it.asInstanceOf[Iterator[Any]].flatMap {
       case b: ColumnarBatch =>
         val rows = b.rowIterator()
         new Iterator[InternalRow] {
           def hasNext: Boolean = rows.hasNext
           def next(): InternalRow = rows.next()
         }
-      case r => Iterator.single(r)
+      case r => Iterator.single(r.asInstanceOf[InternalRow])
     }
 }
 
@@ -157,10 +159,27 @@ object BucketMergeRead {
   * 3=joined_all. */
 private[read] case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String)
 
-/** K-way sorted merge by (range, pk) with per-column merge operators.
-  * Run 0 is the oldest; on equal keys, later runs win per the operator.
-  * Input iterators may reuse row objects (vectorized reader), so held heads
-  * are copied. */
+/** K-way sorted merge by (range, pk) with per-column merge operators —
+  * the Spark rendition of the reference's loser-tree merger
+  * (rust/lakesoul-io/src/physical_plan/merge/sorted/sorted_stream_merger.rs).
+  *
+  * Performance design (vs the naive fold-over-k-heads):
+  *   - LOSER TREE: winner selection is O(log k) comparisons per row, not a
+  *     linear scan of all k heads.
+  *   - TYPED KEY COMPARATORS: one primitive-reading comparator per key
+  *     column, resolved once at construction — no per-row boxing, no
+  *     interpreted orderings on the hot path (interpreted fallback only for
+  *     exotic key types).
+  *   - ZERO-COPY FAST PATH: input iterators reuse row objects (vectorized
+  *     reader), but a run's previous row is only invalidated by that run's
+  *     own next(). Advancing the winning run is DELAYED until the next
+  *     next()/hasNext call, after the caller has projected the returned row
+  *     — so unique-key rows (the overwhelming majority after compaction or
+  *     low-overlap upserts) flow through without any copy or allocation.
+  *     Only keys present in >=2 runs pay one GenericInternalRow + deep
+  *     per-field copy.
+  *
+  * Run 0 is the oldest; on equal keys, later runs win per the operator. */
 private[read] class KWayMergeIterator(
     runs: IndexedSeq[Iterator[InternalRow]],
     keyIdx: Array[Int],
@@ -168,66 +187,221 @@ private[read] class KWayMergeIterator(
     fields: Array[FieldMerge],
     nFields: Int) extends Iterator[InternalRow] {
 
+  private abstract class RowComp {
+    def compare(a: InternalRow, b: InternalRow): Int
+  }
+
+  /** Null-aware (nulls first, matching the write-side sort), primitive-typed
+    * per-column comparator. */
+  private def makeComp(i: Int, dt: DataType): RowComp = {
+    val base: RowComp = dt match {
+      case LongType | TimestampType | TimestampNTZType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          java.lang.Long.compare(a.getLong(i), b.getLong(i))
+      }
+      case IntegerType | DateType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          Integer.compare(a.getInt(i), b.getInt(i))
+      }
+      case ShortType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          java.lang.Short.compare(a.getShort(i), b.getShort(i))
+      }
+      case ByteType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          java.lang.Byte.compare(a.getByte(i), b.getByte(i))
+      }
+      case StringType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          a.getUTF8String(i).compareTo(b.getUTF8String(i))
+      }
+      case DoubleType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+      }
+      case FloatType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+      }
+      case BooleanType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+      }
+      case d: DecimalType => new RowComp {
+        def compare(a: InternalRow, b: InternalRow): Int =
+          a.getDecimal(i, d.precision, d.scale)
+            .compareTo(b.getDecimal(i, d.precision, d.scale))
+      }
+      case other =>
+        val ord = TypeUtils.getInterpretedOrdering(other)
+        new RowComp {
+          def compare(a: InternalRow, b: InternalRow): Int =
+            ord.compare(a.get(i, other), b.get(i, other))
+        }
+    }
+    new RowComp {
+      def compare(a: InternalRow, b: InternalRow): Int = {
+        val an = a.isNullAt(i); val bn = b.isNullAt(i)
+        if (an && bn) 0 else if (an) -1 else if (bn) 1 else base.compare(a, b)
+      }
+    }
+  }
+
   private val k = runs.size
   private val heads = new Array[InternalRow](k)
-  private val orderings = keyTypes.map(TypeUtils.getInterpretedOrdering)
-  (0 until k).foreach(advance)
-
-  private def advance(i: Int): Unit =
-    heads(i) = if (runs(i).hasNext) runs(i).next().copy() else null
+  private val keyComps: Array[RowComp] =
+    keyIdx.zip(keyTypes).map { case (i, dt) => makeComp(i, dt) }
 
   private def compareKeys(a: InternalRow, b: InternalRow): Int = {
     var i = 0
-    while (i < keyIdx.length) {
-      val x = if (a.isNullAt(keyIdx(i))) null else a.get(keyIdx(i), keyTypes(i))
-      val y = if (b.isNullAt(keyIdx(i))) null else b.get(keyIdx(i), keyTypes(i))
-      val c =
-        if (x == null && y == null) 0
-        else if (x == null) -1 // nulls first, matching the write-side sort
-        else if (y == null) 1
-        else orderings(i).compare(x, y)
+    while (i < keyComps.length) {
+      val c = keyComps(i).compare(a, b)
       if (c != 0) return c
       i += 1
     }
     0
   }
 
-  override def hasNext: Boolean = heads.exists(_ != null)
+  // ---- loser tree (Knuth TAOCP v3 replacement-selection shape) ----------
+  // internal nodes 1..k-1 hold the LOSER run index of each match; slot 0
+  // holds the overall winner. -1 = virtual run that loses to everything.
+  private val loserTree = Array.fill(math.max(k, 1))(-1)
 
-  override def next(): InternalRow = {
-    // find the minimal key among heads
-    var minIdx = -1
-    var i = 0
-    while (i < k) {
-      if (heads(i) != null &&
-          (minIdx == -1 || compareKeys(heads(i), heads(minIdx)) < 0)) minIdx = i
-      i += 1
+  /** run x precedes run y? exhausted (null-head) runs sort last; ties break
+    * by run ordinal so equal keys surface oldest-first. */
+  private def cmpRun(x: Int, y: Int): Int = {
+    if (x < 0) return if (y < 0) 0 else 1
+    if (y < 0) return -1
+    val hx = heads(x); val hy = heads(y)
+    if (hx == null) { if (hy == null) x - y else 1 }
+    else if (hy == null) -1
+    else {
+      val c = compareKeys(hx, hy)
+      if (c != 0) c else x - y
     }
-    // fold all equal-key heads oldest -> newest through the merge operators
-    var acc = heads(minIdx)
-    advance(minIdx)
-    var j = minIdx + 1
-    while (j < k) {
-      if (heads(j) != null && compareKeys(heads(j), acc) == 0) {
-        acc = mergeRows(acc, heads(j))
-        advance(j)
-      }
-      j += 1
-    }
-    acc
   }
 
-  private def mergeRows(older: InternalRow, newer: InternalRow): InternalRow = {
+  /** Replay leaf `run` up the tree after its head changed. */
+  private def adjust(run: Int): Unit = {
+    var winner = run
+    var parent = (run + k) >>> 1
+    while (parent > 0) {
+      if (cmpRun(loserTree(parent), winner) < 0) {
+        val t = winner; winner = loserTree(parent); loserTree(parent) = t
+      }
+      parent >>>= 1
+    }
+    loserTree(0) = winner
+  }
+
+  /** Best run among the losers on leaf `run`'s path — the runner-up while
+    * `run` is the winner (standard loser-tree property). */
+  private def runnerUp(run: Int): Int = {
+    var best = -1
+    var parent = (run + k) >>> 1
+    while (parent > 0) {
+      val cand = loserTree(parent)
+      if (cand >= 0 && (best < 0 || cmpRun(cand, best) < 0)) best = cand
+      parent >>>= 1
+    }
+    best
+  }
+
+  private def advanceNow(i: Int): Unit = {
+    heads(i) = if (runs(i).hasNext) runs(i).next() else null
+    adjust(i)
+  }
+
+  // build: bottom-up tournament (leaf i sits at node i+k; internal node n
+  // has children 2n / 2n+1 — the same mapping adjust() replays)
+  { var i = 0
+    while (i < k) {
+      heads(i) = if (runs(i).hasNext) runs(i).next() else null
+      i += 1 }
+    if (k > 1) {
+      val winner = new Array[Int](2 * k)
+      var n = 2 * k - 1
+      while (n >= k) { winner(n) = n - k; n -= 1 }
+      n = k - 1
+      while (n >= 1) {
+        val a = winner(2 * n); val b = winner(2 * n + 1)
+        if (cmpRun(a, b) <= 0) { winner(n) = a; loserTree(n) = b }
+        else { winner(n) = b; loserTree(n) = a }
+        n -= 1
+      }
+      loserTree(0) = winner(1)
+    } else loserTree(0) = 0 }
+
+  /** Run whose returned live row is still held by the caller; advanced
+    * lazily on the next hasNext()/next(). */
+  private var pendingRun = -1
+
+  private def flushPending(): Unit =
+    if (pendingRun >= 0) { advanceNow(pendingRun); pendingRun = -1 }
+
+  override def hasNext: Boolean = {
+    flushPending()
+    val w = loserTree(0)
+    w >= 0 && heads(w) != null
+  }
+
+  override def next(): InternalRow = {
+    flushPending()
+    val w = loserTree(0)
+    val first = heads(w)
+    val ru = runnerUp(w)
+    if (ru < 0 || heads(ru) == null || compareKeys(heads(ru), first) != 0) {
+      // unique key: emit the live row, defer the advance until it's consumed
+      pendingRun = w
+      first
+    } else {
+      // >=2 runs hold this key: deep-copy into a scratch row, fold newer
+      // runs into it oldest -> newest, advancing each contributor eagerly
+      val acc = copyRow(first)
+      advanceNow(w)
+      var w2 = loserTree(0)
+      while (w2 >= 0 && heads(w2) != null && compareKeys(heads(w2), acc) == 0) {
+        mergeInto(acc, heads(w2))
+        advanceNow(w2)
+        w2 = loserTree(0)
+      }
+      acc
+    }
+  }
+
+  /** Deep value copy: the source may be a reused vectorized-reader row whose
+    * buffers are invalidated on advance. */
+  private def deepCopy(v: Any): Any = v match {
+    case u: UTF8String => u.clone()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case r: InternalRow => r.copy()
+    case x => x
+  }
+
+  private def copyRow(src: InternalRow): GenericInternalRow = {
     val out = new GenericInternalRow(nFields)
     var i = 0
     while (i < fields.length) {
       val f = fields(i)
+      if (src.isNullAt(f.idx)) out.setNullAt(f.idx)
+      else out.update(f.idx, deepCopy(src.get(f.idx, f.dt)))
+      i += 1
+    }
+    out
+  }
+
+  /** Fold `newer` (a live row) into the scratch accumulator in place. */
+  private def mergeInto(acc: GenericInternalRow, newer: InternalRow): Unit = {
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
       val idx = f.idx
-      val o = if (older.isNullAt(idx)) null else older.get(idx, f.dt)
+      val o = if (acc.isNullAt(idx)) null else acc.get(idx, f.dt)
       val n = if (newer.isNullAt(idx)) null else newer.get(idx, f.dt)
       val v: Any = f.op match {
-        case 0 => n // use_last: the newer run's value, null included
-        case 1 => if (n != null) n else o // use_last_not_null
+        case 0 => deepCopy(n) // use_last: the newer run's value, null included
+        case 1 => if (n != null) deepCopy(n) else o // use_last_not_null
         case 2 => // sum_all: null poisons (merge_operator.rs:489-532)
           if (o == null || n == null) null
           else f.dt match {
@@ -240,14 +414,13 @@ private[read] class KWayMergeIterator(
             case other => throw new IllegalStateException(s"sum_all on $other")
           }
         case 3 => // joined_all: non-null values in version order
-          if (o == null) n
+          if (o == null) deepCopy(n)
           else if (n == null) o
           else UTF8String.concat(o.asInstanceOf[UTF8String],
             UTF8String.fromString(f.sep), n.asInstanceOf[UTF8String])
       }
-      if (v == null) out.setNullAt(idx) else out.update(idx, v)
+      if (v == null) acc.setNullAt(idx) else acc.update(idx, v)
       i += 1
     }
-    out
   }
 }

@@ -39,15 +39,20 @@ object StreamShim {
         Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    // VECTORIZED decode whenever the schema allows it: the reader then yields
+    // ColumnarBatch objects (erased to InternalRow) that the merge flattens
+    // into row VIEWS — columnar decode speed without a row materialization,
+    // the same shape the reference gets from its Arrow-native merge reader
+    // (sorted_stream_merger.rs). Row mode only for nested/unsupported types.
+    val batched = fmt.supportBatch(spark, schema)
     fmt.buildReaderWithPartitionValues(
       spark,
       dataSchema = schema,
       partitionSchema = new org.apache.spark.sql.types.StructType(),
       requiredSchema = schema,
       filters = Nil,
-      // rows, not ColumnarBatches — the k-way merge consumes row iterators
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
+        .OPTION_RETURNING_BATCH -> batched.toString),
       hadoopConf = spark.sessionState.newHadoopConf())
   }
 }

@@ -29,6 +29,45 @@ class BucketedJoinSuite extends SparkFixture {
     }
   }
 
+  test("bucketedJoin on CDC tables elides delete tombstones") {
+    withTempPath { p1 =>
+      withTempPath { p2 =>
+        import graft.meta.TableInfo
+        val l = (1 to 100).map(i => (i.toLong, s"l$i", "insert"))
+          .toDF("id", "lv", "op")
+        val t1 = GraftTable.create(spark, l, p1, hashColumns = Seq("id"),
+          bucketNum = 4, properties = Map(TableInfo.CdcColumnProp -> "op"))
+        val t2 = GraftTable.create(spark,
+          (1 to 100).map(i => (i.toLong, i * 10)).toDF("id", "rv"), p2,
+          hashColumns = Seq("id"), bucketNum = 4)
+        // delete every 10th id on the CDC side
+        t1.upsert(l.filter($"id" % 10 === 0).withColumn("op", lit("delete")))
+        val joined = t1.bucketedJoin(t2)
+        assert(joined.count() == 90)
+        assert(joined.filter($"id" % 10 === 0).count() == 0)
+        assertSameRows(joined, t1.toDF.join(t2.toDF, "id"))
+      }
+    }
+  }
+
+  test("bucketedJoin on range-partitioned tables (hash fallback) is correct") {
+    withTempPath { p1 =>
+      withTempPath { p2 =>
+        val l = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "e" else "o", s"l$i"))
+          .toDF("id", "par", "lv")
+        val r = (51 to 250).map(i => (i.toLong, i * 3)).toDF("id", "rv")
+        val t1 = GraftTable.create(spark, l, p1, rangeColumns = Seq("par"),
+          hashColumns = Seq("id"), bucketNum = 4)
+        val t2 = GraftTable.create(spark, r, p2, hashColumns = Seq("id"), bucketNum = 4)
+        t1.upsert(Seq((60L, "e", "L60")).toDF("id", "par", "lv"))
+        val joined = t1.bucketedJoin(t2)
+        assertSameRows(joined, t1.toDF.join(t2.toDF, "id"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+      }
+    }
+  }
+
   test("bucketedJoin validates bucketing compatibility") {
     withTempPath { p1 =>
       withTempPath { p2 =>
