@@ -34,6 +34,12 @@ object SparkEntry {
   private def tmp(tag: String): String =
     Files.createTempDirectory(s"graft-$tag-").toFile.getAbsolutePath
 
+  /** Point the DSv2 catalog `graft_cat` at a fresh warehouse. */
+  private def v2(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+    s.conf.set("spark.graft.warehouse", tmp("v2wh"))
+  }
+
   /** Every query self-registers the graft function library (idempotent). */
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => { GraftFunctions.register(s); f(s, d) }
@@ -210,6 +216,100 @@ object SparkEntry {
         hashColumns = Seq("s_suppkey"), bucketNum = 4)
       t.upsert(sup.withColumn("s_acctbal", col("s_acctbal") * 4))
       t.readWithMergeOps(Map("s_acctbal" -> "sum_all"))
+    }),
+    // ---------------------------------------------- DSv2 SQL surface (C12+)
+    "catalog_sql_read" -> q((s, d) => {
+      // CREATE TABLE AS SELECT + INSERT INTO (= upsert on a PK table) +
+      // SELECT, all through the graft_cat TableCatalog
+      v2(s)
+      rd(s, d, "orders").createOrReplaceTempView("v2_src_orders")
+      s.sql("CREATE TABLE graft_cat.vfy.orders_t " +
+        "PARTITIONED BY (bucket(4, o_orderkey)) AS SELECT * FROM v2_src_orders")
+      s.sql("INSERT INTO graft_cat.vfy.orders_t SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus, o_totalprice * 2, o_orderdate, o_orderpriority " +
+        "FROM v2_src_orders WHERE o_orderkey % 10 = 0")
+      s.sql("SELECT * FROM graft_cat.vfy.orders_t")
+    }),
+    "sql_update" -> q((s, d) => {
+      v2(s)
+      rd(s, d, "customer").createOrReplaceTempView("v2_src_cust_u")
+      s.sql("CREATE TABLE graft_cat.vfy.cust_u " +
+        "PARTITIONED BY (bucket(4, c_custkey)) AS SELECT * FROM v2_src_cust_u")
+      s.sql("UPDATE graft_cat.vfy.cust_u SET c_acctbal = c_acctbal + 1000 " +
+        "WHERE c_mktsegment = 'BUILDING'")
+      s.sql("SELECT * FROM graft_cat.vfy.cust_u")
+    }),
+    "sql_delete" -> q((s, d) => {
+      v2(s)
+      rd(s, d, "customer").createOrReplaceTempView("v2_src_cust_d")
+      s.sql("CREATE TABLE graft_cat.vfy.cust_d " +
+        "PARTITIONED BY (bucket(4, c_custkey)) AS SELECT * FROM v2_src_cust_d")
+      s.sql("DELETE FROM graft_cat.vfy.cust_d WHERE c_acctbal < 0")
+      s.sql("SELECT * FROM graft_cat.vfy.cust_d")
+    }),
+    "sql_merge_into" -> q((s, d) => {
+      v2(s)
+      val c = rd(s, d, "customer")
+      c.createOrReplaceTempView("v2_src_cust_m")
+      c.filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 500)
+        .createOrReplaceTempView("v2_delta_cust_m")
+      s.sql("CREATE TABLE graft_cat.vfy.cust_m " +
+        "PARTITIONED BY (bucket(4, c_custkey)) AS SELECT * FROM v2_src_cust_m")
+      s.sql("MERGE INTO graft_cat.vfy.cust_m t USING v2_delta_cust_m s " +
+        "ON t.c_custkey = s.c_custkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      s.sql("SELECT * FROM graft_cat.vfy.cust_m")
+    }),
+    "bucketed_join_sql" -> q((s, d) => {
+      // plain SQL join of two co-bucketed catalog tables: Spark's
+      // storage-partitioned join (v2 bucketing) plans ZERO exchanges —
+      // asserted below, so the correctness gate fails if SPJ regresses
+      v2(s)
+      rd(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+        .createOrReplaceTempView("v2_src_bjl")
+      rd(s, d, "orders").groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("total_spent"))
+        .createOrReplaceTempView("v2_src_bjr")
+      s.sql("CREATE TABLE graft_cat.vfy.bjl " +
+        "PARTITIONED BY (bucket(4, custkey)) AS SELECT * FROM v2_src_bjl")
+      s.sql("CREATE TABLE graft_cat.vfy.bjr " +
+        "PARTITIONED BY (bucket(4, custkey)) AS SELECT * FROM v2_src_bjr")
+      val restore = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" ->
+          s.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold" ->
+          s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+      try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.sql("SELECT l.custkey, c_name, c_mktsegment, n_orders, " +
+          "total_spent FROM graft_cat.vfy.bjl l " +
+          "JOIN graft_cat.vfy.bjr r ON l.custkey = r.custkey")
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"expected a storage-partitioned (zero-exchange) join:\n$plan")
+        j.cache().count() // materialize under SPJ confs before restoring
+        j
+      } finally restore.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+    "schema_evolution_read" -> q((s, d) => {
+      // additive evolution: the delta carries a NEW column; the merge runs
+      // through the shuffle-free bucket fast path (no aggregate fallback),
+      // old rows surface null for the new column (S4/S9)
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("sevo"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      t.upsert(o.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("priority_flag",
+          when(col("o_orderkey") % 8 === 0, "hi").otherwise("lo")))
+      t.toDF
     }),
     "cdc_read" -> q((s, d) => {
       val c = rd(s, d, "customer")
@@ -509,6 +609,35 @@ object SparkEntry {
     "merge_op_override" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal * 5 AS s_acctbal
         |FROM supplier""".stripMargin,
+    "catalog_sql_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "sql_update" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer""".stripMargin,
+    "sql_delete" ->
+      "SELECT * FROM customer WHERE NOT (c_acctbal < 0)",
+    "sql_merge_into" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer""".stripMargin,
+    "bucketed_join_sql" ->
+      """SELECT c_custkey AS custkey, c_name, c_mktsegment,
+        |  n_orders, total_spent
+        |FROM customer JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin,
+    "schema_evolution_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN
+        |    (CASE WHEN o_orderkey % 8 = 0 THEN 'hi' ELSE 'lo' END)
+        |  ELSE NULL END AS priority_flag
+        |FROM orders""".stripMargin,
     "cdc_read" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 11 = 0 THEN upper(c_name) ELSE c_name END AS c_name,

@@ -58,4 +58,19 @@ object GraftCatalog {
 
   def listTables(spark: SparkSession, namespace: String = "default"): Seq[String] =
     listAll(spark).keys.filter(_.startsWith(namespace + ".")).toSeq.sorted
+
+  // Explicitly created namespaces live in the same log under a reserved key
+  // (tables may also imply namespaces — the V2 catalog unions both views).
+  private val NsPrefix = "__namespace__."
+
+  def registerNamespace(spark: SparkSession, ns: String): Unit =
+    register(spark, NsPrefix + ns, ns)
+
+  def dropNamespace(spark: SparkSession, ns: String): Unit =
+    drop(spark, NsPrefix + ns)
+
+  def listNamespaces(spark: SparkSession): Seq[String] =
+    listAll(spark).keys.collect {
+      case k if k.startsWith(NsPrefix) => k.stripPrefix(NsPrefix)
+    }.toSeq.sorted
 }

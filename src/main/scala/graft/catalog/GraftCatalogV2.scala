@@ -1,0 +1,225 @@
+package graft.catalog
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Murmur3Hash, Pmod, Literal => CLiteral}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tables.GraftTable
+
+/** DSv2 `TableCatalog` for graft (SURVEY.md §2.9 C12; reference:
+  * catalog/LakeSoulCatalog.scala:55-634): registers as
+  *
+  *   spark.sql.catalog.graft_cat = graft.catalog.GraftCatalogV2
+  *   spark.sql.catalog.graft_cat.warehouse = /path/to/warehouse
+  *
+  * and exposes the full SQL DDL/DML/query surface:
+  *   CREATE TABLE graft_cat.ns.t (...) PARTITIONED BY (bucket(4, id))
+  *   INSERT INTO / INSERT OVERWRITE / SELECT / DELETE FROM / DROP TABLE ...
+  *
+  * Identifier -> path resolution uses the same name registry as the Scala
+  * API ([[GraftCatalog]]), so `GraftTable.createNamed` tables are queryable
+  * by SQL immediately. Also a `FunctionCatalog`: it serves the `bucket`
+  * function identity that lets Spark's storage-partitioned-join machinery
+  * recognize two graft scans as co-partitioned (zero-exchange joins).
+  */
+class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Option[String] = None
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+    // propagate to the shared registry so API + SQL see one catalog
+    warehouse.foreach(w => spark.conf.set("spark.graft.warehouse", w))
+  }
+
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  private def pathOf(ident: Identifier): Option[String] =
+    if (ident.name.startsWith("/")) Some(ident.name) // path identifier
+    else GraftCatalog.resolve(spark, key(ident))
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    GraftCatalog.listAll(spark).keys
+      .filter(_.startsWith(namespace.mkString(".") + "."))
+      .map { full =>
+        val parts = full.split('.')
+        Identifier.of(parts.dropRight(1), parts.last)
+      }.toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
+    new GraftTableV2(spark, GraftTable.forPath(spark, path),
+      s"$catalogName.${key(ident)}")
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    pathOf(ident).exists(GraftTable.exists(_))
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    var rangeCols = Seq.empty[String]
+    var hashCols = props.get("hashColumns").map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+    var bucketNum = props.get("bucketNum").map(_.toInt).getOrElse(4)
+    partitions.foreach { t =>
+      t.name match {
+        case "bucket" =>
+          bucketNum = t.arguments.collectFirst {
+            case l: Literal[_] => l.value.asInstanceOf[Number].intValue()
+          }.getOrElse(bucketNum)
+          hashCols = t.arguments.collect {
+            case r: NamedReference => r.fieldNames.mkString(".")
+          }.toSeq
+        case "identity" =>
+          rangeCols = rangeCols :+ t.references()(0).fieldNames.mkString(".")
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform: $other (use identity or bucket)")
+      }
+    }
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      "hashColumns", "bucketNum", "path")
+    val tableProps = props -- reserved
+    val location = props.get(TableCatalog.PROP_LOCATION)
+      .orElse(props.get("path"))
+      .getOrElse(s"${GraftCatalog.warehouseDir(spark)}/" +
+        s"${(ident.namespace() :+ ident.name()).mkString("/")}")
+    val t = GraftTable.createEmpty(spark, schema, location,
+      rangeCols, hashCols, bucketNum, tableProps)
+    GraftCatalog.register(spark, key(ident), t.info.tablePath)
+    new GraftTableV2(spark, t, s"$catalogName.${key(ident)}")
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val t = GraftTable.forPath(spark, path)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1, "nested add-column unsupported")
+        t.addColumn(add.fieldNames()(0), add.dataType())
+      case set: TableChange.SetProperty =>
+        t.setProperties(Map(set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        t.unsetProperty(rm.property())
+      case c => throw new UnsupportedOperationException(s"unsupported change: $c")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    pathOf(ident) match {
+      case Some(path) if GraftTable.exists(path) =>
+        GraftTable.forPath(spark, path).dropTable()
+        GraftCatalog.drop(spark, key(ident))
+        true
+      case _ => false
+    }
+
+  override def renameTable(old: Identifier, to: Identifier): Unit = {
+    val path = pathOf(old).getOrElse(throw new NoSuchTableException(old))
+    GraftCatalog.drop(spark, key(old))
+    GraftCatalog.register(spark, key(to), path)
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    (GraftCatalog.listNamespaces(spark).map(Array(_)) ++
+      GraftCatalog.listAll(spark).keys.map(_.split('.').dropRight(1)))
+      .map(_.toSeq).toSet.filter(_.nonEmpty).map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    listNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: JMap[String, String]): Unit =
+    GraftCatalog.registerNamespace(spark, namespace.mkString("."))
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.mkString(".")
+    val tables = GraftCatalog.listTables(spark, ns)
+    if (tables.nonEmpty && !cascade)
+      throw new IllegalStateException(s"namespace $ns is not empty")
+    tables.foreach { full =>
+      val parts = full.split('.')
+      dropTable(Identifier.of(parts.dropRight(1), parts.last))
+    }
+    GraftCatalog.dropNamespace(spark, ns)
+    true
+  }
+
+  // ---------------------------------------------------------- functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new NoSuchTableException(ident) // closest available v2 exception
+}
+
+/** V2 `bucket(numBuckets, cols...)` function: the identity Spark's
+  * storage-partitioned join compares across scans (both sides must resolve
+  * the SAME canonical function), plus an evaluable murmur3-pmod matching the
+  * write side's [[graft.write.TransactionalWrite.bucketIdExpr]] exactly. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "graft bucket(n, cols...): pmod(murmur3(cols, seed=42), n)"
+
+  override def bind(inputType: StructType): BoundFunction = new ScalarFunction[Integer] {
+    private val types = inputType.fields.map(_.dataType)
+    override def inputTypes(): Array[DataType] = types
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+
+    // args = (numBuckets literal, key columns...) — same murmur3(seed 42)
+    // + pmod as the write-side bucketIdExpr, evaluated interpreted
+    @transient private lazy val expr = {
+      val keys = types.indices.drop(1).map(i => BoundReference(i, types(i), true))
+      Pmod(Murmur3Hash(keys, 42), BoundReference(0, types(0), false))
+    }
+    override def produceResult(input: InternalRow): Integer =
+      expr.eval(input).asInstanceOf[Number].intValue()
+  }
+}

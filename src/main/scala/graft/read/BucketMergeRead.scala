@@ -31,24 +31,34 @@ import graft.write.TransactionalWrite
   * table on every read. Parallelism = bucketNum (choose bucketNum ~ cluster
   * cores at table-creation time, exactly like the reference).
   *
-  * Falls back to the aggregate path when per-file schemas differ (schema
-  * evolution) — GraftRead picks the route.
+  * Schema evolution is handled INSIDE the merge (S4/S9): files written
+  * before a column existed read as nulls (Spark's parquet reader null-fills
+  * missing columns), and a per-run presence mask keeps operator semantics
+  * exact — an absent column never overwrites, unlike an explicit null
+  * (MergeParquetScan.scala:211-257). The aggregate fallback remains only
+  * for custom/user-registered merge operators.
   */
 object BucketMergeRead {
 
-  /** One run of one bucket: files sorted by partition desc. */
-  private case class BucketGroup(bucket: Int, runs: Seq[Seq[PartitionedFile]])
+  /** One run of one bucket: files sorted by partition desc + the run's
+    * physical-column presence mask over the read schema (schema evolution:
+    * files written before a column existed mark it absent — absent is NOT
+    * an explicit null, MergeParquetScan.scala:211-257). */
+  private case class BucketGroup(
+      bucket: Int, runs: Seq[(Seq[PartitionedFile], Array[Boolean])])
 
-  def supports(table: TableInfo, schema: StructType, files: Seq[ResolvedFile]): Boolean = {
-    // existCols always lists the table's full physical columns at write time,
-    // independent of read-side pruning
-    val fullCols = graft.util.SchemaUtil.fromJson(table.schemaJson)
-      .fieldNames.mkString(",")
+  /** Presence mask of one run's physical columns over the read schema. */
+  def presentMask(schema: StructType, existCols: String): Array[Boolean] =
+    if (existCols == null || existCols.isEmpty) Array.fill(schema.length)(true)
+    else {
+      val have = existCols.split(",").toSet
+      schema.fields.map(f => have.contains(f.name))
+    }
+
+  def supports(table: TableInfo, schema: StructType, files: Seq[ResolvedFile]): Boolean =
     table.hasPrimaryKey &&
       files.forall(f => f.file.bucketId >= 0 && f.file.bucketId < table.bucketNum) &&
-      files.forall(f => f.file.existCols.isEmpty || f.file.existCols == fullCols) &&
       schema.fields.forall(f => mergeSupported(table, f))
-  }
 
   private def mergeSupported(table: TableInfo, f: StructField): Boolean =
     TransactionalWrite.mergeOpFor(table, f.name) match {
@@ -89,21 +99,46 @@ object BucketMergeRead {
       val mine = files.filter(_.file.bucketId == b)
       val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
         case (_, fs) =>
-          fs.sortBy(_.partitionDesc).map { f =>
+          (fs.sortBy(_.partitionDesc).map { f =>
             PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
               0L, f.file.size)
-          }
+          }, presentMask(schema, fs.head.file.existCols))
       }
       BucketGroup(b, runs)
     }
 
     val keyIdx = (table.rangeColumns ++ table.hashColumns).map(schema.fieldIndex)
     val keyTypes = keyIdx.map(schema.fields(_).dataType)
-    val fieldMerges: Array[FieldMerge] = schema.fields.zipWithIndex.map {
+    val merges = fieldMerges(table, schema)
+    val nFields = schema.length
+    val keyIdxArr = keyIdx.toArray
+    val keyTypesArr = keyTypes.toArray
+
+    spark.sparkContext
+      .parallelize(groups, math.max(1, groups.size))
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(schema.fields.map(_.dataType))
+        it.flatMap { g =>
+          val runIters: IndexedSeq[Iterator[InternalRow]] = g.runs.map { run =>
+            run._1.iterator.flatMap(pf => flatten(readFn(pf)))
+          }.toIndexedSeq
+          val merged: Iterator[InternalRow] =
+            if (runIters.isEmpty) Iterator.empty
+            else if (runIters.size == 1) runIters.head
+            else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
+              merges, nFields, g.runs.map(_._2).toArray)
+          merged.map(proj)
+        }
+      }
+  }
+
+  /** Per-output-field merge specs for a table + read schema — shared by the
+    * RDD path and the DSv2 partition readers. sum_last/joined_last collapse
+    * to sum/join at read time: each run already holds only its last value
+    * per key (dedup-on-write applied the intra-batch last-writer-wins). */
+  def fieldMerges(table: TableInfo, schema: StructType): Array[FieldMerge] =
+    schema.fields.zipWithIndex.map {
       case (f, i) => FieldMerge(i, f.dataType,
-        // sum_last/joined_last collapse to sum/join at read time: each run
-        // already holds only its last value per key (dedup-on-write applied
-        // the intra-batch last-writer-wins)
         TransactionalWrite.mergeOpFor(table, f.name) match {
           case MergeOps.UseLast => 0
           case MergeOps.UseLastNotNull => 1
@@ -118,27 +153,9 @@ object BucketMergeRead {
           case _ => ","
         })
     }
-    val nFields = schema.length
-    val keyIdxArr = keyIdx.toArray
-    val keyTypesArr = keyTypes.toArray
 
-    spark.sparkContext
-      .parallelize(groups, math.max(1, groups.size))
-      .mapPartitions { it =>
-        val proj = UnsafeProjection.create(schema.fields.map(_.dataType))
-        it.flatMap { g =>
-          val runIters: IndexedSeq[Iterator[InternalRow]] = g.runs.map { run =>
-            run.iterator.flatMap(pf => flatten(readFn(pf)))
-          }.toIndexedSeq
-          val merged: Iterator[InternalRow] =
-            if (runIters.isEmpty) Iterator.empty
-            else if (runIters.size == 1) runIters.head
-            else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
-              fieldMerges, nFields)
-          merged.map(proj)
-        }
-      }
-  }
+  /** Public alias used by the DSv2 partition readers. */
+  def flattenRows(it: Iterator[InternalRow]): Iterator[InternalRow] = flatten(it)
 
   /** The vectorized reader yields ColumnarBatch objects erased behind the
     * Iterator[InternalRow] API; widen to Any BEFORE matching so the lambda's
@@ -157,7 +174,7 @@ object BucketMergeRead {
 
 /** Per-output-field merge spec: op 0=use_last 1=use_last_not_null 2=sum_all
   * 3=joined_all. */
-private[read] case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String)
+case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String)
 
 /** K-way sorted merge by (range, pk) with per-column merge operators —
   * the Spark rendition of the reference's loser-tree merger
@@ -180,12 +197,18 @@ private[read] case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String
   *     per-field copy.
   *
   * Run 0 is the oldest; on equal keys, later runs win per the operator. */
-private[read] class KWayMergeIterator(
+class KWayMergeIterator(
     runs: IndexedSeq[Iterator[InternalRow]],
     keyIdx: Array[Int],
     keyTypes: Array[DataType],
     fields: Array[FieldMerge],
-    nFields: Int) extends Iterator[InternalRow] {
+    nFields: Int,
+    runMasks: Array[Array[Boolean]]) extends Iterator[InternalRow] {
+
+  def this(runs: IndexedSeq[Iterator[InternalRow]], keyIdx: Array[Int],
+      keyTypes: Array[DataType], fields: Array[FieldMerge], nFields: Int) =
+    this(runs, keyIdx, keyTypes, fields, nFields,
+      Array.fill(runs.size)(Array.fill(nFields)(true)))
 
   private abstract class RowComp {
     def compare(a: InternalRow, b: InternalRow): Int
@@ -352,16 +375,23 @@ private[read] class KWayMergeIterator(
     val ru = runnerUp(w)
     if (ru < 0 || heads(ru) == null || compareKeys(heads(ru), first) != 0) {
       // unique key: emit the live row, defer the advance until it's consumed
+      // (absent evolved columns surface as nulls from the reader — correct
+      // for a single contributor)
       pendingRun = w
       first
     } else {
       // >=2 runs hold this key: deep-copy into a scratch row, fold newer
-      // runs into it oldest -> newest, advancing each contributor eagerly
-      val acc = copyRow(first)
+      // runs into it oldest -> newest, advancing each contributor eagerly.
+      // contributed/poisoned track per-field operator state across runs
+      // with heterogeneous physical columns (schema evolution).
+      val acc = new GenericInternalRow(nFields)
+      val contributed = new Array[Boolean](nFields)
+      val poisoned = new Array[Boolean](nFields)
+      copyRow(first, runMasks(w), acc, contributed, poisoned)
       advanceNow(w)
       var w2 = loserTree(0)
       while (w2 >= 0 && heads(w2) != null && compareKeys(heads(w2), acc) == 0) {
-        mergeInto(acc, heads(w2))
+        mergeInto(acc, heads(w2), runMasks(w2), contributed, poisoned)
         advanceNow(w2)
         w2 = loserTree(0)
       }
@@ -379,47 +409,65 @@ private[read] class KWayMergeIterator(
     case x => x
   }
 
-  private def copyRow(src: InternalRow): GenericInternalRow = {
-    val out = new GenericInternalRow(nFields)
+  private def copyRow(src: InternalRow, mask: Array[Boolean],
+      out: GenericInternalRow, contributed: Array[Boolean],
+      poisoned: Array[Boolean]): Unit = {
     var i = 0
     while (i < fields.length) {
       val f = fields(i)
-      if (src.isNullAt(f.idx)) out.setNullAt(f.idx)
-      else out.update(f.idx, deepCopy(src.get(f.idx, f.dt)))
+      if (!mask(f.idx) || src.isNullAt(f.idx)) {
+        out.setNullAt(f.idx)
+        if (mask(f.idx)) { // explicit null from a present column
+          contributed(f.idx) = true
+          if (f.op == 2) poisoned(f.idx) = true // sum_all: null poisons
+        }
+      } else {
+        out.update(f.idx, deepCopy(src.get(f.idx, f.dt)))
+        contributed(f.idx) = true
+      }
       i += 1
     }
-    out
   }
 
-  /** Fold `newer` (a live row) into the scratch accumulator in place. */
-  private def mergeInto(acc: GenericInternalRow, newer: InternalRow): Unit = {
+  /** Fold `newer` (a live row) into the scratch accumulator in place.
+    * `mask` marks which columns physically exist in the newer run's files —
+    * an absent column NEVER overwrites/contributes (schema evolution),
+    * unlike an explicit null which follows the operator's null rule. */
+  private def mergeInto(acc: GenericInternalRow, newer: InternalRow,
+      mask: Array[Boolean], contributed: Array[Boolean],
+      poisoned: Array[Boolean]): Unit = {
     var i = 0
     while (i < fields.length) {
       val f = fields(i)
       val idx = f.idx
-      val o = if (acc.isNullAt(idx)) null else acc.get(idx, f.dt)
-      val n = if (newer.isNullAt(idx)) null else newer.get(idx, f.dt)
-      val v: Any = f.op match {
-        case 0 => deepCopy(n) // use_last: the newer run's value, null included
-        case 1 => if (n != null) deepCopy(n) else o // use_last_not_null
-        case 2 => // sum_all: null poisons (merge_operator.rs:489-532)
-          if (o == null || n == null) null
-          else f.dt match {
-            case IntegerType => o.asInstanceOf[Int] + n.asInstanceOf[Int]
-            case LongType => o.asInstanceOf[Long] + n.asInstanceOf[Long]
-            case DoubleType => o.asInstanceOf[Double] + n.asInstanceOf[Double]
-            case FloatType => o.asInstanceOf[Float] + n.asInstanceOf[Float]
-            case ShortType =>
-              (o.asInstanceOf[Short] + n.asInstanceOf[Short]).toShort
-            case other => throw new IllegalStateException(s"sum_all on $other")
-          }
-        case 3 => // joined_all: non-null values in version order
-          if (o == null) deepCopy(n)
-          else if (n == null) o
-          else UTF8String.concat(o.asInstanceOf[UTF8String],
-            UTF8String.fromString(f.sep), n.asInstanceOf[UTF8String])
+      if (mask(idx)) {
+        val o = if (acc.isNullAt(idx)) null else acc.get(idx, f.dt)
+        val n = if (newer.isNullAt(idx)) null else newer.get(idx, f.dt)
+        var skip = false
+        val v: Any = f.op match {
+          case 0 => deepCopy(n) // use_last: newer present value, null included
+          case 1 => if (n != null) deepCopy(n) else o // use_last_not_null
+          case 2 => // sum_all: null among PRESENT values poisons
+            if (n == null || poisoned(idx)) { poisoned(idx) = true; null }
+            else if (!contributed(idx) || o == null) n
+            else f.dt match {
+              case IntegerType => o.asInstanceOf[Int] + n.asInstanceOf[Int]
+              case LongType => o.asInstanceOf[Long] + n.asInstanceOf[Long]
+              case DoubleType => o.asInstanceOf[Double] + n.asInstanceOf[Double]
+              case FloatType => o.asInstanceOf[Float] + n.asInstanceOf[Float]
+              case ShortType =>
+                (o.asInstanceOf[Short] + n.asInstanceOf[Short]).toShort
+              case other => throw new IllegalStateException(s"sum_all on $other")
+            }
+          case 3 => // joined_all: non-null present values in version order
+            if (n == null) { skip = true; o }
+            else if (o == null) deepCopy(n)
+            else UTF8String.concat(o.asInstanceOf[UTF8String],
+              UTF8String.fromString(f.sep), n.asInstanceOf[UTF8String])
+        }
+        if (!skip) contributed(idx) = true
+        if (v == null) acc.setNullAt(idx) else acc.update(idx, v)
       }
-      if (v == null) acc.setNullAt(idx) else acc.update(idx, v)
       i += 1
     }
   }

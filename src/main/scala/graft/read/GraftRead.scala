@@ -74,8 +74,9 @@ object GraftRead {
         val fs = multiRun.values.flatten.toSeq
         val bucketMergeOn =
           !table.properties.get("graft.bucketMergeRead").contains("false")
-        // prefer the shuffle-free bucket-aligned k-way merge (M1); fall back
-        // to the aggregate-based merge on schema evolution / exotic ops
+        // prefer the shuffle-free bucket-aligned k-way merge (M1) — handles
+        // schema evolution in-merge; the aggregate-based fallback covers
+        // custom merge operators only
         if (bucketMergeOn && BucketMergeRead.supports(table, schema, fs))
           Some(BucketMergeRead.read(spark, table, schema, fs))
         else Some(mergeRead(spark, table, schema, fs))

@@ -1,0 +1,196 @@
+package graft.read
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.meta.{ResolvedFile, TableInfo}
+import graft.tables.GraftTable
+import graft.util.Filters
+import graft.write.TransactionalWrite
+
+/** DSv2 scan for graft tables (SURVEY.md §2.1 S1-S9 through the SQL surface;
+  * reference: catalog/LakeSoulScanBuilder.scala:104-134 + MergeParquetScan).
+  *
+  * - Column pruning: the read schema is the requested columns plus merge keys
+  *   and the CDC marker — only those reach the parquet readers.
+  * - Filter pushdown: range-equality filters prune partitions, a full
+  *   primary-key equality prunes to ONE bucket, and data filters are pushed
+  *   into the parquet readers for rowgroup/page pruning — but only when
+  *   merge-safe: key-referencing filters always (all versions of a key agree
+  *   on the key), arbitrary filters only for single-run (no-merge) reads,
+  *   because pre-merge filtering of a multi-run table could resurrect an
+  *   overwritten version. Every filter remains residual (Spark re-applies).
+  * - Partitioning: a PK table's scan is one input partition per bucket
+  *   (HasPartitionKey = bucket id) reporting KeyGroupedPartitioning over
+  *   `bucket(n, pk...)`, so Spark's storage-partitioned join machinery
+  *   (spark.sql.sources.v2.bucketing.enabled) plans joins between
+  *   co-bucketed graft tables with ZERO exchanges — the Catalyst-integrated
+  *   rendition of the reference's DeltaJoin (SetPartitionAndOrdering.scala).
+  */
+class GraftScanBuilder(spark: SparkSession, table: GraftTable)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val info = table.info
+  private val fullSchema = table.schema
+  private var requiredSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var partPred: String => Boolean = _ => true
+  private var dataFilters: Seq[Filter] = Nil
+  private var pkBucket: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val rangeEq = Filters.rangeEqualities(filters.toSeq, info.rangeColumns)
+    partPred = Filters.partitionPred(rangeEq)
+    // full PK equality -> single-bucket point read (M6)
+    val eq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
+    if (info.hasPrimaryKey && info.hashColumns.forall(eq.contains))
+      pkBucket = Some(TransactionalWrite.bucketOf(
+        spark, fullSchema, info.hashColumns.map(c => c -> eq(c)), info.bucketNum))
+    dataFilters = filters.toSeq
+    pushed = filters.filter(f => Filters.toColumn(f).isDefined)
+    filters // all residual: Spark re-applies everything above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def build(): Scan = {
+    val need = (info.rangeColumns ++ info.hashColumns ++ info.cdcColumn.toSeq ++
+      requiredSchema.fieldNames).toSet
+    val readSchema = StructType(fullSchema.fields.filter(f => need.contains(f.name)))
+    val files = table.liveFiles(partPred)
+    new GraftScan(spark, info, readSchema, files, dataFilters, pkBucket)
+  }
+}
+
+class GraftScan(
+    spark: SparkSession,
+    info: TableInfo,
+    schema: StructType,
+    files: Seq[ResolvedFile],
+    dataFilters: Seq[Filter],
+    pkBucket: Option[Int]) extends Scan with Batch with SupportsReportPartitioning {
+
+  private val bucketMergeable =
+    info.hasPrimaryKey && BucketMergeRead.supports(info, schema, files) &&
+      !info.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
+
+  private val multiRun =
+    files.groupBy(_.partitionDesc).values.exists(_.map(_.commitOrdinal).distinct.size > 1)
+
+  // merge-safe reader-level filters: key-only always; everything once no
+  // merge can occur (single run everywhere or no PK)
+  private val readerFilters: Seq[Filter] = {
+    val keyCols = (info.rangeColumns ++ info.hashColumns).toSet
+    if (!info.hasPrimaryKey || !multiRun) dataFilters
+    else dataFilters.filter(_.references.forall(keyCols.contains))
+  }
+
+  override def readSchema(): StructType = schema
+
+  override def toBatch: Batch = this
+
+  override def outputPartitioning(): Partitioning =
+    if (bucketMergeable && pkBucket.isEmpty)
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(info.bucketNum, info.hashColumns: _*)),
+        info.bucketNum)
+    else new UnknownPartitioning(planInputPartitions().length)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (bucketMergeable) {
+      val buckets = pkBucket.map(Seq(_)).getOrElse(0 until info.bucketNum)
+      buckets.map { b =>
+        val mine = files.filter(_.file.bucketId == b)
+        val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
+          case (_, fs) =>
+            GraftRunSpec(fs.sortBy(_.partitionDesc).map(f =>
+              PartitionedFile(InternalRow.empty,
+                SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
+              BucketMergeRead.presentMask(schema, fs.head.file.existCols))
+        }.toArray
+        GraftBucketPartition(b, runs): InputPartition
+      }.toArray
+    } else {
+      // plain scan: one partition per file (no merge semantics needed)
+      files.map { f =>
+        GraftFilePartition(
+          PartitionedFile(InternalRow.empty,
+            SparkPath.fromPathString(f.file.path), 0L, f.file.size),
+          BucketMergeRead.presentMask(schema, f.file.existCols)): InputPartition
+      }.toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val readFn = org.apache.spark.sql.graft.StreamShim
+      .parquetReadFunction(spark, schema, readerFilters)
+    val keyIdx = (info.rangeColumns ++ info.hashColumns).map(schema.fieldIndex).toArray
+    val keyTypes = keyIdx.map(schema.fields(_).dataType)
+    val fieldMerges: Array[FieldMerge] = BucketMergeRead.fieldMerges(info, schema)
+    val cdcIdx = info.cdcColumn.map(schema.fieldIndex).getOrElse(-1)
+    GraftPartitionReaderFactory(readFn, keyIdx, keyTypes, fieldMerges,
+      schema.length, cdcIdx)
+  }
+}
+
+/** One sorted run of one bucket: files + physical-column presence mask. */
+case class GraftRunSpec(files: Array[PartitionedFile], mask: Array[Boolean])
+
+case class GraftBucketPartition(bucket: Int, runs: Array[GraftRunSpec])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
+case class GraftFilePartition(file: PartitionedFile, mask: Array[Boolean])
+    extends InputPartition
+
+case class GraftPartitionReaderFactory(
+    readFn: PartitionedFile => Iterator[InternalRow],
+    keyIdx: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
+    fieldMerges: Array[FieldMerge],
+    nFields: Int,
+    cdcIdx: Int) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows: Iterator[InternalRow] = p match {
+      case GraftBucketPartition(_, runs) =>
+        val runIters = runs.map(r =>
+          r.files.iterator.flatMap(pf => BucketMergeRead.flattenRows(readFn(pf))))
+          .toIndexedSeq
+        if (runIters.isEmpty) Iterator.empty
+        else if (runIters.size == 1) runIters.head
+        else new KWayMergeIterator(runIters, keyIdx, keyTypes, fieldMerges,
+          nFields, runs.map(_.mask))
+      case GraftFilePartition(f, _) =>
+        BucketMergeRead.flattenRows(readFn(f))
+    }
+    val visible =
+      if (cdcIdx < 0) rows
+      else {
+        val deleteTag = UTF8String.fromString("delete")
+        rows.filter(r => r.isNullAt(cdcIdx) ||
+          !r.getUTF8String(cdcIdx).equals(deleteTag))
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (visible.hasNext) { current = visible.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -26,6 +26,8 @@ import graft.tables.{CompactionOptions, GraftTable}
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // SQL UPDATE / DELETE / MERGE INTO over graft DSv2 catalog tables
+    e.injectPostHocResolutionRule(spark => GraftDmlRule(spark))
   }
 }
 

@@ -82,6 +82,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   /** Files visible at the current head (post del-fold), with run ordinals. */
   def liveFiles: Seq[ResolvedFile] = resolver.currentFiles(tablePath)
 
+  def liveFiles(partitionPred: String => Boolean): Seq[ResolvedFile] =
+    resolver.currentFiles(tablePath, partitionPred)
+
   // --------------------------------------------------------------- writes
 
   /** Plain append (INSERT INTO). */
@@ -489,6 +492,27 @@ object GraftTable {
     val t = new GraftTable(spark, tablePath, store)
     t.append(df)
     t
+  }
+
+  /** Create table metadata with an explicit schema and NO initial data —
+    * the CREATE TABLE (DDL) path. */
+  def createEmpty(
+      spark: SparkSession,
+      schema: StructType,
+      tablePath: String,
+      rangeColumns: Seq[String] = Nil,
+      hashColumns: Seq[String] = Nil,
+      bucketNum: Int = 4,
+      properties: Map[String, String] = Map.empty,
+      store: MetaStore = MetaStore.default): GraftTable = {
+    val missing = (rangeColumns ++ hashColumns).filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"partition columns not in schema: ${missing.mkString(", ")}")
+    val s = StructType(schema.fields.map(f =>
+      if (hashColumns.contains(f.name)) f.copy(nullable = false) else f))
+    store.createTable(TableInfo(
+      MetaStore.newCommitId(), new java.io.File(tablePath).getCanonicalPath,
+      s.json, rangeColumns, hashColumns, bucketNum, properties))
+    new GraftTable(spark, tablePath, store)
   }
 
   def forPath(spark: SparkSession, tablePath: String,

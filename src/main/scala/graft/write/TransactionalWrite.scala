@@ -47,6 +47,18 @@ object TransactionalWrite {
   def bucketIdExpr(pkCols: Seq[Column], n: Int): Column =
     pmod(hash(pkCols: _*), lit(n))
 
+  /** Bucket id for concrete primary-key values (point reads / DSv2 bucket
+    * pruning) — evaluated through the same expression as the write side so
+    * the two can never diverge. */
+  def bucketOf(
+      spark: SparkSession,
+      schema: StructType,
+      keyValues: Seq[(String, Any)],
+      bucketNum: Int): Int = {
+    val lits = keyValues.map { case (c, v) => lit(v).cast(schema(c).dataType) }
+    spark.range(1).select(bucketIdExpr(lits, bucketNum).as("b")).head.getInt(0)
+  }
+
   def mergeOpFor(table: TableInfo, column: String): MergeOp =
     table.properties.get(TableInfo.mergeOpProp(column))
       .map(MergeOps.forName).getOrElse(MergeOps.UseLast)

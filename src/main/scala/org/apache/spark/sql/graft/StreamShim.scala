@@ -29,12 +29,26 @@ object StreamShim {
     spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
   }
 
+  /** Column from a catalyst Expression (private[sql] in Spark 4). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** DataFrame from a resolved logical plan (DML command execution). */
+  def ofRows(
+      session: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+  }
+
   /** Executor-safe parquet row-reader function (Spark's own vectorized
     * parquet reader; the returned closure carries a broadcast hadoop conf).
     * private[sql] in FileFormat, hence this shim. */
   def parquetReadFunction(
       session: org.apache.spark.sql.SparkSession,
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     : org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -50,7 +64,7 @@ object StreamShim {
       dataSchema = schema,
       partitionSchema = new org.apache.spark.sql.types.StructType(),
       requiredSchema = schema,
-      filters = Nil,
+      filters = filters,
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> batched.toString),
       hadoopConf = spark.sessionState.newHadoopConf())

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DSv2 TableCatalog surface: SQL DDL/DML/query round-trips and the
+  * storage-partitioned (zero-exchange) join between co-bucketed tables. */
+class CatalogV2Suite extends SparkFixture {
+
+  private def useCatalog(wh: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+    spark.conf.set("spark.graft.warehouse", wh)
+  }
+
+  test("SQL DDL + INSERT (upsert) + SELECT + DELETE + DROP round-trip") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns1")
+      spark.sql("CREATE TABLE graft_cat.ns1.t (id BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('graft.custom'='x')")
+      spark.sql("INSERT INTO graft_cat.ns1.t VALUES (1, 'a'), (2, 'b')")
+      // INSERT INTO a PK table upserts (same contract as format('graft'))
+      spark.sql("INSERT INTO graft_cat.ns1.t VALUES (2, 'b2'), (3, 'c')")
+      assertRows(spark.sql("SELECT * FROM graft_cat.ns1.t"),
+        Seq("[1,a]", "[2,b2]", "[3,c]"))
+      assertRows(spark.sql("SELECT v FROM graft_cat.ns1.t WHERE id = 2"),
+        Seq("[b2]"))
+      spark.sql("DELETE FROM graft_cat.ns1.t WHERE id = 1")
+      assertRows(spark.sql("SELECT * FROM graft_cat.ns1.t"),
+        Seq("[2,b2]", "[3,c]"))
+      spark.sql("INSERT OVERWRITE graft_cat.ns1.t VALUES (9, 'z')")
+      assertRows(spark.sql("SELECT * FROM graft_cat.ns1.t"), Seq("[9,z]"))
+      assert(spark.sql("SHOW TABLES IN graft_cat.ns1").count() == 1)
+      spark.sql("ALTER TABLE graft_cat.ns1.t ADD COLUMN extra INT")
+      assertRows(spark.sql("SELECT * FROM graft_cat.ns1.t"), Seq("[9,z,null]"))
+      spark.sql("DROP TABLE graft_cat.ns1.t")
+      assert(spark.sql("SHOW TABLES IN graft_cat.ns1").count() == 0)
+    }
+  }
+
+  test("CTAS + merge-on-read through SQL matches the API read") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("ctas_src")
+      spark.sql("CREATE TABLE graft_cat.ns2.c PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT * FROM ctas_src")
+      spark.sql("INSERT INTO graft_cat.ns2.c " +
+        "SELECT id, concat(v, '!') FROM ctas_src WHERE id % 10 = 0")
+      val out = spark.sql("SELECT * FROM graft_cat.ns2.c")
+      assert(out.count() == 100)
+      assert(out.filter($"id" % 10 === 0).filter(!$"v".endsWith("!")).count() == 0)
+      // column pruning reaches the scan: only id+v needed anyway; check a
+      // selective filter result for pushdown correctness
+      assertRows(spark.sql("SELECT v FROM graft_cat.ns2.c WHERE id = 20"),
+        Seq("[v20!]"))
+    }
+  }
+
+  test("SQL UPDATE and MERGE INTO execute through the DML rules") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      (1 to 50).map(i => (i.toLong, i * 1.0, s"s${i % 3}")).toDF("id", "bal", "seg")
+        .createOrReplaceTempView("dml_src")
+      spark.sql("CREATE TABLE graft_cat.dml.t PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT * FROM dml_src")
+      spark.sql("UPDATE graft_cat.dml.t SET bal = bal + 100 WHERE seg = 's0'")
+      assert(spark.sql("SELECT * FROM graft_cat.dml.t WHERE seg = 's0'")
+        .filter($"bal" < 100).count() == 0)
+      assert(spark.sql("SELECT * FROM graft_cat.dml.t WHERE seg = 's1'")
+        .filter($"bal" >= 100).count() == 0)
+
+      (Seq((1L, 999.0, "sX"), (1000L, 5.0, "sN")))
+        .toDF("id", "bal", "seg").createOrReplaceTempView("dml_delta")
+      spark.sql("MERGE INTO graft_cat.dml.t t USING dml_delta s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(spark.sql("SELECT * FROM graft_cat.dml.t").count() == 51)
+      assert(spark.sql("SELECT bal FROM graft_cat.dml.t WHERE id = 1")
+        .head.getDouble(0) == 999.0)
+      assert(spark.sql("SELECT seg FROM graft_cat.dml.t WHERE id = 1000")
+        .head.getString(0) == "sN")
+    }
+  }
+
+  test("plain SQL join of co-bucketed tables is storage-partitioned (no exchange)") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      (1 to 200).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
+        .createOrReplaceTempView("spj_l_src")
+      (101 to 300).map(i => (i.toLong, i * 2L)).toDF("id", "rv")
+        .createOrReplaceTempView("spj_r_src")
+      spark.sql("CREATE TABLE graft_cat.spj.l PARTITIONED BY (bucket(8, id)) " +
+        "AS SELECT * FROM spj_l_src")
+      spark.sql("CREATE TABLE graft_cat.spj.r PARTITIONED BY (bucket(8, id)) " +
+        "AS SELECT * FROM spj_r_src")
+      // deltas so both sides exercise the in-reader merge
+      spark.sql("INSERT INTO graft_cat.spj.l VALUES (150, 'L150')")
+      spark.sql("INSERT INTO graft_cat.spj.r VALUES (150, 999)")
+      val restore = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" ->
+          spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold" ->
+          spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.sql("SELECT l.id, lv, rv FROM graft_cat.spj.l l " +
+          "JOIN graft_cat.spj.r r ON l.id = r.id")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"join of co-bucketed graft tables planned an exchange:\n$plan")
+        assert(j.count() == 100)
+        assert(j.filter($"id" === 150L).head.getString(1) == "L150")
+        assert(j.filter($"id" === 150L).head.getLong(2) == 999L)
+      } finally restore.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+}

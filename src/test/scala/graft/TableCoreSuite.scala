@@ -187,6 +187,24 @@ class TableCoreSuite extends SparkFixture {
     }
   }
 
+  test("schema evolution routes through the bucket fast path (no exchange)") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "v", "w"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      t.upsert(Seq((2, "b2", 21.0, 7L)).toDF("id", "v", "w", "extra"))
+      val df = t.toDF
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"evolved merge fell back to the aggregate path:\n$plan")
+      assertRows(df, Seq("[1,a,10.0,null]", "[2,b2,21.0,7]"))
+      // explicit null in a present column DOES overwrite; absent does not
+      t.upsert(Seq((1, null.asInstanceOf[String], 11.0, 1L))
+        .toDF("id", "v", "w", "extra"))
+      assertRows(t.toDF, Seq("[1,null,11.0,1]", "[2,b2,21.0,7]"))
+    }
+  }
+
   test("partition-pruned read via partitionPred") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
