@@ -127,7 +127,7 @@ class FileMetaStore extends MetaStore {
       Files.writeString(commitsDir(tablePath).resolve(s"${c.commitId}.json"), jwrite(c))
       val prev = heads.get(c.partitionDesc)
       val snapshot = c.commitOp match {
-        case CommitOp.Append | CommitOp.Merge =>
+        case CommitOp.Append | CommitOp.Merge | CommitOp.Rewrite =>
           prev.map(_.snapshot).getOrElse(Nil) :+ c.commitId
         case CommitOp.Update | CommitOp.Compaction => Seq(c.commitId)
         case other => throw new IllegalArgumentException(s"unknown commitOp $other")

@@ -12,6 +12,9 @@ object CommitOp {
   val Merge = "merge" // delta / upsert files (merge-on-read applies)
   val Update = "update" // full rewrite of a partition (replaces snapshot)
   val Compaction = "compaction" // rewrite of merged state (replaces snapshot)
+  val Rewrite = "rewrite" // file-targeted rewrite (del+add): appends to the
+  // snapshot like merge, but ABORTS incremental reads like update — the
+  // rewritten rows are not a consumable delta
 }
 
 /** One physical file belonging to a commit.

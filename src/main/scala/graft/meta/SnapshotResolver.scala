@@ -67,7 +67,8 @@ class SnapshotResolver(store: MetaStore) {
       endTime: Long): Seq[ResolvedFile] = {
     val versions = store.partitionVersions(tablePath, partitionDesc)
       .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
-    if (versions.exists(_.commitOp == CommitOp.Update)) return Nil
+    if (versions.exists(v => v.commitOp == CommitOp.Update ||
+        v.commitOp == CommitOp.Rewrite)) return Nil
     val fresh = versions.filterNot(_.commitOp == CommitOp.Compaction)
     // New commits of each version = snapshot minus previous version's snapshot.
     val commitIds = scala.collection.mutable.LinkedHashSet[String]()

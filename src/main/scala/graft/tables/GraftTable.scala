@@ -112,14 +112,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
-  /** UPDATE (C3): rewrite the partitions containing matching rows with
-    * `when(cond, expr).otherwise(col)` per assignment
-    * (UpdateCommand.buildUpdatedColumns:141-146). */
+  /** UPDATE (C3), TIERED (reference UpdateCommand.scala:85-89): partition
+    * conjuncts of the predicate prune candidate partitions on METADATA; a
+    * full primary-key equality narrows to ONE bucket's files — only the
+    * targeted files are read, rewritten and swapped (del+add commit), so a
+    * 1-row update of a PK table no longer rewrites the whole table. */
   def update(cond: Column, set: Map[String, Column]): Unit = withRetry {
     val t = info
     val bad = set.keySet.intersect((t.rangeColumns ++ t.hashColumns).toSet)
     require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
-    rewritePartitions(affectedPartitions(cond)) { df =>
+    rewriteFiles(targetFiles(cond)) { df =>
       set.foldLeft(df) { case (d, (c, expr)) =>
         d.withColumn(c, when(cond, expr).otherwise(col(c)))
       }
@@ -131,8 +133,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     publish(expireCommitsFor(partitions.map(_.partitionDesc).toSet))
   }
 
+  /** DELETE (C4), TIERED (reference DeleteCommand.scala:66-72): a predicate
+    * over range columns only expires whole partitions METADATA-ONLY (zero
+    * scan, zero rewrite); otherwise the rewrite is file-targeted like
+    * [[update]]. */
   def delete(cond: Column): Unit = withRetry {
-    rewritePartitions(affectedPartitions(cond)) { df =>
+    val t = info
+    val conj = condConjuncts(cond)
+    if (t.rangeColumns.nonEmpty &&
+        conj.forall(c => refNames(c).exists(_.subsetOf(t.rangeColumns.toSet)))) {
+      val hit = partitionsMatching(cond, partitions.map(_.partitionDesc))
+      publish(expireCommitsFor(hit))
+    } else rewriteFiles(targetFiles(cond)) { df =>
       df.filter(!coalesce(cond, lit(false)))
     }
   }
@@ -387,40 +399,127 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   // -------------------------------------------------------------- helpers
 
-  /** Partitions that may contain rows matching `cond`. With no range
-    * partitioning there is one partition; otherwise evaluate the predicate
-    * once to find the touched partitions (the reference's non-metadata
-    * path, UpdateCommand.scala:27-147). */
-  private def affectedPartitions(cond: Column): Set[String] = {
+  // ------------------------------------------------- tiered rewrite helpers
+  // Predicate analysis happens over the pre-analysis ColumnNode tree via
+  // PredicateShim (the nodes are private[sql]): conjunct split, referenced
+  // columns, and PK-equality extraction.
+
+  private def condConjuncts(cond: Column): Seq[Column] =
+    org.apache.spark.sql.graft.PredicateShim.conjuncts(cond)
+
+  private def refNames(c: Column): Option[Set[String]] =
+    org.apache.spark.sql.graft.PredicateShim.refNames(c)
+
+  /** Partition descs whose RANGE VALUES satisfy `cond` — evaluated over the
+    * partition metadata only (a tiny local job over N descs; no data scan).
+    * Only valid when `cond` references range columns exclusively. */
+  private def partitionsMatching(cond: Column, descs: Seq[String]): Set[String] = {
     val t = info
-    val all = partitions.map(_.partitionDesc).toSet
-    if (t.rangeColumns.isEmpty || all.size <= 1) all
-    else {
-      val rows = toDF.filter(cond)
-        .select(t.rangeColumns.map(c => col(c).cast("string")): _*)
-        .distinct().collect()
-      rows.map { r =>
-        t.rangeColumns.zipWithIndex.map { case (c, i) =>
-          val v = r.getString(i)
-          val enc = if (v == null) TransactionalWrite.NullSentinel
-            else if (v.isEmpty) TransactionalWrite.EmptySentinel else v
-          s"$c=$enc"
-        }.mkString(",")
-      }.toSet
+    val sch = schema
+    if (descs.isEmpty) return Set.empty
+    val rows = descs.map { d =>
+      val kv = d.split(",").map { s =>
+        val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+      }.toMap
+      org.apache.spark.sql.Row.fromSeq(d +: t.rangeColumns.map { c =>
+        kv.getOrElse(c, TransactionalWrite.NullSentinel) match {
+          case TransactionalWrite.NullSentinel => null
+          case TransactionalWrite.EmptySentinel => ""
+          case v => v
+        }
+      })
     }
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(StructField("__g_desc", org.apache.spark.sql.types.StringType) +:
+        t.rangeColumns.map(c =>
+          StructField(c, org.apache.spark.sql.types.StringType))))
+    val typed = t.rangeColumns.foldLeft(raw)((d, c) =>
+      d.withColumn(c, col(c).cast(sch(c).dataType)))
+    typed.filter(cond).select("__g_desc").collect().map(_.getString(0)).toSet
   }
 
-  /** Read-merge the affected partitions, transform, publish as `update`
-    * commits; partitions left empty by the transform are expired. */
-  private def rewritePartitions(descs: Set[String])(f: DataFrame => DataFrame): Unit = {
-    if (descs.isEmpty) return
+  /** The minimal file set that can contain rows matching `cond`:
+    *  1. partition pruning on metadata via the predicate's range-column
+    *     conjuncts;
+    *  2. bucket pruning when the conjuncts pin EVERY primary-key column to a
+    *     literal (pmod-murmur3 of the values — M6);
+    *  3. a probe scan over the remaining candidates (only when range
+    *     partitioning leaves several candidates) to drop partitions with no
+    *     matching rows. */
+  private def targetFiles(cond: Column): Seq[ResolvedFile] = {
     val t = info
-    val current = GraftRead.read(spark, t,
-      resolver.currentFiles(tablePath, descs.contains), keepCdcRows = true)
-    val rewritten = f(current)
-    val commits = TransactionalWrite.writeFiles(
-      spark, t, rewritten, CommitOp.Update, skipPreMerge = true)
-    publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc)))
+    val conj = condConjuncts(cond)
+    val rangeSet = t.rangeColumns.toSet
+
+    // tier 1: metadata partition pruning by partition-only conjuncts
+    val partConj = conj.filter(n => refNames(n) match {
+      case Some(rs) => rs.nonEmpty && rs.subsetOf(rangeSet)
+      case None => false
+    })
+    val allDescs = partitions.map(_.partitionDesc)
+    var candidates: Set[String] =
+      if (partConj.isEmpty || t.rangeColumns.isEmpty) allDescs.toSet
+      else partitionsMatching(partConj.reduce(_ && _), allDescs)
+
+    // tier 2: single-bucket narrowing on a full PK-equality predicate
+    val pkEq: Map[String, Any] =
+      org.apache.spark.sql.graft.PredicateShim.equalities(cond)
+        .filter { case (k, _) => t.hashColumns.contains(k) }
+    val bucket: Option[Int] =
+      if (t.hasPrimaryKey && t.hashColumns.forall(pkEq.contains))
+        Some(TransactionalWrite.bucketOf(spark, schema,
+          t.hashColumns.map(c => c -> pkEq(c)), t.bucketNum))
+      else None
+
+    // tier 3: probe only when several range partitions remain AND the
+    // predicate has non-partition conjuncts (the probe scans candidates only)
+    if (t.rangeColumns.nonEmpty && candidates.size > 1 &&
+        conj.exists(n => !refNames(n).exists(_.subsetOf(rangeSet)))) {
+      val probeFiles = resolver.currentFiles(tablePath, candidates.contains)
+        .filter(f => bucket.forall(b => f.file.bucketId == b || f.file.bucketId < 0))
+      val hit = GraftRead.read(spark, t, probeFiles).filter(cond)
+        .select(t.rangeColumns.map(c => col(c).cast("string")): _*)
+        .distinct().collect().map { r =>
+          t.rangeColumns.zipWithIndex.map { case (c, i) =>
+            val v = r.getString(i)
+            val enc = if (v == null) TransactionalWrite.NullSentinel
+              else if (v.isEmpty) TransactionalWrite.EmptySentinel else v
+            s"$c=$enc"
+          }.mkString(",")
+        }.toSet
+      candidates = candidates.intersect(hit)
+    }
+
+    resolver.currentFiles(tablePath, candidates.contains)
+      .filter(f => bucket.forall(b => f.file.bucketId == b || f.file.bucketId < 0))
+  }
+
+  /** File-targeted rewrite: read-merge ONLY `files`, transform, and publish
+    * ONE Merge commit per partition containing `del` entries for every
+    * replaced file plus the rewritten rows as a new sorted run — untouched
+    * buckets/partitions keep their file lists byte-identical. All runs of a
+    * targeted (partition, bucket) are replaced together, so any merge
+    * operator stays exact. */
+  private def rewriteFiles(files: Seq[ResolvedFile])(fn: DataFrame => DataFrame): Unit = {
+    if (files.isEmpty) return
+    val t = info
+    val current = GraftRead.read(spark, t, files, keepCdcRows = true)
+    val rewritten = fn(current)
+    val adds = TransactionalWrite.writeFiles(
+      spark, t, rewritten, CommitOp.Rewrite, skipPreMerge = true)
+    val delsByDesc: Map[String, Seq[DataFileInfo]] =
+      files.groupBy(_.partitionDesc).map { case (d, fs) =>
+        d -> fs.map(_.file.copy(fileOp = "del"))
+      }
+    val addByDesc = adds.map(c => c.partitionDesc -> c).toMap
+    val commits = (delsByDesc.keySet ++ addByDesc.keySet).toSeq.map { d =>
+      val addC = addByDesc.get(d)
+      DataCommitInfo(
+        addC.map(_.commitId).getOrElse(MetaStore.newCommitId()), d,
+        delsByDesc.getOrElse(d, Nil) ++ addC.map(_.files).getOrElse(Nil),
+        CommitOp.Rewrite, 0L)
+    }
+    publish(commits)
   }
 
   /** Empty `update` commits expiring entire partitions (metadata-only delete,

@@ -29,6 +29,11 @@ object StreamShim {
     spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
   }
 
+  /** Catalyst Expression of a Column (private[sql] in Spark 4). */
+  def expressionOf(c: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Column from a catalyst Expression (private[sql] in Spark 4). */
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
     : org.apache.spark.sql.Column =

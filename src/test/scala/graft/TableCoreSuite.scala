@@ -205,6 +205,54 @@ class TableCoreSuite extends SparkFixture {
     }
   }
 
+  test("tiered update: PK-equality rewrites only the key's bucket") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 4)
+      val before = t.liveFiles.map(f => (f.file.path, f.file.size))
+      t.update(col("id") === 7L, Map("v" -> lit(777.0)))
+      val after = t.liveFiles.map(f => (f.file.path, f.file.size))
+      // untouched buckets keep byte-identical file lists
+      val bucket7 = graft.write.TransactionalWrite.bucketOf(
+        spark, t.schema, Seq("id" -> 7L), 4)
+      val untouchedBefore = t.liveFiles // recompute not needed; use sets
+      val beforeOther = before.filterNot(_._1.contains(s"__g_bucket=$bucket7"))
+      val afterOther = after.filterNot(_._1.contains(s"__g_bucket=$bucket7"))
+      assert(beforeOther.toSet == afterOther.toSet,
+        s"untouched buckets changed:\nbefore=$beforeOther\nafter=$afterOther")
+      assert(t.toDF.filter(col("id") === 7L).head.getDouble(1) == 777.0)
+      assert(t.toDF.count() == 100)
+      assert(t.toDF.filter(col("v") === 777.0).count() == 1)
+    }
+  }
+
+  test("tiered delete: partition-only predicate is metadata-only; " +
+    "targeted update leaves sibling partitions byte-identical") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq(("p1", 1, 1.0), ("p1", 2, 2.0), ("p2", 3, 3.0), ("p3", 4, 4.0))
+          .toDF("r", "id", "v"), path,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 2)
+      val filesP2 = t.liveFiles.filter(_.partitionDesc == "r=p2")
+        .map(f => (f.file.path, f.file.size)).toSet
+
+      // metadata-only delete: no new data files may appear for p1
+      val allPathsBefore = t.liveFiles.map(_.file.path).toSet
+      t.delete(col("r") === "p3")
+      assert(t.toDF.filter(col("r") === "p3").count() == 0)
+      assert(t.liveFiles.map(_.file.path).toSet.subsetOf(allPathsBefore),
+        "metadata-only delete wrote data files")
+
+      // targeted update of p1 leaves p2's file list byte-identical
+      t.update(col("r") === "p1" && col("v") < 2.0, Map("v" -> lit(9.0)))
+      val filesP2After = t.liveFiles.filter(_.partitionDesc == "r=p2")
+        .map(f => (f.file.path, f.file.size)).toSet
+      assert(filesP2 == filesP2After)
+      assertRows(t.toDF, Seq("[p1,1,9.0]", "[p1,2,2.0]", "[p2,3,3.0]"))
+    }
+  }
+
   test("partition-pruned read via partitionPred") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
