@@ -126,6 +126,17 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>
         t.unsetProperty(rm.property())
+      case cm: TableChange.UpdateColumnComment =>
+        require(cm.fieldNames.length == 1, "nested columns unsupported")
+        t.updateColumnComment(cm.fieldNames()(0), cm.newComment())
+      case nl: TableChange.UpdateColumnNullability =>
+        require(nl.fieldNames.length == 1, "nested columns unsupported")
+        t.updateColumnNullability(nl.fieldNames()(0), nl.nullable())
+      case _: TableChange.RenameColumn =>
+        // rename guard: data files are bound to column names
+        throw new UnsupportedOperationException(
+          "graft does not support column renames (files are name-bound); " +
+            "add a new column and backfill instead")
       case c => throw new UnsupportedOperationException(s"unsupported change: $c")
     }
     loadTable(ident)

@@ -99,7 +99,9 @@ object BucketMergeRead {
       val mine = files.filter(_.file.bucketId == b)
       val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
         case (_, fs) =>
-          (fs.sortBy(_.partitionDesc).map { f =>
+          // path tiebreak: rolled file parts (...c000, ...c001) of one task
+          // concatenate in pk order
+          (fs.sortBy(f => (f.partitionDesc, f.file.path)).map { f =>
             PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
               0L, f.file.size)
           }, presentMask(schema, fs.head.file.existCols))

@@ -115,7 +115,7 @@ class GraftScan(
         val mine = files.filter(_.file.bucketId == b)
         val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
           case (_, fs) =>
-            GraftRunSpec(fs.sortBy(_.partitionDesc).map(f =>
+            GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path)).map(f =>
               PartitionedFile(InternalRow.empty,
                 SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
               BucketMergeRead.presentMask(schema, fs.head.file.existCols))

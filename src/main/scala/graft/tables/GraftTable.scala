@@ -384,6 +384,30 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields :+ f).json))
   }
 
+  /** ALTER TABLE ALTER COLUMN ... COMMENT (C12). */
+  def updateColumnComment(name: String, comment: String): Unit = {
+    val t = info
+    val cur = schema
+    require(cur.fieldNames.contains(name), s"no column '$name'")
+    store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields.map(f =>
+      if (f.name == name) f.withComment(comment) else f)).json))
+  }
+
+  /** ALTER TABLE ALTER COLUMN ... DROP NOT NULL — relaxation only; existing
+    * files may already contain nulls, so tightening is rejected
+    * (alterTableCommands.scala:48-310). */
+  def updateColumnNullability(name: String, nullable: Boolean): Unit = {
+    val t = info
+    val cur = schema
+    require(cur.fieldNames.contains(name), s"no column '$name'")
+    require(nullable || t.hashColumns.contains(name),
+      s"cannot add NOT NULL to existing column '$name' (only relaxation is safe)")
+    require(!(nullable && t.hashColumns.contains(name)),
+      s"primary-key column '$name' must stay non-nullable")
+    store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields.map(f =>
+      if (f.name == name) f.copy(nullable = nullable) else f)).json))
+  }
+
   /** ALTER TABLE SET/UNSET TBLPROPERTIES (C12). */
   def setProperties(props: Map[String, String]): Unit = {
     val t = info

@@ -1,0 +1,70 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.GraftCatalog
+import graft.tables.{CompactionOptions, GraftTable}
+
+/** Streaming compaction daemon (SURVEY.md §2.9 C8; reference:
+  * compaction/CompactionTask.scala — a standalone service that watches
+  * tables and compacts partitions as delta runs pile up).
+  *
+  * Spark-first shape: a driver-side daemon thread polls the warehouse
+  * catalog (or an explicit table list) every `intervalMs` and triggers
+  * [[GraftTable.compaction]] with a `fileNumLimit` trigger, so ONLY
+  * partitions that accumulated more than `fileNumLimit` sorted runs are
+  * rewritten — freshly-compacted partitions are untouched, exactly the
+  * size-tiered policy a streaming ingest needs to keep MOR reads fast.
+  * Compactions are CAS transactions, so the daemon can run alongside
+  * writers (a lost race just retries).
+  */
+class CompactionDaemon(
+    spark: SparkSession,
+    tablePaths: () => Seq[String],
+    intervalMs: Long = 60000L,
+    fileNumLimit: Int = 5) {
+
+  private val running = new AtomicBoolean(false)
+  @volatile private var thread: Thread = _
+
+  /** One sweep over all tables; returns the table paths it compacted. */
+  def runOnce(): Seq[String] =
+    tablePaths().flatMap { path =>
+      try {
+        val t = GraftTable.forPath(spark, path)
+        val before = t.liveFiles.groupBy(_.partitionDesc)
+          .values.map(_.map(_.commitOrdinal).distinct.size).maxOption.getOrElse(0)
+        if (before > fileNumLimit) {
+          t.compaction(CompactionOptions(fileNumLimit = Some(fileNumLimit)),
+            _ => true)
+          Some(path)
+        } else None
+      } catch { case _: Throwable => None } // dropped tables, races: skip
+    }
+
+  def start(): Unit = if (running.compareAndSet(false, true)) {
+    thread = new Thread(() => {
+      while (running.get()) {
+        runOnce()
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => () }
+      }
+    }, "graft-compaction-daemon")
+    thread.setDaemon(true)
+    thread.start()
+  }
+
+  def stop(): Unit = if (running.compareAndSet(true, false)) {
+    Option(thread).foreach(_.interrupt())
+  }
+}
+
+object CompactionDaemon {
+  /** Daemon over every table registered in the warehouse catalog. */
+  def forWarehouse(spark: SparkSession, intervalMs: Long = 60000L,
+      fileNumLimit: Int = 5): CompactionDaemon =
+    new CompactionDaemon(spark,
+      () => GraftCatalog.listAll(spark).values.toSeq, intervalMs, fileNumLimit)
+}

@@ -37,6 +37,9 @@ import graft.mergeop.{MergeOp, MergeOps}
   */
 object TransactionalWrite {
 
+  /** Table property: roll output files every N records (S15). */
+  val MaxRecordsPerFileProp = "graft.write.maxRecordsPerFile"
+
   val NullSentinel = "__GRAFT_NULL__"
   val EmptySentinel = "__GRAFT_EMPTY__"
   val RangePrefix = "__g_r_"
@@ -170,7 +173,12 @@ object TransactionalWrite {
       } else rangeDirCols.map(_._1)
 
     val commitDir = new File(new File(table.tablePath, "data"), commitId)
-    val writer = out.write.mode("errorifexists")
+    var writer = out.write.mode("errorifexists")
+    // size-capped rolling writer (S15, LakeSoulFileWriter.scala:96-141):
+    // files roll at N records; rolled parts sort after each other by path
+    // suffix, so per-run pk order is preserved across the splits
+    table.properties.get(MaxRecordsPerFileProp).foreach(n =>
+      writer = writer.option("maxRecordsPerFile", n.toLong))
     (if (partDirCols.nonEmpty) writer.partitionBy(partDirCols: _*) else writer)
       .parquet(commitDir.getAbsolutePath)
 

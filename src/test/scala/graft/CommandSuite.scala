@@ -136,4 +136,57 @@ class CommandSuite extends SparkFixture {
         .isInstanceOf[graft.sql.GraftCallCommand])
     }
   }
+
+  test("compaction daemon compacts only tables over the run threshold") {
+    withTempPath { p1 =>
+      withTempPath { p2 =>
+        import spark.implicits._
+        val busy = GraftTable.create(spark,
+          (1 to 50).map(i => (i.toLong, i)).toDF("id", "v"), p1,
+          hashColumns = Seq("id"), bucketNum = 2)
+        (1 to 4).foreach(k =>
+          busy.upsert(Seq((k.toLong, k * 100)).toDF("id", "v")))
+        val quiet = GraftTable.create(spark,
+          (1 to 10).map(i => (i.toLong, i)).toDF("id", "v"), p2,
+          hashColumns = Seq("id"), bucketNum = 2)
+        val daemon = new graft.tools.CompactionDaemon(spark,
+          () => Seq(busy.tablePath, quiet.tablePath), fileNumLimit = 3)
+        val compacted = daemon.runOnce()
+        assert(compacted == Seq(busy.tablePath))
+        assert(busy.liveFiles.map(_.commitOrdinal).distinct.size == 1)
+        assert(busy.toDF.filter($"id" === 2L).head.getInt(1) == 200)
+        assert(quiet.liveFiles.map(_.commitOrdinal).distinct.size == 1)
+        assert(daemon.runOnce().isEmpty) // steady state
+      }
+    }
+  }
+
+  test("size-capped rolling writer splits files, merge read stays correct") {
+    withTempPath { p =>
+      import spark.implicits._
+      val t = GraftTable.create(spark,
+        (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v"), p,
+        hashColumns = Seq("id"), bucketNum = 2,
+        properties = Map(
+          graft.write.TransactionalWrite.MaxRecordsPerFileProp -> "100"))
+      // ~500 rows per bucket at 100 rows/file -> >1 file per bucket per run
+      val perBucket = t.liveFiles.groupBy(_.file.bucketId).view.mapValues(_.size)
+      assert(perBucket.values.forall(_ > 1), s"no file rolling: $perBucket")
+      t.upsert(Seq((7L, "V7")).toDF("id", "v"))
+      assert(t.toDF.count() == 1000)
+      assert(t.toDF.filter($"id" === 7L).head.getString(1) == "V7")
+    }
+  }
+
+  test("ALTER COLUMN comment/nullability; rename is guarded") {
+    withTempPath { p =>
+      import spark.implicits._
+      val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), p,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.updateColumnComment("v", "the value")
+      assert(t.schema("v").getComment().contains("the value"))
+      intercept[IllegalArgumentException](t.updateColumnNullability("id", true))
+      intercept[IllegalArgumentException](t.updateColumnNullability("v", false))
+    }
+  }
 }
