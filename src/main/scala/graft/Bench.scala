@@ -57,6 +57,34 @@ object Bench {
       }
     }
 
+    // storage-partitioned SQL join: two co-bucketed catalog tables built
+    // UNTIMED, then the plain SQL join (zero exchanges) timed on its own
+    try {
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh-").toFile.getAbsolutePath)
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .selectExpr("c_custkey AS custkey", "c_name", "c_mktsegment")
+        .createOrReplaceTempView("bench_spj_l")
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .createOrReplaceTempView("bench_spj_r")
+      spark.sql(s"CREATE TABLE graft_cat.bench.l PARTITIONED BY (bucket($cpus, custkey)) " +
+        "AS SELECT * FROM bench_spj_l")
+      spark.sql(s"CREATE TABLE graft_cat.bench.r PARTITIONED BY (bucket($cpus, custkey)) " +
+        "AS SELECT * FROM bench_spj_r")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      results("spj_join_sql") = time {
+        spark.sql("SELECT l.custkey, c_name, n_orders FROM graft_cat.bench.l l " +
+          "JOIN graft_cat.bench.r r ON l.custkey = r.custkey").count()
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] spj scenario failed: ${e.getMessage}")
+    }
+
     // MOR scenario (2.2.0-blog shape): init N rows, 10 upserts of N/5,
     // merge-on-read, compaction, compacted read.
     try {

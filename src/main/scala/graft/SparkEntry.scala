@@ -464,6 +464,19 @@ object SparkEntry {
       // crossJoin anywhere in the plan
       Dedup.jaccardNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
+    "dedup_components" -> q((s, d) => {
+      // resolve near-dup pairs into connected components (min-id label
+      // propagation) — the step that turns pair lists into an actual dedup
+      val doc = rd(s, d, "documents")
+      val pairs = Dedup.jaccardNearDupPairs(doc, "doc_id", "text", threshold = 0.5)
+      Dedup.components(doc, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("comp"))
+    }),
+    "sample_stratified" -> q((s, d) =>
+      // deterministic hash-gate sampling: zero shuffle, reproducible,
+      // SQL-replayable (Knuth multiplicative hash)
+      graft.pipeline.Sampling.stratifiedSample(rd(s, d, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.1)),
     "dedup_embedding" -> q((s, d) => {
       // synthetic corpora have no organic near-dups (max pairwise cosine
       // ~0.51), so inject exact copies of every 10th vector under shifted ids
@@ -758,8 +771,42 @@ object SparkEntry {
         |  FROM sc)
         |SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred, count(*) AS n
         |FROM best WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "dedup_components" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(s, d) AS (
+        |    SELECT s, d FROM edges
+        |    UNION
+        |    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s
+        |  ) SELECT * FROM reach)
+        |SELECT doc_id, least(doc_id, coalesce((SELECT min(d) FROM rec WHERE s = doc_id), doc_id)) AS comp
+        |FROM documents""".stripMargin,
+    "sample_stratified" ->
+      """SELECT * FROM documents
+        |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 <
+        |  CASE WHEN lang = 'en' THEN 500000 ELSE 100000 END""".stripMargin,
     "ann_ivf" -> annIvfOracle,
-    "ann_index_persisted" -> annIvfOracle)
+    "ann_index_persisted" -> annIvfOracle,
+    // hyperplane-LSH recall is 100% for EXACT copies (identical sign bits =>
+    // identical buckets in every table), and the synthetic corpus has no
+    // organic pair above cosine 0.51 — so the verified result is exactly the
+    // planted duplicates, which IS plain SQL
+    "dedup_embedding" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |  round(list_cosine_similarity(embedding, embedding), 6) AS cosine
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin)
 
   /** Shared oracle for ann_ivf / ann_index_persisted: both run the identical
     * deterministic IVF (hashed-id centroids, argmax-cosine assignment,
@@ -783,6 +830,6 @@ object SparkEntry {
       |FROM assigned a JOIN probe USING (cell), q
       |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
   // omitted oracles (rows-only check): dedup_minhash, dedup_simhash,
-  // dedup_embedding, fingerprint, multimodal_features — hash-function-
-  // dependent or stub-backed operators with no faithful ANSI-SQL equivalent.
+  // fingerprint, multimodal_features — hash-function-dependent or
+  // stub-backed operators with no faithful ANSI-SQL equivalent.
 }

@@ -262,6 +262,48 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  // ------------------------------------------------------------- resolution
+
+  /** Resolve near-dup PAIRS into components: iterative min-label propagation
+    * (the standard Spark connected-components shape — each round is one
+    * join + min-aggregate, rounds = graph diameter, which for near-dup
+    * clusters is tiny). Returns (id, component) where component = min id of
+    * the cluster; singleton docs map to themselves. Bounded at `maxIters`
+    * rounds as a runaway guard. */
+  def components(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("_g_s"), col("id_b").as("_g_d"))
+      .unionAll(pairs.select(col("id_b").as("_g_s"), col("id_a").as("_g_d")))
+      .distinct().cache()
+    var labels = df.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels, edges("_g_d") === labels("id"))
+        .groupBy(col("_g_s")).agg(min(col("comp")).as("_g_ncomp"))
+      val next = labels.join(prop, labels("id") === prop("_g_s"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("_g_ncomp"), col("comp"))).as("comp"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") < col("o.comp")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup dedup: keep ONE representative (min id) per
+    * near-duplicate cluster. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(components(df, idCol, pairs).filter(col("id") === col("comp"))
+      .select(col("id").as(idCol)), idCol)
+
   /** Brute-force cosine pairs (exact baseline / oracle path; O(n^2) — only
     * for bounded subsets). */
   def bruteForceCosinePairs(

@@ -101,6 +101,35 @@ class PipelineSuite extends SparkFixture {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("near-dup components + dedupByPairs keep one representative per cluster") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3 and pair 5-6; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = graft.pipeline.Dedup.components(docs, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    val kept = graft.pipeline.Dedup.dedupByPairs(docs, "id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
+  test("deterministic sampling: reproducible, nesting, stratified rates") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val s1 = graft.pipeline.Sampling.sample(df, "id", 0.3)
+    assert(s1.collect().toSeq == graft.pipeline.Sampling.sample(df, "id", 0.3)
+      .collect().toSeq) // reproducible
+    val s2 = graft.pipeline.Sampling.sample(df, "id", 0.1)
+    // gates nest: the 10% sample is a subset of the 30% sample
+    assert(s2.join(s1, Seq("id"), "left_anti").count() == 0)
+    val strat = graft.pipeline.Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    assert(strat.count() == 500)
+    assert(strat.filter($"lang" =!= "en").count() == 0)
+  }
+
   test("multimodal: feature extraction + frame sampling plumbing") {
     val media = Multimodal.asMediaTable(docs.limit(20), "text", "doc_id")
     val feats = Multimodal.extractImageFeatures(media, "content")
