@@ -95,6 +95,68 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** One-pass MinHash signature DIRECTLY from text: tokenize on ASCII
+    * whitespace (lowercasing inline), hash each token, combine k-token
+    * windows with a mixed rolling combiner, and track `num` minima via the
+    * one-hash/k-mix trick — zero intermediate strings or arrays beyond the
+    * token-hash buffer. Replaces a 4-deep interpreted higher-order-function
+    * chain (split/filter/transform/slice/concat) that allocated ~|tokens|
+    * shingle strings per row and dominated dedup wall-clock. */
+  def minhashText(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, num: Int): ArrayData = {
+    val bytes = text.getBytes
+    var tokenHashes = new Array[Long](64)
+    var n = 0
+    var h = 0xcbf29ce484222325L
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+      if (ws) {
+        if (inTok) {
+          if (n == tokenHashes.length) {
+            val t = new Array[Long](n * 2)
+            System.arraycopy(tokenHashes, 0, t, 0, n); tokenHashes = t
+          }
+          tokenHashes(n) = h; n += 1; h = 0xcbf29ce484222325L; inTok = false
+        }
+      } else {
+        // ASCII lowercase inline; other bytes pass through
+        val lb = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        h ^= (lb & 0xffL); h *= 0x100000001b3L
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) {
+      if (n == tokenHashes.length) {
+        val t = new Array[Long](n * 2)
+        System.arraycopy(tokenHashes, 0, t, 0, n); tokenHashes = t
+      }
+      tokenHashes(n) = h; n += 1
+    }
+    val mins = Array.fill(num)(Long.MaxValue)
+    val windows = if (n <= k) 1 else n - k + 1
+    val width = math.min(k, math.max(n, 1))
+    var w = 0
+    while (w < windows) {
+      var base = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < width && w + j < n) {
+        base = mix64(base ^ tokenHashes(w + j)); j += 1
+      }
+      var kk = 0
+      while (kk < num) {
+        val g = mix64(base + 0x9e3779b97f4a7c15L * (kk + 1))
+        if (g < mins(kk)) mins(kk) = g
+        kk += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   def mix64(z0: Long): Long = {
     var z = z0
     z ^= z >>> 33; z *= 0xff51afd7ed558ccdL; z ^= z >>> 33
@@ -239,6 +301,22 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
   override def prettyName: String = "graft_nearest_cell"
 }
 
+/** `graft_minhash_text(String) -> Array[Long]` — text-to-signature MinHash
+  * in ONE kernel pass (tokenize + k-shingle + 32-way minima); see
+  * Kernels.minhashText. */
+case class MinHashText(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhashText(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, numHashes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Kernels.minhashText($v, $k, $numHashes);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_minhash_text"
+}
+
 /** Registration + Column helpers. Registered once per session into the
   * function registry (the Spark-4 equivalent of the reference's catalog
   * `loadFunction`, SparkFunctions.scala:7-14), then invoked with
@@ -251,6 +329,7 @@ object GraftFunctions {
     ("graft_simhash", es => SimHash64(es.head)),
     ("graft_minhash32", es => MinHashSignature(es.head, 32)),
     ("graft_xx64", es => Hash64(es.head)),
+    ("graft_minhash_text3_32", es => MinHashText(es.head, 3, 32)),
     ("graft_nearest_cell", es => NearestCentroid(es(0), es(1), es(2))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
@@ -263,6 +342,8 @@ object GraftFunctions {
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
   def minhash32(shingles: Column): Column = call_function("graft_minhash32", shingles)
   def xx64(s: Column): Column = call_function("graft_xx64", s)
+  def minhashText3x32(text: Column): Column =
+    call_function("graft_minhash_text3_32", text)
   def nearestCell(vec: Column, cells: Column, cvecs: Column): Column =
     call_function("graft_nearest_cell", vec, cells, cvecs)
 }

@@ -46,13 +46,14 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash signature: 32 minima over hashed word k-shingles, computed in
-    * one pass by a custom codegen'd expression (inlining 32 array_min/
-    * transform copies would re-tokenize the text 32x per row — lambda
-    * functions defeat Catalyst subexpression elimination). */
+  /** MinHash signature: 32 minima over hashed word 3-shingles, computed by a
+    * single text-to-signature codegen kernel (tokenize + window-combine +
+    * minima in one pass — no intermediate shingle strings; the interpreted
+    * HOF shingle pipeline was the dedup bottleneck). */
   def minhashSignature(text: Column, numHashes: Int = 32, k: Int = 3): Column = {
-    require(numHashes == 32, "one-pass kernel is fixed at 32 hash functions")
-    GraftFunctions.minhash32(wordShingles(text, k))
+    require(numHashes == 32 && k == 3,
+      "one-pass kernel is fixed at 32 hash functions over 3-shingles")
+    GraftFunctions.minhashText3x32(text)
   }
 
   /** Same-bucket (id_a, id_b) pairs from a pre-banded frame — ONE shuffle
@@ -103,8 +104,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      array_distinct(wordShingles(col(textCol), k)).as("_g_sh"))
+    // shingle ONLY candidate docs (semi-join first): verification cost scales
+    // with candidate count, not corpus size
+    val ids = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val sh = df.join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(wordShingles(col(textCol), k)).as("_g_sh"))
     pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_g_sh", "_g_sa"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_g_sh", "_g_sb"), "id_b")
