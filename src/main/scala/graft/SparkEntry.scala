@@ -191,15 +191,20 @@ object SparkEntry {
       t.toDF
     }),
     "merge_op_custom" -> q((s, d) => {
-      // user-registered operator (M3): resolves through MergeOps.register and
-      // routes through the aggregate merge path automatically
-      graft.mergeop.MergeOps.register(new graft.mergeop.MergeOp {
+      // user-registered operator (M3): RowMergeOp also runs inside the
+      // shuffle-free bucket k-way merge (no aggregate fallback)
+      graft.mergeop.MergeOps.register(new graft.mergeop.RowMergeOp {
         val name = "keep_min"
         def agg(value: org.apache.spark.sql.Column,
             version: org.apache.spark.sql.Column,
             present: org.apache.spark.sql.Column,
             dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
           min(when(present, value)).cast(dt)
+        def combine(acc: Any, newer: Any): Any =
+          if (acc == null) newer
+          else if (newer == null) acc
+          else if (acc.asInstanceOf[Double] <= newer.asInstanceOf[Double]) acc
+          else newer
       })
       val sup = rd(s, d, "supplier")
       val t = GraftTable.create(s, sup, tmp("mocustom"),

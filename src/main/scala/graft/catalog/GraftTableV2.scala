@@ -52,7 +52,7 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String)
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, table)
+    new GraftScanBuilder(spark, table, options.asScala.toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsOverwrite {

@@ -48,6 +48,17 @@ trait MergeOp extends Serializable {
       dt: DataType): Column = agg(value, version, present, dt)
 }
 
+/** Optional ROW-LEVEL form of a custom operator: implement this alongside
+  * `agg` and the shuffle-free bucket k-way merge applies the operator inside
+  * the merge iterator instead of falling back to the aggregate (shuffling)
+  * path. `combine` folds the newer run's PRESENT value into the accumulator
+  * (the first present value seeds the accumulator); either side may be an
+  * explicit null. Values are Catalyst INTERNAL representations (UTF8String
+  * for strings, etc.) and the newer value is already safe to retain. */
+trait RowMergeOp extends MergeOp {
+  def combine(acc: Any, newer: Any): Any
+}
+
 object MergeOps {
   /** Default: last writer wins (among files containing the column).
     * Reference: `UseLast` / DefaultMergeOp. */

@@ -68,7 +68,8 @@ object BucketMergeRead {
         case _ => false
       }
       case MergeOps.JoinedAll(_) | MergeOps.JoinedLast(_) => f.dataType == StringType
-      case _ => false // user-registered ops route to the aggregate merge
+      case _: graft.mergeop.RowMergeOp => true // row-level custom operator
+      case _ => false // agg-only user ops route to the aggregate merge
     }
 
   private def orderableOrAny(dt: DataType): Boolean = true
@@ -140,20 +141,27 @@ object BucketMergeRead {
     * per key (dedup-on-write applied the intra-batch last-writer-wins). */
   def fieldMerges(table: TableInfo, schema: StructType): Array[FieldMerge] =
     schema.fields.zipWithIndex.map {
-      case (f, i) => FieldMerge(i, f.dataType,
-        TransactionalWrite.mergeOpFor(table, f.name) match {
-          case MergeOps.UseLast => 0
-          case MergeOps.UseLastNotNull => 1
-          case MergeOps.SumAll | MergeOps.SumLast => 2
-          case MergeOps.JoinedAll(_) | MergeOps.JoinedLast(_) => 3
-          case other => throw new IllegalStateException(
-            s"bucket merge does not support operator '${other.name}'")
-        },
-        TransactionalWrite.mergeOpFor(table, f.name) match {
-          case MergeOps.JoinedAll(sep) => sep
-          case MergeOps.JoinedLast(sep) => sep
-          case _ => ","
-        })
+      case (f, i) =>
+        val op = TransactionalWrite.mergeOpFor(table, f.name)
+        FieldMerge(i, f.dataType,
+          op match {
+            case MergeOps.UseLast => 0
+            case MergeOps.UseLastNotNull => 1
+            case MergeOps.SumAll | MergeOps.SumLast => 2
+            case MergeOps.JoinedAll(_) | MergeOps.JoinedLast(_) => 3
+            case _: graft.mergeop.RowMergeOp => 4
+            case other => throw new IllegalStateException(
+              s"bucket merge does not support operator '${other.name}'")
+          },
+          op match {
+            case MergeOps.JoinedAll(sep) => sep
+            case MergeOps.JoinedLast(sep) => sep
+            case _ => ","
+          },
+          op match {
+            case r: graft.mergeop.RowMergeOp => r
+            case _ => null
+          })
     }
 
   /** Public alias used by the DSv2 partition readers. */
@@ -175,8 +183,9 @@ object BucketMergeRead {
 }
 
 /** Per-output-field merge spec: op 0=use_last 1=use_last_not_null 2=sum_all
-  * 3=joined_all. */
-case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String)
+  * 3=joined_all 4=row-level custom operator (serialized with the task). */
+case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String,
+    custom: graft.mergeop.RowMergeOp = null)
 
 /** K-way sorted merge by (range, pk) with per-column merge operators —
   * the Spark rendition of the reference's loser-tree merger
@@ -466,6 +475,10 @@ class KWayMergeIterator(
             else if (o == null) deepCopy(n)
             else UTF8String.concat(o.asInstanceOf[UTF8String],
               UTF8String.fromString(f.sep), n.asInstanceOf[UTF8String])
+          case 4 => // row-level custom operator; newer deep-copied first so
+            // the combiner may retain it
+            if (!contributed(idx)) deepCopy(n)
+            else f.custom.combine(o, deepCopy(n))
         }
         if (!skip) contributed(idx) = true
         if (v == null) acc.setNullAt(idx) else acc.update(idx, v)

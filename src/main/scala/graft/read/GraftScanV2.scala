@@ -35,7 +35,10 @@ import graft.write.TransactionalWrite
   *   co-bucketed graft tables with ZERO exchanges — the Catalyst-integrated
   *   rendition of the reference's DeltaJoin (SetPartitionAndOrdering.scala).
   */
-class GraftScanBuilder(spark: SparkSession, table: GraftTable)
+class GraftScanBuilder(
+    spark: SparkSession,
+    table: GraftTable,
+    options: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -69,8 +72,19 @@ class GraftScanBuilder(spark: SparkSession, table: GraftTable)
     val need = (info.rangeColumns ++ info.hashColumns ++ info.cdcColumn.toSeq ++
       requiredSchema.fieldNames).toSet
     val readSchema = StructType(fullSchema.fields.filter(f => need.contains(f.name)))
-    val files = table.liveFiles(partPred)
-    new GraftScan(spark, info, readSchema, files, dataFilters, pkBucket)
+    // same read options as format("graft"): snapshot / incremental reads
+    // (spark.read.option("readtype", ...).table("graft_cat.ns.t"))
+    val (files, keepCdc) = options.getOrElse("readtype", "full") match {
+      case "snapshot" =>
+        (table.filesUptoTime(options("readendtime").toLong, partPred), false)
+      case "incremental" =>
+        (table.incrementalFiles(
+          options.getOrElse("readstarttime", "0").toLong,
+          options.get("readendtime").map(_.toLong).getOrElse(table.lastCommitTs),
+          partPred), true)
+      case _ => (table.liveFiles(partPred), false)
+    }
+    new GraftScan(spark, info, readSchema, files, dataFilters, pkBucket, keepCdc)
   }
 }
 
@@ -80,7 +94,9 @@ class GraftScan(
     schema: StructType,
     files: Seq[ResolvedFile],
     dataFilters: Seq[Filter],
-    pkBucket: Option[Int]) extends Scan with Batch with SupportsReportPartitioning {
+    pkBucket: Option[Int],
+    keepCdcRows: Boolean = false)
+    extends Scan with Batch with SupportsReportPartitioning {
 
   private val bucketMergeable =
     info.hasPrimaryKey && BucketMergeRead.supports(info, schema, files) &&
@@ -138,7 +154,9 @@ class GraftScan(
     val keyIdx = (info.rangeColumns ++ info.hashColumns).map(schema.fieldIndex).toArray
     val keyTypes = keyIdx.map(schema.fields(_).dataType)
     val fieldMerges: Array[FieldMerge] = BucketMergeRead.fieldMerges(info, schema)
-    val cdcIdx = info.cdcColumn.map(schema.fieldIndex).getOrElse(-1)
+    val cdcIdx =
+      if (keepCdcRows) -1 // incremental reads keep tombstones (F6 exemption)
+      else info.cdcColumn.map(schema.fieldIndex).getOrElse(-1)
     GraftPartitionReaderFactory(readFn, keyIdx, keyTypes, fieldMerges,
       schema.length, cdcIdx)
   }

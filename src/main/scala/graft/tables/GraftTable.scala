@@ -85,6 +85,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def liveFiles(partitionPred: String => Boolean): Seq[ResolvedFile] =
     resolver.currentFiles(tablePath, partitionPred)
 
+  /** File set as of `endTime` (time travel — DSv2 scan options). */
+  def filesUptoTime(endTime: Long,
+      partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
+    resolver.filesUptoTime(tablePath, endTime, partitionPred)
+
+  /** Incremental file set over (startTime, endTime] (DSv2 scan options). */
+  def incrementalFiles(startTime: Long, endTime: Long,
+      partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
+    resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred)
+
   // --------------------------------------------------------------- writes
 
   /** Plain append (INSERT INTO). */

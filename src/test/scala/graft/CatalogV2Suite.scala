@@ -57,6 +57,26 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("DSv2 read options: snapshot time travel and incremental") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      Seq((1L, "v1")).toDF("id", "v").createOrReplaceTempView("tt_src")
+      spark.sql("CREATE TABLE graft_cat.tt.t PARTITIONED BY (bucket(2, id)) " +
+        "AS SELECT * FROM tt_src")
+      val t = graft.tables.GraftTable.forName(spark, "tt.t")
+      val ts1 = t.lastCommitTs
+      spark.sql("INSERT INTO graft_cat.tt.t VALUES (1, 'v2'), (2, 'w')")
+      assertRows(spark.read.option("readtype", "snapshot")
+        .option("readendtime", ts1.toString).table("graft_cat.tt.t"),
+        Seq("[1,v1]"))
+      assertRows(spark.read.option("readtype", "incremental")
+        .option("readstarttime", ts1.toString).table("graft_cat.tt.t"),
+        Seq("[1,v2]", "[2,w]"))
+      assertRows(spark.table("graft_cat.tt.t"), Seq("[1,v2]", "[2,w]"))
+    }
+  }
+
   test("SQL UPDATE and MERGE INTO execute through the DML rules") {
     withTempPath { wh =>
       useCatalog(wh)

@@ -64,6 +64,35 @@ class MergeOpSuite extends SparkFixture {
     }
   }
 
+  test("RowMergeOp runs inside the bucket fast path (no exchange)") {
+    graft.mergeop.MergeOps.register(new graft.mergeop.RowMergeOp {
+      val name = "keep_max_row_test"
+      def agg(value: org.apache.spark.sql.Column,
+          version: org.apache.spark.sql.Column,
+          present: org.apache.spark.sql.Column,
+          dt: DataType): org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.when(present, value)).cast(dt)
+      def combine(acc: Any, newer: Any): Any =
+        if (acc == null) newer
+        else if (newer == null) acc
+        else if (acc.asInstanceOf[Double] >= newer.asInstanceOf[Double]) acc
+        else newer
+    })
+    withTempPath { p =>
+      val t = GraftTable.create(spark, onePartDf(Seq(Row(1L, 7.0)), dSchema), p,
+        hashColumns = Seq("k"), bucketNum = 2,
+        properties = Map(TableInfo.mergeOpProp("v") -> "keep_max_row_test"))
+      t.upsert(onePartDf(Seq(Row(1L, 3.0)), dSchema))
+      t.upsert(onePartDf(Seq(Row(1L, 9.0), Row(2L, 1.0)), dSchema))
+      val df = t.toDF
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"custom RowMergeOp fell back to the aggregate path:\n$plan")
+      assertRows(df, Seq(Row(1L, 9.0), Row(2L, 1.0)))
+    }
+  }
+
   test("readWithMergeOps overrides per query without touching the table (M4)") {
     withTempPath { p =>
       val t = GraftTable.create(spark, onePartDf(Seq(Row(1L, 10.0)), dSchema), p,
