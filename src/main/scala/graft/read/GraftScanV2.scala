@@ -117,6 +117,15 @@ class GraftScan(
 
   override def toBatch: Batch = this
 
+  /** DSv2 streaming read (S10 through the catalog):
+    * `spark.readStream.table("graft_cat.ns.t")` — offsets are commit
+    * timestamps, each micro-batch is the merged incremental file set of
+    * (start, end], tombstones kept, exactly like the DSv1 source. */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, info, schema, readerFilters,
+      info.tablePath)
+
   override def outputPartitioning(): Partitioning =
     if (bucketMergeable && pkBucket.isEmpty)
       new KeyGroupedPartitioning(
@@ -159,6 +168,65 @@ class GraftScan(
       else info.cdcColumn.map(schema.fieldIndex).getOrElse(-1)
     GraftPartitionReaderFactory(readFn, keyIdx, keyTypes, fieldMerges,
       schema.length, cdcIdx)
+  }
+}
+
+/** Streaming offset = newest visible commit timestamp (ms). */
+case class GraftStreamOffset(ts: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = ts.toString
+}
+
+/** Incremental micro-batch stream over a graft table (v2 rendition of
+  * GraftStreamSource): each batch bucket-merges the (start, end] commits. */
+class GraftMicroBatchStream(
+    spark: SparkSession,
+    info: TableInfo,
+    schema: StructType,
+    readerFilters: Seq[Filter],
+    tablePath: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => VOffset}
+
+  private def table: GraftTable = GraftTable.forPath(spark, tablePath)
+
+  override def initialOffset(): VOffset = GraftStreamOffset(0L)
+  override def latestOffset(): VOffset = GraftStreamOffset(table.lastCommitTs)
+  override def deserializeOffset(json: String): VOffset =
+    GraftStreamOffset(json.trim.toLong)
+  override def commit(end: VOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: VOffset, end: VOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].ts
+    val e = end.asInstanceOf[GraftStreamOffset].ts
+    val files = table.incrementalFiles(s, e)
+    if (!info.hasPrimaryKey)
+      files.map(f => GraftFilePartition(
+        PartitionedFile(InternalRow.empty,
+          SparkPath.fromPathString(f.file.path), 0L, f.file.size),
+        BucketMergeRead.presentMask(schema, f.file.existCols)): InputPartition).toArray
+    else (0 until info.bucketNum).map { b =>
+      val mine = files.filter(_.file.bucketId == b)
+      val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
+        case (_, fs) =>
+          GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path)).map(f =>
+            PartitionedFile(InternalRow.empty,
+              SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
+            BucketMergeRead.presentMask(schema, fs.head.file.existCols))
+      }.toArray
+      GraftBucketPartition(b, runs): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val readFn = org.apache.spark.sql.graft.StreamShim
+      .parquetReadFunction(spark, schema, readerFilters)
+    val keyIdx = (info.rangeColumns ++ info.hashColumns).map(schema.fieldIndex).toArray
+    GraftPartitionReaderFactory(readFn, keyIdx,
+      keyIdx.map(schema.fields(_).dataType),
+      BucketMergeRead.fieldMerges(info, schema), schema.length,
+      cdcIdx = -1) // incremental semantics: tombstones kept (F6 exemption)
   }
 }
 

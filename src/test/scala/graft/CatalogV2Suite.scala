@@ -77,6 +77,32 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("DSv2 streaming read: readStream.table over a graft catalog table") {
+    withTempPath { wh =>
+      withTempPath { ckpt =>
+        useCatalog(wh)
+        import spark.implicits._
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+          .createOrReplaceTempView("st_src")
+        spark.sql("CREATE TABLE graft_cat.st.t PARTITIONED BY (bucket(2, id)) " +
+          "AS SELECT * FROM st_src")
+        val q = spark.readStream.table("graft_cat.st.t")
+          .writeStream.format("memory").queryName("v2_stream_out")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          q.processAllAvailable()
+          assertRows(spark.table("v2_stream_out"), Seq("[1,a]", "[2,b]"))
+          spark.sql("INSERT INTO graft_cat.st.t VALUES (2, 'b2'), (3, 'c')")
+          q.processAllAvailable()
+          // incremental semantics: the delta batch is appended to the sink
+          assertRows(spark.table("v2_stream_out"),
+            Seq("[1,a]", "[2,b]", "[2,b2]", "[3,c]"))
+        } finally q.stop()
+      }
+    }
+  }
+
   test("SQL UPDATE and MERGE INTO execute through the DML rules") {
     withTempPath { wh =>
       useCatalog(wh)

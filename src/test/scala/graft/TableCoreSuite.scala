@@ -253,6 +253,23 @@ class TableCoreSuite extends SparkFixture {
     }
   }
 
+  test("upsert after a targeted rewrite wins on merge; vacuum drops replaced files") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 4)
+      t.update(col("id") === 7L, Map("v" -> lit(777.0)))
+      t.upsert(Seq((7L, 999.0)).toDF("id", "v"))
+      assert(t.toDF.filter(col("id") === 7L).head.getDouble(1) == 999.0)
+      assert(t.toDF.count() == 100)
+      // the rewrite's del'd files are unreferenced at head -> vacuumable
+      val deleted = t.vacuum(retainMs = 0L)
+      assert(deleted > 0, "expected the replaced bucket files to be vacuumed")
+      assert(t.toDF.count() == 100)
+      assert(t.toDF.filter(col("id") === 7L).head.getDouble(1) == 999.0)
+    }
+  }
+
   test("partition-pruned read via partitionPred") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
