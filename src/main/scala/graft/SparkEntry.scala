@@ -477,6 +477,14 @@ object SparkEntry {
       Dedup.components(doc, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("comp"))
     }),
+    "doc_packing" -> q((s, d) => {
+      // token-budget batching: deterministic hash shards + windowed
+      // cumulative sum -> (shard, pack) training batches, no global sort
+      val stats = rd(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.pipeline.Packing.packDocuments(stats, "doc_id", "n_tokens",
+        budget = 2048, numShards = 8)
+    }),
     "sample_stratified" -> q((s, d) =>
       // deterministic hash-gate sampling: zero shuffle, reproducible,
       // SQL-replayable (Knuth multiplicative hash)
@@ -798,6 +806,19 @@ object SparkEntry {
         |  ) SELECT * FROM reach)
         |SELECT doc_id, least(doc_id, coalesce((SELECT min(d) FROM rec WHERE s = doc_id), doc_id)) AS comp
         |FROM documents""".stripMargin,
+    "doc_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS n_tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, n_tokens, (CAST(doc_id AS BIGINT) * 2654435761) % 8 AS shard FROM tok),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sh)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack
+        |FROM c""".stripMargin,
     "sample_stratified" ->
       """SELECT * FROM documents
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 <

@@ -130,6 +130,23 @@ class PipelineSuite extends SparkFixture {
     assert(strat.filter($"lang" =!= "en").count() == 0)
   }
 
+  test("token packing: deterministic shards, budget-bounded pack starts") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, 100)).toDF("id", "tok")
+    val packed = graft.pipeline.Packing.packDocuments(df, "id", "tok",
+      budget = 300, numShards = 4)
+    val rows = packed.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // deterministic across runs
+    assert(rows.toSeq == graft.pipeline.Packing
+      .packDocuments(df, "id", "tok", 300, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq)
+    // every pack STARTS under budget: at most ceil(300/100)=3 docs begin in
+    // one bin, so pack sizes are 300 (plus at most one straddling doc)
+    val sizes = rows.groupBy(t => (t._2, t._3)).view.mapValues(_.length * 100)
+    assert(sizes.values.forall(_ <= 300), s"oversized pack: $sizes")
+  }
+
   test("multimodal: feature extraction + frame sampling plumbing") {
     val media = Multimodal.asMediaTable(docs.limit(20), "text", "doc_id")
     val feats = Multimodal.extractImageFeatures(media, "content")
