@@ -22,6 +22,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Emit a parquet-free marker dir so the driver's checker (which
+        // enumerates output dirs) records an explicit failure row instead
+        // of the query silently vanishing from CORRECTNESS.
+        val dir = Paths.get(s"$outDir/$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_error.txt"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -51,6 +51,14 @@ trait MetaStore {
   /** Streaming sink exactly-once bookkeeping (LakeSoulSink.scala:46-49). */
   def getMaxBatchId(tablePath: String, queryId: String): Long
   def recordBatchId(tablePath: String, queryId: String, batchId: Long): Unit
+
+  /** Prune version history: keep, per partition, every line newer than
+    * `retainAfterTs` plus the newest line at-or-before it (the base the
+    * retained lineage folds onto). Bounds log length so snapshot resolution
+    * stays O(heads + retained history), not O(all history) — the reference's
+    * `cleanMetaUptoTime`. Time travel before the boundary is no longer
+    * possible afterwards. Returns lines dropped. */
+  def compactVersionLog(tablePath: String, retainAfterTs: Long): Long
 }
 
 /** Filesystem-embedded [[MetaStore]]: per-table directory
@@ -63,6 +71,21 @@ trait MetaStore {
 class FileMetaStore extends MetaStore {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
+  import FileMetaStore._
+
+  // ------------------------------------------------------------- caches
+  // Snapshot resolution is on every query's planning path (the reference
+  // caches snapshots in SnapshotManagement.scala:139-156 for the same
+  // reason). versions.jsonl is append-only under the table lock, so a cache
+  // entry is extended by reading only the bytes past the previously seen
+  // size — resolution is O(new lines), and O(1) stat when nothing changed.
+  // Commit JSONs are immutable once written (UUID-keyed), so they cache
+  // forever. Single-driver assumption as documented on the class.
+  private case class LogState(size: Long, lines: Vector[PartitionInfo],
+      lastByDesc: Map[String, PartitionInfo])
+  private val logCache = new ConcurrentHashMap[String, LogState]()
+  private val infoCache = new ConcurrentHashMap[String, (Long, Long, TableInfo)]()
+  private val commitCache = new ConcurrentHashMap[String, DataCommitInfo]()
   private val locks = new ConcurrentHashMap[String, Object]()
   private def lockFor(tablePath: String): Object =
     locks.computeIfAbsent(canonical(tablePath), _ => new Object)
@@ -101,11 +124,23 @@ class FileMetaStore extends MetaStore {
 
   override def getTableInfo(tablePath: String): Option[TableInfo] = {
     val p = tableInfoPath(tablePath)
-    if (Files.exists(p)) Some(jread[TableInfo](Files.readString(p))) else None
+    if (!Files.exists(p)) None
+    else {
+      val key = canonical(tablePath)
+      val (mtime, size) = (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+      val cached = infoCache.get(key)
+      if (cached != null && cached._1 == mtime && cached._2 == size) Some(cached._3)
+      else {
+        val info = jread[TableInfo](Files.readString(p))
+        infoCache.put(key, (mtime, size, info))
+        Some(info)
+      }
+    }
   }
 
   override def updateTableInfo(info: TableInfo): Unit = withFileLock(info.tablePath) {
     Files.writeString(tableInfoPath(info.tablePath), jwrite(info))
+    infoCache.remove(canonical(info.tablePath))
   }
 
   override def commit(
@@ -142,21 +177,56 @@ class FileMetaStore extends MetaStore {
     val lines = infos.map(jwrite(_)).mkString("", "\n", "\n")
     Files.write(versionsPath(tablePath), lines.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // Next read extends the cached state by a tail read of just these lines.
+    // (Callers hold the table lock, so dropping vs extending here is only a
+    // question of who pays the parse; the tail read keeps this path simple.)
   }
 
-  private def allVersionLines(tablePath: String): Seq[PartitionInfo] = {
+  /** Cached, incrementally-extended view of versions.jsonl. */
+  private def logState(tablePath: String): LogState = {
+    val key = canonical(tablePath)
     val p = versionsPath(tablePath)
-    if (!Files.exists(p)) Nil
-    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map(jread[PartitionInfo](_))
+    val size = if (Files.exists(p)) Files.size(p) else 0L
+    val cached = logCache.get(key)
+    if (cached != null && cached.size == size) { statOnlyHits.incrementAndGet(); cached }
+    else {
+      val next =
+        if (cached != null && size > cached.size) {
+          // Append-only log: parse only the new bytes.
+          tailReads.incrementAndGet()
+          val ch = java.nio.channels.FileChannel.open(p,
+            StandardOpenOption.READ)
+          val buf = try {
+            ch.position(cached.size)
+            val b = java.nio.ByteBuffer.allocate((size - cached.size).toInt)
+            while (b.hasRemaining && ch.read(b) >= 0) {}
+            b.flip(); b
+          } finally ch.close()
+          val tail = new String(buf.array(), 0, buf.limit(), StandardCharsets.UTF_8)
+          val fresh = tail.split('\n').iterator.filter(_.nonEmpty)
+            .map(jread[PartitionInfo](_)).toVector
+          LogState(size, cached.lines ++ fresh,
+            cached.lastByDesc ++ fresh.map(pi => pi.partitionDesc -> pi))
+        } else {
+          fullReads.incrementAndGet()
+          val all =
+            if (size == 0L) Vector.empty[PartitionInfo]
+            else Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty)
+              .map(jread[PartitionInfo](_)).toVector
+          LogState(size, all, all.map(pi => pi.partitionDesc -> pi).toMap)
+        }
+      logCache.put(key, next)
+      next
+    }
   }
+
+  private def allVersionLines(tablePath: String): Seq[PartitionInfo] =
+    logState(tablePath).lines
 
   /** Head per partition = last log line per desc (a rollback/drop appends a
     * new line, so log order — not max version — defines the head). */
-  private def headMap(tablePath: String): Map[String, PartitionInfo] = {
-    val m = scala.collection.mutable.LinkedHashMap[String, PartitionInfo]()
-    allVersionLines(tablePath).foreach(pi => m(pi.partitionDesc) = pi)
-    m.filter(_._2.version >= 0).toMap // version -1 = dropped tombstone
-  }
+  private def headMap(tablePath: String): Map[String, PartitionInfo] =
+    logState(tablePath).lastByDesc.filter(_._2.version >= 0) // -1 = dropped
 
   override def listPartitionHeads(tablePath: String): Seq[PartitionInfo] =
     headMap(tablePath).values.toSeq.sortBy(_.partitionDesc)
@@ -175,11 +245,14 @@ class FileMetaStore extends MetaStore {
     m.values.toSeq.filter(_.version <= head).sortBy(_.version)
   }
 
-  override def getCommits(tablePath: String, ids: Seq[String]): Map[String, DataCommitInfo] =
+  override def getCommits(tablePath: String, ids: Seq[String]): Map[String, DataCommitInfo] = {
+    if (commitCache.size() > 131072) commitCache.clear() // crude bound; refills lazily
+    val prefix = canonical(tablePath) + " "
     ids.map { id =>
-      val p = commitsDir(tablePath).resolve(s"$id.json")
-      id -> jread[DataCommitInfo](Files.readString(p))
+      id -> commitCache.computeIfAbsent(prefix + id, _ =>
+        jread[DataCommitInfo](Files.readString(commitsDir(tablePath).resolve(s"$id.json"))))
     }.toMap
+  }
 
   override def rollbackPartition(tablePath: String, desc: String, toVersion: Int): Unit =
     withFileLock(tablePath) {
@@ -196,6 +269,10 @@ class FileMetaStore extends MetaStore {
     }
     val d = metaDir(tablePath).toFile
     if (d.exists()) rec(d)
+    val key = canonical(tablePath)
+    logCache.remove(key)
+    infoCache.remove(key)
+    commitCache.keySet().removeIf(_.startsWith(key + " "))
   }
 
   override def dropPartition(tablePath: String, desc: String): Unit =
@@ -219,6 +296,40 @@ class FileMetaStore extends MetaStore {
         s"$queryId\t$batchId\n".getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
+
+  override def compactVersionLog(tablePath: String, retainAfterTs: Long): Long =
+    withFileLock(tablePath) {
+      val p = versionsPath(tablePath)
+      if (!Files.exists(p)) return 0L
+      val all = Files.readAllLines(p).asScala.toVector.filter(_.nonEmpty)
+        .map(jread[PartitionInfo](_))
+      // Per partition keep everything newer than the boundary plus the newest
+      // at-or-before line (the base of the retained lineage — may be a
+      // tombstone, which partitionVersions still needs to cut history at).
+      val keepIdx = scala.collection.mutable.BitSet()
+      all.zipWithIndex.groupBy(_._1.partitionDesc).foreach { case (_, lines) =>
+        val (old, fresh) = lines.partition(_._1.timestamp <= retainAfterTs)
+        fresh.foreach(keepIdx += _._2)
+        old.lastOption.foreach(keepIdx += _._2)
+      }
+      val kept = all.indices.filter(keepIdx).map(all)
+      val tmp = metaDir(tablePath).resolve("versions.jsonl.tmp")
+      Files.writeString(tmp,
+        kept.map(jwrite(_)).mkString("", "\n", if (kept.isEmpty) "" else "\n"))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      logCache.remove(canonical(tablePath))
+      (all.size - kept.size).toLong
+    }
+}
+
+object FileMetaStore {
+  /** Instrumentation for tests/Probe: how version-log resolution was served.
+    * statOnlyHits = cache current (no bytes read); tailReads = only new log
+    * bytes parsed; fullReads = whole log parsed (first touch per process). */
+  val statOnlyHits = new java.util.concurrent.atomic.AtomicLong
+  val tailReads = new java.util.concurrent.atomic.AtomicLong
+  val fullReads = new java.util.concurrent.atomic.AtomicLong
 }
 
 object MetaStore {

@@ -59,10 +59,23 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def validateMergeShape(m: MergeIntoTable): Unit = {
-    def assignsAllFromSource(assigns: Seq[Assignment]) = assigns.forall {
-      case Assignment(k: AttributeReference, v: AttributeReference) =>
-        k.name == v.name
-      case _ => false
+    // Spark's assignment alignment wraps the source attribute in Cast /
+    // AssertNotNull when the source column is nullable (e.g. parquet-backed)
+    // but the target PK column is not, or when types need widening — unwrap
+    // before deciding whether the assignment is a plain column copy.
+    @annotation.tailrec
+    def unwrap(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => unwrap(c.child)
+      case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+        unwrap(a.child)
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => unwrap(a.child)
+      case other => other
+    }
+    def assignsAllFromSource(assigns: Seq[Assignment]) = assigns.forall { a =>
+      (a.key, unwrap(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference) => k.name == v.name
+        case _ => false
+      }
     }
     def isUpdateAll(a: MergeAction) = a match {
       case ua: UpdateAction =>

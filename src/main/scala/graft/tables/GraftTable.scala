@@ -347,17 +347,37 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val cutoff = System.currentTimeMillis() - retainMs
     val dataDir = java.nio.file.Paths.get(tablePath, "data")
     if (!java.nio.file.Files.exists(dataDir)) return 0L
-    var deleted = 0L
-    val it = java.nio.file.Files.walk(dataDir).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      if (java.nio.file.Files.isRegularFile(p)
-          && p.getFileName.toString.endsWith(".parquet")
-          && !live.contains(p.toAbsolutePath.toString)
-          && java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-        java.nio.file.Files.delete(p); deleted += 1
-      }
+    // Distributed sweep: one task per commit directory (the immediate
+    // children of data/), so listing and deletion scale out with the table
+    // instead of walking the whole tree on the driver.
+    val commitDirs = {
+      val s = java.nio.file.Files.list(dataDir)
+      try s.iterator().asScala.map(_.toAbsolutePath.toString).toVector
+      finally s.close()
     }
+    if (commitDirs.isEmpty) return 0L
+    val liveB = spark.sparkContext.broadcast(live)
+    val deleted = spark.sparkContext
+      .parallelize(commitDirs, math.min(commitDirs.size, 64))
+      .map { dir =>
+        var n = 0L
+        val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p)
+              && p.getFileName.toString.endsWith(".parquet")
+              && !liveB.value.contains(p.toAbsolutePath.toString)
+              && java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+            java.nio.file.Files.delete(p); n += 1
+          }
+        }
+        n
+      }.sum().toLong
+    liveB.destroy()
+    // History at-or-before the cutoff now references deleted files — prune it
+    // so snapshot resolution stays O(heads + retained history) (C11;
+    // reference cleanMetaUptoTime).
+    store.compactVersionLog(tablePath, cutoff)
     deleted
   }
 

@@ -129,6 +129,33 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("MERGE INTO from a parquet-backed (nullable) source validates and runs") {
+    withTempPath { wh =>
+      withTempPath { srcDir =>
+        useCatalog(wh)
+        import spark.implicits._
+        // Parquet round-trip makes every source column nullable, so Spark's
+        // assignment alignment wraps source attrs in AssertNotNull/Cast for
+        // the non-nullable target PK — the validator must unwrap these.
+        (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "bal")
+          .write.parquet(s"$srcDir/t")
+        spark.read.parquet(s"$srcDir/t").createOrReplaceTempView("pm_src")
+        spark.sql("CREATE TABLE graft_cat.dml.pm PARTITIONED BY (bucket(4, id)) " +
+          "AS SELECT * FROM pm_src")
+        spark.read.parquet(s"$srcDir/t")
+          .filter($"id" % 2 === 0).withColumn("bal", $"bal" + 100)
+          .createOrReplaceTempView("pm_delta")
+        spark.sql("MERGE INTO graft_cat.dml.pm t USING pm_delta s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        assert(spark.sql("SELECT * FROM graft_cat.dml.pm").count() == 20)
+        assert(spark.sql("SELECT bal FROM graft_cat.dml.pm WHERE id = 2")
+          .head.getDouble(0) == 102.0)
+        assert(spark.sql("SELECT bal FROM graft_cat.dml.pm WHERE id = 3")
+          .head.getDouble(0) == 3.0)
+      }
+    }
+  }
+
   test("plain SQL join of co-bucketed tables is storage-partitioned (no exchange)") {
     withTempPath { wh =>
       useCatalog(wh)
