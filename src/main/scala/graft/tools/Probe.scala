@@ -2,11 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
 import graft.tables.GraftTable
 
-/** Scratch perf probe: decomposes the MOR-read time into (a) raw parquet
-  * scan floor over the same file set, (b) bucket-merge read, (c) compacted
-  * read — to see whether merge CPU or file-open overhead dominates. */
+/** Scratch micro-benchmark main: breaks down the MOR-read cost after 10
+  * upserts (merge CPU vs file-open overhead) and compares the two
+  * bucketed-join execution paths (library RDD merge join vs Catalyst
+  * storage-partitioned join) with table builds excluded from timing. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,6 +17,7 @@ object Probe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,6 +26,9 @@ object Probe {
       val r = body
       println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s ($r)")
     }
+    time("warm job")(spark.range(1000000L).count())
+
+    // ---------------- MOR read breakdown -----------------------------
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-probe-").toFile.getAbsolutePath
     val t = GraftTable.create(spark, orders, dir,
@@ -34,16 +40,46 @@ object Probe {
     batch.unpersist()
     val files = t.liveFiles.map(_.file.path)
     println(s"[probe] files = ${files.size}")
-    time("warm job")(spark.range(1000000L).count())
-    time("plain scan ALL delta files, count")(
-      spark.read.parquet(files: _*).count())
-    time("plain scan ALL delta files, full-width collect-count")(
-      spark.read.parquet(files: _*).select(sum(length(col("o_orderstatus")))).collect()(0))
     time("merged read 1")(t.toDF.count())
     time("merged read 2")(t.toDF.count())
+    time("merged read 3")(t.toDF.count())
+    // file-open overhead floor: same 352 files, 32 tasks, no merge
+    time("raw 352-file scan, 32 tasks")(
+      spark.read.parquet(files: _*).coalesce(32).count())
     t.compaction()
     time("compacted read 1")(t.toDF.count())
     time("compacted read 2")(t.toDF.count())
+
+    // ---------------- bucketed join, builds untimed -------------------
+    val cst = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+    val ordAgg = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val t1 = GraftTable.create(spark, cst,
+      java.nio.file.Files.createTempDirectory("bjl-").toFile.getAbsolutePath,
+      hashColumns = Seq("custkey"), bucketNum = 32)
+    val t2 = GraftTable.create(spark, ordAgg,
+      java.nio.file.Files.createTempDirectory("bjr-").toFile.getAbsolutePath,
+      hashColumns = Seq("custkey"), bucketNum = 32)
+    time("bucketedJoin (RDD path) 1")(t1.bucketedJoin(t2).count())
+    time("bucketedJoin (RDD path) 2")(t1.bucketedJoin(t2).count())
+
+    // SPJ path: same tables through the catalog, join-only timed
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+    spark.conf.set("spark.graft.warehouse",
+      java.nio.file.Files.createTempDirectory("probe-wh-").toFile.getAbsolutePath)
+    cst.createOrReplaceTempView("probe_l")
+    ordAgg.createOrReplaceTempView("probe_r")
+    spark.sql("CREATE TABLE graft_cat.p.l PARTITIONED BY (bucket(32, custkey)) " +
+      "AS SELECT * FROM probe_l")
+    spark.sql("CREATE TABLE graft_cat.p.r PARTITIONED BY (bucket(32, custkey)) " +
+      "AS SELECT * FROM probe_r")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spjSql = "SELECT l.custkey, c_name, c_mktsegment, n_orders " +
+      "FROM graft_cat.p.l l JOIN graft_cat.p.r r ON l.custkey = r.custkey"
+    time("SPJ SQL join 1")(spark.sql(spjSql).count())
+    time("SPJ SQL join 2")(spark.sql(spjSql).count())
     spark.stop()
   }
 }
