@@ -32,7 +32,7 @@ import graft.tables.GraftTable
   * recognize two graft scans as co-partitioned (zero-exchange joins).
   */
 class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -75,12 +75,15 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     pathOf(ident).exists(GraftTable.exists(_))
 
-  override def createTable(
+  /** Parsed CREATE TABLE shape shared by the eager and staged paths. */
+  private case class ParsedCreate(location: String, explicitLocation: Boolean,
+      rangeCols: Seq[String], hashCols: Seq[String], bucketNum: Int,
+      tableProps: Map[String, String])
+
+  private def parseCreate(
       ident: Identifier,
-      schema: StructType,
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+      properties: JMap[String, String]): ParsedCreate = {
     val props = properties.asScala.toMap
     var rangeCols = Seq.empty[String]
     var hashCols = props.get("hashColumns").map(_.split(',').toSeq.filter(_.nonEmpty))
@@ -104,15 +107,97 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
     val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       "hashColumns", "bucketNum", "path")
-    val tableProps = props -- reserved
-    val location = props.get(TableCatalog.PROP_LOCATION)
-      .orElse(props.get("path"))
-      .getOrElse(s"${GraftCatalog.warehouseDir(spark)}/" +
+    val explicit = props.get(TableCatalog.PROP_LOCATION).orElse(props.get("path"))
+    val location = explicit.getOrElse(
+      s"${GraftCatalog.warehouseDir(spark)}/" +
         s"${(ident.namespace() :+ ident.name()).mkString("/")}")
-    val t = GraftTable.createEmpty(spark, schema, location,
-      rangeCols, hashCols, bucketNum, tableProps)
+    ParsedCreate(location, explicit.isDefined, rangeCols, hashCols, bucketNum,
+      props -- reserved)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val p = parseCreate(ident, partitions, properties)
+    val t = GraftTable.createEmpty(spark, schema, p.location,
+      p.rangeCols, p.hashCols, p.bucketNum, p.tableProps)
     GraftCatalog.register(spark, key(ident), t.info.tablePath)
     new GraftTableV2(spark, t, s"$catalogName.${key(ident)}")
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS (reference LakeSoulCatalog
+  // staged creates). The staged table is fully created on disk but NOT
+  // registered in the name catalog until commitStagedChanges(), so a CTAS
+  // that fails mid-write leaves no visible table; abort deletes the
+  // staged files + meta. REPLACE stages into a fresh uniquely-suffixed
+  // directory and atomically re-points the name registration on commit
+  // (absolute file paths in commit meta make an in-place move unsafe).
+
+  /** Clear leftover staged/partial meta at a DEFAULT (catalog-managed)
+    * location: reachable only after a crashed earlier staged CTAS, since a
+    * live table there would have been caught by tableExists. Explicit
+    * locations are user-owned — never wiped. */
+  private def clearStagedLeftover(p: ParsedCreate, ident: Identifier): Unit =
+    if (GraftTable.exists(p.location)) {
+      if (p.explicitLocation) throw new TableAlreadyExistsException(ident)
+      GraftTable.forPath(spark, p.location).dropTable()
+    }
+
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val p = parseCreate(ident, partitions, properties)
+    clearStagedLeftover(p, ident)
+    val t = GraftTable.createEmpty(spark, schema, p.location,
+      p.rangeCols, p.hashCols, p.bucketNum, p.tableProps)
+    new GraftStagedTable(
+      new GraftTableV2(spark, t, s"$catalogName.${key(ident)}"),
+      commit = () => GraftCatalog.register(spark, key(ident), t.info.tablePath),
+      abort = () => t.dropTable())
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stageSwap(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable =
+    if (!tableExists(ident)) stageCreate(ident, schema, partitions, properties)
+    else stageSwap(ident, schema, partitions, properties)
+
+  private def stageSwap(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    val p = parseCreate(ident, partitions, properties)
+    val stagedLoc = s"${p.location}__r${graft.meta.MetaStore.newCommitId()}"
+    val t = GraftTable.createEmpty(spark, schema, stagedLoc,
+      p.rangeCols, p.hashCols, p.bucketNum, p.tableProps)
+    val oldPath = pathOf(ident)
+    new GraftStagedTable(
+      new GraftTableV2(spark, t, s"$catalogName.${key(ident)}"),
+      commit = () => {
+        oldPath.filter(GraftTable.exists(_))
+          .foreach(op => GraftTable.forPath(spark, op).dropTable())
+        GraftCatalog.drop(spark, key(ident))
+        GraftCatalog.register(spark, key(ident), t.info.tablePath)
+      },
+      abort = () => t.dropTable())
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {

@@ -129,6 +129,68 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("atomic CTAS / RTAS: mid-write failure leaves no table; replace swaps") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      // CTAS whose source throws mid-write: no table may survive
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft_cat.stg.t PARTITIONED BY (bucket(4, id)) " +
+          "AS SELECT id, CASE WHEN id = 5 THEN raise_error('boom') " +
+          "ELSE CAST(id AS STRING) END AS v FROM range(10)")
+      }
+      assert(spark.sql("SHOW TABLES IN graft_cat.stg").count() == 0)
+      intercept[Exception] { spark.sql("SELECT * FROM graft_cat.stg.t") }
+      // same name creates cleanly afterwards (no leftover meta in the way)
+      spark.sql("CREATE TABLE graft_cat.stg.t PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT id, CAST(id AS STRING) AS v FROM range(10)")
+      assert(spark.sql("SELECT * FROM graft_cat.stg.t").count() == 10)
+      // REPLACE TABLE AS SELECT swaps atomically
+      spark.sql("REPLACE TABLE graft_cat.stg.t PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT id, CAST(id * 2 AS STRING) AS v FROM range(5)")
+      assert(spark.sql("SELECT * FROM graft_cat.stg.t").count() == 5)
+      // failed REPLACE leaves the previous table fully intact
+      intercept[Exception] {
+        spark.sql("REPLACE TABLE graft_cat.stg.t PARTITIONED BY (bucket(4, id)) " +
+          "AS SELECT id, CASE WHEN id = 3 THEN raise_error('boom') " +
+          "ELSE 'x' END AS v FROM range(10)")
+      }
+      assertRows(spark.sql("SELECT v FROM graft_cat.stg.t WHERE id = 4"), Seq("[8]"))
+      assert(spark.sql("SELECT * FROM graft_cat.stg.t").count() == 5)
+    }
+  }
+
+  test("SHOW PARTITIONS / ALTER TABLE DROP PARTITION round-trip") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      Seq((1L, "2024-01", "a"), (2L, "2024-01", "b"),
+          (3L, "2024-02", "c"), (4L, "2024-03", "d"))
+        .toDF("id", "month", "v").createOrReplaceTempView("pm_parts_src")
+      spark.sql("CREATE TABLE graft_cat.pm.parts " +
+        "PARTITIONED BY (month, bucket(4, id)) AS SELECT * FROM pm_parts_src")
+      assertRows(spark.sql("SHOW PARTITIONS graft_cat.pm.parts"),
+        Seq("[month=2024-01]", "[month=2024-02]", "[month=2024-03]"))
+      // SHOW PARTITIONS with a partial spec filters
+      assertRows(
+        spark.sql("SHOW PARTITIONS graft_cat.pm.parts PARTITION (month='2024-02')"),
+        Seq("[month=2024-02]"))
+      // SQL drop matches the API listing afterwards
+      spark.sql("ALTER TABLE graft_cat.pm.parts DROP PARTITION (month='2024-01')")
+      assertRows(spark.sql("SHOW PARTITIONS graft_cat.pm.parts"),
+        Seq("[month=2024-02]", "[month=2024-03]"))
+      assertRows(spark.sql("SELECT id FROM graft_cat.pm.parts ORDER BY id"),
+        Seq("[3]", "[4]"))
+      val api = graft.tables.GraftTable.forPath(spark, s"$wh/pm/parts")
+      assert(api.partitions.map(_.partitionDesc).sorted ==
+        Seq("month=2024-02", "month=2024-03"))
+      // IF EXISTS on a gone partition is a no-op, plain drop errors
+      spark.sql("ALTER TABLE graft_cat.pm.parts DROP IF EXISTS PARTITION (month='2024-01')")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.pm.parts DROP PARTITION (month='2024-01')")
+      }
+    }
+  }
+
   test("MERGE INTO from a parquet-backed (nullable) source validates and runs") {
     withTempPath { wh =>
       withTempPath { srcDir =>
