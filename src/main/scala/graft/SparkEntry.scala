@@ -144,6 +144,25 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") * 2))
       t.toDF
     }),
+    "upsert_rewrite" -> q((s, d) => {
+      // J1 rewrite/copy-on-write mode: every 10th order gets a doubled
+      // price, every 7th is re-inserted under a shifted key; afterwards the
+      // table must be SINGLE-RUN everywhere (the rewrite-mode guarantee) —
+      // asserted inside the query so the correctness gate enforces it
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("uprw"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      val updates = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      t.upsertRewrite(updates.unionByName(inserts))
+      val runs = t.liveFiles.groupBy(f => (f.partitionDesc, f.file.bucketId))
+        .values.map(_.map(_.commitOrdinal).distinct.size).maxOption.getOrElse(1)
+      require(runs == 1, s"rewrite-mode upsert left $runs runs in a bucket")
+      t.toDF
+    }),
     "mor_multi_upsert" -> q((s, d) => {
       val o = rd(s, d, "orders")
       val t = GraftTable.create(s, o, tmp("mormulti"),
@@ -613,6 +632,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "upsert_rewrite" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     "mor_multi_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 4

@@ -122,6 +122,52 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Upsert (J1 REWRITE / copy-on-write mode, reference
+    * UpsertCommand.scala:125-143): full-outer join the batch against the
+    * current merged state of the touched partitions and REWRITE them
+    * (del+add), leaving single-run partitions behind — the mode for
+    * read-latency-sensitive tables or batches that cannot be expressed as
+    * a pure delta. Batch columns win over existing values per column
+    * (`coalesce(source, target)`), unmatched batch keys insert, unmatched
+    * existing keys carry over. `partitionCond` (range columns only) prunes
+    * the rewrite to the partitions it names and filters the batch the same
+    * way (the reference's columnFilter). */
+  def upsertRewrite(df: DataFrame, partitionCond: Option[Column] = None): Unit = {
+    val t0 = info
+    require(t0.hasPrimaryKey, "upsert requires a primary-key (hash-partitioned) table")
+    require(t0.cdcColumn.isEmpty,
+      "rewrite-mode upsert on a CDC table is unsupported (use delta upsert)")
+    partitionCond.foreach { c =>
+      val ok = condConjuncts(c).forall(n =>
+        refNames(n).exists(rs => rs.nonEmpty && rs.subsetOf(t0.rangeColumns.toSet)))
+      require(ok, "partitionCond may reference range-partition columns only")
+    }
+    mergeSchema(df.schema)
+    withRetry {
+      val t = info
+      val files = partitionCond.map(targetFiles).getOrElse(liveFiles)
+      val src = partitionCond.map(df.filter).getOrElse(df)
+      if (files.isEmpty) {
+        // empty target: the batch IS the rewritten state
+        publish(TransactionalWrite.writeFiles(spark, t, src, CommitOp.Merge))
+      } else {
+        val keys = t.rangeColumns ++ t.hashColumns
+        val srcCols = src.columns.toSet
+        val outCols = graft.util.SchemaUtil.fromJson(t.schemaJson).fieldNames.toSeq
+        // full-outer joined rows land in arbitrary partitions, so the write
+        // re-shuffles them into bucket placement (bucketAligned = false)
+        rewriteFiles(files, bucketAligned = false) { target =>
+          val joined = target.join(src, keys, "full_outer")
+          joined.select(outCols.map { c =>
+            if (keys.contains(c)) col(c)
+            else if (srcCols.contains(c)) coalesce(src(c), target(c)).as(c)
+            else target(c)
+          }: _*)
+        }
+      }
+    }
+  }
+
   /** UPDATE (C3), TIERED (reference UpdateCommand.scala:85-89): partition
     * conjuncts of the predicate prune candidate partitions on METADATA; a
     * full primary-key equality narrows to ONE bucket's files — only the
@@ -554,13 +600,14 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * buckets/partitions keep their file lists byte-identical. All runs of a
     * targeted (partition, bucket) are replaced together, so any merge
     * operator stays exact. */
-  private def rewriteFiles(files: Seq[ResolvedFile])(fn: DataFrame => DataFrame): Unit = {
+  private def rewriteFiles(files: Seq[ResolvedFile], bucketAligned: Boolean = true)(
+      fn: DataFrame => DataFrame): Unit = {
     if (files.isEmpty) return
     val t = info
     val current = GraftRead.read(spark, t, files, keepCdcRows = true)
     val rewritten = fn(current)
     val adds = TransactionalWrite.writeFiles(
-      spark, t, rewritten, CommitOp.Rewrite, skipPreMerge = true)
+      spark, t, rewritten, CommitOp.Rewrite, skipPreMerge = bucketAligned)
     val delsByDesc: Map[String, Seq[DataFileInfo]] =
       files.groupBy(_.partitionDesc).map { case (d, fs) =>
         d -> fs.map(_.file.copy(fileOp = "del"))

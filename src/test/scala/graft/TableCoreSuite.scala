@@ -253,6 +253,51 @@ class TableCoreSuite extends SparkFixture {
     }
   }
 
+  test("rewrite-mode upsert: coalesce semantics, inserts, single run, " +
+    "partition pruning leaves sibling partitions byte-identical") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq(("p1", 1L, 1.0, "a"), ("p1", 2L, 2.0, "b"),
+            ("p2", 3L, 3.0, "c"), ("p2", 4L, 4.0, "d"))
+          .toDF("r", "id", "v", "s"), path,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 2)
+      val filesP2 = t.liveFiles.filter(_.partitionDesc == "r=p2")
+        .map(f => (f.file.path, f.file.size)).toSet
+
+      // batch: update id=1 (null s -> existing value survives the
+      // coalesce), insert id=9; cond prunes the rewrite to p1
+      val batch = Seq(("p1", 1L, 100.0, null: String), ("p1", 9L, 9.0, "z"),
+        ("p2", 3L, 300.0, "x")).toDF("r", "id", "v", "s")
+      t.upsertRewrite(batch, Some(col("r") === "p1"))
+
+      assertRows(t.toDF.orderBy("id"),
+        Seq("[p1,1,100.0,a]", "[p1,2,2.0,b]", "[p2,3,3.0,c]",
+          "[p2,4,4.0,d]", "[p1,9,9.0,z]"))
+      // p2 untouched (batch row for p2 filtered out by the cond)
+      assert(t.liveFiles.filter(_.partitionDesc == "r=p2")
+        .map(f => (f.file.path, f.file.size)).toSet == filesP2)
+      // p1 is single-run after the rewrite
+      assert(t.liveFiles.filter(_.partitionDesc == "r=p1")
+        .map(_.commitOrdinal).distinct.size == 1)
+
+      // full-table rewrite mode (no cond) applies everywhere, still 1 run
+      t.upsertRewrite(Seq(("p2", 4L, 44.0, "dd")).toDF("r", "id", "v", "s"))
+      assertRows(t.toDF.orderBy("id"),
+        Seq("[p1,1,100.0,a]", "[p1,2,2.0,b]", "[p2,3,3.0,c]",
+          "[p2,4,44.0,dd]", "[p1,9,9.0,z]"))
+      assert(t.liveFiles.groupBy(_.partitionDesc).values
+        .forall(_.map(_.commitOrdinal).distinct.size == 1))
+      // CDC guard
+      intercept[IllegalArgumentException] {
+        val c = GraftTable.create(spark,
+          Seq((1L, "x", "insert")).toDF("id", "v", "op"), s"$path-cdc",
+          hashColumns = Seq("id"), bucketNum = 2,
+          properties = Map(graft.meta.TableInfo.CdcColumnProp -> "op"))
+        c.upsertRewrite(Seq((1L, "y", "insert")).toDF("id", "v", "op"))
+      }
+    }
+  }
+
   test("upsert after a targeted rewrite wins on merge; vacuum drops replaced files") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
