@@ -54,13 +54,18 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String)
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, table, options.asScala.toMap)
 
+  // SupportsStreamingUpdateAsAppend: update-mode micro-batches write as
+  // appended Merge commits — for a PK table that IS upsert semantics (the
+  // same contract as the DSv1 sink's update mode).
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsOverwrite {
+    new WriteBuilder with SupportsOverwrite
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       private var overwriteAll = false
 
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
@@ -82,6 +87,18 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String)
               else table.append(data)
             }
           }
+
+        // writeStream.toTable: executor-side bucketed sorted parquet write
+        // with the (queryId, epoch) exactly-once commit (S11 through DSv2)
+        override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          val ti = table.info
+          new graft.streaming.GraftStreamingWrite(
+            ti.tablePath, ti.schemaJson, ti.rangeColumns, ti.hashColumns,
+            ti.bucketNum, info.queryId(), overwriteAll,
+            org.apache.spark.sql.graft.StreamShim.parquetRowWriters(
+              spark, graft.util.SchemaUtil.fromJson(ti.schemaJson)))
+        }
       }
     }
 

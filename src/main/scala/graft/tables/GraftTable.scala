@@ -110,6 +110,32 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       partitions.map(_.partitionDesc).toSet -- commits.map(_.partitionDesc)))
   }
 
+  /** Publish one streaming micro-batch of executor-written files (the DSv2
+    * streaming sink, [[graft.streaming.GraftStreamingWrite]]): same
+    * (queryId, batchId) exactly-once guard as the DSv1 sink — a replayed
+    * epoch is a no-op; `truncate` = complete-mode semantics (the batch
+    * replaces the table). */
+  def commitStreamBatch(queryId: String, batchId: Long,
+      files: Seq[(String, DataFileInfo)], truncate: Boolean): Unit = withRetry {
+    if (batchId <= store.getMaxBatchId(tablePath, queryId)) return
+    val t = info
+    val commitId = MetaStore.newCommitId()
+    val op = if (truncate) CommitOp.Update
+      else if (t.hasPrimaryKey) CommitOp.Merge else CommitOp.Append
+    val adds = files.groupBy(_._1).map { case (desc, fs) =>
+      DataCommitInfo(
+        if (desc == TableInfo.RootPartition) commitId
+        else s"$commitId-${math.abs(desc.hashCode)}",
+        desc, fs.map(_._2), op, 0L)
+    }.toSeq
+    val commits =
+      if (truncate) adds ++ expireCommitsFor(
+        partitions.map(_.partitionDesc).toSet -- adds.map(_.partitionDesc))
+      else adds
+    publish(commits)
+    store.recordBatchId(tablePath, queryId, batchId)
+  }
+
   /** Upsert (C2, delta-file mode): shuffle the batch into PK buckets and
     * commit it as a new sorted run — zero read of existing data
     * (UpsertCommand.scala:98-102). Readers merge on read. New columns are

@@ -47,6 +47,22 @@ object StreamShim {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
   }
 
+  /** Serializable executor-side parquet row writer (Spark's own
+    * ParquetFileFormat output path — OutputWriterFactory is private[sql],
+    * hence this shim): `open(path, partitionId, taskId)` returns
+    * (write(row), close) closures usable from a DSv2 streaming DataWriter. */
+  def parquetRowWriters(
+      session: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType): ParquetRowWriters = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    new ParquetRowWriters(factory, schema,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
   /** Executor-safe parquet row-reader function (Spark's own vectorized
     * parquet reader; the returned closure carries a broadcast hadoop conf).
     * private[sql] in FileFormat, hence this shim. */
@@ -74,4 +90,33 @@ object StreamShim {
         .OPTION_RETURNING_BATCH -> batched.toString),
       hadoopConf = spark.sessionState.newHadoopConf())
   }
+}
+
+/** Serializable handle around Spark's parquet OutputWriterFactory (see
+  * [[StreamShim.parquetRowWriters]]). One open() per output file. */
+class ParquetRowWriters(
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    schema: org.apache.spark.sql.types.StructType,
+    conf: org.apache.spark.util.SerializableConfiguration) extends Serializable {
+
+  /** The hadoop conf shipped with this handle (for FileSystem access). */
+  def hadoopConf: org.apache.hadoop.conf.Configuration = conf.value
+
+  def open(path: String, partitionId: Int, taskId: Long): ParquetRowWriter = {
+    val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
+      new org.apache.hadoop.mapreduce.TaskID(
+        new org.apache.hadoop.mapreduce.JobID("graft-stream", 0),
+        org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf.value, attempt)
+    new ParquetRowWriter(factory.newInstance(path, schema, tac), path)
+  }
+}
+
+class ParquetRowWriter(
+    w: org.apache.spark.sql.execution.datasources.OutputWriter,
+    val path: String) {
+  def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = w.write(row)
+  def close(): Unit = w.close()
 }

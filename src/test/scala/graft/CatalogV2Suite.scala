@@ -129,6 +129,46 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("DSv2 streaming write: writeStream.toTable, exactly-once upsert, " +
+    "range partitions from the stream") {
+    withTempPath { wh =>
+      withTempPath { ckpt =>
+        useCatalog(wh)
+        import spark.implicits._
+        Seq(("p1", 1L, "a"), ("p2", 2L, "b")).toDF("r", "id", "v")
+          .createOrReplaceTempView("sw_src")
+        spark.sql("CREATE TABLE graft_cat.sw.src PARTITIONED BY (bucket(2, id)) " +
+          "AS SELECT * FROM sw_src")
+        spark.sql("CREATE TABLE graft_cat.sw.dst (r STRING, id BIGINT, v STRING) " +
+          "PARTITIONED BY (r, bucket(2, id))")
+        def run(): Unit = {
+          val q = spark.readStream.table("graft_cat.sw.src")
+            .writeStream
+            .option("checkpointLocation", s"$ckpt/q")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("graft_cat.sw.dst")
+          q.awaitTermination(120000)
+        }
+        run()
+        assertRows(spark.sql("SELECT * FROM graft_cat.sw.dst"),
+          Seq("[p1,1,a]", "[p2,2,b]"))
+        // second batch: an update (pk 2) and an insert (pk 3) — append-mode
+        // Merge commits give upsert semantics on the PK table
+        spark.sql("INSERT INTO graft_cat.sw.src VALUES ('p2', 2, 'b2'), ('p3', 3, 'c')")
+        run()
+        assertRows(spark.sql("SELECT * FROM graft_cat.sw.dst"),
+          Seq("[p1,1,a]", "[p2,2,b2]", "[p3,3,c]"))
+        // replayed restart with no new data commits nothing (exactly-once)
+        run()
+        assertRows(spark.sql("SELECT * FROM graft_cat.sw.dst"),
+          Seq("[p1,1,a]", "[p2,2,b2]", "[p3,3,c]"))
+        // the stream's rows landed in real range partitions
+        assertRows(spark.sql("SHOW PARTITIONS graft_cat.sw.dst"),
+          Seq("[r=p1]", "[r=p2]", "[r=p3]"))
+      }
+    }
+  }
+
   test("atomic CTAS / RTAS: mid-write failure leaves no table; replace swaps") {
     withTempPath { wh =>
       useCatalog(wh)
