@@ -115,6 +115,28 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("guard rails: unsupported v1 commands fail with clear errors (C16)") {
+    withTempPath { path =>
+      Seq((1, "a")).toDF("id", "v").write.format("graft")
+        .option("path", path).option("hashPartitions", "id")
+        .option("hashBucketNum", "1").saveAsTable("c16_t")
+      try {
+        val e1 = intercept[UnsupportedOperationException] {
+          spark.sql("CREATE TABLE c16_like LIKE c16_t")
+        }
+        assert(e1.getMessage.contains("CREATE TABLE LIKE"))
+        val e2 = intercept[UnsupportedOperationException] {
+          spark.sql("ALTER TABLE c16_t ADD PARTITION (id=5)")
+        }
+        assert(e2.getMessage.contains("created implicitly"))
+        val e3 = intercept[UnsupportedOperationException] {
+          spark.sql(s"LOAD DATA LOCAL INPATH '$path' INTO TABLE c16_t")
+        }
+        assert(e3.getMessage.contains("INSERT INTO"))
+      } finally spark.sql("DROP TABLE IF EXISTS c16_t")
+    }
+  }
+
   test("SQL extension: CALL graft.compaction / rollback / vacuum") {
     // session extensions only apply at session construction; exercise the
     // injected parser directly against the shared session

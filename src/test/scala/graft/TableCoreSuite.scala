@@ -253,6 +253,35 @@ class TableCoreSuite extends SparkFixture {
     }
   }
 
+  test("meta store: snapshot resolution is cached — repeat reads are " +
+    "stat-only, commits parse only the appended lines") {
+    withTempPath { path =>
+      import graft.meta.FileMetaStore
+      val t = GraftTable.create(spark,
+        Seq((1L, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      (1 to 20).foreach(i => t.upsert(Seq((1L, s"v$i")).toDF("id", "v")))
+      t.toDF.count() // prime the cache
+
+      val full0 = FileMetaStore.fullReads.get
+      val tail0 = FileMetaStore.tailReads.get
+      val stat0 = FileMetaStore.statOnlyHits.get
+      (1 to 10).foreach(_ => t.toDF.count())
+      assert(FileMetaStore.fullReads.get == full0,
+        "an unchanged version log was re-parsed in full")
+      assert(FileMetaStore.tailReads.get == tail0,
+        "an unchanged version log paid a tail read")
+      assert(FileMetaStore.statOnlyHits.get > stat0)
+
+      // a new commit extends the cached state by parsing only the new bytes
+      t.upsert(Seq((1L, "z")).toDF("id", "v"))
+      t.toDF.count()
+      assert(FileMetaStore.fullReads.get == full0,
+        "a commit invalidated the whole snapshot cache")
+      assert(FileMetaStore.tailReads.get > tail0)
+    }
+  }
+
   test("rewrite-mode upsert: coalesce semantics, inserts, single run, " +
     "partition pruning leaves sibling partitions byte-identical") {
     withTempPath { path =>
