@@ -217,6 +217,15 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
       case nl: TableChange.UpdateColumnNullability =>
         require(nl.fieldNames.length == 1, "nested columns unsupported")
         t.updateColumnNullability(nl.fieldNames()(0), nl.nullable())
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1, "nested columns unsupported")
+        t.updateColumnType(ut.fieldNames()(0), ut.newDataType())
+      case up: TableChange.UpdateColumnPosition =>
+        require(up.fieldNames.length == 1, "nested columns unsupported")
+        t.updateColumnPosition(up.fieldNames()(0), up.position() match {
+          case _: TableChange.First => None
+          case a: TableChange.After => Some(a.column())
+        })
       case _: TableChange.RenameColumn =>
         // rename guard: data files are bound to column names
         throw new UnsupportedOperationException(

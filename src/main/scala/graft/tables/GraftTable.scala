@@ -510,6 +510,61 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       if (f.name == name) f.copy(nullable = nullable) else f)).json))
   }
 
+  /** ALTER TABLE ALTER COLUMN ... TYPE — WIDENING only (the promotions
+    * Spark's parquet readers perform at scan time, so existing files stay
+    * readable: integral upcasts, float->double, integral->double, and
+    * scale-preserving decimal precision growth; reference
+    * alterTableCommands.scala:48-310). Primary-key columns are rejected:
+    * bucket placement murmur3-hashes the PHYSICAL type, so widening a pk
+    * column would silently re-home every existing key. */
+  def updateColumnType(name: String, to: org.apache.spark.sql.types.DataType): Unit = {
+    val t = info
+    val cur = schema
+    require(cur.fieldNames.contains(name), s"no column '$name'")
+    require(!t.hashColumns.contains(name),
+      s"cannot change the type of primary-key column '$name' " +
+        "(bucket placement hashes the physical type)")
+    val from = cur(name).dataType
+    require(widens(from, to),
+      s"cannot change column '$name': $from -> $to is not a widening conversion")
+    store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f)).json))
+  }
+
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN ... FIRST / AFTER — metadata-only reorder
+    * (files are name-bound, scans project by name, so position is purely
+    * the SELECT * presentation order). */
+  def updateColumnPosition(name: String, after: Option[String]): Unit = {
+    val t = info
+    val cur = schema
+    require(cur.fieldNames.contains(name), s"no column '$name'")
+    val moved = cur(name)
+    val rest = cur.fields.filter(_.name != name)
+    val fields = after match {
+      case None => moved +: rest
+      case Some(a) =>
+        require(rest.exists(_.name == a), s"no column '$a' to position after")
+        rest.flatMap(f => if (f.name == a) Seq(f, moved) else Seq(f))
+    }
+    store.updateTableInfo(t.copy(schemaJson = StructType(fields).json))
+  }
+
   /** ALTER TABLE SET/UNSET TBLPROPERTIES (C12). */
   def setProperties(props: Map[String, String]): Unit = {
     val t = info

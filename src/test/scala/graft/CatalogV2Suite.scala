@@ -129,6 +129,37 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("ALTER COLUMN TYPE widening and FIRST/AFTER position") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      spark.sql("CREATE TABLE graft_cat.alt.t (id BIGINT, n INT, f FLOAT) " +
+        "PARTITIONED BY (bucket(2, id))")
+      spark.sql("INSERT INTO graft_cat.alt.t VALUES (1, 10, CAST(1.5 AS FLOAT))")
+      spark.sql("ALTER TABLE graft_cat.alt.t ALTER COLUMN n TYPE BIGINT")
+      spark.sql("ALTER TABLE graft_cat.alt.t ALTER COLUMN f TYPE DOUBLE")
+      // old INT32/FLOAT files read through the widened schema
+      spark.sql("INSERT INTO graft_cat.alt.t VALUES (2, 3000000000, 2.5)")
+      assertRows(spark.sql("SELECT * FROM graft_cat.alt.t"),
+        Seq("[1,10,1.5]", "[2,3000000000,2.5]"))
+      assert(spark.table("graft_cat.alt.t").schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      // narrowing and pk-type changes are rejected
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.alt.t ALTER COLUMN n TYPE INT")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cat.alt.t ALTER COLUMN id TYPE DECIMAL(20,0)")
+      }
+      // position is metadata-only presentation order
+      spark.sql("ALTER TABLE graft_cat.alt.t ALTER COLUMN f FIRST")
+      assert(spark.table("graft_cat.alt.t").columns.toSeq == Seq("f", "id", "n"))
+      spark.sql("ALTER TABLE graft_cat.alt.t ALTER COLUMN f AFTER id")
+      assert(spark.table("graft_cat.alt.t").columns.toSeq == Seq("id", "f", "n"))
+      assertRows(spark.sql("SELECT * FROM graft_cat.alt.t WHERE id = 1"),
+        Seq("[1,1.5,10]"))
+    }
+  }
+
   test("DSv2 streaming write: writeStream.toTable, exactly-once upsert, " +
     "range partitions from the stream") {
     withTempPath { wh =>
