@@ -113,6 +113,19 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         s"deleted $n files"
       case "drop_partition" =>
         tableOf(spark).dropPartition(args("partition_desc")); "dropped"
+      case "compact_meta" =>
+        // bound the version log: keep history newer than retain_ms (default:
+        // everything after the newest commit -> heads only), the reference's
+        // cleanMetaUptoTime. Time travel before the boundary stops working.
+        val t = tableOf(spark)
+        val boundary = System.currentTimeMillis() -
+          args.getOrElse("retain_ms", "0").toLong
+        val dropped = graft.meta.MetaStore.default match {
+          case fs: graft.meta.FileMetaStore =>
+            fs.compactVersionLog(t.tablePath, boundary)
+          case _ => 0L
+        }
+        s"dropped $dropped log lines"
       case other =>
         throw new IllegalArgumentException(s"unknown procedure graft.$other")
     }

@@ -115,6 +115,30 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("CALL graft.compact_meta bounds the version log, reads stay exact") {
+    val parser = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+    def call(sql: String) =
+      parser.parsePlan(sql).asInstanceOf[graft.sql.GraftCallCommand].run(spark)
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      (1 to 15).foreach(i => t.upsert(Seq((1L, s"v$i"), (i + 100L, "x"))
+        .toDF("id", "v")))
+      val logFile = java.nio.file.Paths.get(path, "_graft_meta", "versions.jsonl")
+      val linesBefore = java.nio.file.Files.readAllLines(logFile).size
+      val out = call(s"CALL graft.compact_meta(table_path => '$path')")
+      assert(out.head.getString(0).startsWith("dropped "))
+      val linesAfter = java.nio.file.Files.readAllLines(logFile).size
+      assert(linesAfter < linesBefore, s"$linesBefore -> $linesAfter")
+      // merged state is untouched: pk 1 holds the last write, inserts live
+      assert(t.toDF.count() == 16)
+      assert(t.toDF.filter(col("id") === 1L).head.getString(1) == "v15")
+      // and new commits continue cleanly on the compacted log
+      t.upsert(Seq((1L, "z")).toDF("id", "v"))
+      assert(t.toDF.filter(col("id") === 1L).head.getString(1) == "z")
+    }
+  }
+
   test("guard rails: unsupported v1 commands fail with clear errors (C16)") {
     withTempPath { path =>
       Seq((1, "a")).toDF("id", "v").write.format("graft")
