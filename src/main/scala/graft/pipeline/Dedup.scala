@@ -99,11 +99,17 @@ object Dedup {
 
   /** Exact Jaccard over word-k-shingle SETS for given (id_a, id_b) pairs. */
   def jaccardVerify(
-      pairs: DataFrame,
+      pairsIn: DataFrame,
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3): DataFrame = {
+    // the candidate subplan is consumed THREE times (two id projections
+    // feeding the broadcast semi-join, then the verify join itself) — without
+    // materialization the whole candidate pipeline (LSH banding or AllPairs)
+    // would run 3x; localCheckpoint computes it once, truncates the lineage,
+    // and is cleaned up with the RDD by the context
+    val pairs = pairsIn.localCheckpoint()
     // shingle ONLY candidate docs (semi-join first): verification cost scales
     // with candidate count, not corpus size
     val ids = pairs.select(col("id_a").as(idCol))

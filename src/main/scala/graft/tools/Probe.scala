@@ -80,6 +80,20 @@ object Probe {
       "FROM graft_cat.p.l l JOIN graft_cat.p.r r ON l.custkey = r.custkey"
     time("SPJ SQL join 1")(spark.sql(spjSql).count())
     time("SPJ SQL join 2")(spark.sql(spjSql).count())
+
+    // ---------------- dedup_minhash breakdown --------------------------
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("docs read")(docs.count())
+    val sig = docs.select(col("doc_id").as("_g_id"),
+      graft.pipeline.Dedup.minhashSignature(col("text")).as("_g_sig"))
+    time("signatures")(sig.count())
+    val cands = graft.pipeline.Dedup.minhashCandidates(docs, "doc_id", "text")
+    time("candidates")(cands.count())
+    time("full minhashNearDupPairs 1")(
+      graft.pipeline.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8).count())
+    time("full minhashNearDupPairs 2")(
+      graft.pipeline.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8).count())
     spark.stop()
   }
 }
