@@ -165,10 +165,15 @@ object TransactionalWrite {
         val placed =
           if (skipPreMerge) bucketed.repartition(table.bucketNum, col(BucketCol))
           else bucketed
-        // sort-on-write by (range, bucket, pk) — the format's sorted-run
-        // contract (LakeSoulFileWriter.scala:125-141)
+        // sort-on-write by (range-DIR cols, bucket, pk) — the format's
+        // sorted-run contract (LakeSoulFileWriter.scala:125-141). Sorting on
+        // the DIRECTORY columns (not the typed range columns) lets
+        // FileFormatWriter recognize the ordering as satisfying its
+        // dynamic-partition requirement and skip its own re-sort of every
+        // batch; per-(desc, bucket) pk order — the actual contract — is
+        // identical either way.
         out = placed.sortWithinPartitions(
-          (table.rangeColumns.map(col) ++ Seq(col(BucketCol)) ++ pk): _*)
+          (rangeDirCols.map(c => col(c._1)) ++ Seq(col(BucketCol)) ++ pk): _*)
         rangeDirCols.map(_._1) :+ BucketCol
       } else rangeDirCols.map(_._1)
 
