@@ -73,6 +73,48 @@ class DataSourceSuite extends SparkFixture {
     }
   }
 
+  test("stream ingestion: topics route into auto-created tables, schema " +
+    "evolves, replay is exactly-once (S12 shape)") {
+    withTempPath { root =>
+      val src = s"$root/src"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
+      val t0 = GraftTable.create(spark, Seq(
+        ("events", """{"id":1,"kind":"click"}"""),
+        ("events", """{"id":2,"kind":"view"}"""),
+        ("users", """{"uid":10,"name":"ann"}""")).toDF("topic", "value"), src)
+      def run(): Unit = {
+        val q = graft.streaming.StreamIngest.start(
+          spark.readStream.format("graft").load(src), wh, "ing", s"$ckpt/q",
+          hourPartition = true,
+          trigger = Trigger.AvailableNow(), clock = () => "2026010100")
+        q.awaitTermination(120000)
+      }
+      run()
+      val events = GraftTable.forPath(spark, s"$wh/ing/events")
+      assertRows(events.toDF.select("id", "kind", "graft_ingest_dt"),
+        Seq("[1,click,2026010100]", "[2,view,2026010100]"))
+      assertRows(GraftTable.forPath(spark, s"$wh/ing/users").toDF
+        .select("uid", "name"), Seq("[10,ann]"))
+      // tables are name-registered like the reference's DBManager catalog
+      assert(GraftTable.forName(spark, "ing.events").toDF.count() == 2)
+
+      // batch 2: a NEW topic and a NEW field on an existing topic
+      t0.append(Seq(
+        ("orders", """{"oid":7,"total":9.5}"""),
+        ("events", """{"id":3,"kind":"click","extra":"x"}"""))
+        .toDF("topic", "value"))
+      run()
+      assertRows(GraftTable.forPath(spark, s"$wh/ing/orders").toDF
+        .select("oid", "total"), Seq("[7,9.5]"))
+      val evolved = events.toDF.select("id", "extra").orderBy("id")
+      assertRows(evolved, Seq("[1,null]", "[2,null]", "[3,x]"))
+
+      // replayed restart with no new data: exactly-once, counts unchanged
+      run()
+      assert(events.toDF.count() == 3)
+      assert(GraftTable.forPath(spark, s"$wh/ing/orders").toDF.count() == 1)
+    }
+  }
+
   test("lookupByPk prunes to one bucket and returns the row") {
     withTempPath { path =>
       val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
