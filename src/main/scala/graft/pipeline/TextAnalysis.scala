@@ -114,6 +114,48 @@ object TextAnalysis {
   def minShingleFingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(wordShingles(text, k), s => GraftFunctions.xx64(s)))
 
+  // ------------------------------------------------------------- PII scrub
+
+  /** PII redaction patterns, applied in order (emails first so their digit
+    * runs can't be phone-eaten). RE2-safe — no lookaround — so Spark's Java
+    * regex and a DuckDB/RE2 replay produce identical output. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d().\\- ]{7,}\\d" -> "<PHONE>")
+
+  /** Redact emails / IPv4s / phone-number-shaped digit runs — the standard
+    * pre-training scrub pass; pure codegen'd regexp_replace chain. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  // ----------------------------------------------- Gopher-style doc filter
+
+  /** The MassiveText/Gopher canonical stopword probe set (public rule set:
+    * a document should contain at least 2 of these). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-shaped quality rules as per-rule boolean flag columns plus a
+    * combined `keep` verdict: token-count window, mean-word-length window,
+    * punctuation-density cap, >=2 distinct canonical stopwords. Flags stay
+    * visible so downstream can tune/inspect instead of silently dropping. */
+  def gopherFilter(df: DataFrame, textCol: String = "text",
+      minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val ts = tokens(t)
+    df.withColumn("flag_tokens",
+        size(ts) >= minTokens && size(ts) <= maxTokens)
+      .withColumn("flag_word_len",
+        meanWordLength(t) >= 3.0 && meanWordLength(t) <= 10.0)
+      .withColumn("flag_punct", punctRatio(t) <= 0.2)
+      .withColumn("flag_stopwords",
+        size(array_intersect(array_distinct(ts), typedLit(gopherStopwords))) >= 2)
+      .withColumn("keep",
+        col("flag_tokens") && col("flag_word_len") &&
+          col("flag_punct") && col("flag_stopwords"))
+  }
+
   /** Full per-document stats frame (the `documents` table operator). */
   def documentStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
