@@ -143,6 +143,16 @@ object Bench {
       results("mor_compaction") = time { t.compaction() }
       results("mor_read_compacted_cold") = time { t.toDF.count() }
       results("mor_read_compacted") = median3 { t.toDF.count() }
+      // compaction-CADENCE regime — the reference's actual operating mode
+      // (BASELINE.md: read degradation stays bounded because compaction runs
+      // on a cadence, not never): keep upserting with compaction every 4th
+      // upsert, then read steady-state carrying the average pending-delta
+      // load (2 sorted runs) a cadenced table actually serves. The baseline
+      // comparable is mor_read_cadenced / mor_read_compacted.
+      results("mor_upsert_cadenced_10x") = time {
+        (1 to 10).foreach { i => t.upsert(batch); if (i % 4 == 0) t.compaction() }
+      }
+      results("mor_read_cadenced") = median3 { t.toDF.count() }
       batch.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.tables.GraftTable
+import graft.tables.{GraftMerge, GraftTable, MergeMatchedClause, MergeNotMatchedClause}
 
 /** Library smoke driver: full table lifecycle on the real sf0.001 testdata.
   * Run: sbt "runMain graft.Demo" */
@@ -43,6 +43,29 @@ object Demo {
         .filter(col("o_totalprice") === col("exp")).count()} (expect 100)")
     println(s"time-travel rows @ts1 = ${t.snapshotAt(ts1).count()}")
     println(s"incremental rows = ${t.incremental(ts1, t.lastCommitTs).count()} (expect 105)")
+
+    // general MERGE INTO clauses (API): delete cheap matched orders, bump the
+    // rest, insert unmatched keys shifted into a new range
+    val mergeSrc = orders.limit(20)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      .unionByName(orders.limit(3).select(
+        (col("o_orderkey") + 20_000_000L).as("k"), col("o_totalprice").as("p")))
+    val beforeMerge = t.toDF.count()
+    t.mergeIntoClauses(mergeSrc, Map("o_orderkey" -> "k"),
+      matched = Seq(
+        MergeMatchedClause(Some(GraftMerge.source("p") < 1000), None),
+        MergeMatchedClause(None,
+          Some(Map("o_totalprice" -> (GraftMerge.target("o_totalprice") + lit(1)))))),
+      notMatched = Seq(MergeNotMatchedClause(None, Map(
+        "o_orderkey" -> GraftMerge.source("k"),
+        "o_custkey" -> lit(0L),
+        "o_orderstatus" -> lit("M"),
+        "o_totalprice" -> GraftMerge.source("p"),
+        "o_orderdate" -> lit(java.sql.Date.valueOf("2026-01-01")),
+        "o_orderpriority" -> lit("5-LOW")))))
+    println(s"rows after clause-merge = ${t.toDF.count()} (was $beforeMerge, +3 inserts - matched deletes)")
+    println(s"clause-merge inserted = ${
+      t.toDF.filter(col("o_orderstatus") === "M").count()} (expect 3)")
 
     t.delete(col("o_orderstatus") === "F")
     println(s"rows after delete F = ${t.toDF.count()}")

@@ -285,6 +285,52 @@ object SparkEntry {
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       s.sql("SELECT * FROM graft_cat.vfy.cust_m")
     }),
+    "sql_merge_conditional" -> q((s, d) => {
+      // general-shape MERGE INTO (beyond the reference's upsert-only C5):
+      // conditional DELETE, expression UPDATE, conditional INSERT with
+      // explicit values — compiled to the tiered copy-on-write merge
+      v2(s)
+      val c = rd(s, d, "customer")
+      c.createOrReplaceTempView("v2_src_cust_mc")
+      c.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") * 2).as("k"), col("c_acctbal").as("delta"),
+          col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("v2_delta_cust_mc")
+      s.sql("CREATE TABLE graft_cat.vfy.cust_mc " +
+        "PARTITIONED BY (bucket(4, c_custkey)) AS SELECT * FROM v2_src_cust_mc")
+      s.sql("MERGE INTO graft_cat.vfy.cust_mc t USING v2_delta_cust_mc s " +
+        "ON t.c_custkey = s.k " +
+        "WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta " +
+        "WHEN NOT MATCHED AND s.seg = 'BUILDING' THEN " +
+        "INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment) " +
+        "VALUES (s.k, 'merged', 0, s.delta, s.seg)")
+      s.sql("SELECT * FROM graft_cat.vfy.cust_mc")
+    }),
+    "sql_show_partitions" -> q((s, d) => {
+      // SupportsPartitionManagement surface: SHOW PARTITIONS lists the live
+      // range partitions, ALTER TABLE DROP PARTITION expires one
+      // metadata-only — both through plain SQL (C12)
+      v2(s)
+      rd(s, d, "nation").createOrReplaceTempView("v2_src_nat_sp")
+      s.sql("CREATE TABLE graft_cat.vfy.nat_sp " +
+        "PARTITIONED BY (n_regionkey, bucket(2, n_nationkey)) " +
+        "AS SELECT * FROM v2_src_nat_sp")
+      s.sql("ALTER TABLE graft_cat.vfy.nat_sp DROP PARTITION (n_regionkey = 4)")
+      s.sql("SHOW PARTITIONS graft_cat.vfy.nat_sp")
+    }),
+    "sql_replace_table" -> q((s, d) => {
+      // atomic RTAS through the StagingTableCatalog: the replacement swaps in
+      // only on commit, with the new schema and partitioning
+      v2(s)
+      rd(s, d, "region").createOrReplaceTempView("v2_src_reg_rt")
+      rd(s, d, "nation").createOrReplaceTempView("v2_src_nat_rt")
+      s.sql("CREATE TABLE graft_cat.vfy.rt " +
+        "PARTITIONED BY (bucket(2, r_regionkey)) AS SELECT * FROM v2_src_reg_rt")
+      s.sql("REPLACE TABLE graft_cat.vfy.rt " +
+        "PARTITIONED BY (bucket(2, n_nationkey)) AS SELECT * FROM v2_src_nat_rt")
+      s.sql("SELECT * FROM graft_cat.vfy.rt")
+    }),
     "bucketed_join_sql" -> q((s, d) => {
       // plain SQL join of two co-bucketed catalog tables: Spark's
       // storage-partitioned join (v2 bucketing) plans ZERO exchanges —
@@ -675,6 +721,26 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey,
         |  CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment FROM customer""".stripMargin,
+    "sql_merge_conditional" ->
+      """WITH src AS (
+        |  SELECT c_custkey * 2 AS k, c_acctbal AS delta, c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT t.c_custkey, t.c_name, t.c_nationkey,
+        |  CASE WHEN s.k IS NULL THEN t.c_acctbal
+        |       ELSE t.c_acctbal + s.delta END AS c_acctbal,
+        |  t.c_mktsegment
+        |FROM customer t LEFT JOIN src s ON t.c_custkey = s.k
+        |WHERE s.k IS NULL OR NOT (t.c_acctbal < 0)
+        |UNION ALL
+        |SELECT s.k AS c_custkey, 'merged' AS c_name, 0 AS c_nationkey,
+        |  s.delta AS c_acctbal, s.seg AS c_mktsegment
+        |FROM src s LEFT JOIN customer t ON t.c_custkey = s.k
+        |WHERE t.c_custkey IS NULL AND s.seg = 'BUILDING'""".stripMargin,
+    "sql_show_partitions" ->
+      """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS partition
+        |FROM nation WHERE n_regionkey <> 4 GROUP BY n_regionkey""".stripMargin,
+    "sql_replace_table" ->
+      "SELECT * FROM nation",
     "bucketed_join_sql" ->
       """SELECT c_custkey AS custkey, c_name, c_mktsegment,
         |  n_orders, total_spent

@@ -410,6 +410,125 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     upsert(source)
   }
 
+  /** General multi-clause MERGE INTO (the superset of [[mergeInto]]'s
+    * reference-parity upsert shape): conditional WHEN MATCHED UPDATE/DELETE,
+    * conditional WHEN NOT MATCHED INSERT, and WHEN NOT MATCHED BY SOURCE,
+    * with first-matching-clause-wins SQL semantics.
+    *
+    * Plan (copy-on-write, tiered like [[update]]): the source's primary keys
+    * identify the touched BUCKETS (a collect of at most bucketNum ints), only
+    * those buckets' files are read (merged), full-outer-joined with the
+    * source on the PK mapping `onKeys` (target hash column -> source column),
+    * clause actions are applied as one codegen'd when-chain projection, and
+    * the targeted files are swapped del+add — untouched buckets keep their
+    * file lists byte-identical. NOT MATCHED BY SOURCE clauses inspect every
+    * target row, so their presence widens the rewrite to all live files.
+    * Clause expressions reference rows via [[GraftMerge.target]] /
+    * [[GraftMerge.source]]. */
+  def mergeIntoClauses(
+      source: DataFrame,
+      onKeys: Map[String, String],
+      matched: Seq[MergeMatchedClause],
+      notMatched: Seq[MergeNotMatchedClause],
+      notMatchedBySource: Seq[MergeMatchedClause] = Nil): Unit = {
+    val t0 = info
+    require(t0.hasPrimaryKey, "MERGE INTO requires a primary-key table")
+    require(t0.cdcColumn.isEmpty,
+      "general MERGE INTO on a CDC table is unsupported (use delta upsert)")
+    require(t0.hashColumns.forall(onKeys.contains),
+      s"ON condition must equate every primary-key column; missing: " +
+        t0.hashColumns.filterNot(onKeys.contains).mkString(", "))
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE INTO needs at least one WHEN clause")
+    val frozen = (t0.rangeColumns ++ t0.hashColumns).toSet
+    val badAssign = (matched ++ notMatchedBySource)
+      .flatMap(_.set.toSeq.flatMap(_.keySet)).toSet.intersect(frozen)
+    require(badAssign.isEmpty,
+      s"cannot update partition/primary-key columns: ${badAssign.mkString(", ")}")
+
+    withRetry {
+      val t = info
+      val sch = schema
+      val outCols = sch.fieldNames.toSeq
+      val files =
+        if (notMatchedBySource.nonEmpty) liveFiles
+        else {
+          // touched buckets: the source keys hash with the SAME murmur3-mod
+          // expression the write side uses, so this is exact; result size is
+          // bounded by bucketNum (a tiny driver collect even at 100 TB)
+          val keyCols = t.hashColumns.map(c =>
+            col(onKeys(c)).cast(sch(c).dataType))
+          val ids = source
+            .select(TransactionalWrite.bucketIdExpr(keyCols, t.bucketNum).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          liveFiles.filter(f => f.file.bucketId < 0 || ids.contains(f.file.bucketId))
+        }
+
+      val src = source.withColumn("_g_s_present", lit(true)).alias(GraftMerge.SourceAlias)
+      val KeepTarget = -1
+      val Drop = -2
+
+      def actionChain(conds: Seq[Option[Column]], base: Int, default: Int): Column =
+        if (conds.isEmpty) lit(default)
+        else {
+          var e = when(conds.head.getOrElse(lit(true)), lit(base))
+          conds.zipWithIndex.drop(1).foreach { case (c, i) =>
+            e = e.when(c.getOrElse(lit(true)), lit(base + i))
+          }
+          e.otherwise(lit(default))
+        }
+
+      def applyClauses(target: DataFrame): DataFrame = {
+        val tgt = target.withColumn("_g_t_present", lit(true)).alias(GraftMerge.TargetAlias)
+        val joinCond = t.hashColumns.map { c =>
+          GraftMerge.target(c) === GraftMerge.source(onKeys(c)).cast(sch(c).dataType)
+        }.reduce(_ && _)
+        val joined = tgt.join(src, joinCond, "full_outer")
+        val tP = coalesce(col(s"${GraftMerge.TargetAlias}._g_t_present"), lit(false))
+        val sP = coalesce(col(s"${GraftMerge.SourceAlias}._g_s_present"), lit(false))
+        val action =
+          when(tP && sP, actionChain(matched.map(_.condition), 0, KeepTarget))
+            .when(sP && !tP, actionChain(notMatched.map(_.condition), 1000, Drop))
+            .otherwise(actionChain(notMatchedBySource.map(_.condition), 2000, KeepTarget))
+        val dropActions: Seq[Int] =
+          matched.zipWithIndex.collect { case (c, i) if c.set.isEmpty => i } ++
+            notMatchedBySource.zipWithIndex.collect { case (c, i) if c.set.isEmpty => 2000 + i } :+
+            Drop
+        val kept = joined.withColumn("_g_action", action)
+          .filter(!col("_g_action").isin(dropActions: _*))
+        val outExprs = outCols.map { c =>
+          val cases: Seq[(Int, Column)] =
+            matched.zipWithIndex.collect {
+              case (cl, i) if cl.set.exists(_.contains(c)) => (i, cl.set.get(c))
+            } ++
+              notMatched.zipWithIndex.map { case (cl, j) =>
+                (1000 + j, cl.values.getOrElse(c, lit(null)))
+              } ++
+              notMatchedBySource.zipWithIndex.collect {
+                case (cl, i) if cl.set.exists(_.contains(c)) => (2000 + i, cl.set.get(c))
+              }
+          val e = cases.foldLeft(null: Column) { case (acc, (id, v)) =>
+            if (acc == null) when(col("_g_action") === id, v)
+            else acc.when(col("_g_action") === id, v)
+          }
+          val full = if (e == null) GraftMerge.target(c)
+            else e.otherwise(GraftMerge.target(c))
+          full.cast(sch(c).dataType).as(c)
+        }
+        kept.select(outExprs: _*)
+      }
+
+      if (files.isEmpty) {
+        // nothing to rewrite — only NOT MATCHED inserts can produce rows;
+        // run the same clause logic against an empty target
+        val emptyTarget = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        val inserted = applyClauses(emptyTarget)
+        publish(TransactionalWrite.writeFiles(spark, t, inserted, CommitOp.Rewrite))
+      } else rewriteFiles(files, bucketAligned = false)(applyClauses)
+    }
+  }
+
   /** Delete physical files no longer referenced by any retained version and
     * prune version history (C11 TTL sweeper, CleanExpiredData.scala).
     * Files must be older than `retainMs` AND unreferenced by the current

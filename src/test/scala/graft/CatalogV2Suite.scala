@@ -129,6 +129,56 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("general MERGE INTO: conditional clauses, explicit assignments, DELETE, " +
+    "NOT MATCHED BY SOURCE") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      (1 to 20).map(i => (i.toLong, i * 1.0, s"s${i % 3}")).toDF("id", "bal", "seg")
+        .createOrReplaceTempView("gm_src")
+      spark.sql("CREATE TABLE graft_cat.gm.t PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT * FROM gm_src")
+      Seq((1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "x"),
+          (100L, 1.0, "x"), (101L, 2.0, "y"))
+        .toDF("id", "nb", "nseg").createOrReplaceTempView("gm_delta")
+      spark.sql(
+        "MERGE INTO graft_cat.gm.t t USING gm_delta s ON t.id = s.id " +
+          "WHEN MATCHED AND s.nseg = 'y' THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET bal = t.bal + s.nb " +
+          "WHEN NOT MATCHED AND s.nseg = 'x' THEN INSERT (id, bal, seg) " +
+          "VALUES (s.id, s.nb, 'new')")
+      // id 2 deleted; 1 and 3 updated through the clause chain; 100 inserted
+      // by the conditional INSERT; 101 filtered out by its condition
+      assert(spark.sql("SELECT * FROM graft_cat.gm.t WHERE id = 2").count() == 0)
+      assert(spark.sql("SELECT bal FROM graft_cat.gm.t WHERE id = 1")
+        .head.getDouble(0) == 11.0)
+      assert(spark.sql("SELECT bal FROM graft_cat.gm.t WHERE id = 3")
+        .head.getDouble(0) == 33.0)
+      assert(spark.sql("SELECT seg FROM graft_cat.gm.t WHERE id = 100")
+        .head.getString(0) == "new")
+      assert(spark.sql("SELECT * FROM graft_cat.gm.t WHERE id = 101").count() == 0)
+      assert(spark.table("graft_cat.gm.t").count() == 20)
+
+      spark.sql(
+        "MERGE INTO graft_cat.gm.t t USING gm_delta s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET seg = 'm' " +
+          "WHEN NOT MATCHED BY SOURCE AND t.id > 15 THEN DELETE")
+      // matched survivors (1, 3, 100) flagged; unmatched ids 16..20 deleted
+      assert(spark.sql("SELECT seg FROM graft_cat.gm.t WHERE id = 1")
+        .head.getString(0) == "m")
+      assert(spark.sql("SELECT * FROM graft_cat.gm.t WHERE id > 15 AND id < 100")
+        .count() == 0)
+      assert(spark.table("graft_cat.gm.t").count() == 15)
+      // an unsupported ON shape still errors clearly
+      val e = intercept[Exception] {
+        spark.sql("MERGE INTO graft_cat.gm.t t USING gm_delta s " +
+          "ON t.id = s.id AND t.seg = 'q' " +
+          "WHEN MATCHED THEN DELETE")
+      }
+      assert(e.getMessage.contains("primary-key"))
+    }
+  }
+
   test("ALTER COLUMN TYPE widening and FIRST/AFTER position") {
     withTempPath { wh =>
       useCatalog(wh)
