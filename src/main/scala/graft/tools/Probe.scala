@@ -94,6 +94,40 @@ object Probe {
       graft.pipeline.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8).count())
     time("full minhashNearDupPairs 2")(
       graft.pipeline.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8).count())
+
+    // ---------------- metadata store scaling ---------------------------
+    // 1000-commit history: warm resolution must be a stat() (snapshot
+    // cache), cold resolution pays one full log parse, and version-log
+    // checkpointing restores cold resolution to O(heads).
+    {
+      import graft.meta._
+      val mdir = java.nio.file.Files
+        .createTempDirectory("graft-probe-meta-").toFile.getAbsolutePath
+      val mt = GraftTable.create(spark, orders.limit(1000), mdir,
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      val store = MetaStore.default
+      val desc = mt.partitions.head.partitionDesc
+      time("1000 meta-only commits") {
+        (1 to 1000).foreach { _ =>
+          val head = store.listPartitionHeads(mdir)
+            .find(_.partitionDesc == desc).map(_.version).getOrElse(-1)
+          store.commit(mdir, Seq(DataCommitInfo(MetaStore.newCommitId(),
+            desc, Nil, CommitOp.Merge, 0L)), Map(desc -> head))
+        }
+      }
+      time("heads @1001 commits, warm store (stat-only)")(
+        store.listPartitionHeads(mdir).size)
+      time("heads @1001 commits, COLD store (full log parse)")(
+        new FileMetaStore().listPartitionHeads(mdir).size)
+      time("files @1001 commits, cold store (full fold)")(
+        new GraftTable(spark, mdir, new FileMetaStore()).liveFiles.size)
+      time("compactVersionLog (checkpoint heads)")(
+        store.compactVersionLog(mdir, System.currentTimeMillis() + 60000))
+      time("heads after checkpoint, cold store (O(heads))")(
+        new FileMetaStore().listPartitionHeads(mdir).size)
+      time("files after checkpoint, cold store")(
+        new GraftTable(spark, mdir, new FileMetaStore()).liveFiles.size)
+    }
     spark.stop()
   }
 }
