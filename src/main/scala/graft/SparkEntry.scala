@@ -307,6 +307,20 @@ object SparkEntry {
         "VALUES (s.k, 'merged', 0, s.delta, s.seg)")
       s.sql("SELECT * FROM graft_cat.vfy.cust_mc")
     }),
+    "asof_join" -> q((s, d) => {
+      // point-in-time alignment: each click event picks up the most recent
+      // preceding error event of the same user — ONE window over one keys
+      // shuffle (no inequality-join explosion); oracle = DuckDB ASOF JOIN
+      val e = rd(s, d, "events")
+      val l = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val r = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("err_ts"), col("value").as("err_value"))
+      graft.operators.AsofJoin.backward(l, r,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("err_value", "err_ts"))
+    }),
     "sql_show_partitions" -> q((s, d) => {
       // SupportsPartitionManagement surface: SHOW PARTITIONS lists the live
       // range partitions, ALTER TABLE DROP PARTITION expires one
@@ -739,6 +753,13 @@ object SparkEntry {
     "sql_show_partitions" ->
       """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS partition
         |FROM nation WHERE n_regionkey <> 4 GROUP BY n_regionkey""".stripMargin,
+    "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, ts AS err_ts, value AS err_value FROM events
+        |      WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.err_value, r.err_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
     "sql_replace_table" ->
       "SELECT * FROM nation",
     "bucketed_join_sql" ->
