@@ -321,6 +321,27 @@ object SparkEntry {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         valueCols = Seq("err_value", "err_ts"))
     }),
+    "range_join" -> q((s, d) => {
+      // interval containment without a nested-loop join: clicks land in the
+      // 30-minute window opened by each error of the same user — bin
+      // equi-join on (user, bin) + residual BETWEEN
+      val e = rd(s, d, "events")
+      val p = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      val i = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("sess_id"), col("user_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 1800L * 1000000L).as("e"))
+      graft.operators.RangeJoin.pointInInterval(p, i,
+        keys = Seq("user_id"), pointCol = "t", startCol = "s", endCol = "e",
+        valueCols = Seq("sess_id"), binWidth = 1800L * 1000000L)
+    }),
+    "tfidf_bm25" -> q((s, d) => {
+      // corpus-statistics term scoring (TF-IDF + BM25) over documents —
+      // fully replayed by the DuckDB oracle including the tokenizer
+      graft.pipeline.TextScoring.termScores(
+        rd(s, d, "documents"), "doc_id", "text")
+    }),
     "sql_show_partitions" -> q((s, d) => {
       // SupportsPartitionManagement surface: SHOW PARTITIONS lists the live
       // range partitions, ALTER TABLE DROP PARTITION expires one
@@ -760,6 +781,30 @@ object SparkEntry {
         |      WHERE event_type = 'error')
         |SELECT l.event_id, l.user_id, l.ts, l.value, r.err_value, r.err_ts
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+    "range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |           WHERE event_type = 'click'),
+        |i AS (SELECT event_id AS sess_id, user_id, epoch_us(ts) AS s,
+        |             epoch_us(ts) + 1800000000 AS e FROM events
+        |      WHERE event_type = 'error')
+        |SELECT p.user_id, p.event_id, p.t, i.sess_id
+        |FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.s AND i.e""".stripMargin,
+    "tfidf_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf,
+        |  round((ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) * tf.tf * 2.2 /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 4) AS bm25
+        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        |CROSS JOIN n CROSS JOIN stats""".stripMargin,
     "sql_replace_table" ->
       "SELECT * FROM nation",
     "bucketed_join_sql" ->
