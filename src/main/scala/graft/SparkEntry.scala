@@ -321,6 +321,25 @@ object SparkEntry {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         valueCols = Seq("err_value", "err_ts"))
     }),
+    "sessionize" -> q((s, d) => {
+      // gap-based sessionization (1 h gap) of the full event stream: one
+      // window over the user shuffle + a per-session aggregate
+      val e = rd(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      graft.pipeline.Sessionize.sessions(e, Seq("user_id"), "t",
+        gap = 3600L * 1000000L)
+    }),
+    "dedup_incremental" -> q((s, d) => {
+      // continuous-ingest dedup: a new crawl batch (doc_id >= 200, with
+      // synthetic exact dupes) against the existing corpus (doc_id < 250) —
+      // corpus travels as distinct 64-bit hashes into a left anti join
+      val doc = rd(s, d, "documents")
+      val corpus = doc.filter(col("doc_id") < 250)
+      val batch = doc.filter(col("doc_id") >= 200)
+        .unionByName(doc.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000))
+      graft.pipeline.Dedup.exactIncremental(corpus, batch, "doc_id", "text")
+    }),
     "range_join" -> q((s, d) => {
       // interval containment without a nested-loop join: clicks land in the
       // 30-minute window opened by each error of the same user — bin
@@ -781,6 +800,29 @@ object SparkEntry {
         |      WHERE event_type = 'error')
         |SELECT l.event_id, l.user_id, l.ts, l.value, r.err_value, r.err_ts
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |b AS (SELECT user_id, t,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |       > 3600000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |a AS (SELECT user_id, t, CAST(sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b)
+        |SELECT user_id, session_seq, min(t) AS session_start,
+        |  max(t) AS session_end, count(*) AS n_events
+        |FROM a GROUP BY user_id, session_seq""".stripMargin,
+    "dedup_incremental" ->
+      """WITH nrm AS (SELECT *, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |            FROM documents),
+        |corpus AS (SELECT nt FROM nrm WHERE doc_id < 250),
+        |batch AS (SELECT * FROM nrm WHERE doc_id >= 200
+        |          UNION ALL
+        |          SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars, nt
+        |          FROM nrm WHERE doc_id % 7 = 0),
+        |kept AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+        |    FROM batch) WHERE rn = 1)
+        |SELECT doc_id, text, lang, source, n_chars FROM kept
+        |WHERE nt NOT IN (SELECT nt FROM corpus)""".stripMargin,
     "range_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
         |           WHERE event_type = 'click'),

@@ -35,6 +35,26 @@ object Dedup {
       .select(df.columns.map(c => col(s"_g_row.$c")): _*)
   }
 
+  /** Incremental exact dedup of a NEW batch against an existing corpus: keep
+    * batch rows whose normalized content appears nowhere in the corpus, and
+    * collapse within-batch duplicates to the min-id row. The corpus side is
+    * reduced to distinct 64-bit content hashes before the anti-join, so the
+    * shuffle carries 8 bytes/doc — the shape for continuously deduping
+    * incoming crawl batches against a 100 TB corpus (combine with the graft
+    * table's incremental read to feed `batch`). */
+  def exactIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ch = corpus.select(GraftFunctions.xx64(normText(col(textCol))).as("_g_h"))
+      .distinct()
+    exact(batch, idCol, textCol)
+      .withColumn("_g_h", GraftFunctions.xx64(normText(col(textCol))))
+      .join(ch, Seq("_g_h"), "left_anti")
+      .drop("_g_h")
+  }
+
   /** (keeper, dup) pairs removed by exact dedup. */
   def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withH = df.select(col(idCol), GraftFunctions.xx64(normText(col(textCol))).as("_g_h"))

@@ -162,6 +162,30 @@ class PipelineSuite extends SparkFixture {
     assert(frames.count() > 20) // exploded to multiple frames per doc
   }
 
+  test("sessionization: gap splits, per-session summaries") {
+    val e = Seq(
+      ("u", 0L), ("u", 100L), ("u", 5000L), ("u", 5100L), ("v", 0L))
+      .toDF("k", "t")
+    val s = graft.pipeline.Sessionize.sessions(e, Seq("k"), "t", gap = 1000L)
+      .orderBy("k", "session_seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(s.toSeq == Seq(
+      ("u", 0L, 0L, 100L, 2L), ("u", 1L, 5000L, 5100L, 2L),
+      ("v", 0L, 0L, 0L, 1L)))
+  }
+
+  test("incremental exact dedup: batch vs corpus, within-batch collapse") {
+    val corpus = Seq((1L, "Seen Text"), (2L, "other")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "seen  text"),   // normalizes to a corpus duplicate -> dropped
+      (11L, "fresh"), (12L, "FRESH"), // within-batch dupes -> min id kept
+      (13L, "unique")).toDF("id", "text")
+    val out = graft.pipeline.Dedup.exactIncremental(corpus, batch, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+  }
+
   test("streaming sink: exactly-once per (queryId, batchId); modes") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), path,
