@@ -321,6 +321,16 @@ object SparkEntry {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         valueCols = Seq("err_value", "err_ts"))
     }),
+    "salted_join" -> q((s, d) => {
+      // manual skew remedy: orders (fact, skewed) x customer (dim) joined on
+      // (custkey, salt) with the dim replicated 8x — result multiset must
+      // equal the plain join's (the oracle)
+      val o = rd(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      val c = rd(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      graft.operators.SaltedJoin.inner(o, c, Seq("o_custkey"), salt = 8)
+    }),
     "sessionize" -> q((s, d) => {
       // gap-based sessionization (1 h gap) of the full event stream: one
       // window over the user shuffle + a per-session aggregate
@@ -800,6 +810,9 @@ object SparkEntry {
         |      WHERE event_type = 'error')
         |SELECT l.event_id, l.user_id, l.ts, l.value, r.err_value, r.err_ts
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+    "salted_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
         |b AS (SELECT user_id, t,

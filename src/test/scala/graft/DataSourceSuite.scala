@@ -73,6 +73,41 @@ class DataSourceSuite extends SparkFixture {
     }
   }
 
+  test("structured streaming composition: watermark + event-time window agg " +
+    "over the graft source (SURVEY §2.9 delegation)") {
+    withTempPath { src =>
+      withTempPath { ckpt =>
+        def ts(s: String) = java.sql.Timestamp.valueOf(s)
+        val t = GraftTable.create(spark, Seq(
+          (1L, ts("2024-01-01 00:00:10"), 1.0),
+          (2L, ts("2024-01-01 00:00:40"), 2.0),
+          (3L, ts("2024-01-01 00:01:10"), 10.0)).toDF("id", "ts", "v"), src,
+          hashColumns = Seq("id"), bucketNum = 1)
+        def run(): Unit = {
+          val q = spark.readStream.format("graft").load(src)
+            .withWatermark("ts", "30 seconds")
+            .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 minute"))
+            .agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+            .selectExpr("window.start AS ws", "sv")
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("wm_out")
+            .option("checkpointLocation", s"$ckpt/q")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(60000)
+        }
+        run()
+        assertRows(spark.table("wm_out").selectExpr("CAST(ws AS STRING)", "sv"),
+          Seq("[2024-01-01 00:00:00,3.0]", "[2024-01-01 00:01:00,10.0]"))
+        // late-but-in-watermark row lands in its event-time window on replay
+        t.upsert(Seq((4L, ts("2024-01-01 00:01:20"), 5.0)).toDF("id", "ts", "v"))
+        run()
+        assertRows(spark.table("wm_out").selectExpr("CAST(ws AS STRING)", "sv"),
+          Seq("[2024-01-01 00:00:00,3.0]", "[2024-01-01 00:01:00,15.0]"))
+      }
+    }
+  }
+
   test("stream ingestion: topics route into auto-created tables, schema " +
     "evolves, replay is exactly-once (S12 shape)") {
     withTempPath { root =>
