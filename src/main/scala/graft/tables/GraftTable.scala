@@ -171,18 +171,19 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     mergeSchema(df.schema)
     withRetry {
       val t = info
+      val heads = headsNow // attempt-start heads: CAS catches interleavers
       val files = partitionCond.map(targetFiles).getOrElse(liveFiles)
       val src = partitionCond.map(df.filter).getOrElse(df)
       if (files.isEmpty) {
         // empty target: the batch IS the rewritten state
-        publish(TransactionalWrite.writeFiles(spark, t, src, CommitOp.Merge))
+        publish(TransactionalWrite.writeFiles(spark, t, src, CommitOp.Merge), heads)
       } else {
         val keys = t.rangeColumns ++ t.hashColumns
         val srcCols = src.columns.toSet
         val outCols = graft.util.SchemaUtil.fromJson(t.schemaJson).fieldNames.toSeq
         // full-outer joined rows land in arbitrary partitions, so the write
         // re-shuffles them into bucket placement (bucketAligned = false)
-        rewriteFiles(files, bucketAligned = false) { target =>
+        rewriteFiles(files, heads, bucketAligned = false) { target =>
           val joined = target.join(src, keys, "full_outer")
           joined.select(outCols.map { c =>
             if (keys.contains(c)) col(c)
@@ -203,7 +204,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val t = info
     val bad = set.keySet.intersect((t.rangeColumns ++ t.hashColumns).toSet)
     require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
-    rewriteFiles(targetFiles(cond)) { df =>
+    val heads = headsNow
+    rewriteFiles(targetFiles(cond), heads) { df =>
       set.foldLeft(df) { case (d, (c, expr)) =>
         d.withColumn(c, when(cond, expr).otherwise(col(c)))
       }
@@ -221,12 +223,13 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * [[update]]. */
   def delete(cond: Column): Unit = withRetry {
     val t = info
+    val heads = headsNow
     val conj = condConjuncts(cond)
     if (t.rangeColumns.nonEmpty &&
         conj.forall(c => refNames(c).exists(_.subsetOf(t.rangeColumns.toSet)))) {
       val hit = partitionsMatching(cond, partitions.map(_.partitionDesc))
       publish(expireCommitsFor(hit))
-    } else rewriteFiles(targetFiles(cond)) { df =>
+    } else rewriteFiles(targetFiles(cond), heads) { df =>
       df.filter(!coalesce(cond, lit(false)))
     }
   }
@@ -248,6 +251,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def compaction(opts: CompactionOptions,
       partitionPred: String => Boolean): Unit = withRetry {
     val t0 = info
+    val heads = headsNow // attempt-start heads: CAS catches interleavers
     val candidates = partitions.filter(p => partitionPred(p.partitionDesc))
     val descs = candidates
       .filter(p => opts.fileNumLimit.forall(n => p.snapshot.size >= n))
@@ -291,7 +295,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           val commits = TransactionalWrite.writeFiles(
             spark, t, compacted, CommitOp.Compaction, skipPreMerge = true)
           publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc),
-            CommitOp.Compaction))
+            CommitOp.Compaction), heads)
         } else {
           // PARTIAL (leveled) compaction: publish the merged small runs as a
           // new sorted run + `del` ops for the files it replaces — large
@@ -306,7 +310,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           val leftover = (delsByDesc.keySet -- commits.map(_.partitionDesc)).toSeq
             .map(d => DataCommitInfo(MetaStore.newCommitId(), d,
               delsByDesc(d), CommitOp.Merge, 0L))
-          publish(withDels ++ leftover)
+          publish(withDels ++ leftover, heads)
         }
       }
     }
@@ -448,6 +452,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
     withRetry {
       val t = info
+      val heads = headsNow // attempt-start heads: CAS catches interleavers
       val sch = schema
       val outCols = sch.fieldNames.toSeq
       val files =
@@ -524,8 +529,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         val emptyTarget = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
         val inserted = applyClauses(emptyTarget)
-        publish(TransactionalWrite.writeFiles(spark, t, inserted, CommitOp.Rewrite))
-      } else rewriteFiles(files, bucketAligned = false)(applyClauses)
+        publish(TransactionalWrite.writeFiles(spark, t, inserted, CommitOp.Rewrite), heads)
+      } else rewriteFiles(files, heads, bucketAligned = false)(applyClauses)
     }
   }
 
@@ -800,7 +805,10 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * buckets/partitions keep their file lists byte-identical. All runs of a
     * targeted (partition, bucket) are replaced together, so any merge
     * operator stays exact. */
-  private def rewriteFiles(files: Seq[ResolvedFile], bucketAligned: Boolean = true)(
+  private def rewriteFiles(
+      files: Seq[ResolvedFile],
+      expectedHeads: Map[String, Int],
+      bucketAligned: Boolean = true)(
       fn: DataFrame => DataFrame): Unit = {
     if (files.isEmpty) return
     val t = info
@@ -820,7 +828,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         delsByDesc.getOrElse(d, Nil) ++ addC.map(_.files).getOrElse(Nil),
         CommitOp.Rewrite, 0L)
     }
-    publish(commits)
+    publish(commits, expectedHeads)
   }
 
   /** Empty `update` commits expiring entire partitions (metadata-only delete,
@@ -830,9 +838,23 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     descs.toSeq.map(d =>
       DataCommitInfo(MetaStore.newCommitId(), d, Nil, op, 0L))
 
-  private def publish(commits: Seq[DataCommitInfo]): Unit = {
+  /** Partition heads at this instant — capture at the START of an optimistic
+    * attempt and pass to [[publish]] so the CAS detects ANY commit that
+    * interleaves after the snapshot was read (not just ones racing the
+    * publish call itself). */
+  private def headsNow: Map[String, Int] =
+    partitions.map(p => p.partitionDesc -> p.version).toMap
+
+  /** Publish with publish-time heads — ONLY safe for operations that commute
+    * with concurrent commits (append / delta-upsert runs, expire-newest-wins
+    * deletes). Snapshot-dependent rewrites must pass the attempt-start heads
+    * explicitly. */
+  private def publish(commits: Seq[DataCommitInfo]): Unit =
+    publish(commits, headsNow)
+
+  private def publish(commits: Seq[DataCommitInfo],
+      heads: Map[String, Int]): Unit = {
     if (commits.isEmpty) return
-    val heads = partitions.map(p => p.partitionDesc -> p.version).toMap
     val expected = commits.map(c =>
       c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap
     store.commit(tablePath, commits, expected)

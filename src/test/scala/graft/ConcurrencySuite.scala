@@ -39,6 +39,45 @@ class ConcurrencySuite extends SparkFixture {
     }
   }
 
+  test("concurrent clause-merges (copy-on-write) all land via CAS retry") {
+    withTempPath { path =>
+      import graft.tables.{GraftMerge, MergeMatchedClause, MergeNotMatchedClause}
+      val t = GraftTable.create(spark,
+        (1 to 20).map(i => (i.toLong, 0.0)).toDF("id", "bal"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val n = 4
+      val pool = Executors.newFixedThreadPool(n)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to n).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            // each writer bumps a DISJOINT id range and inserts one new key,
+            // so the merged end state is exact regardless of interleaving
+            try GraftTable.forPath(spark, path).mergeIntoClauses(
+              Seq((i * 5L - 4, 1.0), (i * 5L - 3, 1.0), (100L + i, 7.0))
+                .toDF("k", "amt"),
+              Map("id" -> "k"),
+              matched = Seq(MergeMatchedClause(None, Some(Map(
+                "bal" -> (GraftMerge.target("bal") + GraftMerge.source("amt")))))),
+              notMatched = Seq(MergeNotMatchedClause(None, Map(
+                "id" -> GraftMerge.source("k"),
+                "bal" -> GraftMerge.source("amt")))))
+            catch { case e: Throwable => errs.add(e) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"concurrent merges failed: ${errs.peek()}")
+      assert(t.toDF.count() == 20 + n)
+      assert(t.toDF.filter(col("bal") === 1.0).count() == 2 * n)
+      assert(t.toDF.filter(col("id") > 100).count() == n)
+    }
+  }
+
   test("DDL: addColumn + setProperties visible to readers") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
