@@ -108,6 +108,7 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       "hashColumns", "bucketNum", "path")
     val explicit = props.get(TableCatalog.PROP_LOCATION).orElse(props.get("path"))
+      .map(graft.util.PathUtil.local)
     val location = explicit.getOrElse(
       s"${GraftCatalog.warehouseDir(spark)}/" +
         s"${(ident.namespace() :+ ident.name()).mkString("/")}")

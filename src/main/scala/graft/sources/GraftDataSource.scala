@@ -36,8 +36,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("'path' option (or load(path)) required"))
+    graft.util.PathUtil.local(parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' option (or load(path)) required")))
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -903,15 +903,16 @@ object GraftTable {
       bucketNum: Int = 4,
       properties: Map[String, String] = Map.empty,
       store: MetaStore = MetaStore.default): GraftTable = {
+    val tp = graft.util.PathUtil.local(tablePath)
     val missing = (rangeColumns ++ hashColumns).filterNot(df.columns.contains)
     require(missing.isEmpty, s"partition columns not in data: ${missing.mkString(", ")}")
     // PK columns are forced non-nullable (ImplicitMetadataOperation.scala:106-113)
     val schema = StructType(df.schema.fields.map(f =>
       if (hashColumns.contains(f.name)) f.copy(nullable = false) else f))
     store.createTable(TableInfo(
-      MetaStore.newCommitId(), new java.io.File(tablePath).getCanonicalPath,
+      MetaStore.newCommitId(), new java.io.File(tp).getCanonicalPath,
       schema.json, rangeColumns, hashColumns, bucketNum, properties))
-    val t = new GraftTable(spark, tablePath, store)
+    val t = new GraftTable(spark, tp, store)
     t.append(df)
     t
   }
@@ -927,19 +928,20 @@ object GraftTable {
       bucketNum: Int = 4,
       properties: Map[String, String] = Map.empty,
       store: MetaStore = MetaStore.default): GraftTable = {
+    val tp = graft.util.PathUtil.local(tablePath)
     val missing = (rangeColumns ++ hashColumns).filterNot(schema.fieldNames.contains)
     require(missing.isEmpty, s"partition columns not in schema: ${missing.mkString(", ")}")
     val s = StructType(schema.fields.map(f =>
       if (hashColumns.contains(f.name)) f.copy(nullable = false) else f))
     store.createTable(TableInfo(
-      MetaStore.newCommitId(), new java.io.File(tablePath).getCanonicalPath,
+      MetaStore.newCommitId(), new java.io.File(tp).getCanonicalPath,
       s.json, rangeColumns, hashColumns, bucketNum, properties))
-    new GraftTable(spark, tablePath, store)
+    new GraftTable(spark, tp, store)
   }
 
   def forPath(spark: SparkSession, tablePath: String,
       store: MetaStore = MetaStore.default): GraftTable =
-    new GraftTable(spark, tablePath, store)
+    new GraftTable(spark, graft.util.PathUtil.local(tablePath), store)
 
   /** Resolve `namespace.table` through the warehouse catalog (C1 forName). */
   def forName(spark: SparkSession, name: String,
@@ -966,5 +968,5 @@ object GraftTable {
   }
 
   def exists(tablePath: String, store: MetaStore = MetaStore.default): Boolean =
-    store.getTableInfo(tablePath).isDefined
+    store.getTableInfo(graft.util.PathUtil.local(tablePath)).isDefined
 }

@@ -139,6 +139,22 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("file: URI table paths normalize to the local filesystem") {
+    withTempPath { path =>
+      // Spark's session catalog hands DSv1 providers the QUALIFIED location
+      // (file:/tmp/...); both API and option("path") entry points must land
+      // on the real local path, not a relative "file:..." dir under the CWD
+      val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"),
+        s"file:$path", hashColumns = Seq("id"), bucketNum = 1)
+      assert(t.toDF.count() == 1)
+      assert(new java.io.File(path, "_graft_meta").exists)
+      assert(GraftTable.exists(s"file://$path"))
+      val r = spark.read.format("graft").option("path", s"file:$path").load()
+      assert(r.count() == 1)
+      assert(!new java.io.File("file:").exists, "stray relative 'file:' dir created")
+    }
+  }
+
   test("guard rails: unsupported v1 commands fail with clear errors (C16)") {
     withTempPath { path =>
       Seq((1, "a")).toDF("id", "v").write.format("graft")
