@@ -27,13 +27,16 @@ object CommitOp {
   *                 table has no primary key
   * @param existCols comma-joined list of columns physically present in the
   *                  file (schema evolution: absent columns read as null)
+  * @param stats    per-column min/max JSON ([[FileStats]]); "" = none
+  *                 collected (never skip on unknown)
   */
 case class DataFileInfo(
     path: String,
     fileOp: String,
     size: Long,
     bucketId: Int,
-    existCols: String = "")
+    existCols: String = "",
+    stats: String = "")
 
 /** One atomic commit against one range partition.
   * Reference: TransactionCommit.scala:268-376, meta_init.sql:71-99.

@@ -92,11 +92,17 @@ class GraftScan(
     spark: SparkSession,
     info: TableInfo,
     schema: StructType,
-    files: Seq[ResolvedFile],
+    filesIn: Seq[ResolvedFile],
     dataFilters: Seq[Filter],
     pkBucket: Option[Int],
     keepCdcRows: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning {
+
+  // metadata-level file skipping (zone maps): drop files whose min/max
+  // bounds prove no row matches; merge-safety enforced inside prune
+  private val files: Seq[ResolvedFile] =
+    StatsSkipping.prune(info, graft.util.SchemaUtil.fromJson(info.schemaJson),
+      filesIn, dataFilters)
 
   private val bucketMergeable =
     info.hasPrimaryKey && BucketMergeRead.supports(info, schema, files) &&

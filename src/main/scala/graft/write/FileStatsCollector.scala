@@ -1,0 +1,168 @@
+package graft.write
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.meta.{ColStats, DataFileInfo, FileStats}
+
+/** Write-side collection of per-file column min/max from parquet footers.
+  *
+  * Runs after [[TransactionalWrite.writeFiles]] has produced a commit's
+  * files: the footers were just written and are page-cache hot, so reading
+  * them costs ~1 ms each. Small commits read on the driver; large commits
+  * fan the footer reads out as a Spark job so collection scales with the
+  * cluster, not the driver.
+  *
+  * Only top-level columns with a stable, order-preserving parquet encoding
+  * are collected (int/long/float/double/date/string, timestamp when written
+  * as INT64 micros); everything else stays unknown and is never skipped on.
+  */
+object FileStatsCollector {
+
+  /** Table property: set "false" to skip collection. */
+  val EnabledProp = "graft.stats.enabled"
+  /** Table property: max number of leading schema columns indexed. */
+  val NumColsProp = "graft.stats.cols"
+  val DefaultNumCols = 32
+
+  private val DriverReadLimit = 256
+
+  def attach(
+      spark: SparkSession,
+      table: graft.meta.TableInfo,
+      schema: StructType,
+      files: Seq[(String, DataFileInfo)]): Seq[(String, DataFileInfo)] = {
+    if (files.isEmpty) return files
+    if (table.properties.get(EnabledProp).contains("false")) return files
+    val nCols = table.properties.get(NumColsProp).map(_.toInt).getOrElse(DefaultNumCols)
+    // leading-columns cap (same idea as Delta's dataSkippingNumIndexedCols):
+    // bound the metadata size on wide tables
+    val indexed: Map[String, DataType] = schema.fields.take(nCols).collect {
+      case f if supported(f.dataType) => f.name -> f.dataType
+    }.toMap
+    if (indexed.isEmpty) return files
+
+    val paths = files.map(_._2.path)
+    val statsByPath: Map[String, String] =
+      if (paths.size <= DriverReadLimit) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        paths.map(p => p -> readFileStats(p, conf, indexed)).toMap
+      } else {
+        // DataTypes are serializable; each task builds a local Hadoop conf
+        spark.sparkContext
+          .parallelize(paths, math.min(paths.size, 64))
+          .map(p => p -> readFileStats(p, new Configuration(), indexed))
+          .collect().toMap
+      }
+    files.map { case (desc, f) =>
+      (desc, f.copy(stats = statsByPath.getOrElse(f.path, "")))
+    }
+  }
+
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Aggregate row-group statistics to file-level bounds; a column whose
+    * stats are missing/invalid in ANY row group is dropped entirely. */
+  private def readFileStats(
+      path: String,
+      conf: Configuration,
+      indexed: Map[String, DataType]): String = {
+    try {
+      val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        if (blocks.isEmpty) return ""
+        var acc = Map.empty[String, (String, String, Long)] // (min, max, nulls)
+        var bad = Set.empty[String]
+        var totalRows = 0L
+        blocks.foreach { b =>
+          totalRows += b.getRowCount
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            indexed.get(name).foreach { dt =>
+              val st = c.getStatistics
+              val prim = c.getPrimitiveType.getPrimitiveTypeName
+              if (st == null || st.isEmpty || st.getNumNulls < 0 ||
+                  !encodingMatches(dt, prim)) bad += name
+              else {
+                val (mn, mx) =
+                  if (!st.hasNonNullValue) (null, null)
+                  else (encodeValue(st.genericGetMin.asInstanceOf[AnyRef], prim),
+                    encodeValue(st.genericGetMax.asInstanceOf[AnyRef], prim))
+                if (mn == null && st.hasNonNullValue) bad += name
+                else acc.get(name) match {
+                  case None => acc += name -> (mn, mx, st.getNumNulls)
+                  case Some((pmn, pmx, pn)) =>
+                    acc += name -> (minOf(dt, pmn, mn), maxOf(dt, pmx, mx),
+                      pn + st.getNumNulls)
+                }
+              }
+            }
+          }
+        }
+        val out = (acc -- bad).map { case (name, (mn, mx, nulls)) =>
+          name -> ColStats(Option(mn), Option(mx), hn = nulls > 0,
+            an = mn == null && nulls >= totalRows && totalRows > 0)
+        }
+        FileStats.encode(out)
+      } finally reader.close()
+    } catch { case _: Exception => "" } // stats are an optimization, never fail a write
+  }
+
+  /** The physical encoding must be the one whose sort order matches our
+    * string-encoded comparison domain (e.g. timestamps only as INT64 micros
+    * — INT96 stats are unordered and parquet already suppresses them). */
+  private def encodingMatches(dt: DataType, p: PrimitiveTypeName): Boolean = (dt, p) match {
+    case (ByteType | ShortType | IntegerType | DateType, PrimitiveTypeName.INT32) => true
+    case (LongType | TimestampType | TimestampNTZType, PrimitiveTypeName.INT64) => true
+    case (FloatType, PrimitiveTypeName.FLOAT) => true
+    case (DoubleType, PrimitiveTypeName.DOUBLE) => true
+    case (StringType, PrimitiveTypeName.BINARY) => true
+    case _ => false
+  }
+
+  private def encodeValue(v: AnyRef, p: PrimitiveTypeName): String = v match {
+    case null => null
+    case b: Binary if p == PrimitiveTypeName.BINARY => b.toStringUsingUTF8
+    case n => n.toString // Integer / Long / Float / Double box toString
+  }
+
+  private def minOf(dt: DataType, a: String, b: String): String =
+    if (a == null) b else if (b == null) a
+    else if (StatsCompare.compare(dt, a, b) <= 0) a else b
+
+  private def maxOf(dt: DataType, a: String, b: String): String =
+    if (a == null) b else if (b == null) a
+    else if (StatsCompare.compare(dt, a, b) >= 0) a else b
+}
+
+/** Comparison over the string-encoded stats domain. Strings compare as
+  * unsigned UTF-8 bytes — the same total order Spark's UTF8String and
+  * parquet's UTF8 column order use; floats/doubles via IEEE compare. */
+object StatsCompare {
+  def compare(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case StringType => compareUtf8(a, b)
+    case _ => throw new IllegalArgumentException(s"unsupported stats type $dt")
+  }
+
+  def compareUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}

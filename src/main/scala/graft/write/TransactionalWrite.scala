@@ -187,7 +187,9 @@ object TransactionalWrite {
     (if (partDirCols.nonEmpty) writer.partitionBy(partDirCols: _*) else writer)
       .parquet(commitDir.getAbsolutePath)
 
-    val files = listCommitFiles(commitDir.toPath, table, existCols)
+    val listed = listCommitFiles(commitDir.toPath, table, existCols)
+    // per-file min/max bounds from the just-written (page-cache-hot) footers
+    val files = FileStatsCollector.attach(spark, table, df.schema, listed)
     // One DataCommitInfo per touched range partition (TransactionCommit.scala:268-376).
     files.groupBy(_._1).map { case (desc, fs) =>
       DataCommitInfo(if (desc == TableInfo.RootPartition) commitId

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.meta.{ColStats, FileStats}
+import graft.read.StatsSkipping
+import graft.tables.GraftTable
+
+/** File-level min/max statistics: write-side collection from parquet
+  * footers and metadata-level skipping on read. */
+class StatsSkippingSuite extends SparkFixture {
+  import spark.implicits._
+
+  test("writes record per-file min/max bounds; decode round-trips") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1L, 10.0, "alpha"), (2L, 20.0, "beta")).toDF("id", "v", "s"),
+        path, hashColumns = Seq("id"), bucketNum = 1)
+      val stats = FileStats.decode(t.liveFiles.head.file.stats)
+      assert(stats.keySet == Set("id", "v", "s"))
+      assert(stats("id") == ColStats(Some("1"), Some("2"), hn = false, an = false))
+      assert(stats("v") == ColStats(Some("10.0"), Some("20.0"), hn = false, an = false))
+      assert(stats("s") == ColStats(Some("alpha"), Some("beta"), hn = false, an = false))
+    }
+  }
+
+  test("nulls tracked: hasNull and allNull flags") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1L, Some(5.0), None: Option[String]),
+          (2L, None: Option[Double], None: Option[String]))
+          .toDF("id", "v", "s"), path, hashColumns = Seq("id"), bucketNum = 1)
+      val stats = FileStats.decode(t.liveFiles.head.file.stats)
+      assert(stats("v") == ColStats(Some("5.0"), Some("5.0"), hn = true, an = false))
+      assert(stats("s") == ColStats(None, None, hn = true, an = true))
+    }
+  }
+
+  test("mightMatch three-valued evaluation") {
+    val stats = Map(
+      "a" -> ColStats(Some("10"), Some("20"), hn = false, an = false),
+      "s" -> ColStats(Some("banana"), Some("cherry"), hn = true, an = false),
+      "n" -> ColStats(None, None, hn = true, an = true))
+    val types = Map("a" -> LongType, "s" -> StringType, "n" -> LongType,
+      "unknown" -> LongType).asInstanceOf[Map[String, DataType]]
+    def m(f: Filter) = StatsSkipping.mightMatch(f, stats, types)
+
+    assert(m(EqualTo("a", 15L)) && m(EqualTo("a", 10L)) && m(EqualTo("a", 20L)))
+    assert(!m(EqualTo("a", 9L)) && !m(EqualTo("a", 21L)))
+    assert(m(GreaterThan("a", 19L)) && !m(GreaterThan("a", 20L)))
+    assert(m(GreaterThanOrEqual("a", 20L)) && !m(GreaterThanOrEqual("a", 21L)))
+    assert(m(LessThan("a", 11L)) && !m(LessThan("a", 10L)))
+    assert(m(LessThanOrEqual("a", 10L)) && !m(LessThanOrEqual("a", 9L)))
+    assert(m(In("a", Array(1L, 15L))) && !m(In("a", Array(1L, 2L))))
+    assert(!m(EqualTo("n", 5L)) && m(IsNull("n")) && !m(IsNotNull("n")))
+    assert(m(IsNotNull("a")) && !m(IsNull("a")) && m(IsNull("s")))
+    assert(m(EqualTo("unknown", 99L))) // no stats -> keep
+    assert(m(And(EqualTo("a", 15L), IsNull("s"))))
+    assert(!m(And(EqualTo("a", 15L), EqualTo("a", 25L))))
+    assert(m(Or(EqualTo("a", 25L), EqualTo("a", 15L))))
+    assert(!m(Or(EqualTo("a", 25L), EqualTo("a", 26L))))
+    // string range [banana, cherry]
+    assert(m(EqualTo("s", "candy")) && !m(EqualTo("s", "apple")) && !m(EqualTo("s", "date")))
+    assert(m(StringStartsWith("s", "ban")) && m(StringStartsWith("s", "cher")))
+    assert(!m(StringStartsWith("s", "app")) && !m(StringStartsWith("s", "dat")))
+    // Not is unknown -> keep
+    assert(m(Not(EqualTo("a", 15L))))
+  }
+
+  test("DSv2 scan skips files by predicate: partitions shrink, results exact") {
+    withTempPath { path =>
+      // non-PK table: two appends with disjoint id ranges -> 2 files
+      val t = GraftTable.create(spark,
+        (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1), path)
+      t.append((101L to 200L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+      assert(t.liveFiles.size == 2)
+
+      spark.conf.set("spark.sql.catalog.g_stats", "graft.catalog.GraftCatalogV2")
+      graft.catalog.GraftCatalog.register(spark, "default.stats_t", path)
+      val full = spark.sql("SELECT * FROM g_stats.default.stats_t")
+      assert(full.rdd.getNumPartitions == 2)
+      val pruned = spark.sql("SELECT * FROM g_stats.default.stats_t WHERE id > 150")
+      assert(pruned.rdd.getNumPartitions == 1, "expected one file skipped")
+      assert(pruned.count() == 50)
+      // range fully outside both files
+      val none = spark.sql("SELECT * FROM g_stats.default.stats_t WHERE id > 500")
+      assert(none.count() == 0)
+    }
+  }
+
+  test("MOR multi-run: value filters do NOT skip files, key filters do") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1L to 50L).map(i => (i, 1.0)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      // delta run shifts v for ids 1-10: merged v differs from base file's v
+      t.upsert((1L to 10L).map(i => (i, 100.0)).toDF("id", "v"))
+      assert(t.liveFiles.size == 2)
+
+      graft.catalog.GraftCatalog.register(spark, "default.stats_mor", path)
+      spark.conf.set("spark.sql.catalog.g_stats", "graft.catalog.GraftCatalogV2")
+      // value filter would exclude the base file ([1,1]) — but merged rows
+      // for ids 1-10 are 100.0 and must still appear
+      val hit = spark.sql("SELECT * FROM g_stats.default.stats_mor WHERE v > 50")
+      assert(hit.count() == 10)
+      // key filter outside both files' id range -> zero rows, exact
+      assert(spark.sql(
+        "SELECT * FROM g_stats.default.stats_mor WHERE id > 1000").count() == 0)
+    }
+  }
+
+  test("update/compaction rewrites refresh stats") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1L to 20L).map(i => (i, i.toDouble)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.update(col("id") === 5L, Map("v" -> lit(999.0)))
+      val stats = FileStats.decode(t.liveFiles.head.file.stats)
+      assert(stats("v").mx.contains("999.0"))
+      t.compaction()
+      val cStats = FileStats.decode(t.liveFiles.head.file.stats)
+      assert(cStats("v").mx.contains("999.0") && cStats("id").mn.contains("1"))
+    }
+  }
+}
