@@ -46,6 +46,58 @@ object Bench {
     // executes in. Both are published; `queries` = steady state.
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // MOR scenario FIRST (2.2.0-blog shape; BASELINE.md's only quantified
+    // comparable): init N rows -> 10 upserts of N/5 -> MOR read ->
+    // compaction -> compacted read -> compaction-cadence regime. Runs in a
+    // quiet JVM before the headline queries so the baseline-comparable
+    // numbers aren't taxed by 20 earlier queries' heap/GC state (probe:
+    // identical ops measured 3-10x slower late in a busy session).
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      // untimed warmup write: loads/JITs the write path (parquet writer,
+      // footer-stats reader) once, so mor_write_init measures the write,
+      // not JVM class loading
+      locally {
+        val wdir = java.nio.file.Files.createTempDirectory("graft-bench-warm-").toFile.getAbsolutePath
+        GraftTable.create(spark, orders.limit(1000), wdir,
+          hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-").toFile.getAbsolutePath
+      var t: GraftTable = null
+      results("mor_write_init") = time {
+        t = GraftTable.create(spark, orders, dir,
+          hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+      }
+      val batch = orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      batch.cache().count()
+      results("mor_upsert_10x") = time {
+        (1 to 10).foreach(_ => t.upsert(batch))
+      }
+      // cold = first-ever read (one-time file-metadata first-touch + JIT of
+      // the merge path); headline number is STEADY-STATE (median of 3)
+      def median3(body: => Unit): Double = {
+        val ts = Seq.fill(3)(time(body)).sorted
+        ts(1)
+      }
+      results("mor_read_10_deltas_cold") = time { t.toDF.count() }
+      results("mor_read_10_deltas") = median3 { t.toDF.count() }
+      results("mor_compaction") = time { t.compaction() }
+      results("mor_read_compacted_cold") = time { t.toDF.count() }
+      results("mor_read_compacted") = median3 { t.toDF.count() }
+      // compaction-CADENCE regime — the reference's actual operating mode:
+      // upserts with compaction every 4th, then steady-state reads carrying
+      // the average pending-delta load (2 sorted runs)
+      results("mor_upsert_cadenced_10x") = time {
+        (1 to 10).foreach { i => t.upsert(batch); if (i % 4 == 0) t.compaction() }
+      }
+      results("mor_read_cadenced") = median3 { t.toDF.count() }
+      batch.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")
+    }
+
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
       try cold(name) = time { fn(spark, sfDir).count() }
@@ -110,52 +162,6 @@ object Bench {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spj scenario failed: ${e.getMessage}")
-    }
-
-    // MOR scenario (2.2.0-blog shape): init N rows, 10 upserts of N/5,
-    // merge-on-read, compaction, compacted read.
-    try {
-      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      val n = orders.count()
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-").toFile.getAbsolutePath
-      var t: GraftTable = null
-      results("mor_write_init") = time {
-        t = GraftTable.create(spark, orders, dir,
-          hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
-      }
-      val batch = orders.filter(col("o_orderkey") % 5 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-      batch.cache().count()
-      results("mor_upsert_10x") = time {
-        (1 to 10).foreach(_ => t.upsert(batch))
-      }
-      // cold = first-ever read (pays one-time file-metadata first-touch +
-      // JIT of the merge path — per-TABLE, not per-query, cost); the
-      // headline number is STEADY-STATE (median of 3), the regime a real
-      // cluster reads in. Same methodology for both MOR and compacted so
-      // the degradation ratio compares like with like.
-      def median3(body: => Unit): Double = {
-        val ts = Seq.fill(3)(time(body)).sorted
-        ts(1)
-      }
-      results("mor_read_10_deltas_cold") = time { t.toDF.count() }
-      results("mor_read_10_deltas") = median3 { t.toDF.count() }
-      results("mor_compaction") = time { t.compaction() }
-      results("mor_read_compacted_cold") = time { t.toDF.count() }
-      results("mor_read_compacted") = median3 { t.toDF.count() }
-      // compaction-CADENCE regime — the reference's actual operating mode
-      // (BASELINE.md: read degradation stays bounded because compaction runs
-      // on a cadence, not never): keep upserting with compaction every 4th
-      // upsert, then read steady-state carrying the average pending-delta
-      // load (2 sorted runs) a cadenced table actually serves. The baseline
-      // comparable is mor_read_cadenced / mor_read_compacted.
-      results("mor_upsert_cadenced_10x") = time {
-        (1 to 10).foreach { i => t.upsert(batch); if (i % 4 == 0) t.compaction() }
-      }
-      results("mor_read_cadenced") = median3 { t.toDF.count() }
-      batch.unpersist()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -49,22 +49,51 @@ object FileStatsCollector {
     }.toMap
     if (indexed.isEmpty) return files
 
-    val paths = files.map(_._2.path)
+    val paths = files.map(f => f._2.path -> f._2.size)
     val statsByPath: Map[String, String] =
-      if (paths.size <= DriverReadLimit) {
+      if (paths.size <= DriverReadLimit && paths.forall(_._1.startsWith("/"))) {
+        // local driver-side read: RAW local FS (no .crc checksum companion
+        // reads), known file length (no getFileStatus round-trip), small
+        // thread pool — ~1 ms per footer instead of ~15 through the
+        // checksummed Hadoop path
         val conf = spark.sparkContext.hadoopConfiguration
-        paths.map(p => p -> readFileStats(p, conf, indexed)).toMap
+        val fs = new org.apache.hadoop.fs.RawLocalFileSystem()
+        fs.initialize(java.net.URI.create("file:///"), conf)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, paths.size))
+        try {
+          paths.map { case (p, len) =>
+            p -> pool.submit(new java.util.concurrent.Callable[String] {
+              def call(): String = readFileStats(rawInputFile(fs, p, len), indexed)
+            })
+          }.map { case (p, f) => p -> f.get() }.toMap
+        } finally pool.shutdown()
       } else {
         // DataTypes are serializable; each task builds a local Hadoop conf
         spark.sparkContext
           .parallelize(paths, math.min(paths.size, 64))
-          .map(p => p -> readFileStats(p, new Configuration(), indexed))
+          .map { case (p, _) =>
+            p -> readFileStats(
+              HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p),
+                new Configuration()), indexed)
+          }
           .collect().toMap
       }
     files.map { case (desc, f) =>
       (desc, f.copy(stats = statsByPath.getOrElse(f.path, "")))
     }
   }
+
+  /** Parquet InputFile over a raw (checksum-free) local FS with a known
+    * length — avoids both the .crc side reads and the status call. */
+  private def rawInputFile(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      len: Long): org.apache.parquet.io.InputFile =
+    new org.apache.parquet.io.InputFile {
+      override def getLength: Long = len
+      override def newStream(): org.apache.parquet.io.SeekableInputStream =
+        org.apache.parquet.hadoop.util.HadoopStreams.wrap(
+          fs.open(new org.apache.hadoop.fs.Path(path)))
+    }
 
   def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
@@ -75,11 +104,9 @@ object FileStatsCollector {
   /** Aggregate row-group statistics to file-level bounds; a column whose
     * stats are missing/invalid in ANY row group is dropped entirely. */
   private def readFileStats(
-      path: String,
-      conf: Configuration,
+      in: org.apache.parquet.io.InputFile,
       indexed: Map[String, DataType]): String = {
     try {
-      val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
       val reader = ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
