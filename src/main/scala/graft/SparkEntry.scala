@@ -350,6 +350,16 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 2000000))
       graft.pipeline.Dedup.exactIncremental(corpus, batch, "doc_id", "text")
     }),
+    "decontaminate" -> q((s, d) => {
+      // benchmark decontamination: distinct 3-gram overlap counts of every
+      // training doc against the (broadcast) test-set gram universe —
+      // explode + broadcast semi-join + one doc-keyed agg shuffle
+      val doc = rd(s, d, "documents")
+      val test = doc.filter(col("doc_id") % 97 === 0)
+      graft.pipeline.Decontaminate.contaminationHits(
+        doc.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        test, "text", n = 3)
+    }),
     "range_join" -> q((s, d) => {
       // interval containment without a nested-loop join: clicks land in the
       // 30-minute window opened by each error of the same user — bin
@@ -836,6 +846,20 @@ object SparkEntry {
         |    FROM batch) WHERE rn = 1)
         |SELECT doc_id, text, lang, source, n_chars FROM kept
         |WHERE nt NOT IN (SELECT nt FROM corpus)""".stripMargin,
+    "decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |tg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT gr.doc_id, count(DISTINCT gr.g) AS n_hits
+        |FROM grams gr JOIN tg ON gr.g = tg.g
+        |WHERE gr.doc_id % 97 <> 0
+        |GROUP BY gr.doc_id""".stripMargin,
     "range_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
         |           WHERE event_type = 'click'),

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: remove (or flag)
+  * training documents that share word n-grams with a held-out test /
+  * benchmark set — the standard n-gram-overlap methodology of large-LM
+  * training-data pipelines.
+  *
+  * Plan shape at 100 TB: the test set's distinct n-grams are tiny relative
+  * to the corpus (benchmarks are thousands of documents, the corpus is
+  * billions), so they BROADCAST — the corpus side then streams through one
+  * explode projection, a broadcast hash semi-join, and a single
+  * (doc, gram)-partial-agg shuffle keyed by doc id. No shuffle of the
+  * corpus text itself, no crossJoin anywhere. Set `broadcastTest = false`
+  * for a pathological giant test set to fall back to a plain equi-join on
+  * the gram (both sides shuffle, still linear).
+  *
+  * Tokenizer is the shared whitespace [[TextAnalysis.tokens]], so the
+  * whole operator is replayable in ANSI SQL (DuckDB-oracled).
+  */
+object Decontaminate {
+
+  /** Word n-grams of `text` joined by single spaces; fewer than `n` tokens
+    * -> empty array. Pure codegen'd column expression (no UDF). */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document count of DISTINCT test-set n-grams it contains
+    * (`idCol`, `n_hits`); documents with zero hits are absent. */
+  def contaminationHits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      testSet: DataFrame,
+      testTextCol: String,
+      n: Int = 8,
+      broadcastTest: Boolean = true): DataFrame = {
+    val testGrams = testSet
+      .select(explode(ngrams(col(testTextCol), n)).as("_g_gram")).distinct()
+    val probe = if (broadcastTest) broadcast(testGrams) else testGrams
+    docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("_g_gram"))
+      .join(probe, "_g_gram")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("_g_gram")).as("n_hits"))
+  }
+
+  /** Docs with fewer than `minHits` distinct test n-grams (the decontaminated
+    * corpus). */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      testSet: DataFrame,
+      testTextCol: String,
+      n: Int = 8,
+      minHits: Long = 1,
+      broadcastTest: Boolean = true): DataFrame = {
+    val hits = contaminationHits(docs, idCol, textCol, testSet, testTextCol,
+      n, broadcastTest)
+    docs.join(hits.filter(col("n_hits") >= minHits), Seq(idCol), "left_anti")
+  }
+}

@@ -186,6 +186,30 @@ class PipelineSuite extends SparkFixture {
     assert(out == Set(11L, 13L))
   }
 
+  test("decontamination: n-gram overlap hits and corpus filtering") {
+    import graft.pipeline.Decontaminate
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox appeared"), // shares "quick brown fox"
+      (3L, "entirely different words here"),
+      (4L, "short text")).toDF("id", "text")
+    val test = Seq((100L, "one quick brown fox jumps far")).toDF("id", "text")
+
+    val hits = Decontaminate.contaminationHits(docs, "id", "text", test, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "quick brown fox", "brown fox jumps"; doc 2 shares one
+    assert(hits == Map(1L -> 2L, 2L -> 1L))
+
+    val clean = Decontaminate.decontaminate(docs, "id", "text", test, "text",
+      n = 3, minHits = 2).select("id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L, 4L)) // only doc 1 reaches the 2-hit threshold
+
+    // fewer tokens than n -> no grams, never flagged
+    val tiny = Decontaminate.decontaminate(
+      Seq((9L, "ab")).toDF("id", "text"), "id", "text", test, "text", n = 3)
+    assert(tiny.count() == 1)
+  }
+
   test("streaming sink: exactly-once per (queryId, batchId); modes") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), path,
