@@ -45,6 +45,36 @@ object StatsSkipping {
     }
   }
 
+  /** Rewrite-granularity pruning for the tiered UPDATE/DELETE path: a
+    * rewrite must replace ALL runs of a (partition, bucket) together (a
+    * partial-run rewrite would reorder commit ordinals and corrupt the
+    * merge), so skipping here drops whole GROUPS — a (partition, bucket)
+    * of a PK table, a single file of a non-PK table — and only when no
+    * file in the group might match. Per-group merge-safety: value filters
+    * may prune a single-run group, key filters any group. */
+  def pruneGroups(
+      info: TableInfo,
+      schema: StructType,
+      files: Seq[ResolvedFile],
+      filters: Seq[Filter]): Seq[ResolvedFile] = {
+    if (filters.isEmpty || files.isEmpty) return files
+    val keyCols = (info.rangeColumns ++ info.hashColumns).toSet
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    files.groupBy(f =>
+      if (info.hasPrimaryKey) (f.partitionDesc, f.file.bucketId.toString)
+      else (f.partitionDesc, f.file.path))
+      .values.filter { group =>
+        val multiRun = group.map(_.commitOrdinal).distinct.size > 1
+        val safe =
+          if (!multiRun) filters
+          else filters.filter(_.references.forall(keyCols.contains))
+        safe.isEmpty || group.exists { f =>
+          val st = FileStats.decode(f.file.stats)
+          st.isEmpty || safe.forall(mightMatch(_, st, types))
+        }
+      }.flatten.toSeq
+  }
+
   /** Could any row of a file with these stats satisfy the filter?
     * Unknown => true. */
   def mightMatch(

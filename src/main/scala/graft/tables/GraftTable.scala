@@ -316,6 +316,50 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Re-cluster a NON-PK table by sort columns: every partition is
+    * rewritten range-partitioned + sorted on `cols`, so each file carries a
+    * TIGHT min/max range on those columns and [[graft.read.StatsSkipping]]
+    * prunes most files for predicates over them — the linear form of
+    * Z-order clustering (the common single-dimension case: cluster by
+    * event time / tenant / key prefix, then range scans skip).
+    *
+    * PK tables are rejected: their sorted runs must stay PK-ordered for
+    * the k-way merge; bucket pruning (M6) already serves their point
+    * lookups.
+    *
+    * @param numFiles target file count per clustering job (default: the
+    *                 session's shuffle partitions) */
+  def cluster(cols: Seq[String], numFiles: Int = 0): Unit = withRetry {
+    val t = info
+    require(!t.hasPrimaryKey,
+      "cluster() applies to non-PK tables (PK runs must stay PK-sorted " +
+        "for merge-on-read; use bucket pruning for PK lookups)")
+    require(cols.nonEmpty, "cluster() needs at least one sort column")
+    val sch = schema
+    cols.foreach(c => require(sch.fieldNames.contains(c),
+      s"unknown cluster column $c"))
+    val heads = headsNow // attempt-start heads: CAS catches interleavers
+    val files = liveFiles
+    if (files.nonEmpty) {
+      val n = if (numFiles > 0) numFiles
+        else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // range-partition by (range columns, cluster columns): rows of one
+      // partition stay together, and within it files split on
+      // cluster-column ranges; the write side sorts tasks on the DIRECTORY
+      // columns + cluster columns so the dynamic-partition writer keeps
+      // the clustering (no downstream re-sort)
+      val keys = (t.rangeColumns ++ cols).distinct.map(col)
+      val clustered = GraftRead.read(spark, t, files)
+        .repartitionByRange(n, keys: _*)
+      val commits = TransactionalWrite.writeFiles(
+        spark, t, clustered, CommitOp.Compaction, skipPreMerge = true,
+        clusterCols = cols)
+      val descs = files.map(_.partitionDesc).toSet
+      publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc),
+        CommitOp.Compaction), heads)
+    }
+  }
+
   /** Partition pruning against the catalog with an arbitrary predicate over
     * the range-partition COLUMNS (F4 "general path",
     * PartitionFilter.scala:177-273): the predicate is evaluated once against
@@ -795,8 +839,13 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       candidates = candidates.intersect(hit)
     }
 
-    resolver.currentFiles(tablePath, candidates.contains)
+    // tier 4: metadata file skipping on min/max stats — whole
+    // (partition, bucket) groups only, so the rewrite invariant (all runs
+    // of a targeted bucket replaced together) is preserved
+    val resolved = resolver.currentFiles(tablePath, candidates.contains)
       .filter(f => bucket.forall(b => f.file.bucketId == b || f.file.bucketId < 0))
+    val filters = org.apache.spark.sql.graft.PredicateShim.sourceFilters(cond)
+    graft.read.StatsSkipping.pruneGroups(t, schema, resolved, filters)
   }
 
   /** File-targeted rewrite: read-merge ONLY `files`, transform, and publish

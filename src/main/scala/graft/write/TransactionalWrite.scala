@@ -140,7 +140,8 @@ object TransactionalWrite {
       table: TableInfo,
       dfIn: DataFrame,
       commitOp: String,
-      skipPreMerge: Boolean = false): Seq[DataCommitInfo] = {
+      skipPreMerge: Boolean = false,
+      clusterCols: Seq[String] = Nil): Seq[DataCommitInfo] = {
     val commitId = MetaStore.newCommitId()
     val df0 = normalize(table, dfIn)
     val df = if (table.hasPrimaryKey && !skipPreMerge) preMerge(table, df0) else df0
@@ -175,7 +176,16 @@ object TransactionalWrite {
         out = placed.sortWithinPartitions(
           (rangeDirCols.map(c => col(c._1)) ++ Seq(col(BucketCol)) ++ pk): _*)
         rangeDirCols.map(_._1) :+ BucketCol
-      } else rangeDirCols.map(_._1)
+      } else {
+        // non-PK clustering (GraftTable.cluster): per-task sort on
+        // (DIRECTORY columns, cluster columns) — the dir-column prefix
+        // satisfies the dynamic-partition writer's required ordering so the
+        // cluster-column suffix survives into the files
+        if (clusterCols.nonEmpty)
+          out = out.sortWithinPartitions(
+            (rangeDirCols.map(c => col(c._1)) ++ clusterCols.map(col)): _*)
+        rangeDirCols.map(_._1)
+      }
 
     val commitDir = new File(new File(table.tablePath, "data"), commitId)
     var writer = out.write.mode("errorifexists")

@@ -36,6 +36,40 @@ object PredicateShim {
     refs(c.node)
   }
 
+  /** Best-effort translation of the predicate's top-level conjuncts into
+    * data-source filters (for metadata file skipping). Untranslatable
+    * conjuncts are simply omitted — callers may only use the result to
+    * PRUNE conservatively, never to avoid re-applying the predicate. */
+  def sourceFilters(c: Column): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def attrLit(f: UnresolvedFunction): Option[(String, Any, Boolean)] =
+      (f.arguments(0), f.arguments(1)) match {
+        case (a: UnresolvedAttribute, l: Literal) =>
+          Some((a.nameParts.mkString("."), l.value, false))
+        case (l: Literal, a: UnresolvedAttribute) =>
+          Some((a.nameParts.mkString("."), l.value, true)) // operands flipped
+        case _ => None
+      }
+    conjuncts(c).flatMap { cc =>
+      cc.node match {
+        case f: UnresolvedFunction if f.arguments.size == 2 =>
+          f.functionName match {
+            case "=" => attrLit(f).map { case (a, v, _) => EqualTo(a, v) }
+            case ">" => attrLit(f).map { case (a, v, flip) =>
+              if (flip) LessThan(a, v) else GreaterThan(a, v) }
+            case ">=" => attrLit(f).map { case (a, v, flip) =>
+              if (flip) LessThanOrEqual(a, v) else GreaterThanOrEqual(a, v) }
+            case "<" => attrLit(f).map { case (a, v, flip) =>
+              if (flip) GreaterThan(a, v) else LessThan(a, v) }
+            case "<=" => attrLit(f).map { case (a, v, flip) =>
+              if (flip) GreaterThanOrEqual(a, v) else LessThanOrEqual(a, v) }
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+  }
+
   /** `col = literal` equalities among the top-level conjuncts, as plain
     * Scala values (pre-conversion literals). */
   def equalities(c: Column): Map[String, Any] =

@@ -111,6 +111,56 @@ class StatsSkippingSuite extends SparkFixture {
     }
   }
 
+  test("cluster() sorts a non-PK table; range predicates then skip files") {
+    withTempPath { path =>
+      // shuffled ids -> every file initially spans the whole id range
+      val df = (1L to 20000L).map(i => ((i * 7919L) % 20000L, s"v$i"))
+        .toDF("id", "v").repartition(8)
+      val t = GraftTable.create(spark, df, path)
+      graft.catalog.GraftCatalog.register(spark, "default.clus_t", path)
+      spark.conf.set("spark.sql.catalog.g_stats", "graft.catalog.GraftCatalogV2")
+      def parts(sql: String) = spark.sql(sql).rdd.getNumPartitions
+      val q = "SELECT * FROM g_stats.default.clus_t WHERE id < 1000"
+      val before = parts(q)
+      assert(before >= 8, "pre-clustering scan reads every file")
+
+      t.cluster(Seq("id"), numFiles = 8)
+      assert(spark.sql(q).count() == 1000)
+      val after = parts(q)
+      assert(after <= 2, s"clustered scan should skip most files, read $after")
+      // clustering preserved the data exactly
+      assert(spark.sql("SELECT * FROM g_stats.default.clus_t").count() == 20000)
+      // PK tables refuse (sorted-run contract)
+      val pk = GraftTable.create(spark,
+        Seq((1L, "a")).toDF("id", "v"), path + "_pk",
+        hashColumns = Seq("id"), bucketNum = 1)
+      intercept[IllegalArgumentException](pk.cluster(Seq("v")))
+    }
+  }
+
+  test("tiered DELETE/UPDATE rewrite only files that might match (tier 4)") {
+    withTempPath { path =>
+      val df = (1L to 20000L).map(i => ((i * 7919L) % 20000L, s"v$i"))
+        .toDF("id", "v").repartition(8)
+      val t = GraftTable.create(spark, df, path)
+      t.cluster(Seq("id"), numFiles = 8)
+      val before = t.liveFiles.map(_.file.path).toSet
+      t.delete(col("id") < 100L)
+      val after = t.liveFiles.map(_.file.path).toSet
+      // only the file(s) whose id range reaches below 100 were replaced
+      val untouched = before.intersect(after)
+      assert(untouched.size >= before.size - 2,
+        s"expected at most 2 files rewritten, kept ${untouched.size}/${before.size}")
+      assert(t.toDF.count() == 20000 - 100)
+      // update: same shape
+      val before2 = t.liveFiles.map(_.file.path).toSet
+      t.update(col("id") === 19999L, Map("v" -> lit("X")))
+      val after2 = t.liveFiles.map(_.file.path).toSet
+      assert(before2.intersect(after2).size >= before2.size - 2)
+      assert(t.toDF.filter(col("v") === "X").count() == 1)
+    }
+  }
+
   test("update/compaction rewrites refresh stats") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
