@@ -350,6 +350,29 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 2000000))
       graft.pipeline.Dedup.exactIncremental(corpus, batch, "doc_id", "text")
     }),
+    "clustered_skip_read" -> q((s, d) => {
+      // cluster-by-time + metadata file skipping: events re-clustered on ts,
+      // then a 1-hour range scan — the scan must read FEWER files than the
+      // table holds (asserted inside the query: the skipping is the point)
+      val e = rd(s, d, "events")
+      val path = tmp("clus")
+      val t = GraftTable.create(s, e.repartition(8), path)
+      t.cluster(Seq("ts"), numFiles = 8)
+      graft.catalog.GraftCatalog.register(s, "default.vfy_clus", path)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      val nFiles = t.liveFiles.size
+      val cutUs = e.agg(min(unix_micros(col("ts")))).head.getLong(0) + 3600000000L
+      // predicate directly on ts (timestamp_micros folds to a literal), so
+      // it pushes down and the scan can skip on the per-file ts bounds
+      val out = s.sql(
+        s"""SELECT event_id, user_id, event_type, unix_micros(ts) AS t
+           |FROM graft_cat.default.vfy_clus
+           |WHERE ts < timestamp_micros(${cutUs}L)""".stripMargin)
+      val read = out.rdd.getNumPartitions
+      assert(read < nFiles,
+        s"expected file skipping: read $read of $nFiles files")
+      out
+    }),
     "decontaminate" -> q((s, d) => {
       // benchmark decontamination: distinct 3-gram overlap counts of every
       // training doc against the (broadcast) test-set gram universe —
@@ -846,6 +869,11 @@ object SparkEntry {
         |    FROM batch) WHERE rn = 1)
         |SELECT doc_id, text, lang, source, n_chars FROM kept
         |WHERE nt NOT IN (SELECT nt FROM corpus)""".stripMargin,
+    "clustered_skip_read" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+        |FROM events
+        |WHERE epoch_us(ts) <
+        |  (SELECT min(epoch_us(ts)) FROM events) + 3600000000""".stripMargin,
     "decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -194,8 +194,18 @@ object TransactionalWrite {
     // suffix, so per-run pk order is preserved across the splits
     table.properties.get(MaxRecordsPerFileProp).foreach(n =>
       writer = writer.option("maxRecordsPerFile", n.toLong))
-    (if (partDirCols.nonEmpty) writer.partitionBy(partDirCols: _*) else writer)
-      .parquet(commitDir.getAbsolutePath)
+    // timestamps as INT64 micros: INT96 (Spark's default) has no usable
+    // parquet statistics, which would blind the file-skipping bounds
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      (if (partDirCols.nonEmpty) writer.partitionBy(partDirCols: _*) else writer)
+        .parquet(commitDir.getAbsolutePath)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
 
     val listed = listCommitFiles(commitDir.toPath, table, existCols)
     // per-file min/max bounds from the just-written (page-cache-hot) footers

@@ -38,6 +38,19 @@ class StatsSkippingSuite extends SparkFixture {
     }
   }
 
+  test("timestamp columns get bounds (INT64 micros encoding)") {
+    withTempPath { path =>
+      val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-06-01 12:30:00")))
+        .toDF("id", "ts")
+      val t = GraftTable.create(spark, df.coalesce(1), path)
+      val stats = FileStats.decode(t.liveFiles.head.file.stats)
+      assert(stats.contains("ts"),
+        s"timestamp stats missing (INT96 write?): ${stats.keySet}")
+      assert(stats("ts").mn.isDefined && stats("ts").mx.isDefined)
+    }
+  }
+
   test("mightMatch three-valued evaluation") {
     val stats = Map(
       "a" -> ColStats(Some("10"), Some("20"), hn = false, an = false),
