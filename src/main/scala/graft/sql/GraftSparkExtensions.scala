@@ -113,6 +113,13 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         s"deleted $n files"
       case "drop_partition" =>
         tableOf(spark).dropPartition(args("partition_desc")); "dropped"
+      case "cluster" =>
+        // re-cluster a non-PK table on sort columns (comma-separated) so
+        // file min/max bounds make range predicates skip files
+        tableOf(spark).cluster(
+          args("columns").split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          args.get("num_files").map(_.toInt).getOrElse(0))
+        "clustered"
       case "compact_meta" =>
         // bound the version log: keep history newer than retain_ms (default:
         // everything after the newest commit -> heads only), the reference's

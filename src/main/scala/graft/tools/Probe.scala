@@ -95,6 +95,43 @@ object Probe {
     time("full minhashNearDupPairs 2")(
       graft.pipeline.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8).count())
 
+    // ---------------- file-skipping effectiveness ----------------------
+    // lineitem clustered by l_shipdate: a narrow date-range scan must read
+    // a handful of files; the same predicate with skipping disabled reads
+    // everything. The skip ratio is the number that scales: at 100 TB the
+    // same layout turns a week-of-data query into a per-week file subset.
+    {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val cdir = java.nio.file.Files
+        .createTempDirectory("graft-probe-clus-").toFile.getAbsolutePath
+      val ct = GraftTable.create(spark, li.repartition(32), cdir)
+      ct.cluster(Seq("l_shipdate"), numFiles = 32)
+      graft.catalog.GraftCatalog.register(spark, "default.probe_li", cdir)
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      // l_shipdate is TIMESTAMP_NTZ in the testdata: a LocalDateTime literal
+      // keeps the predicate on the bare attribute (pushdown + skipping)
+      val cut = li.agg(min(col("l_shipdate")))
+        .head.getAs[java.time.LocalDateTime](0).plusDays(30)
+      def scan() = spark.table("graft_cat.default.probe_li")
+        .filter(col("l_shipdate") < lit(cut))
+      val read = scan().rdd.getNumPartitions
+      println(s"[probe] clustered scan: read $read of ${ct.liveFiles.size} files " +
+        s"(rows = ${scan().count()})")
+      time("clustered 30-day scan (skipping ON)")(scan().count())
+      // baseline: same table, stats ignored (fresh table, stats disabled)
+      val ddir = java.nio.file.Files
+        .createTempDirectory("graft-probe-noclus-").toFile.getAbsolutePath
+      val dt = GraftTable.create(spark, li.repartition(32), ddir,
+        properties = Map(graft.write.FileStatsCollector.EnabledProp -> "false"))
+      dt.cluster(Seq("l_shipdate"), numFiles = 32)
+      graft.catalog.GraftCatalog.register(spark, "default.probe_li_off", ddir)
+      def scanOff() = spark.table("graft_cat.default.probe_li_off")
+        .filter(col("l_shipdate") < lit(cut))
+      println(s"[probe] no-stats scan: read ${scanOff().rdd.getNumPartitions} " +
+        s"of ${dt.liveFiles.size} files")
+      time("clustered 30-day scan (skipping OFF)")(scanOff().count())
+    }
+
     // ---------------- metadata store scaling ---------------------------
     // 1000-commit history: warm resolution must be a stat() (snapshot
     // cache), cold resolution pays one full log parse, and version-log

@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
@@ -121,13 +122,16 @@ object FileStatsCollector {
             indexed.get(name).foreach { dt =>
               val st = c.getStatistics
               val prim = c.getPrimitiveType.getPrimitiveTypeName
+              val ann = c.getPrimitiveType.getLogicalTypeAnnotation
               if (st == null || st.isEmpty || st.getNumNulls < 0 ||
-                  !encodingMatches(dt, prim)) bad += name
+                  !encodingMatches(dt, prim, ann)) bad += name
               else {
                 val (mn, mx) =
                   if (!st.hasNonNullValue) (null, null)
-                  else (encodeValue(st.genericGetMin.asInstanceOf[AnyRef], prim),
-                    encodeValue(st.genericGetMax.asInstanceOf[AnyRef], prim))
+                  else (encodeValue(st.genericGetMin.asInstanceOf[AnyRef], prim,
+                      ann, roundUp = false),
+                    encodeValue(st.genericGetMax.asInstanceOf[AnyRef], prim,
+                      ann, roundUp = true))
                 if (mn == null && st.hasNonNullValue) bad += name
                 else acc.get(name) match {
                   case None => acc += name -> (mn, mx, st.getNumNulls)
@@ -148,22 +152,47 @@ object FileStatsCollector {
     } catch { case _: Exception => "" } // stats are an optimization, never fail a write
   }
 
-  /** The physical encoding must be the one whose sort order matches our
-    * string-encoded comparison domain (e.g. timestamps only as INT64 micros
-    * — INT96 stats are unordered and parquet already suppresses them). */
-  private def encodingMatches(dt: DataType, p: PrimitiveTypeName): Boolean = (dt, p) match {
+  /** The physical encoding must be one whose sort order maps onto our
+    * string-encoded comparison domain. Timestamps are accepted in any
+    * INT64 unit (MILLIS/MICROS/NANOS — normalized to micros at encode
+    * time); INT96 has no usable stats and is rejected; a LongType column
+    * must NOT carry a timestamp annotation (it would be unit-ambiguous). */
+  private def encodingMatches(dt: DataType, p: PrimitiveTypeName,
+      ann: LogicalTypeAnnotation): Boolean = (dt, p) match {
     case (ByteType | ShortType | IntegerType | DateType, PrimitiveTypeName.INT32) => true
-    case (LongType | TimestampType | TimestampNTZType, PrimitiveTypeName.INT64) => true
+    case (LongType, PrimitiveTypeName.INT64) =>
+      !ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+    case (TimestampType | TimestampNTZType, PrimitiveTypeName.INT64) =>
+      ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
     case (FloatType, PrimitiveTypeName.FLOAT) => true
     case (DoubleType, PrimitiveTypeName.DOUBLE) => true
-    case (StringType, PrimitiveTypeName.BINARY) => true
+    case (StringType, PrimitiveTypeName.BINARY) =>
+      ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
     case _ => false
   }
 
-  private def encodeValue(v: AnyRef, p: PrimitiveTypeName): String = v match {
+  /** Encode a raw footer value into the comparison domain; timestamps
+    * normalize to MICROS, with bound-safe rounding for nanos (min rounds
+    * down, max rounds up, so the interval only ever widens). */
+  private def encodeValue(v: AnyRef, p: PrimitiveTypeName,
+      ann: LogicalTypeAnnotation, roundUp: Boolean): String = v match {
     case null => null
     case b: Binary if p == PrimitiveTypeName.BINARY => b.toStringUsingUTF8
-    case n => n.toString // Integer / Long / Float / Double box toString
+    case n: java.lang.Long =>
+      ann match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          val micros = ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              math.multiplyExact(n.longValue, 1000L)
+            case LogicalTypeAnnotation.TimeUnit.MICROS => n.longValue
+            case LogicalTypeAnnotation.TimeUnit.NANOS =>
+              if (roundUp) Math.floorDiv(n.longValue + 999L, 1000L)
+              else Math.floorDiv(n.longValue, 1000L)
+          }
+          micros.toString
+        case _ => n.toString
+      }
+    case n => n.toString // Integer / Float / Double box toString
   }
 
   private def minOf(dt: DataType, a: String, b: String): String =

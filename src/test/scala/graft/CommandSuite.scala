@@ -197,6 +197,22 @@ class CommandSuite extends SparkFixture {
       assert(!parser.parsePlan("SELECT 1 + 1")
         .isInstanceOf[graft.sql.GraftCallCommand])
     }
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1L to 1000L).map(i => ((i * 677L) % 1000L, i)).toDF("k", "n")
+          .repartition(4), path)
+      call(s"CALL graft.cluster(table_path => '$path', " +
+        "columns => 'k', num_files => '4')")
+      val stats = t.liveFiles.map(f => graft.meta.FileStats.decode(f.file.stats))
+      // clustered: per-file k ranges are disjoint-ish, so min < max only
+      // inside narrow windows — assert ranges don't all span the full domain
+      val spans = stats.flatMap(s => for {
+        cs <- s.get("k"); mn <- cs.mn; mx <- cs.mx
+      } yield mx.toLong - mn.toLong)
+      assert(spans.nonEmpty && spans.min < 500,
+        s"expected narrow per-file ranges after clustering, got $spans")
+      assert(t.toDF.count() == 1000)
+    }
   }
 
   test("compaction daemon compacts only tables over the run threshold") {
