@@ -153,10 +153,14 @@ case class GraftRelation(
         if (ti.hasPrimaryKey && ti.hashColumns.nonEmpty
             && ti.hashColumns.forall(eq.contains))
           t.lookupByPk(ti.hashColumns.map(eq))
-        else if (requiredColumns.nonEmpty
-            && requiredColumns.length < t.schema.length)
-          t.toDF(partPred, requiredColumns.toSeq) // column pruning (F1)
-        else t.toDF(partPred)
+        else {
+          // column pruning (F1) + metadata file skipping on the pushed
+          // filters (min/max bounds; merge-safe inside)
+          val req = if (requiredColumns.nonEmpty
+              && requiredColumns.length < t.schema.length)
+            Some(requiredColumns.toSeq) else None
+          t.toDFWithFilters(partPred, req, filters.toSeq)
+        }
     }
   }
 

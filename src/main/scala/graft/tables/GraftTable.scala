@@ -42,6 +42,20 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     GraftRead.read(spark, info, resolver.currentFiles(tablePath, partitionPred),
       requiredColumns = Some(requiredColumns))
 
+  /** Predicate-aware read (the DSv1 relation's full-scan path): files whose
+    * min/max bounds prove no match are dropped before the scan
+    * ([[graft.read.StatsSkipping]] — merge-safe, three-valued, purely an
+    * optimization since the caller re-applies every filter). */
+  def toDFWithFilters(
+      partitionPred: String => Boolean,
+      requiredColumns: Option[Seq[String]],
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val t = info
+    val files = graft.read.StatsSkipping.prune(t, schema,
+      resolver.currentFiles(tablePath, partitionPred), dataFilters)
+    GraftRead.read(spark, t, files, requiredColumns = requiredColumns)
+  }
+
   /** Per-QUERY merge-operator selection (M4; reference
     * rules/ExtractMergeOperator.scala:20-88 extracts merge-op marker UDFs
     * from the projection at analysis time): read the current snapshot with

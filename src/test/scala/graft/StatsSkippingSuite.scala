@@ -174,6 +174,19 @@ class StatsSkippingSuite extends SparkFixture {
     }
   }
 
+  test("DSv1 format(\"graft\") reads skip files on pushed filters") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1), path)
+      t.append((101L to 200L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+      val base = spark.read.format("graft").option("path", path).load()
+      assert(base.filter(col("id") > 150).rdd.getNumPartitions == 1)
+      assert(base.filter(col("id") > 150).count() == 50)
+      assert(base.filter(col("id") > 500).count() == 0)
+      assert(base.count() == 200)
+    }
+  }
+
   test("update/compaction rewrites refresh stats") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
