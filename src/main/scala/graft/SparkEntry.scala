@@ -254,6 +254,29 @@ object SparkEntry {
         "FROM v2_src_orders WHERE o_orderkey % 10 = 0")
       s.sql("SELECT * FROM graft_cat.vfy.orders_t")
     }),
+    "sql_time_travel" -> q((s, d) => {
+      // SQL time travel (C1 through the SQL surface): VERSION AS OF n
+      // resolves via the catalog's loadTable(ident, version) to a read-only
+      // snapshot-pinned handle; CALL graft.history lists the accepted
+      // version numbers; TIMESTAMP AS OF must agree (asserted in-query)
+      v2(s)
+      rd(s, d, "orders").createOrReplaceTempView("v2_src_tt")
+      s.sql("CREATE TABLE graft_cat.vfy.orders_tt " +
+        "PARTITIONED BY (bucket(4, o_orderkey)) AS SELECT * FROM v2_src_tt")
+      s.sql("INSERT INTO graft_cat.vfy.orders_tt SELECT o_orderkey, " +
+        "o_custkey, o_orderstatus, o_totalprice * 3, o_orderdate, " +
+        "o_orderpriority FROM v2_src_tt")
+      val hist = s.sql("CALL graft.history(table_name => 'vfy.orders_tt')")
+        .collect()
+      assert(hist.length == 2, s"expected 2 commits, got ${hist.length}")
+      val ts1 = hist(0).getLong(1)
+      val viaTs = s.sql("SELECT * FROM graft_cat.vfy.orders_tt " +
+        s"TIMESTAMP AS OF timestamp_millis(${ts1}L)").count()
+      val out = s.sql("SELECT * FROM graft_cat.vfy.orders_tt VERSION AS OF 1")
+      assert(viaTs == out.count(),
+        s"TIMESTAMP AS OF read $viaTs rows, VERSION AS OF 1 ${out.count()}")
+      out
+    }),
     "sql_update" -> q((s, d) => {
       v2(s)
       rd(s, d, "customer").createOrReplaceTempView("v2_src_cust_u")
@@ -371,6 +394,27 @@ object SparkEntry {
       val read = out.rdd.getNumPartitions
       assert(read < nFiles,
         s"expected file skipping: read $read of $nFiles files")
+      out
+    }),
+    "zorder_skip_read" -> q((s, d) => {
+      // multi-dimensional clustering: events z-ordered on (user_id, value),
+      // then a 2-D box predicate — BOTH dimensions contribute to file
+      // skipping (a lexicographic sort would only serve the leading one);
+      // asserted in-query: the box scan reads a minority of the files
+      val e = rd(s, d, "events")
+      val path = tmp("zord")
+      val t = GraftTable.create(s, e.repartition(8), path)
+      t.cluster(Seq("user_id", "value"), numFiles = 16, zorder = true)
+      graft.catalog.GraftCatalog.register(s, "default.vfy_zord", path)
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      val nFiles = t.liveFiles.size
+      val out = s.sql(
+        """SELECT event_id, user_id, event_type, value
+          |FROM graft_cat.default.vfy_zord
+          |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150""".stripMargin)
+      val read = out.rdd.getNumPartitions
+      assert(read * 2 < nFiles,
+        s"expected z-order file skipping: read $read of $nFiles files")
       out
     }),
     "decontaminate" -> q((s, d) => {
@@ -808,6 +852,7 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "sql_time_travel" -> "SELECT * FROM orders",
     "sql_update" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
@@ -874,6 +919,9 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_us(ts) <
         |  (SELECT min(epoch_us(ts)) FROM events) + 3600000000""".stripMargin,
+    "zorder_skip_read" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150""".stripMargin,
     "decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -72,6 +72,35 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
       s"$catalogName.${key(ident)}")
   }
 
+  // ---- SQL time travel: SELECT ... FROM t VERSION AS OF v /
+  // TIMESTAMP AS OF ts. Versions are the 1-based table-level commit
+  // numbers from [[GraftTable.history]] (CALL graft.history lists them);
+  // both forms resolve to a commit-ts boundary and return a READ-ONLY
+  // table handle pinned to that snapshot, so scans of it plan exactly
+  // like `snapshotAt` reads (C1 through the SQL surface).
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
+    val t = GraftTable.forPath(spark, path)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a numeric commit version, got '$version'")
+    }
+    new GraftTableV2(spark, t, s"$catalogName.${key(ident)}",
+      pinned = Map("readtype" -> "snapshot",
+        "readendtime" -> t.timestampOfVersion(v).toString))
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
+    new GraftTableV2(spark, GraftTable.forPath(spark, path),
+      s"$catalogName.${key(ident)}",
+      pinned = Map("readtype" -> "snapshot",
+        "readendtime" -> (timestampMicros / 1000L).toString))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     pathOf(ident).exists(GraftTable.exists(_))
 

@@ -25,11 +25,16 @@ import graft.util.Filters
   * transactional DSv1 write path via the V1Write fallback (INSERT INTO a PK
   * table upserts, matching `format("graft")`); DELETE WHERE is handled
   * metadata/command-side through [[GraftTable.delete]]. */
-class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String)
+class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String,
+    pinned: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsPartitionManagement {
 
   override def name(): String = ident
+
+  private def requireWritable(): Unit =
+    if (pinned.nonEmpty) throw new UnsupportedOperationException(
+      s"$ident is a time-travel (VERSION/TIMESTAMP AS OF) view and is read-only")
 
   override def schema(): StructType = table.schema
 
@@ -57,13 +62,16 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String)
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE).asJava
 
+  // `pinned` wins over per-read options: a VERSION AS OF table handle must
+  // stay at its snapshot no matter what the reader asks for
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, table, options.asScala.toMap)
+    new GraftScanBuilder(spark, table, options.asScala.toMap ++ pinned)
 
   // SupportsStreamingUpdateAsAppend: update-mode micro-batches write as
   // appended Merge commits — for a PK table that IS upsert semantics (the
   // same contract as the DSv1 sink's update mode).
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable()
     new WriteBuilder with SupportsOverwrite
         with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       private var overwriteAll = false
@@ -101,6 +109,7 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String)
         }
       }
     }
+  }
 
   // ---- SupportsPartitionManagement (reference LakeSoulTableV2.scala:154-225)
   // Range partitions are metadata (`c1=v1,c2=v2` desc strings in the version
@@ -152,6 +161,7 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String)
       "graft partitions are created implicitly when rows are written")
 
   override def dropPartition(partIdent: InternalRow): Boolean = {
+    requireWritable()
     val desc = descOf(partIdent)
     val exists = table.partitions.exists(_.partitionDesc == desc)
     if (exists) table.dropPartition(desc)
@@ -187,9 +197,10 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String)
   // table API (reference DeleteCommand.scala); only predicates we can
   // translate are accepted — Spark falls back to an analysis error otherwise.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => Filters.toColumn(f).isDefined)
+    pinned.isEmpty && filters.forall(f => Filters.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable()
     val cond = filters.flatMap(Filters.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))

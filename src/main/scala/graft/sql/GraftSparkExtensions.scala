@@ -77,8 +77,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 case class GraftCallCommand(proc: String, args: Map[String, String])
     extends LeafRunnableCommand {
 
-  override val output: Seq[Attribute] =
-    DataTypeUtils.toAttributes(StructType(Seq(StructField("result", StringType))))
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    if (proc == "history")
+      StructType(Seq(
+        StructField("version", org.apache.spark.sql.types.IntegerType),
+        StructField("commit_ts", org.apache.spark.sql.types.LongType),
+        StructField("operation", StringType),
+        StructField("partitions", org.apache.spark.sql.types.IntegerType),
+        StructField("files_added", org.apache.spark.sql.types.IntegerType)))
+    else StructType(Seq(StructField("result", StringType))))
 
   private def tableOf(spark: SparkSession): GraftTable =
     (args.get("table_path"), args.get("table_name")) match {
@@ -90,6 +97,12 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftFunctions.register(spark)
+    // the one procedure with a tabular result: the table-level commit log
+    // (version numbers here are what VERSION AS OF accepts)
+    if (proc == "history")
+      return tableOf(spark).history.map {
+        case (v, ts, op, nParts, nFiles) => Row(v, ts, op, nParts, nFiles)
+      }
     val result = proc match {
       case "compaction" =>
         val t = tableOf(spark)
@@ -118,7 +131,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         // file min/max bounds make range predicates skip files
         tableOf(spark).cluster(
           args("columns").split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-          args.get("num_files").map(_.toInt).getOrElse(0))
+          args.get("num_files").map(_.toInt).getOrElse(0),
+          zorder = args.get("zorder").exists(_.toBoolean))
         "clustered"
       case "compact_meta" =>
         // bound the version log: keep history newer than retain_ms (default:

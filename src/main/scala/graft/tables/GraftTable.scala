@@ -85,6 +85,41 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred),
       keepCdcRows = true)
 
+  /** Table-level commit history (DESCRIBE-HISTORY / `VERSION AS OF`
+    * surface): every publish writes its partition versions with ONE shared
+    * timestamp, so grouping the version lines by timestamp reconstructs the
+    * table-level commits. Ascending, 1-based; each entry is
+    * (version, commitTsMillis, ops, partitions touched, files added).
+    * After `CALL graft.compact_meta` history before the checkpoint boundary
+    * is no longer listable (same contract as the reference's
+    * cleanMetaUptoTime). */
+  def history: Seq[(Int, Long, String, Int, Int)] = {
+    val lines = partitions.flatMap(p =>
+      store.partitionVersions(tablePath, p.partitionDesc))
+    lines.groupBy(_.timestamp).toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((ts, vs), i) =>
+        // files added by this commit = snapshot minus the previous version's
+        // snapshot, per partition (head count alone would double-count)
+        val added = vs.map { v =>
+          val prev = store.partitionVersions(tablePath, v.partitionDesc)
+            .filter(_.version < v.version).lastOption
+            .map(_.snapshot.toSet).getOrElse(Set.empty[String])
+          v.snapshot.count(!prev.contains(_))
+        }.sum
+        (i + 1, ts, vs.map(_.commitOp).distinct.sorted.mkString("+"),
+          vs.size, added)
+    }
+  }
+
+  /** Commit timestamp (ms) of 1-based table version `v` — the boundary SQL
+    * `VERSION AS OF v` reads at. */
+  def timestampOfVersion(v: Int): Long = {
+    val h = history
+    require(v >= 1 && v <= h.length,
+      s"version $v out of range [1, ${h.length}] for $tablePath")
+    h(v - 1)._2
+  }
+
   /** Latest commit timestamp (for snapshot/incremental boundaries). */
   def lastCommitTs: Long = {
     val heads = store.listPartitionHeads(tablePath)
@@ -341,9 +376,17 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * the k-way merge; bucket pruning (M6) already serves their point
     * lookups.
     *
+    * With `zorder = true` and 2+ columns, files are placed by the
+    * interleaved-bit Morton value ([[graft.operators.ZOrder]]) instead of
+    * lexicographic ranges: every file keeps a small bounding box in ALL
+    * cluster dimensions, so predicates on ANY of them skip files — the
+    * multi-dimensional generalization of this method (lexicographic
+    * clustering only serves the leading column).
+    *
     * @param numFiles target file count per clustering job (default: the
     *                 session's shuffle partitions) */
-  def cluster(cols: Seq[String], numFiles: Int = 0): Unit = withRetry {
+  def cluster(cols: Seq[String], numFiles: Int = 0,
+      zorder: Boolean = false): Unit = withRetry {
     val t = info
     require(!t.hasPrimaryKey,
       "cluster() applies to non-PK tables (PK runs must stay PK-sorted " +
@@ -361,10 +404,21 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // partition stay together, and within it files split on
       // cluster-column ranges; the write side sorts tasks on the DIRECTORY
       // columns + cluster columns so the dynamic-partition writer keeps
-      // the clustering (no downstream re-sort)
-      val keys = (t.rangeColumns ++ cols).distinct.map(col)
-      val clustered = GraftRead.read(spark, t, files)
-        .repartitionByRange(n, keys: _*)
+      // the clustering (no downstream re-sort). In z-order mode the file
+      // PLACEMENT key is the Morton value (dropped before the write — file
+      // bounds tightness comes from the partitioning, not the stored
+      // columns), while the within-file sort stays on the real columns.
+      val df = GraftRead.read(spark, t, files)
+      val clustered =
+        if (zorder && cols.length > 1) {
+          val zv = graft.operators.ZOrder.zvalue(df, cols)
+          df.withColumn("__g_zv", zv)
+            .repartitionByRange(n, (t.rangeColumns.map(col) :+ col("__g_zv")): _*)
+            .drop("__g_zv")
+        } else {
+          val keys = (t.rangeColumns ++ cols).distinct.map(col)
+          df.repartitionByRange(n, keys: _*)
+        }
       val commits = TransactionalWrite.writeFiles(
         spark, t, clustered, CommitOp.Compaction, skipPreMerge = true,
         clusterCols = cols)

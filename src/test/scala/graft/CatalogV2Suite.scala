@@ -77,6 +77,41 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF + CALL graft.history") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      Seq((1L, "v1"), (2L, "w1")).toDF("id", "v")
+        .createOrReplaceTempView("sqltt_src")
+      spark.sql("CREATE TABLE graft_cat.stt.t PARTITIONED BY (bucket(2, id)) " +
+        "AS SELECT * FROM sqltt_src")
+      spark.sql("INSERT INTO graft_cat.stt.t VALUES (1, 'v2'), (3, 'x')")
+      val hist = spark.sql("CALL graft.history(table_name => 'stt.t')").collect()
+      assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2), "two table versions")
+      assertRows(spark.sql("SELECT * FROM graft_cat.stt.t VERSION AS OF 1"),
+        Seq("[1,v1]", "[2,w1]"))
+      assertRows(spark.sql("SELECT * FROM graft_cat.stt.t VERSION AS OF 2"),
+        Seq("[1,v2]", "[2,w1]", "[3,x]"))
+      val ts1 = hist(0).getLong(1)
+      assertRows(spark.sql("SELECT * FROM graft_cat.stt.t " +
+        s"TIMESTAMP AS OF timestamp_millis(${ts1}L)"), Seq("[1,v1]", "[2,w1]"))
+      // a time-travel handle is read-only
+      val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+        .asInstanceOf[graft.catalog.GraftCatalogV2]
+      val pinned = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("stt"), "t"), "1")
+      intercept[UnsupportedOperationException] {
+        pinned.asInstanceOf[graft.catalog.GraftTableV2].newWriteBuilder(null)
+      }
+      // out-of-range version fails with a clear error
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_cat.stt.t VERSION AS OF 99").collect()
+      }
+      assert(e.getMessage.contains("out of range") ||
+        Option(e.getCause).exists(_.getMessage.contains("out of range")))
+    }
+  }
+
   test("DSv2 streaming read: readStream.table over a graft catalog table") {
     withTempPath { wh =>
       withTempPath { ckpt =>

@@ -151,6 +151,35 @@ class StatsSkippingSuite extends SparkFixture {
     }
   }
 
+  test("cluster(zorder): both dimensions of a 2-D box predicate skip files") {
+    withTempPath { path =>
+      // x and y are independent: lexicographic (x, y) clustering gives the
+      // TRAILING column full-range bounds in every file, z-order bounds both
+      val df = (0L until 40000L).map { i =>
+        (((i * 7919L) % 200L), ((i * 104729L) % 200L).toDouble, s"v$i")
+      }.toDF("x", "y", "v").repartition(8)
+      val t = GraftTable.create(spark, df, path)
+      graft.catalog.GraftCatalog.register(spark, "default.zord_t", path)
+      spark.conf.set("spark.sql.catalog.g_stats", "graft.catalog.GraftCatalogV2")
+      t.cluster(Seq("x", "y"), numFiles = 16, zorder = true)
+      val n = t.liveFiles.size
+      def parts(sql: String) = spark.sql(sql).rdd.getNumPartitions
+      // y-only predicate: a lexicographic sort on (x, y) could skip nothing
+      val yOnly = parts(
+        "SELECT * FROM g_stats.default.zord_t WHERE y BETWEEN 0 AND 24")
+      assert(yOnly * 2 < n, s"y-only predicate read $yOnly of $n files")
+      // 2-D box: both dimensions compound
+      val box = parts("SELECT * FROM g_stats.default.zord_t " +
+        "WHERE x BETWEEN 0 AND 49 AND y BETWEEN 0 AND 49")
+      assert(box * 2 < n, s"2-D box read $box of $n files")
+      // clustering preserved the data exactly
+      assert(spark.sql("SELECT * FROM g_stats.default.zord_t").count() == 40000)
+      assert(spark.sql("SELECT * FROM g_stats.default.zord_t " +
+        "WHERE y BETWEEN 0 AND 24").count() ==
+        (0L until 40000L).count(i => (i * 104729L) % 200L <= 24L))
+    }
+  }
+
   test("tiered DELETE/UPDATE rewrite only files that might match (tier 4)") {
     withTempPath { path =>
       val df = (1L to 20000L).map(i => ((i * 7919L) % 20000L, s"v$i"))
