@@ -663,6 +663,19 @@ object SparkEntry {
       Dedup.exact(doc.unionByName(dups), "doc_id", "text")
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
+    "dedup_passage" -> q((s, d) => {
+      // passage-level (C4-style "paragraph") dedup: duplicate every 4th
+      // doc's text under a shifted id, then dedup 10-token passages
+      // corpus-wide and reassemble the survivors
+      val doc = rd(s, d, "documents")
+      val dups = doc.filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.passageDedup(doc.unionByName(dups), "doc_id", "text", window = 10)
+    }),
+    "repetition_score" -> q((s, d) =>
+      // intra-doc repetition quality signals (zero-shuffle column exprs)
+      TextAnalysis.repetitionScores(rd(s, d, "documents"))
+        .select("doc_id", "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac")),
     "dedup_minhash" -> q((s, d) =>
       Dedup.minhashNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
         threshold = 0.8)),
@@ -1038,6 +1051,55 @@ object SparkEntry {
         |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k, min(doc_id) AS keep
         |  FROM uni GROUP BY 1) g
         |ON regexp_replace(lower(trim(u.text)), '\s+', ' ', 'g') = g.k AND u.doc_id = g.keep""".stripMargin,
+    "dedup_passage" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS t
+        |  FROM uni),
+        |chunks AS (
+        |  SELECT doc_id, i AS ci,
+        |    array_to_string(t[(i*10+1):(i*10+10)], ' ') AS p
+        |  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p ORDER BY doc_id, ci) AS rn
+        |  FROM chunks)
+        |SELECT doc_id,
+        |  string_agg(p, ' ' ORDER BY ci) AS clean_text,
+        |  CAST(count(*) AS INT) AS n_passages
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id""".stripMargin,
+    "repetition_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS t
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS f
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |        WHERE len(t) >= 2)
+        |  GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS f
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |        WHERE len(t) >= 3)
+        |  GROUP BY doc_id)
+        |SELECT toks.doc_id,
+        |  CASE WHEN len(t) = 0 THEN 0.0
+        |       ELSE round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 6) END
+        |    AS dup_word_frac,
+        |  coalesce(g2.f, 0.0) AS dup_2gram_frac,
+        |  coalesce(g3.f, 0.0) AS dup_3gram_frac
+        |FROM toks LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)""".stripMargin,
     "ann_bruteforce" ->
       """SELECT vec_id, round(list_cosine_similarity(embedding,
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine

@@ -55,6 +55,46 @@ object Dedup {
       .drop("_g_h")
   }
 
+  /** Passage-level exact dedup — the "paragraph dedup" of pre-training
+    * pipelines (C4/RefinedWeb remove repeated paragraphs/boilerplate across
+    * the whole corpus), generalized to fixed W-token passages so it also
+    * applies to unstructured text. Every document is split into consecutive
+    * W-token windows; a passage survives only at its FIRST corpus occurrence
+    * (ordered by doc id, then position); documents are reassembled from
+    * their surviving passages. Returns (idCol, clean_text, n_passages).
+    *
+    * Scale shape: one explode (rows = tokens/W), keeper election as a
+    * map-side-combining groupBy on the passage's 64-bit hash (8 bytes + id
+    * + position per passage shuffled — skew-safe even when one boilerplate
+    * passage repeats millions of times), one equi-join to filter, one
+    * doc-keyed shuffle to reassemble. Passage equality is by xx64 hash
+    * (collision odds ~n^2/2^64 — the standard trade at corpus scale). */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10): DataFrame = {
+    val w = window
+    val nChunks = floor((size(col("_g_t")) + lit(w - 1)) / lit(w)).cast("int")
+    val chunks = df
+      .withColumn("_g_t", tokens(col(textCol)))
+      .filter(size(col("_g_t")) > 0)
+      .select(col(idCol).as("_g_doc"), explode(
+        transform(sequence(lit(0), nChunks - 1), i =>
+          struct(i.cast("int").as("ci"),
+            array_join(slice(col("_g_t"), i * w + 1, lit(w)), " ").as("p")))).as("_g_c"))
+      .select(col("_g_doc"), col("_g_c.ci").as("_g_ci"), col("_g_c.p").as("_g_p"))
+      .withColumn("_g_h", GraftFunctions.xx64(col("_g_p")))
+    val keepers = chunks.groupBy("_g_h")
+      .agg(min(struct(col("_g_doc"), col("_g_ci"))).as("_g_k"))
+    chunks.join(keepers, Seq("_g_h"))
+      .filter(struct(col("_g_doc"), col("_g_ci")) === col("_g_k"))
+      .groupBy(col("_g_doc"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_g_ci"), col("_g_p")))),
+          s => s.getField("_g_p")), " ").as("clean_text"),
+        count(lit(1)).cast("int").as("n_passages"))
+      .withColumnRenamed("_g_doc", idCol)
+  }
+
   /** (keeper, dup) pairs removed by exact dedup. */
   def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withH = df.select(col(idCol), GraftFunctions.xx64(normText(col(textCol))).as("_g_h"))

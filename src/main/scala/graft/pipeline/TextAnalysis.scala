@@ -129,6 +129,26 @@ object TextAnalysis {
   def scrubPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
+  // ------------------------------------------------- repetition detection
+
+  /** Fraction of duplicated elements in an array: 1 - distinct/total
+    * (0 for empty). The Rae et al. (Gopher) repetition signal family. */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) > 0, round(
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr), 6))
+      .otherwise(lit(0.0))
+
+  /** Intra-document repetition metrics — duplicate word / 2-gram / 3-gram
+    * fractions. High values flag boilerplate, keyword stuffing and
+    * degenerate-generation text, the standard pre-training quality cut.
+    * Pure column expressions (array HOFs): zero shuffle at any scale. */
+  def repetitionScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("dup_word_frac", dupFraction(tokens(t)))
+      .withColumn("dup_2gram_frac", dupFraction(wordShingles(t, 2)))
+      .withColumn("dup_3gram_frac", dupFraction(wordShingles(t, 3)))
+  }
+
   // ----------------------------------------------- Gopher-style doc filter
 
   /** The MassiveText/Gopher canonical stopword probe set (public rule set:

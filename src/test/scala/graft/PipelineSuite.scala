@@ -56,6 +56,40 @@ class PipelineSuite extends SparkFixture {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("passage dedup removes repeated windows, keeps first occurrence") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j k l"), // 2 passages: [a..j], [k l]
+      (2L, "a b c d e f g h i j x y"), // first passage duplicates doc 1's
+      (3L, "zz yy")                    // unique short doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(d, "doc_id", "text", window = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e f g h i j k l")
+    assert(out(2L) == "x y") // shared first window removed, tail survives
+    assert(out(3L) == "zz yy")
+    // duplicate-within-doc: second copy of the window is dropped
+    val rep = Seq((7L, ("p q r s t u v w x y " * 2).trim))
+      .toDF("doc_id", "text")
+    val repOut = Dedup.passageDedup(rep, "doc_id", "text", window = 10)
+      .head.getString(1)
+    assert(repOut == "p q r s t u v w x y")
+  }
+
+  test("repetition scores flag duplicated words and n-grams") {
+    val d = Seq(
+      (1L, "one two three four"),          // no repetition
+      (2L, "spam spam spam spam"),         // all dup words + grams
+      (3L, "ab cd ab cd ab cd")            // repeated bigram pattern
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionScores(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("dup_word_frac"), r.getAs[Double]("dup_2gram_frac"),
+          r.getAs[Double]("dup_3gram_frac"))).toMap
+    assert(m(1L) == ((0.0, 0.0, 0.0)))
+    assert(m(2L)._1 == 0.75 && m(2L)._2 == 0.666667 && m(2L)._3 == 0.5)
+    assert(m(3L)._1 > 0.5 && m(3L)._2 > 0.5 && m(3L)._3 > 0.0)
+  }
+
   test("minhash LSH finds near-duplicates; jaccard verified") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.replace("today", "tomorrow")
