@@ -40,6 +40,18 @@ object TransactionalWrite {
   /** Table property: roll output files every N records (S15). */
   val MaxRecordsPerFileProp = "graft.write.maxRecordsPerFile"
 
+  /** Table property: comma-separated columns that get a parquet bloom
+    * filter in every written file. Point lookups on columns whose values
+    * interleave across files (min/max bounds too wide for
+    * [[graft.read.StatsSkipping]]) then skip row groups inside the
+    * standard reader — at 100 TB the difference between decoding one row
+    * group and decoding a whole bucket's files for a miss. */
+  val BloomColumnsProp = "graft.bloom.columns"
+
+  /** Optional expected-distinct-values hint for the bloom filters
+    * (parquet sizes the filter from it; default 1M). */
+  val BloomNdvProp = "graft.bloom.ndv"
+
   val NullSentinel = "__GRAFT_NULL__"
   val EmptySentinel = "__GRAFT_EMPTY__"
   val RangePrefix = "__g_r_"
@@ -194,6 +206,15 @@ object TransactionalWrite {
     // suffix, so per-run pk order is preserved across the splits
     table.properties.get(MaxRecordsPerFileProp).foreach(n =>
       writer = writer.option("maxRecordsPerFile", n.toLong))
+    // parquet bloom filters (BloomColumnsProp): the reader side is free —
+    // Spark's parquet scan feeds pushed equality predicates to parquet-mr,
+    // which consults the bloom before decoding a row group
+    table.properties.get(BloomColumnsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).foreach { c =>
+        writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+        table.properties.get(BloomNdvProp).foreach(n =>
+          writer = writer.option(s"parquet.bloom.filter.expected.ndv#$c", n))
+      }
     // timestamps as INT64 micros: INT96 (Spark's default) has no usable
     // parquet statistics, which would blind the file-skipping bounds
     val tsKey = "spark.sql.parquet.outputTimestampType"

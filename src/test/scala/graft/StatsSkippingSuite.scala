@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -177,6 +179,32 @@ class StatsSkippingSuite extends SparkFixture {
       assert(spark.sql("SELECT * FROM g_stats.default.zord_t " +
         "WHERE y BETWEEN 0 AND 24").count() ==
         (0L until 40000L).count(i => (i * 104729L) % 200L <= 24L))
+    }
+  }
+
+  test("graft.bloom.columns writes parquet bloom filters; lookups stay exact") {
+    withTempPath { path =>
+      val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+      val t = GraftTable.create(spark, df, path,
+        hashColumns = Seq("id"), bucketNum = 2,
+        properties = Map(
+          graft.write.TransactionalWrite.BloomColumnsProp -> "id",
+          graft.write.TransactionalWrite.BloomNdvProp -> "10000"))
+      // the footer of every written file must carry a bloom for `id`
+      val file = new org.apache.hadoop.fs.Path(t.liveFiles.head.file.path)
+      val conf = spark.sessionState.newHadoopConf()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val col = reader.getFooter.getBlocks.get(0).getColumns.asScala
+          .find(_.getPath.toDotString == "id").get
+        assert(col.getBloomFilterOffset > 0, "no bloom filter written for id")
+        assert(reader.getBloomFilterDataReader(reader.getFooter.getBlocks.get(0))
+          .readBloomFilter(col) != null)
+      } finally reader.close()
+      // lookups through the scan remain exact (bloom is pruning-only)
+      assert(t.lookupByPk(Seq(42L)).count() == 1)
+      assert(t.lookupByPk(Seq(999999L)).count() == 0)
     }
   }
 
