@@ -96,7 +96,8 @@ class GraftScan(
     dataFilters: Seq[Filter],
     pkBucket: Option[Int],
     keepCdcRows: Boolean = false)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
 
   // metadata-level file skipping (zone maps): drop files whose min/max
   // bounds prove no row matches; merge-safety enforced inside prune
@@ -131,6 +132,26 @@ class GraftScan(
     : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(spark, info, schema, readerFilters,
       info.tablePath)
+
+  /** Post-pruning size estimate for the join planner: without it Spark
+    * assumes `defaultSizeInBytes` (effectively infinite) for a DSv2 table
+    * and never auto-broadcasts a small graft dimension table. Size is the
+    * PRUNED live-file byte sum scaled by the session's parquet
+    * compression factor — so partition/bucket/zone-map pruning directly
+    * tightens the plan (a filtered fact-table scan can itself become
+    * broadcastable). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = {
+      val factor = spark.sessionState.conf.fileCompressionFactor
+      files.map(_.file.size).sum match {
+        case 0 => 1L // empty scan: don't report 0 (Spark treats as unknown-ish)
+        case s => (s * factor).toLong
+      }
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def outputPartitioning(): Partitioning =
     if (bucketMergeable && pkBucket.isEmpty)

@@ -118,6 +118,15 @@ case class GraftRelation(
 
   override lazy val schema: StructType = table.schema
 
+  /** Live-file byte sum (scaled by the parquet compression factor) so the
+    * join planner can auto-broadcast small graft tables instead of assuming
+    * `defaultSizeInBytes` (the DSv1 default, effectively infinite). */
+  override def sizeInBytes: Long = {
+    val s = table.liveFiles.map(_.file.size).sum
+    if (s == 0) 1L
+    else (s * spark.sessionState.conf.fileCompressionFactor).toLong
+  }
+
   private def baseDF(filters: Array[Filter],
       requiredColumns: Array[String]): DataFrame = {
     val t = table

@@ -112,6 +112,31 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("scan statistics: small graft table auto-broadcasts in SQL joins") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      (1L to 100000L).map(i => (i, i % 50L)).toDF("id", "k")
+        .createOrReplaceTempView("stats_big_src")
+      Seq.tabulate(50)(i => (i.toLong, s"g$i")).toDF("k", "name")
+        .createOrReplaceTempView("stats_small_src")
+      spark.sql("CREATE TABLE graft_cat.st.big AS SELECT * FROM stats_big_src")
+      spark.sql("CREATE TABLE graft_cat.st.small AS SELECT * FROM stats_small_src")
+      // AQE off: the STATIC planner must already see the size estimate the
+      // scan reports (without SupportsReportStatistics a DSv2 table gets
+      // defaultSizeInBytes and this plans a sort-merge join)
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val j = spark.sql("SELECT b.id, s.name FROM graft_cat.st.big b " +
+          "JOIN graft_cat.st.small s ON b.k = s.k")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+        assert(j.count() == 100000)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
   test("DSv2 streaming read: readStream.table over a graft catalog table") {
     withTempPath { wh =>
       withTempPath { ckpt =>
