@@ -3,7 +3,7 @@ package graft.read
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
@@ -97,13 +97,34 @@ class GraftScan(
     pkBucket: Option[Int],
     keepCdcRows: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // metadata-level file skipping (zone maps): drop files whose min/max
   // bounds prove no row matches; merge-safety enforced inside prune
-  private val files: Seq[ResolvedFile] =
+  private var files: Seq[ResolvedFile] =
     StatsSkipping.prune(info, graft.util.SchemaUtil.fromJson(info.schemaJson),
       filesIn, dataFilters)
+
+  // ---- SupportsRuntimeFiltering (dynamic file pruning): after a join's
+  // build side materializes, Spark re-filters this scan with
+  // In(joinKey, buildValues). The same zone-map machinery prunes files —
+  // range-partition columns are min==max constants per file (partition
+  // pruning falls out), clustered columns carry tight bounds, and
+  // merge-safety is enforced inside StatsSkipping. Every column is
+  // declared: an attribute whose stats can't prove anything just keeps
+  // its files (three-valued evaluation), so over-declaring is safe.
+  // SPJ interaction: the bucket-merge path plans one partition per bucket
+  // REGARDLESS of surviving files (an emptied bucket yields an empty
+  // partition), so KeyGroupedPartitioning stays valid under runtime
+  // filtering and storage-partitioned joins don't regress.
+
+  override def filterAttributes(): Array[NamedReference] =
+    schema.fieldNames.map(Expressions.column)
+
+  override def filter(runtimeFilters: Array[Filter]): Unit =
+    files = StatsSkipping.prune(info,
+      graft.util.SchemaUtil.fromJson(info.schemaJson), files,
+      runtimeFilters.toSeq)
 
   private val bucketMergeable =
     info.hasPrimaryKey && BucketMergeRead.supports(info, schema, files) &&

@@ -182,6 +182,34 @@ class StatsSkippingSuite extends SparkFixture {
     }
   }
 
+  test("runtime filtering: In() filters prune a clustered scan's files") {
+    withTempPath { path =>
+      val df = (1L to 20000L).map(i => ((i * 7919L) % 20000L, s"v$i"))
+        .toDF("id", "v").repartition(8)
+      val t = GraftTable.create(spark, df, path)
+      t.cluster(Seq("id"), numFiles = 8)
+      val scan = new graft.read.GraftScanBuilder(spark, t)
+        .build().asInstanceOf[graft.read.GraftScan]
+      val before = scan.planInputPartitions().length
+      assert(before >= 8)
+      // what Spark hands a SupportsRuntimeFiltering scan after the join's
+      // build side materializes: the build keys as an In()
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        In("id", Array[Any](5L, 10L, 4000L))))
+      val after = scan.planInputPartitions().length
+      assert(after < before && after >= 1,
+        s"runtime In should prune files: $before -> $after")
+      // e2e: a selective dim join over the same table returns exact rows
+      graft.catalog.GraftCatalog.register(spark, "default.rtf_t", path)
+      spark.conf.set("spark.sql.catalog.g_stats", "graft.catalog.GraftCatalogV2")
+      spark.createDataFrame(Seq((5L, "a"), (4000L, "b"))).toDF("k", "tag")
+        .createOrReplaceTempView("rtf_dim")
+      val j = spark.sql("SELECT f.id, f.v, d.tag FROM g_stats.default.rtf_t f " +
+        "JOIN rtf_dim d ON f.id = d.k")
+      assert(j.count() == 2)
+    }
+  }
+
   test("graft.bloom.columns writes parquet bloom filters; lookups stay exact") {
     withTempPath { path =>
       val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")
