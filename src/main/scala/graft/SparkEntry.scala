@@ -655,6 +655,12 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------- pipeline operators
+    "q_profile" -> q((s, d) =>
+      // ANALYZE-style column profile: one wide agg pass + stack unpivot;
+      // the double column is pre-cast to decimal so min/max strings are
+      // engine-stable
+      graft.pipeline.Profile.profile(rd(s, d, "customer")
+        .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)")))),
     "dedup_exact" -> q((s, d) => {
       // duplicate every 5th doc under a shifted id, then dedup
       val doc = rd(s, d, "documents")
@@ -1051,6 +1057,20 @@ object SparkEntry {
         |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k, min(doc_id) AS keep
         |  FROM uni GROUP BY 1) g
         |ON regexp_replace(lower(trim(u.text)), '\s+', ' ', 'g') = g.k AND u.doc_id = g.keep""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM (SELECT c_custkey, c_name, c_nationkey,
+           |  CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal, c_mktsegment
+           |  FROM customer)""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "")
+    },
     "dedup_passage" ->
       """WITH uni AS (
         |  SELECT doc_id, text FROM documents
