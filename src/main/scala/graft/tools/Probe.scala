@@ -50,6 +50,33 @@ object Probe {
     time("compacted read 1")(t.toDF.count())
     time("compacted read 2")(t.toDF.count())
 
+    // ---------------- upsert cost breakdown ----------------------------
+    // where a 0.7-0.8 s sf0.1 upsert goes: the Spark write job
+    // (preMerge shuffle + 32-file parquet write) vs footer-stats
+    // collection vs the meta commit. Raw write = the floor Spark itself
+    // pays for the same shuffle+sort+write without any table format.
+    {
+      val b2 = orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      b2.cache().count()
+      time("upsert x3 (stats ON)")((1 to 3).foreach(_ => t.upsert(b2)))
+      time("writeFiles only x3")((1 to 3).foreach(_ =>
+        graft.write.TransactionalWrite.writeFiles(
+          spark, t.info, b2, graft.meta.CommitOp.Merge)))
+      val ndir = java.nio.file.Files
+        .createTempDirectory("graft-probe-nostats-").toFile.getAbsolutePath
+      val nt = GraftTable.create(spark, orders, ndir,
+        hashColumns = Seq("o_orderkey"), bucketNum = 32,
+        properties = Map(graft.write.FileStatsCollector.EnabledProp -> "false"))
+      time("upsert x3 (stats OFF)")((1 to 3).foreach(_ => nt.upsert(b2)))
+      time("raw shuffle+sort+write x3")((1 to 3).foreach { i =>
+        b2.repartition(32, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .write.mode("overwrite").parquet(s"/tmp/probe-raw-$i")
+      })
+      b2.unpersist()
+    }
+
     // ---------------- bucketed join, builds untimed -------------------
     val cst = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
