@@ -768,6 +768,52 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.minShingleFingerprint(col("text")).as("min_shingle_fp"))
     }),
+    "pii_scrub" -> q((s, d) => {
+      // PII redaction (the standard pre-training scrub pass). The synthetic
+      // docs are digit-free, so every 3rd doc gets a deterministic
+      // email/IP/phone suffix derived from doc_id — computed identically in
+      // both engines — then the RE2-safe regexp_replace chain redacts
+      // (DuckDB replays the patterns verbatim). Zero shuffle at any scale.
+      val doc = rd(s, d, "documents")
+      val planted = doc.withColumn("text2",
+        when(col("doc_id") % 3 === 0, concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 or call +1 555 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text2")).as("scrubbed"))
+        .withColumn("n_redacted",
+          regexp_count(col("scrubbed"), lit("<(EMAIL|IP|PHONE)>")))
+    }),
+    "quality_topk" -> q((s, d) => {
+      // best-k-per-source curation: quality-score every doc (pure column
+      // exprs), keep the top 5 per source — ONE window over the source
+      // shuffle, no global sort; at 100 TB the shuffle payload is
+      // (doc_id, source, quality), not the text
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      rd(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+    }),
+    "gopher_filter" -> q((s, d) =>
+      // Gopher/MassiveText rule-based document filter: per-rule boolean
+      // flags + combined keep verdict, zero-shuffle column exprs
+      TextAnalysis.gopherFilter(rd(s, d, "documents"), minTokens = 20)
+        .select("doc_id", "flag_tokens", "flag_word_len", "flag_punct",
+          "flag_stopwords", "keep")),
+    "kmeans_assign" -> q((s, d) =>
+      // Lloyd's k-means corpus clustering: deterministic hashed-id init,
+      // map-only codegen'd assignment, k x dim partial-sum update per
+      // iteration (corpus never re-shuffles); centroids quantized to
+      // 6 decimals + float so the DuckDB oracle replays both rounds
+      Similarity.kmeans(rd(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)),
     "hamming_similarity" -> q((s, d) => {
       GraftFunctions.register(s)
       // binarize embeddings (63 sign bits packed into one long; 63 not 64 so
@@ -1137,6 +1183,88 @@ object SparkEntry {
         |      t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','not','this','are'], t))) * 1.0
         |      / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) END, 6) AS stopword_ratio
         |FROM documents""".stripMargin,
+    "pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7 or call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |    ELSE text END AS text2
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d().\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed
+        |  FROM planted)
+        |SELECT doc_id, scrubbed,
+        |  len(regexp_extract_all(scrubbed, '<(EMAIL|IP|PHONE)>')) AS n_redacted
+        |FROM scrub""".stripMargin,
+    "quality_topk" ->
+      """WITH ql AS (
+        |  SELECT doc_id, source, round(
+        |    (CASE WHEN CAST(length(text) AS DOUBLE) < 10 THEN CAST(length(text) AS DOUBLE) / 10.0
+        |          WHEN CAST(length(text) AS DOUBLE) > 10000 THEN greatest(0.0, 1.0 - (CAST(length(text) AS DOUBLE) - 10000) / 90000.0)
+        |          ELSE 1.0 END) * 0.25
+        |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / length(text) END) * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) END) * 4.0) * 0.25
+        |    + least(1.0, (CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) = 0 THEN 0.0
+        |        ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |          t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','not','this','are'], t))) * 1.0
+        |          / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) END) * 4.0) * 0.25, 6) AS quality
+        |  FROM documents)
+        |SELECT doc_id, source, quality, rk FROM (
+        |  SELECT ql.*, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk FROM ql)
+        |WHERE rk <= 5""".stripMargin,
+    "gopher_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(ts) >= 20 AND len(ts) <= 100000 AS flag_tokens,
+        |    (CASE WHEN len(ts) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) END) BETWEEN 3.0 AND 10.0 AS flag_word_len,
+        |    (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / length(text) END) <= 0.2 AS flag_punct,
+        |    len(list_intersect(list_distinct(ts), ['the','be','to','of','and','that','have','with'])) >= 2 AS flag_stopwords
+        |  FROM tok)
+        |SELECT doc_id, flag_tokens, flag_word_len, flag_punct, flag_stopwords,
+        |  flag_tokens AND flag_word_len AND flag_punct AND flag_stopwords AS keep
+        |FROM f""".stripMargin,
+    "kmeans_assign" ->
+      """WITH c0 AS (
+        |  SELECT CAST(rk - 1 AS BIGINT) AS cl, cvec FROM (
+        |    SELECT embedding AS cvec,
+        |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
+        |    FROM embeddings) WHERE rk <= 8),
+        |a0 AS (
+        |  SELECT vec_id, embedding, cl FROM (
+        |    SELECT e.vec_id, e.embedding, c.cl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cl) AS rn
+        |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+        |e0 AS (
+        |  SELECT cl, unnest(embedding) AS val, unnest(range(1, len(embedding) + 1)) AS pos FROM a0),
+        |c1 AS (
+        |  SELECT cl, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS cvec FROM (
+        |    SELECT cl, pos, sum(CAST(val AS DOUBLE)) / count(*) AS m FROM e0 GROUP BY cl, pos) GROUP BY cl),
+        |a1 AS (
+        |  SELECT vec_id, embedding, cl FROM (
+        |    SELECT e.vec_id, e.embedding, c.cl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cl) AS rn
+        |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+        |e1 AS (
+        |  SELECT cl, unnest(embedding) AS val, unnest(range(1, len(embedding) + 1)) AS pos FROM a1),
+        |c2 AS (
+        |  SELECT cl, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS cvec FROM (
+        |    SELECT cl, pos, sum(CAST(val AS DOUBLE)) / count(*) AS m FROM e1 GROUP BY cl, pos) GROUP BY cl)
+        |SELECT vec_id, cl AS cluster FROM (
+        |  SELECT e.vec_id, c.cl,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cl) AS rn
+        |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t

@@ -124,6 +124,56 @@ object Similarity {
       k, nprobe)
   }
 
+  /** Lloyd's k-means over an embedding column — corpus clustering for
+    * data-mixture balancing / per-cluster sampling at pre-training scale.
+    *
+    * Deterministic and SQL-replayable end to end: init = [[selectCentroids]]
+    * (Knuth-hash pick, no RNG), assignment = the codegen'd [[nearestCell]]
+    * argmax (cosine; lowest rank wins ties), update = per-dimension mean
+    * QUANTIZED to 6 decimals and float precision, so an independent replay
+    * (the DuckDB oracle) lands on bit-identical centroids each round.
+    * Clusters that lose every point simply drop out of the next round (both
+    * engines derive the centroid set from the surviving groups).
+    *
+    * Scale shape: per iteration the corpus itself never shuffles — the
+    * assignment is a map-only codegen pass, and the update aggregates
+    * `dim` per-cluster partial sums with map-side combine, shuffling only
+    * k rows x dim columns. Driver state = k*dim floats re-broadcast as
+    * expression literals. At 100 TB this is iters map passes + iters
+    * k-row collects.
+    */
+  def kmeans(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol)).as("d")).head.getInt(0)
+    var cents: Array[(Long, Array[Float])] =
+      selectCentroids(df, idCol, vecCol, k)
+        .zipWithIndex.map { case ((_, v), rk) => (rk.toLong, v) }
+    for (_ <- 1 to iters) {
+      val assigned = df.select(col(vecCol).as("_g_v"),
+        nearestCell(col(vecCol), cents).as("_g_c"))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("_g_v"), i + 1).cast("double")).as(s"_g_s$i"))
+      val rows = assigned.groupBy("_g_c")
+        .agg(count(lit(1)).as("_g_n"), sums: _*)
+        .orderBy("_g_c")
+        .collect()
+      cents = rows.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getLong(0), Array.tabulate(dim) { i =>
+          // HALF_UP at 6 decimals then float — Spark round() semantics,
+          // reproducible from SQL via CAST(round(x, 6) AS REAL)
+          BigDecimal(r.getDouble(i + 2) / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
+        })
+      }
+    }
+    df.select(col(idCol), nearestCell(col(vecCol), cents).as("cluster"))
+  }
+
   /** Pairwise hamming distance over binary embeddings (Array[Long]) — the
     * reference's lakesoul_hamming_distance surface (HammingDistFunc.scala).
     * DOCUMENTED BRUTE-FORCE BASELINE (O(n^2) crossJoin) — only for bounded

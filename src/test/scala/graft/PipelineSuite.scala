@@ -244,6 +244,44 @@ class PipelineSuite extends SparkFixture {
     assert(tiny.count() == 1)
   }
 
+  test("pii scrub: email/ip/phone redacted, clean text untouched") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org today"),
+      (2L, "server 192.168.0.17 rebooted"),
+      (3L, "call +1 (415) 555-0142 now"),
+      (4L, "no pii here at all")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.scrubPii($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "server <IP> rebooted")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "no pii here at all")
+  }
+
+  test("gopher filter: rule flags and combined keep verdict") {
+    val good = "the cat and the dog be friends that have fun with every " +
+      "toy of the house and they run around all day with joy"
+    val df = Seq(
+      (1L, good),                     // passes everything (minTokens = 10)
+      (2L, "tiny text"),              // too few tokens
+      (3L, "!!! ??? ... ;;; :::"),    // punctuation soup
+      (4L, good.replaceAll("\\b(the|and|be|that|have|with|of)\\b", "xx"))
+    ).toDF("id", "text")              // stopword-free
+    val out = TextAnalysis.gopherFilter(df, minTokens = 10)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L) && !out(3L) && !out(4L))
+  }
+
+  test("kmeans: deterministic, total assignment, clusters non-trivial") {
+    val a = Similarity.kmeans(embs, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.kmeans(embs, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)                          // reproducible across runs
+    assert(a.size == embs.count())          // every vector assigned
+    assert(a.values.toSet.size > 1)         // more than one surviving cluster
+  }
+
   test("streaming sink: exactly-once per (queryId, batchId); modes") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), path,
