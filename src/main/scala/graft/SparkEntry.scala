@@ -710,6 +710,19 @@ object SparkEntry {
       graft.pipeline.Packing.packDocuments(stats, "doc_id", "n_tokens",
         budget = 2048, numShards = 8)
     }),
+    "doc_chunk" -> q((s, d) =>
+      // context-window chunking: overlapping 32-token training sequences
+      // with stride 16 — zero shuffle (tokenize + sequence + explode are
+      // per-row exprs), deterministic (doc_id, start) chunk identity
+      graft.pipeline.Packing.chunkDocuments(rd(s, d, "documents"),
+        "doc_id", "text", window = 32, stride = 16)),
+    "sample_temperature" -> q((s, d) =>
+      // temperature mixture rebalancing (p_g ~ n_g^0.5): smallest language
+      // keeps everything, dominant ones downsample via the deterministic
+      // hash gate; rates from one tiny count agg + broadcast join
+      graft.pipeline.Sampling.temperatureSample(rd(s, d, "documents"),
+        "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang", "source")),
     "sample_stratified" -> q((s, d) =>
       // deterministic hash-gate sampling: zero shuffle, reproducible,
       // SQL-replayable (Knuth multiplicative hash)
@@ -1346,6 +1359,22 @@ object SparkEntry {
       """SELECT * FROM documents
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 <
         |  CASE WHEN lang = 'en' THEN 500000 ELSE 100000 END""".stripMargin,
+    "doc_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, ts, unnest(range(0, greatest(len(ts), 1), 16)) AS s FROM tok)
+        |SELECT doc_id, CAST(floor(s / 16.0) AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(ts, s + 1, s + 32), ' ') AS chunk_text,
+        |  least(len(ts) - s, 32) AS n_chunk_tokens
+        |FROM ch WHERE least(len(ts) - s, 32) > 0""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang, CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000) AS BIGINT) AS thresh FROM c, m)
+        |SELECT doc_id, lang, source FROM documents d JOIN r USING (lang)
+        |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < thresh""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_index_persisted" -> annIvfOracle,
     // hyperplane-LSH recall is 100% for EXACT copies (identical sign bits =>

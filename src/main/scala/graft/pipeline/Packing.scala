@@ -19,6 +19,32 @@ import org.apache.spark.sql.functions._
   * concern). */
 object Packing {
 
+  /** Split documents into fixed-size token windows with stride — the
+    * context-window chunking step that turns variable-length documents into
+    * training sequences (stride < window = overlapping contexts). Zero
+    * shuffle at any scale: tokenize + sequence + explode are per-row
+    * expressions, and chunk ids are deterministic (doc id, start offset),
+    * so the DuckDB oracle replays the exact output. */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.withColumn("_g_ts", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_g_start", explode(sequence(lit(0),
+        greatest(size(col("_g_ts")) - 1, lit(0)), lit(stride))))
+      .select(col(idCol),
+        floor(col("_g_start") / lit(stride)).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_g_ts"), col("_g_start") + 1, lit(window)))
+          .as("chunk_text"),
+        least(size(col("_g_ts")) - col("_g_start"), lit(window))
+          .as("n_chunk_tokens"))
+      .filter(col("n_chunk_tokens") > 0)
+  }
+
   def packDocuments(
       df: DataFrame,
       idCol: String,

@@ -24,6 +24,35 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(gate(col(idCol)) < lit((rate * Mod).toLong))
 
+  /** Temperature-based mixture rebalancing (the multilingual-corpus
+    * p_g ∝ n_g^alpha reweighting, alpha in (0,1]): downsample every stratum
+    * so kept counts are proportional to n_g^alpha without ever upsampling —
+    * the smallest stratum keeps everything, larger strata shrink by
+    * r_g = (n_min/n_g)^(1-alpha). One tiny per-stratum count aggregate
+    * computes the rates; the gate itself is the same zero-shuffle
+    * deterministic hash filter as [[stratifiedSample]], applied through a
+    * broadcast join of the (few-row) rate table. For alpha = 0.5 the rate
+    * is computed with sqrt (IEEE correctly-rounded in every engine), so
+    * the thresholds — and therefore the kept set — replay bit-exactly in
+    * the DuckDB oracle. */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_g_n"))
+    val nMin = counts.agg(min(col("_g_n")).as("_g_nmin"))
+    val exp = 1.0 - alpha
+    val ratio = col("_g_nmin") / col("_g_n")
+    val rate = if (exp == 0.5) sqrt(ratio) else pow(ratio, exp)
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(strataCol), (rate * Mod).cast("long").as("_g_thresh"))
+    df.join(broadcast(rates), strataCol)
+      .filter(gate(col(idCol)) < col("_g_thresh"))
+      .drop("_g_thresh")
+  }
+
   /** Deterministic stratified sample: per-stratum rates with a default —
     * e.g. downsample boilerplate-heavy languages, keep rare ones whole. */
   def stratifiedSample(

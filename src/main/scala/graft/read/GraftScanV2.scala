@@ -59,7 +59,15 @@ class GraftScanBuilder(
       pkBucket = Some(TransactionalWrite.bucketOf(
         spark, fullSchema, info.hashColumns.map(c => c -> eq(c)), info.bucketNum))
     dataFilters = filters.toSeq
-    pushed = filters.filter(f => Filters.toColumn(f).isDefined)
+    // Advertise only what is GUARANTEED to reach the parquet readers: on a
+    // PK table, non-key filters are dropped by the merge-safety rule when a
+    // partition has multiple sorted runs (a fact only known at build time),
+    // so EXPLAIN's PushedFilters must not overstate them. Single-run scans
+    // still push everything at the reader level — they are just not
+    // advertised here (understating is cosmetic, overstating is a lie).
+    val keyCols = (info.rangeColumns ++ info.hashColumns).toSet
+    pushed = filters.filter(f => Filters.toColumn(f).isDefined &&
+      (!info.hasPrimaryKey || f.references.forall(keyCols.contains)))
     filters // all residual: Spark re-applies everything above the scan
   }
 

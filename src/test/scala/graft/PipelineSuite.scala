@@ -272,6 +272,36 @@ class PipelineSuite extends SparkFixture {
     assert(out(1L) && !out(2L) && !out(3L) && !out(4L))
   }
 
+  test("doc chunking: windows, stride overlap, tail chunk") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b"))
+      .toDF("id", "text")
+    val ch = graft.pipeline.Packing.chunkDocuments(df, "id", "text",
+      window = 4, stride = 2)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, String, Int)].collect()
+    val one = ch.filter(_._1 == 1L)
+    assert(one.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10", "w9 w10"))
+    assert(one.map(_._4).toSeq == Seq(4, 4, 4, 4, 2))
+    assert(ch.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
+  }
+
+  test("temperature sampling: smallest stratum whole, mixture flattened") {
+    val df = (0 until 400).map(i => (i.toLong, if (i < 320) "big" else "small"))
+      .toDF("id", "grp")
+    val kept = graft.pipeline.Sampling.temperatureSample(df, "id", "grp", 0.5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 80)            // rate 1.0 — nothing dropped
+    // big: rate sqrt(80/320) = 0.5 — hash gate keeps about half
+    assert(kept("big") > 120 && kept("big") < 200)
+    // nesting: resampling flatter (alpha 0.25) is a subset
+    val flat = graft.pipeline.Sampling.temperatureSample(df, "id", "grp", 0.25)
+      .select("id").as[Long].collect().toSet
+    val base = graft.pipeline.Sampling.temperatureSample(df, "id", "grp", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(flat.subsetOf(base))
+  }
+
   test("kmeans: deterministic, total assignment, clusters non-trivial") {
     val a = Similarity.kmeans(embs, "vec_id", "embedding", k = 4, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
