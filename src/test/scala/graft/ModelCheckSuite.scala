@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.meta.TableInfo
+import graft.tables.GraftTable
+
+/** Seeded randomized model check — the reference's cross-engine oracle idea
+  * (python/tests/compat/cases.py: expected table = last-writer-wins fold over
+  * primary keys, python/tests/compat/normalize.py assert_table_matches)
+  * turned into a property test: drive random op sequences against a graft
+  * table while mirroring each op in a plain in-memory model, then compare
+  * the merged read (and random time-travel snapshots) after every round.
+  * Fixed seeds keep failures reproducible.
+  */
+class ModelCheckSuite extends SparkFixture {
+  import spark.implicits._
+
+  private def readState(df: DataFrame): Map[Long, (Long, String)] =
+    df.select("id", "v", "tag").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("random upsert/delete/compaction sequences vs last-writer-wins model") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      withTempPath { path =>
+        val keySpace = 0 until (10 + rnd.nextInt(40))
+        def batch(): Seq[(Long, Long, String)] =
+          rnd.shuffle(keySpace.toList).take(1 + rnd.nextInt(keySpace.size))
+            .map(k => (k.toLong, rnd.nextInt(1000).toLong, s"t${rnd.nextInt(5)}"))
+
+        val init = batch()
+        val t = GraftTable.create(spark, init.toDF("id", "v", "tag"), path,
+          hashColumns = Seq("id"), bucketNum = 1 + rnd.nextInt(4))
+        var model = init.map { case (k, v, g) => k -> (v, g) }.toMap
+        var snapshots = Vector(t.lastCommitTs -> model)
+
+        for (_ <- 0 until 4 + rnd.nextInt(5)) {
+          rnd.nextInt(4) match {
+            case 0 | 1 => // upsert (unique PKs per batch — the format contract)
+              val b = batch()
+              t.upsert(b.toDF("id", "v", "tag"))
+              model ++= b.map { case (k, v, g) => k -> (v, g) }
+            case 2 => // predicate delete (non-PK column -> rewrite tiers)
+              val cut = rnd.nextInt(1000)
+              t.delete(col("v") < cut)
+              model = model.filter { case (_, (v, _)) => v >= cut }
+            case 3 => // compaction must never change the merged result
+              t.compaction()
+          }
+          Thread.sleep(2) // distinct commit timestamps for time travel
+          snapshots :+= t.lastCommitTs -> model
+        }
+
+        assert(readState(t.toDF) == model, s"round $round: final state")
+        val (ts, expected) = snapshots(rnd.nextInt(snapshots.size))
+        assert(readState(t.snapshotAt(ts)) == expected,
+          s"round $round: snapshot @$ts")
+      }
+    }
+  }
+
+  test("random upserts vs sum_all / use_last_not_null merge-op model") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      withTempPath { path =>
+        val keys = (0 until 20).map(_.toLong)
+        val init = keys.map(k => (k, rnd.nextInt(100).toLong, s"s$k"))
+        val t = GraftTable.create(spark, init.toDF("id", "n", "s"), path,
+          hashColumns = Seq("id"), bucketNum = 2,
+          properties = Map(
+            TableInfo.mergeOpProp("n") -> "sum_all",
+            TableInfo.mergeOpProp("s") -> "use_last_not_null"))
+        var sums = init.map(x => x._1 -> x._2).toMap
+        var lastS = init.map(x => x._1 -> x._3).toMap
+
+        for (_ <- 0 until 5) {
+          val b = rnd.shuffle(keys.toList).take(1 + rnd.nextInt(19)).map(k =>
+            (k, rnd.nextInt(100).toLong,
+              if (rnd.nextBoolean()) s"u${rnd.nextInt(9)}" else null))
+          t.upsert(b.toDF("id", "n", "s"))
+          sums ++= b.map(x => x._1 -> (sums(x._1) + x._2))
+          lastS ++= b.collect { case (k, _, s2) if s2 != null => k -> s2 }
+        }
+
+        def state(): Map[Long, (Long, String)] =
+          t.toDF.select("id", "n", "s").as[(Long, Long, Option[String])]
+            .collect().map(r => r._1 -> (r._2, r._3.orNull)).toMap
+        val expected = sums.map { case (k, v) => k -> (v, lastS(k)) }
+        assert(state() == expected, s"round $round: merged state")
+        t.compaction() // must preserve merge-op semantics
+        assert(state() == expected, s"round $round: post-compaction state")
+      }
+    }
+  }
+}
