@@ -710,6 +710,16 @@ object SparkEntry {
       graft.pipeline.Packing.packDocuments(stats, "doc_id", "n_tokens",
         budget = 2048, numShards = 8)
     }),
+    "ngram_topk" -> q((s, d) => {
+      // corpus n-gram frequency table (tokenizer-training / contamination
+      // analysis staple): explode 2-grams -> ONE count agg (map-side
+      // partial combine; only distinct grams shuffle) -> top 50 via
+      // TakeOrdered, ties broken by gram for determinism
+      val grams = rd(s, d, "documents")
+        .select(explode(TextAnalysis.wordShingles(col("text"), 2)).as("gram"))
+      grams.groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(50)
+    }),
     "doc_chunk" -> q((s, d) =>
       // context-window chunking: overlapping 32-token training sequences
       // with stride 16 — zero shuffle (tokenize + sequence + explode are
@@ -1359,6 +1369,16 @@ object SparkEntry {
       """SELECT * FROM documents
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 <
         |  CASE WHEN lang = 'en' THEN 500000 ELSE 100000 END""".stripMargin,
+    "ngram_topk" ->
+      """WITH tok AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS gram
+        |  FROM tok)
+        |SELECT gram, count(*) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
     "doc_chunk" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts

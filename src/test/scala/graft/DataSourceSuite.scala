@@ -108,6 +108,47 @@ class DataSourceSuite extends SparkFixture {
     }
   }
 
+  test("structured streaming custom state: mapGroupsWithState running " +
+    "per-user counts over the graft source, state survives restart") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    withTempPath { src =>
+      withTempPath { dst =>
+        withTempPath { ckpt =>
+          val t = GraftTable.create(spark,
+            Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("user", "ev"), src)
+          def run(): Unit = {
+            val q = spark.readStream.format("graft").load(src)
+              .as[(String, Long)]
+              .groupByKey(_._1)
+              .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+                (user: String, rows: Iterator[(String, Long)],
+                 st: GroupState[Long]) =>
+                  val n = st.getOption.getOrElse(0L) + rows.size
+                  st.update(n)
+                  (user, n)
+              }
+              .toDF("user", "n")
+              .writeStream.outputMode("update")
+              .format("graft").option("path", dst)
+              .option("hashPartitions", "user").option("hashBucketNum", "1")
+              .option("checkpointLocation", s"$ckpt/q")
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination(60000)
+          }
+          run()
+          assertRows(spark.read.format("graft").load(dst),
+            Seq("[a,2]", "[b,1]"))
+          // restart: restored state continues the counts; new key starts at 1
+          t.append(Seq(("a", 4L), ("c", 5L)).toDF("user", "ev"))
+          run()
+          assertRows(spark.read.format("graft").load(dst),
+            Seq("[a,3]", "[b,1]", "[c,1]"))
+        }
+      }
+    }
+  }
+
   test("structured streaming dedup: dropDuplicatesWithinWatermark over the " +
     "graft source, state survives restarts") {
     withTempPath { src =>
