@@ -460,6 +460,29 @@ object SparkEntry {
       s.sql("ALTER TABLE graft_cat.vfy.nat_sp DROP PARTITION (n_regionkey = 4)")
       s.sql("SHOW PARTITIONS graft_cat.vfy.nat_sp")
     }),
+    "sql_overwrite_partition" -> q((s, d) => {
+      // partition-targeted INSERT OVERWRITE: static PARTITION (r = v) spec
+      // replaces one partition; dynamic mode replaces exactly the
+      // partitions present in the query; all others untouched
+      v2(s)
+      rd(s, d, "nation").createOrReplaceTempView("v2_src_nat_ow")
+      s.sql("CREATE TABLE graft_cat.vfy.nat_ow PARTITIONED BY (n_regionkey) " +
+        "AS SELECT * FROM v2_src_nat_ow")
+      s.sql("INSERT OVERWRITE graft_cat.vfy.nat_ow PARTITION (n_regionkey = 2) " +
+        "SELECT n_nationkey + 100, n_name " +
+        "FROM v2_src_nat_ow WHERE n_regionkey = 2")
+      val restore = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s.sql("INSERT OVERWRITE graft_cat.vfy.nat_ow " +
+          "SELECT n_nationkey + 200, n_name, n_regionkey " +
+          "FROM v2_src_nat_ow WHERE n_regionkey = 3")
+      } finally restore match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.sql("SELECT * FROM graft_cat.vfy.nat_ow")
+    }),
     "sql_replace_table" -> q((s, d) => {
       // atomic RTAS through the StagingTableCatalog: the replacement swaps in
       // only on commit, with the new schema and partitioning
@@ -1050,6 +1073,14 @@ object SparkEntry {
         |CROSS JOIN n CROSS JOIN stats""".stripMargin,
     "sql_replace_table" ->
       "SELECT * FROM nation",
+    "sql_overwrite_partition" ->
+      """SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_regionkey = 2
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey
+        |FROM nation WHERE n_regionkey = 3
+        |UNION ALL
+        |SELECT * FROM nation WHERE n_regionkey NOT IN (2, 3)""".stripMargin,
     "bucketed_join_sql" ->
       """SELECT c_custkey AS custkey, c_name, c_mktsegment,
         |  n_orders, total_spent

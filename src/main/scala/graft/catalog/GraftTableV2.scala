@@ -60,6 +60,7 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE).asJava
 
   // `pinned` wins over per-read options: a VERSION AS OF table handle must
@@ -73,24 +74,45 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()
     new WriteBuilder with SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
         with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       private var overwriteAll = false
+      private var overwriteCond: Option[org.apache.spark.sql.Column] = None
+      private var dynamicPartitions = false
 
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
+      // INSERT OVERWRITE t PARTITION (r = v, ...): static partition values
+      // arrive as filters over the range columns -> replaceWhere overwrite.
+      // Filters on non-range columns (row-level replaceWhere) stay
+      // unsupported — the format replaces partitions, not rows.
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
         val full = filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])
-        if (!full) throw new UnsupportedOperationException(
-          "graft supports INSERT OVERWRITE of the whole table only " +
-            "(use DELETE + INSERT for filtered rewrites)")
-        overwriteAll = true; this
+        if (full) { overwriteAll = true; return this }
+        val rangeCols = table.info.rangeColumns.toSet
+        val conds = filters.map(f =>
+          if (f.references.forall(rangeCols.contains)) graft.util.Filters.toColumn(f)
+          else None)
+        if (conds.exists(_.isEmpty)) throw new UnsupportedOperationException(
+          "graft supports filtered INSERT OVERWRITE on range-partition " +
+            s"columns only (got ${filters.mkString(", ")})")
+        overwriteCond = Some(conds.flatten.reduce(_ && _))
+        this
+      }
+
+      // partitionOverwriteMode=dynamic: replace exactly the partitions
+      // present in the incoming data
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamicPartitions = true; this
       }
 
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwriteAll || overwrite) table.overwrite(data)
+              if (overwriteCond.isDefined) table.overwriteWhere(data, overwriteCond.get)
+              else if (dynamicPartitions) table.overwriteDynamic(data)
+              else if (overwriteAll || overwrite) table.overwrite(data)
               else if (table.info.hasPrimaryKey) table.upsert(data)
               else table.append(data)
             }

@@ -72,7 +72,13 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       mode match {
         case SaveMode.Append =>
           if (t.info.hasPrimaryKey) t.upsert(data) else t.append(data)
-        case SaveMode.Overwrite => t.overwrite(data)
+        // .option("replaceWhere", "<predicate over range columns>"):
+        // partition-targeted overwrite — only matching partitions replaced
+        case SaveMode.Overwrite => parameters.get("replaceWhere") match {
+          case Some(cond) =>
+            t.overwriteWhere(data, org.apache.spark.sql.functions.expr(cond))
+          case None => t.overwrite(data)
+        }
         case SaveMode.Ignore => ()
         case SaveMode.ErrorIfExists =>
           throw new IllegalStateException(s"graft table already exists at $path")

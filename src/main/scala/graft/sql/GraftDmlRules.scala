@@ -57,6 +57,14 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case d: DeleteFromTable if d.resolved && graftPath(d.table).isDefined =>
       GraftSqlDeleteCommand(graftPath(d.table).get, Option(d.condition))
 
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic: Spark demands a
+    // native BatchWrite for OverwritePartitionsDynamic (the V1 write fallback
+    // cannot express it), so the resolved plan is rewritten into the
+    // transactional dynamic-overwrite command — same shape as UPDATE/DELETE.
+    case o: OverwritePartitionsDynamic
+        if o.query.resolved && graftPath(o.table).isDefined =>
+      GraftSqlDynamicOverwriteCommand(graftPath(o.table).get, o.query)
+
     case m: MergeIntoTable if m.resolved && graftTableV2(m.targetTable).isDefined =>
       if (isUpsertShape(m))
         // reference-parity fast path: UPDATE SET * + INSERT * == delta upsert
@@ -228,6 +236,24 @@ case class GraftSqlDeleteCommand(
       case Some(c) => t.delete(DmlExpr.toColumn(c))
       case None => t.delete()
     }
+    Nil
+  }
+}
+
+/** Dynamic partition overwrite: replace exactly the partitions present in
+  * the query's rows ([[GraftTable.overwriteDynamic]]). The query arrives
+  * by-position aligned to the table schema (ResolveInsertInto), so outputs
+  * are renamed positionally before the write. */
+case class GraftSqlDynamicOverwriteCommand(path: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(spark, path)
+    val df = org.apache.spark.sql.graft.StreamShim.ofRows(spark, query)
+    val names = t.schema.fieldNames
+    require(df.columns.length == names.length,
+      s"INSERT OVERWRITE arity ${df.columns.length} != table ${names.length}")
+    t.overwriteDynamic(df.toDF(names.toIndexedSeq: _*))
     Nil
   }
 }

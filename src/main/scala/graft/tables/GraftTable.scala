@@ -159,6 +159,34 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       partitions.map(_.partitionDesc).toSet -- commits.map(_.partitionDesc)))
   }
 
+  /** Filtered overwrite (replaceWhere): atomically replace the partitions
+    * matching a predicate over the range columns with `df`'s rows. Rows that
+    * would land OUTSIDE the matching partitions fail the write (an
+    * assert_true inside the write plan — no extra validation pass), so the
+    * predicate is both the expiry set and the write contract. Partitions the
+    * predicate does not match are untouched — at 100 TB this is the
+    * "recompute one day of the lake" primitive. */
+  def overwriteWhere(df: DataFrame, partitionCond: Column): Unit = withRetry {
+    val t = info
+    require(t.rangeColumns.nonEmpty,
+      "overwriteWhere requires a range-partitioned table")
+    val checked = df.filter(coalesce(
+      assert_true(partitionCond,
+        lit("replaceWhere: row outside the target partitions"))
+        .cast("boolean"), lit(true)))
+    val commits = TransactionalWrite.writeFiles(spark, t, checked, CommitOp.Update)
+    publish(commits ++ expireCommitsFor(
+      partitionsMatching(partitionCond) -- commits.map(_.partitionDesc)))
+  }
+
+  /** Dynamic partition overwrite (partitionOverwriteMode=dynamic): replace
+    * exactly the partitions PRESENT in `df`; every other partition is left
+    * untouched. The Update commit itself supersedes each touched
+    * partition's head, so this is one write job + one meta publish. */
+  def overwriteDynamic(df: DataFrame): Unit = withRetry {
+    publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Update))
+  }
+
   /** Publish one streaming micro-batch of executor-written files (the DSv2
     * streaming sink, [[graft.streaming.GraftStreamingWrite]]): same
     * (queryId, batchId) exactly-once guard as the DSv1 sink — a replayed
@@ -433,7 +461,13 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * PartitionFilter.scala:177-273): the predicate is evaluated once against
     * the tiny in-memory frame of live partition values — never against data
     * files — and the scan reads only surviving partitions. */
-  def toDFWherePartitions(partitionCond: Column): DataFrame = {
+  def toDFWherePartitions(partitionCond: Column): DataFrame =
+    toDF(partitionsMatching(partitionCond).contains)
+
+  /** Live partition descs whose range values satisfy an arbitrary predicate
+    * over the range-partition COLUMNS — evaluated once against the tiny
+    * in-memory frame of partition values, never against data files. */
+  def partitionsMatching(partitionCond: Column): Set[String] = {
     val t = info
     require(t.rangeColumns.nonEmpty, "table has no range partitions")
     val sch = schema
@@ -455,9 +489,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val typed = t.rangeColumns.foldLeft(partDF) { (df, c) =>
       df.withColumn(c, col(c).cast(sch(c).dataType))
     }
-    val surviving = typed.filter(partitionCond)
+    typed.filter(partitionCond)
       .select("__g_desc").collect().map(_.getString(0)).toSet
-    toDF(surviving.contains)
   }
 
   /** Primary-key point lookup with bucket pruning (M6): only files of the

@@ -12,6 +12,7 @@ object Filters {
     * above the scan), so this is purely an optimization channel. */
   def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
     case LessThan(a, v) => Some(col(a) < lit(v))

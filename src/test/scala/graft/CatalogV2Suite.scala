@@ -37,6 +37,47 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("INSERT OVERWRITE PARTITION: static filter, dynamic mode, replaceWhere") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      spark.sql("CREATE TABLE graft_cat.ow.t (id BIGINT, v STRING, r INT) " +
+        "PARTITIONED BY (r)")
+      spark.sql("INSERT INTO graft_cat.ow.t VALUES " +
+        "(1, 'a', 1), (2, 'b', 1), (3, 'c', 2), (4, 'd', 3)")
+      // static partition overwrite: only r=1 replaced
+      spark.sql("INSERT OVERWRITE graft_cat.ow.t PARTITION (r = 1) " +
+        "SELECT id, v FROM (VALUES (10, 'A')) AS s(id, v)")
+      assertRows(spark.sql("SELECT * FROM graft_cat.ow.t ORDER BY id"),
+        Seq("[3,c,2]", "[4,d,3]", "[10,A,1]"))
+      // dynamic mode: partitions present in the data replaced, others kept
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.sql("INSERT OVERWRITE graft_cat.ow.t VALUES " +
+          "(20, 'B', 2), (40, 'D', 4)")
+        assertRows(spark.sql("SELECT * FROM graft_cat.ow.t ORDER BY id"),
+          Seq("[4,d,3]", "[10,A,1]", "[20,B,2]", "[40,D,4]"))
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // API replaceWhere: predicate (not just equality) over range columns
+      val t = graft.tables.GraftTable.forPath(spark,
+        spark.sql("DESCRIBE TABLE EXTENDED graft_cat.ow.t")
+          .filter($"col_name" === "Location").head.getString(1)
+          .stripPrefix("file:"))
+      t.overwriteWhere(Seq((50L, "E", 3), (60L, "F", 4)).toDF("id", "v", "r"),
+        col("r") >= 3)
+      assertRows(spark.sql("SELECT * FROM graft_cat.ow.t ORDER BY id"),
+        Seq("[10,A,1]", "[20,B,2]", "[50,E,3]", "[60,F,4]"))
+      // a row outside the target partitions fails the write
+      intercept[Exception] {
+        t.overwriteWhere(Seq((70L, "G", 1)).toDF("id", "v", "r"), col("r") >= 3)
+      }
+    }
+  }
+
   test("CTAS + merge-on-read through SQL matches the API read") {
     withTempPath { wh =>
       useCatalog(wh)
