@@ -312,6 +312,25 @@ class PipelineSuite extends SparkFixture {
     assert(a.values.toSet.size > 1)         // more than one surviving cluster
   }
 
+  test("plan shapes: per-row operators plan zero exchanges; temperature " +
+    "sampling broadcasts its rate table") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val noShuffle = Seq(
+      "pii scrub" -> docs.select(TextAnalysis.scrubPii($"text")),
+      "gopher filter" -> TextAnalysis.gopherFilter(docs),
+      "repetition" -> TextAnalysis.repetitionScores(docs),
+      "chunking" -> graft.pipeline.Packing.chunkDocuments(
+        docs, "doc_id", "text", window = 32, stride = 16))
+    noShuffle.foreach { case (name, df) =>
+      assert(!plan(df).contains("Exchange"), s"$name should not shuffle")
+    }
+    val ts = plan(graft.pipeline.Sampling.temperatureSample(
+      docs, "doc_id", "lang", 0.5))
+    assert(ts.contains("BroadcastHashJoin") && !ts.contains("SortMergeJoin"),
+      s"corpus must join the rate table by broadcast, not shuffle:\n$ts")
+  }
+
   test("streaming sink: exactly-once per (queryId, batchId); modes") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), path,
