@@ -1026,7 +1026,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     while (true) {
       try return body
       catch {
-        case _: MetaRerunException if attempts < 5 => attempts += 1
+        case _: MetaRerunException if attempts < 15 =>
+          attempts += 1
+          // Jittered backoff: a snapshot-dependent rewrite (compaction /
+          // copy-on-write) can lose several CAS races in a row against a
+          // busy delta writer; without a pause the loser re-reads, rewrites
+          // and loses again — a livelock the concurrency suite reproduces.
+          // Driver-side sleep only; attempt work itself is already spent.
+          Thread.sleep((10L + scala.util.Random.nextInt(20)) *
+            math.min(attempts, 5))
       }
     }
     throw new IllegalStateException("unreachable")

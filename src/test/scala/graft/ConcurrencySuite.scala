@@ -78,6 +78,30 @@ class ConcurrencySuite extends SparkFixture {
     }
   }
 
+  test("compaction racing concurrent upserts never loses a delta") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (0 until 100).map(i => (i.toLong, 0L)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val upserter = new Thread(() => {
+        try (1 to 8).foreach { k =>
+          t.upsert((0 until 100).map(i => (i.toLong, k.toLong)).toDF("id", "v"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      upserter.start()
+      // compaction reads snapshot S and rewrites; any upsert landing after S
+      // must force a CAS retry, never be swallowed by the rewrite commit
+      try (1 to 4).foreach { _ => t.compaction(); Thread.sleep(10) }
+      catch { case e: Throwable => errs.add(e) }
+      upserter.join(120000)
+      assert(errs.isEmpty, s"racing ops failed: ${errs.peek()}")
+      val got = t.toDF.select("id", "v").as[(Long, Long)].collect().toMap
+      assert(got == (0 until 100).map(i => i.toLong -> 8L).toMap,
+        "last upsert's values must survive every compaction interleaving")
+    }
+  }
+
   test("DDL: addColumn + setProperties visible to readers") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
