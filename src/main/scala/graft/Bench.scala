@@ -102,7 +102,12 @@ object Bench {
       System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")
     }
 
-    headline.foreach { name =>
+    // extra per-operator diagnostics: timed and published in `queries` but
+    // NOT in `total` (the total's entry set stays comparable to rounds 1-3)
+    val extras = Seq("quality_topk", "gopher_filter", "pii_scrub",
+      "doc_chunk", "ngram_topk", "sample_temperature", "kmeans_assign")
+
+    (headline ++ extras).foreach { name =>
       val fn = SparkEntry.queries(name)
       try cold(name) = time { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

@@ -739,7 +739,8 @@ object SparkEntry {
       // partial combine; only distinct grams shuffle) -> top 50 via
       // TakeOrdered, ties broken by gram for determinism
       val grams = rd(s, d, "documents")
-        .select(explode(TextAnalysis.wordShingles(col("text"), 2)).as("gram"))
+        .select(TextAnalysis.tokens(col("text")).as("_g_ts"))
+        .select(explode(TextAnalysis.wordShinglesOf(col("_g_ts"), 2)).as("gram"))
       grams.groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram")).limit(50)
     }),
@@ -810,9 +811,12 @@ object SparkEntry {
     }),
     "fingerprint" -> q((s, d) => {
       GraftFunctions.register(s)
-      rd(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.minShingleFingerprint(col("text")).as("min_shingle_fp"))
+      rd(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("_g_ts"))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.minShingleFingerprintOf(col("_g_ts")).as("min_shingle_fp"))
     }),
     "pii_scrub" -> q((s, d) => {
       // PII redaction (the standard pre-training scrub pass). The synthetic

@@ -175,8 +175,10 @@ object Dedup {
     val ids = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val sh = df.join(broadcast(ids), Seq(idCol), "left_semi")
+      // tokens materialized before shingling (wordShinglesOf perf contract)
+      .select(col(idCol), tokens(col(textCol)).as("_g_ts"))
       .select(col(idCol),
-        array_distinct(wordShingles(col(textCol), k)).as("_g_sh"))
+        array_distinct(TextAnalysis.wordShinglesOf(col("_g_ts"), k)).as("_g_sh"))
     pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_g_sh", "_g_sa"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_g_sh", "_g_sb"), "id_b")
@@ -216,9 +218,12 @@ object Dedup {
       textCol: String,
       threshold: Double,
       k: Int = 3): DataFrame = {
-    val hs = df.select(col(idCol).as("_g_id"),
-      array_sort(transform(array_distinct(wordShingles(col(textCol), k)),
-        s => GraftFunctions.xx64(s))).as("_g_hs"))
+    val hs = df
+      .select(col(idCol).as("_g_id"), tokens(col(textCol)).as("_g_ts"))
+      .select(col("_g_id"),
+        array_sort(transform(
+          array_distinct(TextAnalysis.wordShinglesOf(col("_g_ts"), k)),
+          s => GraftFunctions.xx64(s))).as("_g_hs"))
     val prefLen = (size(col("_g_hs")) -
       ceil(size(col("_g_hs")) * lit(threshold)) + 1).cast("int")
     val pref = hs.select(col("_g_id"),

@@ -90,13 +90,24 @@ object TextAnalysis {
     round((lenScore * 0.25 + punctScore * 0.25 + digitScore * 0.25 + swScore * 0.25), 6)
   }
 
-  /** Word k-shingles ("a b c", sliding window). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
+  /** Word k-shingles over a MATERIALIZED token-array column. Grams are k
+    * element_at lookups (no per-gram array allocation).
+    *
+    * PERF CONTRACT: pass a column that is already a plain attribute (project
+    * `tokens(text)` first). An expression captured inside a higher-order
+    * lambda is re-evaluated PER ELEMENT — handing `tokens(text)` directly to
+    * the lambda re-tokenizes the document once per gram, measured 7x slower
+    * on a corpus-wide gram explosion (tools/ShingleProbe). */
+  def wordShinglesOf(ts: Column, k: Int): Column =
     when(size(ts) < k, array(concat_ws(" ", ts)))
       .otherwise(transform(sequence(lit(0), size(ts) - k),
-        i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
-  }
+        i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*)))
+
+  /** Word k-shingles from raw text — convenience form; inside explodes /
+    * repeated use, materialize `tokens(text)` and call [[wordShinglesOf]]
+    * (see the perf contract above). */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesOf(tokens(text), k)
 
   /** Character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column = {
@@ -113,6 +124,9 @@ object TextAnalysis {
 
   def minShingleFingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(wordShingles(text, k), s => GraftFunctions.xx64(s)))
+
+  def minShingleFingerprintOf(ts: Column, k: Int = 5): Column =
+    array_min(transform(wordShinglesOf(ts, k), s => GraftFunctions.xx64(s)))
 
   // ------------------------------------------------------------- PII scrub
 
@@ -142,12 +156,13 @@ object TextAnalysis {
     * fractions. High values flag boilerplate, keyword stuffing and
     * degenerate-generation text, the standard pre-training quality cut.
     * Pure column expressions (array HOFs): zero shuffle at any scale. */
-  def repetitionScores(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("dup_word_frac", dupFraction(tokens(t)))
-      .withColumn("dup_2gram_frac", dupFraction(wordShingles(t, 2)))
-      .withColumn("dup_3gram_frac", dupFraction(wordShingles(t, 3)))
-  }
+  def repetitionScores(df: DataFrame, textCol: String = "text"): DataFrame =
+    // tokens materialized ONCE (wordShinglesOf perf contract)
+    df.withColumn("_g_ts", tokens(col(textCol)))
+      .withColumn("dup_word_frac", dupFraction(col("_g_ts")))
+      .withColumn("dup_2gram_frac", dupFraction(wordShinglesOf(col("_g_ts"), 2)))
+      .withColumn("dup_3gram_frac", dupFraction(wordShinglesOf(col("_g_ts"), 3)))
+      .drop("_g_ts")
 
   // ----------------------------------------------- Gopher-style doc filter
 

@@ -36,7 +36,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 4 + rnd.nextInt(5)) {
-          rnd.nextInt(4) match {
+          rnd.nextInt(5) match {
             case 0 | 1 => // upsert (unique PKs per batch — the format contract)
               val b = batch()
               t.upsert(b.toDF("id", "v", "tag"))
@@ -47,6 +47,12 @@ class ModelCheckSuite extends SparkFixture {
               model = model.filter { case (_, (v, _)) => v >= cut }
             case 3 => // compaction must never change the merged result
               t.compaction()
+            case 4 => // tiered UPDATE (probe -> file-targeted rewrite)
+              val cut = rnd.nextInt(1000)
+              t.update(col("v") >= cut, Map("tag" -> lit("upd")))
+              model = model.map { case (k, (v, g)) =>
+                k -> (v, if (v >= cut) "upd" else g)
+              }
           }
           Thread.sleep(2) // distinct commit timestamps for time travel
           snapshots :+= t.lastCommitTs -> model
