@@ -22,16 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Word n-grams of `text` joined by single spaces; fewer than `n` tokens
-    * -> empty array. Pure codegen'd column expression (no UDF). */
-  def ngrams(text: Column, n: Int): Column = {
+  /** Word n-grams over a MATERIALIZED token-array column
+    * ([[TextAnalysis.wordShinglesOf]] perf contract: the lambda captures
+    * `toks`, so it must be a plain attribute); fewer than `n` tokens ->
+    * empty array. Pure codegen'd column expression (no UDF). */
+  def ngramsOf(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val toks = TextAnalysis.tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-grams from raw text — convenience form; hot paths project
+    * `TextAnalysis.tokens(text)` first and call [[ngramsOf]]. */
+  def ngrams(text: Column, n: Int): Column =
+    ngramsOf(TextAnalysis.tokens(text), n)
 
   /** Per-document count of DISTINCT test-set n-grams it contains
     * (`idCol`, `n_hits`); documents with zero hits are absent. */
@@ -44,9 +50,11 @@ object Decontaminate {
       n: Int = 8,
       broadcastTest: Boolean = true): DataFrame = {
     val testGrams = testSet
-      .select(explode(ngrams(col(testTextCol), n)).as("_g_gram")).distinct()
+      .select(TextAnalysis.tokens(col(testTextCol)).as("_g_ts"))
+      .select(explode(ngramsOf(col("_g_ts"), n)).as("_g_gram")).distinct()
     val probe = if (broadcastTest) broadcast(testGrams) else testGrams
-    docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("_g_gram"))
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_g_ts"))
+      .select(col(idCol), explode(ngramsOf(col("_g_ts"), n)).as("_g_gram"))
       .join(probe, "_g_gram")
       .groupBy(col(idCol))
       .agg(count_distinct(col("_g_gram")).as("n_hits"))

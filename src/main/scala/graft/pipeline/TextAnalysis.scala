@@ -109,13 +109,18 @@ object TextAnalysis {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesOf(tokens(text), k)
 
-  /** Character n-gram shingles. */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(trim(text))
+  /** Character n-gram shingles over a MATERIALIZED normalized-text column
+    * (same perf contract as [[wordShinglesOf]]: the lambda captures `t`,
+    * so pass a plain attribute, not an expression). */
+  def charShinglesOf(t: Column, n: Int): Column =
     when(length(t) <= n, array(t))
       .otherwise(transform(sequence(lit(0), length(t) - n),
         i => t.substr(i + 1, lit(n))))
-  }
+
+  /** Character n-gram shingles from raw text — convenience form; project
+    * `lower(trim(text))` first and use [[charShinglesOf]] in hot paths. */
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesOf(lower(trim(text)), n)
 
   /** Rolling-hash document fingerprint: min over shingle hashes (the
     * winnowing idea collapsed to one value) + full-content hash. */
