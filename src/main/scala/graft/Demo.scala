@@ -87,6 +87,29 @@ object Demo {
     val q0 = embs.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0).toArray
     println("ANN brute-force top-5 of vec 0:")
     graft.pipeline.Similarity.bruteForceTopK(embs, "vec_id", "embedding", q0, 5).show(false)
+    println("kmeans (k=4, 2 iters) cluster sizes: " +
+      graft.pipeline.Similarity.kmeans(embs, "vec_id", "embedding", 4, 2)
+        .groupBy("cluster").count().orderBy("cluster")
+        .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+    println("pii scrub sample: " + spark.range(1)
+      .select(graft.pipeline.TextAnalysis.scrubPii(
+        lit("mail bob@x.org from 10.0.0.1 or +1 555 0100")).as("s"))
+      .head.getString(0))
+    locally {
+      val gf = graft.pipeline.TextAnalysis.gopherFilter(docs, minTokens = 20)
+      val n = Seq("flag_tokens", "flag_word_len", "flag_punct", "flag_stopwords")
+        .map(f => s"$f=${gf.filter(col(f)).count()}").mkString(" ")
+      // synthetic vocab carries only 'the' of the 8 canonical stopwords, so
+      // flag_stopwords (and keep) are 0 here by construction
+      println(s"gopher rules over ${docs.count()} docs: $n keep=" +
+        gf.filter(col("keep")).count())
+    }
+    println("temperature sample (alpha=0.5) keeps " +
+      graft.pipeline.Sampling.temperatureSample(docs, "doc_id", "lang", 0.5)
+        .count() + " docs")
+    println("chunking (w=32, s=16) yields " +
+      graft.pipeline.Packing.chunkDocuments(docs, "doc_id", "text", 32, 16)
+        .count() + " chunks")
 
     // DataSource surface: format("graft") batch write/read + options
     val fmtPath = s"$dir/fmt_t"
