@@ -42,6 +42,19 @@ class DataSourceSuite extends SparkFixture {
     }
   }
 
+  test("format(graft): replaceWhere overwrite replaces only matching partitions") {
+    withTempPath { path =>
+      Seq((1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 3))
+        .toDF("id", "v", "r").write.format("graft")
+        .option("rangePartitions", "r").save(path)
+      Seq((10, "A", 1), (30, "C", 2)).toDF("id", "v", "r")
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "r <= 2").save(path)
+      assertRows(spark.read.format("graft").load(path),
+        Seq("[4,d,3]", "[10,A,1]", "[30,C,2]"))
+    }
+  }
+
   test("structured streaming: graft source -> memory sink, graft sink e2e") {
     withTempPath { src =>
       withTempPath { dst =>
