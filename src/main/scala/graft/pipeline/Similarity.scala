@@ -147,7 +147,19 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    kmeansAssign(df, idCol, vecCol,
+      kmeansCentroids(df, idCol, vecCol, k, iters))
+
+  /** Fit the Lloyd's centroids alone — reusable state: persist them, assign
+    * future batches with [[kmeansAssign]] (the streaming / incremental-corpus
+    * regime: fit once on a sample, assign everything else map-only). */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Array[(Long, Array[Float])] = {
     val dim = df.select(size(col(vecCol)).as("d")).head.getInt(0)
     var cents: Array[(Long, Array[Float])] =
       selectCentroids(df, idCol, vecCol, k)
@@ -171,8 +183,16 @@ object Similarity {
         })
       }
     }
-    df.select(col(idCol), nearestCell(col(vecCol), cents).as("cluster"))
+    cents
   }
+
+  /** Map-only cluster assignment with fitted centroids (zero shuffle). */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Array[Float])]): DataFrame =
+    df.select(col(idCol), nearestCell(col(vecCol), cents).as("cluster"))
 
   /** Pairwise hamming distance over binary embeddings (Array[Long]) — the
     * reference's lakesoul_hamming_distance surface (HammingDistFunc.scala).

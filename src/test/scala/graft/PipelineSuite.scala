@@ -310,6 +310,12 @@ class PipelineSuite extends SparkFixture {
     assert(a == b)                          // reproducible across runs
     assert(a.size == embs.count())          // every vector assigned
     assert(a.values.toSet.size > 1)         // more than one surviving cluster
+    // fitted centroids assign a NEW batch map-only, consistent with fit-time
+    val cents = Similarity.kmeansCentroids(embs, "vec_id", "embedding", 4, 2)
+    val newBatch = embs.filter($"vec_id" < 50)
+    val assigned = Similarity.kmeansAssign(newBatch, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == a.filter { case (id, _) => id < 50 })
   }
 
   test("plan shapes: per-row operators plan zero exchanges; temperature " +
