@@ -670,11 +670,17 @@ object SparkEntry {
         length(col("o_orderpriority")).as("len"),
         abs(col("o_totalprice") * -1).as("absprice"))),
     "multimodal_features" -> q((s, d) => {
-      val media = graft.pipeline.Multimodal.asMediaTable(
-        rd(s, d, "documents").filter(col("doc_id") < 100), "text", "doc_id")
-      graft.pipeline.Multimodal.extractImageFeatures(media, "content")
+      // REAL decode path: deterministic P6 (PPM) images generated per row
+      // and parsed + feature-extracted by the pure-JVM PpmCodec (no codec
+      // libraries); JPEG/audio/video formats remain stubbed behind the
+      // MediaCodec boundary (documented)
+      val media = graft.pipeline.Multimodal.asPpmMediaTable(
+        rd(s, d, "documents").filter(col("doc_id") < 100).select("doc_id"),
+        "doc_id")
+      graft.pipeline.Multimodal.extractImageFeatures(media, "content",
+        codec = new graft.pipeline.Multimodal.PpmCodec())
         .select(col("doc_id"), col("meta.width").as("width"),
-          round(element_at(col("features"), 1), 5).as("f0"))
+          round(element_at(col("features"), 1), 5).as("mean_r"))
     }),
 
     // ------------------------------------------------------- pipeline operators

@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * metadata struct (the lakehouse pattern: bytes in parquet, features as
   * columns).
   *
-  * The actual codec step (JPEG decode, audio resample, video frame-grab) is
-  * STUBBED behind [[MediaCodec]] with a deterministic byte-level fake —
-  * image/audio libraries are not available in this environment. Everything
-  * Spark-side is real and tested: the schema, the per-partition batched
-  * processing shape (mapPartitions over an iterator, the Scala analogue of
-  * mapInPandas batches), partition-parallel feature extraction, and the
-  * frame-sampling row-explosion.
+  * The codec boundary is [[MediaCodec]]. Binary PPM (P6) images get a REAL
+  * pure-JVM decoder ([[PpmCodec]]: header parse + per-channel mean/std +
+  * 2x2 brightness grid — no library needed); library-bound formats (JPEG
+  * decode, audio resample, video frame-grab) are STUBBED with a
+  * deterministic byte-level fake — those libraries are not available in
+  * this environment. Everything Spark-side is real and tested: the schema,
+  * the per-partition batched processing shape (mapPartitions over an
+  * iterator, the Scala analogue of mapInPandas batches),
+  * partition-parallel feature extraction, and the frame-sampling
+  * row-explosion.
   */
 object Multimodal {
 
@@ -49,6 +52,94 @@ object Multimodal {
       val step = math.max(1, bytes.length / frames)
       (0 until frames).map(i =>
         bytes.slice(i * step, math.min(bytes.length, (i + 1) * step)))
+    }
+  }
+
+  /** REAL image decoder for binary PPM (P6) — the raster format that needs
+    * no codec library: header `P6\n<w> <h>\n<maxval>\n` followed by raw RGB
+    * triplets. Features: per-channel means, per-channel stddevs, and a 2x2
+    * per-cell mean brightness grid (10 dims). Non-PPM bytes fall back to
+    * `fallback` (the deterministic stub for library-bound formats —
+    * JPEG/PNG/audio/video stay stubbed, documented). */
+  class PpmCodec(fallback: MediaCodec = FakeCodec) extends MediaCodec {
+    def decodeImage(bytes: Array[Byte]): Array[Float] = {
+      val parsed = PpmCodec.parse(bytes)
+      if (parsed == null) return fallback.decodeImage(bytes)
+      val (w, h, off) = parsed
+      val sum = new Array[Double](3); val sq = new Array[Double](3)
+      val grid = new Array[Double](4); val gridN = new Array[Long](4)
+      var p = 0
+      val n = w.toLong * h
+      while (p < n) {
+        val x = (p % w).toInt; val y = (p / w).toInt
+        val i = off + p.toInt * 3
+        var lum = 0.0
+        var c = 0
+        while (c < 3) {
+          val v = (bytes(i + c) & 0xff) / 255.0
+          sum(c) += v; sq(c) += v * v; lum += v / 3.0; c += 1
+        }
+        val cell = (if (2 * y >= h) 2 else 0) + (if (2 * x >= w) 1 else 0)
+        grid(cell) += lum; gridN(cell) += 1
+        p += 1
+      }
+      val out = new Array[Float](10)
+      var c = 0
+      while (c < 3) {
+        val m = sum(c) / n
+        out(c) = m.toFloat
+        out(3 + c) = math.sqrt(math.max(0.0, sq(c) / n - m * m)).toFloat
+        c += 1
+      }
+      var g = 0
+      while (g < 4) {
+        out(6 + g) = (if (gridN(g) == 0) 0.0 else grid(g) / gridN(g)).toFloat
+        g += 1
+      }
+      out
+    }
+    def sampleFrames(bytes: Array[Byte], everyMs: Long, durationMs: Long): Seq[Array[Byte]] =
+      fallback.sampleFrames(bytes, everyMs, durationMs) // video stays stubbed
+  }
+
+  object PpmCodec {
+    /** (width, height, pixelOffset) or null if not P6 / truncated. */
+    def parse(bytes: Array[Byte]): (Int, Int, Int) = {
+      if (bytes == null || bytes.length < 11 ||
+        bytes(0) != 'P' || bytes(1) != '6') return null
+      var i = 2
+      val fields = new Array[Int](3)
+      var f = 0
+      while (f < 3) {
+        while (i < bytes.length &&
+          (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' ||
+            bytes(i) == '\r')) i += 1
+        var v = 0L; var any = false
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); any = true; i += 1
+        }
+        if (!any || v <= 0 || v > Int.MaxValue) return null
+        fields(f) = v.toInt; f += 1
+      }
+      i += 1 // single whitespace after maxval
+      val (w, h) = (fields(0), fields(1))
+      if (bytes.length < i + 3L * w * h) null else (w, h, i)
+    }
+
+    /** Deterministic synthetic P6 image (test/fixture generator — pure JVM,
+      * xorshift-filled pixels keyed by `seed`). */
+    def synthetic(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + 3 * w * h)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var s = seed * 0x9E3779B97F4A7C15L + 1
+      var i = header.length
+      while (i < out.length) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        out(i) = (s & 0xff).toByte
+        i += 1
+      }
+      out
     }
   }
 
@@ -96,6 +187,28 @@ object Multimodal {
         else codec.sampleFrames(bytes, everyMs, dur).zipWithIndex.iterator.map {
           case (fb, i) => Row.fromSeq(r.toSeq ++ Seq(i, fb))
         }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL-media fixture: one deterministic P6 (PPM) image per row — bytes
+    * generated pure-JVM ([[PpmCodec.synthetic]]), decodable by [[PpmCodec]]
+    * with no codec library. Width/height derive from the id. */
+  def asPpmMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("content", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val w = 8 + (id % 8).toInt
+        val h = 8 + (id % 5).toInt
+        Row(r.get(idIdx), PpmCodec.synthetic(w, h, id),
+          Row("image", w, h, 0L, "ppm"))
       }
     }
     spark.createDataFrame(rdd, outSchema)

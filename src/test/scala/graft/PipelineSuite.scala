@@ -244,6 +244,30 @@ class PipelineSuite extends SparkFixture {
     assert(tiny.count() == 1)
   }
 
+  test("ppm codec: real header parse + feature math; spark path; fallback") {
+    // 2x1 image: pixel1 = (255,0,0), pixel2 = (0,0,255)
+    val bytes = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val codec = new Multimodal.PpmCodec()
+    val f = codec.decodeImage(bytes)
+    assert(math.abs(f(0) - 0.5f) < 1e-6)          // mean R
+    assert(f(1) == 0.0f)                          // mean G
+    assert(math.abs(f(2) - 0.5f) < 1e-6)          // mean B
+    assert(math.abs(f(3) - 0.5f) < 1e-6)          // std R
+    assert(math.abs(f(6) - 1f / 3) < 1e-6 && math.abs(f(7) - 1f / 3) < 1e-6)
+    assert(f(8) == 0f && f(9) == 0f)              // bottom grid cells empty
+    // synthetic generator roundtrips through parse
+    val syn = Multimodal.PpmCodec.synthetic(8, 5, seed = 7)
+    assert(Multimodal.PpmCodec.parse(syn) == ((8, 5, "P6\n8 5\n255\n".length)))
+    // full Spark path over real PPM bytes, deterministic 10-dim features
+    val media = Multimodal.asPpmMediaTable(docs.limit(10).select("doc_id"), "doc_id")
+    val out = Multimodal.extractImageFeatures(media, "content", codec = codec)
+      .select("doc_id", "features").collect()
+    assert(out.length == 10 && out.forall(_.getSeq[Float](1).length == 10))
+    // non-PPM bytes fall back to the deterministic stub (16-dim)
+    assert(codec.decodeImage("not an image".getBytes).length == 16)
+  }
+
   test("pii scrub: email/ip/phone redacted, clean text untouched") {
     val df = Seq(
       (1L, "mail me at bob.smith+x@corp.example.org today"),
