@@ -137,6 +137,27 @@ object Demo {
     println(s"runs after CALL compaction = ${
       GraftTable.forPath(spark, fmtPath).liveFiles.map(_.commitOrdinal).distinct.size}")
 
+    // reference-API parity surface: string-expr DML, builder, TTLs, cleanup
+    locally {
+      val p = GraftTable.createTable(orders.limit(100), s"$dir/parity_t")
+        .hashPartitions("o_orderkey").hashBucketNum(2)
+        .shortTableName("demo_parity").tableProperty("who" -> "demo")
+        .create()
+      p.updateExpr("o_orderkey = 1", Map("o_totalprice" -> "o_totalprice + 1"))
+      p.delete("o_orderkey = 2")
+      println(s"builder+updateExpr+delete rows = ${p.toDF.count()} (expect 99)")
+      p.setPartitionTtl(30).setCompactionTtl(0)
+      p.upsert(orders.limit(10))
+      p.compaction()
+      println(s"cleanExpiredRedundantData deleted = ${p.cleanExpiredRedundantData()} files")
+      println(s"cleanupPartitionData deleted = ${
+        p.cleanupPartitionData(graft.meta.TableInfo.RootPartition,
+          System.currentTimeMillis())} more (expect 0 after vacuum)")
+      GraftTable.uncached(s"$dir/parity_t")
+      // the upsert above re-inserted the deleted key -> back to 100
+      println(s"rows after uncached re-read = ${p.toDF.count()} (expect 100)")
+    }
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

@@ -135,6 +135,40 @@ object MergeOps {
     * `graft.mergeop.<col>` table property / per-read overrides. */
   def register(op: MergeOp): Unit = registered.put(op.name, op)
 
+  /** Register by fully-qualified class name under an explicit function name
+    * (reference `LakeSoulTable.registerMergeOperator`,
+    * LakeSoulTable.scala:761-766): the class must be a no-arg [[MergeOp]]
+    * implementation; `funName` overrides its self-declared name, so one
+    * class can be mounted under several names. */
+  def register(funName: String, className: String): Unit = {
+    val op = Class.forName(className).getDeclaredConstructor()
+      .newInstance() match {
+      case m: MergeOp => m
+      case other => throw new IllegalArgumentException(
+        s"$className is not a graft.mergeop.MergeOp (got ${other.getClass})")
+    }
+    val mounted: MergeOp = op match {
+      case r: RowMergeOp => new RowMergeOp {
+        val name = funName
+        def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+          r.agg(value, version, present, dt)
+        override def intraBatchAgg(value: Column, version: Column,
+            present: Column, dt: DataType): Column =
+          r.intraBatchAgg(value, version, present, dt)
+        def combine(acc: Any, newer: Any): Any = r.combine(acc, newer)
+      }
+      case m => new MergeOp {
+        val name = funName
+        def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+          m.agg(value, version, present, dt)
+        override def intraBatchAgg(value: Column, version: Column,
+            present: Column, dt: DataType): Column =
+          m.intraBatchAgg(value, version, present, dt)
+      }
+    }
+    registered.put(funName, mounted)
+  }
+
   def forName(name: String): MergeOp =
     builtins.getOrElse(name, {
       val custom = registered.get(name)

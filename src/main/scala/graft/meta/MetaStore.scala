@@ -59,6 +59,12 @@ trait MetaStore {
     * `cleanMetaUptoTime`. Time travel before the boundary is no longer
     * possible afterwards. Returns lines dropped. */
   def compactVersionLog(tablePath: String, retainAfterTs: Long): Long
+
+  /** Drop any cached snapshot state for `tablePath` (reference
+    * `LakeSoulTable.uncached`, LakeSoulTable.scala:624-637). The file store's
+    * caches self-invalidate on (mtime, size) so this is only needed when an
+    * EXTERNAL process rewrote meta files in place without changing either. */
+  def invalidateCache(tablePath: String): Unit = ()
 }
 
 /** Filesystem-embedded [[MetaStore]]: per-table directory
@@ -321,6 +327,14 @@ class FileMetaStore extends MetaStore {
       logCache.remove(canonical(tablePath))
       (all.size - kept.size).toLong
     }
+
+  override def invalidateCache(tablePath: String): Unit = {
+    val key = canonical(tablePath)
+    logCache.remove(key)
+    infoCache.remove(key)
+    // commit JSONs are UUID-keyed per commit, not per table; they are
+    // immutable so no table-scoped eviction is needed
+  }
 }
 
 object FileMetaStore {

@@ -289,6 +289,20 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** UPDATE every row (reference LakeSoulTable.scala:94-134). */
+  def update(set: Map[String, Column]): Unit = update(lit(true), set)
+
+  /** UPDATE with SQL-string set expressions (reference `updateExpr`,
+    * LakeSoulTable.scala:177-254). */
+  def updateExpr(set: Map[String, String]): Unit =
+    update(set.map { case (k, v) => k -> expr(v) })
+
+  def updateExpr(condition: String, set: Map[String, String]): Unit =
+    update(expr(condition), set.map { case (k, v) => k -> expr(v) })
+
+  /** DELETE with a SQL-string condition (reference LakeSoulTable.scala:59-66). */
+  def delete(condition: String): Unit = delete(expr(condition))
+
   /** DELETE (C4). No-arg = truncate (expire all partitions, no rewrite). */
   def delete(): Unit = withRetry {
     publish(expireCommitsFor(partitions.map(_.partitionDesc).toSet))
@@ -734,6 +748,65 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         expired
     }
 
+  // ------------------------------------------------- TTL properties (C11)
+  // Fluent setters matching the reference's LakeSoulTable.scala:525-548;
+  // the TTLs are table properties consumed by the sweepers below (the
+  // reference's external CleanExpiredData job reads the same two fields).
+
+  /** Partition TTL in days: partitions with no commit newer than this are
+    * dropped by [[cleanExpiredPartitions]]. */
+  def setPartitionTtl(days: Int): GraftTable = {
+    setProperties(Map("graft.partition.ttl.days" -> days.toString)); this
+  }
+
+  def cancelPartitionTtl(): GraftTable = {
+    unsetProperty("graft.partition.ttl.days"); this
+  }
+
+  /** Redundant-data (compaction) TTL in days: files superseded by compaction
+    * or rewrite stay readable for time travel this long; after that
+    * [[cleanExpiredRedundantData]] deletes them and prunes the version log. */
+  def setCompactionTtl(days: Int): GraftTable = {
+    setProperties(Map("graft.compaction.ttl.days" -> days.toString)); this
+  }
+
+  def cancelCompactionTtl(): GraftTable = {
+    unsetProperty("graft.compaction.ttl.days"); this
+  }
+
+  /** Redundant-data TTL sweep (C11; reference CleanExpiredData's
+    * redundant-data branch): [[vacuum]] with retention read from
+    * `graft.compaction.ttl.days`. No-op when the property is unset. */
+  def cleanExpiredRedundantData(): Long =
+    info.properties.get("graft.compaction.ttl.days") match {
+      case None => 0L
+      case Some(days) => vacuum(days.toLong * 24 * 3600 * 1000)
+    }
+
+  /** Partition-scoped old-version cleanup (reference
+    * `cleanupPartitionData`, LakeSoulTable.scala:587-596): delete files of
+    * ONE partition that only versions at-or-before `toTimeMs` reference.
+    * Time travel into this partition before the boundary fails afterwards
+    * (matching the reference, which deletes that slice of data+meta); other
+    * partitions' history is untouched — run [[vacuum]] for a table-wide
+    * sweep that also prunes the version log. */
+  def cleanupPartitionData(partitionDesc: String, toTimeMs: Long): Long = {
+    val live = resolver.currentFiles(tablePath, _ == partitionDesc)
+      .map(_.file.path).toSet
+    // every file ANY version at-or-before the boundary references (not just
+    // the boundary head): superseded runs are exactly what this deletes
+    val old = store.partitionVersions(tablePath, partitionDesc)
+      .filter(_.timestamp <= toTimeMs)
+      .flatMap(pi => resolver.filesAt(tablePath, pi))
+      .map(_.file.path).distinct
+    var deleted = 0L
+    old.filterNot(live).foreach { p =>
+      if (java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+        deleted += 1
+    }
+    deleted
+  }
+
   /** Roll a partition head back to an old version (C10). */
   def rollbackPartition(partitionDesc: String, toVersion: Int): Unit =
     store.rollbackPartition(tablePath, partitionDesc, toVersion)
@@ -1127,4 +1200,69 @@ object GraftTable {
 
   def exists(tablePath: String, store: MetaStore = MetaStore.default): Boolean =
     store.getTableInfo(graft.util.PathUtil.local(tablePath)).isDefined
+
+  /** Reference `LakeSoulTable.isLakeSoulTable` (LakeSoulTable.scala:757-759). */
+  def isGraftTable(tablePath: String): Boolean = exists(tablePath)
+
+  /** Drop cached snapshot state for a path (reference `uncached`,
+    * LakeSoulTable.scala:624-637). */
+  def uncached(tablePath: String, store: MetaStore = MetaStore.default): Unit =
+    store.invalidateCache(graft.util.PathUtil.local(tablePath))
+
+  /** Snapshot read handle pinned at-or-before `endTime`, optionally scoped
+    * to one partition (reference `forPathSnapshot`,
+    * LakeSoulTable.scala:642-660). */
+  def forPathSnapshot(spark: SparkSession, tablePath: String, endTime: Long,
+      partitionDesc: String = ""): DataFrame = {
+    val t = forPath(spark, tablePath)
+    t.snapshotAt(endTime,
+      if (partitionDesc.isEmpty) _ => true else _ == partitionDesc)
+  }
+
+  /** Incremental read over (startTime, endTime], optionally scoped to one
+    * partition (reference `forPathIncremental`, LakeSoulTable.scala:662-671). */
+  def forPathIncremental(spark: SparkSession, tablePath: String,
+      startTime: Long, endTime: Long, partitionDesc: String = ""): DataFrame = {
+    val t = forPath(spark, tablePath)
+    t.incremental(startTime, endTime,
+      if (partitionDesc.isEmpty) _ => true else _ == partitionDesc)
+  }
+
+  /** Fluent creation builder (reference `TableCreator`,
+    * LakeSoulTable.scala:773-834):
+    * {{{
+    * GraftTable.createTable(df, path)
+    *   .rangePartitions("dt").hashPartitions("id").hashBucketNum(8)
+    *   .shortTableName("events").tableProperty("k" -> "v").create()
+    * }}} */
+  def createTable(data: DataFrame, tablePath: String): TableCreator =
+    new TableCreator(data, tablePath)
+
+  final class TableCreator private[GraftTable] (
+      data: DataFrame, tablePath: String) {
+    private var rangeCols: Seq[String] = Nil
+    private var hashCols: Seq[String] = Nil
+    private var bucketNum: Int = 4
+    private var name: Option[String] = None
+    private var props: Map[String, String] = Map.empty
+
+    def rangePartitions(cols: String): TableCreator =
+      rangePartitions(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def rangePartitions(cols: Seq[String]): TableCreator = { rangeCols = cols; this }
+    def hashPartitions(cols: String): TableCreator =
+      hashPartitions(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def hashPartitions(cols: Seq[String]): TableCreator = { hashCols = cols; this }
+    def hashBucketNum(n: Int): TableCreator = { bucketNum = n; this }
+    def hashBucketNum(n: String): TableCreator = { bucketNum = n.toInt; this }
+    def shortTableName(n: String): TableCreator = { name = Some(n); this }
+    def tableProperty(kv: (String, String)): TableCreator = { props = props + kv; this }
+
+    def create(): GraftTable = {
+      val t = GraftTable.create(data.sparkSession, data, tablePath,
+        rangeCols, hashCols, bucketNum, props)
+      name.foreach(n =>
+        graft.catalog.GraftCatalog.register(data.sparkSession, n, t.info.tablePath))
+      t
+    }
+  }
 }
