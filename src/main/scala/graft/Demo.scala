@@ -137,6 +137,20 @@ object Demo {
     println(s"runs after CALL compaction = ${
       GraftTable.forPath(spark, fmtPath).liveFiles.map(_.commitOrdinal).distinct.size}")
 
+    // KNN join + corpus shuffle probes
+    locally {
+      val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      val knn = graft.pipeline.Similarity.annJoin(
+        embs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 8)
+      println(s"knn join rows = ${knn.count()} (expect 15), self-top1 = ${
+        knn.filter(col("rank") === 1 && col("query_id") === col("corpus_id"))
+          .count()} (expect 5)")
+      val sh = graft.pipeline.Shuffle.shuffleShards(docs, "doc_id", 4, "demo")
+      println(s"corpus shuffle shards = ${
+        sh.select("shard").distinct().count()} (expect 4), rows = ${sh.count()}")
+    }
+
     // reference-API parity surface: string-expr DML, builder, TTLs, cleanup
     locally {
       val p = GraftTable.createTable(orders.limit(100), s"$dir/parity_t")

@@ -789,6 +789,20 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       Similarity.annSearch(e, "vec_id", "embedding", q, 20, nlist = 16, nprobe = 8)
     }),
+    "ann_join" -> q((s, d) => {
+      // KNN JOIN: every 25th vector is a "query corpus" retrieving its
+      // top-5 from the full table through the shared deterministic IVF
+      val e = rd(s, d, "embeddings")
+      Similarity.annJoin(
+        e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+    }),
+    "corpus_shuffle" -> q((s, d) =>
+      // deterministic training-order permutation: (shard, pos) replayed
+      // bit-for-bit by the oracle
+      graft.pipeline.Shuffle.shuffleShards(
+        rd(s, d, "documents").select("doc_id", "source"),
+        "doc_id", numShards = 8, seed = "graft42")),
     "ann_index_persisted" -> q((s, d) => {
       val e = rd(s, d, "embeddings")
       val q0 = e.filter(col("vec_id") === 0).select("embedding")
@@ -1306,7 +1320,7 @@ object SparkEntry {
         |  SELECT vec_id, embedding, cl FROM (
         |    SELECT e.vec_id, e.embedding, c.cl,
         |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cl) AS rn
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
         |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
         |e0 AS (
         |  SELECT cl, unnest(embedding) AS val, unnest(range(1, len(embedding) + 1)) AS pos FROM a0),
@@ -1317,7 +1331,7 @@ object SparkEntry {
         |  SELECT vec_id, embedding, cl FROM (
         |    SELECT e.vec_id, e.embedding, c.cl,
         |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cl) AS rn
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
         |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
         |e1 AS (
         |  SELECT cl, unnest(embedding) AS val, unnest(range(1, len(embedding) + 1)) AS pos FROM a1),
@@ -1327,7 +1341,7 @@ object SparkEntry {
         |SELECT vec_id, cl AS cluster FROM (
         |  SELECT e.vec_id, c.cl,
         |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cl) AS rn
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
         |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tok AS (
@@ -1438,6 +1452,48 @@ object SparkEntry {
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < thresh""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_index_persisted" -> annIvfOracle,
+    // KNN join: the annIvfOracle pipeline generalized to a query SET —
+    // per-query probe cells, candidates via the cell equi-join, windowed
+    // top-k with the same (rounded cosine desc, id) tie-break
+    "ann_join" ->
+      """WITH cents AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id AS cell, embedding AS cvec,
+        |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
+        |    FROM embeddings) WHERE rk <= 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.rk) AS arn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
+        |probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.rk) AS prn
+        |    FROM q CROSS JOIN cents c) WHERE prn <= 4)
+        |SELECT query_id, corpus_id, cosine, rank FROM (
+        |  SELECT q.qid AS query_id, a.vec_id AS corpus_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) DESC, a.vec_id) AS rank
+        |  FROM q JOIN probe p ON q.qid = p.qid JOIN assigned a ON a.cell = p.cell)
+        |WHERE rank <= 5""".stripMargin,
+    // the md5-keyed permutation replays exactly: same md5, same hex parse,
+    // same modulus, same within-shard order
+    "corpus_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source,
+        |    md5(concat('graft42', '#', CAST(doc_id AS VARCHAR))) AS k
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(('0x' || substring(k, 1, 8))::BIGINT % 8 AS INT) AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY ('0x' || substring(k, 1, 8))::BIGINT % 8
+        |    ORDER BY k, doc_id) AS pos
+        |FROM keyed""".stripMargin,
     // hyperplane-LSH recall is 100% for EXACT copies (identical sign bits =>
     // identical buckets in every table), and the synthetic corpus has no
     // organic pair above cosine 0.51 — so the verified result is exactly the
@@ -1461,11 +1517,11 @@ object SparkEntry {
       |  SELECT vec_id, embedding, cell FROM (
       |    SELECT e.vec_id, e.embedding, c.cell,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.rk) AS arn
+      |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.rk) AS arn
       |    FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
       |probe AS (
-      |  SELECT cell FROM cents, q ORDER BY list_cosine_similarity(cvec, qv) DESC, rk LIMIT 8)
-      |SELECT a.vec_id, round(list_cosine_similarity(a.embedding, qv), 6) AS cosine
+      |  SELECT cell FROM cents, q ORDER BY list_cosine_similarity(cvec::DOUBLE[], qv::DOUBLE[]) DESC, rk LIMIT 8)
+      |SELECT a.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cosine
       |FROM assigned a JOIN probe USING (cell), q
       |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
   // omitted oracles (rows-only check): dedup_minhash, dedup_simhash,

@@ -301,6 +301,56 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
   override def prettyName: String = "graft_nearest_cell"
 }
 
+/** `graft_nearest_cells(vec, cells, cvecs, n) -> Array[Long]`: the `n` cell
+  * ids whose centroids are nearest to `vec` (cosine desc, centroid-rank asc
+  * tie-break — the same order [[NearestCentroid]] and
+  * `Similarity.probeCells` use). The per-QUERY-row side of an IVF KNN join:
+  * one codegen'd map pass tags each query with its probe cells. */
+case class NearestCells(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val cells: Array[Long] =
+    second.eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val cvecs: Array[Array[Float]] = {
+    val a = third.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => a.getArray(i).toFloatArray())
+  }
+  @transient private lazy val n: Int =
+    fourth.eval(null).asInstanceOf[Int]
+
+  def nearestN(v: ArrayData): ArrayData = {
+    val m = math.min(n, cvecs.length)
+    val sims = Array.tabulate(cvecs.length)(i => Kernels.cosineFA(v, cvecs(i)))
+    // selection of the top-m by (sim desc, rank asc): m is tiny (nprobe),
+    // so m passes over nlist beat building a heap
+    val taken = new Array[Boolean](cvecs.length)
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cvecs.length) {
+        if (!taken(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        i += 1
+      }
+      taken(best) = true; out(j) = cells(best); j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any, c: Any, cv: Any, nn: Any): Any =
+    nearestN(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this)
+    nullSafeCodeGen(ctx, ev, (v, _, _, _) => s"${ev.value} = $ref.nearestN($v);")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression) =
+    copy(f, s, t, q)
+  override def prettyName: String = "graft_nearest_cells"
+}
+
 /** `graft_minhash_text(String) -> Array[Long]` — text-to-signature MinHash
   * in ONE kernel pass (tokenize + k-shingle + 32-way minima); see
   * Kernels.minhashText. */
@@ -330,7 +380,8 @@ object GraftFunctions {
     ("graft_minhash32", es => MinHashSignature(es.head, 32)),
     ("graft_xx64", es => Hash64(es.head)),
     ("graft_minhash_text3_32", es => MinHashText(es.head, 3, 32)),
-    ("graft_nearest_cell", es => NearestCentroid(es(0), es(1), es(2))))
+    ("graft_nearest_cell", es => NearestCentroid(es(0), es(1), es(2))),
+    ("graft_nearest_cells", es => NearestCells(es(0), es(1), es(2), es(3))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -346,4 +397,7 @@ object GraftFunctions {
     call_function("graft_minhash_text3_32", text)
   def nearestCell(vec: Column, cells: Column, cvecs: Column): Column =
     call_function("graft_nearest_cell", vec, cells, cvecs)
+
+  def nearestCells(vec: Column, cells: Column, cvecs: Column, n: Column): Column =
+    call_function("graft_nearest_cells", vec, cells, cvecs, n)
 }

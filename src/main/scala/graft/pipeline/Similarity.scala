@@ -124,6 +124,65 @@ object Similarity {
       k, nprobe)
   }
 
+  /** The per-row probe-cell tagging for a KNN JOIN: each query row gets its
+    * `nprobe` nearest cells (one codegen'd map pass), exploded to one row
+    * per (query, cell). */
+  def probeAssign(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Array[Float])],
+      nprobe: Int): DataFrame =
+    queries.select(col(idCol), col(vecCol),
+      explode(GraftFunctions.nearestCells(col(vecCol),
+        typedLit(cents.map(_._1).toSeq),
+        typedLit(cents.map(_._2.toSeq).toSeq),
+        lit(nprobe))).as("cell"))
+
+  /** KNN JOIN (batch retrieval): for EVERY row of `queries`, the `k` nearest
+    * `corpus` rows by cosine — the two-table form of [[annSearch]], the
+    * retrieval primitive behind RAG indexing, semantic dedup across corpora,
+    * and train/test leakage checks at corpus scale.
+    *
+    * Plan shape (scale path): centroids = one TakeOrdered scan of the corpus;
+    * both sides then get ONE map-only codegen pass (corpus -> nearest cell,
+    * queries -> nprobe probe cells, exploded); the equi-join on `cell`
+    * shuffles each side once (queries amplified nprobe-x, corpus 1-x — never
+    * the |Q| x |C| crossJoin); per-query top-k is a window over the join's
+    * candidate rows (|cell| * nprobe per query). Recall/cost dials are
+    * (nlist, nprobe) exactly as in the reference's IVF
+    * (python/src/lakesoul/vector_index.py).
+    *
+    * Deterministic + SQL-replayable: hashed-id centroids, argmax assignment
+    * with rank tie-break, candidate ranking by (rounded cosine desc, corpus
+    * id) — the DuckDB oracle replays the whole pipeline verbatim. */
+  def annJoin(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      corpus: DataFrame,
+      cIdCol: String,
+      cVecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val cents = selectCentroids(corpus, cIdCol, cVecCol, nlist)
+    val assigned = ivfAssign(corpus, cIdCol, cVecCol, cents)
+      .select(col(cIdCol).as("_g_cid"), col(cVecCol).as("_g_cvec"), col("cell"))
+    val probed = probeAssign(queries, qIdCol, qVecCol, cents, nprobe)
+      .select(col(qIdCol).as("_g_qid"), col(qVecCol).as("_g_qvec"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g_qid"))
+      .orderBy(col("cosine").desc, col("_g_cid"))
+    probed.join(assigned, "cell")
+      .select(col("_g_qid"), col("_g_cid"),
+        round(GraftFunctions.cosine(col("_g_qvec"), col("_g_cvec")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_g_qid").as("query_id"), col("_g_cid").as("corpus_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Lloyd's k-means over an embedding column — corpus clustering for
     * data-mixture balancing / per-cluster sampling at pre-training scale.
     *

@@ -135,6 +135,46 @@ class PipelineSuite extends SparkFixture {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("KNN join: top-k per query, ranked, no cartesian product") {
+    val queries = embs.filter($"vec_id" % 100 === 0) // 5 query vectors
+    val j = Similarity.annJoin(queries, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 8)
+    val rows = j.collect()
+    assert(rows.length == queries.count() * 3)
+    // nprobe = nlist -> exhaustive probing: rank 1 must be the query itself
+    rows.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"rank-1 should be self: $r")
+    }
+    // per-query ranks are 1..k
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach(g => assert(g.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3)))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"KNN join must be an equi-join on probe cells:\n$plan")
+  }
+
+  test("corpus shuffle: deterministic permutation, balanced shards, " +
+    "no single-partition window") {
+    val s1 = graft.pipeline.Shuffle.shuffleShards(docs, "doc_id", 8, "s1")
+    val s1b = graft.pipeline.Shuffle.shuffleShards(docs, "doc_id", 8, "s1")
+    val s2 = graft.pipeline.Shuffle.shuffleShards(docs, "doc_id", 8, "s2")
+    assert(s1.count() == docs.count())
+    // same seed -> identical permutation; different seed -> different
+    assert(s1.except(s1b).count() == 0)
+    assert(s1.except(s2).count() > 0)
+    // every shard used, within-shard positions contiguous from 1
+    val shards = s1.groupBy("shard").agg(
+      count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(shards.length == 8)
+    shards.foreach(r => assert(r.getInt(2) == 1 && r.getInt(3) == r.getLong(1)))
+    // the permutation breaks source runs: adjacent (shard,pos) rows should
+    // mix sources rather than stream one source at a time
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || plan.contains("hashpartitioning"),
+      s"shard window must hash-partition, not global-sort:\n$plan")
+  }
+
   test("near-dup components + dedupByPairs keep one representative per cluster") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
