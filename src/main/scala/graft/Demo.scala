@@ -146,6 +146,11 @@ object Demo {
       println(s"knn join rows = ${knn.count()} (expect 15), self-top1 = ${
         knn.filter(col("rank") === 1 && col("query_id") === col("corpus_id"))
           .count()} (expect 5)")
+      val q0 = embs.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val bq = graft.pipeline.Similarity.annSearchQuantized(
+        embs, "vec_id", "embedding", q0, k = 5, nlist = 8, nprobe = 4)
+      println(s"ivf-bq top-5 ids = ${bq.collect().map(_.getLong(0)).mkString(",")}")
       val sh = graft.pipeline.Shuffle.shuffleShards(docs, "doc_id", 4, "demo")
       println(s"corpus shuffle shards = ${
         sh.select("shard").distinct().count()} (expect 4), rows = ${sh.count()}")

@@ -789,6 +789,15 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       Similarity.annSearch(e, "vec_id", "embedding", q, 20, nlist = 16, nprobe = 8)
     }),
+    "ann_ivf_bq" -> q((s, d) => {
+      // binary-quantized IVF (reference IVF-RaBitQ shape): hamming on
+      // residual sign codes pre-ranks, exact cosine re-ranks the survivors
+      val e = rd(s, d, "embeddings")
+      val q0 = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.annSearchQuantized(e, "vec_id", "embedding", q0,
+        k = 20, nlist = 16, nprobe = 8, refine = 4)
+    }),
     "ann_join" -> q((s, d) => {
       // KNN JOIN: every 25th vector is a "query corpus" retrieving its
       // top-5 from the full table through the shared deterministic IVF
@@ -1452,6 +1461,51 @@ object SparkEntry {
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < thresh""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_index_persisted" -> annIvfOracle,
+    // IVF-BQ: the annIvfOracle pipeline + the 1-bit quantization and its
+    // ASYMMETRIC estimate replayed in SQL — per-dimension sign-vs-centroid
+    // selects +-q_i exactly like the packed-code bitDot, the residual norm
+    // is recomputed from the floats, so the refine set (and the result) is
+    // engine-identical
+    "ann_ivf_bq" ->
+      """WITH cents AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id AS cell, embedding AS cvec,
+        |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
+        |    FROM embeddings) WHERE rk <= 16),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.rk) AS arn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
+        |probe AS (
+        |  SELECT cell FROM cents, q
+        |  ORDER BY list_cosine_similarity(cvec::DOUBLE[], qv::DOUBLE[]) DESC, rk LIMIT 8),
+        |est AS (
+        |  SELECT a.vec_id, a.embedding,
+        |    round((
+        |      list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        |      + sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> pow(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE), 2))))
+        |        / sqrt(len(q.qv))
+        |        * list_sum(list_transform(range(1, len(q.qv) + 1),
+        |            i -> CASE WHEN a.embedding[i] >= c.cvec[i]
+        |                 THEN CAST(q.qv[i] AS DOUBLE) ELSE -CAST(q.qv[i] AS DOUBLE) END))
+        |    ) / (
+        |      sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> pow(CAST(q.qv[i] AS DOUBLE), 2))))
+        |      * sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1),
+        |            i -> pow(CAST(c.cvec[i] AS DOUBLE), 2)))
+        |          + pow(sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |              i -> pow(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE), 2)))), 2))
+        |    ), 6) AS est
+        |  FROM assigned a JOIN probe p ON a.cell = p.cell
+        |  JOIN cents c ON c.cell = a.cell, q),
+        |refine AS (SELECT * FROM est ORDER BY est DESC, vec_id LIMIT 80)
+        |SELECT r.vec_id, round(list_cosine_similarity(r.embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cosine
+        |FROM refine r, q ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
     // KNN join: the annIvfOracle pipeline generalized to a query SET —
     // per-query probe cells, candidates via the cell equi-join, windowed
     // top-k with the same (rounded cosine desc, id) tie-break

@@ -51,6 +51,32 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** 1-bit residual quantization code: bit i set iff v[i] >= cent[i],
+    * packed little-endian into 64-bit words (the sign of the residual
+    * v - cent — the heart of RaBitQ-style binary quantization). */
+  def residualSignBits(v: ArrayData, cent: Array[Float]): ArrayData = {
+    val n = math.min(v.numElements(), cent.length)
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (v.getFloat(i) >= cent(i)) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  /** Driver-side twin of [[residualSignBits]] for the query vector. */
+  def residualSignBitsLocal(v: Array[Float], cent: Array[Float]): Array[Long] = {
+    val n = math.min(v.length, cent.length)
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (v(i) >= cent(i)) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    words
+  }
+
   /** 64-bit SimHash over string tokens: per token a 64-bit hash votes +1/-1
     * on each bit position; the sign vector is the fingerprint. */
   def simhash(tokens: ArrayData): Long = {
@@ -351,6 +377,119 @@ case class NearestCells(first: Expression, second: Expression,
   override def prettyName: String = "graft_nearest_cells"
 }
 
+/** `graft_residual_code(vec, cell, cells, cvecs) -> Array[Long]`: the 1-bit
+  * residual-sign quantization code of `vec` against its assigned cell's
+  * centroid (bit i = vec[i] >= centroid[i], packed into 64-bit words) —
+  * the IVF-RaBitQ code step (reference
+  * rust/lakesoul-vector/src/rabitq/quantizer.rs) reduced to its sign bits
+  * and expressed as one codegen'd map pass. */
+case class ResidualSignCode(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val centByCell: java.util.HashMap[Long, Array[Float]] = {
+    val cellsArr = third.eval(null).asInstanceOf[ArrayData].toLongArray()
+    val a = fourth.eval(null).asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[Long, Array[Float]](cellsArr.length * 2)
+    var i = 0
+    while (i < cellsArr.length) {
+      m.put(cellsArr(i), a.getArray(i).toFloatArray()); i += 1
+    }
+    m
+  }
+
+  def code(v: ArrayData, cell: Long): ArrayData = {
+    val cent = centByCell.get(cell)
+    require(cent != null, s"unknown cell id $cell")
+    Kernels.residualSignBits(v, cent)
+  }
+
+  override def nullSafeEval(v: Any, c: Any, ce: Any, cv: Any): Any =
+    code(v.asInstanceOf[ArrayData], c.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("residualCode", this)
+    nullSafeCodeGen(ctx, ev, (v, c, _, _) => s"${ev.value} = $ref.code($v, $c);")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression) =
+    copy(f, s, t, q)
+  override def prettyName: String = "graft_residual_code"
+}
+
+/** `graft_residual_norm(vec, cell, cells, cvecs) -> Double`: the L2 norm of
+  * the residual `vec - centroid(cell)` — the per-vector scalar an IVF-BQ
+  * code stores next to its sign bits (RaBitQ keeps the same factor,
+  * quantizer.rs) so query time can reconstruct an estimated distance from
+  * 1-bit codes. */
+case class ResidualNorm(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val centByCell: java.util.HashMap[Long, Array[Float]] = {
+    val cellsArr = third.eval(null).asInstanceOf[ArrayData].toLongArray()
+    val a = fourth.eval(null).asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[Long, Array[Float]](cellsArr.length * 2)
+    var i = 0
+    while (i < cellsArr.length) {
+      m.put(cellsArr(i), a.getArray(i).toFloatArray()); i += 1
+    }
+    m
+  }
+
+  def rnorm(v: ArrayData, cell: Long): Double = {
+    val cent = centByCell.get(cell)
+    val n = math.min(v.numElements(), cent.length)
+    var i = 0; var acc = 0.0
+    while (i < n) {
+      val d = v.getFloat(i).toDouble - cent(i).toDouble
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def nullSafeEval(v: Any, c: Any, ce: Any, cv: Any): Any =
+    rnorm(v.asInstanceOf[ArrayData], c.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("residualNorm", this)
+    nullSafeCodeGen(ctx, ev, (v, c, _, _) => s"${ev.value} = $ref.rnorm($v, $c);")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression) =
+    copy(f, s, t, q)
+  override def prettyName: String = "graft_residual_norm"
+}
+
+/** `graft_bit_dot(code, q) -> Double`: asymmetric code-times-float product
+  * `sum_i (code bit i ? +q[i] : -q[i])` — the query side of the IVF-BQ
+  * distance estimate: the query stays float, the corpus row is 1 bit/dim. */
+case class BitDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val q: Array[Float] =
+    right.eval(null).asInstanceOf[ArrayData].toFloatArray()
+
+  def bitDot(code: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < q.length) {
+      val bit = (code.getLong(i >>> 6) >>> (i & 63)) & 1L
+      acc += (if (bit == 1L) q(i).toDouble else -q(i).toDouble)
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(c: Any, qq: Any): Any =
+    bitDot(c.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bitDot", this)
+    nullSafeCodeGen(ctx, ev, (c, _) => s"${ev.value} = $ref.bitDot($c);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "graft_bit_dot"
+}
+
 /** `graft_minhash_text(String) -> Array[Long]` — text-to-signature MinHash
   * in ONE kernel pass (tokenize + k-shingle + 32-way minima); see
   * Kernels.minhashText. */
@@ -381,7 +520,10 @@ object GraftFunctions {
     ("graft_xx64", es => Hash64(es.head)),
     ("graft_minhash_text3_32", es => MinHashText(es.head, 3, 32)),
     ("graft_nearest_cell", es => NearestCentroid(es(0), es(1), es(2))),
-    ("graft_nearest_cells", es => NearestCells(es(0), es(1), es(2), es(3))))
+    ("graft_nearest_cells", es => NearestCells(es(0), es(1), es(2), es(3))),
+    ("graft_residual_code", es => ResidualSignCode(es(0), es(1), es(2), es(3))),
+    ("graft_residual_norm", es => ResidualNorm(es(0), es(1), es(2), es(3))),
+    ("graft_bit_dot", es => BitDot(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -400,4 +542,13 @@ object GraftFunctions {
 
   def nearestCells(vec: Column, cells: Column, cvecs: Column, n: Column): Column =
     call_function("graft_nearest_cells", vec, cells, cvecs, n)
+
+  def residualCode(vec: Column, cell: Column, cells: Column, cvecs: Column): Column =
+    call_function("graft_residual_code", vec, cell, cells, cvecs)
+
+  def residualNorm(vec: Column, cell: Column, cells: Column, cvecs: Column): Column =
+    call_function("graft_residual_norm", vec, cell, cells, cvecs)
+
+  def bitDot(code: Column, q: Column): Column =
+    call_function("graft_bit_dot", code, q)
 }

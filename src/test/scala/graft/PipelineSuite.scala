@@ -135,6 +135,21 @@ class PipelineSuite extends SparkFixture {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("IVF-BQ ANN: quantized pre-rank finds the true neighbors") {
+    val q = embs.filter($"vec_id" === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // exhaustive probing isolates the quantization: with nprobe = nlist the
+    // only recall loss can come from the 1-bit hamming pre-rank
+    val bq = Similarity.annSearchQuantized(embs, "vec_id", "embedding", q,
+      k = 10, nlist = 8, nprobe = 8, refine = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(bq.contains(0L), "self must survive quantized pre-rank")
+    val recall = (exact intersect bq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"BQ recall $recall")
+  }
+
   test("KNN join: top-k per query, ranked, no cartesian product") {
     val queries = embs.filter($"vec_id" % 100 === 0) // 5 query vectors
     val j = Similarity.annJoin(queries, "vec_id", "embedding",
