@@ -789,6 +789,18 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       Similarity.annSearch(e, "vec_id", "embedding", q, 20, nlist = 16, nprobe = 8)
     }),
+    "decontaminate_semantic" -> q((s, d) => {
+      // embedding-level leakage: the "benchmark" is every 25th corpus
+      // vector verbatim; semantic decontamination must remove exactly those
+      val e = rd(s, d, "embeddings").select("vec_id", "embedding")
+      val test = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("test_id"),
+          col("embedding").as("test_vec"))
+      graft.pipeline.Decontaminate.decontaminateSemantic(
+        e, "vec_id", "embedding", test, "test_id", "test_vec",
+        threshold = 0.99, k = 5, nlist = 16, nprobe = 4)
+        .select("vec_id")
+    }),
     "ann_ivf_bq" -> q((s, d) => {
       // binary-quantized IVF (reference IVF-RaBitQ shape): hamming on
       // residual sign codes pre-ranks, exact cosine re-ranks the survivors
@@ -1461,6 +1473,12 @@ object SparkEntry {
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < thresh""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_index_persisted" -> annIvfOracle,
+    // semantic decontamination: the planted test set is exact copies
+    // (cosine 1.0; no organic pair reaches 0.99, and an identical vector
+    // lands in — and probes — its twin's cell), so the kept set is exactly
+    // the unplanted ids
+    "decontaminate_semantic" ->
+      "SELECT vec_id FROM embeddings WHERE vec_id % 25 <> 0",
     // IVF-BQ: the annIvfOracle pipeline + the 1-bit quantization and its
     // ASYMMETRIC estimate replayed in SQL — per-dimension sign-vs-centroid
     // selects +-q_i exactly like the packed-code bitDot, the residual norm

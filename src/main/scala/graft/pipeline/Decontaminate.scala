@@ -75,4 +75,47 @@ object Decontaminate {
       n, broadcastTest)
     docs.join(hits.filter(col("n_hits") >= minHits), Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination: flag corpus rows whose embedding is
+    * near-identical (cosine >= `threshold`) to any test-set embedding —
+    * catches paraphrased / reformatted leakage that n-gram overlap misses.
+    *
+    * Composes [[Similarity.annJoin]] with the test set as the QUERY side
+    * (benchmarks are small; the corpus is the indexed side), so the plan is
+    * the KNN join's: map-only IVF assignment of the corpus, nprobe-exploded
+    * test rows, one equi-join on cell — never |corpus| x |test|. Returns
+    * (corpus id, test id, cosine) for every hit at rank <= k. */
+  def semanticHits(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      testSet: DataFrame,
+      testIdCol: String,
+      testVecCol: String,
+      threshold: Double,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    Similarity.annJoin(testSet, testIdCol, testVecCol,
+      corpus, idCol, vecCol, k, nlist, nprobe)
+      .filter(col("cosine") >= threshold)
+      .select(col("corpus_id").as(idCol), col("query_id").as("test_id"),
+        col("cosine"))
+
+  /** The corpus minus every [[semanticHits]] row (anti-join on the id). */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      testSet: DataFrame,
+      testIdCol: String,
+      testVecCol: String,
+      threshold: Double,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    corpus.join(
+      semanticHits(corpus, idCol, vecCol, testSet, testIdCol, testVecCol,
+        threshold, k, nlist, nprobe).select(idCol).distinct(),
+      Seq(idCol), "left_anti")
 }
