@@ -810,6 +810,16 @@ object SparkEntry {
       Similarity.annSearchQuantized(e, "vec_id", "embedding", q0,
         k = 20, nlist = 16, nprobe = 8, refine = 4)
     }),
+    "ann_index_bq" -> q((s, d) => {
+      // the same quantized search against the PERSISTED index: pre-rank
+      // scans only the (id, cell, bqcode, bqnorm) columns of probed cells
+      val e = rd(s, d, "embeddings")
+      val q0 = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val idx = graft.pipeline.VectorIndex.build(s, e, tmp("vecidxbq"),
+        "vec_id", "embedding", nlist = 16)
+      idx.searchQuantized(q0, k = 20, nprobe = 8, refine = 4)
+    }),
     "ann_join" -> q((s, d) => {
       // KNN JOIN: every 25th vector is a "query corpus" retrieving its
       // top-5 from the full table through the shared deterministic IVF
@@ -1484,46 +1494,10 @@ object SparkEntry {
     // selects +-q_i exactly like the packed-code bitDot, the residual norm
     // is recomputed from the floats, so the refine set (and the result) is
     // engine-identical
-    "ann_ivf_bq" ->
-      """WITH cents AS (
-        |  SELECT * FROM (
-        |    SELECT vec_id AS cell, embedding AS cvec,
-        |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
-        |    FROM embeddings) WHERE rk <= 16),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |assigned AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.rk) AS arn
-        |    FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
-        |probe AS (
-        |  SELECT cell FROM cents, q
-        |  ORDER BY list_cosine_similarity(cvec::DOUBLE[], qv::DOUBLE[]) DESC, rk LIMIT 8),
-        |est AS (
-        |  SELECT a.vec_id, a.embedding,
-        |    round((
-        |      list_sum(list_transform(range(1, len(q.qv) + 1),
-        |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
-        |      + sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |          i -> pow(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE), 2))))
-        |        / sqrt(len(q.qv))
-        |        * list_sum(list_transform(range(1, len(q.qv) + 1),
-        |            i -> CASE WHEN a.embedding[i] >= c.cvec[i]
-        |                 THEN CAST(q.qv[i] AS DOUBLE) ELSE -CAST(q.qv[i] AS DOUBLE) END))
-        |    ) / (
-        |      sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |        i -> pow(CAST(q.qv[i] AS DOUBLE), 2))))
-        |      * sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1),
-        |            i -> pow(CAST(c.cvec[i] AS DOUBLE), 2)))
-        |          + pow(sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |              i -> pow(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE), 2)))), 2))
-        |    ), 6) AS est
-        |  FROM assigned a JOIN probe p ON a.cell = p.cell
-        |  JOIN cents c ON c.cell = a.cell, q),
-        |refine AS (SELECT * FROM est ORDER BY est DESC, vec_id LIMIT 80)
-        |SELECT r.vec_id, round(list_cosine_similarity(r.embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cosine
-        |FROM refine r, q ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "ann_ivf_bq" -> annIvfBqOracle,
+    "ann_index_bq" -> annIvfBqOracle,
+
+
     // KNN join: the annIvfOracle pipeline generalized to a query SET —
     // per-query probe cells, candidates via the cell equi-join, windowed
     // top-k with the same (rounded cosine desc, id) tie-break
@@ -1574,6 +1548,49 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |  round(list_cosine_similarity(embedding, embedding), 6) AS cosine
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin)
+
+  /** Shared oracle for ann_ivf_bq / ann_index_bq: identical deterministic
+    * quantized pipeline (in-query and persisted-index forms). */
+  private val annIvfBqOracle: String =
+    """WITH cents AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id AS cell, embedding AS cvec,
+        |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
+        |    FROM embeddings) WHERE rk <= 16),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.rk) AS arn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
+        |probe AS (
+        |  SELECT cell FROM cents, q
+        |  ORDER BY list_cosine_similarity(cvec::DOUBLE[], qv::DOUBLE[]) DESC, rk LIMIT 8),
+        |est AS (
+        |  SELECT a.vec_id, a.embedding,
+        |    round((
+        |      list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        |      + sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> pow(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE), 2))))
+        |        / sqrt(len(q.qv))
+        |        * list_sum(list_transform(range(1, len(q.qv) + 1),
+        |            i -> CASE WHEN a.embedding[i] >= c.cvec[i]
+        |                 THEN CAST(q.qv[i] AS DOUBLE) ELSE -CAST(q.qv[i] AS DOUBLE) END))
+        |    ) / (
+        |      sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> pow(CAST(q.qv[i] AS DOUBLE), 2))))
+        |      * sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1),
+        |            i -> pow(CAST(c.cvec[i] AS DOUBLE), 2)))
+        |          + pow(sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |              i -> pow(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE), 2)))), 2))
+        |    ), 6) AS est
+        |  FROM assigned a JOIN probe p ON a.cell = p.cell
+        |  JOIN cents c ON c.cell = a.cell, q),
+        |refine AS (SELECT * FROM est ORDER BY est DESC, vec_id LIMIT 80)
+        |SELECT r.vec_id, round(list_cosine_similarity(r.embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cosine
+        |FROM refine r, q ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
 
   /** Shared oracle for ann_ivf / ann_index_persisted: both run the identical
     * deterministic IVF (hashed-id centroids, argmax-cosine assignment,

@@ -168,6 +168,29 @@ object Similarity {
       .withColumn("_g_rnorm",
         GraftFunctions.residualNorm(col(vecCol), col("cell"), cellsLit, cvecsLit))
     val probes = probeCells(cents, query, nprobe)
+    coded.filter(col("cell").isin(probes: _*))
+      .withColumn("_g_est",
+        bqEstimate(cents, probes, query, col("_g_code"), col("_g_rnorm"),
+          col("cell")))
+      .orderBy(col("_g_est").desc, col(idCol))
+      .limit(k * refine)
+      .select(col(idCol),
+        round(GraftFunctions.cosine(col(vecCol), typedLit(query.toSeq)), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The IVF-BQ estimated-cosine column, switched on the candidate row's
+    * cell (nprobe branches of codegen'd scalar math — no join, no extra
+    * shuffle), rounded to 6 so independent replays rank identically. */
+  private[pipeline] def bqEstimate(
+      cents: Array[(Long, Array[Float])],
+      probes: Seq[Long],
+      query: Array[Float],
+      codeCol: Column,
+      rnormCol: Column,
+      cellCol: Column): Column = {
     val centMap = cents.toMap
     val d = query.length
     val qNorm = math.sqrt(query.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
@@ -182,27 +205,16 @@ object Similarity {
       acc
     }
     val qLit = typedLit(query.toSeq)
-    // per-probed-cell estimate, switched on the candidate's cell (nprobe
-    // branches of codegen'd scalar math — no join, no extra shuffle)
     def estFor(cell: Long): Column = {
       val c = centMap(cell)
       (lit(dotLocal(c)) +
-        col("_g_rnorm") / math.sqrt(d.toDouble) *
-          GraftFunctions.bitDot(col("_g_code"), qLit)) /
-        (lit(qNorm) * sqrt(lit(cnorm2(c)) + col("_g_rnorm") * col("_g_rnorm")))
+        rnormCol / math.sqrt(d.toDouble) * GraftFunctions.bitDot(codeCol, qLit)) /
+        (lit(qNorm) * sqrt(lit(cnorm2(c)) + rnormCol * rnormCol))
     }
-    val est: Column = probes.tail.foldLeft(
-      when(col("cell") === probes.head, estFor(probes.head))) {
-      (acc, cell) => acc.when(col("cell") === cell, estFor(cell))
-    }
-    coded.filter(col("cell").isin(probes: _*))
-      .withColumn("_g_est", round(est, 6))
-      .orderBy(col("_g_est").desc, col(idCol))
-      .limit(k * refine)
-      .select(col(idCol),
-        round(GraftFunctions.cosine(col(vecCol), qLit), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    round(probes.tail.foldLeft(
+      when(cellCol === probes.head, estFor(probes.head))) {
+      (acc, cell) => acc.when(cellCol === cell, estFor(cell))
+    }, 6)
   }
 
   /** The per-row probe-cell tagging for a KNN JOIN: each query row gets its

@@ -43,6 +43,34 @@ class VectorIndex private (
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Quantized top-k: the pre-rank pass scans ONLY (id, cell, bqcode,
+    * bqnorm) of the probed cells — column pruning drops the vector column,
+    * so the hot scan reads 12 bytes/row of codes instead of the embeddings;
+    * full vectors are fetched for the `k * refine` survivors only (an id
+    * IN-filter over the same pruned partitions) and exact-reranked. */
+  def searchQuantized(query: Array[Float], k: Int,
+      nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    val cents = centroidTable.toDF.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy { case (cell, _) =>
+        (Math.floorMod(cell * 2654435761L, 4294967296L), cell) }
+    val probes = Similarity.probeCells(cents, query, nprobe)
+    val descs = probes.map(c => s"cell=$c").toSet
+    val pruned = indexTable.toDF(d => descs.contains(d))
+    val candidateIds = pruned
+      .select(col(idCol), Similarity.bqEstimate(cents, probes, query,
+        col("bqcode"), col("bqnorm"), col("cell")).as("_g_est"))
+      .orderBy(col("_g_est").desc, col(idCol))
+      .limit(k * refine)
+      .collect().map(_.get(0))
+    pruned.filter(col(idCol).isin(candidateIds: _*))
+      .select(col(idCol),
+        round(GraftFunctions.cosine(col(vecCol), typedLit(query.toSeq)), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }
 
 object VectorIndex {
@@ -70,8 +98,17 @@ object VectorIndex {
         org.apache.spark.sql.types.StructField("cvec",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)))))
+    // alongside the full vector, the 1-bit residual code + its scalar
+    // (IVF-BQ; reference rust/lakesoul-vector quantizer.rs): searches can
+    // then scan 12 bytes/row instead of the vector column
+    val cellsLit = typedLit(cents.map(_._1).toSeq)
+    val cvecsLit = typedLit(cents.map(_._2.toSeq).toSeq)
     val assigned = Similarity.ivfAssign(df, idCol, vecCol, cents)
-      .select(col("cell"), col(idCol), col(vecCol))
+      .select(col("cell"), col(idCol), col(vecCol),
+        GraftFunctions.residualCode(col(vecCol), col("cell"),
+          cellsLit, cvecsLit).as("bqcode"),
+        GraftFunctions.residualNorm(col(vecCol), col("cell"),
+          cellsLit, cvecsLit).as("bqnorm"))
 
     val idxPath = s"$basePath/_g_vecindex"
     val cenPath = s"$basePath/_g_veccentroids"

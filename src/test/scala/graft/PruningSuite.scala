@@ -46,6 +46,20 @@ class PruningSuite extends SparkFixture {
       val again = VectorIndex.forPath(spark, base, "vec_id", "embedding")
         .search(q, 5, 4).collect()
       assert(again.map(_.getLong(0)).toSeq == hits.map(_.getLong(0)).toSeq)
+
+      // quantized search agrees on the easy hits and self
+      val bq = VectorIndex.forPath(spark, base, "vec_id", "embedding")
+        .searchQuantized(q, k = 5, nprobe = 8, refine = 8).collect()
+      assert(bq.head.getLong(0) == 3L, "self must rank first under BQ")
+
+      // the BQ pre-rank scan must NOT read the vector column: project the
+      // skinny columns off the index table and check the parquet ReadSchema
+      val skinny = graft.tables.GraftTable
+        .forPath(spark, s"$base/_g_vecindex").toDF
+        .select($"vec_id", $"cell", $"bqcode", $"bqnorm")
+      val scanPlan = skinny.queryExecution.executedPlan.toString
+      assert(!scanPlan.contains("embedding"),
+        s"BQ pre-rank scan should prune the vector column:\n$scanPlan")
     }
   }
 }
