@@ -254,6 +254,23 @@ object SparkEntry {
         "FROM v2_src_orders WHERE o_orderkey % 10 = 0")
       s.sql("SELECT * FROM graft_cat.vfy.orders_t")
     }),
+    "agg_pushdown" -> q((s, d) => {
+      // COUNT/MIN/MAX answered from commit metadata (DSv2 complete
+      // aggregate pushdown): the plan must be a LocalTableScan — zero
+      // tasks, zero bytes of data read — asserted in-query so the
+      // correctness gate fails if the metadata-only path regresses
+      v2(s)
+      rd(s, d, "orders").createOrReplaceTempView("v2_src_ord_agg")
+      s.sql("CREATE TABLE graft_cat.vfy.ord_agg " +
+        "PARTITIONED BY (bucket(4, o_orderkey)) AS SELECT * FROM v2_src_ord_agg")
+      val r = s.sql("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key, max(o_totalprice) AS max_price " +
+        "FROM graft_cat.vfy.ord_agg")
+      val plan = r.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"expected a metadata-only aggregate plan:\n$plan")
+      r
+    }),
     "sql_time_travel" -> q((s, d) => {
       // SQL time travel (C1 through the SQL surface): VERSION AS OF n
       // resolves via the catalog's loadTable(ident, version) to a read-only
@@ -1483,6 +1500,9 @@ object SparkEntry {
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < thresh""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_index_persisted" -> annIvfOracle,
+    "agg_pushdown" ->
+      ("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key, max(o_totalprice) AS max_price FROM orders"),
     // semantic decontamination: the planted test set is exact copies
     // (cosine 1.0; no organic pair reaches 0.99, and an identical vector
     // lands in — and probes — its twin's cell), so the kept set is exactly

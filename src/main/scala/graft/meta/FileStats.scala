@@ -28,6 +28,11 @@ case class ColStats(mn: Option[String], mx: Option[String], hn: Boolean, an: Boo
 object FileStats {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
+  /** Reserved pseudo-column carrying the file's exact ROW COUNT in `mn`
+    * (footer metadata) — consumed by the DSv2 aggregate pushdown to answer
+    * COUNT(*) from metadata. Skipped if a real column shadows the name. */
+  val RowCountKey = "__graft_rows"
+
   def encode(m: Map[String, ColStats]): String =
     if (m.isEmpty) "" else Serialization.write(m)
 
@@ -35,4 +40,7 @@ object FileStats {
     if (s == null || s.isEmpty) Map.empty
     else try Serialization.read[Map[String, ColStats]](s)
     catch { case _: Exception => Map.empty }
+
+  def rowCount(m: Map[String, ColStats]): Option[Long] =
+    m.get(RowCountKey).flatMap(_.mn).flatMap(_.toLongOption)
 }

@@ -40,7 +40,7 @@ class GraftScanBuilder(
     table: GraftTable,
     options: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val info = table.info
   private val fullSchema = table.schema
@@ -49,6 +49,7 @@ class GraftScanBuilder(
   private var partPred: String => Boolean = _ => true
   private var dataFilters: Seq[Filter] = Nil
   private var pkBucket: Option[Int] = None
+  private var aggResult: Option[(StructType, InternalRow)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rangeEq = Filters.rangeEqualities(filters.toSeq, info.rangeColumns)
@@ -76,7 +77,142 @@ class GraftScanBuilder(
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
 
+  // ---- SupportsPushDownAggregates: COUNT(*) / MIN / MAX answered from the
+  // per-file footer statistics already in the commit metadata — the
+  // "metadata-only query" every serious lakehouse ships. A 100 TB
+  // `SELECT count(*) FROM t` becomes a driver-side fold over file entries:
+  // zero tasks, zero bytes read. Complete pushdown only — and only when the
+  // answer is provably exact:
+  //  - full reads (no time travel / incremental semantics),
+  //  - no CDC column (tombstones would inflate counts),
+  //  - merge-free snapshot: on a PK table every partition must be a single
+  //    sorted run — across runs a key may repeat (COUNT) and merge
+  //    operators REWRITE values (MIN/MAX), so multi-run refuses,
+  //  - COUNT(*): every live file carries the exact footer row count,
+  //  - MIN/MAX: fixed-width types only (string footer stats may be
+  //    truncated bounds, fine for skipping but not for answers), with
+  //    usable bounds in every file.
+  // Spark only attempts aggregate pushdown when no Filter node remains
+  // below the Aggregate, and this scan reports every filter residual, so a
+  // filtered query can never reach this path half-enforced.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    computeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = computeAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    if (info.properties.get("graft.aggPushdown.enabled").contains("false"))
+      return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (options.getOrElse("readtype", "full") != "full") return None
+    if (info.cdcColumn.nonEmpty) return None
+    val files = table.liveFiles(partPred)
+    if (files.isEmpty) return None // empty-table agg: let Spark answer
+    if (info.hasPrimaryKey &&
+        files.groupBy(_.partitionDesc).values
+          .exists(_.map(_.commitOrdinal).distinct.size > 1)) return None
+    val statsByFile = files.map(f => graft.meta.FileStats.decode(f.file.stats))
+
+    def colRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def fixedWidth(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    // stats encoding (FileStats): numeric.toString, date = epoch-day,
+    // timestamp = epoch-micros -> all parse to the Catalyst internal value
+    def decode(s: String, dt: DataType): Any = dt match {
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType | DateType => s.toInt
+      case LongType | TimestampType | TimestampNTZType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    def ordering(dt: DataType): Ordering[Any] = (dt match {
+      case ByteType => Ordering.Byte
+      case ShortType => Ordering.Short
+      case IntegerType | DateType => Ordering.Int
+      case LongType | TimestampType | TimestampNTZType => Ordering.Long
+      case FloatType => Ordering.Float.TotalOrdering
+      case DoubleType => Ordering.Double.TotalOrdering
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }).asInstanceOf[Ordering[Any]]
+
+    def boundOver(name: String, dt: DataType, wantMin: Boolean): Option[Any] = {
+      // every file must either prove all-null (contributes nothing) or
+      // carry a usable bound; any unknown refuses the pushdown
+      val perFile: Seq[Option[Option[Any]]] = statsByFile.map { st =>
+        st.get(name) match {
+          case Some(cs) if cs.an => Some(None)
+          case Some(cs) =>
+            (if (wantMin) cs.mn else cs.mx) match {
+              case Some(v) => Some(Some(decode(v, dt)))
+              case None => None
+            }
+          case None => None
+        }
+      }
+      if (perFile.exists(_.isEmpty)) return None
+      val vals = perFile.flatten.flatten
+      if (vals.isEmpty) None // all files all-null -> MIN is null; refuse
+      else Some(vals.reduce((a, b) =>
+        if (ordering(dt).compare(a, b) <= 0 == wantMin) a else b) match {
+        // parquet footers write CONSERVATIVE signed-zero bounds (min -0.0
+        // when 0.0 occurs, max 0.0 when -0.0 occurs); SQL compares the two
+        // equal, so answer with the canonical +0.0 (Spark's
+        // NormalizeFloatingNumbers form) either way
+        case f: Float if f == 0.0f => 0.0f
+        case d: Double if d == 0.0d => 0.0d
+        case v => v
+      })
+    }
+
+    val fields = scala.collection.mutable.ArrayBuffer[StructField]()
+    val values = scala.collection.mutable.ArrayBuffer[Any]()
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        val counts = statsByFile.map(graft.meta.FileStats.rowCount)
+        if (counts.exists(_.isEmpty)) return None
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += counts.flatten.sum
+      case m: Min =>
+        val name = colRef(m.column).getOrElse(return None)
+        val f = fullSchema.fields.find(_.name == name).getOrElse(return None)
+        if (!fixedWidth(f.dataType)) return None
+        values += boundOver(name, f.dataType, wantMin = true).getOrElse(return None)
+        fields += StructField(s"min($name)", f.dataType)
+      case m: Max =>
+        val name = colRef(m.column).getOrElse(return None)
+        val f = fullSchema.fields.find(_.name == name).getOrElse(return None)
+        if (!fixedWidth(f.dataType)) return None
+        values += boundOver(name, f.dataType, wantMin = false).getOrElse(return None)
+        fields += StructField(s"max($name)", f.dataType)
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq),
+      InternalRow.fromSeq(values.toSeq)))
+  }
+
   override def build(): Scan = {
+    aggResult.foreach { case (aggSchema, row) =>
+      return new GraftMetadataAggScan(aggSchema, row)
+    }
     val need = (info.rangeColumns ++ info.hashColumns ++ info.cdcColumn.toSeq ++
       requiredSchema.fieldNames).toSet
     val readSchema = StructType(fullSchema.fields.filter(f => need.contains(f.name)))
@@ -94,6 +230,17 @@ class GraftScanBuilder(
     }
     new GraftScan(spark, info, readSchema, files, dataFilters, pkBucket, keepCdc)
   }
+}
+
+/** The scan returned when an aggregate was completely pushed down: one
+  * pre-computed row, produced on the driver from commit metadata
+  * ([[LocalScan]] — Spark plans it as a local table, no tasks launched). */
+class GraftMetadataAggScan(aggSchema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String =
+    s"GraftMetadataAggScan(${aggSchema.fieldNames.mkString(", ")})"
 }
 
 class GraftScan(

@@ -147,7 +147,13 @@ object FileStatsCollector {
           name -> ColStats(Option(mn), Option(mx), hn = nulls > 0,
             an = mn == null && nulls >= totalRows && totalRows > 0)
         }
-        FileStats.encode(out)
+        // exact footer row count under a reserved key (aggregate pushdown);
+        // a real column of that name wins the key, so drop ours then
+        val withRows =
+          if (indexed.contains(FileStats.RowCountKey)) out
+          else out + (FileStats.RowCountKey ->
+            ColStats(Some(totalRows.toString), None, hn = false, an = false))
+        FileStats.encode(withRows)
       } finally reader.close()
     } catch { case _: Exception => "" } // stats are an optimization, never fail a write
   }

@@ -477,4 +477,51 @@ class CatalogV2Suite extends SparkFixture {
       }
     }
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX from metadata; merge/filter/string " +
+    "shapes fall back") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.agg")
+      (1 to 1000).map(i => (i.toLong, (i % 7).toDouble, s"s$i"))
+        .toDF("id", "v", "s").createOrReplaceTempView("agg_src")
+      spark.sql("CREATE TABLE graft_cat.agg.t PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT * FROM agg_src")
+
+      def planOf(sql: String): String =
+        spark.sql(sql).queryExecution.executedPlan.toString
+      val q = "SELECT count(*), min(id), max(id), min(v), max(v) FROM graft_cat.agg.t"
+      // answered from metadata: a local scan, no graft batch scan, no tasks
+      val plan = planOf(q)
+      assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"expected metadata-only aggregate:\n$plan")
+      assertRows(spark.sql(q), Seq("[1000,1,1000,0.0,6.0]"))
+
+      // a filter blocks complete pushdown (filters stay residual here)
+      val fPlan = planOf(
+        "SELECT count(*) FROM graft_cat.agg.t WHERE id > 10")
+      assert(fPlan.contains("BatchScan"), s"filtered agg must scan:\n$fPlan")
+
+      // min/max over strings must scan (footer bounds may be truncated)
+      val sPlan = planOf("SELECT max(s) FROM graft_cat.agg.t")
+      assert(sPlan.contains("BatchScan"), s"string agg must scan:\n$sPlan")
+
+      // an upsert makes partitions multi-run -> merge-unsafe -> fall back,
+      // and the scanned answer reflects the merged state
+      spark.sql("INSERT INTO graft_cat.agg.t VALUES (1001, 42.0, 'x')")
+      val mPlan = planOf("SELECT count(*) FROM graft_cat.agg.t")
+      assert(mPlan.contains("BatchScan"), s"multi-run agg must scan:\n$mPlan")
+      assertRows(spark.sql("SELECT count(*), max(v) FROM graft_cat.agg.t"),
+        Seq("[1001,42.0]"))
+
+      // compaction restores the single-run fast path with the new answer
+      spark.sql("CALL graft.compaction(table_name => 'agg.t')")
+      val cPlan = planOf("SELECT count(*), max(v) FROM graft_cat.agg.t")
+      assert(cPlan.contains("LocalTableScan"),
+        s"compacted agg should be metadata-only:\n$cPlan")
+      assertRows(spark.sql("SELECT count(*), max(v) FROM graft_cat.agg.t"),
+        Seq("[1001,42.0]"))
+    }
+  }
 }

@@ -21,7 +21,8 @@ class StatsSkippingSuite extends SparkFixture {
         Seq((1L, 10.0, "alpha"), (2L, 20.0, "beta")).toDF("id", "v", "s"),
         path, hashColumns = Seq("id"), bucketNum = 1)
       val stats = FileStats.decode(t.liveFiles.head.file.stats)
-      assert(stats.keySet == Set("id", "v", "s"))
+      assert(stats.keySet == Set("id", "v", "s", FileStats.RowCountKey))
+      assert(FileStats.rowCount(stats).contains(2L))
       assert(stats("id") == ColStats(Some("1"), Some("2"), hn = false, an = false))
       assert(stats("v") == ColStats(Some("10.0"), Some("20.0"), hn = false, an = false))
       assert(stats("s") == ColStats(Some("alpha"), Some("beta"), hn = false, an = false))
