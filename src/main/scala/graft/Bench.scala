@@ -106,7 +106,7 @@ object Bench {
     // NOT in `total` (the total's entry set stays comparable to rounds 1-3)
     val extras = Seq("quality_topk", "gopher_filter", "pii_scrub",
       "doc_chunk", "ngram_topk", "sample_temperature", "kmeans_assign",
-      "ann_join", "ann_ivf_bq", "corpus_shuffle")
+      "ann_join", "ann_ivf_bq", "corpus_shuffle", "lm_score")
 
     (headline ++ extras).foreach { name =>
       val fn = SparkEntry.queries(name)

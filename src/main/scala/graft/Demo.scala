@@ -151,6 +151,9 @@ object Demo {
       val bq = graft.pipeline.Similarity.annSearchQuantized(
         embs, "vec_id", "embedding", q0, k = 5, nlist = 8, nprobe = 4)
       println(s"ivf-bq top-5 ids = ${bq.collect().map(_.getLong(0)).mkString(",")}")
+      val lm = graft.pipeline.LanguageModel.bigramScore(docs, "doc_id", "text")
+      println(s"bigram-LM scored ${lm.count()} docs, avg logp = ${
+        lm.agg(round(avg(col("avg_logp")), 3)).head.getDouble(0)}")
       val sh = graft.pipeline.Shuffle.shuffleShards(docs, "doc_id", 4, "demo")
       println(s"corpus shuffle shards = ${
         sh.select("shard").distinct().count()} (expect 4), rows = ${sh.count()}")

@@ -845,6 +845,10 @@ object SparkEntry {
         e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         e, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
     }),
+    "lm_score" -> q((s, d) =>
+      // bigram-LM quality scoring (perplexity-filter form scores)
+      graft.pipeline.LanguageModel.bigramScore(
+        rd(s, d, "documents"), "doc_id", "text")),
     "corpus_shuffle" -> q((s, d) =>
       // deterministic training-order permutation: (shard, pos) replayed
       // bit-for-bit by the oracle
@@ -1547,6 +1551,23 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) DESC, a.vec_id) AS rank
         |  FROM q JOIN probe p ON q.qid = p.qid JOIN assigned a ON a.cell = p.cell)
         |WHERE rank <= 5""".stripMargin,
+    // bigram LM: model counts + smoothing + per-doc mean log-prob all
+    // recomputed in SQL, tokenizer included
+    "lm_score" ->
+      """WITH lsts AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS lst
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lst[i] AS w1, lst[i+1] AS w2
+        |  FROM lsts, UNNEST(range(1, len(lst))) AS r(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t.term) AS v FROM lsts, UNNEST(lst) AS t(term))
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS avg_logp
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
     // the md5-keyed permutation replays exactly: same md5, same hex parse,
     // same modulus, same within-shard order
     "corpus_shuffle" ->

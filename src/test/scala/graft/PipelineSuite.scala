@@ -135,6 +135,27 @@ class PipelineSuite extends SparkFixture {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("bigram LM scoring: fluent text beats gibberish; filter drops it") {
+    import spark.implicits._
+    val fluent = "the cat sat on the mat and the cat slept on the mat"
+    val corpus = (1 to 20).map(i => (i.toLong, fluent)) :+
+      (99L, "zq xv qj wk zz vq kx jq zv qq")
+    val df = corpus.toDF("doc_id", "text")
+    val scores = graft.pipeline.LanguageModel
+      .bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(99L) < scores(1L),
+      s"gibberish must score below fluent text: $scores")
+    val kept = graft.pipeline.LanguageModel
+      .perplexityFilter(df, "doc_id", "text", minLogP = scores(1L) - 0.001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(99L) && kept.contains(1L))
+    // short doc (no bigrams) drops out of scoring
+    val one = Seq((7L, "single")).toDF("doc_id", "text")
+    assert(graft.pipeline.LanguageModel
+      .bigramScore(one, "doc_id", "text").count() == 0)
+  }
+
   test("IVF-BQ ANN: quantized pre-rank finds the true neighbors") {
     val q = embs.filter($"vec_id" === 0).select("embedding")
       .head.getSeq[Float](0).toArray
