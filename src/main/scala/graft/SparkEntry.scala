@@ -271,6 +271,22 @@ object SparkEntry {
         s"expected a metadata-only aggregate plan:\n$plan")
       r
     }),
+    "agg_pushdown_grouped" -> q((s, d) => {
+      // per-partition GROUP BY answered from metadata: one row per range
+      // partition, zero tasks (asserted in-query)
+      v2(s)
+      rd(s, d, "orders").createOrReplaceTempView("v2_src_ord_gagg")
+      s.sql("CREATE TABLE graft_cat.vfy.ord_gagg " +
+        "PARTITIONED BY (o_orderstatus, bucket(4, o_orderkey)) " +
+        "AS SELECT * FROM v2_src_ord_gagg")
+      val r = s.sql("SELECT o_orderstatus, count(*) AS n, " +
+        "min(o_totalprice) AS min_price FROM graft_cat.vfy.ord_gagg " +
+        "GROUP BY o_orderstatus")
+      val plan = r.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"expected a metadata-only grouped aggregate plan:\n$plan")
+      r
+    }),
     "sql_time_travel" -> q((s, d) => {
       // SQL time travel (C1 through the SQL surface): VERSION AS OF n
       // resolves via the catalog's loadTable(ident, version) to a read-only
@@ -1507,6 +1523,9 @@ object SparkEntry {
     "agg_pushdown" ->
       ("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
         "max(o_orderkey) AS max_key, max(o_totalprice) AS max_price FROM orders"),
+    "agg_pushdown_grouped" ->
+      ("SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS min_price " +
+        "FROM orders GROUP BY o_orderstatus"),
     // semantic decontamination: the planted test set is exact copies
     // (cosine 1.0; no organic pair reaches 0.99, and an identical vector
     // lands in — and probes — its twin's cell), so the kept set is exactly

@@ -49,7 +49,7 @@ class GraftScanBuilder(
   private var partPred: String => Boolean = _ => true
   private var dataFilters: Seq[Filter] = Nil
   private var pkBucket: Option[Int] = None
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult: Option[(StructType, Array[InternalRow])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rangeEq = Filters.rangeEqualities(filters.toSeq, info.rangeColumns)
@@ -107,12 +107,11 @@ class GraftScanBuilder(
 
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
+      : Option[(StructType, Array[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
     if (info.properties.get("graft.aggPushdown.enabled").contains("false"))
       return None
-    if (agg.groupByExpressions().nonEmpty) return None
     if (options.getOrElse("readtype", "full") != "full") return None
     if (info.cdcColumn.nonEmpty) return None
     val files = table.liveFiles(partPred)
@@ -120,7 +119,6 @@ class GraftScanBuilder(
     if (info.hasPrimaryKey &&
         files.groupBy(_.partitionDesc).values
           .exists(_.map(_.commitOrdinal).distinct.size > 1)) return None
-    val statsByFile = files.map(f => graft.meta.FileStats.decode(f.file.stats))
 
     def colRef(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -128,6 +126,28 @@ class GraftScanBuilder(
         Some(nr.fieldNames.head)
       case _ => None
     }
+
+    // GROUP BY: supported exactly for the single STRING range-partition
+    // column — groups are partitions, values decode from the partition
+    // desc, counts/bounds fold per group. (Typed range columns would need
+    // a desc->value parse that provably matches the writer's path
+    // escaping; strings are the identity case.)
+    val groupCols = agg.groupByExpressions().toSeq.map(e =>
+      colRef(e).getOrElse(return None))
+    if (groupCols.nonEmpty &&
+        (groupCols != info.rangeColumns || groupCols.length != 1 ||
+          !fullSchema.fields.exists(f => f.name == groupCols.head &&
+            f.dataType == StringType))) return None
+    val groups: Seq[(Seq[Any], Seq[graft.meta.ResolvedFile])] =
+      if (groupCols.isEmpty) Seq(Nil -> files)
+      else files.groupBy(_.partitionDesc).toSeq.sortBy(_._1).map {
+        case (desc, fs) =>
+          val raw = desc.stripPrefix(s"${groupCols.head}=")
+          val v: Any =
+            if (raw == TransactionalWrite.NullSentinel) null
+            else UTF8String.fromString(raw)
+          (Seq(v), fs)
+      }
     def fixedWidth(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | DateType | TimestampType | TimestampNTZType => true
@@ -154,10 +174,11 @@ class GraftScanBuilder(
       case other => throw new IllegalStateException(s"unexpected $other")
     }).asInstanceOf[Ordering[Any]]
 
-    def boundOver(name: String, dt: DataType, wantMin: Boolean): Option[Any] = {
+    def boundOver(stats: Seq[Map[String, graft.meta.ColStats]],
+        name: String, dt: DataType, wantMin: Boolean): Option[Any] = {
       // every file must either prove all-null (contributes nothing) or
       // carry a usable bound; any unknown refuses the pushdown
-      val perFile: Seq[Option[Option[Any]]] = statsByFile.map { st =>
+      val perFile: Seq[Option[Option[Any]]] = stats.map { st =>
         st.get(name) match {
           case Some(cs) if cs.an => Some(None)
           case Some(cs) =>
@@ -184,34 +205,53 @@ class GraftScanBuilder(
     }
 
     val fields = scala.collection.mutable.ArrayBuffer[StructField]()
-    val values = scala.collection.mutable.ArrayBuffer[Any]()
-    agg.aggregateExpressions().foreach {
+    groupCols.foreach(c => fields +=
+      fullSchema.fields.find(_.name == c).getOrElse(return None))
+    val aggFns = agg.aggregateExpressions().toSeq
+    aggFns.foreach {
       case _: CountStar =>
-        val counts = statsByFile.map(graft.meta.FileStats.rowCount)
-        if (counts.exists(_.isEmpty)) return None
         fields += StructField("count(*)", LongType, nullable = false)
-        values += counts.flatten.sum
       case m: Min =>
         val name = colRef(m.column).getOrElse(return None)
         val f = fullSchema.fields.find(_.name == name).getOrElse(return None)
         if (!fixedWidth(f.dataType)) return None
-        values += boundOver(name, f.dataType, wantMin = true).getOrElse(return None)
         fields += StructField(s"min($name)", f.dataType)
       case m: Max =>
         val name = colRef(m.column).getOrElse(return None)
         val f = fullSchema.fields.find(_.name == name).getOrElse(return None)
         if (!fixedWidth(f.dataType)) return None
-        values += boundOver(name, f.dataType, wantMin = false).getOrElse(return None)
         fields += StructField(s"max($name)", f.dataType)
       case _ => return None
     }
-    Some((StructType(fields.toSeq),
-      InternalRow.fromSeq(values.toSeq)))
+
+    val rows = groups.map { case (keyVals, fs) =>
+      val stats = fs.map(f => graft.meta.FileStats.decode(f.file.stats))
+      val values = scala.collection.mutable.ArrayBuffer[Any](keyVals: _*)
+      aggFns.foreach {
+        case _: CountStar =>
+          val counts = stats.map(graft.meta.FileStats.rowCount)
+          if (counts.exists(_.isEmpty)) return None
+          values += counts.flatten.sum
+        case m: Min =>
+          val name = colRef(m.column).get
+          val dt = fullSchema.fields.find(_.name == name).get.dataType
+          values += boundOver(stats, name, dt, wantMin = true)
+            .getOrElse(return None)
+        case m: Max =>
+          val name = colRef(m.column).get
+          val dt = fullSchema.fields.find(_.name == name).get.dataType
+          values += boundOver(stats, name, dt, wantMin = false)
+            .getOrElse(return None)
+        case _ => return None
+      }
+      InternalRow.fromSeq(values.toSeq)
+    }
+    Some((StructType(fields.toSeq), rows.toArray))
   }
 
   override def build(): Scan = {
-    aggResult.foreach { case (aggSchema, row) =>
-      return new GraftMetadataAggScan(aggSchema, row)
+    aggResult.foreach { case (aggSchema, rows) =>
+      return new GraftMetadataAggScan(aggSchema, rows)
     }
     val need = (info.rangeColumns ++ info.hashColumns ++ info.cdcColumn.toSeq ++
       requiredSchema.fieldNames).toSet
@@ -235,10 +275,10 @@ class GraftScanBuilder(
 /** The scan returned when an aggregate was completely pushed down: one
   * pre-computed row, produced on the driver from commit metadata
   * ([[LocalScan]] — Spark plans it as a local table, no tasks launched). */
-class GraftMetadataAggScan(aggSchema: StructType, row: InternalRow)
+class GraftMetadataAggScan(aggSchema: StructType, data: Array[InternalRow])
     extends LocalScan {
   override def readSchema(): StructType = aggSchema
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = data
   override def description(): String =
     s"GraftMetadataAggScan(${aggSchema.fieldNames.mkString(", ")})"
 }

@@ -522,6 +522,23 @@ class CatalogV2Suite extends SparkFixture {
         s"compacted agg should be metadata-only:\n$cPlan")
       assertRows(spark.sql("SELECT count(*), max(v) FROM graft_cat.agg.t"),
         Seq("[1001,42.0]"))
+
+      // GROUP BY the string range-partition column: per-partition rows
+      // straight from metadata
+      (1 to 100).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", i))
+        .toDF("id", "part", "n").createOrReplaceTempView("agg_src2")
+      spark.sql("CREATE TABLE graft_cat.agg.p " +
+        "PARTITIONED BY (part, bucket(2, id)) AS SELECT * FROM agg_src2")
+      val g = "SELECT part, count(*) AS n, max(n) FROM graft_cat.agg.p GROUP BY part"
+      val gPlan = planOf(g)
+      assert(gPlan.contains("LocalTableScan") && !gPlan.contains("BatchScan"),
+        s"grouped agg over the range column should be metadata-only:\n$gPlan")
+      assertRows(spark.sql(g), Seq("[a,33,99]", "[b,67,100]"))
+      // grouping by a non-partition column must scan
+      val ngPlan = planOf(
+        "SELECT n % 2, count(*) FROM graft_cat.agg.p GROUP BY n % 2")
+      assert(ngPlan.contains("BatchScan"),
+        s"grouped agg over a data column must scan:\n$ngPlan")
     }
   }
 }
