@@ -151,6 +151,13 @@ object Demo {
       val bq = graft.pipeline.Similarity.annSearchQuantized(
         embs, "vec_id", "embedding", q0, k = 5, nlist = 8, nprobe = 4)
       println(s"ivf-bq top-5 ids = ${bq.collect().map(_.getLong(0)).mkString(",")}")
+      val curated = graft.pipeline.TrainingSet.curate(
+        docs, "doc_id", "text", None,
+        graft.pipeline.TrainingSet.Config(
+          qualityPred = Some(col("flag_tokens")), minTokens = 20,
+          minhashThreshold = 0.8, chunkWindow = 64, numShards = 8))
+      println(s"curated training set: ${curated.count()} chunks in ${
+        curated.select("shard").distinct().count()} shards from ${docs.count()} docs")
       val lm = graft.pipeline.LanguageModel.bigramScore(docs, "doc_id", "text")
       println(s"bigram-LM scored ${lm.count()} docs, avg logp = ${
         lm.agg(round(avg(col("avg_logp")), 3)).head.getDouble(0)}")

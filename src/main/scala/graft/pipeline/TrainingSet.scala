@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-set curation: the canonical LLM data pipeline
+  * composed from this package's operators, in the order the major published
+  * pipelines run them:
+  *
+  *   quality filter -> exact dedup -> near-dup dedup (MinHash clusters,
+  *   keep one representative) -> benchmark decontamination -> context-window
+  *   chunking -> deterministic shuffle into training shards
+  *
+  * Every stage is the already-verified operator (gopher rules, hash dedup,
+  * banded MinHash + connected components, broadcast n-gram decontamination,
+  * per-row chunking, md5 permutation), so the composition inherits their
+  * scale shapes: the corpus text is never crossJoined and never shuffled
+  * except (a) 8-byte hashes for dedup, (b) the final chunk shuffle into
+  * shards. The output is reproducible end to end from (input, config, seed).
+  *
+  * Stages toggle off via the config (e.g. no `testSet` -> no
+  * decontamination; `chunkWindow = 0` -> keep whole documents).
+  */
+object TrainingSet {
+
+  /** @param qualityPred  row filter applied first; default = the Gopher
+    *                     rule verdict from [[TextAnalysis.gopherFilter]]
+    * @param minhashThreshold near-dup Jaccard threshold (0 disables)
+    * @param chunkWindow  tokens per training chunk (0 = whole documents)
+    * @param numShards    output shards of the final permutation */
+  case class Config(
+      qualityPred: Option[Column] = None,
+      minTokens: Int = 50,
+      minhashThreshold: Double = 0.7,
+      decontaminateNgram: Int = 8,
+      chunkWindow: Int = 0,
+      chunkStride: Int = 0,
+      numShards: Int = 64,
+      seed: String = "graft")
+
+  /** Curate `docs` into shuffled training shards. Output columns: `shard`,
+    * `pos`, the id column, (`chunk_idx`, `chunk_text`, `n_chunk_tokens`)
+    * when chunking, else the original document columns. */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      testSet: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    // 1. quality gate (map-only)
+    val flagged = TextAnalysis.gopherFilter(docs, textCol, cfg.minTokens)
+    val keep = cfg.qualityPred.getOrElse(col("keep"))
+    val quality = flagged.filter(keep).select(docs.columns.map(col): _*)
+
+    // 2. exact dedup (one 8-byte-hash shuffle)
+    val exact = Dedup.exact(quality, idCol, textCol)
+
+    // 3. near-dup clusters -> keep min-id representative
+    val nearDeduped =
+      if (cfg.minhashThreshold <= 0) exact
+      else Dedup.dedupByPairs(exact, idCol,
+        Dedup.minhashNearDupPairs(exact, idCol, textCol, cfg.minhashThreshold))
+
+    // 4. benchmark decontamination (test n-grams broadcast)
+    val clean = testSet match {
+      case Some(ts) => Decontaminate.decontaminate(
+        nearDeduped, idCol, textCol, ts, textCol, cfg.decontaminateNgram)
+      case None => nearDeduped
+    }
+
+    // 5. context-window chunking (per-row) — or whole documents
+    val units =
+      if (cfg.chunkWindow <= 0) clean
+      else Packing.chunkDocuments(clean, idCol, textCol, cfg.chunkWindow,
+        if (cfg.chunkStride > 0) cfg.chunkStride else cfg.chunkWindow)
+
+    // 6. deterministic shuffle into training shards; the permutation key
+    // covers (id, chunk_idx) so chunks of one document scatter too
+    val keyed =
+      if (units.columns.contains("chunk_idx"))
+        units.withColumn("_g_sid",
+          concat_ws(":", col(idCol).cast("string"), col("chunk_idx")))
+      else units.withColumn("_g_sid", col(idCol).cast("string"))
+    Shuffle.shuffleShards(keyed, "_g_sid", cfg.numShards, cfg.seed)
+      .drop("_g_sid")
+  }
+}

@@ -279,4 +279,37 @@ class DataSourceSuite extends SparkFixture {
       }
     }
   }
+
+  test("CDC table streams tombstones: a downstream consumer sees the " +
+    "delete marker (reference CDC incremental-read semantics)") {
+    withTempPath { src =>
+      withTempPath { ckpt =>
+        import graft.meta.TableInfo
+        val t = GraftTable.create(spark,
+          Seq((1L, "a", "insert"), (2L, "b", "insert")).toDF("id", "v", "op"),
+          src, hashColumns = Seq("id"), bucketNum = 1,
+          properties = Map(TableInfo.CdcColumnProp -> "op"))
+        val got = scala.collection.mutable.ArrayBuffer[String]()
+        def drain(): Unit = {
+          val q = spark.readStream.format("graft").load(src)
+            .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              got.synchronized { got ++= b.collect().map(_.toString) }; ()
+            }
+            .option("checkpointLocation", s"$ckpt/q")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(60000)
+        }
+        drain()
+        assert(got.sorted == Seq("[1,a,insert]", "[2,b,insert]"), got)
+        got.clear()
+        t.upsert(Seq((2L, "b", "delete"), (3L, "c", "insert")).toDF("id", "v", "op"))
+        drain()
+        // the DELETE row itself flows to the consumer — a batch read of the
+        // same table hides it (visibility filter), the stream must not
+        assert(got.sorted == Seq("[2,b,delete]", "[3,c,insert]"), got)
+        assertRows(t.toDF.select("id"), Seq("[1]", "[3]"))
+      }
+    }
+  }
 }

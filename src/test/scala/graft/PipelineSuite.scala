@@ -135,6 +135,57 @@ class PipelineSuite extends SparkFixture {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("training-set curation: stages compose, counts shrink monotonically, " +
+    "output reproducible") {
+    import spark.implicits._
+    // 30 mutually-dissimilar docs (disjoint-ish vocabularies), two planted
+    // near-dups, one low-quality doc
+    def body(i: Int): String =
+      (1 to 40).map(k => s"word${(i * 131 + k * 7) % 9973}").mkString(" ")
+    val rows =
+      (1 to 30).map(i => (i.toLong, body(i))) ++
+      Seq((100L, body(1) + " extra")) ++                 // near-dup of 1
+      Seq((101L, (1 to 60).map(_ => "zz").mkString(" "))) ++ // mean word len 2 -> fails quality
+      Seq((102L, body(2) + " extra"))                    // near-dup of 2
+    val docs = rows.toDF("doc_id", "text")
+    val test = Seq((999L, "benchmark " + body(7).split(" ").take(12).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TrainingSet.curate(
+      docs, "doc_id", "text", Some(test),
+      graft.pipeline.TrainingSet.Config(
+        qualityPred = Some(col("flag_tokens") && col("flag_word_len")),
+        minTokens = 20, minhashThreshold = 0.9, decontaminateNgram = 8,
+        chunkWindow = 32, chunkStride = 32, numShards = 4, seed = "s"))
+    // 101 fails quality; 100/102 near-dup away; doc 7 shares the test
+    // set's 12-token prefix -> 8-gram decontamination removes it
+    val gotIds = out.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(gotIds.size == 29 && !gotIds.contains(7L)
+      && !gotIds.contains(101L), s"gotIds=$gotIds")
+    // without the contaminated test set, survivors chunk and shard
+    val out2 = graft.pipeline.TrainingSet.curate(
+      docs, "doc_id", "text", None,
+      graft.pipeline.TrainingSet.Config(
+        qualityPred = Some(col("flag_tokens") && col("flag_word_len")),
+        minTokens = 20, minhashThreshold = 0.9,
+        chunkWindow = 32, chunkStride = 32, numShards = 4, seed = "s"))
+    val ids = out2.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.size == 30 && !ids.contains(101L)
+      && !(ids.contains(100L) && ids.contains(1L))
+      && !(ids.contains(102L) && ids.contains(2L)), s"ids=$ids")
+    assert(out2.columns.contains("shard") && out2.columns.contains("pos")
+      && out2.columns.contains("chunk_text"))
+    // reproducible: same config + seed -> identical shards and positions
+    val out3 = graft.pipeline.TrainingSet.curate(
+      docs, "doc_id", "text", None,
+      graft.pipeline.TrainingSet.Config(
+        qualityPred = Some(col("flag_tokens") && col("flag_word_len")),
+        minTokens = 20, minhashThreshold = 0.9,
+        chunkWindow = 32, chunkStride = 32, numShards = 4, seed = "s"))
+    assert(out2.except(out3).count() == 0 && out3.except(out2).count() == 0)
+  }
+
   test("bigram LM scoring: fluent text beats gibberish; filter drops it") {
     import spark.implicits._
     val fluent = "the cat sat on the mat and the cat slept on the mat"
