@@ -648,6 +648,25 @@ object SparkEntry {
       t.toDF
     }),
 
+    "stream_ingest" -> q((s, d) => {
+      // S12: multi-topic JSON auto-ingestion — nation rows JSON-encoded
+      // onto two topics, routed through the real streaming path
+      // (readStream -> foreachBatch -> per-topic graft tables), read back
+      // as the union of both auto-created tables
+      val root = tmp("ing")
+      val srcT = GraftTable.create(s, rd(s, d, "nation").select(
+        concat(lit("t"), pmod(col("n_nationkey"), lit(2))).as("topic"),
+        to_json(struct(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))).as("value")), s"$root/src")
+      val q0 = graft.streaming.StreamIngest.start(
+        s.readStream.format("graft").load(s"$root/src"),
+        s"$root/wh", "vfy_ing", s"$root/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q0.awaitTermination(120000)
+      GraftTable.forPath(s, s"$root/wh/vfy_ing/t0").toDF
+        .unionByName(GraftTable.forPath(s, s"$root/wh/vfy_ing/t1").toDF)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
     "merge_into" -> q((s, d) => {
       val c = rd(s, d, "customer")
       val t = GraftTable.create(s, c, tmp("mi"),
@@ -1239,6 +1258,8 @@ object SparkEntry {
     "partition_prune_read" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_type = 'click'",
     "streaming_sink_exactly_once" -> "SELECT * FROM events",
+    "stream_ingest" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "dedup_exact" ->
       """WITH uni AS (
         |  SELECT * FROM documents
