@@ -192,6 +192,32 @@ object Probe {
       time("files after checkpoint, cold store")(
         new GraftTable(spark, mdir, new FileMetaStore()).liveFiles.size)
     }
+    // ---------------- aggregate pushdown ------------------------------
+    // COUNT/MIN/MAX from metadata (LocalTableScan) vs forced scan: the
+    // metadata path is plan-time only and independent of table size.
+    {
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse", java.nio.file.Files
+        .createTempDirectory("graft-probe-agg-").toFile.getAbsolutePath)
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .createOrReplaceTempView("probe_li_src")
+      spark.sql("CREATE TABLE graft_cat.probe.li " +
+        "PARTITIONED BY (bucket(32, l_orderkey)) AS SELECT * FROM probe_li_src")
+      val sql = "SELECT count(*), min(l_orderkey), max(l_extendedprice) " +
+        "FROM graft_cat.probe.li"
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      println(s"[probe] agg-pushdown plan is metadata-only: ${
+        plan.contains("LocalTableScan") && !plan.contains("BatchScan")}")
+      time("count/min/max via metadata (LocalTableScan)")(
+        spark.sql(sql).collect().head)
+      val t2 = GraftTable.forName(spark, "probe.li")
+      time("count/min/max via full scan (pushdown disabled)") {
+        t2.setProperties(Map("graft.aggPushdown.enabled" -> "false"))
+        val r = spark.sql(sql).collect().head
+        t2.unsetProperty("graft.aggPushdown.enabled")
+        r
+      }
+    }
     spark.stop()
   }
 }
