@@ -271,6 +271,22 @@ object SparkEntry {
         s"expected a metadata-only aggregate plan:\n$plan")
       r
     }),
+    "sql_metadata_tables" -> q((s, d) => {
+      // metadata introspection relations (t$files/t$history/t$partitions):
+      // driver-computed LocalTableScan rows (asserted), composable with
+      // plain SQL — summing the per-file row counts must equal the data
+      v2(s)
+      rd(s, d, "orders").createOrReplaceTempView("v2_src_meta")
+      s.sql("CREATE TABLE graft_cat.vfy.meta_t " +
+        "PARTITIONED BY (bucket(4, o_orderkey)) AS SELECT * FROM v2_src_meta")
+      val files = s.sql("SELECT * FROM graft_cat.vfy.`meta_t$files`")
+      val plan = files.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan"),
+        s"metadata table must plan as local rows:\n$plan")
+      require(s.sql("SELECT count(*) AS v FROM graft_cat.vfy.`meta_t$history`")
+        .head.getLong(0) == 1L, "one CTAS commit expected in history")
+      s.sql("SELECT sum(row_count) AS n FROM graft_cat.vfy.`meta_t$files`")
+    }),
     "agg_pushdown_grouped" -> q((s, d) => {
       // per-partition GROUP BY answered from metadata: one row per range
       // partition, zero tasks (asserted in-query)
@@ -1547,6 +1563,7 @@ object SparkEntry {
     "agg_pushdown_grouped" ->
       ("SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS min_price " +
         "FROM orders GROUP BY o_orderstatus"),
+    "sql_metadata_tables" -> "SELECT count(*) AS n FROM orders",
     // semantic decontamination: the planted test set is exact copies
     // (cosine 1.0; no organic pair reaches 0.99, and an identical vector
     // lands in — and probes — its twin's cell), so the kept set is exactly

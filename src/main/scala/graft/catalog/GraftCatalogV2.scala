@@ -66,6 +66,16 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
       }.toArray
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata introspection tables: SELECT * FROM cat.ns.t$files /
+    // t$history / t$partitions (MetadataTables)
+    MetadataTables.split(ident.name).foreach { case (base, suffix) =>
+      val baseIdent = Identifier.of(ident.namespace, base)
+      val basePath = pathOf(baseIdent)
+        .getOrElse(throw new NoSuchTableException(ident))
+      if (!GraftTable.exists(basePath)) throw new NoSuchTableException(ident)
+      return MetadataTables.forSuffix(GraftTable.forPath(spark, basePath),
+        s"$catalogName.${key(ident)}", suffix)
+    }
     val path = pathOf(ident).getOrElse(throw new NoSuchTableException(ident))
     if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
     new GraftTableV2(spark, GraftTable.forPath(spark, path),

@@ -541,4 +541,39 @@ class CatalogV2Suite extends SparkFixture {
         s"grouped agg over a data column must scan:\n$ngPlan")
     }
   }
+
+  test("metadata tables: t$files / t$history / t$partitions as SQL relations") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.meta")
+      (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "part").createOrReplaceTempView("meta_src")
+      spark.sql("CREATE TABLE graft_cat.meta.t " +
+        "PARTITIONED BY (part, bucket(2, id)) AS SELECT * FROM meta_src")
+      spark.sql("INSERT INTO graft_cat.meta.t VALUES (101, 'a')")
+
+      val parts = spark.sql(
+        "SELECT partition_desc, n_files, row_count FROM " +
+          "graft_cat.meta.`t$partitions` ORDER BY partition_desc").collect()
+      assert(parts.map(_.getString(0)).toSeq == Seq("part=a", "part=b"))
+      assert(parts.map(_.getLong(2)).sum == 101)
+
+      val files = spark.sql("SELECT * FROM graft_cat.meta.`t$files`")
+      assert(files.count() > 0)
+      // metadata relations compose with plain SQL
+      assert(spark.sql("SELECT sum(row_count) FROM graft_cat.meta.`t$files`")
+        .head.getLong(0) == 101)
+      assert(spark.sql("SELECT count(*) FROM graft_cat.meta.`t$history`")
+        .head.getLong(0) == 2) // CTAS write + INSERT
+      // plans are LocalTableScan — no tasks against the data
+      val plan = spark.sql("SELECT * FROM graft_cat.meta.`t$files`")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan"), plan)
+      // unknown suffix stays a missing table
+      intercept[Exception] {
+        spark.sql("SELECT * FROM graft_cat.meta.`t$nope`").collect()
+      }
+    }
+  }
 }
