@@ -187,6 +187,21 @@ object Demo {
       println(s"rows after uncached re-read = ${p.toDF.count()} (expect 100)")
     }
 
+    // catalog: metadata tables + aggregate pushdown
+    locally {
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      graft.catalog.GraftCatalog.register(spark, "demo.orders", s"$dir/orders_t")
+      val agg = spark.sql(
+        "SELECT count(*), min(o_orderkey) FROM graft_cat.demo.orders")
+      val metaOnly = agg.queryExecution.executedPlan.toString.contains("LocalTableScan")
+      println(s"agg pushdown plan metadata-only = $metaOnly, " +
+        s"count/min = ${agg.head.toString}")
+      println(s"t$$files rows = ${
+        spark.sql("SELECT count(*) FROM graft_cat.demo.`orders$files`").head.getLong(0)
+      }, history commits = ${
+        spark.sql("SELECT count(*) FROM graft_cat.demo.`orders$history`").head.getLong(0)}")
+    }
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

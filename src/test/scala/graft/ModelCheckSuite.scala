@@ -62,6 +62,30 @@ class ModelCheckSuite extends SparkFixture {
         val (ts, expected) = snapshots(rnd.nextInt(snapshots.size))
         assert(readState(t.snapshotAt(ts)) == expected,
           s"round $round: snapshot @$ts")
+
+        // aggregate-pushdown invariant: the catalog COUNT/MIN answer must
+        // equal the model whichever path planned it (metadata after
+        // compaction, scan when multi-run) — catches row-count/stats drift
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+        graft.catalog.GraftCatalog.register(spark, s"mc.t$round", path)
+        def sqlAgg(): (Long, Option[Long]) = {
+          val r = spark.sql("SELECT count(*), min(v) " +
+            s"FROM graft_cat.mc.t$round").head
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        }
+        val before = sqlAgg()
+        assert(before._1 == model.size && (model.isEmpty ||
+          before._2.contains(model.values.map(_._1).min)),
+          s"round $round: agg (pre-compaction) vs model")
+        if (model.nonEmpty) {
+          t.compaction()
+          val after = sqlAgg()
+          val plan = spark.sql("SELECT count(*), min(v) " +
+            s"FROM graft_cat.mc.t$round").queryExecution.executedPlan.toString
+          assert(plan.contains("LocalTableScan"),
+            s"round $round: compacted agg should push down:\n$plan")
+          assert(after == before, s"round $round: agg pre/post compaction")
+        }
       }
     }
   }
