@@ -112,9 +112,16 @@ class GraftScanBuilder(
     import org.apache.spark.sql.types._
     if (info.properties.get("graft.aggPushdown.enabled").contains("false"))
       return None
-    if (options.getOrElse("readtype", "full") != "full") return None
     if (info.cdcColumn.nonEmpty) return None
-    val files = table.liveFiles(partPred)
+    // full reads and snapshot (time-travel) reads resolve to a fixed file
+    // set the same exactness argument covers; incremental reads keep CDC
+    // tombstone semantics and never push
+    val files = options.getOrElse("readtype", "full") match {
+      case "full" => table.liveFiles(partPred)
+      case "snapshot" =>
+        table.filesUptoTime(options("readendtime").toLong, partPred)
+      case _ => return None
+    }
     if (files.isEmpty) return None // empty-table agg: let Spark answer
     if (info.hasPrimaryKey &&
         files.groupBy(_.partitionDesc).values

@@ -542,6 +542,31 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("aggregate pushdown works through VERSION AS OF (snapshot reads)") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.aggtt")
+      (1 to 100).map(i => (i.toLong, i)).toDF("id", "n")
+        .createOrReplaceTempView("aggtt_src")
+      spark.sql("CREATE TABLE graft_cat.aggtt.t " +
+        "PARTITIONED BY (bucket(2, id)) AS SELECT * FROM aggtt_src")
+      spark.sql("INSERT INTO graft_cat.aggtt.t VALUES (101, 999)")
+      spark.sql("CALL graft.compaction(table_name => 'aggtt.t')")
+      // version 1 = the CTAS state (100 rows); the pinned snapshot is a
+      // single-run file set, so the aggregate answers from metadata
+      val q = spark.sql(
+        "SELECT count(*), max(n) FROM graft_cat.aggtt.t VERSION AS OF 1")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"snapshot agg should be metadata-only:\n$plan")
+      assertRows(q, Seq("[100,100]"))
+      // current state still answers correctly (post-compaction pushdown)
+      assertRows(spark.sql("SELECT count(*), max(n) FROM graft_cat.aggtt.t"),
+        Seq("[101,999]"))
+    }
+  }
+
   test("metadata tables: t$files / t$history / t$partitions as SQL relations") {
     withTempPath { wh =>
       useCatalog(wh)
