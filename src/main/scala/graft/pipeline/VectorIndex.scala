@@ -44,6 +44,31 @@ class VectorIndex private (
       .limit(k)
   }
 
+  /** Incremental maintenance: assign NEW vectors to the existing centroids
+    * (map-only) and UPSERT them into the index — the sidecar is a plain
+    * graft PK table, so growing the corpus reuses the format's delta-write
+    * machinery (no rebuild, no read of existing index data; compaction
+    * folds the delta runs on cadence like any other table). Re-upserting
+    * an id replaces its entry (last-writer-wins on the PK) as long as the
+    * vector still maps to the same cell; a CHANGED vector that hops cells
+    * leaves the old entry behind (cell is the range-partition key) — for
+    * mutable embeddings delete the old id first, or rebuild. Centroids
+    * stay fixed — the standard IVF regime; rebuild when drift matters. */
+  def append(df: DataFrame): Unit = {
+    val cents = centroidTable.toDF.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy { case (cell, _) =>
+        (Math.floorMod(cell * 2654435761L, 4294967296L), cell) }
+    val cellsLit = typedLit(cents.map(_._1).toSeq)
+    val cvecsLit = typedLit(cents.map(_._2.toSeq).toSeq)
+    indexTable.upsert(Similarity.ivfAssign(df, idCol, vecCol, cents)
+      .select(col("cell"), col(idCol), col(vecCol),
+        GraftFunctions.residualCode(col(vecCol), col("cell"),
+          cellsLit, cvecsLit).as("bqcode"),
+        GraftFunctions.residualNorm(col(vecCol), col("cell"),
+          cellsLit, cvecsLit).as("bqnorm")))
+  }
+
   /** Quantized top-k: the pre-rank pass scans ONLY (id, cell, bqcode,
     * bqnorm) of the probed cells — column pruning drops the vector column,
     * so the hot scan reads 12 bytes/row of codes instead of the embeddings;
@@ -58,7 +83,11 @@ class VectorIndex private (
     val probes = Similarity.probeCells(cents, query, nprobe)
     val descs = probes.map(c => s"cell=$c").toSet
     val pruned = indexTable.toDF(d => descs.contains(d))
-    val candidateIds = pruned
+    // the pre-rank reads ONLY the skinny columns — pushed into the reader
+    // (matters on multi-run indexes too, where the merge path decodes just
+    // the requested columns plus keys)
+    val candidateIds = indexTable
+      .toDF(d => descs.contains(d), Seq(idCol, "cell", "bqcode", "bqnorm"))
       .select(col(idCol), Similarity.bqEstimate(cents, probes, query,
         col("bqcode"), col("bqnorm"), col("cell")).as("_g_est"))
       .orderBy(col("_g_est").desc, col(idCol))

@@ -52,14 +52,30 @@ class PruningSuite extends SparkFixture {
         .searchQuantized(q, k = 5, nprobe = 8, refine = 8).collect()
       assert(bq.head.getLong(0) == 3L, "self must rank first under BQ")
 
-      // the BQ pre-rank scan must NOT read the vector column: project the
-      // skinny columns off the index table and check the parquet ReadSchema
+      // incremental append: new vectors join the index as delta upserts
+      // and are immediately searchable — no rebuild
+      val shifted = embs.filter($"vec_id" < 20)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      VectorIndex.forPath(spark, base, "vec_id", "embedding").append(shifted)
+      val afterAppend = VectorIndex.forPath(spark, base, "vec_id", "embedding")
+        .search(q, k = 2, nprobe = 8).collect().map(_.getLong(0)).toSet
+      // vec 3's exact copy (id 100003) now ties it at cosine 1.0
+      assert(afterAppend == Set(3L, 100003L), s"got $afterAppend")
+
+      // the BQ pre-rank scan must NOT read the vector column — including on
+      // the now multi-run index, where the merge path decodes only the
+      // requested columns (the searchQuantized read shape)
       val skinny = graft.tables.GraftTable
-        .forPath(spark, s"$base/_g_vecindex").toDF
-        .select($"vec_id", $"cell", $"bqcode", $"bqnorm")
+        .forPath(spark, s"$base/_g_vecindex")
+        .toDF(_ => true, Seq("vec_id", "cell", "bqcode", "bqnorm"))
       val scanPlan = skinny.queryExecution.executedPlan.toString
       assert(!scanPlan.contains("embedding"),
         s"BQ pre-rank scan should prune the vector column:\n$scanPlan")
+      // quantized search stays correct over base + appended delta runs
+      val bq2 = VectorIndex.forPath(spark, base, "vec_id", "embedding")
+        .searchQuantized(q, k = 2, nprobe = 8, refine = 8)
+        .collect().map(_.getLong(0)).toSet
+      assert(bq2 == Set(3L, 100003L), s"got $bq2")
     }
   }
 }
