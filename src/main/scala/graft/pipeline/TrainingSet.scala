@@ -84,4 +84,30 @@ object TrainingSet {
     Shuffle.shuffleShards(keyed, "_g_sid", cfg.numShards, cfg.seed)
       .drop("_g_sid")
   }
+
+  /** [[curate]] materialized as a graft table RANGE-PARTITIONED BY `shard`:
+    * a training reader streams one shard per partition (pure partition
+    * pruning — `toDF(_ == "shard=7")`), rows within a shard ordered by
+    * `pos`. The curation config and seed are recorded as table properties,
+    * so the output carries its own provenance and is reproducible from
+    * (input, properties). */
+  def curateToTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePath: String,
+      testSet: Option[DataFrame] = None,
+      cfg: Config = Config()): graft.tables.GraftTable = {
+    val out = curate(docs, idCol, textCol, testSet, cfg)
+    graft.tables.GraftTable.create(docs.sparkSession, out, tablePath,
+      rangeColumns = Seq("shard"),
+      properties = Map(
+        "graft.curation.seed" -> cfg.seed,
+        "graft.curation.numShards" -> cfg.numShards.toString,
+        "graft.curation.minTokens" -> cfg.minTokens.toString,
+        "graft.curation.minhashThreshold" -> cfg.minhashThreshold.toString,
+        "graft.curation.chunkWindow" -> cfg.chunkWindow.toString,
+        "graft.curation.chunkStride" -> cfg.chunkStride.toString,
+        "graft.curation.decontaminateNgram" -> cfg.decontaminateNgram.toString))
+  }
 }

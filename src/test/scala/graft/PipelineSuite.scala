@@ -184,6 +184,23 @@ class PipelineSuite extends SparkFixture {
         minTokens = 20, minhashThreshold = 0.9,
         chunkWindow = 32, chunkStride = 32, numShards = 4, seed = "s"))
     assert(out2.except(out3).count() == 0 && out3.except(out2).count() == 0)
+
+    // materialized form: shard-partitioned graft table with provenance
+    withTempPath { path =>
+      val t = graft.pipeline.TrainingSet.curateToTable(
+        docs, "doc_id", "text", path, None,
+        graft.pipeline.TrainingSet.Config(
+          qualityPred = Some(col("flag_tokens") && col("flag_word_len")),
+          minTokens = 20, minhashThreshold = 0.9,
+          chunkWindow = 32, chunkStride = 32, numShards = 4, seed = "s"))
+      assert(t.info.rangeColumns == Seq("shard"))
+      assert(t.info.properties("graft.curation.seed") == "s")
+      // reading one training shard = one pruned partition
+      val shard0 = t.toDF(_ == "shard=0")
+      assert(shard0.count() > 0 &&
+        shard0.select("shard").distinct().head.getInt(0) == 0)
+      assert(t.toDF.count() == out2.count())
+    }
   }
 
   test("bigram LM scoring: fluent text beats gibberish; filter drops it") {
