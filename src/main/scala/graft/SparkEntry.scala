@@ -866,7 +866,7 @@ object SparkEntry {
           col("embedding").as("test_vec"))
       graft.pipeline.Decontaminate.decontaminateSemantic(
         e, "vec_id", "embedding", test, "test_id", "test_vec",
-        threshold = 0.99, k = 5, nlist = 16, nprobe = 4)
+        threshold = 0.99, nlist = 16, nprobe = 4)
         .select("vec_id")
     }),
     "ann_ivf_bq" -> q((s, d) => {
@@ -1622,8 +1622,9 @@ object SparkEntry {
         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
         |v AS (SELECT count(DISTINCT t.term) AS v FROM lsts, UNNEST(lst) AS t(term))
         |SELECT bg.doc_id, count(*) AS n_bigrams,
-        |  round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS avg_logp
-        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  round(avg(ln((coalesce(c2.c2, 0) + 0.5) /
+        |    (coalesce(c1.c1, 0) + 0.5 * v.v))), 6) AS avg_logp
+        |FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY 1""".stripMargin,
     // the md5-keyed permutation replays exactly: same md5, same hex parse,
     // same modulus, same within-shard order

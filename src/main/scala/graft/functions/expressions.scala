@@ -469,9 +469,12 @@ case class BitDot(left: Expression, right: Expression) extends BinaryExpression 
     right.eval(null).asInstanceOf[ArrayData].toFloatArray()
 
   def bitDot(code: ArrayData): Double = {
+    // ragged dims tolerated like every other kernel here: a short code
+    // contributes only the dims it packs
+    val n = math.min(q.length, code.numElements() << 6)
     var acc = 0.0
     var i = 0
-    while (i < q.length) {
+    while (i < n) {
       val bit = (code.getLong(i >>> 6) >>> (i & 63)) & 1L
       acc += (if (bit == 1L) q(i).toDouble else -q(i).toDouble)
       i += 1

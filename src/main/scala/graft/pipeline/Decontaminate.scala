@@ -80,11 +80,16 @@ object Decontaminate {
     * near-identical (cosine >= `threshold`) to any test-set embedding —
     * catches paraphrased / reformatted leakage that n-gram overlap misses.
     *
-    * Composes [[Similarity.annJoin]] with the test set as the QUERY side
-    * (benchmarks are small; the corpus is the indexed side), so the plan is
-    * the KNN join's: map-only IVF assignment of the corpus, nprobe-exploded
-    * test rows, one equi-join on cell — never |corpus| x |test|. Returns
-    * (corpus id, test id, cosine) for every hit at rank <= k. */
+    * Same candidate plan as [[Similarity.annJoin]] with the test set as
+    * the QUERY side (benchmarks are small; the corpus is the indexed
+    * side): map-only IVF assignment of the corpus, nprobe-exploded test
+    * rows, one equi-join on cell — never |corpus| x |test|. Unlike the
+    * KNN join there is NO top-k cap: EVERY candidate over the threshold is
+    * a hit, so a benchmark question duplicated 50x in the corpus flags all
+    * 50 copies (a rank cap would let the excess survive). Recall is
+    * bounded by (nlist, nprobe) as in any IVF probe; exact duplicates
+    * always land in their twin's cell. Returns (corpus id, test id,
+    * cosine) per hit. */
   def semanticHits(
       corpus: DataFrame,
       idCol: String,
@@ -93,14 +98,21 @@ object Decontaminate {
       testIdCol: String,
       testVecCol: String,
       threshold: Double,
-      k: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame =
-    Similarity.annJoin(testSet, testIdCol, testVecCol,
-      corpus, idCol, vecCol, k, nlist, nprobe)
+      nprobe: Int = 4): DataFrame = {
+    val cents = Similarity.selectCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = Similarity.ivfAssign(corpus, idCol, vecCol, cents)
+      .select(col(idCol).as("_g_cid"), col(vecCol).as("_g_cvec"), col("cell"))
+    val probed = Similarity.probeAssign(testSet, testIdCol, testVecCol,
+      cents, nprobe)
+      .select(col(testIdCol).as("_g_qid"), col(testVecCol).as("_g_qvec"),
+        col("cell"))
+    probed.join(assigned, "cell")
+      .select(col("_g_cid").as(idCol), col("_g_qid").as("test_id"),
+        round(graft.functions.GraftFunctions.cosine(
+          col("_g_qvec"), col("_g_cvec")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("corpus_id").as(idCol), col("query_id").as("test_id"),
-        col("cosine"))
+  }
 
   /** The corpus minus every [[semanticHits]] row (anti-join on the id). */
   def decontaminateSemantic(
@@ -111,11 +123,10 @@ object Decontaminate {
       testIdCol: String,
       testVecCol: String,
       threshold: Double,
-      k: Int = 10,
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame =
     corpus.join(
       semanticHits(corpus, idCol, vecCol, testSet, testIdCol, testVecCol,
-        threshold, k, nlist, nprobe).select(idCol).distinct(),
+        threshold, nlist, nprobe).select(idCol).distinct(),
       Seq(idCol), "left_anti")
 }

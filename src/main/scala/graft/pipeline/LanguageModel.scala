@@ -58,14 +58,20 @@ object LanguageModel {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_g_t"))
       .agg(count_distinct(col("_g_t")).as("_g_v")))
 
+    // LEFT joins with count 0 for unseen events: a bigram absent from the
+    // training corpus must receive the smoothed floor ln(k / (c(w1)+kV))
+    // — an inner join would silently drop exactly the surprising bigrams
+    // a perplexity filter exists to punish (matters when `trainOn` is a
+    // separate reference corpus)
     bigramsOf(docs)
-      .join(c2, "_g_bg")
-      .join(c1, "_g_w1")
+      .join(c2, Seq("_g_bg"), "left")
+      .join(c1, Seq("_g_w1"), "left")
       .crossJoin(vocab)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(
-          (col("_g_c2") + lit(k)) / (col("_g_c1") + lit(k) * col("_g_v")))), 6)
+          (coalesce(col("_g_c2"), lit(0L)) + lit(k)) /
+            (coalesce(col("_g_c1"), lit(0L)) + lit(k) * col("_g_v")))), 6)
           .as("avg_logp"))
   }
 

@@ -157,6 +157,8 @@ object Similarity {
       nprobe: Int = 4,
       refine: Int = 4): DataFrame = {
     val cents = selectCentroids(df, idCol, vecCol, nlist)
+    if (cents.isEmpty) // empty corpus: empty result, like annSearch
+      return df.select(col(idCol), lit(0.0).as("cosine")).limit(0)
     val cellsLit = typedLit(cents.map(_._1).toSeq)
     val cvecsLit = typedLit(cents.map(_._2.toSeq).toSeq)
     val assigned = df.select(col(idCol), col(vecCol),

@@ -24,16 +24,27 @@ class VectorIndex private (
     idCol: String,
     vecCol: String) {
 
-  /** Top-k by cosine, probing the nprobe nearest cells. Probe selection is
-    * driver-side over the (tiny) collected centroids, re-sorted into the
-    * deterministic hash-rank order used at build time so tie-breaks match
-    * [[Similarity.annSearch]] exactly. */
-  def search(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
-    val q = typedLit(query.toSeq)
-    val cents = centroidTable.toDF.select(col("cell"), col("cvec")).collect()
+  /** The persisted centroids, re-sorted into the deterministic hash-rank
+    * order used at build time — this ordering IS the assignment/probe
+    * tie-break, so every read path must share it (one definition). */
+  private def loadCentroids(): Array[(Long, Array[Float])] =
+    centroidTable.toDF.select(col("cell"), col("cvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy { case (cell, _) =>
         (Math.floorMod(cell * 2654435761L, 4294967296L), cell) }
+
+  private def requireBqColumns(op: String): Unit = {
+    val cols = indexTable.schema.fieldNames.toSet
+    require(cols.contains("bqcode") && cols.contains("bqnorm"),
+      s"$op needs the quantized code columns; this index predates them — " +
+        "rebuild it with VectorIndex.build")
+  }
+
+  /** Top-k by cosine, probing the nprobe nearest cells. Probe selection is
+    * driver-side over the (tiny) collected centroids. */
+  def search(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val q = typedLit(query.toSeq)
+    val cents = loadCentroids()
     val cells = Similarity.probeCells(cents, query, nprobe)
       .map(_.toString).toSet
     val descs = cells.map(c => s"cell=$c")
@@ -55,10 +66,8 @@ class VectorIndex private (
     * mutable embeddings delete the old id first, or rebuild. Centroids
     * stay fixed — the standard IVF regime; rebuild when drift matters. */
   def append(df: DataFrame): Unit = {
-    val cents = centroidTable.toDF.select(col("cell"), col("cvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy { case (cell, _) =>
-        (Math.floorMod(cell * 2654435761L, 4294967296L), cell) }
+    requireBqColumns("append")
+    val cents = loadCentroids()
     val cellsLit = typedLit(cents.map(_._1).toSeq)
     val cvecsLit = typedLit(cents.map(_._2.toSeq).toSeq)
     indexTable.upsert(Similarity.ivfAssign(df, idCol, vecCol, cents)
@@ -76,10 +85,11 @@ class VectorIndex private (
     * IN-filter over the same pruned partitions) and exact-reranked. */
   def searchQuantized(query: Array[Float], k: Int,
       nprobe: Int = 4, refine: Int = 4): DataFrame = {
-    val cents = centroidTable.toDF.select(col("cell"), col("cvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy { case (cell, _) =>
-        (Math.floorMod(cell * 2654435761L, 4294967296L), cell) }
+    requireBqColumns("searchQuantized")
+    val cents = loadCentroids()
+    if (cents.isEmpty)
+      return indexTable.toDF(_ => false)
+        .select(col(idCol), lit(0.0).as("cosine")).limit(0)
     val probes = Similarity.probeCells(cents, query, nprobe)
     val descs = probes.map(c => s"cell=$c").toSet
     val pruned = indexTable.toDF(d => descs.contains(d))

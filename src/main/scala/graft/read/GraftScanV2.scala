@@ -97,12 +97,30 @@ class GraftScanBuilder(
   // filtered query can never reach this path half-enforced.
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    computeAgg(agg).isDefined
+    memoAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggResult = computeAgg(agg)
+    aggResult = memoAgg(agg)
     aggResult.isDefined
+  }
+
+  // Spark probes supportCompletePushDown then pushAggregation with the
+  // same Aggregation — memoize so the file listing + stats decode run once
+  private var aggMemo:
+    Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      Option[(StructType, Array[InternalRow])])] = None
+
+  private def memoAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[InternalRow])] = {
+    aggMemo match {
+      case Some((prev, res)) if prev == agg => res
+      case _ =>
+        val res = computeAgg(agg)
+        aggMemo = Some((agg, res))
+        res
+    }
   }
 
   private def computeAgg(
@@ -113,6 +131,10 @@ class GraftScanBuilder(
     if (info.properties.get("graft.aggPushdown.enabled").contains("false"))
       return None
     if (info.cdcColumn.nonEmpty) return None
+    // a real column shadowing the reserved row-count key makes
+    // FileStats.rowCount ambiguous — refuse rather than misread
+    if (fullSchema.fieldNames.contains(graft.meta.FileStats.RowCountKey))
+      return None
     // full reads and snapshot (time-travel) reads resolve to a fixed file
     // set the same exactness argument covers; incremental reads keep CDC
     // tombstone semantics and never push
@@ -152,6 +174,8 @@ class GraftScanBuilder(
           val raw = desc.stripPrefix(s"${groupCols.head}=")
           val v: Any =
             if (raw == TransactionalWrite.NullSentinel) null
+            else if (raw == TransactionalWrite.EmptySentinel)
+              UTF8String.fromString("")
             else UTF8String.fromString(raw)
           (Seq(v), fs)
       }

@@ -791,16 +791,19 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * partitions' history is untouched — run [[vacuum]] for a table-wide
     * sweep that also prunes the version log. */
   def cleanupPartitionData(partitionDesc: String, toTimeMs: Long): Long = {
-    val live = resolver.currentFiles(tablePath, _ == partitionDesc)
-      .map(_.file.path).toSet
-    // every file ANY version at-or-before the boundary references (not just
-    // the boundary head): superseded runs are exactly what this deletes
-    val old = store.partitionVersions(tablePath, partitionDesc)
-      .filter(_.timestamp <= toTimeMs)
+    val versions = store.partitionVersions(tablePath, partitionDesc)
+    // files referenced by ANY version after the boundary (including the
+    // head) stay readable — only files exclusively owned by at-or-before
+    // versions are deletable, or post-boundary time travel would lose data
+    val retained = versions.filter(_.timestamp > toTimeMs)
+      .flatMap(pi => resolver.filesAt(tablePath, pi))
+      .map(_.file.path).toSet ++
+      resolver.currentFiles(tablePath, _ == partitionDesc).map(_.file.path)
+    val old = versions.filter(_.timestamp <= toTimeMs)
       .flatMap(pi => resolver.filesAt(tablePath, pi))
       .map(_.file.path).distinct
     var deleted = 0L
-    old.filterNot(live).foreach { p =>
+    old.filterNot(retained).foreach { p =>
       if (java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
         deleted += 1
     }

@@ -76,11 +76,21 @@ class ApiParitySuite extends SparkFixture {
       val t = GraftTable.create(spark, df, path,
         rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
       // supersede p1's initial file via compaction after an upsert
+      val tsAfterCreate = t.lastCommitTs
       t.upsert(Seq((1, "p1", 2)).toDF("id", "part", "v"))
+      val tsAfterUpsert = t.lastCommitTs
       t.compaction(_ == "part=p1")
       val beforeP2 = t.liveFiles.filter(_.partitionDesc == "part=p2").map(_.file.path)
+      // boundary at the CREATE time: the upsert delta (after the boundary)
+      // must stay readable for time travel even though compaction
+      // superseded it — only files exclusively owned by <= boundary
+      // versions are deletable
+      val deletedEarly = t.cleanupPartitionData("part=p1", tsAfterCreate)
+      assertRows(t.snapshotAt(tsAfterUpsert, _ == "part=p1").select("id", "v"),
+        Seq("[1,2]"))
+      // boundary NOW: the superseded files go
       val deleted = t.cleanupPartitionData("part=p1", System.currentTimeMillis())
-      assert(deleted > 0)
+      assert(deletedEarly + deleted > 0)
       // p2 untouched on disk, current read still correct
       beforeP2.foreach(p => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
       assertRows(t.toDF.select("id", "v"), Seq("[1,2]", "[2,1]"))

@@ -222,6 +222,43 @@ class PipelineSuite extends SparkFixture {
     val one = Seq((7L, "single")).toDF("doc_id", "text")
     assert(graft.pipeline.LanguageModel
       .bigramScore(one, "doc_id", "text").count() == 0)
+    // UNSEEN bigrams (separate reference corpus) get the smoothed floor,
+    // not silently dropped: an all-unseen doc still scores — and lower
+    // than one the model has seen
+    val ref = Seq((1L, fluent)).toDF("doc_id", "text")
+    val scored = graft.pipeline.LanguageModel.bigramScore(
+      Seq((1L, fluent), (99L, "qz vx jw kq zv")).toDF("doc_id", "text"),
+      "doc_id", "text", trainOn = Some(ref))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.contains(99L), "all-unseen doc must still be scored")
+    assert(scored(99L) < scored(1L), s"unseen must score below seen: $scored")
+  }
+
+  test("semantic decontamination flags EVERY duplicate of a test item, " +
+    "not a top-k subset") {
+    import spark.implicits._
+    // one benchmark vector duplicated 30x in the corpus under distinct ids
+    val base = embs.filter($"vec_id" < 50)
+      .select($"vec_id", $"embedding")
+    val benchVec = embs.filter($"vec_id" === 3).select("embedding")
+    val dups = (0 until 30).map(_.toLong).toDF("i")
+      .crossJoin(benchVec)
+      .select(($"i" + 1000).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(dups)
+    val test = embs.filter($"vec_id" === 3)
+      .select(($"vec_id" + 9000000).as("test_id"), $"embedding".as("tvec"))
+    val hits = graft.pipeline.Decontaminate.semanticHits(
+      corpus, "vec_id", "embedding", test, "test_id", "tvec",
+      threshold = 0.999, nlist = 8, nprobe = 8)
+    // all 30 planted copies AND the original flag — no rank cap
+    val flagged = hits.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.size == 31 && flagged.contains(3L)
+      && (1000L until 1030L).forall(flagged.contains), s"flagged=$flagged")
+    val clean = graft.pipeline.Decontaminate.decontaminateSemantic(
+      corpus, "vec_id", "embedding", test, "test_id", "tvec",
+      threshold = 0.999, nlist = 8, nprobe = 8)
+    assert(clean.count() == corpus.count() - 31)
   }
 
   test("IVF-BQ ANN: quantized pre-rank finds the true neighbors") {
