@@ -896,6 +896,11 @@ object SparkEntry {
         e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         e, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
     }),
+    "sample_group_k" -> q((s, d) =>
+      // exact-k per source under the md5 permutation
+      graft.pipeline.Sampling.sampleGroupK(
+        rd(s, d, "documents").select("doc_id", "source", "lang"),
+        "doc_id", "source", k = 10, seed = "graft42")),
     "lm_score" -> q((s, d) =>
       // bigram-LM quality scoring (perplexity-filter form scores)
       graft.pipeline.LanguageModel.bigramScore(
@@ -1608,6 +1613,12 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) DESC, a.vec_id) AS rank
         |  FROM q JOIN probe p ON q.qid = p.qid JOIN assigned a ON a.cell = p.cell)
         |WHERE rank <= 5""".stripMargin,
+    "sample_group_k" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(concat('graft42', '#', CAST(doc_id AS VARCHAR))), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
     // bigram LM: model counts + smoothing + per-doc mean log-prob all
     // recomputed in SQL, tokenizer included
     "lm_score" ->

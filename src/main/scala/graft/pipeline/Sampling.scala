@@ -24,6 +24,28 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(gate(col(idCol)) < lit((rate * Mod).toLong))
 
+  /** Deterministic EXACT-k per group ("keep k docs per source"): rows win
+    * by md5-permutation rank within their group — reproducible, seedable,
+    * unbiased by any data ordering, and SQL-replayable. One shuffle on the
+    * group key; each group ranks independently (no global sort). For
+    * pathological giant groups the window sort is O(n_g log n_g) in that
+    * partition — at curation scale (groups = sources/languages) this is
+    * the standard shape. */
+  def sampleGroupK(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val key = md5(concat_ws("#", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(key, col(idCol))
+    df.withColumn("_g_rn", row_number().over(w))
+      .filter(col("_g_rn") <= k)
+      .drop("_g_rn")
+  }
+
   /** Temperature-based mixture rebalancing (the multilingual-corpus
     * p_g ∝ n_g^alpha reweighting, alpha in (0,1]): downsample every stratum
     * so kept counts are proportional to n_g^alpha without ever upsampling —
