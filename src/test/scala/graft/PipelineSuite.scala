@@ -540,6 +540,21 @@ class PipelineSuite extends SparkFixture {
       docs, "doc_id", "lang", 0.5))
     assert(ts.contains("BroadcastHashJoin") && !ts.contains("SortMergeJoin"),
       s"corpus must join the rate table by broadcast, not shuffle:\n$ts")
+    // round-4 operators: the permutation shuffle is hash-partitioned (no
+    // single-task global sort), no operator plans a cartesian product
+    val sh = plan(graft.pipeline.Shuffle.shuffleShards(docs, "doc_id", 8, "s"))
+    assert(sh.contains("hashpartitioning") && !sh.contains("rangepartitioning"),
+      s"shard permutation must hash-partition:\n$sh")
+    val gk = plan(graft.pipeline.Sampling.sampleGroupK(
+      docs, "doc_id", "source", 5))
+    assert(gk.contains("hashpartitioning") && !gk.contains("rangepartitioning"),
+      s"group-k sample must hash-partition by group:\n$gk")
+    // lm_score's only nested-loop is the broadcast 1-row vocab scalar;
+    // a CartesianProduct would mean the count tables joined unkeyed
+    val lm = plan(graft.pipeline.LanguageModel.bigramScore(
+      docs, "doc_id", "text"))
+    assert(!lm.contains("CartesianProduct"),
+      s"LM scoring must not plan a cartesian over data:\n$lm")
   }
 
   test("streaming sink: exactly-once per (queryId, batchId); modes") {
