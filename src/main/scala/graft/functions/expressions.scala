@@ -469,8 +469,11 @@ case class BitDot(left: Expression, right: Expression) extends BinaryExpression 
     right.eval(null).asInstanceOf[ArrayData].toFloatArray()
 
   def bitDot(code: ArrayData): Double = {
-    // ragged dims tolerated like every other kernel here: a short code
-    // contributes only the dims it packs
+    // Bounds-safe under ragged dims (no out-of-range word reads); the
+    // packed form cannot distinguish a true 0-bit from final-word padding,
+    // so dims are a corpus-wide constant by operator contract (as in any
+    // vector index) — a genuinely shorter row would see its padding bits
+    // scored as -q(i).
     val n = math.min(q.length, code.numElements() << 6)
     var acc = 0.0
     var i = 0

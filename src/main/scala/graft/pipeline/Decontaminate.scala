@@ -99,20 +99,12 @@ object Decontaminate {
       testVecCol: String,
       threshold: Double,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val cents = Similarity.selectCentroids(corpus, idCol, vecCol, nlist)
-    val assigned = Similarity.ivfAssign(corpus, idCol, vecCol, cents)
-      .select(col(idCol).as("_g_cid"), col(vecCol).as("_g_cvec"), col("cell"))
-    val probed = Similarity.probeAssign(testSet, testIdCol, testVecCol,
-      cents, nprobe)
-      .select(col(testIdCol).as("_g_qid"), col(testVecCol).as("_g_qvec"),
-        col("cell"))
-    probed.join(assigned, "cell")
-      .select(col("_g_cid").as(idCol), col("_g_qid").as("test_id"),
-        round(graft.functions.GraftFunctions.cosine(
-          col("_g_qvec"), col("_g_cvec")), 6).as("cosine"))
+      nprobe: Int = 4): DataFrame =
+    Similarity.annCandidates(testSet, testIdCol, testVecCol,
+      corpus, idCol, vecCol, nlist, nprobe)
       .filter(col("cosine") >= threshold)
-  }
+      .select(col("_g_cid").as(idCol), col("_g_qid").as("test_id"),
+        col("cosine"))
 
   /** The corpus minus every [[semanticHits]] row (anti-join on the id). */
   def decontaminateSemantic(

@@ -26,11 +26,12 @@ object Sampling {
 
   /** Deterministic EXACT-k per group ("keep k docs per source"): rows win
     * by md5-permutation rank within their group — reproducible, seedable,
-    * unbiased by any data ordering, and SQL-replayable. One shuffle on the
-    * group key; each group ranks independently (no global sort). For
-    * pathological giant groups the window sort is O(n_g log n_g) in that
-    * partition — at curation scale (groups = sources/languages) this is
-    * the standard shape. */
+    * unbiased by any data ordering, and SQL-replayable. `idCol` must be
+    * the corpus primary key (unique, non-null — see
+    * [[Shuffle.permutationKey]]). One shuffle on the group key; each group
+    * ranks independently (no global sort). For pathological giant groups
+    * the window sort is O(n_g log n_g) in that partition — at curation
+    * scale (groups = sources/languages) this is the standard shape. */
   def sampleGroupK(
       df: DataFrame,
       idCol: String,
@@ -38,7 +39,7 @@ object Sampling {
       k: Int,
       seed: String = "graft"): DataFrame = {
     require(k > 0, "k must be positive")
-    val key = md5(concat_ws("#", lit(seed), col(idCol).cast("string")))
+    val key = Shuffle.permutationKey(seed, col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(key, col(idCol))
     df.withColumn("_g_rn", row_number().over(w))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Shuffle {
 
+  /** The md5 permutation key over (seed, id) — THE cross-engine replay
+    * contract shared by every permutation-based operator (shuffleShards,
+    * Sampling.sampleGroupK); the DuckDB oracles reproduce this expression
+    * byte-for-byte (`md5(concat(seed, '#', CAST(id AS VARCHAR)))`), so it
+    * must exist in exactly one place. `idCol` must be UNIQUE and NON-NULL
+    * (the corpus primary key): a null id would diverge from the oracle's
+    * concat semantics and duplicate ids would tie the permutation order. */
+  def permutationKey(seed: String, idCol: Column): Column =
+    md5(concat_ws("#", lit(seed), idCol.cast("string")))
+
   /** Assign every row a (shard, pos) under a deterministic permutation of
     * the corpus keyed by (seed, `idCol`). Output = input columns + `shard`
     * (0..numShards-1) + `pos` (1-based within shard). */
@@ -35,7 +45,7 @@ object Shuffle {
       numShards: Int,
       seed: String): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    val key = md5(concat_ws("#", lit(seed), col(idCol).cast("string")))
+    val key = permutationKey(seed, col(idCol))
     val shard = pmod(
       conv(substring(col("_g_key"), 1, 8), 16, 10).cast("long"),
       lit(numShards.toLong)).cast("int")

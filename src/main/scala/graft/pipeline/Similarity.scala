@@ -261,21 +261,41 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g_qid"))
+      .orderBy(col("cosine").desc, col("_g_cid"))
+    annCandidates(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
+      nlist, nprobe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_g_qid").as("query_id"), col("_g_cid").as("corpus_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Shared candidate generation for the KNN join family — IVF assignment
+    * of the corpus, nprobe-exploded queries, one equi-join on `cell`,
+    * rounded cosine. One definition so the deterministic rounding/
+    * tie-break contract the DuckDB oracles replay cannot diverge between
+    * [[annJoin]] (adds the per-query top-k window) and
+    * `Decontaminate.semanticHits` (adds the threshold filter). Output
+    * columns: `_g_qid`, `_g_cid`, `cosine`. */
+  private[pipeline] def annCandidates(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      corpus: DataFrame,
+      cIdCol: String,
+      cVecCol: String,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
     val cents = selectCentroids(corpus, cIdCol, cVecCol, nlist)
     val assigned = ivfAssign(corpus, cIdCol, cVecCol, cents)
       .select(col(cIdCol).as("_g_cid"), col(cVecCol).as("_g_cvec"), col("cell"))
     val probed = probeAssign(queries, qIdCol, qVecCol, cents, nprobe)
       .select(col(qIdCol).as("_g_qid"), col(qVecCol).as("_g_qvec"), col("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_g_qid"))
-      .orderBy(col("cosine").desc, col("_g_cid"))
     probed.join(assigned, "cell")
       .select(col("_g_qid"), col("_g_cid"),
         round(GraftFunctions.cosine(col("_g_qvec"), col("_g_cvec")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("_g_qid").as("query_id"), col("_g_cid").as("corpus_id"),
-        col("cosine"), col("rank"))
   }
 
   /** Lloyd's k-means over an embedding column — corpus clustering for

@@ -785,21 +785,25 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   /** Partition-scoped old-version cleanup (reference
     * `cleanupPartitionData`, LakeSoulTable.scala:587-596): delete files of
-    * ONE partition that only versions at-or-before `toTimeMs` reference.
-    * Time travel into this partition before the boundary fails afterwards
-    * (matching the reference, which deletes that slice of data+meta); other
-    * partitions' history is untouched — run [[vacuum]] for a table-wide
-    * sweep that also prunes the version log. */
+    * ONE partition that only versions STRICTLY OLDER than the boundary
+    * version (the newest at-or-before `toTimeMs`) reference. The boundary
+    * version itself stays readable — any `snapshotAt(T)` with T >= its
+    * timestamp resolves to it or newer; time travel to versions before it
+    * fails afterwards (matching the reference, which deletes that slice of
+    * data+meta). Other partitions' history is untouched — run [[vacuum]]
+    * for a table-wide sweep that also prunes the version log. */
   def cleanupPartitionData(partitionDesc: String, toTimeMs: Long): Long = {
     val versions = store.partitionVersions(tablePath, partitionDesc)
-    // files referenced by ANY version after the boundary (including the
-    // head) stay readable — only files exclusively owned by at-or-before
-    // versions are deletable, or post-boundary time travel would lose data
-    val retained = versions.filter(_.timestamp > toTimeMs)
+    val (oldV, newV) = versions.partition(_.timestamp <= toTimeMs)
+    // retained: every post-boundary version (incl. the head, which is the
+    // last entry of whichever side holds it) PLUS the newest at-or-before
+    // version — a snapshotAt(T) for T in (boundary, next commit) resolves
+    // to that boundary version, so its files must survive; only files
+    // exclusively owned by strictly-older versions are deletable
+    val retained = (newV ++ oldV.lastOption)
       .flatMap(pi => resolver.filesAt(tablePath, pi))
-      .map(_.file.path).toSet ++
-      resolver.currentFiles(tablePath, _ == partitionDesc).map(_.file.path)
-    val old = versions.filter(_.timestamp <= toTimeMs)
+      .map(_.file.path).toSet
+    val old = oldV.dropRight(1)
       .flatMap(pi => resolver.filesAt(tablePath, pi))
       .map(_.file.path).distinct
     var deleted = 0L
