@@ -76,9 +76,18 @@ object Bench {
       val batch = orders.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       batch.cache().count()
-      results("mor_upsert_10x") = time {
-        (1 to 10).foreach(_ => t.upsert(batch))
+      // Mutation regimes can't be re-run verbatim (each pass changes table
+      // state), so robustness comes from WITHIN the regime: time every op
+      // individually and publish count x median(per-op). On a quiet host
+      // this equals the plain sum; under a hypervisor stall (r4 recorded a
+      // phantom 104.6 s for a 9.6-12.2 s regime) the median discards the
+      // stalled sample instead of publishing it.
+      def median(ts: Seq[Double]): Double = {
+        val s = ts.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
+      val upsertTimes = (1 to 10).map(_ => time { t.upsert(batch) })
+      results("mor_upsert_10x") = 10 * median(upsertTimes)
       // cold = first-ever read (one-time file-metadata first-touch + JIT of
       // the merge path); headline number is STEADY-STATE (median of 3)
       def median3(body: => Unit): Double = {
@@ -92,10 +101,25 @@ object Bench {
       results("mor_read_compacted") = median3 { t.toDF.count() }
       // compaction-CADENCE regime — the reference's actual operating mode:
       // upserts with compaction every 4th, then steady-state reads carrying
-      // the average pending-delta load (2 sorted runs)
-      results("mor_upsert_cadenced_10x") = time {
-        (1 to 10).foreach { i => t.upsert(batch); if (i % 4 == 0) t.compaction() }
+      // the average pending-delta load. The cadence drives LEVELED
+      // compaction (fileNumLimit: only partitions with >=4 sorted runs;
+      // fileSizeLimit: large compacted runs carry over untouched) — full
+      // table rewrites per cadence would be the 100 TB scale-killer; this
+      // is the operating mode a production deployment runs.
+      val cadUpserts = scala.collection.mutable.ArrayBuffer[Double]()
+      val cadCompactions = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 10).foreach { i =>
+        cadUpserts += time { t.upsert(batch) }
+        if (i % 4 == 0) cadCompactions += time {
+          t.compaction(graft.tables.CompactionOptions(
+            fileNumLimit = Some(4), fileSizeLimit = Some(128L * 1024 * 1024)),
+            _ => true)
+        }
       }
+      results("mor_upsert_cadenced_10x") =
+        10 * median(cadUpserts.toSeq) + cadCompactions.size * median(cadCompactions.toSeq)
+      // cadenced read vs mor_read_compacted is the published MOR-degradation
+      // ratio (BASELINE.md bar: <= ~15% under pending deltas)
       results("mor_read_cadenced") = median3 { t.toDF.count() }
       batch.unpersist()
     } catch { case e: Throwable =>
@@ -106,7 +130,22 @@ object Bench {
     // NOT in `total` (the total's entry set stays comparable to rounds 1-3)
     val extras = Seq("quality_topk", "gopher_filter", "pii_scrub",
       "doc_chunk", "ngram_topk", "sample_temperature", "kmeans_assign",
-      "ann_join", "ann_ivf_bq", "corpus_shuffle", "lm_score")
+      "ann_join", "ann_ivf_bq", "corpus_shuffle", "lm_score",
+      // TPC-H breadth (r5): published per-query, not in `total`, so the
+      // round-over-round totals stay comparable to rounds 1-4
+      "q2_min_cost_supp", "q4_priority_orders", "q6_forecast_revenue",
+      "q7_volume_shipping", "q9_product_profit", "q10_returned_items",
+      "q12_late_lines", "q14_promo_revenue", "q18_large_volume_cust",
+      "q19_discounted_revenue")
+
+    // steady state = median of 3 runs (single-sample entries produced
+    // phantom regressions on a noisy host in r3/r4 — see README bench notes)
+    def medianOf3(body: => Unit): Double = {
+      val ts = Seq.fill(3) {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
 
     (headline ++ extras).foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -115,7 +154,7 @@ object Bench {
         System.err.println(s"[bench] $name failed (cold): ${e.getMessage}")
         cold(name) = -1.0
       }
-      try results(name) = time { fn(spark, sfDir).count() }
+      try results(name) = medianOf3 { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         results(name) = -1.0
@@ -141,7 +180,7 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-bench-bjr-").toFile.getAbsolutePath,
         hashColumns = Seq("custkey"), bucketNum = cpus.toInt)
       bjl.bucketedJoin(bjr).count() // warm-up (JIT the merge-join path)
-      results("bucketed_join") = time { bjl.bucketedJoin(bjr).count() }
+      results("bucketed_join") = medianOf3 { bjl.bucketedJoin(bjr).count() }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed_join scenario failed: ${e.getMessage}")
     }
@@ -165,7 +204,7 @@ object Bench {
         "AS SELECT * FROM bench_spj_r")
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      results("spj_join_sql") = time {
+      results("spj_join_sql") = medianOf3 {
         spark.sql("SELECT l.custkey, c_name, n_orders FROM graft_cat.bench.l l " +
           "JOIN graft_cat.bench.r r ON l.custkey = r.custkey").count()
       }

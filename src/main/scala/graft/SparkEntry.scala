@@ -135,6 +135,176 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
 
+    // --------------------------------------------------------- TPC-H breadth
+    // (reference harness: rust/lakesoul-datafusion/src/tpch/sql.rs, schemas
+    // tpch/mod.rs:13-61). The testdata is TPC-H-ish with a reduced schema —
+    // no partsupp table, no l_commitdate/l_receiptdate/l_shipmode/
+    // p_container — so q2/q4/q9/q12/q19 are documented analogues that keep
+    // the original's plan SHAPE (the thing that matters at 100 TB) on the
+    // columns that exist; q6/q7/q10/q14/q18 are faithful.
+    "q2_min_cost_supp" -> q((s, d) => {
+      // q2 analogue: partsupp is absent, so lineitem (l_partkey, l_suppkey)
+      // serves as the part-supplier relation and unit price
+      // l_extendedprice/l_quantity as the supply cost. Same shape as q2:
+      // min-cost supplier per part within one region = window min + filter
+      // (no self-join, no correlated subquery re-scan).
+      import org.apache.spark.sql.expressions.Window
+      val eu = rd(s, d, "region").filter(col("r_name") === "EUROPE")
+        .join(rd(s, d, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(rd(s, d, "supplier"), col("n_nationkey") === col("s_nationkey"))
+      val p = rd(s, d, "part").filter(col("p_size") === 15)
+      val w = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("unit_cost"), col("s_suppkey"))
+      rd(s, d, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("unit_cost", round(col("l_extendedprice") / col("l_quantity"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"))
+        .limit(100)
+    }),
+    "q4_priority_orders" -> q((s, d) => {
+      // q4 analogue: "late" = shipped >90 days after order date (the data
+      // has no commit/receipt dates). Same shape: EXISTS -> left-semi join,
+      // never a row-multiplying inner join + distinct.
+      val o = rd(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = rd(s, d, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q6_forecast_revenue" -> q((s, d) =>
+      rd(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+          .cast("double").as("revenue"))),
+    "q7_volume_shipping" -> q((s, d) => {
+      val n1 = rd(s, d, "nation").select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      val n2 = rd(s, d, "nation").select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))
+      rd(s, d, "lineitem")
+        .join(rd(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(rd(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(rd(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q9_product_profit" -> q((s, d) => {
+      // q9 analogue: no partsupp -> profit omits the ps_supplycost term and
+      // is plain discounted revenue over parts matching the name predicate,
+      // grouped by supplier nation x order year (the original's shape:
+      // multi-way join, group by derived year).
+      rd(s, d, "lineitem")
+        .join(rd(s, d, "part").filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(rd(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(rd(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(rd(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q10_returned_items" -> q((s, d) => {
+      rd(s, d, "customer")
+        .join(rd(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(rd(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(rd(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q12_late_lines" -> q((s, d) => {
+      // q12 analogue: no l_shipmode/commit/receipt dates -> "late" lines
+      // (shipped >60 days after order) grouped by l_linestatus, counting
+      // high- vs low-priority orders (the original's CASE-sum shape).
+      rd(s, d, "lineitem")
+        .join(rd(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+    "q14_promo_revenue" -> q((s, d) => {
+      // promo ratio: both sums decimal->double (bit-exact in both engines),
+      // the final division done in IEEE double so it replays exactly
+      rd(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(rd(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
+          sum(dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("total_revenue"))
+        .select((lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"), col("promo_revenue"), col("total_revenue"))
+    }),
+    "q18_large_volume_cust" -> q((s, d) => {
+      val bigOrders = rd(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      rd(s, d, "customer")
+        .join(rd(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    "q19_discounted_revenue" -> q((s, d) => {
+      // q19 analogue: no p_container/l_shipinstruct -> the OR-of-ANDs uses
+      // p_brand/p_size/l_quantity. The shape is the point: a single join
+      // whose disjunctive predicate must stay IN the join (pushed to the
+      // build side where possible), not explode into a union of three scans.
+      rd(s, d, "lineitem")
+        .join(rd(s, d, "part"), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+    }),
+
     // ------------------------------------------------ table-format operators (graft)
     "mor_upsert" -> q((s, d) => {
       val o = rd(s, d, "orders")
@@ -1058,6 +1228,97 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q2_min_cost_supp" ->
+      """WITH costed AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey,
+        |    round(l_extendedprice / l_quantity, 6) AS unit_cost,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY round(l_extendedprice / l_quantity, 6), s_suppkey) AS rn
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size = 15
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+        |FROM costed WHERE rn = 1
+        |ORDER BY s_acctbal DESC, p_partkey LIMIT 100""".stripMargin,
+    "q4_priority_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1,2,3""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1,2""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1,2,3,4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+        |  promo_revenue, total_revenue FROM s""".stripMargin,
+    "q18_large_volume_cust" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum_qty > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "mor_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
@@ -1558,7 +1819,8 @@ object SparkEntry {
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS nmin FROM c),
         |r AS (SELECT lang, CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000) AS BIGINT) AS thresh FROM c, m)
-        |SELECT doc_id, lang, source FROM documents d JOIN r USING (lang)
+        |SELECT doc_id, d.lang AS lang, source FROM documents d
+        |JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < thresh""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_index_persisted" -> annIvfOracle,

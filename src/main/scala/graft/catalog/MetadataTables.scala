@@ -56,12 +56,22 @@ object MetadataTables {
       StructField("commit_ordinal", IntegerType),
       StructField("row_count", LongType),
       StructField("file_op", StringType))),
-      () => t.liveFiles.map { rf =>
-        InternalRow(s(rf.partitionDesc), rf.file.bucketId, s(rf.file.path),
-          rf.file.size, rf.commitOrdinal,
-          FileStats.rowCount(FileStats.decode(rf.file.stats)).map(Long.box).orNull,
-          s(rf.file.fileOp))
-      }.toArray)
+      () => {
+        // a real column named like the reserved row-count key shadows the
+        // synthetic stats entry — its bounds are NOT a row count, so report
+        // null (mirrors GraftScanV2's agg-pushdown refusal)
+        val shadowed = rowCountShadowed(t)
+        t.liveFiles.map { rf =>
+          InternalRow(s(rf.partitionDesc), rf.file.bucketId, s(rf.file.path),
+            rf.file.size, rf.commitOrdinal,
+            if (shadowed) null
+            else FileStats.rowCount(FileStats.decode(rf.file.stats)).map(Long.box).orNull,
+            s(rf.file.fileOp))
+        }.toArray
+      })
+
+  private def rowCountShadowed(t: GraftTable): Boolean =
+    t.schema.fieldNames.contains(FileStats.RowCountKey)
 
   private def historyTable(t: GraftTable, ident: String): Table =
     new LocalRowsTable(ident, StructType(Seq(
@@ -84,12 +94,14 @@ object MetadataTables {
       StructField("last_commit_ms", LongType))),
       () => {
         val byDesc = t.liveFiles.groupBy(_.partitionDesc)
+        val shadowed = rowCountShadowed(t)
         t.partitions.map { p =>
           val fs = byDesc.getOrElse(p.partitionDesc, Nil)
           val counts = fs.map(f => FileStats.rowCount(FileStats.decode(f.file.stats)))
           InternalRow(s(p.partitionDesc), p.version, fs.size,
             fs.map(_.file.size).sum,
-            if (counts.exists(_.isEmpty)) null else Long.box(counts.flatten.sum),
+            if (shadowed || counts.exists(_.isEmpty)) null
+            else Long.box(counts.flatten.sum),
             p.timestamp)
         }.toArray
       })

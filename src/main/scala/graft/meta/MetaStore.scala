@@ -253,7 +253,7 @@ class FileMetaStore extends MetaStore {
 
   override def getCommits(tablePath: String, ids: Seq[String]): Map[String, DataCommitInfo] = {
     if (commitCache.size() > 131072) commitCache.clear() // crude bound; refills lazily
-    val prefix = canonical(tablePath) + " "
+    val prefix = canonical(tablePath) + "\u0000"
     ids.map { id =>
       id -> commitCache.computeIfAbsent(prefix + id, _ =>
         jread[DataCommitInfo](Files.readString(commitsDir(tablePath).resolve(s"$id.json"))))

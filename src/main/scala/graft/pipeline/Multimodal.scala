@@ -123,6 +123,10 @@ object Multimodal {
       }
       i += 1 // single whitespace after maxval
       val (w, h) = (fields(0), fields(1))
+      // only 1-byte-per-sample maxval=255 is supported: maxval>255 means
+      // 2-byte samples (the length check alone could misparse a long file),
+      // and maxval<255 would need /maxval normalization downstream
+      if (fields(2) != 255) return null
       if (bytes.length < i + 3L * w * h) null else (w, h, i)
     }
 

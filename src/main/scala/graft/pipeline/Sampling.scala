@@ -70,10 +70,12 @@ object Sampling {
     val ratio = col("_g_nmin") / col("_g_n")
     val rate = if (exp == 0.5) sqrt(ratio) else pow(ratio, exp)
     val rates = counts.crossJoin(broadcast(nMin))
-      .select(col(strataCol), (rate * Mod).cast("long").as("_g_thresh"))
-    df.join(broadcast(rates), strataCol)
+      .select(col(strataCol).as("_g_stratum"), (rate * Mod).cast("long").as("_g_thresh"))
+    // null-safe (<=>) so a NULL stratum reaches its own rate row (the count
+    // aggregate produces one) instead of being silently dropped by the join
+    df.join(broadcast(rates), col(strataCol) <=> col("_g_stratum"))
       .filter(gate(col(idCol)) < col("_g_thresh"))
-      .drop("_g_thresh")
+      .drop("_g_stratum", "_g_thresh")
   }
 
   /** Deterministic stratified sample: per-stratum rates with a default —

@@ -111,11 +111,20 @@ class GraftScanBuilder(
     Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       Option[(StructType, Array[InternalRow])])] = None
 
+  // v2 Aggregation does not override equals — compare the decomposed
+  // expressions structurally (describe() is the v2 canonical form) so the
+  // memo still hits if Spark re-instantiates the Aggregation between probes
+  private def sameAgg(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      b: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    a.aggregateExpressions.map(_.describe).sameElements(b.aggregateExpressions.map(_.describe)) &&
+      a.groupByExpressions.map(_.describe).sameElements(b.groupByExpressions.map(_.describe))
+
   private def memoAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[InternalRow])] = {
     aggMemo match {
-      case Some((prev, res)) if prev == agg => res
+      case Some((prev, res)) if sameAgg(prev, agg) => res
       case _ =>
         val res = computeAgg(agg)
         aggMemo = Some((agg, res))

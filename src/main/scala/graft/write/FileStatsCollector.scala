@@ -49,6 +49,10 @@ object FileStatsCollector {
       case f if supported(f.dataType) => f.name -> f.dataType
     }.toMap
     if (indexed.isEmpty) return files
+    // the synthetic row-count entry must never collide with a REAL column of
+    // the reserved name anywhere in the schema (not just the indexed prefix):
+    // a shadowed entry would feed bogus bounds to StatsSkipping.mightMatch
+    val rowCountShadowed = schema.fieldNames.contains(FileStats.RowCountKey)
 
     val paths = files.map(f => f._2.path -> f._2.size)
     val statsByPath: Map[String, String] =
@@ -65,7 +69,7 @@ object FileStatsCollector {
         try {
           paths.map { case (p, len) =>
             p -> pool.submit(new java.util.concurrent.Callable[String] {
-              def call(): String = readFileStats(rawInputFile(fs, p, len), indexed)
+              def call(): String = readFileStats(rawInputFile(fs, p, len), indexed, rowCountShadowed)
             })
           }.map { case (p, f) => p -> f.get() }.toMap
         } finally pool.shutdown()
@@ -76,7 +80,7 @@ object FileStatsCollector {
           .map { case (p, _) =>
             p -> readFileStats(
               HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p),
-                new Configuration()), indexed)
+                new Configuration()), indexed, rowCountShadowed)
           }
           .collect().toMap
       }
@@ -106,7 +110,8 @@ object FileStatsCollector {
     * stats are missing/invalid in ANY row group is dropped entirely. */
   private def readFileStats(
       in: org.apache.parquet.io.InputFile,
-      indexed: Map[String, DataType]): String = {
+      indexed: Map[String, DataType],
+      rowCountShadowed: Boolean): String = {
     try {
       val reader = ParquetFileReader.open(in)
       try {
@@ -150,7 +155,7 @@ object FileStatsCollector {
         // exact footer row count under a reserved key (aggregate pushdown);
         // a real column of that name wins the key, so drop ours then
         val withRows =
-          if (indexed.contains(FileStats.RowCountKey)) out
+          if (rowCountShadowed) out
           else out + (FileStats.RowCountKey ->
             ColStats(Some(totalRows.toString), None, hn = false, an = false))
         FileStats.encode(withRows)
