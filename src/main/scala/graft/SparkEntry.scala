@@ -411,6 +411,21 @@ object SparkEntry {
       t.upsert(sup.withColumn("s_acctbal", col("s_acctbal") * 4))
       t.readWithMergeOps(Map("s_acctbal" -> "sum_all"))
     }),
+    "merge_op_projection" -> q((s, d) => {
+      // M4 SQL surface: `funName(col)` directly in a SELECT over a graft
+      // catalog table — ExtractMergeOpProjection strips the marker into the
+      // scan's merge-op option (reference ExtractMergeOperator.scala:20-88)
+      v2(s)
+      graft.mergeop.MergeOps.registerSqlFunctions(s)
+      val sup = rd(s, d, "supplier")
+      sup.createOrReplaceTempView("mo_proj_src")
+      s.sql("CREATE TABLE graft_cat.vfy.mo_proj " +
+        "PARTITIONED BY (bucket(4, s_suppkey)) AS SELECT * FROM mo_proj_src")
+      s.sql("INSERT INTO graft_cat.vfy.mo_proj " +
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal * 4 FROM mo_proj_src")
+      s.sql("SELECT s_suppkey, s_name, sum_all(s_acctbal) AS s_acctbal " +
+        "FROM graft_cat.vfy.mo_proj")
+    }),
     // ---------------------------------------------- DSv2 SQL surface (C12+)
     "catalog_sql_read" -> q((s, d) => {
       // CREATE TABLE AS SELECT + INSERT INTO (= upsert on a PK table) +
@@ -917,8 +932,15 @@ object SparkEntry {
         "doc_id")
       graft.pipeline.Multimodal.extractImageFeatures(media, "content",
         codec = new graft.pipeline.Multimodal.PpmCodec())
+        // the decode gate: features only exist if PpmCodec actually parsed
+        // the bytes, so a broken decode path drops rows -> caught by the
+        // oracle's row count. The SELECTED columns are closed-form in
+        // doc_id (w = 8+id%8, h = 8+id%5, bytes = header + 3wh), so the
+        // DuckDB oracle replays them without a pixel decoder.
+        .filter(element_at(col("features"), 1).isNotNull)
         .select(col("doc_id"), col("meta.width").as("width"),
-          round(element_at(col("features"), 1), 5).as("mean_r"))
+          col("meta.height").as("height"),
+          length(col("content")).cast("long").as("n_bytes"))
     }),
 
     // ------------------------------------------------------- pipeline operators
@@ -950,11 +972,20 @@ object SparkEntry {
       TextAnalysis.repetitionScores(rd(s, d, "documents"))
         .select("doc_id", "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac")),
     "dedup_minhash" -> q((s, d) =>
+      // LSH candidates + exact-Jaccard verify: the OUTPUT is the exact
+      // J >= 0.8 pair set (every pair is verified), so the full-enumeration
+      // DuckDB oracle applies; LSH recall on this corpus is complete (all
+      // planted near-dups sit at J >= 0.9, where the 8x4 banding miss
+      // probability is < 2e-4 per pair)
       Dedup.minhashNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
         threshold = 0.8)),
     "dedup_simhash" -> q((s, d) =>
+      // md5-derived per-token hash -> DuckDB recomputes the identical
+      // 64-bit signature (bit-majority over md5 hex prefixes) and replays
+      // the banding-complete hamming <= 3 pair set exactly
       Dedup.simhashNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
-        maxDist = 3)),
+        maxDist = 3, sigOf = Dedup.simhashMd5Of)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "dedup_ngram_jaccard" -> q((s, d) =>
       // prefix-filtered (AllPairs) candidates — exact-complete for J >= 0.5,
       // so it matches the full-enumeration DuckDB oracle without an O(n^2)
@@ -1108,13 +1139,15 @@ object SparkEntry {
         .orderBy("lang_pred")
     }),
     "fingerprint" -> q((s, d) => {
+      // md5-based fingerprints so DuckDB replays them exactly; the xx64
+      // production kernels keep their sbt coverage (TextAnalysisSuite)
       GraftFunctions.register(s)
       rd(s, d, "documents")
         .select(col("doc_id"), col("text"),
           TextAnalysis.tokens(col("text")).as("_g_ts"))
         .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"),
-          TextAnalysis.minShingleFingerprintOf(col("_g_ts")).as("min_shingle_fp"))
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+          TextAnalysis.minShingleFingerprintMd5Of(col("_g_ts")).as("min_shingle_fp"))
     }),
     "pii_scrub" -> q((s, d) => {
       // PII redaction (the standard pre-training scrub pass). The synthetic
@@ -1351,6 +1384,9 @@ object SparkEntry {
         |  least(s_acctbal, 1000 - s_acctbal) AS s_acctbal FROM supplier""".stripMargin,
     "merge_op_override" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal * 5 AS s_acctbal
+        |FROM supplier""".stripMargin,
+    "merge_op_projection" ->
+      """SELECT s_suppkey, s_name, s_acctbal + s_acctbal * 4 AS s_acctbal
         |FROM supplier""".stripMargin,
     "catalog_sql_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1919,7 +1955,64 @@ object SparkEntry {
     "dedup_embedding" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |  round(list_cosine_similarity(embedding, embedding), 6) AS cosine
-        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin)
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+    // r5: the four formerly rows-only queries now replay exactly —
+    // dedup_minhash outputs the verified exact-Jaccard pair set (full
+    // enumeration below), dedup_simhash/fingerprint switched to md5-derived
+    // hashes DuckDB recomputes bit-for-bit, multimodal_features selects the
+    // closed-form metadata columns gated on a successful real decode.
+    "dedup_minhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.8""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substring(md5(u.t), 1, 16))::UBIGINT AS h
+        |  FROM tok, UNNEST(tok.t) AS u(t)),
+        |bits AS (
+        |  SELECT doc_id, r.i AS i,
+        |    sum(CASE WHEN (h >> CAST(r.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM th, UNNEST(range(0, 64)) AS r(i)
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (1::UBIGINT << CAST(i AS INTEGER)) ELSE 0::UBIGINT END) AS UBIGINT) AS s
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    "fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 3), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) END AS s
+        |  FROM tok)
+        |SELECT d.doc_id,
+        |  ('0x' || substring(md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp,
+        |  list_min(list_transform(sh.s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT)) AS min_shingle_fp
+        |FROM documents d JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(8 + (doc_id % 8) AS INTEGER) AS width,
+        |  CAST(8 + (doc_id % 5) AS INTEGER) AS height,
+        |  CAST(9 + length(CAST(8 + (doc_id % 8) AS VARCHAR))
+        |     + length(CAST(8 + (doc_id % 5) AS VARCHAR))
+        |     + 3 * (8 + (doc_id % 8)) * (8 + (doc_id % 5)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 100""".stripMargin)
 
   /** Shared oracle for ann_ivf_bq / ann_index_bq: identical deterministic
     * quantized pipeline (in-query and persisted-index forms). */
@@ -1985,7 +2078,5 @@ object SparkEntry {
       |SELECT a.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cosine
       |FROM assigned a JOIN probe USING (cell), q
       |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
-  // omitted oracles (rows-only check): dedup_minhash, dedup_simhash,
-  // fingerprint, multimodal_features — hash-function-dependent or
-  // stub-backed operators with no faithful ANSI-SQL equivalent.
 }
+

@@ -99,6 +99,48 @@ object Kernels {
     out
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(bytes) as a big-endian long — the SQL-replayable
+    * 64-bit hash: DuckDB's `('0x' || substring(md5(t), 1, 16))::UBIGINT`
+    * yields the identical bit pattern (md5 hex strings match across
+    * engines; hex is big-endian byte order). */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+      ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+  }
+
+  /** [[simhash]] with the md5-derived per-token hash — bit-identical to a
+    * DuckDB replay (per-token UBIGINT from the md5 hex prefix, +1/-1 bit
+    * votes, sign). Used by oracled queries; the xx64 form stays the fast
+    * production default. */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Hash64(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** MinHash signature: one strong hash per shingle + `num` cheap avalanche
     * mixes (the standard one-hash/k-mix trick) — a single pass over the
     * array instead of `num` re-hashes of every string. */
@@ -258,6 +300,53 @@ case class SimHash64(child: Expression)
       s"${ev.value} = graft.functions.Kernels.simhash($v);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_simhash_md5(Array[String]) -> Long` — SimHash with the
+  * md5-derived per-token hash (SQL-replayable; see [[Kernels.simhashMd5]]). */
+case class SimHash64Md5(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.simhashMd5(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Kernels.simhashMd5($v);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_simhash_md5"
+}
+
+/** Analysis-time marker for projection-embedded merge-operator selection
+  * (M4; reference rules/ExtractMergeOperator.scala:20-88 extracts marker
+  * UDFs from the projection): `graft_merge_op(col, 'op')` — or the sugar
+  * `<op>(col)` after [[graft.mergeop.MergeOps.registerSqlFunctions]] — is a
+  * type-preserving no-op that [[graft.sql.ExtractMergeOpProjection]] strips
+  * into scan options. Reaching eval means the projection was NOT over a
+  * graft relation; fail with the reference's clear error
+  * (NonMergeOperatorUDFCheck). */
+case class MergeOpMarker(child: Expression, opName: String)
+    extends UnaryExpression {
+  graft.mergeop.MergeOps.forName(opName) // unknown operator fails at analysis
+  override def dataType: DataType = child.dataType
+  override lazy val foldable: Boolean = false
+  private def unsupported: Nothing = throw new UnsupportedOperationException(
+    s"merge operator '$opName' can only be used in a SELECT over a graft table")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    unsupported
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    unsupported
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_merge_op"
+}
+
+object MergeOpMarker {
+  /** Function-registry builder: second argument must be a string literal. */
+  def fromArgs(es: Seq[Expression]): Expression = es match {
+    case Seq(value, Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      MergeOpMarker(value, s.toString)
+    case _ => throw new IllegalArgumentException(
+      "graft_merge_op(col, 'operator_name') expects a string-literal operator name")
+  }
 }
 
 /** `graft_xx64(String) -> Long` — stable 64-bit content hash. */
@@ -522,6 +611,8 @@ object GraftFunctions {
     ("graft_cosine", es => CosineSimilarity(es(0), es(1))),
     ("graft_dot", es => DotProduct(es(0), es(1))),
     ("graft_simhash", es => SimHash64(es.head)),
+    ("graft_simhash_md5", es => SimHash64Md5(es.head)),
+    ("graft_merge_op", es => MergeOpMarker.fromArgs(es)),
     ("graft_minhash32", es => MinHashSignature(es.head, 32)),
     ("graft_xx64", es => Hash64(es.head)),
     ("graft_minhash_text3_32", es => MinHashText(es.head, 3, 32)),
@@ -539,6 +630,7 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def simhashMd5(tokens: Column): Column = call_function("graft_simhash_md5", tokens)
   def minhash32(shingles: Column): Column = call_function("graft_minhash32", shingles)
   def xx64(s: Column): Column = call_function("graft_xx64", s)
   def minhashText3x32(text: Column): Column =

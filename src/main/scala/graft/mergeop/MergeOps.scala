@@ -177,4 +177,22 @@ object MergeOps {
         s"unknown merge operator '$name' (known: ${
           (builtins.keys ++ registered.keySet.asScala).mkString(", ")})")
     })
+
+  /** Projection-embedded SQL surface (M4; reference users register their
+    * merge-op UDFs and write `funName(col)` in a SELECT —
+    * ExtractMergeOperator.scala:20-88): registers every currently-known
+    * operator whose name is a legal SQL identifier as a marker function, so
+    * `SELECT sum_all(v) FROM graft_cat.ns.t` selects the operator for that
+    * read. The markers are stripped into scan options at analysis time by
+    * [[graft.sql.ExtractMergeOpProjection]]; `graft_merge_op(col, 'name')`
+    * is the always-registered generic form. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+    (builtins.keys ++ registered.keySet.asScala).foreach {
+      case name @ ident() =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+          es => graft.functions.MergeOpMarker(es.head, name), "built-in")
+      case _ => // names with separators (e.g. "joined_all(;)") stay API-only
+    }
+  }
 }

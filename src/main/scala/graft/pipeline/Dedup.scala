@@ -251,6 +251,11 @@ object Dedup {
   /** Per-doc 64-bit SimHash fingerprint of word tokens. */
   def simhashOf(text: Column): Column = GraftFunctions.simhash(tokens(text))
 
+  /** [[simhashOf]] with the md5-derived per-token hash — the SQL-replayable
+    * form (a DuckDB oracle can recompute the identical signature from
+    * md5 hex prefixes); xx64 stays the fast production default. */
+  def simhashMd5Of(text: Column): Column = GraftFunctions.simhashMd5(tokens(text))
+
   /** Near-dup pairs with simhash hamming distance <= maxDist (<= 15 uses
     * 4x16-bit chunk banding; guaranteed complete for maxDist <= 3). */
   def simhashNearDupPairs(
@@ -258,8 +263,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      maxBucket: Int = 200): DataFrame = {
-    val sig = df.select(col(idCol).as("_g_id"), simhashOf(col(textCol)).as("_g_sim"))
+      maxBucket: Int = 200,
+      sigOf: Column => Column = simhashOf): DataFrame = {
+    val sig = df.select(col(idCol).as("_g_id"), sigOf(col(textCol)).as("_g_sim"))
     val banded = sig.select(col("_g_id"), posexplode(
       array((0 until 4).map(i =>
         shiftrightunsigned(col("_g_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -133,6 +133,18 @@ object TextAnalysis {
   def minShingleFingerprintOf(ts: Column, k: Int = 5): Column =
     array_min(transform(wordShinglesOf(ts, k), s => GraftFunctions.xx64(s)))
 
+  /** SQL-replayable fingerprints: 60-bit values from md5 hex prefixes (15
+    * hex chars < 2^60, so the signed-long parse is identical in DuckDB's
+    * `('0x' || substring(md5(x), 1, 15))::BIGINT`). The xx64 forms above
+    * stay the fast production default. */
+  def fingerprintMd5(text: Column): Column =
+    conv(substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 15), 16, 10)
+      .cast("long")
+
+  def minShingleFingerprintMd5Of(ts: Column, k: Int = 5): Column =
+    array_min(transform(wordShinglesOf(ts, k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
   // ------------------------------------------------------------- PII scrub
 
   /** PII redaction patterns, applied in order (emails first so their digit

@@ -35,6 +35,11 @@ import graft.write.TransactionalWrite
   *   co-bucketed graft tables with ZERO exchanges — the Catalyst-integrated
   *   rendition of the reference's DeltaJoin (SetPartitionAndOrdering.scala).
   */
+/** Shared key for the packed per-scan merge-operator option (M4). */
+object ExtractMergeOpProjectionOption {
+  val Key = "graft.mergeops"
+}
+
 class GraftScanBuilder(
     spark: SparkSession,
     table: GraftTable,
@@ -42,7 +47,25 @@ class GraftScanBuilder(
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private val info = table.info
+  // per-query merge-operator overrides arrive as the packed scan option
+  // `graft.mergeops` = "col:op[,col:op...]" (set by the SQL extraction rule
+  // ExtractMergeOpProjection or an explicit .option(...)) and override the
+  // table-property defaults for THIS scan only (M4)
+  private val info = {
+    val t0 = table.info
+    options.get(ExtractMergeOpProjectionOption.Key).filter(_.nonEmpty) match {
+      case Some(spec) =>
+        val ops = spec.split(',').map { s =>
+          val i = s.lastIndexOf(':')
+          require(i > 0 && i < s.length - 1, s"bad mergeops spec entry '$s'")
+          s.substring(0, i) -> s.substring(i + 1)
+        }
+        ops.foreach { case (_, op) => graft.mergeop.MergeOps.forName(op) }
+        t0.copy(properties = t0.properties ++
+          ops.map { case (c, o) => graft.meta.TableInfo.mergeOpProp(c) -> o })
+      case None => t0
+    }
+  }
   private val fullSchema = table.schema
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty

@@ -49,6 +49,14 @@ case class GraftUnsupportedOperationsCheck(spark: SparkSession)
     case r: AlterTableRenameCommand if isGraft(r.oldName) =>
       notSupported("ALTER TABLE RENAME",
         "use ALTER TABLE graft_cat.ns.t RENAME TO through the graft catalog")
+    // a merge-op marker ExtractMergeOpProjection did not strip means it was
+    // used somewhere other than a SELECT list over a graft scan (reference
+    // NonMergeOperatorUDFCheck, ExtractMergeOperator.scala:95-110)
+    case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.MergeOpMarker])) =>
+      notSupported("merge operator functions outside a SELECT over a graft table",
+        "project graft_merge_op(col, 'op') (or a registered operator function) " +
+          "directly in the SELECT list of a graft table scan")
     case _ => ()
   }
 }

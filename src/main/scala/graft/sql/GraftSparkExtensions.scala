@@ -28,6 +28,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // SQL UPDATE / DELETE / MERGE INTO over graft DSv2 catalog tables
     e.injectPostHocResolutionRule(spark => GraftDmlRule(spark))
+    // projection-embedded merge-operator selection: funName(col) in a
+    // SELECT over a graft table -> per-scan merge-op option (M4)
+    e.injectPostHocResolutionRule(spark => ExtractMergeOpProjection(spark))
     // clear errors for unsupported v1 commands against graft tables (C16)
     e.injectCheckRule(spark => GraftUnsupportedOperationsCheck(spark))
   }

@@ -105,4 +105,42 @@ class MergeOpSuite extends SparkFixture {
       }
     }
   }
+
+  test("merge-op marker functions in a SELECT over a graft table (M4 SQL)") {
+    withTempPath { wh =>
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse", wh)
+      graft.functions.GraftFunctions.register(spark) // graft_merge_op
+      graft.mergeop.MergeOps.registerSqlFunctions(spark) // sum_all & co.
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.mosql")
+      spark.sql("CREATE TABLE graft_cat.mosql.t (k BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (bucket(2, k))")
+      spark.sql("INSERT INTO graft_cat.mosql.t VALUES (1, 10.0), (2, 1.0)")
+      spark.sql("INSERT INTO graft_cat.mosql.t VALUES (1, 4.0)")
+      // projection-embedded operator: sum across runs for v, this query only
+      assertRows(
+        spark.sql("SELECT k, sum_all(v) AS v FROM graft_cat.mosql.t"),
+        Seq(Row(1L, 14.0), Row(2L, 1.0)))
+      // generic form, through a WHERE (single-child chain to the relation)
+      assertRows(
+        spark.sql("SELECT k, graft_merge_op(v, 'sum_all') AS v " +
+          "FROM graft_cat.mosql.t WHERE k = 1"),
+        Seq(Row(1L, 14.0)))
+      // table default (use_last) untouched
+      assertRows(spark.sql("SELECT k, v FROM graft_cat.mosql.t"),
+        Seq(Row(1L, 4.0), Row(2L, 1.0)))
+      // unknown operator name fails at analysis
+      intercept[Exception] {
+        spark.sql("SELECT graft_merge_op(v, 'nope') FROM graft_cat.mosql.t").collect()
+      }
+      // marker over a non-graft source is a clear error, not a silent no-op
+      spark.range(3).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("mosql_plain")
+      val e = intercept[Exception] {
+        spark.sql("SELECT sum_all(v) FROM mosql_plain").collect()
+      }
+      assert(e.getMessage.contains("graft"), s"unexpected error: ${e.getMessage}")
+      spark.sql("DROP TABLE graft_cat.mosql.t")
+    }
+  }
 }
