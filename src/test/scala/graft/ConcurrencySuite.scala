@@ -102,6 +102,68 @@ class ConcurrencySuite extends SparkFixture {
     }
   }
 
+  test("two separate JVMs upsert one table concurrently (cross-process CAS)") {
+    // the reference arbitrates multi-DRIVER writers through its PG catalog
+    // (TransactionCommit.scala:398-427); the embedded FS store arbitrates
+    // with an OS file lock + per-partition version CAS. This launches two
+    // real child JVMs (own SparkSessions, own MetaStore instances) writing
+    // the same table: every commit must land (losers rerun), none may be
+    // lost or interleaved into a corrupt head.
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((0L, "init"), (42L, "init")).toDF("k", "v"), path,
+        hashColumns = Seq("k"), bucketNum = 2)
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val nBatches = 3
+      def launch(writer: Int): (Process, java.io.File) = {
+        val log = java.io.File.createTempFile(s"graft-xproc-w$writer-", ".log")
+        val cmd = Seq(javaBin) ++ opens ++ Seq(
+          "-Xmx1500m", "-Dspark.ui.enabled=false", "-cp", cp,
+          "graft.tools.ConcurrentWriterProbe", path, writer.toString,
+          nBatches.toString)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(log)
+        (pb.start(), log)
+      }
+      val (p1, l1) = launch(1)
+      val (p2, l2) = launch(2)
+      def finish(p: Process, log: java.io.File, tag: String): Unit = {
+        assert(p.waitFor(300, TimeUnit.SECONDS), s"writer $tag timed out")
+        assert(p.exitValue() == 0, s"writer $tag failed:\n" +
+          new String(java.nio.file.Files.readAllBytes(log.toPath)).takeRight(4000))
+      }
+      finish(p1, l1, "1"); finish(p2, l2, "2")
+      val got = t.toDF.select("k", "v").as[(Long, String)].collect().toMap
+      // every disjoint key landed with its writer's LAST batch value
+      (1 to 2).foreach { w =>
+        (1 to nBatches).foreach { i =>
+          (0 until 10).foreach { j =>
+            val k = w * 100000L + i * 100L + j
+            assert(got.get(k).contains(s"w$w-b$i"), s"lost upsert: key $k -> ${got.get(k)}")
+          }
+        }
+      }
+      // the contended key holds exactly one of the two final-batch values
+      assert(Set(s"w1-b$nBatches", s"w2-b$nBatches").contains(got(42L)),
+        s"contended key ended at ${got(42L)}")
+      assert(got(0L) == "init")
+      // head lineage: 1 create + 6 upsert commits, versions strictly increasing
+      assert(t.history.size == 1 + 2 * nBatches,
+        s"expected 7 commits, history=${t.history}")
+    }
+  }
+
   test("DDL: addColumn + setProperties visible to readers") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
