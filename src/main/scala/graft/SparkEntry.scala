@@ -1089,6 +1089,30 @@ object SparkEntry {
         "vec_id", "embedding", nlist = 16)
       idx.searchQuantized(q0, k = 20, nprobe = 8, refine = 4)
     }),
+    "ann_recall" -> q((s, d) => {
+      // recall report (the reference's GloVe e2e shape,
+      // python/tests/vector/test_e2e_glove.py): recall@20 of both ANN
+      // variants vs the exact brute-force top-20, ASSERTED >= 0.9 in-query
+      // so a recall regression fails the correctness gate, then returned as
+      // data for the oracle to replay from the engine-identical pipelines
+      import s.implicits._
+      val e = rd(s, d, "embeddings")
+      val q0 = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      def ids(df: DataFrame): Set[Long] =
+        df.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      val bf = ids(Similarity.bruteForceTopK(e, "vec_id", "embedding", q0, 20))
+      val ivf = ids(Similarity.annSearch(e, "vec_id", "embedding", q0, 20,
+        nlist = 16, nprobe = 8))
+      val bq = ids(Similarity.annSearchQuantized(e, "vec_id", "embedding", q0,
+        k = 20, nlist = 16, nprobe = 8, refine = 4))
+      val rIvf = ivf.intersect(bf).size / 20.0
+      val rBq = bq.intersect(bf).size / 20.0
+      require(rIvf >= 0.9, f"ann_ivf recall@20 = $rIvf%.2f < 0.9 vs brute force")
+      require(rBq >= 0.9, f"ann_ivf_bq recall@20 = $rBq%.2f < 0.9 vs brute force")
+      Seq(("ivf", rIvf), ("ivf_bq", rBq)).toDF("method", "recall")
+        .select(col("method"), round(col("recall"), 6).as("recall"))
+    }),
     "ann_join" -> q((s, d) => {
       // KNN JOIN: every 25th vector is a "query corpus" retrieving its
       // top-5 from the full table through the shared deterministic IVF
@@ -1880,6 +1904,22 @@ object SparkEntry {
     // engine-identical
     "ann_ivf_bq" -> annIvfBqOracle,
     "ann_index_bq" -> annIvfBqOracle,
+    // recall@20: |ANN top-20 ∩ exact top-20| / 20, with the ANN sides
+    // replayed from the same engine-identical pipelines as ann_ivf /
+    // ann_ivf_bq — so the recall the oracle computes is the recall the
+    // engine asserted >= 0.9 in-query
+    "ann_recall" ->
+      s"""WITH bf AS (SELECT vec_id FROM (
+         |    SELECT vec_id, round(list_cosine_similarity(embedding,
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+         |    FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 20)),
+         |  ivf AS (SELECT vec_id FROM ($annIvfOracle)),
+         |  bq AS (SELECT vec_id FROM ($annIvfBqOracle))
+         |SELECT 'ivf' AS method, round(count(*) / 20.0, 6) AS recall
+         |FROM ivf JOIN bf USING (vec_id)
+         |UNION ALL
+         |SELECT 'ivf_bq' AS method, round(count(*) / 20.0, 6) AS recall
+         |FROM bq JOIN bf USING (vec_id)""".stripMargin,
 
 
     // KNN join: the annIvfOracle pipeline generalized to a query SET —
