@@ -37,6 +37,15 @@ trait MetaStore {
   /** Head (latest) version of every partition. */
   def listPartitionHeads(tablePath: String): Seq[PartitionInfo]
 
+  /** Head of ONE partition (None if absent or dropped). Semantically
+    * `listPartitionHeads(tp).find(_.partitionDesc == desc)`, but stores can
+    * answer it as a point lookup without materializing every head — the
+    * equal-value partition-prune path at 100k+ partitions (the reference
+    * serves this from an indexed PG query, partition_info PK
+    * `(table_id, partition_desc)`, meta_init.sql:85-99). */
+  def partitionHead(tablePath: String, partitionDesc: String): Option[PartitionInfo] =
+    listPartitionHeads(tablePath).find(_.partitionDesc == partitionDesc)
+
   /** Full version history of one partition, oldest first. */
   def partitionVersions(tablePath: String, partitionDesc: String): Seq[PartitionInfo]
 
@@ -88,7 +97,15 @@ class FileMetaStore extends MetaStore {
   // Commit JSONs are immutable once written (UUID-keyed), so they cache
   // forever. Single-driver assumption as documented on the class.
   private case class LogState(size: Long, lines: Vector[PartitionInfo],
-      lastByDesc: Map[String, PartitionInfo])
+      lastByDesc: Map[String, PartitionInfo]) {
+    // computed once per log state, not per call: at 100k partitions a
+    // per-call filter+sort costs ~150 ms — the difference between a
+    // sub-ms and a 100 ms warm partition prune
+    lazy val liveHeads: Map[String, PartitionInfo] =
+      lastByDesc.filter(_._2.version >= 0) // -1 = dropped
+    lazy val headsSorted: Seq[PartitionInfo] =
+      liveHeads.values.toSeq.sortBy(_.partitionDesc)
+  }
   private val logCache = new ConcurrentHashMap[String, LogState]()
   private val infoCache = new ConcurrentHashMap[String, (Long, Long, TableInfo)]()
   private val commitCache = new ConcurrentHashMap[String, DataCommitInfo]()
@@ -186,7 +203,126 @@ class FileMetaStore extends MetaStore {
     // Next read extends the cached state by a tail read of just these lines.
     // (Callers hold the table lock, so dropping vs extending here is only a
     // question of who pays the parse; the tail read keeps this path simple.)
+    maybeRefreshIndex(tablePath)
   }
+
+  // ----------------------------------------------------------- head index
+  // Hash-bucketed sidecar of versions.jsonl for partition-HEAVY tables (the
+  // reference serves equal-value partition queries from PG's btree on
+  // partition_info(table_id, partition_desc) — ~50 ms at 1M partitions): a
+  // cold point lookup must not pay a full log parse. `heads_idx/b<000..255>`
+  // hold the raw log lines whose partitionDesc hashes to the bucket (in log
+  // order); `heads_idx/_watermark` records the log byte size the buckets
+  // cover. A point lookup reads ONE bucket (~1/256 of the log) plus the
+  // uncovered log tail. The index is DERIVED data: writers maintain it under
+  // the table lock — created once the log passes IndexCreateBytes, folded
+  // forward when the uncovered tail passes IndexLagBytes — and readers
+  // overlay the authoritative tail, so a crash between log append and fold
+  // costs tail bytes, never correctness. A crash INSIDE a fold can leave
+  // bucket lines past the watermark; the next fold re-appends them, and the
+  // resulting duplicates are benign: head lookup takes the LAST line, and
+  // partitionVersions collapses by version (rollback re-appends already do).
+  private val IndexCreateBytes = 1L << 20
+  private val IndexLagBytes = 256L << 10
+  private val IndexBuckets = 256
+
+  private def indexDir(tp: String) = metaDir(tp).resolve("heads_idx")
+  private def watermarkPath(tp: String) = indexDir(tp).resolve("_watermark")
+  private def bucketPath(tp: String, b: Int) = indexDir(tp).resolve(f"b$b%03d")
+  private def bucketOf(desc: String): Int =
+    math.floorMod(desc.hashCode, IndexBuckets)
+
+  private def readWatermark(tp: String): Option[Long] = {
+    val p = watermarkPath(tp)
+    if (!Files.exists(p)) None
+    else scala.util.Try(Files.readString(p).trim.toLong).toOption
+  }
+
+  private def writeWatermark(tp: String, v: Long): Unit = {
+    val tmp = indexDir(tp).resolve("_watermark.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, watermarkPath(tp),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Log bytes [from, to) as text. */
+  private def readRange(tp: String, from: Long, to: Long): String = {
+    val ch = java.nio.channels.FileChannel.open(versionsPath(tp),
+      StandardOpenOption.READ)
+    try {
+      ch.position(from)
+      val b = java.nio.ByteBuffer.allocate((to - from).toInt)
+      while (b.hasRemaining && ch.read(b) >= 0) {}
+      b.flip()
+      new String(b.array(), 0, b.limit(), StandardCharsets.UTF_8)
+    } finally ch.close()
+  }
+
+  /** Parse, skipping malformed lines (a torn concurrent append's half-line;
+    * the tail overlay re-covers anything skipped). */
+  private def parseLines(text: String): Iterator[(String, PartitionInfo)] =
+    text.split('\n').iterator.filter(_.nonEmpty).flatMap(l =>
+      scala.util.Try(l -> jread[PartitionInfo](l)).toOption)
+
+  /** Fold log bytes [from, to) into the bucket files, then advance the
+    * watermark (that order makes a crash re-fold, not lose). Lock held. */
+  private def foldIntoIndex(tp: String, from: Long, to: Long): Unit = {
+    Files.createDirectories(indexDir(tp))
+    if (to > from)
+      parseLines(readRange(tp, from, to)).toSeq
+        .groupBy { case (_, pi) => bucketOf(pi.partitionDesc) }
+        .foreach { case (b, entries) =>
+          Files.write(bucketPath(tp, b),
+            entries.map(_._1).mkString("", "\n", "\n")
+              .getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        }
+    writeWatermark(tp, to)
+  }
+
+  private def deleteIndex(tp: String): Unit = {
+    val d = indexDir(tp).toFile
+    if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+  }
+
+  /** Called after every log append (lock held): keep the index within
+    * IndexLagBytes of the log, creating it once the log is big enough for
+    * a full parse to hurt. Small tables never pay anything here beyond a
+    * watermark existence check. */
+  private def maybeRefreshIndex(tp: String): Unit = {
+    val size = Files.size(versionsPath(tp))
+    readWatermark(tp) match {
+      case Some(w) if w <= size =>
+        if (size - w >= IndexLagBytes) foldIntoIndex(tp, w, size)
+      case Some(_) => // log shrank under the index (external rewrite): rebuild
+        deleteIndex(tp); foldIntoIndex(tp, 0L, size)
+      case None =>
+        if (size >= IndexCreateBytes) foldIntoIndex(tp, 0L, size)
+    }
+  }
+
+  /** Some(log lines of `desc`, in order) when the index can answer without a
+    * full log parse; None = no index. Reader-side, lock-free: one bucket
+    * read + the uncovered tail of the authoritative log. */
+  private def indexDescLines(
+      tp: String, desc: String, curSize: Long): Option[Seq[PartitionInfo]] =
+    readWatermark(tp).flatMap { w =>
+      if (w > curSize) None // stale index over a rewritten log: fall back
+      else {
+        val bp = bucketPath(tp, bucketOf(desc))
+        val fromBucket =
+          if (!Files.exists(bp)) Vector.empty[PartitionInfo]
+          else parseLines(Files.readString(bp))
+            .collect { case (_, pi) if pi.partitionDesc == desc => pi }.toVector
+        val fromTail =
+          if (curSize > w)
+            parseLines(readRange(tp, w, curSize))
+              .collect { case (_, pi) if pi.partitionDesc == desc => pi }.toVector
+          else Vector.empty[PartitionInfo]
+        Some(fromBucket ++ fromTail)
+      }
+    }
 
   /** Cached, incrementally-extended view of versions.jsonl. */
   private def logState(tablePath: String): LogState = {
@@ -232,15 +368,41 @@ class FileMetaStore extends MetaStore {
   /** Head per partition = last log line per desc (a rollback/drop appends a
     * new line, so log order — not max version — defines the head). */
   private def headMap(tablePath: String): Map[String, PartitionInfo] =
-    logState(tablePath).lastByDesc.filter(_._2.version >= 0) // -1 = dropped
+    logState(tablePath).liveHeads
 
   override def listPartitionHeads(tablePath: String): Seq[PartitionInfo] =
-    headMap(tablePath).values.toSeq.sortBy(_.partitionDesc)
+    logState(tablePath).headsSorted
+
+  override def partitionHead(tablePath: String, desc: String): Option[PartitionInfo] = {
+    val key = canonical(tablePath)
+    val p = versionsPath(tablePath)
+    val size = if (Files.exists(p)) Files.size(p) else 0L
+    val cached = logCache.get(key)
+    if (cached != null && cached.size == size) cached.liveHeads.get(desc)
+    else indexDescLines(tablePath, desc, size) match {
+      case Some(lines) => lines.lastOption.filter(_.version >= 0)
+      case None => logState(tablePath).liveHeads.get(desc)
+    }
+  }
+
+  /** All log lines of one partition, in log order — from the in-memory state
+    * when current, else from the head index (one bucket + tail) when present,
+    * else by parsing the full log. */
+  private def descLines(tablePath: String, desc: String): Seq[PartitionInfo] = {
+    val key = canonical(tablePath)
+    val p = versionsPath(tablePath)
+    val size = if (Files.exists(p)) Files.size(p) else 0L
+    val cached = logCache.get(key)
+    if (cached != null && cached.size == size)
+      cached.lines.filter(_.partitionDesc == desc)
+    else indexDescLines(tablePath, desc, size).getOrElse(
+      allVersionLines(tablePath).filter(_.partitionDesc == desc))
+  }
 
   override def partitionVersions(tablePath: String, desc: String): Seq[PartitionInfo] = {
     // Versions valid for the current head lineage: cut history at the last
     // tombstone, and collapse rollback re-appends (same version re-published).
-    val lines = allVersionLines(tablePath).filter(_.partitionDesc == desc)
+    val lines = descLines(tablePath, desc)
     val afterDrop = lines.lastIndexWhere(_.version == -1) match {
       case -1 => lines
       case i => lines.drop(i + 1)
@@ -278,7 +440,7 @@ class FileMetaStore extends MetaStore {
     val key = canonical(tablePath)
     logCache.remove(key)
     infoCache.remove(key)
-    commitCache.keySet().removeIf(_.startsWith(key + " "))
+    commitCache.keySet().removeIf(_.startsWith(key + "\u0000"))
   }
 
   override def dropPartition(tablePath: String, desc: String): Unit =
@@ -325,6 +487,11 @@ class FileMetaStore extends MetaStore {
       Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       logCache.remove(canonical(tablePath))
+      // the bucket index mirrors byte offsets of the rewritten log: rebuild
+      // (still big) or drop (small again)
+      deleteIndex(tablePath)
+      val size = Files.size(p)
+      if (size >= IndexCreateBytes) foldIntoIndex(tablePath, 0L, size)
       (all.size - kept.size).toLong
     }
 

@@ -37,6 +37,21 @@ class SnapshotResolver(store: MetaStore) {
       .filter(pi => partitionPred(pi.partitionDesc))
       .flatMap(pi => filesAt(tablePath, pi))
 
+  /** Current files of EXACTLY the named partitions — a point lookup per
+    * desc, never a full head listing (the equal-value prune fast path; at
+    * 100k+ partitions the listing itself is the cost). */
+  def currentFilesForDescs(
+      tablePath: String, descs: Seq[String]): Seq[ResolvedFile] =
+    descs.flatMap(d => store.partitionHead(tablePath, d))
+      .flatMap(pi => filesAt(tablePath, pi))
+
+  /** Time-travel analog of [[currentFilesForDescs]]: per-desc version
+    * resolution (partitionVersions is itself a point lookup). */
+  def filesUptoTimeForDescs(
+      tablePath: String, endTime: Long, descs: Seq[String]): Seq[ResolvedFile] =
+    descs.flatMap(d => versionUptoTime(tablePath, d, endTime))
+      .flatMap(pi => filesAt(tablePath, pi))
+
   /** Time travel: latest version with timestamp <= endTime
     * (DataOperation.getLastedVersionUptoTime, :166-207). */
   def versionUptoTime(

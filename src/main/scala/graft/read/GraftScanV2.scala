@@ -70,6 +70,7 @@ class GraftScanBuilder(
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var partPred: String => Boolean = _ => true
+  private var exactDesc: Option[String] = None
   private var dataFilters: Seq[Filter] = Nil
   private var pkBucket: Option[Int] = None
   private var aggResult: Option[(StructType, Array[InternalRow])] = None
@@ -77,6 +78,14 @@ class GraftScanBuilder(
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rangeEq = Filters.rangeEqualities(filters.toSeq, info.rangeColumns)
     partPred = Filters.partitionPred(rangeEq)
+    // every range column pinned to a literal -> the desc is fully
+    // determined: resolve files by META POINT LOOKUP instead of listing
+    // (and predicate-filtering) every partition head — at 100k+ partitions
+    // the listing is the latency (F4 / reference's indexed PG prune)
+    exactDesc =
+      if (info.rangeColumns.nonEmpty && info.rangeColumns.forall(rangeEq.contains))
+        Some(info.rangeColumns.map(c => s"$c=${rangeEq(c)}").mkString(","))
+      else None
     // full PK equality -> single-bucket point read (M6)
     val eq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
     if (info.hasPrimaryKey && info.hashColumns.forall(eq.contains))
@@ -171,9 +180,16 @@ class GraftScanBuilder(
     // set the same exactness argument covers; incremental reads keep CDC
     // tombstone semantics and never push
     val files = options.getOrElse("readtype", "full") match {
-      case "full" => table.liveFiles(partPred)
-      case "snapshot" =>
-        table.filesUptoTime(options("readendtime").toLong, partPred)
+      case "full" => exactDesc match {
+        case Some(d) => table.liveFilesForDescs(Seq(d))
+        case None => table.liveFiles(partPred)
+      }
+      case "snapshot" => exactDesc match {
+        case Some(d) =>
+          table.filesUptoTimeForDescs(options("readendtime").toLong, Seq(d))
+        case None =>
+          table.filesUptoTime(options("readendtime").toLong, partPred)
+      }
       case _ => return None
     }
     if (files.isEmpty) return None // empty-table agg: let Spark answer
@@ -323,13 +339,21 @@ class GraftScanBuilder(
     // (spark.read.option("readtype", ...).table("graft_cat.ns.t"))
     val (files, keepCdc) = options.getOrElse("readtype", "full") match {
       case "snapshot" =>
-        (table.filesUptoTime(options("readendtime").toLong, partPred), false)
+        (exactDesc match {
+          case Some(d) =>
+            table.filesUptoTimeForDescs(options("readendtime").toLong, Seq(d))
+          case None =>
+            table.filesUptoTime(options("readendtime").toLong, partPred)
+        }, false)
       case "incremental" =>
         (table.incrementalFiles(
           options.getOrElse("readstarttime", "0").toLong,
           options.get("readendtime").map(_.toLong).getOrElse(table.lastCommitTs),
           partPred), true)
-      case _ => (table.liveFiles(partPred), false)
+      case _ => (exactDesc match {
+        case Some(d) => table.liveFilesForDescs(Seq(d))
+        case None => table.liveFiles(partPred)
+      }, false)
     }
     new GraftScan(spark, info, readSchema, files, dataFilters, pkBucket, keepCdc)
   }

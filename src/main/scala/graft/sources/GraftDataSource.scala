@@ -127,7 +127,9 @@ case class GraftRelation(
   /** Live-file byte sum (scaled by the parquet compression factor) so the
     * join planner can auto-broadcast small graft tables instead of assuming
     * `defaultSizeInBytes` (the DSv1 default, effectively infinite). */
-  override def sizeInBytes: Long = {
+  // lazy: resolved once per relation, and at 100k+ partitions the full
+  // listing behind it is the dominant planning cost
+  override lazy val sizeInBytes: Long = {
     val s = table.liveFiles.map(_.file.size).sum
     if (s == 0) 1L
     else (s * spark.sessionState.conf.fileCompressionFactor).toLong
@@ -155,9 +157,22 @@ case class GraftRelation(
       }
       case None => _ => true
     }
+    // a fully-pinned partition (explicit desc option, or equality filters
+    // covering every range column) resolves by META POINT LOOKUP — never a
+    // full head listing (F4 fast path at 100k+ partitions)
+    val exactDescs: Option[Seq[String]] = parameters.get("partitiondesc") match {
+      case Some(desc) => Some(Seq(desc))
+      case None if ti.rangeColumns.nonEmpty &&
+          ti.rangeColumns.forall(rangeEq.contains) =>
+        Some(Seq(ti.rangeColumns.map(c => s"$c=${rangeEq(c)}").mkString(",")))
+      case None => None
+    }
     parameters.getOrElse("readtype", "full") match {
-      case "snapshot" =>
-        t.snapshotAt(parameters("readendtime").toLong, partPred)
+      case "snapshot" => exactDescs match {
+        case Some(ds) =>
+          t.snapshotAtForDescs(parameters("readendtime").toLong, ds)
+        case None => t.snapshotAt(parameters("readendtime").toLong, partPred)
+      }
       case "incremental" =>
         t.incremental(parameters.getOrElse("readstarttime", "0").toLong,
           parameters.get("readendtime").map(_.toLong)
@@ -174,7 +189,10 @@ case class GraftRelation(
           val req = if (requiredColumns.nonEmpty
               && requiredColumns.length < t.schema.length)
             Some(requiredColumns.toSeq) else None
-          t.toDFWithFilters(partPred, req, filters.toSeq)
+          exactDescs match {
+            case Some(ds) => t.toDFWithFiltersForDescs(ds, req, filters.toSeq)
+            case None => t.toDFWithFilters(partPred, req, filters.toSeq)
+          }
         }
     }
   }

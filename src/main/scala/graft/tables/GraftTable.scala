@@ -73,9 +73,26 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       resolver.currentFiles(tablePath, partitionPred))
   }
 
+  /** [[toDFWithFilters]] with the partitions resolved by POINT LOOKUP (the
+    * equal-value prune fast path — no full head listing; F4 at 100k+
+    * partitions). */
+  def toDFWithFiltersForDescs(
+      descs: Seq[String],
+      requiredColumns: Option[Seq[String]],
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val t = info
+    val files = graft.read.StatsSkipping.prune(t, schema,
+      resolver.currentFilesForDescs(tablePath, descs), dataFilters)
+    GraftRead.read(spark, t, files, requiredColumns = requiredColumns)
+  }
+
   /** Time travel (C1 forPathSnapshot): state as of `endTime` (ms). */
   def snapshotAt(endTime: Long, partitionPred: String => Boolean = _ => true): DataFrame =
     GraftRead.read(spark, info, resolver.filesUptoTime(tablePath, endTime, partitionPred))
+
+  def snapshotAtForDescs(endTime: Long, descs: Seq[String]): DataFrame =
+    GraftRead.read(spark, info,
+      resolver.filesUptoTimeForDescs(tablePath, endTime, descs))
 
   /** Incremental read over (startTime, endTime] (C1 forPathIncremental):
     * the merged delta; CDC marker rows are KEPT (F6 exemption). */
@@ -134,10 +151,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def liveFiles(partitionPred: String => Boolean): Seq[ResolvedFile] =
     resolver.currentFiles(tablePath, partitionPred)
 
+  /** Point-lookup file resolution for exactly the named partitions — the
+    * equal-value prune fast path (no full head listing). */
+  def liveFilesForDescs(descs: Seq[String]): Seq[ResolvedFile] =
+    resolver.currentFilesForDescs(tablePath, descs)
+
   /** File set as of `endTime` (time travel — DSv2 scan options). */
   def filesUptoTime(endTime: Long,
       partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
     resolver.filesUptoTime(tablePath, endTime, partitionPred)
+
+  def filesUptoTimeForDescs(endTime: Long, descs: Seq[String]): Seq[ResolvedFile] =
+    resolver.filesUptoTimeForDescs(tablePath, endTime, descs)
 
   /** Incremental file set over (startTime, endTime] (DSv2 scan options). */
   def incrementalFiles(startTime: Long, endTime: Long,
