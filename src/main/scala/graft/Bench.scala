@@ -136,7 +136,12 @@ object Bench {
       "q2_min_cost_supp", "q4_priority_orders", "q6_forecast_revenue",
       "q7_volume_shipping", "q9_product_profit", "q10_returned_items",
       "q12_late_lines", "q14_promo_revenue", "q18_large_volume_cust",
-      "q19_discounted_revenue")
+      "q19_discounted_revenue",
+      // full-22 completion (r5)
+      "q8_market_share", "q11_important_parts", "q13_cust_order_dist",
+      "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
+      "q20_potential_promotion", "q21_waiting_suppliers",
+      "q22_global_sales_opportunity")
 
     // steady state = median of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench notes)

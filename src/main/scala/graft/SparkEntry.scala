@@ -304,6 +304,182 @@ object SparkEntry {
           (lit(1).cast("decimal(18,2)") - dec("l_discount")))
           .cast("double").as("revenue"))
     }),
+    "q8_market_share" -> q((s, d) => {
+      // q8 (faithful): NATION_1's share of the EUROPE market for PROMO
+      // parts, by order year. Both volume sums are exact decimal folds cast
+      // to double, so the double division replays bit-for-bit.
+      val n1 = rd(s, d, "nation").select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cn_rkey"))
+      val n2 = rd(s, d, "nation").select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      rd(s, d, "lineitem")
+        .join(rd(s, d, "part").filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(rd(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(rd(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(rd(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("cn_key"))
+        .join(rd(s, d, "region").filter(col("r_name") === "EUROPE"),
+          col("cn_rkey") === col("r_regionkey"))
+        .join(n2, col("s_nationkey") === col("sn_key"))
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1",
+            dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("nation_volume"),
+          sum(dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("total_volume"))
+        .select(col("o_year"),
+          (col("nation_volume") / col("total_volume")).as("mkt_share"),
+          col("nation_volume"), col("total_volume"))
+        .orderBy("o_year")
+    }),
+    "q11_important_parts" -> q((s, d) => {
+      // q11 analogue: partsupp is absent — a part's "stock value" is the
+      // discounted revenue supplied by NATION_1 suppliers. The original's
+      // shape is kept: per-part grouped value compared against a BROADCAST
+      // global-total scalar (one extra 1-row stage), never a per-row rescan.
+      val li = rd(s, d, "lineitem")
+        .join(rd(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(rd(s, d, "nation").filter(col("n_name") === "NATION_1"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), (dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("val"))
+      val perPart = li.groupBy(col("l_partkey")).agg(sum(col("val")).as("value_dec"))
+      val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_dec") > col("total_dec") * lit(0.001))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+    "q13_cust_order_dist" -> q((s, d) => {
+      // q13 analogue: the comment-exclusion predicate becomes an
+      // o_orderpriority exclusion (no o_comment column). Shape preserved:
+      // the predicate lives IN the left join, then two-level aggregation.
+      val o = rd(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      rd(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q15_top_supplier" -> q((s, d) => {
+      // q15 (faithful): the revenue view's max is a broadcast 1-row
+      // aggregate; the equality compares EXACT decimal sums (cast to double
+      // only for output), so ties replay identically in the oracle.
+      val rev = rd(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev_dec"))
+      val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
+      rd(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("rev_dec") === col("max_dec"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    "q16_supplier_cnt" -> q((s, d) =>
+      // q16 analogue: no partsupp — lineitem (l_partkey, l_suppkey) is the
+      // part-supplier relation, and the supplier-complaint NOT IN is
+      // dropped (no s_comment). Shape: distinct-count per part descriptor.
+      rd(s, d, "lineitem")
+        .join(rd(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 15, 23, 36, 45, 49))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))),
+    "q17_small_qty_revenue" -> q((s, d) => {
+      // q17 analogue (no p_container): revenue from small-quantity lines of
+      // Brand#23 parts, "small" = below 20% of the part's average quantity.
+      // The correlated scalar avg is DECORRELATED into one grouped
+      // aggregate + join, and the compare is algebraic (5*qty*cnt < sum):
+      // both engines compare exact decimals, never engine-rounded averages.
+      val pq = rd(s, d, "lineitem").groupBy(col("l_partkey").as("agg_partkey"))
+        .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      rd(s, d, "lineitem")
+        .join(rd(s, d, "part").filter(col("p_brand") === "Brand#23"),
+          col("l_partkey") === col("p_partkey"))
+        .join(pq, col("l_partkey") === col("agg_partkey"))
+        .filter(dec("l_quantity") * lit(5) * col("cnt_qty") < col("sum_qty"))
+        .agg((sum(dec("l_extendedprice")).cast("double") / 7.0).as("avg_yearly"))
+    }),
+    "q20_potential_promotion" -> q((s, d) => {
+      // q20 analogue (no partsupp/availqty): suppliers in NATION_1 who
+      // shipped >100 units of red parts during 1996 — the original's
+      // semi-join chain with the supply facts aggregated BEFORE the semi
+      // join, never recomputed per supplier row.
+      val heavy = rd(s, d, "lineitem")
+        .join(rd(s, d, "part").filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec("l_quantity")).as("shipped"))
+        .filter(col("shipped") > lit(100))
+      rd(s, d, "supplier")
+        .join(rd(s, d, "nation").filter(col("n_name") === "NATION_1"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+    "q21_waiting_suppliers" -> q((s, d) => {
+      // q21 analogue ("late" = shipped >60 days after order date — no
+      // commit/receipt dates): suppliers who were the ONLY late supplier on
+      // a multi-supplier finished order. The original's EXISTS/NOT EXISTS
+      // pair is decorrelated into per-(order, supplier) facts + per-order
+      // counts — two grouped aggregates, zero correlated re-scans.
+      val ls = rd(s, d, "lineitem")
+        .join(rd(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0)).as("late"))
+      val os = ls.groupBy(col("l_orderkey").as("os_okey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      ls.join(os, col("l_orderkey") === col("os_okey"))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .join(rd(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(rd(s, d, "nation").filter(col("n_name") === "NATION_1"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+    "q22_global_sales_opportunity" -> q((s, d) => {
+      // q22 analogue (no c_phone): "country code" = customer nation name;
+      // rich idle customers = above the positive-balance average with no
+      // orders since 1999. The avg compare is algebraic (bal*cnt > total:
+      // exact decimals both sides) and NOT EXISTS is an anti join.
+      val pos = rd(s, d, "customer").filter(col("c_acctbal") > 0)
+        .agg(sum(dec("c_acctbal")).as("total_bal"), count(lit(1)).as("n_pos"))
+      rd(s, d, "customer")
+        .join(rd(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(rd(s, d, "nation").filter(col("n_name").isin(
+          "NATION_1", "NATION_3", "NATION_5", "NATION_7", "NATION_9")),
+          col("c_nationkey") === col("n_nationkey"))
+        .crossJoin(broadcast(pos))
+        .filter(dec("c_acctbal") * col("n_pos") > col("total_bal"))
+        .groupBy(col("n_name").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec("c_acctbal")).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
 
     // ------------------------------------------------ table-format operators (graft)
     "mor_upsert" -> q((s, d) => {
@@ -1376,6 +1552,103 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT o_year, nation_volume / total_volume AS mkt_share,
+        |  nation_volume, total_volume FROM v""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |  GROUP BY 1),
+        |t AS (SELECT sum(value_dec) AS total_dec FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM v, t WHERE value_dec > total_dec * 0.001""".stripMargin,
+    "q13_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 15, 23, 36, 45, 49)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pq AS (
+        |  SELECT l_partkey AS agg_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+        |JOIN pq ON l_partkey = agg_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty""".stripMargin,
+    "q20_potential_promotion" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |os AS (SELECT l_orderkey AS os_okey, count(*) AS n_supp, sum(late) AS n_late FROM ls GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM ls JOIN os ON l_orderkey = os_okey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q22_global_sales_opportunity" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal, count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7', 'NATION_9'), pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_bal
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
     "mor_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
