@@ -1948,9 +1948,11 @@ object SparkEntry {
         |  coalesce(g2.f, 0.0) AS dup_2gram_frac,
         |  coalesce(g3.f, 0.0) AS dup_3gram_frac
         |FROM toks LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)""".stripMargin,
+    // ::DOUBLE[] so DuckDB accumulates in double like the engine's kernel —
+    // float32 list_cosine_similarity drifts ~1e-8 below round(...,6)
     "ann_bruteforce" ->
-      """SELECT vec_id, round(list_cosine_similarity(embedding,
-        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+      """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cosine
         |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
@@ -2183,8 +2185,8 @@ object SparkEntry {
     // engine asserted >= 0.9 in-query
     "ann_recall" ->
       s"""WITH bf AS (SELECT vec_id FROM (
-         |    SELECT vec_id, round(list_cosine_similarity(embedding,
-         |      (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+         |    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cosine
          |    FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 20)),
          |  ivf AS (SELECT vec_id FROM ($annIvfOracle)),
          |  bq AS (SELECT vec_id FROM ($annIvfBqOracle))

@@ -70,22 +70,20 @@ class GraftScanBuilder(
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var partPred: String => Boolean = _ => true
-  private var exactDesc: Option[String] = None
+  private var exactDescs: Option[Seq[String]] = None
   private var dataFilters: Seq[Filter] = Nil
   private var pkBucket: Option[Int] = None
   private var aggResult: Option[(StructType, Array[InternalRow])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val rangeEq = Filters.rangeEqualities(filters.toSeq, info.rangeColumns)
-    partPred = Filters.partitionPred(rangeEq)
-    // every range column pinned to a literal -> the desc is fully
-    // determined: resolve files by META POINT LOOKUP instead of listing
-    // (and predicate-filtering) every partition head — at 100k+ partitions
-    // the listing is the latency (F4 / reference's indexed PG prune)
-    exactDesc =
-      if (info.rangeColumns.nonEmpty && info.rangeColumns.forall(rangeEq.contains))
-        Some(info.rangeColumns.map(c => s"$c=${rangeEq(c)}").mkString(","))
-      else None
+    val rangeSets = Filters.rangeValueSets(filters.toSeq, info.rangeColumns)
+    partPred = Filters.partitionPredSets(rangeSets)
+    // every range column pinned to a bounded value set (equality or IN) ->
+    // the matching descs are fully determined: resolve files by META POINT
+    // LOOKUP instead of listing (and predicate-filtering) every partition
+    // head — at 100k+ partitions the listing is the latency (F4 /
+    // reference's indexed PG prune)
+    exactDescs = Filters.exactDescs(rangeSets, info.rangeColumns)
     // full PK equality -> single-bucket point read (M6)
     val eq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
     if (info.hasPrimaryKey && info.hashColumns.forall(eq.contains))
@@ -180,13 +178,13 @@ class GraftScanBuilder(
     // set the same exactness argument covers; incremental reads keep CDC
     // tombstone semantics and never push
     val files = options.getOrElse("readtype", "full") match {
-      case "full" => exactDesc match {
-        case Some(d) => table.liveFilesForDescs(Seq(d))
+      case "full" => exactDescs match {
+        case Some(ds) => table.liveFilesForDescs(ds)
         case None => table.liveFiles(partPred)
       }
-      case "snapshot" => exactDesc match {
-        case Some(d) =>
-          table.filesUptoTimeForDescs(options("readendtime").toLong, Seq(d))
+      case "snapshot" => exactDescs match {
+        case Some(ds) =>
+          table.filesUptoTimeForDescs(options("readendtime").toLong, ds)
         case None =>
           table.filesUptoTime(options("readendtime").toLong, partPred)
       }
@@ -339,9 +337,9 @@ class GraftScanBuilder(
     // (spark.read.option("readtype", ...).table("graft_cat.ns.t"))
     val (files, keepCdc) = options.getOrElse("readtype", "full") match {
       case "snapshot" =>
-        (exactDesc match {
-          case Some(d) =>
-            table.filesUptoTimeForDescs(options("readendtime").toLong, Seq(d))
+        (exactDescs match {
+          case Some(ds) =>
+            table.filesUptoTimeForDescs(options("readendtime").toLong, ds)
           case None =>
             table.filesUptoTime(options("readendtime").toLong, partPred)
         }, false)
@@ -350,8 +348,8 @@ class GraftScanBuilder(
           options.getOrElse("readstarttime", "0").toLong,
           options.get("readendtime").map(_.toLong).getOrElse(table.lastCommitTs),
           partPred), true)
-      case _ => (exactDesc match {
-        case Some(d) => table.liveFilesForDescs(Seq(d))
+      case _ => (exactDescs match {
+        case Some(ds) => table.liveFilesForDescs(ds)
         case None => table.liveFiles(partPred)
       }, false)
     }

@@ -140,32 +140,18 @@ case class GraftRelation(
     val t = table
     val ti = t.info
     // three-tier partition pruning (F4): explicit partitiondesc option, or
-    // range-column equality filters pushed down by Catalyst
-    val rangeEq: Map[String, String] = filters.collect {
-      case EqualTo(a, v) if ti.rangeColumns.contains(a) =>
-        val s = String.valueOf(v)
-        a -> (if (v == null) graft.write.TransactionalWrite.NullSentinel
-          else if (s.isEmpty) graft.write.TransactionalWrite.EmptySentinel else s)
-    }.toMap
+    // range-column equality/IN filters pushed down by Catalyst
+    val rangeSets = graft.util.Filters.rangeValueSets(filters.toSeq, ti.rangeColumns)
     val partPred: String => Boolean = parameters.get("partitiondesc") match {
       case Some(desc) => _ == desc
-      case None if rangeEq.nonEmpty => desc => {
-        val kv = desc.split(",").map { s =>
-          val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
-        }.toMap
-        rangeEq.forall { case (c, v) => kv.get(c).contains(v) }
-      }
-      case None => _ => true
+      case None => graft.util.Filters.partitionPredSets(rangeSets)
     }
-    // a fully-pinned partition (explicit desc option, or equality filters
-    // covering every range column) resolves by META POINT LOOKUP — never a
+    // fully-pinned partitions (explicit desc option, or equality/IN filters
+    // covering every range column) resolve by META POINT LOOKUP — never a
     // full head listing (F4 fast path at 100k+ partitions)
     val exactDescs: Option[Seq[String]] = parameters.get("partitiondesc") match {
       case Some(desc) => Some(Seq(desc))
-      case None if ti.rangeColumns.nonEmpty &&
-          ti.rangeColumns.forall(rangeEq.contains) =>
-        Some(Seq(ti.rangeColumns.map(c => s"$c=${rangeEq(c)}").mkString(",")))
-      case None => None
+      case None => graft.util.Filters.exactDescs(rangeSets, ti.rangeColumns)
     }
     parameters.getOrElse("readtype", "full") match {
       case "snapshot" => exactDescs match {

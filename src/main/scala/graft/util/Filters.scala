@@ -29,24 +29,63 @@ object Filters {
     case _ => None
   }
 
+  private def descValue(v: Any): String = {
+    val s = String.valueOf(v)
+    if (v == null) graft.write.TransactionalWrite.NullSentinel
+    else if (s.isEmpty) graft.write.TransactionalWrite.EmptySentinel else s
+  }
+
   /** Range-column equality values for partition pruning, with the write
     * side's null/empty sentinels applied. */
   def rangeEqualities(filters: Seq[Filter], rangeColumns: Seq[String])
     : Map[String, String] =
     filters.collect {
-      case EqualTo(a, v) if rangeColumns.contains(a) =>
-        val s = String.valueOf(v)
-        a -> (if (v == null) graft.write.TransactionalWrite.NullSentinel
-          else if (s.isEmpty) graft.write.TransactionalWrite.EmptySentinel else s)
+      case EqualTo(a, v) if rangeColumns.contains(a) => a -> descValue(v)
     }.toMap
+
+  /** Range-column admissible VALUE SETS from equality and IN conjuncts
+    * (multiple conjuncts on one column intersect; an empty set = provably
+    * no partition matches). Strictly more filters prune than
+    * [[rangeEqualities]] — `p IN ('a','b')` prunes too. */
+  def rangeValueSets(filters: Seq[Filter], rangeColumns: Seq[String])
+    : Map[String, Set[String]] = {
+    val per = filters.collect {
+      case EqualTo(a, v) if rangeColumns.contains(a) => a -> Set(descValue(v))
+      case In(a, vs) if rangeColumns.contains(a) => a -> vs.map(descValue).toSet
+    }
+    per.groupBy(_._1).map { case (c, sets) => c -> sets.map(_._2).reduce(_ intersect _) }
+  }
 
   /** Partition-desc predicate from range equalities. */
   def partitionPred(rangeEq: Map[String, String]): String => Boolean =
-    if (rangeEq.isEmpty) _ => true
+    partitionPredSets(rangeEq.map { case (c, v) => c -> Set(v) })
+
+  /** Partition-desc predicate from admissible value sets. */
+  def partitionPredSets(sets: Map[String, Set[String]]): String => Boolean =
+    if (sets.isEmpty) _ => true
     else desc => {
       val kv = desc.split(",").map { s =>
         val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
       }.toMap
-      rangeEq.forall { case (c, v) => kv.get(c).contains(v) }
+      sets.forall { case (c, vs) => kv.get(c).exists(vs.contains) }
     }
+
+  /** When every range column is pinned to a bounded value set, the matching
+    * partition descs are fully determined: their cartesian product (in the
+    * table's range-column order, the desc encoding). None when unpinned or
+    * the product exceeds `maxDescs` (then predicate pruning applies). */
+  def exactDescs(
+      sets: Map[String, Set[String]],
+      rangeColumns: Seq[String],
+      maxDescs: Int = 64): Option[Seq[String]] = {
+    if (rangeColumns.isEmpty || !rangeColumns.forall(sets.contains)) return None
+    val sizes = rangeColumns.map(c => sets(c).size.toLong)
+    if (sizes.product > maxDescs) return None
+    rangeColumns.foldLeft(Option(Seq(""))) { (acc, c) =>
+      acc.map(prefixes => for {
+        p <- prefixes
+        v <- sets(c).toSeq.sorted
+      } yield if (p.isEmpty) s"$c=$v" else s"$p,$c=$v")
+    }
+  }
 }

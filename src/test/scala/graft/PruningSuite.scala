@@ -28,9 +28,36 @@ class PruningSuite extends SparkFixture {
       val rel = spark.read.format("graft").load(path)
       // range pruning via filter pushdown
       assert(rel.filter($"r" === "p2").count() == 10)
+      // IN on the range column prunes too (value-set pruning), and an
+      // intersecting equality narrows it further
+      assert(rel.filter($"r".isin("p1", "p3")).count() == 20)
+      assert(rel.filter($"r".isin("p1", "p3") && $"r" === "p3").count() == 10)
+      assert(rel.filter($"r".isin("p1", "p3") && $"r" === "p2").count() == 0)
       // pk point lookup (bucket-pruned) still returns the right row
       val row = rel.filter($"id" === 17L).collect()
       assert(row.length == 1 && row.head.getAs[Int]("v") == 17)
+    }
+  }
+
+  test("DSv2 catalog: IN filter on the range column resolves exact descs") {
+    withTempPath { wh =>
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_cat.pr")
+      try {
+        spark.sql(
+          "CREATE TABLE graft_cat.pr.t (r STRING, id BIGINT, v INT) " +
+            "PARTITIONED BY (r)")
+        (0 until 4).foreach(p => spark.sql(
+          s"INSERT INTO graft_cat.pr.t SELECT 'p$p', id, CAST(id AS INT) " +
+            s"FROM range(10)"))
+        assert(spark.sql(
+          "SELECT count(*) FROM graft_cat.pr.t WHERE r IN ('p1','p3')")
+          .head.getLong(0) == 20)
+        assert(spark.sql(
+          "SELECT count(*) FROM graft_cat.pr.t WHERE r IN ('p1','p3') AND r = 'p2'")
+          .head.getLong(0) == 0)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_cat.pr.t")
     }
   }
 
