@@ -1011,10 +1011,38 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       case Some(rs) => rs.nonEmpty && rs.subsetOf(rangeSet)
       case None => false
     })
-    val allDescs = partitions.map(_.partitionDesc)
+    // tier-1 fast path: every range column STRING-typed and pinned by a
+    // string-literal equality -> the candidate desc is fully determined
+    // (identity rendering) and resolves by META POINT LOOKUP — no head
+    // listing, no local prune job (the DML planning cost at 100k+
+    // partitions). Restricted to string columns because typed literals
+    // (timestamps, doubles) have no guaranteed string rendering match; an
+    // over-broad candidate here is safe — the rewrite re-applies the full
+    // predicate row-level — but a mis-rendered desc would silently target
+    // nothing, so anything non-string falls back to typed evaluation.
+    val rangeEqLit: Map[String, Any] =
+      org.apache.spark.sql.graft.PredicateShim.equalities(cond)
+        .filter { case (k, _) => rangeSet.contains(k) }
+    val sch = schema
+    val pinnedStrings = t.rangeColumns.nonEmpty &&
+      t.rangeColumns.forall(c => rangeEqLit.get(c).exists(v =>
+        sch(c).dataType == org.apache.spark.sql.types.StringType &&
+          (v.isInstanceOf[String] ||
+            v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String])))
     var candidates: Set[String] =
-      if (partConj.isEmpty || t.rangeColumns.isEmpty) allDescs.toSet
-      else partitionsMatching(partConj.reduce(_ && _), allDescs)
+      if (pinnedStrings) {
+        val desc = t.rangeColumns.map { c =>
+          val s = String.valueOf(rangeEqLit(c))
+          val enc = if (s.isEmpty) TransactionalWrite.EmptySentinel else s
+          s"$c=$enc"
+        }.mkString(",")
+        if (store.partitionHead(tablePath, desc).isDefined) Set(desc)
+        else Set.empty
+      } else {
+        val allDescs = partitions.map(_.partitionDesc)
+        if (partConj.isEmpty || t.rangeColumns.isEmpty) allDescs.toSet
+        else partitionsMatching(partConj.reduce(_ && _), allDescs)
+      }
 
     // tier 2: single-bucket narrowing on a full PK-equality predicate
     val pkEq: Map[String, Any] =

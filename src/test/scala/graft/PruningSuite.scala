@@ -39,6 +39,24 @@ class PruningSuite extends SparkFixture {
     }
   }
 
+  test("DML pinned-partition fast path: update/delete target one partition") {
+    withTempPath { path =>
+      val df = (1 to 40).map(i => (s"p${i % 4}", i.toLong, i)).toDF("r", "id", "v")
+      val t = GraftTable.create(spark, df, path,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 2)
+      // string range column pinned by equality -> point-lookup fast path
+      t.update(col("r") === "p1" && col("v") < 20, Map("v" -> lit(-1)))
+      val after = t.toDF.select("r", "id", "v").as[(String, Long, Int)].collect()
+      assert(after.count(x => x._3 == -1) == 5) // p1 rows with v < 20: 1,5,9,13,17
+      assert(after.filter(_._1 != "p1").forall(_._3 > 0), "other partitions untouched")
+      t.delete(col("r") === "p3" && col("v") > 30)
+      assert(t.toDF.filter(col("r") === "p3").count() == 7) // 10 - {31,35,39}
+      // pinned desc that does not exist -> no-op, no error
+      t.delete(col("r") === "nope" && col("v") > 0)
+      assert(t.toDF.count() == 37)
+    }
+  }
+
   test("DSv2 catalog: IN filter on the range column resolves exact descs") {
     withTempPath { wh =>
       spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
