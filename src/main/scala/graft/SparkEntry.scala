@@ -348,7 +348,11 @@ object SparkEntry {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("l_partkey"), (dec("l_extendedprice") *
           (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("val"))
+      // perPart feeds both the filter and the global total; persist the
+      // (small, |parts|-row) aggregate so the lineitem join+groupBy runs
+      // ONCE — plan-audited: exchange reuse does not unify the two branches
       val perPart = li.groupBy(col("l_partkey")).agg(sum(col("val")).as("value_dec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
       perPart.crossJoin(broadcast(total))
         .filter(col("value_dec") > col("total_dec") * lit(0.001))
@@ -373,12 +377,15 @@ object SparkEntry {
       // q15 (faithful): the revenue view's max is a broadcast 1-row
       // aggregate; the equality compares EXACT decimal sums (cast to double
       // only for output), so ties replay identically in the oracle.
+      // rev feeds both the join and the max scalar; persist the small
+      // per-supplier aggregate so the lineitem pass runs once
       val rev = rd(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(sum(dec("l_extendedprice") *
           (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev_dec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
       rd(s, d, "supplier")
         .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -440,16 +447,19 @@ object SparkEntry {
       // commit/receipt dates): suppliers who were the ONLY late supplier on
       // a multi-supplier finished order. The original's EXISTS/NOT EXISTS
       // pair is decorrelated into per-(order, supplier) facts + per-order
-      // counts — two grouped aggregates, zero correlated re-scans.
+      // WINDOW counts over the same aggregated pass — one lineitem scan,
+      // no self-join (a grouped-facts + join form computed the big
+      // join⋈aggregate subtree twice; plan-audited).
+      import org.apache.spark.sql.expressions.Window
       val ls = rd(s, d, "lineitem")
         .join(rd(s, d, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0)).as("late"))
-      val os = ls.groupBy(col("l_orderkey").as("os_okey"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
-      ls.join(os, col("l_orderkey") === col("os_okey"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      ls.withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("late")).over(w))
         .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
         .join(rd(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(rd(s, d, "nation").filter(col("n_name") === "NATION_1"),
