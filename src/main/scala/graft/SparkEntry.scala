@@ -410,15 +410,20 @@ object SparkEntry {
     "q17_small_qty_revenue" -> q((s, d) => {
       // q17 analogue (no p_container): revenue from small-quantity lines of
       // Brand#23 parts, "small" = below 20% of the part's average quantity.
-      // The correlated scalar avg is DECORRELATED into one grouped
-      // aggregate + join, and the compare is algebraic (5*qty*cnt < sum):
-      // both engines compare exact decimals, never engine-rounded averages.
-      val pq = rd(s, d, "lineitem").groupBy(col("l_partkey").as("agg_partkey"))
-        .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      // The correlated scalar avg is per-part WINDOW sums over the
+      // Brand#23-joined subset — the per-part stats only matter for
+      // Brand#23 parts, and every line of such a part survives the join, so
+      // ONE lineitem scan computes facts and averages together (a separate
+      // all-parts aggregate scanned lineitem twice; plan-audited). The
+      // compare is algebraic (5*qty*cnt < sum): both engines compare exact
+      // decimals, never engine-rounded averages.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_partkey"))
       rd(s, d, "lineitem")
         .join(rd(s, d, "part").filter(col("p_brand") === "Brand#23"),
           col("l_partkey") === col("p_partkey"))
-        .join(pq, col("l_partkey") === col("agg_partkey"))
+        .withColumn("sum_qty", sum(dec("l_quantity")).over(w))
+        .withColumn("cnt_qty", count(lit(1)).over(w))
         .filter(dec("l_quantity") * lit(5) * col("cnt_qty") < col("sum_qty"))
         .agg((sum(dec("l_extendedprice")).cast("double") / 7.0).as("avg_yearly"))
     }),
