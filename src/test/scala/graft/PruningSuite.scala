@@ -39,6 +39,24 @@ class PruningSuite extends SparkFixture {
     }
   }
 
+  test("snapshot read with pinned partition resolves by point lookup") {
+    withTempPath { path =>
+      val df = (1 to 20).map(i => (s"p${i % 2}", i.toLong, i)).toDF("r", "id", "v")
+      val t = GraftTable.create(spark, df, path,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 2)
+      val ts1 = t.lastCommitTs
+      t.upsert((1 to 20).map(i => (s"p${i % 2}", i.toLong, i + 100)).toDF("r", "id", "v"))
+      // time travel + range-equality filter -> filesUptoTimeForDescs path
+      val snap = spark.read.format("graft")
+        .option("readtype", "snapshot").option("readendtime", ts1.toString)
+        .load(path).filter($"r" === "p1")
+      assert(snap.count() == 10)
+      assert(snap.agg(max("v")).head.getInt(0) <= 20, "snapshot must pre-date upsert")
+      assert(spark.read.format("graft").load(path).filter($"r" === "p1")
+        .agg(max("v")).head.getInt(0) > 100, "current read sees the upsert")
+    }
+  }
+
   test("DML pinned-partition fast path: update/delete target one partition") {
     withTempPath { path =>
       val df = (1 to 40).map(i => (s"p${i % 4}", i.toLong, i)).toDF("r", "id", "v")
