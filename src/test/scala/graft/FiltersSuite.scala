@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.sources.{EqualTo, In}
+
+import graft.util.Filters
+import graft.write.TransactionalWrite
+
+/** Value-set partition pruning: intersection of equality/IN conjuncts,
+  * cartesian exact-desc enumeration, cap, and sentinel encoding. */
+class FiltersSuite extends AnyFunSuite {
+
+  test("rangeValueSets intersects conjuncts per column") {
+    val sets = Filters.rangeValueSets(
+      Seq(In("p", Array("a", "b", "c")), EqualTo("p", "b"), EqualTo("q", "x"),
+        EqualTo("other", "z")),
+      Seq("p", "q"))
+    assert(sets == Map("p" -> Set("b"), "q" -> Set("x")))
+    // contradictory conjuncts -> provably empty
+    val empty = Filters.rangeValueSets(
+      Seq(EqualTo("p", "a"), EqualTo("p", "b")), Seq("p"))
+    assert(empty == Map("p" -> Set.empty))
+  }
+
+  test("exactDescs enumerates the cartesian product in range-column order") {
+    val sets = Map("p" -> Set("a", "b"), "q" -> Set("1", "2"))
+    assert(Filters.exactDescs(sets, Seq("p", "q")) ==
+      Some(Seq("p=a,q=1", "p=a,q=2", "p=b,q=1", "p=b,q=2")))
+    // column order follows the TABLE's range columns, not the map
+    assert(Filters.exactDescs(sets, Seq("q", "p")) ==
+      Some(Seq("q=1,p=a", "q=1,p=b", "q=2,p=a", "q=2,p=b")))
+    // any unpinned range column -> None (predicate pruning applies instead)
+    assert(Filters.exactDescs(Map("p" -> Set("a")), Seq("p", "q")).isEmpty)
+    assert(Filters.exactDescs(Map.empty[String, Set[String]], Seq("p")).isEmpty)
+    // empty set -> Some(Nil): provably no partitions
+    assert(Filters.exactDescs(Map("p" -> Set.empty[String]), Seq("p")) ==
+      Some(Nil))
+    // product above the cap -> None
+    val big = Map("p" -> (1 to 65).map(_.toString).toSet)
+    assert(Filters.exactDescs(big, Seq("p")).isEmpty)
+  }
+
+  test("sentinel encoding matches the write side") {
+    val sets = Filters.rangeValueSets(
+      Seq(EqualTo("p", null), EqualTo("q", "")), Seq("p", "q"))
+    assert(sets("p") == Set(TransactionalWrite.NullSentinel))
+    assert(sets("q") == Set(TransactionalWrite.EmptySentinel))
+  }
+
+  test("partitionPredSets honors sets and rejects non-members") {
+    val pred = Filters.partitionPredSets(Map("p" -> Set("a", "b")))
+    assert(pred("p=a,q=9") && pred("p=b"))
+    assert(!pred("p=c") && !pred("q=a"))
+    assert(Filters.partitionPredSets(Map.empty)("anything"))
+  }
+}
