@@ -353,8 +353,16 @@ class FileMetaStore extends MetaStore {
           fullReads.incrementAndGet()
           val all =
             if (size == 0L) Vector.empty[PartitionInfo]
-            else Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty)
-              .map(jread[PartitionInfo](_)).toVector
+            else {
+              // first touch of a big log is parse-bound (~8 s single-threaded
+              // at 1M partitions): parse lines in parallel, order preserved
+              // by index (Jackson read paths are thread-safe)
+              val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toArray
+              val out = new Array[PartitionInfo](lines.length)
+              java.util.stream.IntStream.range(0, lines.length).parallel()
+                .forEach(i => out(i) = jread[PartitionInfo](lines(i)))
+              out.toVector
+            }
           LogState(size, all, all.map(pi => pi.partitionDesc -> pi).toMap)
         }
       logCache.put(key, next)
