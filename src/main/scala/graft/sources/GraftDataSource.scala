@@ -127,10 +127,22 @@ case class GraftRelation(
   /** Live-file byte sum (scaled by the parquet compression factor) so the
     * join planner can auto-broadcast small graft tables instead of assuming
     * `defaultSizeInBytes` (the DSv1 default, effectively infinite). */
-  // lazy: resolved once per relation, and at 100k+ partitions the full
-  // listing behind it is the dominant planning cost
+  // lazy: resolved once per relation. sizeInBytes is an ESTIMATE (Spark
+  // uses it for broadcast decisions), so on partition-heavy tables it is
+  // computed from a deterministic sample of partitions instead of resolving
+  // every partition's commit files (1M partitions cold = 1M small meta
+  // reads for a number that only needs to be order-of-magnitude right).
   override lazy val sizeInBytes: Long = {
-    val s = table.liveFiles.map(_.file.size).sum
+    val t = table
+    val heads = t.partitions
+    val s =
+      if (heads.size <= 2048) t.liveFiles.map(_.file.size).sum
+      else {
+        val step = math.max(1, heads.size / 1024)
+        val sample = heads.indices.by(step).map(i => heads(i).partitionDesc)
+        val sampled = t.liveFilesForDescs(sample).map(_.file.size).sum
+        (sampled.toDouble * heads.size / sample.size).toLong
+      }
     if (s == 0) 1L
     else (s * spark.sessionState.conf.fileCompressionFactor).toLong
   }
