@@ -351,23 +351,23 @@ class FileMetaStore extends MetaStore {
             cached.lastByDesc ++ fresh.map(pi => pi.partitionDesc -> pi))
         } else {
           fullReads.incrementAndGet()
-          val all =
-            if (size == 0L) Vector.empty[PartitionInfo]
-            else {
-              // first touch of a big log is parse-bound (~8 s single-threaded
-              // at 1M partitions): parse lines in parallel, order preserved
-              // by index (Jackson read paths are thread-safe)
-              val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toArray
-              val out = new Array[PartitionInfo](lines.length)
-              java.util.stream.IntStream.range(0, lines.length).parallel()
-                .forEach(i => out(i) = jread[PartitionInfo](lines(i)))
-              out.toVector
-            }
+          val all = if (size == 0L) Vector.empty[PartitionInfo] else parseAll(p)
           LogState(size, all, all.map(pi => pi.partitionDesc -> pi).toMap)
         }
       logCache.put(key, next)
       next
     }
+  }
+
+  /** Full-log parse — parse-bound single-threaded (~8 s at 1M partitions),
+    * so lines parse on the common pool, order preserved by index (Jackson
+    * read paths are thread-safe). */
+  private def parseAll(p: java.nio.file.Path): Vector[PartitionInfo] = {
+    val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toArray
+    val out = new Array[PartitionInfo](lines.length)
+    java.util.stream.IntStream.range(0, lines.length).parallel()
+      .forEach(i => out(i) = jread[PartitionInfo](lines(i)))
+    out.toVector
   }
 
   private def allVersionLines(tablePath: String): Seq[PartitionInfo] =
@@ -477,8 +477,7 @@ class FileMetaStore extends MetaStore {
     withFileLock(tablePath) {
       val p = versionsPath(tablePath)
       if (!Files.exists(p)) return 0L
-      val all = Files.readAllLines(p).asScala.toVector.filter(_.nonEmpty)
-        .map(jread[PartitionInfo](_))
+      val all = parseAll(p)
       // Per partition keep everything newer than the boundary plus the newest
       // at-or-before line (the base of the retained lineage — may be a
       // tombstone, which partitionVersions still needs to cut history at).
