@@ -52,6 +52,11 @@ object Filters {
     val per = filters.collect {
       case EqualTo(a, v) if rangeColumns.contains(a) => a -> Set(descValue(v))
       case In(a, vs) if rangeColumns.contains(a) => a -> vs.map(descValue).toSet
+      // the writer encodes a null partition value as the null sentinel, so
+      // IS NULL / null-safe equality pin the desc exactly like equality
+      case IsNull(a) if rangeColumns.contains(a) =>
+        a -> Set(graft.write.TransactionalWrite.NullSentinel)
+      case EqualNullSafe(a, v) if rangeColumns.contains(a) => a -> Set(descValue(v))
     }
     per.groupBy(_._1).map { case (c, sets) => c -> sets.map(_._2).reduce(_ intersect _) }
   }

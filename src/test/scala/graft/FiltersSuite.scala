@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.sources.{EqualTo, In}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In, IsNull}
 
 import graft.util.Filters
 import graft.write.TransactionalWrite
@@ -45,6 +45,11 @@ class FiltersSuite extends AnyFunSuite {
       Seq(EqualTo("p", null), EqualTo("q", "")), Seq("p", "q"))
     assert(sets("p") == Set(TransactionalWrite.NullSentinel))
     assert(sets("q") == Set(TransactionalWrite.EmptySentinel))
+    // IS NULL / null-safe equality pin the null-sentinel partition
+    val nulls = Filters.rangeValueSets(
+      Seq(IsNull("p"), EqualNullSafe("q", "x")), Seq("p", "q"))
+    assert(nulls("p") == Set(TransactionalWrite.NullSentinel))
+    assert(nulls("q") == Set("x"))
   }
 
   test("partitionPredSets honors sets and rejects non-members") {

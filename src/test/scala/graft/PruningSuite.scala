@@ -39,6 +39,17 @@ class PruningSuite extends SparkFixture {
     }
   }
 
+  test("IS NULL on the range column prunes to the null-sentinel partition") {
+    withTempPath { path =>
+      Seq((Some("a"), 1), (None, 2), (None, 3), (Some("b"), 4)).toDF("r", "v")
+        .write.format("graft").option("rangePartitions", "r").save(path)
+      val rel = spark.read.format("graft").load(path)
+      assert(rel.filter($"r".isNull).count() == 2)
+      assert(rel.filter($"r" <=> "a").count() == 1)
+      assert(rel.filter($"r".isNull || $"r" === "b").count() == 3) // OR: no prune, still correct
+    }
+  }
+
   test("snapshot read with pinned partition resolves by point lookup") {
     withTempPath { path =>
       val df = (1 to 20).map(i => (s"p${i % 2}", i.toLong, i)).toDF("r", "id", "v")
