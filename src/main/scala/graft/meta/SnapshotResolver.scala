@@ -108,4 +108,14 @@ class SnapshotResolver(store: MetaStore) {
     store.listPartitionHeads(tablePath)
       .filter(pi => partitionPred(pi.partitionDesc))
       .flatMap(pi => incrementalFiles(tablePath, pi.partitionDesc, startTime, endTime))
+
+  /** Incremental analog of [[currentFilesForDescs]]: per-desc resolution
+    * without a head listing (incrementalFiles is already per-desc). */
+  def incrementalFilesForDescs(
+      tablePath: String,
+      startTime: Long,
+      endTime: Long,
+      descs: Seq[String]): Seq[ResolvedFile] =
+    descs.filter(d => store.partitionHead(tablePath, d).isDefined)
+      .flatMap(d => incrementalFiles(tablePath, d, startTime, endTime))
 }

@@ -344,10 +344,13 @@ class GraftScanBuilder(
             table.filesUptoTime(options("readendtime").toLong, partPred)
         }, false)
       case "incremental" =>
-        (table.incrementalFiles(
-          options.getOrElse("readstarttime", "0").toLong,
-          options.get("readendtime").map(_.toLong).getOrElse(table.lastCommitTs),
-          partPred), true)
+        val st = options.getOrElse("readstarttime", "0").toLong
+        val et = options.get("readendtime").map(_.toLong)
+          .getOrElse(table.lastCommitTs)
+        (exactDescs match {
+          case Some(ds) => table.incrementalFilesForDescs(st, et, ds)
+          case None => table.incrementalFiles(st, et, partPred)
+        }, true)
       case _ => (exactDescs match {
         case Some(ds) => table.liveFilesForDescs(ds)
         case None => table.liveFiles(partPred)

@@ -172,9 +172,13 @@ case class GraftRelation(
         case None => t.snapshotAt(parameters("readendtime").toLong, partPred)
       }
       case "incremental" =>
-        t.incremental(parameters.getOrElse("readstarttime", "0").toLong,
-          parameters.get("readendtime").map(_.toLong)
-            .getOrElse(t.lastCommitTs), partPred)
+        val st = parameters.getOrElse("readstarttime", "0").toLong
+        val et = parameters.get("readendtime").map(_.toLong)
+          .getOrElse(t.lastCommitTs)
+        exactDescs match {
+          case Some(ds) => t.incrementalForDescs(st, et, ds)
+          case None => t.incremental(st, et, partPred)
+        }
       case _ =>
         // PK-equality on every hash column -> bucket-pruned point read (M6)
         val eq = filters.collect { case EqualTo(a, v) => a -> v }.toMap

@@ -102,6 +102,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred),
       keepCdcRows = true)
 
+  def incrementalForDescs(startTime: Long, endTime: Long,
+      descs: Seq[String]): DataFrame =
+    GraftRead.read(spark, info,
+      resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs),
+      keepCdcRows = true)
+
   /** Table-level commit history (DESCRIBE-HISTORY / `VERSION AS OF`
     * surface): every publish writes its partition versions with ONE shared
     * timestamp, so grouping the version lines by timestamp reconstructs the
@@ -168,6 +174,10 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def incrementalFiles(startTime: Long, endTime: Long,
       partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
     resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred)
+
+  def incrementalFilesForDescs(startTime: Long, endTime: Long,
+      descs: Seq[String]): Seq[ResolvedFile] =
+    resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs)
 
   // --------------------------------------------------------------- writes
 

@@ -68,6 +68,26 @@ class PruningSuite extends SparkFixture {
     }
   }
 
+  test("incremental read with pinned partition resolves per-desc") {
+    withTempPath { path =>
+      val df = (1 to 20).map(i => (s"p${i % 2}", i.toLong, i)).toDF("r", "id", "v")
+      val t = GraftTable.create(spark, df, path,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 2)
+      val ts1 = t.lastCommitTs
+      t.upsert(Seq(("p1", 101L, 1), ("p0", 102L, 2)).toDF("r", "id", "v"))
+      val inc = spark.read.format("graft")
+        .option("readtype", "incremental")
+        .option("readstarttime", ts1.toString)
+        .load(path).filter($"r" === "p1")
+      assert(inc.select("id").as[Long].collect().toSet == Set(101L))
+      // nonexistent pinned partition -> empty, no error
+      assert(spark.read.format("graft")
+        .option("readtype", "incremental")
+        .option("readstarttime", ts1.toString)
+        .load(path).filter($"r" === "nope").count() == 0)
+    }
+  }
+
   test("DML pinned-partition fast path: update/delete target one partition") {
     withTempPath { path =>
       val df = (1 to 40).map(i => (s"p${i % 4}", i.toLong, i)).toDF("r", "id", "v")
