@@ -77,13 +77,20 @@ class GraftScanBuilder(
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rangeSets = Filters.rangeValueSets(filters.toSeq, info.rangeColumns)
-    partPred = Filters.partitionPredSets(rangeSets)
+    val isStr = (c: String) => fullSchema.fields.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    val setPred = Filters.partitionPredSets(rangeSets)
+    // ordering conjuncts on STRING range columns prune at the desc level
+    // too (dt >= .. AND dt < .. over a time-partitioned table)
+    val ordPred = Filters.rangeOrderingPred(filters.toSeq, info.rangeColumns, isStr)
+    partPred = d => setPred(d) && ordPred(d)
     // every range column pinned to a bounded value set (equality or IN) ->
     // the matching descs are fully determined: resolve files by META POINT
     // LOOKUP instead of listing (and predicate-filtering) every partition
     // head — at 100k+ partitions the listing is the latency (F4 /
     // reference's indexed PG prune)
     exactDescs = Filters.exactDescs(rangeSets, info.rangeColumns)
+      .map(_.filter(ordPred)) // an ordering conjunct can exclude a pinned desc
     // full PK equality -> single-bucket point read (M6)
     val eq = filters.collect { case EqualTo(a, v) => a -> v }.toMap
     if (info.hasPrimaryKey && info.hashColumns.forall(eq.contains))

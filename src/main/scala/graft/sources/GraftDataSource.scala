@@ -152,11 +152,17 @@ case class GraftRelation(
     val t = table
     val ti = t.info
     // three-tier partition pruning (F4): explicit partitiondesc option, or
-    // range-column equality/IN filters pushed down by Catalyst
+    // range-column equality/IN/ordering filters pushed down by Catalyst
     val rangeSets = graft.util.Filters.rangeValueSets(filters.toSeq, ti.rangeColumns)
+    val isStr = (c: String) => t.schema.fields.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    val ordPred = graft.util.Filters.rangeOrderingPred(
+      filters.toSeq, ti.rangeColumns, isStr)
     val partPred: String => Boolean = parameters.get("partitiondesc") match {
       case Some(desc) => _ == desc
-      case None => graft.util.Filters.partitionPredSets(rangeSets)
+      case None =>
+        val setPred = graft.util.Filters.partitionPredSets(rangeSets)
+        d => setPred(d) && ordPred(d)
     }
     // fully-pinned partitions (explicit desc option, or equality/IN filters
     // covering every range column) resolve by META POINT LOOKUP — never a
@@ -164,6 +170,7 @@ case class GraftRelation(
     val exactDescs: Option[Seq[String]] = parameters.get("partitiondesc") match {
       case Some(desc) => Some(Seq(desc))
       case None => graft.util.Filters.exactDescs(rangeSets, ti.rangeColumns)
+        .map(_.filter(ordPred))
     }
     parameters.getOrElse("readtype", "full") match {
       case "snapshot" => exactDescs match {

@@ -75,6 +75,54 @@ object Filters {
       sets.forall { case (c, vs) => kv.get(c).exists(vs.contains) }
     }
 
+  /** Desc-level refinement from ORDERING conjuncts on STRING range columns
+    * (`dt >= '2026-01-01' AND dt < '2026-02-01'`, `dt LIKE '2026-01%'` — the
+    * canonical time-partitioned scan). Unsigned UTF-8 byte comparison is
+    * exactly Spark's UTF8String binary ordering, so the desc-string compare
+    * agrees with the row-level compare; non-string range columns are skipped
+    * (their literal renderings don't order like their values). A NULL
+    * partition never satisfies an ordering conjunct (SQL three-valued
+    * logic). Purely an optimization: every filter stays residual, so an
+    * over-broad pred costs IO, an under-broad one is impossible by the
+    * byte-order argument. */
+  def rangeOrderingPred(
+      filters: Seq[Filter],
+      rangeColumns: Seq[String],
+      isStringCol: String => Boolean): String => Boolean = {
+    def cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def lit(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    val checks: Seq[(String, String => Boolean)] = filters.flatMap {
+      case GreaterThan(a, v) if rangeColumns.contains(a) && isStringCol(a) =>
+        lit(v).map(s => a -> ((x: String) => cmp(x, s) > 0))
+      case GreaterThanOrEqual(a, v) if rangeColumns.contains(a) && isStringCol(a) =>
+        lit(v).map(s => a -> ((x: String) => cmp(x, s) >= 0))
+      case LessThan(a, v) if rangeColumns.contains(a) && isStringCol(a) =>
+        lit(v).map(s => a -> ((x: String) => cmp(x, s) < 0))
+      case LessThanOrEqual(a, v) if rangeColumns.contains(a) && isStringCol(a) =>
+        lit(v).map(s => a -> ((x: String) => cmp(x, s) <= 0))
+      case StringStartsWith(a, v) if rangeColumns.contains(a) && isStringCol(a) =>
+        Some(a -> ((x: String) => x.startsWith(v)))
+      case _ => None
+    }
+    if (checks.isEmpty) _ => true
+    else desc => {
+      val kv = desc.split(",").map { s =>
+        val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+      }.toMap
+      checks.forall { case (c, f) =>
+        kv.get(c).exists(raw =>
+          raw != graft.write.TransactionalWrite.NullSentinel &&
+            f(if (raw == graft.write.TransactionalWrite.EmptySentinel) "" else raw))
+      }
+    }
+  }
+
   /** When every range column is pinned to a bounded value set, the matching
     * partition descs are fully determined: their cartesian product (in the
     * table's range-column order, the desc encoding). None when unpinned or

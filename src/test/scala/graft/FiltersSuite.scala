@@ -52,6 +52,25 @@ class FiltersSuite extends AnyFunSuite {
     assert(nulls("q") == Set("x"))
   }
 
+  test("rangeOrderingPred prunes string partitions by byte order") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, StringStartsWith}
+    val pred = Filters.rangeOrderingPred(
+      Seq(GreaterThanOrEqual("dt", "2026-01-01"), LessThan("dt", "2026-02-01")),
+      Seq("dt"), _ == "dt")
+    assert(pred("dt=2026-01-01") && pred("dt=2026-01-31"))
+    assert(!pred("dt=2025-12-31") && !pred("dt=2026-02-01"))
+    // NULL partition never satisfies an ordering conjunct
+    assert(!pred(s"dt=${TransactionalWrite.NullSentinel}"))
+    // prefix match
+    val pfx = Filters.rangeOrderingPred(
+      Seq(StringStartsWith("dt", "2026-01")), Seq("dt"), _ == "dt")
+    assert(pfx("dt=2026-01-15") && !pfx("dt=2026-02-15"))
+    // non-string column: conjunct ignored (no pruning, stays correct)
+    val skip = Filters.rangeOrderingPred(
+      Seq(GreaterThanOrEqual("n", "5")), Seq("n"), _ => false)
+    assert(skip("n=10") && skip("n=4"))
+  }
+
   test("partitionPredSets honors sets and rejects non-members") {
     val pred = Filters.partitionPredSets(Map("p" -> Set("a", "b")))
     assert(pred("p=a,q=9") && pred("p=b"))
