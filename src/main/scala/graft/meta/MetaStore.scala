@@ -69,6 +69,13 @@ trait MetaStore {
     * possible afterwards. Returns lines dropped. */
   def compactVersionLog(tablePath: String, retainAfterTs: Long): Long
 
+  /** The version lines [[compactVersionLog]] with the same boundary would
+    * KEEP — per partition, every line newer than `retainAfterTs` plus the
+    * newest at-or-before base. This is the liveness set a vacuum must
+    * honor: any file referenced by one of these versions is still
+    * time-travel-reachable after the matching log compaction. */
+  def retainedVersions(tablePath: String, retainAfterTs: Long): Seq[PartitionInfo]
+
   /** Drop any cached snapshot state for `tablePath` (reference
     * `LakeSoulTable.uncached`, LakeSoulTable.scala:624-637). The file store's
     * caches self-invalidate on (mtime, size) so this is only needed when an
@@ -373,6 +380,26 @@ class FileMetaStore extends MetaStore {
   private def allVersionLines(tablePath: String): Seq[PartitionInfo] =
     logState(tablePath).lines
 
+  /** Per partition keep everything newer than the boundary plus the newest
+    * at-or-before line (the base of the retained lineage — may be a
+    * tombstone, which partitionVersions still needs to cut history at).
+    * Shared by [[compactVersionLog]] and [[retainedVersions]] so log
+    * pruning and vacuum liveness can never disagree. */
+  private def retainIdx(all: Seq[PartitionInfo], retainAfterTs: Long): scala.collection.mutable.BitSet = {
+    val keepIdx = scala.collection.mutable.BitSet()
+    all.zipWithIndex.groupBy(_._1.partitionDesc).foreach { case (_, lines) =>
+      val (old, fresh) = lines.partition(_._1.timestamp <= retainAfterTs)
+      fresh.foreach(keepIdx += _._2)
+      old.lastOption.foreach(keepIdx += _._2)
+    }
+    keepIdx
+  }
+
+  override def retainedVersions(tablePath: String, retainAfterTs: Long): Seq[PartitionInfo] = {
+    val all = allVersionLines(tablePath)
+    all.indices.filter(retainIdx(all, retainAfterTs)).map(all).toSeq
+  }
+
   /** Head per partition = last log line per desc (a rollback/drop appends a
     * new line, so log order — not max version — defines the head). */
   private def headMap(tablePath: String): Map[String, PartitionInfo] =
@@ -478,16 +505,7 @@ class FileMetaStore extends MetaStore {
       val p = versionsPath(tablePath)
       if (!Files.exists(p)) return 0L
       val all = parseAll(p)
-      // Per partition keep everything newer than the boundary plus the newest
-      // at-or-before line (the base of the retained lineage — may be a
-      // tombstone, which partitionVersions still needs to cut history at).
-      val keepIdx = scala.collection.mutable.BitSet()
-      all.zipWithIndex.groupBy(_._1.partitionDesc).foreach { case (_, lines) =>
-        val (old, fresh) = lines.partition(_._1.timestamp <= retainAfterTs)
-        fresh.foreach(keepIdx += _._2)
-        old.lastOption.foreach(keepIdx += _._2)
-      }
-      val kept = all.indices.filter(keepIdx).map(all)
+      val kept = all.indices.filter(retainIdx(all, retainAfterTs)).map(all)
       val tmp = metaDir(tablePath).resolve("versions.jsonl.tmp")
       Files.writeString(tmp,
         kept.map(jwrite(_)).mkString("", "\n", if (kept.isEmpty) "" else "\n"))

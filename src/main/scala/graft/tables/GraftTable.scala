@@ -730,11 +730,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   /** Delete physical files no longer referenced by any retained version and
     * prune version history (C11 TTL sweeper, CleanExpiredData.scala).
-    * Files must be older than `retainMs` AND unreferenced by the current
-    * head of their partition. */
+    * Files must be older than `retainMs` AND unreferenced by every version
+    * the log compaction below retains (all versions newer than the cutoff
+    * plus the per-partition boundary base) — head-only liveness would
+    * delete files that a still-time-travel-reachable version references
+    * whenever a recent compaction replaced a long-lived file. */
   def vacuum(retainMs: Long = 0L): Long = {
-    val live = resolver.currentFiles(tablePath).map(_.file.path).toSet
     val cutoff = System.currentTimeMillis() - retainMs
+    val live = store.retainedVersions(tablePath, cutoff)
+      .flatMap(pi => resolver.filesAt(tablePath, pi)).map(_.file.path).toSet
     val dataDir = java.nio.file.Paths.get(tablePath, "data")
     if (!java.nio.file.Files.exists(dataDir)) return 0L
     // Distributed sweep: one task per commit directory (the immediate

@@ -69,6 +69,35 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("vacuum keeps files referenced by retained time-travel versions") {
+    withTempPath { path =>
+      // v0: initial write (file A); v1: upsert (adds B); v2: compaction
+      // (writes C, dels A+B at head). A cutoff between v1 and v2 retains
+      // v2 plus v1 as the boundary base, so A and B must survive a vacuum
+      // with that retention and a time-travel read into the window must
+      // still answer — head-only liveness would delete them (their mtime
+      // predates the cutoff, they are unreferenced at head).
+      val t = GraftTable.create(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"),
+        path, hashColumns = Seq("id"), bucketNum = 1)
+      Thread.sleep(150)
+      t.upsert(Seq((1, "a2")).toDF("id", "v"))
+      Thread.sleep(150)
+      val tMid = System.currentTimeMillis()
+      Thread.sleep(150)
+      t.compaction()
+      val expectMid = Seq("[1,a2]", "[2,b]")
+      val deleted = t.vacuum(retainMs = System.currentTimeMillis() - tMid)
+      assert(deleted == 0L,
+        s"files of retained versions must survive vacuum, deleted $deleted")
+      assertRows(GraftTable.forPathSnapshot(spark, path, tMid).toDF, expectMid)
+      assertRows(t.toDF, expectMid)
+      // with zero retention only the head survives: A and B go
+      val deleted2 = t.vacuum(retainMs = 0L)
+      assert(deleted2 >= 2, s"expected the two pre-compaction files, got $deleted2")
+      assertRows(t.toDF, expectMid)
+    }
+  }
+
   test("partition TTL expires old partitions") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
