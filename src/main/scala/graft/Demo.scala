@@ -202,6 +202,27 @@ object Demo {
         spark.sql("SELECT count(*) FROM graft_cat.demo.`orders$history`").head.getLong(0)}")
     }
 
+    // paced streaming backfill: AvailableNow + maxCommitsPerTrigger drains
+    // a 3-commit backlog in bounded micro-batches
+    locally {
+      val pt = GraftTable.create(spark, orders.limit(40), s"$dir/paced_t",
+        hashColumns = Seq("o_orderkey"), bucketNum = 2)
+      pt.upsert(orders.limit(60))
+      pt.upsert(orders.limit(80))
+      graft.catalog.GraftCatalog.register(spark, "demo.paced", s"$dir/paced_t")
+      val q = spark.readStream
+        .option("maxCommitsPerTrigger", "1")
+        .table("graft_cat.demo.paced")
+        .writeStream.format("memory").queryName("demo_paced")
+        .option("checkpointLocation", s"$dir/paced_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      println(s"paced backfill batches = ${batches.length} (expect 3), " +
+        s"rows = ${spark.table("demo_paced").count()} (expect 180)")
+    }
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

@@ -100,6 +100,38 @@ class SnapshotResolver(store: MetaStore) {
     }
   }
 
+  /** Distinct commit timestamps in (startTime, endTime], ascending, each
+    * with the number of data files that slice of history adds — the
+    * admission-control pacing unit for the streaming source (stream
+    * offsets ARE commit timestamps, so any returned timestamp is a valid
+    * batch boundary). Counting mirrors [[incrementalFiles]]: compaction
+    * versions deliver 0 (their data is a rewrite of already-delivered
+    * rows) but still emit a boundary so a paced stream can step past
+    * them. Update/Rewrite versions are counted by their added files — an
+    * overestimate for partitions where they abort incremental delivery,
+    * which only paces those batches conservatively. */
+  def commitBatches(
+      tablePath: String, startTime: Long, endTime: Long): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.HashMap[Long, Long]()
+    store.listPartitionHeads(tablePath).foreach { head =>
+      val all = store.partitionVersions(tablePath, head.partitionDesc)
+      all.filter(v => v.timestamp > startTime && v.timestamp <= endTime)
+        .foreach { v =>
+          val n: Long =
+            if (v.commitOp == CommitOp.Compaction) 0L
+            else {
+              val prev = all.filter(_.version < v.version).lastOption
+                .map(_.snapshot.toSet).getOrElse(Set.empty[String])
+              val newIds = v.snapshot.filterNot(prev)
+              store.getCommits(tablePath, newIds).values
+                .map(_.files.count(_.fileOp == "add").toLong).sum
+            }
+          out(v.timestamp) = out.getOrElse(v.timestamp, 0L) + n
+        }
+    }
+    out.toSeq.sortBy(_._1)
+  }
+
   def incrementalFilesAll(
       tablePath: String,
       startTime: Long,

@@ -363,7 +363,8 @@ class GraftScanBuilder(
         case None => table.liveFiles(partPred)
       }, false)
     }
-    new GraftScan(spark, info, readSchema, files, dataFilters, pkBucket, keepCdc)
+    new GraftScan(spark, info, readSchema, files, dataFilters, pkBucket, keepCdc,
+      options)
   }
 }
 
@@ -385,7 +386,8 @@ class GraftScan(
     filesIn: Seq[ResolvedFile],
     dataFilters: Seq[Filter],
     pkBucket: Option[Int],
-    keepCdcRows: Boolean = false)
+    keepCdcRows: Boolean = false,
+    scanOptions: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -442,7 +444,7 @@ class GraftScan(
   override def toMicroBatchStream(checkpointLocation: String)
     : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(spark, info, schema, readerFilters,
-      info.tablePath)
+      info.tablePath, scanOptions)
 
   /** Post-pruning size estimate for the join planner: without it Spark
     * assumes `defaultSizeInBytes` (effectively infinite) for a DSv2 table
@@ -516,20 +518,79 @@ case class GraftStreamOffset(ts: Long)
 }
 
 /** Incremental micro-batch stream over a graft table (v2 rendition of
-  * GraftStreamSource): each batch bucket-merges the (start, end] commits. */
+  * GraftStreamSource): each batch bucket-merges the (start, end] commits.
+  *
+  * ADMISSION CONTROL: without it a stream started against a table with
+  * deep history reads the whole backlog as micro-batch 0. Offsets are
+  * commit timestamps, so pacing advances the end offset only as far as
+  * the next commit boundaries allow: `maxFilesPerTrigger` accumulates
+  * whole commits until the added-file budget is spent (always at least
+  * one commit — a single commit larger than the budget still forms a
+  * batch, it cannot be split below offset granularity);
+  * `maxCommitsPerTrigger` takes the next n commit timestamps.
+  * `Trigger.AvailableNow` snapshots the newest commit at prepare time and
+  * paces toward exactly that cap, then stops — the bounded-backfill
+  * pattern. */
 class GraftMicroBatchStream(
     spark: SparkSession,
     info: TableInfo,
     schema: StructType,
     readerFilters: Seq[Filter],
-    tablePath: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => VOffset}
+    tablePath: String,
+    options: Map[String, String] = Map.empty)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => VOffset, ReadLimit}
 
   private def table: GraftTable = GraftTable.forPath(spark, tablePath)
 
+  private def intOption(key: String): Option[Int] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v.toInt }
+  private val maxFilesPerTrigger = intOption("maxFilesPerTrigger")
+  private val maxCommitsPerTrigger = intOption("maxCommitsPerTrigger")
+
+  // Trigger.AvailableNow: all batches of this run stop at the newest
+  // commit visible when the trigger fired, even if writers keep committing.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.lastCommitTs)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: VOffset, limit: ReadLimit): VOffset = {
+    val s = start.asInstanceOf[GraftStreamOffset].ts
+    val newest = availableNowCap.getOrElse(table.lastCommitTs)
+    if (newest <= s || (maxFilesPerTrigger.isEmpty && maxCommitsPerTrigger.isEmpty))
+      return GraftStreamOffset(math.max(s, newest))
+    val batches = table.commitBatches(s, newest) // (ts, addedFiles) ascending
+    if (batches.isEmpty) return GraftStreamOffset(newest)
+    val byCommits = maxCommitsPerTrigger.getOrElse(Int.MaxValue)
+    var end = s
+    var commits = 0
+    var files = 0L
+    val fileBudget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    val it = batches.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (ts, n) = it.next()
+      // always admit the first commit; after that stop before the budget
+      // would be exceeded
+      if (commits > 0 && (commits >= byCommits || files + n > fileBudget)) done = true
+      else { end = ts; commits += 1; files += n }
+    }
+    GraftStreamOffset(end)
+  }
+
+  /** Without admission control Spark calls this form. */
+  override def latestOffset(): VOffset =
+    GraftStreamOffset(availableNowCap.getOrElse(table.lastCommitTs))
+  override def reportLatestOffset(): VOffset =
+    GraftStreamOffset(table.lastCommitTs)
+
   override def initialOffset(): VOffset = GraftStreamOffset(0L)
-  override def latestOffset(): VOffset = GraftStreamOffset(table.lastCommitTs)
   override def deserializeOffset(json: String): VOffset =
     GraftStreamOffset(json.trim.toLong)
   override def commit(end: VOffset): Unit = ()

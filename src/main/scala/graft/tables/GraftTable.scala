@@ -179,6 +179,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       descs: Seq[String]): Seq[ResolvedFile] =
     resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs)
 
+  /** Commit timestamps in (startTs, endTs] with added-file counts — the
+    * streaming source's admission-control pacing unit. */
+  def commitBatches(startTs: Long, endTs: Long): Seq[(Long, Long)] =
+    resolver.commitBatches(tablePath, startTs, endTs)
+
   // --------------------------------------------------------------- writes
 
   /** Plain append (INSERT INTO). */

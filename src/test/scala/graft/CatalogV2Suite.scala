@@ -204,6 +204,45 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("streaming admission control paces the backlog by commits and files") {
+    withTempPath { wh =>
+      withTempPath { ckpt =>
+        useCatalog(wh)
+        spark.sql("CREATE TABLE graft_cat.ac.t (id BIGINT, v STRING) " +
+          "PARTITIONED BY (bucket(2, id))")
+        // 3 commits x 2 rows (one per bucket -> 2 files each)
+        (1 to 3).foreach { i =>
+          spark.sql(s"INSERT INTO graft_cat.ac.t VALUES ($i, 'a$i'), (${i + 10}, 'b$i')")
+        }
+        def drain(name: String, opts: Map[String, String]): Array[Long] = {
+          var r = spark.readStream
+          opts.foreach { case (k, v) => r = r.option(k, v) }
+          val q = r.table("graft_cat.ac.t")
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", s"$ckpt/$name")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(120000)
+          assert(spark.table(name).count() == 6, s"$name must drain the backlog")
+          q.recentProgress.map(_.numInputRows).filter(_ > 0)
+        }
+        // one commit per micro-batch: the 3-commit backlog takes 3 batches
+        val byCommit = drain("ac_commit", Map("maxCommitsPerTrigger" -> "1"))
+        assert(byCommit.length == 3, s"expected 3 paced batches, got ${byCommit.toSeq}")
+        // two commits per batch -> 2 batches (4 rows then 2)
+        val byTwo = drain("ac_two", Map("maxCommitsPerTrigger" -> "2"))
+        assert(byTwo.toSeq == Seq(4L, 2L), s"expected [4,2], got ${byTwo.toSeq}")
+        // a 1-file budget admits exactly one commit per batch (every commit
+        // has >= 1 file, so the next commit always exceeds the budget)
+        val byFiles = drain("ac_files", Map("maxFilesPerTrigger" -> "1"))
+        assert(byFiles.length == 3, s"expected 3 paced batches, got ${byFiles.toSeq}")
+        // unpaced AvailableNow drains in a single batch
+        val all = drain("ac_all", Map.empty)
+        assert(all.length == 1, s"expected 1 batch, got ${all.toSeq}")
+      }
+    }
+  }
+
   test("SQL UPDATE and MERGE INTO execute through the DML rules") {
     withTempPath { wh =>
       useCatalog(wh)
