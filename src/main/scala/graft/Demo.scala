@@ -221,6 +221,17 @@ object Demo {
       val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
       println(s"paced backfill batches = ${batches.length} (expect 3), " +
         s"rows = ${spark.table("demo_paced").count()} (expect 180)")
+      // readStartTime: a stream seeded after the 2nd commit sees only the 3rd
+      val startTs = pt.commitBatches(0L, pt.lastCommitTs).map(_._1).sorted.apply(1)
+      val q2 = spark.readStream.option("readStartTime", startTs.toString)
+        .table("graft_cat.demo.paced")
+        .writeStream.format("memory").queryName("demo_paced2")
+        .option("checkpointLocation", s"$dir/paced_ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination(120000)
+      println(s"readStartTime stream rows = ${
+        spark.table("demo_paced2").count()} (expect 80)")
     }
 
     // error-path probes

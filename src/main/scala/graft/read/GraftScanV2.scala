@@ -590,7 +590,14 @@ class GraftMicroBatchStream(
   override def reportLatestOffset(): VOffset =
     GraftStreamOffset(table.lastCommitTs)
 
-  override def initialOffset(): VOffset = GraftStreamOffset(0L)
+  /** `readStartTime` skips history at-or-before the given commit ts —
+    * same option the DSv1 source honors (checkpointed offsets win: Spark
+    * only asks for the initial offset on a fresh query). */
+  override def initialOffset(): VOffset =
+    GraftStreamOffset(
+      options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("readStartTime") => v.toLong
+      }.getOrElse(0L))
   override def deserializeOffset(json: String): VOffset =
     GraftStreamOffset(json.trim.toLong)
   override def commit(end: VOffset): Unit = ()

@@ -239,6 +239,19 @@ class CatalogV2Suite extends SparkFixture {
         // unpaced AvailableNow drains in a single batch
         val all = drain("ac_all", Map.empty)
         assert(all.length == 1, s"expected 1 batch, got ${all.toSeq}")
+        // readStartTime skips history at-or-before the given commit ts:
+        // starting after the 2nd commit delivers only the 3rd (2 rows)
+        val t = graft.tables.GraftTable.forPath(spark, s"$wh/ac/t")
+        val secondTs = t.commitBatches(0L, t.lastCommitTs).map(_._1).sorted.apply(1)
+        val q = spark.readStream.option("readStartTime", secondTs.toString)
+          .table("graft_cat.ac.t")
+          .writeStream.format("memory").queryName("ac_start")
+          .option("checkpointLocation", s"$ckpt/ac_start")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        assert(spark.table("ac_start").count() == 2,
+          s"expected only the post-start commit's 2 rows")
       }
     }
   }
