@@ -222,7 +222,7 @@ object Demo {
       println(s"paced backfill batches = ${batches.length} (expect 3), " +
         s"rows = ${spark.table("demo_paced").count()} (expect 180)")
       // readStartTime: a stream seeded after the 2nd commit sees only the 3rd
-      val startTs = pt.commitBatches(0L, pt.lastCommitTs).map(_._1).sorted.apply(1)
+      val startTs = pt.commitBatches(0L, pt.lastCommitTs).map(_.ts).sorted.apply(1)
       val q2 = spark.readStream.option("readStartTime", startTs.toString)
         .table("graft_cat.demo.paced")
         .writeStream.format("memory").queryName("demo_paced2")

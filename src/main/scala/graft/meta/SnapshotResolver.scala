@@ -1,5 +1,9 @@
 package graft.meta
 
+/** One commit-timestamp boundary of a table's history with the data files
+  * and bytes that boundary adds — the streaming admission-control unit. */
+case class CommitBatch(ts: Long, files: Long, bytes: Long)
+
 /** Pure version/visibility algebra over the meta store — the heart of the
   * format (SURVEY.md §1.3; reference: DataOperation.scala:101-254).
   */
@@ -111,25 +115,27 @@ class SnapshotResolver(store: MetaStore) {
     * overestimate for partitions where they abort incremental delivery,
     * which only paces those batches conservatively. */
   def commitBatches(
-      tablePath: String, startTime: Long, endTime: Long): Seq[(Long, Long)] = {
-    val out = scala.collection.mutable.HashMap[Long, Long]()
+      tablePath: String, startTime: Long, endTime: Long): Seq[CommitBatch] = {
+    val out = scala.collection.mutable.HashMap[Long, CommitBatch]()
     store.listPartitionHeads(tablePath).foreach { head =>
       val all = store.partitionVersions(tablePath, head.partitionDesc)
       all.filter(v => v.timestamp > startTime && v.timestamp <= endTime)
         .foreach { v =>
-          val n: Long =
-            if (v.commitOp == CommitOp.Compaction) 0L
+          val (nf, nb): (Long, Long) =
+            if (v.commitOp == CommitOp.Compaction) (0L, 0L)
             else {
               val prev = all.filter(_.version < v.version).lastOption
                 .map(_.snapshot.toSet).getOrElse(Set.empty[String])
               val newIds = v.snapshot.filterNot(prev)
-              store.getCommits(tablePath, newIds).values
-                .map(_.files.count(_.fileOp == "add").toLong).sum
+              val adds = store.getCommits(tablePath, newIds).values
+                .flatMap(_.files.filter(_.fileOp == "add"))
+              (adds.size.toLong, adds.map(_.size).sum)
             }
-          out(v.timestamp) = out.getOrElse(v.timestamp, 0L) + n
+          val cur = out.getOrElse(v.timestamp, CommitBatch(v.timestamp, 0L, 0L))
+          out(v.timestamp) = cur.copy(files = cur.files + nf, bytes = cur.bytes + nb)
         }
     }
-    out.toSeq.sortBy(_._1)
+    out.values.toSeq.sortBy(_.ts)
   }
 
   def incrementalFilesAll(

@@ -463,7 +463,24 @@ class GraftScan(
     }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    // Post-pruning row count from the per-file footer stats in commit
+    // metadata. Exact for single-run scans; for MOR multi-run scans it is
+    // the pre-merge sum (an upper bound — safe for join planning, which
+    // only risks a missed broadcast, never an OOM one). Unknown when any
+    // file lacks stats or a real column shadows the reserved key.
+    override def numRows(): java.util.OptionalLong = {
+      if (graft.util.SchemaUtil.fromJson(info.schemaJson).fieldNames
+          .contains(graft.meta.FileStats.RowCountKey))
+        return java.util.OptionalLong.empty()
+      var sum = 0L
+      files.foreach { f =>
+        graft.meta.FileStats.rowCount(graft.meta.FileStats.decode(f.file.stats)) match {
+          case Some(n) => sum += n
+          case None => return java.util.OptionalLong.empty()
+        }
+      }
+      java.util.OptionalLong.of(sum)
+    }
   }
 
   override def outputPartitioning(): Partitioning =
@@ -549,6 +566,10 @@ class GraftMicroBatchStream(
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v.toInt }
   private val maxFilesPerTrigger = intOption("maxFilesPerTrigger")
   private val maxCommitsPerTrigger = intOption("maxCommitsPerTrigger")
+  private val maxBytesPerTrigger =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") => v.toLong
+    }
 
   // Trigger.AvailableNow: all batches of this run stop at the newest
   // commit visible when the trigger fired, even if writers keep committing.
@@ -563,23 +584,28 @@ class GraftMicroBatchStream(
   override def latestOffset(start: VOffset, limit: ReadLimit): VOffset = {
     val s = start.asInstanceOf[GraftStreamOffset].ts
     val newest = availableNowCap.getOrElse(table.lastCommitTs)
-    if (newest <= s || (maxFilesPerTrigger.isEmpty && maxCommitsPerTrigger.isEmpty))
+    val unpaced = maxFilesPerTrigger.isEmpty && maxCommitsPerTrigger.isEmpty &&
+      maxBytesPerTrigger.isEmpty
+    if (newest <= s || unpaced)
       return GraftStreamOffset(math.max(s, newest))
-    val batches = table.commitBatches(s, newest) // (ts, addedFiles) ascending
+    val batches = table.commitBatches(s, newest) // ascending commit boundaries
     if (batches.isEmpty) return GraftStreamOffset(newest)
     val byCommits = maxCommitsPerTrigger.getOrElse(Int.MaxValue)
+    val fileBudget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    val byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var end = s
     var commits = 0
     var files = 0L
-    val fileBudget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    var bytes = 0L
     val it = batches.iterator
     var done = false
     while (it.hasNext && !done) {
-      val (ts, n) = it.next()
-      // always admit the first commit; after that stop before the budget
+      val b = it.next()
+      // always admit the first commit; after that stop before any budget
       // would be exceeded
-      if (commits > 0 && (commits >= byCommits || files + n > fileBudget)) done = true
-      else { end = ts; commits += 1; files += n }
+      if (commits > 0 && (commits >= byCommits || files + b.files > fileBudget ||
+          bytes + b.bytes > byteBudget)) done = true
+      else { end = b.ts; commits += 1; files += b.files; bytes += b.bytes }
     }
     GraftStreamOffset(end)
   }

@@ -179,9 +179,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       descs: Seq[String]): Seq[ResolvedFile] =
     resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs)
 
-  /** Commit timestamps in (startTs, endTs] with added-file counts — the
-    * streaming source's admission-control pacing unit. */
-  def commitBatches(startTs: Long, endTs: Long): Seq[(Long, Long)] =
+  /** Commit timestamps in (startTs, endTs] with added file/byte counts —
+    * the streaming source's admission-control pacing unit. */
+  def commitBatches(startTs: Long, endTs: Long): Seq[graft.meta.CommitBatch] =
     resolver.commitBatches(tablePath, startTs, endTs)
 
   // --------------------------------------------------------------- writes

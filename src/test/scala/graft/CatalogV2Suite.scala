@@ -174,6 +174,10 @@ class CatalogV2Suite extends SparkFixture {
         val plan = j.queryExecution.executedPlan.toString
         assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
         assert(j.count() == 100000)
+        // the scan also reports an exact row count from the footer stats
+        val rc = spark.table("graft_cat.st.small")
+          .queryExecution.optimizedPlan.stats.rowCount
+        assert(rc.contains(BigInt(50)), s"expected rowCount=50, got $rc")
       } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
   }
@@ -236,13 +240,16 @@ class CatalogV2Suite extends SparkFixture {
         // has >= 1 file, so the next commit always exceeds the budget)
         val byFiles = drain("ac_files", Map("maxFilesPerTrigger" -> "1"))
         assert(byFiles.length == 3, s"expected 3 paced batches, got ${byFiles.toSeq}")
+        // same for a 1-byte budget: every commit exceeds it, one per batch
+        val byBytes = drain("ac_bytes", Map("maxBytesPerTrigger" -> "1"))
+        assert(byBytes.length == 3, s"expected 3 paced batches, got ${byBytes.toSeq}")
         // unpaced AvailableNow drains in a single batch
         val all = drain("ac_all", Map.empty)
         assert(all.length == 1, s"expected 1 batch, got ${all.toSeq}")
         // readStartTime skips history at-or-before the given commit ts:
         // starting after the 2nd commit delivers only the 3rd (2 rows)
         val t = graft.tables.GraftTable.forPath(spark, s"$wh/ac/t")
-        val secondTs = t.commitBatches(0L, t.lastCommitTs).map(_._1).sorted.apply(1)
+        val secondTs = t.commitBatches(0L, t.lastCommitTs).map(_.ts).sorted.apply(1)
         val q = spark.readStream.option("readStartTime", secondTs.toString)
           .table("graft_cat.ac.t")
           .writeStream.format("memory").queryName("ac_start")
