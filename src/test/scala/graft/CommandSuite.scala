@@ -98,6 +98,28 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("a write that never publishes is invisible and vacuum reclaims it") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      val tsBefore = t.lastCommitTs
+      // simulate a writer that dies between materializing parquet and the
+      // meta commit: writeFiles runs, publish never happens
+      val orphan = graft.write.TransactionalWrite.writeFiles(
+        spark, t.info, Seq((2, "b")).toDF("id", "v"), graft.meta.CommitOp.Merge)
+      val nOrphan = orphan.flatMap(_.files).size
+      assert(nOrphan > 0, "the aborted write must have materialized files")
+      // no partial visibility: batch readers and stream offsets unchanged
+      assertRows(t.toDF, Seq("[1,a]"))
+      assert(t.lastCommitTs == tsBefore)
+      // a retention window keeps the orphans (they could be an in-flight
+      // commit racing the sweep); zero retention reclaims exactly them
+      assert(t.vacuum(retainMs = 3600000L) == 0L)
+      assert(t.vacuum(retainMs = 0L) == nOrphan.toLong)
+      assertRows(t.toDF, Seq("[1,a]"))
+    }
+  }
+
   test("partition TTL expires old partitions") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
