@@ -63,6 +63,18 @@ class ModelCheckSuite extends SparkFixture {
         assert(readState(t.snapshotAt(ts)) == expected,
           s"round $round: snapshot @$ts")
 
+        // vacuum with a retention boundary cutting mid-history: every
+        // snapshot at-or-after the boundary must still read bit-exact
+        // (vacuum liveness = retained versions, not just heads)
+        val bIdx = rnd.nextInt(snapshots.size)
+        val boundaryTs = snapshots(bIdx)._1
+        t.vacuum(retainMs = System.currentTimeMillis() - boundaryTs + 1)
+        snapshots.drop(bIdx).foreach { case (sts, exp) =>
+          assert(readState(t.snapshotAt(sts)) == exp,
+            s"round $round: snapshot @$sts after vacuum(boundary=$boundaryTs)")
+        }
+        assert(readState(t.toDF) == model, s"round $round: head after vacuum")
+
         // aggregate-pushdown invariant: the catalog COUNT/MIN answer must
         // equal the model whichever path planned it (metadata after
         // compaction, scan when multi-run) — catches row-count/stats drift
