@@ -483,6 +483,18 @@ class GraftScan(
     }
   }
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FilesReadMetric, new FilesSkippedMetric)
+
+  /** Reported once per query on the driver: pruning effectiveness. The
+    * skipped count covers metadata zone maps AND runtime (join-driven)
+    * filtering — `files` reflects both by report time. */
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftDriverMetric("graftFilesPlanned", files.size.toLong),
+      GraftDriverMetric("graftFilesSkipped", (filesIn.size - files.size).toLong))
+
   override def outputPartitioning(): Partitioning =
     if (bucketMergeable && pkBucket.isEmpty)
       new KeyGroupedPartitioning(
@@ -527,6 +539,23 @@ class GraftScan(
       schema.length, cdcIdx)
   }
 }
+
+/** Scan observability (Spark UI SQL tab): files planned vs skipped is how
+  * an operator confirms zone-map / runtime pruning actually fired on a big
+  * table — the difference between "the filter pushed down" and hoping. */
+private[read] class FilesReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesPlanned"
+  override def description(): String = "graft files planned (post-pruning)"
+}
+private[read] class FilesSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesSkipped"
+  override def description(): String = "graft files skipped (zone maps + runtime)"
+}
+private[read] case class GraftDriverMetric(override val name: String,
+    override val value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
 /** Streaming offset = newest visible commit timestamp (ms). */
 case class GraftStreamOffset(ts: Long)

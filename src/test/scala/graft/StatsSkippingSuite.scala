@@ -103,6 +103,17 @@ class StatsSkippingSuite extends SparkFixture {
       // range fully outside both files
       val none = spark.sql("SELECT * FROM g_stats.default.stats_t WHERE id > 500")
       assert(none.count() == 0)
+
+      // pruning effectiveness surfaces as DSv2 custom metrics in the UI
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in plan"))
+      assert(scan.metrics.contains("graftFilesPlanned"))
+      assert(scan.metrics("graftFilesPlanned").value == 1L,
+        s"planned = ${scan.metrics("graftFilesPlanned").value}")
+      assert(scan.metrics("graftFilesSkipped").value == 1L,
+        s"skipped = ${scan.metrics("graftFilesSkipped").value}")
     }
   }
 
