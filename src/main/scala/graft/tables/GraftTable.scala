@@ -862,6 +862,23 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def rollbackPartition(partitionDesc: String, toVersion: Int): Unit =
     store.rollbackPartition(tablePath, partitionDesc, toVersion)
 
+  /** Time-based rollback (reference LakeSoulTable.scala:574-585): resolve
+    * the newest version at-or-before `toTime` (`yyyy-MM-dd HH:mm:ss`,
+    * optional zone id) and roll back to it; no-op when no version predates
+    * the time — matching the reference. */
+  def rollbackPartition(partitionDesc: String, toTime: String,
+      timeZoneID: String): Unit = {
+    val zone =
+      if (timeZoneID.isEmpty ||
+        !java.time.ZoneId.getAvailableZoneIds.contains(timeZoneID))
+        java.time.ZoneId.systemDefault()
+      else java.time.ZoneId.of(timeZoneID)
+    val ms = java.time.LocalDateTime.parse(toTime.replace(' ', 'T'))
+      .atZone(zone).toInstant.toEpochMilli
+    resolver.versionUptoTime(tablePath, partitionDesc, ms)
+      .foreach(pi => rollbackPartition(partitionDesc, pi.version))
+  }
+
   def dropPartition(partitionDesc: String): Unit =
     store.dropPartition(tablePath, partitionDesc)
 

@@ -30,6 +30,29 @@ class ApiParitySuite extends SparkFixture {
     }
   }
 
+  test("time-based rollbackPartition resolves the version at-or-before") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      Thread.sleep(50)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(50)
+      t.upsert(Seq((1, "a2")).toDF("id", "v"))
+      assertRows(t.toDF, Seq("[1,a2]"))
+      val toTime = java.time.LocalDateTime
+        .ofInstant(java.time.Instant.ofEpochMilli(mid),
+          java.time.ZoneId.of("UTC"))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      t.rollbackPartition(graft.meta.TableInfo.RootPartition, toTime, "UTC")
+      assertRows(t.toDF, Seq("[1,a]"))
+      // a time before every version is a no-op (reference behavior)
+      t.rollbackPartition(graft.meta.TableInfo.RootPartition,
+        "1970-01-02 00:00:00", "UTC")
+      assertRows(t.toDF, Seq("[1,a]"))
+    }
+  }
+
   test("TableCreator builder creates, registers name, sets properties") {
     withTempPath { path =>
       val df = Seq((1, "x", "p1"), (2, "y", "p2")).toDF("id", "v", "part")
