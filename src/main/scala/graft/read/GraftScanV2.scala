@@ -591,14 +591,13 @@ class GraftMicroBatchStream(
 
   private def table: GraftTable = GraftTable.forPath(spark, tablePath)
 
-  private def intOption(key: String): Option[Int] =
-    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v.toInt }
-  private val maxFilesPerTrigger = intOption("maxFilesPerTrigger")
-  private val maxCommitsPerTrigger = intOption("maxCommitsPerTrigger")
+  import graft.streaming.StreamPacing
+  private val maxFilesPerTrigger =
+    StreamPacing.longOption(options, "maxFilesPerTrigger")
+  private val maxCommitsPerTrigger =
+    StreamPacing.intOption(options, "maxCommitsPerTrigger")
   private val maxBytesPerTrigger =
-    options.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") => v.toLong
-    }
+    StreamPacing.longOption(options, "maxBytesPerTrigger")
 
   // Trigger.AvailableNow: all batches of this run stop at the newest
   // commit visible when the trigger fired, even if writers keep committing.
@@ -607,36 +606,19 @@ class GraftMicroBatchStream(
     availableNowCap = Some(table.lastCommitTs)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: VOffset, limit: ReadLimit): VOffset = {
     val s = start.asInstanceOf[GraftStreamOffset].ts
     val newest = availableNowCap.getOrElse(table.lastCommitTs)
-    val unpaced = maxFilesPerTrigger.isEmpty && maxCommitsPerTrigger.isEmpty &&
-      maxBytesPerTrigger.isEmpty
-    if (newest <= s || unpaced)
+    if (newest <= s || StreamPacing.unpaced(maxCommitsPerTrigger,
+        maxFilesPerTrigger, maxBytesPerTrigger))
       return GraftStreamOffset(math.max(s, newest))
     val batches = table.commitBatches(s, newest) // ascending commit boundaries
     if (batches.isEmpty) return GraftStreamOffset(newest)
-    val byCommits = maxCommitsPerTrigger.getOrElse(Int.MaxValue)
-    val fileBudget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
-    val byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
-    var end = s
-    var commits = 0
-    var files = 0L
-    var bytes = 0L
-    val it = batches.iterator
-    var done = false
-    while (it.hasNext && !done) {
-      val b = it.next()
-      // always admit the first commit; after that stop before any budget
-      // would be exceeded
-      if (commits > 0 && (commits >= byCommits || files + b.files > fileBudget ||
-          bytes + b.bytes > byteBudget)) done = true
-      else { end = b.ts; commits += 1; files += b.files; bytes += b.bytes }
-    }
-    GraftStreamOffset(end)
+    GraftStreamOffset(StreamPacing.boundedEnd(batches, s,
+      maxCommitsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger))
   }
 
   /** Without admission control Spark calls this form. */

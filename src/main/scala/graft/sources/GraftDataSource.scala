@@ -247,14 +247,60 @@ case class GraftRelation(
 class GraftStreamSource(
     spark: SparkSession,
     path: String,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def table: GraftTable = GraftTable.forPath(spark, path)
   private val startTime = parameters.getOrElse("readstarttime", "0").toLong
 
+  // admission control (same semantics as the DSv2 stream): pace deep
+  // backlogs by whole-commit budgets instead of one giant first batch.
+  // Implemented on the v2 mixins (a v1 Source IS a SparkDataStream, the
+  // same route Spark's own file/Kafka v1 sources take) so it composes
+  // with Trigger.AvailableNow natively — the v1 wrapper would otherwise
+  // freeze the FIRST paced offset as the terminal one and stop early.
+  import graft.streaming.StreamPacing
+  private val maxCommits = StreamPacing.intOption(parameters, "maxCommitsPerTrigger")
+  private val maxFiles = StreamPacing.longOption(parameters, "maxFilesPerTrigger")
+  private val maxBytes = StreamPacing.longOption(parameters, "maxBytesPerTrigger")
+  // newest offset handed to the engine; getBatch re-seeds it from the
+  // checkpoint on restart (Spark replays the last batch first)
+  @volatile private var handedOut: Long = startTime
+  @volatile private var availableNowCap: Option[Long] = None
+
   override def schema: StructType = table.schema
 
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.lastCommitTs)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFiles.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val newest = availableNowCap.getOrElse(table.lastCommitTs)
+    if (newest <= 0L) return null // nothing committed yet
+    val s = math.max(handedOut,
+      Option(start).map(o => offsetValue(o.asInstanceOf[Offset])).getOrElse(startTime))
+    if (newest <= s || StreamPacing.unpaced(maxCommits, maxFiles, maxBytes))
+      return LongOffset(math.max(s, newest))
+    val batches = table.commitBatches(s, newest)
+    val end = if (batches.isEmpty) newest
+      else StreamPacing.boundedEnd(batches, s, maxCommits, maxFiles, maxBytes)
+    handedOut = end
+    LongOffset(end)
+  }
+
   override def getOffset: Option[Offset] = {
+    // legacy entry point — only reached when admission control is not
+    // consulted; keep the unpaced contract
     val ts = table.lastCommitTs
     if (ts <= 0L) None else Some(LongOffset(ts))
   }
@@ -262,6 +308,7 @@ class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(o => offsetValue(o)).getOrElse(startTime)
     val e = offsetValue(end)
+    if (e > handedOut) handedOut = e
     org.apache.spark.sql.graft.StreamShim.asStreaming(table.incremental(s, e))
   }
 

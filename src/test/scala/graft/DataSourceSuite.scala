@@ -86,6 +86,27 @@ class DataSourceSuite extends SparkFixture {
     }
   }
 
+  test("DSv1 source admission control paces the backlog") {
+    withTempPath { src =>
+      withTempPath { ckpt =>
+        val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), src,
+          hashColumns = Seq("id"), bucketNum = 1)
+        t.upsert(Seq((2L, "b")).toDF("id", "v"))
+        t.upsert(Seq((3L, "c")).toDF("id", "v"))
+        val q = spark.readStream.format("graft")
+          .option("maxCommitsPerTrigger", "1").load(src)
+          .writeStream.format("memory").queryName("v1_paced")
+          .option("checkpointLocation", s"$ckpt/q")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        assertRows(spark.table("v1_paced"), Seq("[1,a]", "[2,b]", "[3,c]"))
+        val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+        assert(batches.length == 3, s"expected 3 paced batches, got ${batches.toSeq}")
+      }
+    }
+  }
+
   test("structured streaming composition: watermark + event-time window agg " +
     "over the graft source (SURVEY §2.9 delegation)") {
     withTempPath { src =>
