@@ -114,28 +114,36 @@ class SnapshotResolver(store: MetaStore) {
     * them. Update/Rewrite versions are counted by their added files — an
     * overestimate for partitions where they abort incremental delivery,
     * which only paces those batches conservatively. */
-  def commitBatches(
-      tablePath: String, startTime: Long, endTime: Long): Seq[CommitBatch] = {
-    val out = scala.collection.mutable.HashMap[Long, CommitBatch]()
+  def commitBatches(tablePath: String, startTime: Long, endTime: Long,
+      maxBoundaries: Int = Int.MaxValue): Seq[CommitBatch] = {
+    // Pass 1 (cheap, in-memory log only): every version line in range with
+    // the commit ids it newly adds. No commit JSON is touched yet.
+    val lines = scala.collection.mutable.ArrayBuffer[(PartitionInfo, Seq[String])]()
     store.listPartitionHeads(tablePath).foreach { head =>
       val all = store.partitionVersions(tablePath, head.partitionDesc)
       all.filter(v => v.timestamp > startTime && v.timestamp <= endTime)
         .foreach { v =>
-          val (nf, nb): (Long, Long) =
-            if (v.commitOp == CommitOp.Compaction) (0L, 0L)
+          val newIds =
+            if (v.commitOp == CommitOp.Compaction) Nil
             else {
               val prev = all.filter(_.version < v.version).lastOption
                 .map(_.snapshot.toSet).getOrElse(Set.empty[String])
-              val newIds = v.snapshot.filterNot(prev)
-              val adds = store.getCommits(tablePath, newIds).values
-                .flatMap(_.files.filter(_.fileOp == "add"))
-              (adds.size.toLong, adds.map(_.size).sum)
+              v.snapshot.filterNot(prev)
             }
-          val cur = out.getOrElse(v.timestamp, CommitBatch(v.timestamp, 0L, 0L))
-          out(v.timestamp) = cur.copy(files = cur.files + nf, bytes = cur.bytes + nb)
+          lines += ((v, newIds))
         }
     }
-    out.values.toSeq.sortBy(_.ts)
+    // Pass 2: file/byte counts ONLY for the first `maxBoundaries` distinct
+    // timestamps — a paced stream admitting k commits per trigger must not
+    // decode a million-commit backlog's metadata to plan one batch.
+    lines.groupBy(_._1.timestamp).toSeq.sortBy(_._1).take(maxBoundaries)
+      .map { case (ts, ls) =>
+        val adds = ls.flatMap { case (_, ids) =>
+          store.getCommits(tablePath, ids).values
+            .flatMap(_.files.filter(_.fileOp == "add"))
+        }
+        CommitBatch(ts, adds.size.toLong, adds.map(_.size).sum)
+      }
   }
 
   def incrementalFilesAll(

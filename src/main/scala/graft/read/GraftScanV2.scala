@@ -615,7 +615,8 @@ class GraftMicroBatchStream(
     if (newest <= s || StreamPacing.unpaced(maxCommitsPerTrigger,
         maxFilesPerTrigger, maxBytesPerTrigger))
       return GraftStreamOffset(math.max(s, newest))
-    val batches = table.commitBatches(s, newest) // ascending commit boundaries
+    val batches = table.commitBatches(s, newest, // ascending commit boundaries
+      StreamPacing.boundaryCap(maxCommitsPerTrigger, maxFilesPerTrigger))
     if (batches.isEmpty) return GraftStreamOffset(newest)
     GraftStreamOffset(StreamPacing.boundedEnd(batches, s,
       maxCommitsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger))

@@ -291,7 +291,8 @@ class GraftStreamSource(
       Option(start).map(o => offsetValue(o.asInstanceOf[Offset])).getOrElse(startTime))
     if (newest <= s || StreamPacing.unpaced(maxCommits, maxFiles, maxBytes))
       return LongOffset(math.max(s, newest))
-    val batches = table.commitBatches(s, newest)
+    val batches = table.commitBatches(s, newest,
+      StreamPacing.boundaryCap(maxCommits, maxFiles))
     val end = if (batches.isEmpty) newest
       else StreamPacing.boundedEnd(batches, s, maxCommits, maxFiles, maxBytes)
     handedOut = end

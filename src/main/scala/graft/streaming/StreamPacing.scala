@@ -37,6 +37,16 @@ object StreamPacing {
     end
   }
 
+  /** How many commit boundaries a paced latestOffset can possibly admit:
+    * exactly maxCommits when commit-paced; otherwise a generous cap (every
+    * non-compaction commit consumes >= 1 file of budget, so only
+    * pathological all-compaction stretches hit it, and hitting it only
+    * under-admits — never over). Bounds the metadata decoded per trigger
+    * on deep backlogs. */
+  def boundaryCap(maxCommits: Option[Int], maxFiles: Option[Long]): Int =
+    maxCommits.getOrElse(
+      maxFiles.map(f => math.min(f + 1, 65536L).toInt).getOrElse(65536))
+
   /** Case-insensitive option lookups shared by both sources. */
   def intOption(options: Map[String, String], key: String): Option[Int] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v.toInt }

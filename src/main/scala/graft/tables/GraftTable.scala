@@ -180,9 +180,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs)
 
   /** Commit timestamps in (startTs, endTs] with added file/byte counts —
-    * the streaming source's admission-control pacing unit. */
-  def commitBatches(startTs: Long, endTs: Long): Seq[graft.meta.CommitBatch] =
-    resolver.commitBatches(tablePath, startTs, endTs)
+    * the streaming source's admission-control pacing unit. `maxBoundaries`
+    * bounds the metadata decoded to the first n boundaries. */
+  def commitBatches(startTs: Long, endTs: Long,
+      maxBoundaries: Int = Int.MaxValue): Seq[graft.meta.CommitBatch] =
+    resolver.commitBatches(tablePath, startTs, endTs, maxBoundaries)
 
   // --------------------------------------------------------------- writes
 
