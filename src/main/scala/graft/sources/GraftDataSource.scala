@@ -288,7 +288,7 @@ class GraftStreamSource(
     val newest = availableNowCap.getOrElse(table.lastCommitTs)
     if (newest <= 0L) return null // nothing committed yet
     val s = math.max(handedOut,
-      Option(start).map(o => offsetValue(o.asInstanceOf[Offset])).getOrElse(startTime))
+      Option(start).map(_.json.trim.toLong).getOrElse(startTime))
     if (newest <= s || StreamPacing.unpaced(maxCommits, maxFiles, maxBytes))
       return LongOffset(math.max(s, newest))
     val batches = table.commitBatches(s, newest,
