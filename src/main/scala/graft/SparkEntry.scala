@@ -1149,6 +1149,19 @@ object SparkEntry {
       Dedup.exact(doc.unionByName(dups), "doc_id", "text")
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
+    "dedup_substring" -> q((s, d) => {
+      // ExactSubstr spans (Lee et al. 2022): self-concatenate every 10th
+      // doc (internal repetition) and re-add every 6th under a shifted id
+      // (cross-doc repetition), then report every maximal duplicated
+      // >=8-token span — one explode + one 64-bit-hash groupBy + one
+      // equi-join; span merge is a per-doc window
+      val doc = rd(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val dups = doc.filter(col("doc_id") % 6 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.duplicatedSpans(doc.unionByName(dups), "doc_id", "text", window = 8)
+    }),
     "dedup_passage" -> q((s, d) => {
       // passage-level (C4-style "paragraph") dedup: duplicate every 4th
       // doc's text under a shifted id, then dedup 10-token passages
@@ -1914,6 +1927,33 @@ object SparkEntry {
            |  FROM customer)""".stripMargin)
         .mkString("", "\nUNION ALL\n", "")
     },
+    "dedup_substring" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 6 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS t
+        |  FROM uni),
+        |wins AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(t[(i+1):(i+8)], ' ') AS gram
+        |  FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (gram)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM hits)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 8 AS span_len
+        |FROM runs GROUP BY doc_id, grp""".stripMargin,
     "dedup_passage" ->
       """WITH uni AS (
         |  SELECT doc_id, text FROM documents

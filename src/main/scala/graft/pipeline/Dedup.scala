@@ -95,6 +95,80 @@ object Dedup {
       .withColumnRenamed("_g_doc", idCol)
   }
 
+  // ----------------------------------------------------- substring (spans)
+
+  /** All (doc, 0-based token position) pairs whose `w`-token window occurs
+    * at least twice corpus-wide (including twice within one document), with
+    * the window's corpus-first occurrence attached. Window equality is by
+    * xx64 hash — the same 8-bytes-on-the-wire trade as [[passageDedup]].
+    *
+    * Scale shape: one explode (rows = tokens), a map-side-combining groupBy
+    * on the 64-bit window hash, one equi-join back — no all-pairs step, and
+    * a boilerplate window repeated millions of times is just a hot count. */
+  private def duplicatedWindows(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val wins = df
+      .withColumn("_g_t", tokens(col(textCol)))
+      .filter(size(col("_g_t")) >= w)
+      .select(col(idCol).as("_g_doc"),
+        posexplode(TextAnalysis.wordShinglesOf(col("_g_t"), w)).as(Seq("_g_pos", "_g_gram")))
+      .select(col("_g_doc"), col("_g_pos"), GraftFunctions.xx64(col("_g_gram")).as("_g_h"))
+    val dup = wins.groupBy("_g_h")
+      .agg(count(lit(1)).as("_g_n"),
+        min(struct(col("_g_doc"), col("_g_pos"))).as("_g_first"))
+      .filter(col("_g_n") >= 2)
+      .select("_g_h", "_g_first")
+    wins.join(dup, Seq("_g_h")).select("_g_doc", "_g_pos", "_g_first")
+  }
+
+  /** Maximal duplicated token spans — the ExactSubstr dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (2022), at
+    * word-token granularity: every `window`-token window occurring >= 2
+    * times corpus-wide marks its start position duplicated; maximal runs of
+    * consecutive duplicated positions merge into spans (pos - row_number
+    * run grouping, per-doc window — no cross-doc shuffle). Returns
+    * (idCol, span_start, span_len), both 0-based token counts. */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g_doc").orderBy("_g_pos")
+    duplicatedWindows(df, idCol, textCol, window)
+      .withColumn("_g_run", col("_g_pos") - row_number().over(byDoc))
+      .groupBy(col("_g_doc"), col("_g_run"))
+      .agg(min("_g_pos").as("_g_s"), max("_g_pos").as("_g_e"))
+      .select(col("_g_doc").as(idCol),
+        col("_g_s").cast("long").as("span_start"),
+        (col("_g_e") - col("_g_s") + lit(window)).cast("long").as("span_len"))
+  }
+
+  /** ExactSubstr REMOVAL: excise every duplicated window occurrence except
+    * the corpus-first one (min (doc, pos) over the window's hash — the
+    * deterministic stand-in for Lee et al.'s keep-one-occurrence rule),
+    * then reassemble each document from its surviving tokens. Documents
+    * with nothing duplicated pass through untouched (token-normalized).
+    * Returns (idCol, clean_text, n_removed_tokens). */
+  def substringDedup(
+      df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("_g_t"))
+    val removed = duplicatedWindows(df, idCol, textCol, window)
+      .filter(struct(col("_g_doc"), col("_g_pos")) =!= col("_g_first"))
+      .select(col("_g_doc"),
+        explode(sequence(col("_g_pos"), col("_g_pos") + lit(window - 1))).as("_g_i"))
+      .groupBy("_g_doc").agg(collect_set("_g_i").as("_g_rm"))
+      .withColumnRenamed("_g_doc", idCol)
+    // surviving positions via array_except (preserves first-array order),
+    // then index back into the token array — per-doc, no further shuffle
+    val keepIdx = array_except(
+      sequence(lit(0), size(col("_g_t")) - 1),
+      coalesce(col("_g_rm"), array().cast("array<int>")))
+    base.join(removed, Seq(idCol), "left")
+      .withColumn("_g_keep", keepIdx)
+      .select(col(idCol),
+        array_join(transform(col("_g_keep"), i => element_at(col("_g_t"), i + 1)), " ")
+          .as("clean_text"),
+        (size(col("_g_t")) - size(col("_g_keep"))).cast("long").as("n_removed_tokens"))
+  }
+
   /** (keeper, dup) pairs removed by exact dedup. */
   def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withH = df.select(col(idCol), GraftFunctions.xx64(normText(col(textCol))).as("_g_h"))

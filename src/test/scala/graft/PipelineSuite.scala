@@ -75,6 +75,32 @@ class PipelineSuite extends SparkFixture {
     assert(repOut == "p q r s t u v w x y")
   }
 
+  test("substring dedup: maximal duplicated spans + first-occurrence removal") {
+    val d = Seq(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 u3 u4"), // shared s1..s5 at token 2
+      (2L, "v1 s1 s2 s3 s4 s5 v2 v3 v4"), // same snippet at token 1
+      (3L, "w1 w2 w3 w4 w5 w6")           // unique
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // both occurrences of the 5-token snippet surface as one maximal span
+    assert(spans == Set((1L, 2L, 5L), (2L, 1L, 5L)))
+    val clean = Dedup.substringDedup(d, "doc_id", "text", window = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 holds the corpus-first occurrence: untouched
+    assert(clean(1L) == (("u1 u2 s1 s2 s3 s4 s5 u3 u4", 0L)))
+    assert(clean(2L) == (("v1 v2 v3 v4", 5L)))
+    assert(clean(3L) == (("w1 w2 w3 w4 w5 w6", 0L)))
+    // self-repetition within one doc: the second copy is excised
+    val rep = Seq((7L, "p q r s p q r s")).toDF("doc_id", "text")
+    val spans7 = Dedup.duplicatedSpans(rep, "doc_id", "text", window = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans7 == Set((0L, 4L), (4L, 4L)))
+    val rep7 = Dedup.substringDedup(rep, "doc_id", "text", window = 4)
+      .head
+    assert(rep7.getString(1) == "p q r s" && rep7.getLong(2) == 4L)
+  }
+
   test("repetition scores flag duplicated words and n-grams") {
     val d = Seq(
       (1L, "one two three four"),          // no repetition
