@@ -1334,6 +1334,19 @@ object SparkEntry {
       // bigram-LM quality scoring (perplexity-filter form scores)
       graft.pipeline.LanguageModel.bigramScore(
         rd(s, d, "documents"), "doc_id", "text")),
+    "quality_classifier" -> q((s, d) => {
+      // seed-trained NB quality classifier (the GPT-3/CCNet "looks like
+      // the reference corpus" filter): trusted sources as the positive
+      // seed, a crawl-like tail as the negative, mean token llr per doc
+      val doc = rd(s, d, "documents")
+      val seed = doc
+        .filter(col("source").isin("src0", "src1", "src2",
+          "src17", "src18", "src19"))
+        .select(col("text"),
+          col("source").isin("src0", "src1", "src2").as("lab"))
+      graft.pipeline.QualityClassifier.nbScore(
+        doc, "doc_id", "text", seed, "text", "lab")
+    }),
     "corpus_shuffle" -> q((s, d) =>
       // deterministic training-order permutation: (shard, pos) replayed
       // bit-for-bit by the oracle
@@ -2305,6 +2318,36 @@ object SparkEntry {
         |    (coalesce(c1.c1, 0) + 0.5 * v.v))), 6) AS avg_logp
         |FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY 1""".stripMargin,
+    // seed NB classifier: class counts + smoothing + per-doc mean llr all
+    // recomputed in SQL, tokenizer included
+    "quality_classifier" ->
+      """WITH seed AS (
+        |  SELECT text, source IN ('src0', 'src1', 'src2') AS lab
+        |  FROM documents
+        |  WHERE source IN ('src0','src1','src2','src17','src18','src19')),
+        |st AS (
+        |  SELECT lab, t.term AS t
+        |  FROM seed, UNNEST(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t(term)),
+        |cnt AS (
+        |  SELECT t, sum(CASE WHEN lab THEN 1 ELSE 0 END) AS cp,
+        |         sum(CASE WHEN lab THEN 0 ELSE 1 END) AS cn
+        |  FROM st GROUP BY t),
+        |tot AS (
+        |  SELECT sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+        |         sum(CASE WHEN lab THEN 0 ELSE 1 END) AS nn,
+        |         count(DISTINCT t) AS v
+        |  FROM st),
+        |dt AS (
+        |  SELECT doc_id, t.term AS t
+        |  FROM documents, UNNEST(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t(term))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(
+        |    ln((coalesce(cp, 0) + 0.5) / (np + 0.5 * v)) -
+        |    ln((coalesce(cn, 0) + 0.5) / (nn + 0.5 * v))), 6) AS llr_mean
+        |FROM dt LEFT JOIN cnt USING (t) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     // the md5-keyed permutation replays exactly: same md5, same hex parse,
     // same modulus, same within-shard order
     "corpus_shuffle" ->

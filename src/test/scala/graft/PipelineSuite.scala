@@ -101,6 +101,31 @@ class PipelineSuite extends SparkFixture {
     assert(rep7.getString(1) == "p q r s" && rep7.getLong(2) == 4L)
   }
 
+  test("NB quality classifier separates seed-like from crawl-like docs") {
+    import graft.pipeline.QualityClassifier
+    val seed = Seq(
+      ("the quick study of science and history", true),
+      ("careful analysis of primary sources", true),
+      ("click here buy now free offer", false),
+      ("free free click buy offer now", false)
+    ).toDF("text", "lab")
+    val docs = Seq(
+      (1L, "study of science sources"),   // positive-seed words
+      (2L, "click buy free offer"),       // negative-seed words
+      (3L, "zebra quantum")               // unseen: smoothed prior only
+    ).toDF("doc_id", "text")
+    val m = QualityClassifier.nbScore(docs, "doc_id", "text", seed, "text", "lab")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("llr_mean")).toMap
+    assert(m(1L) > 0.0 && m(2L) < 0.0)
+    assert(m(1L) > m(3L) && m(3L) > m(2L))
+    // both classes have 12 seed tokens, so the unseen-token prior is 0
+    assert(math.abs(m(3L)) < 0.1)
+    val kept = QualityClassifier.classifierFilter(
+        docs, "doc_id", "text", seed, "text", "lab", minLlr = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("repetition scores flag duplicated words and n-grams") {
     val d = Seq(
       (1L, "one two three four"),          // no repetition
