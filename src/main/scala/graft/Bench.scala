@@ -131,7 +131,7 @@ object Bench {
     val extras = Seq("quality_topk", "gopher_filter", "pii_scrub",
       "doc_chunk", "ngram_topk", "sample_temperature", "kmeans_assign",
       "ann_join", "ann_ivf_bq", "corpus_shuffle", "lm_score",
-      "dedup_substring", "quality_classifier",
+      "dedup_substring", "quality_classifier", "dedup_index_incremental",
       // TPC-H breadth (r5): published per-query, not in `total`, so the
       // round-over-round totals stay comparable to rounds 1-4
       "q2_min_cost_supp", "q4_priority_orders", "q6_forecast_revenue",

@@ -1183,6 +1183,22 @@ object SparkEntry {
       // probability is < 2e-4 per pair)
       Dedup.minhashNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
         threshold = 0.8)),
+    "dedup_index_incremental" -> q((s, d) => {
+      // persisted incremental near-dup check: index the corpus ONCE into a
+      // sidecar graft table of banded signatures, then check a new batch
+      // (every 8th doc re-sent under a shifted id) against it — sign(batch)
+      // + band join + candidate-only verify; the corpus text is never
+      // re-signed. Output = exact J >= 0.8 corpus-vs-batch pairs (every
+      // candidate is verified), so the full-enumeration oracle applies;
+      // recall is complete for the planted exact copies (identical
+      // signatures collide in every band)
+      val doc = rd(s, d, "documents")
+      val idx = graft.pipeline.NearDupIndex.create(s, tmp("neardupidx"))
+      idx.add(doc, "doc_id", "text")
+      val batch = doc.filter(col("doc_id") % 8 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      idx.check(batch, "doc_id", "text", corpusText = doc, threshold = 0.8)
+    }),
     "dedup_simhash" -> q((s, d) =>
       // md5-derived per-token hash -> DuckDB recomputes the identical
       // 64-bit signature (bit-majority over md5 hex prefixes) and replays
@@ -2386,6 +2402,23 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.8""".stripMargin,
+    // full corpus-x-batch enumeration; the engine's band join + verify
+    // emits exactly the J >= 0.8 subset of it (complete recall: the
+    // planted copies share every band, and organic pairs mirror the
+    // green dedup_minhash recall argument)
+    "dedup_index_incremental" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id + 1000000 AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id % 8 = 0
         |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.8""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (

@@ -211,6 +211,26 @@ object Dedup {
       .select(col("_g_p.id_a").as("id_a"), col("_g_p.id_b").as("id_b"))
       .distinct()
 
+  /** Banded MinHash signature rows (_g_id, _g_band, _g_bh) — the LSH
+    * bucketing key stream shared by [[minhashCandidates]] and the
+    * persisted [[NearDupIndex]]. */
+  def bandedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    // materialize the signature ONCE per row (a projection), then band it —
+    // inlining it into each band hash would re-tokenize numHashes times
+    val sig = df.select(col(idCol).as("_g_id"),
+      minhashSignature(col(textCol), numHashes).as("_g_sig"))
+    sig.select(col("_g_id"), posexplode(
+      array((0 until bands).map(b =>
+        GraftFunctions.xx64(concat_ws(",",
+          slice(col("_g_sig"), b * r + 1, r)))): _*)).as(Seq("_g_band", "_g_bh")))
+  }
+
   /** Candidate pairs from banded MinHash-LSH (idA < idB, distinct). */
   def minhashCandidates(
       df: DataFrame,
@@ -218,18 +238,9 @@ object Dedup {
       textCol: String,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucket: Int = 100): DataFrame = {
-    val r = numHashes / bands
-    // materialize the signature ONCE per row (a projection), then band it —
-    // inlining it into each band hash would re-tokenize numHashes times
-    val sig = df.select(col(idCol).as("_g_id"),
-      minhashSignature(col(textCol), numHashes).as("_g_sig"))
-    val banded = sig.select(col("_g_id"), posexplode(
-      array((0 until bands).map(b =>
-        GraftFunctions.xx64(concat_ws(",",
-          slice(col("_g_sig"), b * r + 1, r)))): _*)).as(Seq("_g_band", "_g_bh")))
-    bucketPairs(banded, Seq("_g_band", "_g_bh"), "_g_id", maxBucket)
-  }
+      maxBucket: Int = 100): DataFrame =
+    bucketPairs(bandedSignatures(df, idCol, textCol, numHashes, bands),
+      Seq("_g_band", "_g_bh"), "_g_id", maxBucket)
 
   /** Exact Jaccard over word-k-shingle SETS for given (id_a, id_b) pairs. */
   def jaccardVerify(

@@ -101,6 +101,37 @@ class PipelineSuite extends SparkFixture {
     assert(rep7.getString(1) == "p q r s" && rep7.getLong(2) == 4L)
   }
 
+  test("near-dup index: persisted check, incremental growth, reopen") {
+    import graft.pipeline.NearDupIndex
+    val corpus = docs.limit(200).select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-").toFile.getAbsolutePath
+    val idx = NearDupIndex.create(spark, dir)
+    idx.add(corpus, "doc_id", "text")
+    // a batch of exact copies must come back as J = 1.0 pairs vs their originals
+    val batch = corpus.filter($"doc_id" % 7 === 0)
+      .withColumn("doc_id", $"doc_id" + 5000000L)
+    val hits = idx.check(batch, "doc_id", "text", corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = corpus.filter($"doc_id" % 7 === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty)
+    assert(expected.subsetOf(hits.collect { case (a, b, j) if j == 1.0 && b == a + 5000000L => a }.toSet))
+    // unrelated fresh docs surface nothing
+    val fresh = Seq((9000001L, "entirely novel content zqx wvu tpo")).toDF("doc_id", "text")
+    assert(idx.check(fresh, "doc_id", "text", corpus, threshold = 0.9).isEmpty)
+    // grow the index with the batch, reopen from disk, re-check a copy of a
+    // BATCH doc — found via the delta-upserted signatures only
+    idx.add(batch, "doc_id", "text")
+    val reopened = NearDupIndex.forPath(spark, dir)
+    assert(reopened.bands == 8 && reopened.numHashes == 32)
+    val batchTexts = batch.select($"doc_id", $"text")
+    val again = batchTexts.limit(1).withColumn("doc_id", $"doc_id" + 1000L)
+    val found = reopened.check(again, "doc_id", "text",
+        corpus.unionByName(batchTexts), threshold = 0.9)
+      .filter($"jaccard" === 1.0).collect()
+    assert(found.nonEmpty)
+  }
+
   test("NB quality classifier separates seed-like from crawl-like docs") {
     import graft.pipeline.QualityClassifier
     val seed = Seq(
