@@ -1059,6 +1059,33 @@ object SparkEntry {
         .unionByName(GraftTable.forPath(s, s"$root/wh/vfy_ing/t1").toDF)
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
+    "stream_curate" -> q((s, d) => {
+      // streaming curation loop: seed an accepted corpus (every 3rd doc) +
+      // its near-dup index, then stream one batch of new docs (the rest,
+      // plus exact copies of every 9th doc under shifted ids) through
+      // curateStream — per-batch near-dup admission vs the PERSISTED index,
+      // survivors upserted + index grown, all through the real streaming
+      // path (readStream -> foreachBatch -> AvailableNow)
+      val root = tmp("scur")
+      val doc = rd(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus0 = doc.filter(col("doc_id") % 3 === 0)
+      GraftTable.create(s, corpus0, s"$root/out", hashColumns = Seq("doc_id"))
+      graft.pipeline.NearDupIndex.create(s, s"$root/idx")
+        .add(corpus0, "doc_id", "text")
+      val batch = doc.filter(col("doc_id") % 3 =!= 0).unionByName(
+        doc.filter(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      GraftTable.create(s, batch, s"$root/src")
+      val q0 = graft.pipeline.TrainingSet.curateStream(
+        s.readStream.format("graft").load(s"$root/src"),
+        "doc_id", "text", s"$root/out", s"$root/idx", s"$root/ckpt",
+        cfg = graft.pipeline.TrainingSet.Config(
+          qualityPred = Some(lit(true)), minTokens = 0,
+          minhashThreshold = 0.8),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q0.awaitTermination(180000)
+      GraftTable.forPath(s, s"$root/out").toDF.select("doc_id", "text")
+    }),
     "merge_into" -> q((s, d) => {
       val c = rd(s, d, "customer")
       val t = GraftTable.create(s, c, tmp("mi"),
@@ -2403,6 +2430,39 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.8""".stripMargin,
+    // accepted corpus = seed + batch survivors: within-batch exact keeper
+    // (min id per normalized text), then drop batch docs with an exact
+    // J >= 0.8 match in the seed corpus — the index's recall argument is
+    // the same as dedup_index_incremental's
+    "stream_curate" ->
+      """WITH c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+        |bk AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY doc_id) AS rn
+        |    FROM b) WHERE rn = 1),
+        |shc AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t FROM c0)),
+        |shb AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t FROM bk)),
+        |dup AS (
+        |  SELECT DISTINCT shb.doc_id
+        |  FROM shb JOIN shc ON round(CAST(len(list_intersect(shb.s, shc.s)) AS DOUBLE)
+        |    / len(list_distinct(shb.s || shc.s)), 6) >= 0.8)
+        |SELECT doc_id, text FROM c0
+        |UNION ALL
+        |SELECT doc_id, text FROM bk WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
     // full corpus-x-batch enumeration; the engine's band join + verify
     // emits exactly the J >= 0.8 subset of it (complete recall: the
     // planted copies share every band, and organic pairs mirror the

@@ -85,6 +85,82 @@ object TrainingSet {
       .drop("_g_sid")
   }
 
+  /** STREAMING curation — the continuous-ingestion form of the pipeline:
+    * each micro-batch runs quality gate -> within-batch exact dedup ->
+    * decontamination, is then checked against the ACCEPTED corpus through
+    * the persisted [[NearDupIndex]] (exact dups collide in every band, so
+    * the index subsumes cross-batch exact dedup — no corpus re-scan or
+    * content-hash anti-join), and the survivors are upserted into the
+    * output table and their signatures delta-upserted into the index.
+    *
+    * Exactly-once WITHOUT a batch-id guard: both writes are PK upserts
+    * (output PK = idCol; index PK = (bh, doc_id)), so a replayed batch
+    * recomputes the same survivors — its own earlier rows are invisible
+    * to the check (the index join drops same-id matches) — and re-upserts
+    * them idempotently. Cross-batch near-dup is vs the index only;
+    * near-dups co-arriving in ONE batch (beyond exact) are admitted
+    * together — the standard streaming-window trade; run the batch
+    * [[curate]] on the accepted corpus when a global pass is needed.
+    *
+    * Per-batch cost is proportional to the BATCH: sign + band join +
+    * candidate-bounded verify (the verify's id semi-join reaches the
+    * output scan as a runtime filter, pruning corpus files through the
+    * zone maps). Chunking/sharding stay batch post-processing of the
+    * accepted corpus ([[curateToTable]]). */
+  def curateStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePath: String,
+      indexPath: String,
+      checkpoint: String,
+      testSet: Option[DataFrame] = None,
+      cfg: Config = Config(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.tables.GraftTable
+    stream.writeStream
+      .queryName("graft-stream-curate")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val flagged = TextAnalysis.gopherFilter(batch, textCol, cfg.minTokens)
+        val keep = cfg.qualityPred.getOrElse(col("keep"))
+        val quality = flagged.filter(keep).select(batch.columns.map(col): _*)
+        val exact = Dedup.exact(quality, idCol, textCol)
+        val clean = testSet match {
+          case Some(ts) => Decontaminate.decontaminate(
+            exact, idCol, textCol, ts, textCol, cfg.decontaminateNgram)
+          case None => exact
+        }
+        val table =
+          if (GraftTable.exists(tablePath)) GraftTable.forPath(spark, tablePath)
+          else GraftTable.createEmpty(spark, batch.schema, tablePath,
+            hashColumns = Seq(idCol), bucketNum = 4)
+        val idx =
+          if (GraftTable.exists(indexPath)) NearDupIndex.forPath(spark, indexPath)
+          else NearDupIndex.create(spark, indexPath)
+        val survivors =
+          if (cfg.minhashThreshold <= 0) clean
+          else {
+            val hits = idx.check(clean, idCol, textCol,
+              table.toDF.select(col(idCol), col(textCol)), cfg.minhashThreshold)
+            clean.join(hits.select(col("id_b").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+          }
+        // computed ONCE (upsert + index add would re-run the whole check)
+        val accepted = survivors.localCheckpoint()
+        if (!accepted.isEmpty) {
+          table.upsert(accepted)
+          idx.add(accepted, idCol, textCol)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** [[curate]] materialized as a graft table RANGE-PARTITIONED BY `shard`:
     * a training reader streams one shard per partition (pure partition
     * pruning — `toDF(_ == "shard=7")`), rows within a shard ordered by

@@ -132,6 +132,39 @@ class PipelineSuite extends SparkFixture {
     assert(found.nonEmpty)
   }
 
+  test("streaming curation: cross-batch near-dup admission via the persisted index") {
+    import graft.pipeline.TrainingSet
+    val root = java.nio.file.Files.createTempDirectory("graft-scur-").toFile.getAbsolutePath
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of doc 1
+      (11L, "completely different fresh content arrives right here now"),
+      (12L, "short")                                          // fails the gate
+    ).toDF("doc_id", "text")
+    val src = GraftTable.create(spark, b1, s"$root/src")
+    src.append(b2) // second commit -> second micro-batch under pacing
+    val q = TrainingSet.curateStream(
+      spark.readStream.format("graft").option("maxCommitsPerTrigger", "1")
+        .load(s"$root/src"),
+      "doc_id", "text", s"$root/out", s"$root/idx", s"$root/ckpt",
+      cfg = TrainingSet.Config(
+        qualityPred = Some(length($"text") > 10), minTokens = 0,
+        minhashThreshold = 0.8),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val out = GraftTable.forPath(spark, s"$root/out").toDF
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 1 fully accepted; batch 2's copy is caught by the index grown
+    // in batch 1, the short doc by the quality gate
+    assert(out == Set(1L, 2L, 11L))
+    // the index carries signatures for every accepted doc
+    val idxDocs = GraftTable.forPath(spark, s"$root/idx").toDF
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxDocs == Set(1L, 2L, 11L))
+  }
+
   test("NB quality classifier separates seed-like from crawl-like docs") {
     import graft.pipeline.QualityClassifier
     val seed = Seq(
