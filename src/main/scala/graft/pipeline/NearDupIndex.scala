@@ -21,10 +21,12 @@ import graft.tables.GraftTable
   * Layout: one row per (band, bh, doc) under range partition `band` and
   * primary key (bh, doc_id) — the effective write-dedup key is
   * (range ++ pk) = (band, bh, doc_id), so re-adding a doc is idempotent
-  * per band. Sort-on-write orders each bucket by (bh, doc_id), giving the
-  * per-file zone maps tight `bh` bounds: a batch check's band join is a
-  * broadcast hash join whose runtime filter on `bh` re-prunes index files
-  * through [[graft.read.StatsSkipping]] before any task reads them. A doc
+  * per band. Sort-on-write orders each rolled file by (bh, doc_id),
+  * giving the per-file zone maps tight `bh` bounds: a batch check pushes
+  * the batch's bh key set into the index scan as an In filter, and
+  * [[graft.read.StatsSkipping]] drops every index file whose bh range
+  * holds no key before any task launches — the check's IO tracks the
+  * batch, not the corpus. A doc
   * whose TEXT changes gets fresh bh rows while stale ones remain (bh is
   * in the PK) — delete the old id first, or rebuild, same contract as
   * [[VectorIndex.append]] under a cell hop.
@@ -56,7 +58,24 @@ class NearDupIndex private (
     val bb = Dedup.bandedSignatures(batch, idCol, textCol, numHashes, bands)
       .select(col("_g_band").as("band"), col("_g_bh").as("bh"),
         col("_g_id").as("_g_new"))
-    val hits = table.toDF
+      // the band-hash key set is consumed twice (scan pushdown + join) and
+      // is batch-sized — materialize once
+      .localCheckpoint()
+    // push the batch's bh key set into the index scan: files are sorted by
+    // bh (PK prefix) and rolled, so the zone maps prune the index read down
+    // to the files containing matching hash ranges — the check's IO tracks
+    // the BATCH, not the corpus. Key collection is batch-proportional
+    // (<= bands per doc); very large batches skip the pushdown and fall
+    // back to the full-scan join.
+    val keys = bb.select("bh").distinct().limit(NearDupIndex.MaxPushdownKeys + 1)
+      .collect().map(_.getLong(0))
+    val corpusSide =
+      if (keys.length <= NearDupIndex.MaxPushdownKeys)
+        table.toDFWithFilters(_ => true, None,
+          Seq(org.apache.spark.sql.sources.In("bh",
+            keys.map(_.asInstanceOf[Any]))))
+      else table.toDF
+    val hits = corpusSide
       .join(broadcast(bb), Seq("band", "bh"))
       .filter(col("doc_id") =!= col("_g_new"))
     // per-(band, bh) occupancy over the touched buckets only — a window
@@ -90,9 +109,17 @@ class NearDupIndex private (
 
 object NearDupIndex {
 
+  /** Cap on the bh IN-list pushed into the index scan (8-byte keys; above
+    * this the driver-side per-file In evaluation outweighs the file
+    * pruning — the check falls back to the full-scan join). */
+  val MaxPushdownKeys = 8192
+
   private def props(numHashes: Int, bands: Int) = Map(
     "graft.neardup.numHashes" -> numHashes.toString,
-    "graft.neardup.bands" -> bands.toString)
+    "graft.neardup.bands" -> bands.toString,
+    // roll index files so each covers a narrow sorted bh range — the unit
+    // of zone-map pruning for the check's IN-probe
+    graft.write.TransactionalWrite.MaxRecordsPerFileProp -> "262144")
 
   /** Create an empty index table at `path` (range-partitioned by band,
     * PK (bh, doc_id), files sorted by bh for zone-map pruning). */
