@@ -163,6 +163,21 @@ class PipelineSuite extends SparkFixture {
     val idxDocs = GraftTable.forPath(spark, s"$root/idx").toDF
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(idxDocs == Set(1L, 2L, 11L))
+    // replay idempotence: a fresh checkpoint re-processes every batch from
+    // scratch; earlier-accepted rows are invisible to the check (same-id
+    // matches drop) and the PK upserts replay harmlessly
+    val q2 = TrainingSet.curateStream(
+      spark.readStream.format("graft").option("maxCommitsPerTrigger", "1")
+        .load(s"$root/src"),
+      "doc_id", "text", s"$root/out", s"$root/idx", s"$root/ckpt2",
+      cfg = TrainingSet.Config(
+        qualityPred = Some(length($"text") > 10), minTokens = 0,
+        minhashThreshold = 0.8),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val out2 = GraftTable.forPath(spark, s"$root/out").toDF
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out2.length == 3 && out2.toSet == Set(1L, 2L, 11L))
   }
 
   test("NB quality classifier separates seed-like from crawl-like docs") {
