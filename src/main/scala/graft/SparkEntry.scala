@@ -1247,6 +1247,29 @@ object SparkEntry {
       Dedup.components(doc, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("comp"))
     }),
+    "dedup_keep_best" -> q((s, d) => {
+      // terminal near-dup step with QUALITY keeper election: clusters from
+      // the verified pair set, keep the longest doc per cluster (doc_id
+      // tiebreak) — curation keeps the BEST copy, not an arbitrary one
+      val doc = rd(s, d, "documents")
+      val pairs = Dedup.jaccardNearDupPairs(doc, "doc_id", "text", threshold = 0.5)
+      Dedup.keepBest(doc.select("doc_id", "n_chars"), "doc_id", pairs, "n_chars")
+        .select("doc_id", "comp", "n_chars")
+    }),
+    "knn_classify" -> q((s, d) => {
+      // kNN label propagation: every 4th vector is "unlabeled" and takes
+      // the majority label of its 5 nearest labeled neighbors through the
+      // shared deterministic IVF (annJoin — never |Q|x|C|)
+      val e = rd(s, d, "embeddings")
+      Similarity.knnClassify(
+        e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        "label", k = 5, nlist = 16, nprobe = 4)
+    }),
+    "bpe_pairs" -> q((s, d) =>
+      // first BPE-training iteration at corpus scale: frequency-weighted
+      // adjacent char-pair counts; explode runs over distinct words only
+      TextAnalysis.bpePairCounts(rd(s, d, "documents"), "text", topK = 50)),
     "doc_packing" -> q((s, d) => {
       // token-budget batching: deterministic hash shards + windowed
       // cumulative sum -> (shard, pack) training batches, no global sort
@@ -2224,6 +2247,34 @@ object SparkEntry {
         |  ) SELECT * FROM reach)
         |SELECT doc_id, least(doc_id, coalesce((SELECT min(d) FROM rec WHERE s = doc_id), doc_id)) AS comp
         |FROM documents""".stripMargin,
+    // same recursive component resolution, then quality keeper election
+    "dedup_keep_best" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(s, d) AS (
+        |    SELECT s, d FROM edges
+        |    UNION
+        |    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s
+        |  ) SELECT * FROM reach),
+        |comp AS (
+        |  SELECT doc_id, least(doc_id, coalesce((SELECT min(d) FROM rec WHERE s = doc_id), doc_id)) AS comp
+        |  FROM documents)
+        |SELECT doc_id, comp, n_chars FROM (
+        |  SELECT d.doc_id, c.comp, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.comp ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id) WHERE rn = 1""".stripMargin,
     "doc_packing" ->
       """WITH tok AS (
         |  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS n_tokens
@@ -2251,6 +2302,17 @@ object SparkEntry {
         |  FROM tok)
         |SELECT gram, count(*) AS n FROM g GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+    "bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair, f
+        |  FROM wc, UNNEST(range(1, len(w))) AS r(i)
+        |  WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "doc_chunk" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts
@@ -2337,6 +2399,44 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) DESC, a.vec_id) AS rank
         |  FROM q JOIN probe p ON q.qid = p.qid JOIN assigned a ON a.cell = p.cell)
         |WHERE rank <= 5""".stripMargin,
+    // annJoin replay over the labeled subset (centroids/cells derive from
+    // the CORPUS side = vec_id % 4 <> 0), then the majority vote
+    "knn_classify" ->
+      """WITH lab AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
+        |cents AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id AS cell, embedding AS cvec,
+        |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
+        |    FROM lab) WHERE rk <= 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 4 = 0),
+        |assigned AS (
+        |  SELECT vec_id, embedding, label, cell FROM (
+        |    SELECT e.vec_id, e.embedding, e.label, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.rk) AS arn
+        |    FROM lab e CROSS JOIN cents c) WHERE arn = 1),
+        |probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.rk) AS prn
+        |    FROM q CROSS JOIN cents c) WHERE prn <= 4),
+        |nn AS (
+        |  SELECT query_id, corpus_id, label, cosine FROM (
+        |    SELECT q.qid AS query_id, a.vec_id AS corpus_id, a.label,
+        |      round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) DESC, a.vec_id) AS rank
+        |    FROM q JOIN probe p ON q.qid = p.qid JOIN assigned a ON a.cell = p.cell)
+        |  WHERE rank <= 5),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS n_votes, max(cosine) AS best
+        |  FROM nn GROUP BY 1, 2)
+        |SELECT vec_id, label, n_votes FROM (
+        |  SELECT query_id AS vec_id, label, n_votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_votes DESC, best DESC, label) AS rn
+        |  FROM votes) WHERE rn = 1""".stripMargin,
     "sample_group_k" ->
       """SELECT doc_id, source, lang FROM (
         |  SELECT doc_id, source, lang, row_number() OVER (

@@ -472,6 +472,25 @@ object Dedup {
     df.join(components(df, idCol, pairs).filter(col("id") === col("comp"))
       .select(col("id").as(idCol)), idCol)
 
+  /** Quality-elected near-dup dedup: resolve pairs into clusters, then keep
+    * the highest-quality row per cluster (qualityCol desc, id tiebreak) —
+    * the curation-grade policy: near-dup removal should discard the WORSE
+    * copy, not an arbitrary one. One window over the (small) cluster
+    * assignment — scale cost is [[components]] itself. */
+  def keepBest(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.join(components(df, idCol, pairs).withColumnRenamed("id", idCol), idCol)
+      .withColumn("_g_rn", row_number().over(w))
+      .filter(col("_g_rn") === 1)
+      .drop("_g_rn")
+  }
+
   /** Brute-force cosine pairs (exact baseline / oracle path; O(n^2) — only
     * for bounded subsets). */
   def bruteForceCosinePairs(

@@ -272,6 +272,38 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** kNN label propagation (semi-supervised corpus labeling): each unlabeled
+    * vector takes the majority label of its k nearest LABELED neighbors,
+    * retrieved through the shared deterministic IVF ([[annJoin]] — never
+    * |Q|×|C|). Ties break by (count desc, best cosine desc, label asc) so
+    * the assignment is deterministic. Returns (query id, predicted label,
+    * n_votes). */
+  def knnClassify(
+      unlabeled: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      labeled: DataFrame,
+      cIdCol: String,
+      cVecCol: String,
+      labelCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val nn = annJoin(unlabeled, qIdCol, qVecCol, labeled, cIdCol, cVecCol,
+      k, nlist, nprobe)
+      .join(labeled.select(col(cIdCol).as("corpus_id"),
+        col(labelCol).as("_g_lbl")), "corpus_id")
+    val votes = nn.groupBy(col("query_id"), col("_g_lbl"))
+      .agg(count(lit(1)).as("n_votes"), max(col("cosine")).as("_g_best"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("_g_best").desc, col("_g_lbl"))
+    votes.withColumn("_g_rn", row_number().over(w))
+      .filter(col("_g_rn") === 1)
+      .select(col("query_id").as(qIdCol), col("_g_lbl").as(labelCol),
+        col("n_votes"))
+  }
+
   /** Shared candidate generation for the KNN join family — IVF assignment
     * of the corpus, nprobe-exploded queries, one equi-join on `cell`,
     * rounded cosine. One definition so the deterministic rounding/

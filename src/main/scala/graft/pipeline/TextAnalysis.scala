@@ -23,6 +23,23 @@ object TextAnalysis {
     size(filter(split(lower(trim(text)), "(\\s+|(?<=\\W)|(?=\\W))"),
       t => length(t) > 0))
 
+  /** Corpus-scale BPE merge statistics (the first iteration of BPE
+    * tokenizer training): word frequencies, then frequency-weighted
+    * adjacent character-pair counts. The pair explode runs over DISTINCT
+    * words only — cost is |vocab|, not |corpus| — and both aggs are
+    * map-side-combining groupBys, so at 100 TB the heavy token explode
+    * feeds one combine-reduced shuffle of distinct words. Returns the
+    * top-k candidate merges as (pair, n), ties broken by pair. */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
   def charCount(text: Column): Column = length(text)
 
   def punctRatio(text: Column): Column =

@@ -459,6 +459,50 @@ class PipelineSuite extends SparkFixture {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("keepBest elects the highest-quality doc per near-dup cluster") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 has the best quality; cluster {5,6}: tie -> min id;
+    // 4 is a singleton and survives as-is
+    val docs = Seq((1L, 10), (2L, 30), (3L, 20), (4L, 5), (5L, 7), (6L, 7))
+      .toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.pipeline.Dedup.keepBest(docs, "id", pairs, "quality")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L))
+  }
+
+  test("knn classify: planted clusters recover their label; determinism") {
+    import spark.implicits._
+    // two well-separated directions; unlabeled copies must inherit the
+    // label of their direction's cluster
+    def vec(base: Array[Float], eps: Float) =
+      base.zipWithIndex.map { case (v, i) => v + (if (i == 0) eps else 0f) }
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val rows =
+      (0 until 12).map(i => (i.toLong * 4 + 1, vec(a, i * 0.01f), 7)) ++ // labeled A
+      (0 until 12).map(i => (i.toLong * 4 + 2, vec(b, i * 0.01f), 9)) ++ // labeled B
+      Seq((0L, vec(a, 0.5f), -1), (4L, vec(b, 0.5f), -1))               // unlabeled
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(
+      df.filter($"vec_id" % 4 === 0), "vec_id", "embedding",
+      df.filter($"vec_id" % 4 =!= 0), "vec_id", "embedding",
+      "label", k = 5, nlist = 4, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 7, 4L -> 9))
+  }
+
+  test("bpe pair counts: frequency-weighted char pairs, deterministic top-k") {
+    import spark.implicits._
+    // "abab" x2 contributes ab:4 (2 per occurrence x 2 docs... weighted by
+    // word frequency), "ab" x3 contributes ab:3 -> ab = 2*2 + 3 = 7
+    val df = Seq("abab abab ab", "ab ab").toDF("text")
+    val top = TextAnalysis.bpePairCounts(df, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top("ab") == 7L)   // 2 per "abab" (x2) + 1 per "ab" (x3)
+    assert(top("ba") == 2L)   // interior of "abab" only
+    assert(!top.contains("aa"))
+  }
+
   test("deterministic sampling: reproducible, nesting, stratified rates") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
