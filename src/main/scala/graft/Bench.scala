@@ -144,7 +144,9 @@ object Bench {
       "q8_market_share", "q11_important_parts", "q13_cust_order_dist",
       "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
       "q20_potential_promotion", "q21_waiting_suppliers",
-      "q22_global_sales_opportunity")
+      "q22_global_sales_opportunity",
+      // r5 curation additions
+      "dedup_keep_best", "knn_classify", "bpe_pairs", "bpe_train")
 
     // steady state = median of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench notes)

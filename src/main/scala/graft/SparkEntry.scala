@@ -1270,6 +1270,10 @@ object SparkEntry {
       // first BPE-training iteration at corpus scale: frequency-weighted
       // adjacent char-pair counts; explode runs over distinct words only
       TextAnalysis.bpePairCounts(rd(s, d, "documents"), "text", topK = 50)),
+    "bpe_train" -> q((s, d) =>
+      // the full training loop: 3 learned merges, greedy left-to-right
+      // application to the vocab between iterations (corpus scanned once)
+      TextAnalysis.bpeTrain(rd(s, d, "documents"), "text", numMerges = 3)),
     "doc_packing" -> q((s, d) => {
       // token-budget batching: deterministic hash shards + windowed
       // cumulative sum -> (shard, pack) training batches, no global sort
@@ -1523,6 +1527,45 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (driver hash-compares results; omitted
     * entries get a rows-only check). Table names = parquet file stems. */
+  /** Generated oracle for `bpe_train`: one SQL stage per merge iteration.
+    * The greedy left-to-right merge application is replayed exactly via
+    * gaps-and-islands parity — for l != r two matches can never overlap
+    * (a match ending at i means syms[i] = r != l, so no match starts
+    * there), and for l = r a run of k identical symbols yields k-1
+    * consecutive match positions of which greedy takes the even offsets
+    * (floor(k/2) merges) — identical to the engine's single fold pass. */
+  private def bpeTrainOracle(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      val in = s"v${i - 1}"
+      s"""c$i AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS n
+         |  FROM $in, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, n FROM c$i ORDER BY n DESC, l, r LIMIT 1),
+         |e$i AS (
+         |  SELECT w, f, t.i AS i, syms[t.i] AS s
+         |  FROM $in, UNNEST(range(1, len(syms)+1)) t(i)),
+         |h$i AS (
+         |  SELECT e.w, e.f, e.i, e.s, m.l AS ml, m.r AS mr,
+         |    coalesce(e.s = m.l AND lead(e.s) OVER (PARTITION BY e.w ORDER BY e.i) = m.r, false) AS hit
+         |  FROM e$i e CROSS JOIN m$i m),
+         |g$i AS (SELECT *, i - row_number() OVER (PARTITION BY w, hit ORDER BY i) AS grp FROM h$i),
+         |st$i AS (SELECT *, hit AND (row_number() OVER (PARTITION BY w, hit, grp ORDER BY i) - 1) % 2 = 0 AS is_start FROM g$i),
+         |cv$i AS (SELECT *, coalesce(lag(is_start) OVER (PARTITION BY w ORDER BY i), false) AS covered FROM st$i),
+         |v$i AS (
+         |  SELECT w, f, list(CASE WHEN is_start THEN ml || mr ELSE s END ORDER BY i) AS syms
+         |  FROM cv$i WHERE NOT covered GROUP BY w, f)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS w
+       |  FROM documents),
+       |v0 AS (
+       |  SELECT w, count(*) AS f,
+       |    list_transform(range(1, len(w)+1), i -> substr(w, i, 1)) AS syms
+       |  FROM tok GROUP BY w),
+       |$stages
+       |${(1 to iters).map(i => s"SELECT $i AS rank, l, r, n FROM m$i").mkString(" UNION ALL ")}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2313,6 +2356,7 @@ object SparkEntry {
         |  WHERE len(w) >= 2)
         |SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "bpe_train" -> bpeTrainOracle(3),
     "doc_chunk" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts

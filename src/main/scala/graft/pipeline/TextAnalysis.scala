@@ -40,6 +40,61 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
 
+  /** Distributed BPE TRAINING: learn `numMerges` merge rules over the
+    * corpus. The corpus is scanned ONCE (word frequencies); every
+    * iteration after that runs over the DISTINCT-word vocabulary only —
+    * count frequency-weighted adjacent symbol pairs, take the top pair
+    * (n desc, then (l, r) for determinism), and apply it greedily
+    * left-to-right to the vocab symbol arrays via a codegen'd `aggregate`
+    * fold (a merged token never re-fires its own rule in the same pass,
+    * so one fold is the complete standard BPE merge application).
+    *
+    * Scale shape: per merge the vocab never leaves the cluster — the pair
+    * count is a map-side-combining groupBy over |vocab| and only the
+    * single winning pair reaches the driver (the kmeans-centroid
+    * pattern). Returns the learned rules as (rank, l, r, n). */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val prev = vocab
+        vocab = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+          .cache()
+        vocab.count()
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    val out = spark.createDataFrame(merges.toSeq).toDF("rank", "l", "r", "n")
+    vocab.unpersist()
+    out
+  }
+
   def charCount(text: Column): Column = length(text)
 
   def punctRatio(text: Column): Column =

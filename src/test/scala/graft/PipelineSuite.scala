@@ -503,6 +503,20 @@ class PipelineSuite extends SparkFixture {
     assert(!top.contains("aa"))
   }
 
+  test("bpe training: greedy run-aware merges, hand-checked 3 iterations") {
+    import spark.implicits._
+    // vocab: aaab f=2, ab f=1
+    // iter1 pairs: (a,a)=4 (two per aaab, run-counted), (a,b)=3 -> merge (a,a)
+    //   greedy on [a,a,a,b]: [aa,a,b] (run of 3 -> ONE merge, not two)
+    // iter2 pairs: (aa,a)=2, (a,b)=3 -> merge (a,b) -> [aa,ab], [ab]
+    // iter3 pairs: (aa,ab)=2 -> merge (aa,ab)
+    val m = TextAnalysis.bpeTrain(Seq("aaab aaab ab").toDF("text"), "text", 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(m == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
   test("deterministic sampling: reproducible, nesting, stratified rates") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
