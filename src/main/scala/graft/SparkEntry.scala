@@ -1274,6 +1274,11 @@ object SparkEntry {
       // the full training loop: 3 learned merges, greedy left-to-right
       // application to the vocab between iterations (corpus scanned once)
       TextAnalysis.bpeTrain(rd(s, d, "documents"), "text", numMerges = 3)),
+    "bpe_encode" -> q((s, d) =>
+      // the apply half: segment the corpus with the learned rules and
+      // count token frequencies (per-distinct-word segmentation, weighted)
+      TextAnalysis.bpeSegmentFrequencies(rd(s, d, "documents"), "text",
+        numMerges = 3)),
     "doc_packing" -> q((s, d) => {
       // token-budget batching: deterministic hash shards + windowed
       // cumulative sum -> (shard, pack) training batches, no global sort
@@ -1534,7 +1539,7 @@ object SparkEntry {
     * there), and for l = r a run of k identical symbols yields k-1
     * consecutive match positions of which greedy takes the even offsets
     * (floor(k/2) merges) — identical to the engine's single fold pass. */
-  private def bpeTrainOracle(iters: Int): String = {
+  private def bpeStagesSql(iters: Int): String = {
     val stages = (1 to iters).map { i =>
       val in = s"v${i - 1}"
       s"""c$i AS (
@@ -1562,9 +1567,18 @@ object SparkEntry {
        |  SELECT w, count(*) AS f,
        |    list_transform(range(1, len(w)+1), i -> substr(w, i, 1)) AS syms
        |  FROM tok GROUP BY w),
-       |$stages
-       |${(1 to iters).map(i => s"SELECT $i AS rank, l, r, n FROM m$i").mkString(" UNION ALL ")}""".stripMargin
+       |$stages""".stripMargin
   }
+
+  private def bpeTrainOracle(iters: Int): String =
+    s"""${bpeStagesSql(iters)}
+       |${(1 to iters).map(i => s"SELECT $i AS rank, l, r, n FROM m$i").mkString(" UNION ALL ")}""".stripMargin
+
+  private def bpeEncodeOracle(iters: Int): String =
+    s"""${bpeStagesSql(iters)}
+       |SELECT token, CAST(sum(f) AS BIGINT) AS n FROM (
+       |  SELECT unnest(syms) AS token, f FROM v$iters)
+       |GROUP BY token""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2357,6 +2371,7 @@ object SparkEntry {
         |SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "bpe_train" -> bpeTrainOracle(3),
+    "bpe_encode" -> bpeEncodeOracle(3),
     "doc_chunk" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts

@@ -54,7 +54,35 @@ object TextAnalysis {
     * single winning pair reaches the driver (the kmeans-centroid
     * pattern). Returns the learned rules as (rank, l, r, n). */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    val spark = df.sparkSession
+    val (vocab, merges) = bpeLoop(df, textCol, numMerges)
+    val out = df.sparkSession.createDataFrame(merges).toDF("rank", "l", "r", "n")
+    vocab.unpersist()
+    out
+  }
+
+  /** Tokenize the corpus with the freshly-learned BPE rules and count
+    * token frequencies (vocab-coverage analysis — the apply half of the
+    * tokenizer). Words segment independently under whitespace
+    * pre-tokenization, so the segmentation is computed once per DISTINCT
+    * word and weighted by word frequency — the corpus text itself is
+    * touched exactly once. Returns (token, n). */
+  def bpeSegmentFrequencies(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (vocab, _) = bpeLoop(df, textCol, numMerges)
+    val out = vocab
+      .select(explode(col("syms")).as("token"), col("f"))
+      .groupBy("token").agg(sum(col("f")).as("n"))
+      .cache()
+    out.count()
+    vocab.unpersist()
+    out
+  }
+
+  /** Shared BPE training loop: returns the post-merge vocabulary (cached;
+    * caller unpersists) and the learned rules. */
+  private def bpeLoop(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(col("w"), col("f"),
@@ -90,9 +118,7 @@ object TextAnalysis {
         rank += 1
       }
     }
-    val out = spark.createDataFrame(merges.toSeq).toDF("rank", "l", "r", "n")
-    vocab.unpersist()
-    out
+    (vocab, merges.toSeq)
   }
 
   def charCount(text: Column): Column = length(text)

@@ -515,6 +515,17 @@ class PipelineSuite extends SparkFixture {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).toSeq
     assert(m == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+    // the apply half on the same corpus: merge 3 = (aa, ab) fuses the
+    // whole word -> aaab segments to [aaab] (x2), ab stays [ab] (x1)
+    val seg = TextAnalysis.bpeSegmentFrequencies(
+      Seq("aaab aaab ab").toDF("text"), "text", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seg == Map("aaab" -> 2L, "ab" -> 1L))
+    // at 2 merges the segmentation is non-trivial: [aa, ab] x2 + [ab]
+    val seg2 = TextAnalysis.bpeSegmentFrequencies(
+      Seq("aaab aaab ab").toDF("text"), "text", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seg2 == Map("aa" -> 2L, "ab" -> 3L))
   }
 
   test("deterministic sampling: reproducible, nesting, stratified rates") {
