@@ -147,7 +147,7 @@ object Bench {
       "q22_global_sales_opportunity",
       // r5 curation additions
       "dedup_keep_best", "knn_classify", "bpe_pairs", "bpe_train",
-      "bpe_encode")
+      "bpe_encode", "source_overlap")
 
     // steady state = median of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench notes)

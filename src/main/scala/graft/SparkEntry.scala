@@ -1274,6 +1274,20 @@ object SparkEntry {
       // the full training loop: 3 learned merges, greedy left-to-right
       // application to the vocab between iterations (corpus scanned once)
       TextAnalysis.bpeTrain(rd(s, d, "documents"), "text", numMerges = 3)),
+    "source_overlap" -> q((s, d) => {
+      // cross-source duplication matrix ("which feeds duplicate each
+      // other"): verified near-dup pairs rolled up by unordered source
+      // pair — pairs come from the prefix-filtered AllPairs path, the
+      // rollup is two broadcast-sized joins + one tiny groupBy
+      val doc = rd(s, d, "documents")
+      val src = doc.select(col("doc_id"), col("source"))
+      Dedup.jaccardNearDupPairs(doc, "doc_id", "text", threshold = 0.5)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_g_sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_g_sb")), "id_b")
+        .groupBy(least(col("_g_sa"), col("_g_sb")).as("source_a"),
+          greatest(col("_g_sa"), col("_g_sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
     "bpe_encode" -> q((s, d) =>
       // the apply half: segment the corpus with the learned rules and
       // count token frequencies (per-distinct-word segmentation, weighted)
@@ -2253,6 +2267,26 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.5""".stripMargin,
+    "source_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.5)
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  count(*) AS n_pairs
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = pairs.id_a
+        |JOIN documents db ON db.doc_id = pairs.id_b
+        |GROUP BY 1, 2""".stripMargin,
     "hamming_similarity" ->
       """WITH sig AS (
         |  SELECT vec_id, CAST(list_sum(list_transform(range(0, 63),
