@@ -46,12 +46,20 @@ object SparkEntry {
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, read as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong) -> convert to timestamp
-    if (name == "events" && df.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // events.ts arrives as whatever the generator's parquet writer encoded:
+    // TIMESTAMP(NANOS) read as long nanos (spark.sql.legacy.parquet
+    // .nanosAsLong), TIMESTAMP_NTZ (no isAdjustedToUTC flag), or plain
+    // TIMESTAMP. Normalize to TIMESTAMP so unix_micros/timestamp_micros
+    // call sites type-check; session TZ is UTC, so the NTZ cast keeps the
+    // identical micros value the DuckDB oracle (epoch_us on naive ts) sees.
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 
   // Decimal cast for hash-stable aggregation of double columns.
