@@ -65,6 +65,13 @@ object SparkEntry {
   // Decimal cast for hash-stable aggregation of double columns.
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  // Mixture-planning target weights (normalized by Mixture.plan): src0 is
+  // over-asked so the 4-epoch cap bites (shortfall reported), src1 lands on
+  // a fractional 3.5-ish pass, src3 is fractional-only, src4..19 are absent
+  // (weight 0 -> planned out). Shared by mixture_plan / mixture_epochs.
+  private val mixWeights = Map(
+    "src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15, "src3" -> 0.05)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------- relational (Spark-delegated)
     "q1_agg" -> q((s, d) => {
@@ -1338,6 +1345,25 @@ object SparkEntry {
       // SQL-replayable (Knuth multiplicative hash)
       graft.pipeline.Sampling.stratifiedSample(rd(s, d, "documents"),
         "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.1)),
+    "mixture_plan" -> q((s, d) =>
+      // token-budget mixture planning (the Pile/DoReMi "60% web, 30%
+      // code..." step): per-source token inventory -> epochs per source,
+      // capped at maxEpochs with the shortfall REPORTED, not silently
+      // redistributed; one tiny per-source aggregate, broadcast after
+      graft.pipeline.Mixture.plan(rd(s, d, "documents"), "source",
+        "n_chars", mixWeights, budgetTokens = 100000L, maxEpochs = 4.0)),
+    "mixture_epochs" -> q((s, d) => {
+      // the plan materialized: each doc repeats floor(epochs) times plus a
+      // hash-gated fractional final epoch — map-side explode + zero-shuffle
+      // gate, corpus never joins anything bigger than the broadcast plan;
+      // rolled up per (source, epoch) to keep the oracle output small
+      val doc = rd(s, d, "documents")
+      val p = graft.pipeline.Mixture.plan(doc, "source", "n_chars",
+        mixWeights, budgetTokens = 100000L, maxEpochs = 4.0)
+      graft.pipeline.Mixture.materialize(doc, "doc_id", "source", p)
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("toks"))
+    }),
     "dedup_embedding" -> q((s, d) => {
       // synthetic corpora have no organic near-dups (max pairwise cosine
       // ~0.51), so inject exact copies of every 10th vector under shifted ids
@@ -2431,6 +2457,45 @@ object SparkEntry {
         |SELECT doc_id, d.lang AS lang, source FROM documents d
         |JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
         |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < thresh""".stripMargin,
+    // mixture planning: the whole plan is closed-form SQL over one
+    // per-source aggregate — weights replayed as a CASE, epochs =
+    // least(target/avail, cap), floor/round mirrored on the UNROUNDED
+    // epochs exactly as the Scala builds them
+    "mixture_plan" ->
+      """WITH a AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT source, avail,
+        |  CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+        |    WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.05 ELSE 0.0 END AS w
+        |  FROM a),
+        |e AS (SELECT source, avail, w, w * 100000 AS target,
+        |  least(w * 100000 / avail, 4.0) AS ep FROM p)
+        |SELECT source, avail AS available_tokens, w AS weight,
+        |  round(target, 2) AS target_tokens, round(ep, 6) AS epochs,
+        |  CAST(floor(ep) AS BIGINT) AS full_epochs,
+        |  round(ep - floor(ep), 6) AS fractional_rate,
+        |  round(ep * avail, 2) AS planned_tokens,
+        |  round(greatest(target - ep * avail, 0.0), 2) AS shortfall_tokens
+        |FROM e""".stripMargin,
+    "mixture_epochs" ->
+      """WITH a AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail
+        |  FROM documents GROUP BY source),
+        |e AS (SELECT source,
+        |  least(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+        |    WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.05 ELSE 0.0 END
+        |    * 100000 / avail, 4.0) AS ep FROM a),
+        |plan AS (SELECT source, CAST(floor(ep) AS INT) AS fe,
+        |  CAST(floor(round(ep - floor(ep), 6) * 1000000) AS BIGINT) AS th
+        |  FROM e),
+        |v AS (SELECT CAST(unnest([0, 1, 2, 3, 4]) AS INT) AS epoch),
+        |x AS (SELECT d.source, d.doc_id, d.n_chars, p.fe, p.th, v.epoch
+        |  FROM documents d JOIN plan p ON d.source IS NOT DISTINCT FROM p.source
+        |  CROSS JOIN v)
+        |SELECT source, epoch, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS toks
+        |FROM x WHERE epoch < fe
+        |  OR (epoch = fe AND (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < th)
+        |GROUP BY source, epoch""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_index_persisted" -> annIvfOracle,
     "agg_pushdown" ->

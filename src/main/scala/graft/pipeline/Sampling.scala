@@ -16,6 +16,9 @@ object Sampling {
   private val Knuth = 2654435761L
   private val Mod = 1000000L
 
+  /** The gate's modulus — rates are expressed as thresholds out of this. */
+  private[pipeline] def ModValue: Long = Mod
+
   /** Uniform [0, 1e6) hash gate for a numeric id column. */
   def gate(idCol: Column): Column =
     pmod(idCol.cast("long") * lit(Knuth), lit(Mod))

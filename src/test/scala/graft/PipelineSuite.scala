@@ -706,6 +706,41 @@ class PipelineSuite extends SparkFixture {
     assert(flat.subsetOf(base))
   }
 
+  test("mixture planning: budget split, epoch cap + shortfall, materialize") {
+    // 3 sources, 100 tokens each; 50/30/20 over a 1000-token budget with a
+    // 4-epoch cap: a=cap(5->4, shortfall 100), b=3.0 exact, c=2.0 exact
+    val df = (0 until 30).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3), 10L)).toDF("id", "src", "tok")
+    val plan = graft.pipeline.Mixture.plan(df, "src", "tok",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), budgetTokens = 1000L,
+      maxEpochs = 4.0)
+    val rows = plan.collect().map(r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Double]("epochs"), r.getAs[Long]("full_epochs"),
+          r.getAs[Double]("shortfall_tokens"))).toMap
+    assert(rows("a") == ((4.0, 4L, 100.0)))  // cap bit; shortfall reported
+    assert(rows("b") == ((3.0, 3L, 0.0)))
+    assert(rows("c") == ((2.0, 2L, 0.0)))
+    // materialize: whole epochs replicate exactly; epoch col 0..full-1
+    // (fractional_rate 0 here, so the final fractional epoch keeps nothing)
+    val m = graft.pipeline.Mixture.materialize(df, "id", "src", plan)
+    val perSrc = m.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(perSrc == Map("a" -> 40L, "b" -> 30L, "c" -> 20L))
+    // fractional pass: 1.5 epochs -> every doc once + a ~half-rate extra,
+    // and the extra-epoch set is the deterministic hash-gate subset
+    val p15 = graft.pipeline.Mixture.plan(df.filter($"src" === "a"), "src",
+      "tok", Map("a" -> 1.0), budgetTokens = 150L, maxEpochs = 4.0)
+    val m15 = graft.pipeline.Mixture.materialize(
+      df.filter($"src" === "a"), "id", "src", p15)
+    val byEpoch = m15.groupBy("epoch").count().as[(Int, Long)].collect().toMap
+    assert(byEpoch(0) == 10L && byEpoch.getOrElse(1, 0L) < 10L)
+    val extra = m15.filter($"epoch" === 1).select("id").as[Long].collect().toSet
+    val gated = df.filter($"src" === "a")
+      .filter(graft.pipeline.Sampling.gate($"id") < lit(500000L))
+      .select("id").as[Long].collect().toSet
+    assert(extra == gated)
+  }
+
   test("kmeans: deterministic, total assignment, clusters non-trivial") {
     val a = Similarity.kmeans(embs, "vec_id", "embedding", k = 4, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
