@@ -22,6 +22,23 @@ object Kernels {
     acc
   }
 
+  /** Overlap count of two SORTED long arrays — one allocation-free merge
+    * walk. The Jaccard-verify hot loop: |A∩B| with |A∪B| derived as
+    * |A|+|B|-|A∩B|, so one pass replaces an array_intersect + array_union
+    * pair (each of which builds a hash set per call). Inputs must be
+    * sorted ascending and duplicate-free (set semantics). */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var acc = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { acc += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+
   /** cosine similarity of two float vectors. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -601,6 +618,69 @@ case class MinHashText(child: Expression, k: Int, numHashes: Int)
   override def prettyName: String = "graft_minhash_text"
 }
 
+/** `graft_sorted_overlap(a Array[Long], b Array[Long]) -> Int` — overlap
+  * count of two sorted duplicate-free long arrays via [[Kernels.sortedOverlap]]. */
+case class SortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.sortedOverlap($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_sorted_overlap"
+}
+
+/** `graft_prefix_order(hashes Array[Long], demoted Array[Long]) ->
+  * Array[Long]` — the AllPairs global-order sort for prefix filtering:
+  * input hashes sorted by (demotion rank asc, hash asc), where `demoted`
+  * lists corpus-common tokens most-frequent-FIRST and absent tokens rank
+  * 0. Rare tokens therefore sort to the prefix in hash order; the most
+  * frequent token lands at the very end. `demoted` is a foldable literal
+  * decoded ONCE into a hash map per expression instance — a literal-map
+  * `element_at` does a linear scan per lookup, which at corpus scale is
+  * O(|shingles| * |demoted|) and dominates the whole join. */
+case class PrefixOrder(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val rank: java.util.HashMap[java.lang.Long, Integer] = {
+    val a = right.eval(null).asInstanceOf[ArrayData].toLongArray()
+    val m = new java.util.HashMap[java.lang.Long, Integer](a.length * 2)
+    var i = 0
+    while (i < a.length) { m.put(a(i), a.length - i); i += 1 }
+    m
+  }
+
+  def reorder(v: ArrayData): ArrayData = {
+    val in = v.toLongArray()
+    val keyed = new Array[(Int, Long)](in.length)
+    var i = 0
+    while (i < in.length) {
+      val r = rank.get(in(i))
+      keyed(i) = (if (r == null) 0 else r.intValue(), in(i))
+      i += 1
+    }
+    java.util.Arrays.sort(keyed, Ordering.Tuple2[Int, Long])
+    val out = new Array[Long](in.length)
+    i = 0
+    while (i < in.length) { out(i) = keyed(i)._2; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any, d: Any): Any =
+    reorder(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefixOrder", this)
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = $ref.reorder($v);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_prefix_order"
+}
+
 /** Registration + Column helpers. Registered once per session into the
   * function registry (the Spark-4 equivalent of the reference's catalog
   * `loadFunction`, SparkFunctions.scala:7-14), then invoked with
@@ -620,7 +700,9 @@ object GraftFunctions {
     ("graft_nearest_cells", es => NearestCells(es(0), es(1), es(2), es(3))),
     ("graft_residual_code", es => ResidualSignCode(es(0), es(1), es(2), es(3))),
     ("graft_residual_norm", es => ResidualNorm(es(0), es(1), es(2), es(3))),
-    ("graft_bit_dot", es => BitDot(es(0), es(1))))
+    ("graft_bit_dot", es => BitDot(es(0), es(1))),
+    ("graft_prefix_order", es => PrefixOrder(es(0), es(1))),
+    ("graft_sorted_overlap", es => SortedOverlap(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -649,4 +731,10 @@ object GraftFunctions {
 
   def bitDot(code: Column, q: Column): Column =
     call_function("graft_bit_dot", code, q)
+
+  def prefixOrder(hashes: Column, demoted: Column): Column =
+    call_function("graft_prefix_order", hashes, demoted)
+
+  def sortedOverlap(a: Column, b: Column): Column =
+    call_function("graft_sorted_overlap", a, b)
 }

@@ -242,7 +242,17 @@ object Dedup {
     bucketPairs(bandedSignatures(df, idCol, textCol, numHashes, bands),
       Seq("_g_band", "_g_bh"), "_g_id", maxBucket)
 
-  /** Exact Jaccard over word-k-shingle SETS for given (id_a, id_b) pairs. */
+  /** Exact Jaccard over word-k-shingle SETS for given (id_a, id_b) pairs.
+    *
+    * The hot loop compares each doc's shingle set as a SORTED array of
+    * 64-bit content hashes: |A∩B| is one allocation-free merge walk
+    * ([[GraftFunctions.sortedOverlap]]) and |A∪B| = |A|+|B|-|A∩B| — this
+    * replaces per-pair array_intersect + array_union over the raw shingle
+    * STRINGS (two hash-set builds over ~hundreds of 25-char strings per
+    * pair), which profiled as the entire cost of the AllPairs path. Set
+    * cardinalities are preserved by the 64-bit hash (a within-pair
+    * collision, odds ~|A∪B|^2 / 2^64, is the only way a count — and hence
+    * the Jaccard — could shift). */
   def jaccardVerify(
       pairsIn: DataFrame,
       df: DataFrame,
@@ -263,14 +273,25 @@ object Dedup {
       // tokens materialized before shingling (wordShinglesOf perf contract)
       .select(col(idCol), tokens(col(textCol)).as("_g_ts"))
       .select(col(idCol),
-        array_distinct(TextAnalysis.wordShinglesOf(col("_g_ts"), k)).as("_g_sh"))
+        array_sort(transform(
+          array_distinct(TextAnalysis.wordShinglesOf(col("_g_ts"), k)),
+          s => GraftFunctions.xx64(s))).as("_g_sh"))
+      // feeds TWO broadcast builds (id_a side, id_b side): shingle the
+      // candidate docs once
+      .localCheckpoint()
+    // broadcast the shingle arrays (candidate docs only — the same
+    // bounded-cardinality assumption as the broadcast(ids) semi-join
+    // above): the pair stream then never shuffles the wide array rows,
+    // only (id_a, id_b) longs
+    val inter = GraftFunctions.sortedOverlap(col("_g_sa"), col("_g_sb"))
+      .cast("double")
+    val union = (size(col("_g_sa")) + size(col("_g_sb"))).cast("double") - inter
     pairs
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_g_sh", "_g_sa"), "id_a")
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_g_sh", "_g_sb"), "id_b")
-      .withColumn("jaccard",
-        when(size(array_union(col("_g_sa"), col("_g_sb"))) === 0, 0.0)
-          .otherwise(size(array_intersect(col("_g_sa"), col("_g_sb"))).cast("double") /
-            size(array_union(col("_g_sa"), col("_g_sb")))))
+      .join(broadcast(sh.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("_g_sh", "_g_sa")), "id_a")
+      .join(broadcast(sh.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("_g_sh", "_g_sb")), "id_b")
+      .withColumn("jaccard", when(union === 0.0, 0.0).otherwise(inter / union))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -290,32 +311,85 @@ object Dedup {
     * public AllPairs / PPJoin technique, Bayardo et al. 2007 / Xiao et al.
     * 2008): under ANY global token order, J(A,B) >= t implies
     * |A∩B| >= ceil(t*|A|), so the first (|A| - ceil(t*|A|) + 1) tokens of
-    * each set must contain a shared token. We order by the shingle's 64-bit
-    * hash — uniform, so no document-frequency pass is needed (df-ascending
-    * order is a candidate-count heuristic, not a correctness requirement).
-    * Plan: one shingle+sort projection, explode ONLY the prefixes, one
-    * equi-join shuffle on the hashed token — linear in corpus size +
-    * candidate count, never O(n^2). Unlike MinHash-LSH this misses nothing,
-    * so results match an exact SQL oracle. */
+    * each set must contain a shared token.
+    *
+    * The global order is document-frequency-aware (rare shingles first) —
+    * the AllPairs candidate-count heuristic that matters at scale: with a
+    * uniform hash order every corpus-common shingle lands in prefixes and
+    * the token self-join fans out quadratically in that shingle's
+    * frequency; demoting common shingles to the suffixes keeps prefixes
+    * discriminative. Implemented WITHOUT a per-token join + per-doc
+    * regroup (three extra corpus-wide shuffles, measured slower than the
+    * explosion it prevents): one tiny aggregate finds the top `demoteN`
+    * most frequent shingles, which come back as a broadcast rank map and
+    * the reorder is a per-row array_sort on (rank, hash) — rare tokens
+    * (rank 0) sort first in hash order, common ones last, most frequent
+    * at the very end. Any SHARED total order preserves completeness, so
+    * the map's contents only steer candidate count, never correctness.
+    *
+    * Candidates are further pruned join-side by the PPJoin length filter
+    * (|A∩B| <= min implies min >= t*max) and positional filter (overlap
+    * upper bound from the matched prefix positions must reach the
+    * equivalent-overlap threshold t/(1+t)*(|A|+|B|)). Both bounds are
+    * relaxed by 1e-9 so float rounding can only ADMIT a doomed candidate,
+    * never drop a true pair — completeness is what the exact SQL oracle
+    * checks. Plan: one tiny top-N aggregate, shingle+reorder projection,
+    * explode ONLY the prefixes, one equi-join shuffle on the token —
+    * linear in corpus size + candidate count, never O(n^2). */
   def jaccardCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      k: Int = 3): DataFrame = {
-    val hs = df
+      k: Int = 3,
+      demoteN: Int = 4096): DataFrame = {
+    val hs0 = df
       .select(col(idCol).as("_g_id"), tokens(col(textCol)).as("_g_ts"))
       .select(col("_g_id"),
-        array_sort(transform(
+        transform(
           array_distinct(TextAnalysis.wordShinglesOf(col("_g_ts"), k)),
-          s => GraftFunctions.xx64(s))).as("_g_hs"))
-    val prefLen = (size(col("_g_hs")) -
-      ceil(size(col("_g_hs")) * lit(threshold)) + 1).cast("int")
-    val pref = hs.select(col("_g_id"),
-      explode(slice(col("_g_hs"), lit(1), greatest(prefLen, lit(0)))).as("_g_tok"))
-    pref.select(col("_g_id").as("id_a"), col("_g_tok"))
-      .join(pref.select(col("_g_id").as("id_b"), col("_g_tok")), "_g_tok")
+          s => GraftFunctions.xx64(s)).as("_g_hs0"))
+      // consumed twice (demotion stats, then the reorder): shingle the
+      // corpus once, not twice
+      .localCheckpoint()
+    // top-N most frequent shingles -> driver (demoteN rows, centroid-sized;
+    // TakeOrdered, never a full sort), most frequent first; the reorder
+    // itself is one codegen'd pass with an O(1) per-token rank lookup
+    val demoted: Array[Long] = hs0
+      .select(explode(col("_g_hs0")).as("_g_tok"))
+      .groupBy("_g_tok").agg(count(lit(1)).as("_g_n"))
+      .filter(col("_g_n") > 1)
+      .orderBy(col("_g_n").desc, col("_g_tok")).limit(demoteN)
+      .collect().map(_.getLong(0))
+    val ordered = hs0.select(col("_g_id"),
+      GraftFunctions.prefixOrder(col("_g_hs0"),
+        typedLit(demoted.toSeq)).as("_g_hs"))
+    val sz = size(col("_g_hs"))
+    val prefLen = (sz - ceil(sz * lit(threshold)) + 1).cast("int")
+    // the prefix stream feeds BOTH sides of the self-join: materialize it
+    // once (and truncate the df-count + reorder lineage) or the whole
+    // upstream — two groupBys over every shingle — executes twice
+    val pref = ordered.select(col("_g_id"), sz.as("_g_sz"),
+      posexplode(slice(col("_g_hs"), lit(1), greatest(prefLen, lit(0))))
+        .as(Seq("_g_pos", "_g_tok")))
+      .localCheckpoint()
+    val a = pref.select(col("_g_id").as("id_a"), col("_g_tok"),
+      col("_g_sz").as("_g_sza"), col("_g_pos").as("_g_pa"))
+    val b = pref.select(col("_g_id").as("id_b"), col("_g_tok"),
+      col("_g_sz").as("_g_szb"), col("_g_pos").as("_g_pb"))
+    val minSz = least(col("_g_sza"), col("_g_szb")).cast("double")
+    val maxSz = greatest(col("_g_sza"), col("_g_szb")).cast("double")
+    // overlap upper bound given the shared token's prefix positions: at
+    // most min(pa, pb) shared tokens can precede it, plus itself, plus
+    // everything after it in the shorter remainder
+    val ubound = least(col("_g_pa"), col("_g_pb")) + lit(1) +
+      least(col("_g_sza") - col("_g_pa") - 1, col("_g_szb") - col("_g_pb") - 1)
+    val alpha = (lit(threshold / (1 + threshold)) *
+      (col("_g_sza") + col("_g_szb")).cast("double")) - lit(1e-9)
+    a.join(b, "_g_tok")
       .filter(col("id_a") < col("id_b"))
+      .filter(minSz + lit(1e-9) >= lit(threshold) * maxSz)
+      .filter(ubound.cast("double") >= alpha)
       .select("id_a", "id_b").distinct()
   }
 
@@ -330,6 +404,10 @@ object Dedup {
     jaccardVerify(jaccardCandidates(df, idCol, textCol, threshold, k),
       df, idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
+      // the verified pair set is tiny and every caller consumes it more
+      // than once (components' edge build + a rollup or election join):
+      // materialize it so the candidate+verify pipeline runs exactly once
+      .localCheckpoint()
 
   // ---------------------------------------------------------------- simhash
 
