@@ -1074,6 +1074,62 @@ object SparkEntry {
         .unionByName(GraftTable.forPath(s, s"$root/wh/vfy_ing/t1").toDF)
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
+    "stream_window_agg" -> q((s, d) => {
+      // watermarked tumbling-window STREAMING aggregation through the real
+      // path: readStream from a graft source table, 1 h window x
+      // event_type with a 2 h watermark, update-mode output upserting an
+      // auto-created PK result table on (hour_start, event_type) — if the
+      // source paces AvailableNow into several micro-batches, the stateful
+      // aggregation emits cumulative states and the PK upserts converge to
+      // the same final answer (the update-mode contract)
+      val root = tmp("swa")
+      val e = rd(s, d, "events")
+      GraftTable.create(s, e, s"$root/src")
+      val agg = s.readStream.format("graft").load(s"$root/src")
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast("double").as("sum_value"))
+        .select(unix_micros(col("window").getField("start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q0 = agg.writeStream.format("graft")
+        .outputMode("update")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("hashPartitions", "hour_start,event_type")
+        .option("queryId", "vfy-swa")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination(120000)
+      GraftTable.forPath(s, s"$root/out").toDF
+        .select("hour_start", "event_type", "n", "sum_value")
+    }),
+    "stream_sessionize" -> q((s, d) => {
+      // flatMapGroupsWithState streaming sessionization (arbitrary state —
+      // a session's extent is unknowable until the gap passes): sessions
+      // emit exactly once when the event-time watermark passes
+      // session_end + gap; the emitted set at end-of-stream is a pure
+      // function of the data (every session except each key's last open
+      // one), independent of micro-batch pacing. Results append through
+      // the graft sink (exactly-once per batch id)
+      val root = tmp("sss")
+      val e = rd(s, d, "events")
+      GraftTable.create(s, e, s"$root/src")
+      val sess = graft.streaming.StreamSessionize.sessions(
+        s.readStream.format("graft").load(s"$root/src"),
+        "user_id", "ts", gap = 3600L * 1000000L, watermarkDelay = "0 seconds")
+        .toDF("user_id", "session_start", "session_end", "n_events")
+      val q0 = sess.writeStream.format("graft")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("queryId", "vfy-sss")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination(120000)
+      GraftTable.forPath(s, s"$root/out").toDF
+        .select("user_id", "session_start", "session_end", "n_events")
+    }),
     "stream_curate" -> q((s, d) => {
       // streaming curation loop: seed an accepted corpus (every 3rd doc) +
       // its near-dup index, then stream one batch of new docs (the rest,
@@ -1670,6 +1726,13 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
+    // the streaming form converges to the identical batch aggregate (the
+    // update-mode contract); hour_start as epoch micros (UTC session)
+    "stream_window_agg" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
@@ -1950,6 +2013,23 @@ object SparkEntry {
         |SELECT user_id, session_seq, min(t) AS session_start,
         |  max(t) AS session_end, count(*) AS n_events
         |FROM a GROUP BY user_id, session_seq""".stripMargin,
+    // streaming form: the batch sessions whose close is visible to the
+    // final watermark. Spark tracks the watermark in MILLISECONDS
+    // (floor(max event micros / 1000)); a session emits iff
+    // wm_ms >= floor((session_end + gap)/1000) + 1 — mirrored exactly
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |b AS (SELECT user_id, t,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |       > 3600000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |a AS (SELECT user_id, t, CAST(sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b),
+        |s AS (SELECT user_id, min(t) AS session_start,
+        |  max(t) AS session_end, count(*) AS n_events
+        |  FROM a GROUP BY user_id, session_seq),
+        |m AS (SELECT max(t) // 1000 AS wm_ms FROM e)
+        |SELECT user_id, session_start, session_end, n_events FROM s, m
+        |WHERE wm_ms >= (session_end + 3600000000) // 1000 + 1""".stripMargin,
     "dedup_incremental" ->
       """WITH nrm AS (SELECT *, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
         |            FROM documents),
