@@ -147,7 +147,11 @@ object Bench {
       "q22_global_sales_opportunity",
       // r5 curation additions
       "dedup_keep_best", "knn_classify", "bpe_pairs", "bpe_train",
-      "bpe_encode", "source_overlap")
+      "bpe_encode", "source_overlap",
+      // r5 mixture planning + streaming operators (each streaming entry
+      // builds its source table inside the timed query — the number is the
+      // whole pipeline, not just the transform)
+      "mixture_epochs", "stream_window_agg", "stream_dedup")
 
     // steady state = median of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench notes)

@@ -1104,6 +1104,33 @@ object SparkEntry {
       GraftTable.forPath(s, s"$root/out").toDF
         .select("hour_start", "event_type", "n", "sum_value")
     }),
+    "stream_dedup" -> q((s, d) => {
+      // streaming exact dedup with WATERMARK-BOUNDED state
+      // (dropDuplicatesWithinWatermark): duplicates injected into the
+      // stream are collapsed while dedup state for keys older than the
+      // watermark delay is continuously evicted — the property that makes
+      // infinite-stream dedup feasible (state tracks the watermark window,
+      // not history). The delay covers the table's 30-day span so the
+      // result is pacing-independent here; a production deployment sets it
+      // to the real replay horizon. Appended via the exactly-once sink.
+      val root = tmp("sdd")
+      val e = rd(s, d, "events")
+      val dups = e.filter(col("event_id") % 5 === 0) // replayed rows
+      GraftTable.create(s, e.unionByName(dups).unionByName(dups), s"$root/src")
+      val q0 = s.readStream.format("graft").load(s"$root/src")
+        .withWatermark("ts", "1080 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("graft")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("queryId", "vfy-sdd")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination(120000)
+      GraftTable.forPath(s, s"$root/out").toDF
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
     "stream_sessionize" -> q((s, d) => {
       // flatMapGroupsWithState streaming sessionization (arbitrary state —
       // a session's extent is unknowable until the gap passes): sessions
@@ -2013,6 +2040,10 @@ object SparkEntry {
         |SELECT user_id, session_seq, min(t) AS session_start,
         |  max(t) AS session_end, count(*) AS n_events
         |FROM a GROUP BY user_id, session_seq""".stripMargin,
+    // dedup-within-watermark: every event_id survives exactly once (the
+    // injected duplicates all fall inside the 24 h watermark window)
+    "stream_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
     // streaming form: the batch sessions whose close is visible to the
     // final watermark. Spark tracks the watermark in MILLISECONDS
     // (floor(max event micros / 1000)); a session emits iff
