@@ -151,7 +151,8 @@ object Bench {
       // r5 mixture planning + streaming operators (each streaming entry
       // builds its source table inside the timed query — the number is the
       // whole pipeline, not just the transform)
-      "mixture_epochs", "stream_window_agg", "stream_dedup")
+      "mixture_epochs", "stream_window_agg", "stream_dedup",
+      "split_leakage_safe", "sample_cluster_k")
 
     // steady state = median of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench notes)

@@ -1354,6 +1354,16 @@ object SparkEntry {
       Dedup.keepBest(doc.select("doc_id", "n_chars"), "doc_id", pairs, "n_chars")
         .select("doc_id", "comp", "n_chars")
     }),
+    "split_leakage_safe" -> q((s, d) => {
+      // leakage-safe train/test split: the 90/10 gate hashes the near-dup
+      // COMPONENT, so a test doc never has a near-copy in train (the
+      // silent-contamination failure mode of id-hashed splits)
+      val doc = rd(s, d, "documents")
+      val pairs = Dedup.jaccardNearDupPairs(doc, "doc_id", "text", threshold = 0.5)
+      Dedup.leakageSafeSplit(doc.select("doc_id", "source"), "doc_id",
+        pairs, trainFrac = 0.9)
+        .select("doc_id", "comp", "split")
+    }),
     "knn_classify" -> q((s, d) => {
       // kNN label propagation: every 4th vector is "unlabeled" and takes
       // the majority label of its 5 nearest labeled neighbors through the
@@ -1642,6 +1652,15 @@ object SparkEntry {
       // 6 decimals + float so the DuckDB oracle replays both rounds
       Similarity.kmeans(rd(s, d, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 2)),
+    "sample_cluster_k" -> q((s, d) =>
+      // cluster-balanced diversity sampling: exact k rows per k-means
+      // cluster (semantic strata), the embedding-space counterpart of
+      // sample_group_k — two oracled contracts composed; the rank window
+      // partitions by cluster, so no global sort
+      graft.pipeline.Sampling.sampleGroupK(
+        Similarity.kmeans(rd(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2),
+        "vec_id", "cluster", k = 25, seed = "graft42")),
     "hamming_similarity" -> q((s, d) => {
       GraftFunctions.register(s)
       // binarize embeddings (63 sign bits packed into one long; 63 not 64 so
@@ -1710,6 +1729,44 @@ object SparkEntry {
        |SELECT token, CAST(sum(f) AS BIGINT) AS n FROM (
        |  SELECT unnest(syms) AS token, f FROM v$iters)
        |GROUP BY token""".stripMargin
+
+  // two Lloyd's rounds replayed in SQL (deterministic hashed-id init,
+  // centroids quantized to round-6 floats at each step, exactly as
+  // Similarity.kmeans computes them) — shared by kmeans_assign and the
+  // cluster-balanced sampler
+  private val kmeansAssignSql: String =
+    """WITH c0 AS (
+      |  SELECT CAST(rk - 1 AS BIGINT) AS cl, cvec FROM (
+      |    SELECT embedding AS cvec,
+      |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
+      |    FROM embeddings) WHERE rk <= 8),
+      |a0 AS (
+      |  SELECT vec_id, embedding, cl FROM (
+      |    SELECT e.vec_id, e.embedding, c.cl,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
+      |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+      |e0 AS (
+      |  SELECT cl, unnest(embedding) AS val, unnest(range(1, len(embedding) + 1)) AS pos FROM a0),
+      |c1 AS (
+      |  SELECT cl, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS cvec FROM (
+      |    SELECT cl, pos, sum(CAST(val AS DOUBLE)) / count(*) AS m FROM e0 GROUP BY cl, pos) GROUP BY cl),
+      |a1 AS (
+      |  SELECT vec_id, embedding, cl FROM (
+      |    SELECT e.vec_id, e.embedding, c.cl,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
+      |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+      |e1 AS (
+      |  SELECT cl, unnest(embedding) AS val, unnest(range(1, len(embedding) + 1)) AS pos FROM a1),
+      |c2 AS (
+      |  SELECT cl, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS cvec FROM (
+      |    SELECT cl, pos, sum(CAST(val AS DOUBLE)) / count(*) AS m FROM e1 GROUP BY cl, pos) GROUP BY cl)
+      |SELECT vec_id, cl AS cluster FROM (
+      |  SELECT e.vec_id, c.cl,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
+      |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2366,39 +2423,16 @@ object SparkEntry {
         |SELECT doc_id, flag_tokens, flag_word_len, flag_punct, flag_stopwords,
         |  flag_tokens AND flag_word_len AND flag_punct AND flag_stopwords AS keep
         |FROM f""".stripMargin,
-    "kmeans_assign" ->
-      """WITH c0 AS (
-        |  SELECT CAST(rk - 1 AS BIGINT) AS cl, cvec FROM (
-        |    SELECT embedding AS cvec,
-        |      row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rk
-        |    FROM embeddings) WHERE rk <= 8),
-        |a0 AS (
-        |  SELECT vec_id, embedding, cl FROM (
-        |    SELECT e.vec_id, e.embedding, c.cl,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
-        |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
-        |e0 AS (
-        |  SELECT cl, unnest(embedding) AS val, unnest(range(1, len(embedding) + 1)) AS pos FROM a0),
-        |c1 AS (
-        |  SELECT cl, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS cvec FROM (
-        |    SELECT cl, pos, sum(CAST(val AS DOUBLE)) / count(*) AS m FROM e0 GROUP BY cl, pos) GROUP BY cl),
-        |a1 AS (
-        |  SELECT vec_id, embedding, cl FROM (
-        |    SELECT e.vec_id, e.embedding, c.cl,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
-        |    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
-        |e1 AS (
-        |  SELECT cl, unnest(embedding) AS val, unnest(range(1, len(embedding) + 1)) AS pos FROM a1),
-        |c2 AS (
-        |  SELECT cl, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS cvec FROM (
-        |    SELECT cl, pos, sum(CAST(val AS DOUBLE)) / count(*) AS m FROM e1 GROUP BY cl, pos) GROUP BY cl)
-        |SELECT vec_id, cl AS cluster FROM (
-        |  SELECT e.vec_id, c.cl,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
-        |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin,
+    "kmeans_assign" -> kmeansAssignSql,
+    // cluster-balanced (diversity) sampling: exact k per k-means cluster
+    // via the md5-permutation rank — the same two oracled contracts
+    // composed (kmeans replay + per-group rank)
+    "sample_cluster_k" ->
+      s"""WITH asg AS ($kmeansAssignSql)
+         |SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY md5(concat('graft42', '#', CAST(vec_id AS VARCHAR))), vec_id) AS rn
+         |  FROM asg) WHERE rn <= 25""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
@@ -2483,6 +2517,35 @@ object SparkEntry {
         |  ) SELECT * FROM reach)
         |SELECT doc_id, least(doc_id, coalesce((SELECT min(d) FROM rec WHERE s = doc_id), doc_id)) AS comp
         |FROM documents""".stripMargin,
+    // the components oracle + the component-keyed 90/10 hash gate: near-dup
+    // clusters move between splits as a unit
+    "split_leakage_safe" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(s, d) AS (
+        |    SELECT s, d FROM edges
+        |    UNION
+        |    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s
+        |  ) SELECT * FROM reach),
+        |comp AS (
+        |  SELECT doc_id, least(doc_id, coalesce((SELECT min(d) FROM rec WHERE s = doc_id), doc_id)) AS comp
+        |  FROM documents)
+        |SELECT doc_id, comp,
+        |  CASE WHEN (CAST(comp AS BIGINT) * 2654435761) % 1000000 < 900000
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM comp""".stripMargin,
     // same recursive component resolution, then quality keeper election
     "dedup_keep_best" ->
       """WITH tok AS (

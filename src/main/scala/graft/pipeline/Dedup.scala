@@ -550,6 +550,26 @@ object Dedup {
     df.join(components(df, idCol, pairs).filter(col("id") === col("comp"))
       .select(col("id").as(idCol)), idCol)
 
+  /** Leakage-safe train/test split: near-duplicate documents must land on
+    * the SAME side (evaluating on a near-copy of a training doc is silent
+    * contamination), so the split gate hashes the near-dup COMPONENT id,
+    * not the doc id — singletons split independently, clusters move as a
+    * unit. Returns the input plus (comp, split). Deterministic and
+    * engine-replayable (the [[Sampling.gate]] contract); scale cost is
+    * [[components]] itself. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      trainFrac: Double): DataFrame = {
+    require(trainFrac >= 0 && trainFrac <= 1, "trainFrac must be in [0,1]")
+    val thresh = (trainFrac * 1000000L).toLong
+    df.join(components(df, idCol, pairs).withColumnRenamed("id", idCol), idCol)
+      .withColumn("split",
+        when(Sampling.gate(col("comp")) < lit(thresh), "train")
+          .otherwise("test"))
+  }
+
   /** Quality-elected near-dup dedup: resolve pairs into clusters, then keep
     * the highest-quality row per cluster (qualityCol desc, id tiebreak) —
     * the curation-grade policy: near-dup removal should discard the WORSE
