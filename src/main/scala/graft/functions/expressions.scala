@@ -646,6 +646,13 @@ case class PrefixOrder(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_prefix_order demoted list must be a foldable literal " +
+          "(it is decoded once into the per-instance rank map)")
+    else super.checkInputDataTypes()
+
   @transient private lazy val rank: java.util.HashMap[java.lang.Long, Integer] = {
     val a = right.eval(null).asInstanceOf[ArrayData].toLongArray()
     val m = new java.util.HashMap[java.lang.Long, Integer](a.length * 2)

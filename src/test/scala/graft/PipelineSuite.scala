@@ -706,6 +706,31 @@ class PipelineSuite extends SparkFixture {
     assert(flat.subsetOf(base))
   }
 
+  test("prefix-order + sorted-overlap kernels match their reference forms") {
+    val rnd = new scala.util.Random(7)
+    // sortedOverlap == set-intersection cardinality on random sorted sets
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(GraftFunctions.sortedOverlap($"a", $"b")).head.getInt(0)
+      assert(got == a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+    // prefixOrder: a permutation; non-demoted ascending first, then demoted
+    // in reverse-demotion-list order; deterministic
+    (1 to 100).foreach { _ =>
+      val in = Seq.fill(rnd.nextInt(40) + 1)(rnd.nextInt(30).toLong).distinct
+      val demoted = Seq.fill(rnd.nextInt(10))(rnd.nextInt(30).toLong).distinct
+      val got = Seq(Tuple1(in)).toDF("h")
+        .select(GraftFunctions.prefixOrder($"h", typedLit(demoted)))
+        .head.getSeq[Long](0).toSeq
+      val rank = demoted.zipWithIndex
+        .map { case (t, i) => t -> (demoted.length - i) }.toMap
+      val want = in.sortBy(t => (rank.getOrElse(t, 0), t))
+      assert(got == want, s"in=$in demoted=$demoted")
+    }
+  }
+
   test("mixture planning: budget split, epoch cap + shortfall, materialize") {
     // 3 sources, 100 tokens each; 50/30/20 over a 1000-token budget with a
     // 4-epoch cap: a=cap(5->4, shortfall 100), b=3.0 exact, c=2.0 exact
