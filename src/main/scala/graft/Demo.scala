@@ -234,6 +234,27 @@ object Demo {
         spark.table("demo_paced2").count()} (expect 80)")
     }
 
+    // materialized view: incremental refresh + compaction-invariant read
+    locally {
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val src = GraftTable.create(spark, orders.limit(50), s"$dir/mv_src")
+      val view = MaterializedView.create(spark, s"$dir/mv_src", s"$dir/mv_view",
+        keys = Seq("o_orderstatus"), measures = Seq(
+          Measure("total", "CAST(o_totalprice AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")))
+      MaterializedView.refresh(spark, s"$dir/mv_view")
+      src.append(orders.limit(120).exceptAll(orders.limit(50)))
+      MaterializedView.refresh(spark, s"$dir/mv_view")
+      val viewCnt = MaterializedView.read(spark, s"$dir/mv_view")
+        .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+      view.compaction()
+      val afterCnt = MaterializedView.read(spark, s"$dir/mv_view")
+        .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+      println(s"mview counted rows = $viewCnt (expect 120), " +
+        s"after compaction = $afterCnt (expect 120)")
+    }
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

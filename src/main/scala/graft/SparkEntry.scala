@@ -632,6 +632,47 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_name, sum_all(s_acctbal) AS s_acctbal " +
         "FROM graft_cat.vfy.mo_proj")
     }),
+    "mview_incremental" -> q((s, d) => {
+      // Incrementally-maintained materialized aggregate view: the source
+      // fact table lands in three commit slices; each refresh folds ONLY
+      // the slice since its cursor (one incremental read — never the full
+      // source) into per-status running aggregates held as associative
+      // merge-op columns (sum_all / min_all / max_all). Read-time bucket
+      // merge folds the partial rows; compaction collapses them to one row
+      // per key — asserted in-query to leave the result unchanged.
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val o = rd(s, d, "orders")
+      val srcPath = tmp("mvsrc"); val viewPath = tmp("mview")
+      val src = GraftTable.create(s, o.filter(col("o_orderkey") % 3 === 0), srcPath)
+      val view = MaterializedView.create(s, srcPath, viewPath,
+        keys = Seq("o_orderstatus"),
+        measures = Seq(
+          Measure("total", "CAST(o_totalprice AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count"),
+          Measure("max_price", "o_totalprice", "max"),
+          Measure("min_odate", "o_orderdate", "min")))
+      MaterializedView.refresh(s, viewPath) // backfill = (0, latest]
+      src.append(o.filter(col("o_orderkey") % 3 === 1))
+      MaterializedView.refresh(s, viewPath)
+      src.append(o.filter(col("o_orderkey") % 3 === 2))
+      MaterializedView.refresh(s, viewPath)
+      // three refreshes must have left >1 partial run per bucket (proves
+      // the reads below exercise the merge, not a pre-folded scan) ...
+      val runs = view.liveFiles.groupBy(f => (f.partitionDesc, f.file.bucketId))
+        .values.map(_.map(_.commitOrdinal).distinct.size).maxOption.getOrElse(0)
+      require(runs >= 2, s"expected multiple partial runs, got $runs")
+      val before = MaterializedView.read(s, viewPath).collect().toSet
+      // ... and compacting the view (folding partials with the same merge
+      // ops) must not change what it reports
+      view.compaction()
+      val after = MaterializedView.read(s, viewPath)
+      require(after.collect().toSet == before,
+        "view compaction changed the reported aggregates")
+      after.select(col("o_orderstatus"),
+        col("total").cast("double").as("total"), col("cnt"),
+        col("max_price"), col("min_odate")).orderBy("o_orderstatus")
+    }),
     // ---------------------------------------------- DSv2 SQL surface (C12+)
     "catalog_sql_read" -> q((s, d) => {
       // CREATE TABLE AS SELECT + INSERT INTO (= upsert on a PK table) +
@@ -2044,6 +2085,13 @@ object SparkEntry {
     "merge_op_projection" ->
       """SELECT s_suppkey, s_name, s_acctbal + s_acctbal * 4 AS s_acctbal
         |FROM supplier""".stripMargin,
+    "mview_incremental" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt,
+        |  MAX(o_totalprice) AS max_price,
+        |  MIN(o_orderdate) AS min_odate
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "catalog_sql_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

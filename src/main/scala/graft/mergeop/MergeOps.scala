@@ -110,6 +110,25 @@ object MergeOps {
         dt: DataType): Column = UseLast.agg(value, version, present, dt)
   }
 
+  /** Minimum over all non-null values ever written (SQL `MIN` semantics:
+    * nulls are ignored, NULL only if every contributing value is null).
+    * Beyond the reference's operator set — the associative combiner that
+    * makes MIN-measures of [[graft.pipeline.MaterializedView]] foldable
+    * across sorted runs and through compaction. */
+  case object MinAll extends MergeOp {
+    val name = "min_all"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      min(when(present, value))
+  }
+
+  /** Maximum over all non-null values ever written (SQL `MAX` semantics).
+    * See [[MinAll]]. */
+  case object MaxAll extends MergeOp {
+    val name = "max_all"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      max(when(present, value))
+  }
+
   /** Each run's LAST value, non-nulls concatenated in version order —
     * reference `JoinedLastByComma` / `JoinedLastBySemicolon`
     * (merge_operator.rs:28-29,84-96). */
@@ -124,7 +143,7 @@ object MergeOps {
   }
 
   val builtins: Map[String, MergeOp] = Seq(
-    UseLast, UseLastNotNull, SumAll, SumLast,
+    UseLast, UseLastNotNull, SumAll, SumLast, MinAll, MaxAll,
     JoinedAll(","), JoinedAll(";"), JoinedLast(","), JoinedLast(";"))
     .map(op => op.name -> op).toMap
 

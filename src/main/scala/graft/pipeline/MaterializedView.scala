@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import java.net.{URLDecoder, URLEncoder}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{CommitOp, TableInfo}
+import graft.tables.GraftTable
+
+/** Incrementally-maintained materialized aggregate views.
+  *
+  * A view is a primary-key graft table whose rows are the running aggregate
+  * of `source.groupBy(keys)`, with each measure column carrying an
+  * ASSOCIATIVE merge operator ([[graft.mergeop.MergeOps]]: `sum_all`,
+  * `min_all`, `max_all`) as a table property. `refresh` reads ONLY the
+  * source commits since the last refresh (the incremental read, SURVEY.md
+  * §2.1 S10), partially aggregates that delta, and upserts one row per
+  * touched key — the merge-on-read path (and compaction) folds partials
+  * into totals. Nothing ever re-reads the full source: at 100 TB the
+  * refresh cost is O(delta), the view read is O(groups), and compaction
+  * keeps the per-key run count bounded. This is the reference's
+  * merge-operator use-case (incremental aggregation without
+  * read-modify-write; reference MergeOperator.scala:17-85,
+  * merge_operator.rs:21-167) packaged as a view lifecycle.
+  *
+  * Source contract: INSERT-only facts — `append` (or PK upserts that only
+  * ever insert new keys) plus compactions. A refresh that observes an
+  * `update`/`rewrite`/`delete` commit in its window throws: those rewrite
+  * history that the view has already folded in, so the delta is no longer
+  * a consumable increment (same reason the reference's incremental read
+  * aborts on update commits). CDC sources are rejected at creation.
+  *
+  * Refresh semantics: reads commits in `(cursor, latest]` where `latest` is
+  * the newest source commit timestamp at refresh time, then advances the
+  * cursor to `latest` — each commit is folded exactly once, and a crashed
+  * refresh re-runs idempotently ONLY if its upsert did not commit (the
+  * upsert and the cursor bump are two meta operations; a crash between
+  * them double-folds that window on the next refresh — run refreshes from
+  * one maintenance driver, like the reference's compaction service).
+  *
+  * Null semantics: `sum` totals treat NULL measure values as contributing
+  * zero (a group whose values are ALL null reports 0 where SQL `SUM` gives
+  * NULL); `count` counts non-null evaluations (`count("1")` = COUNT(*));
+  * `min`/`max` ignore nulls exactly like SQL MIN/MAX.
+  */
+object MaterializedView {
+  val SourceProp = "graft.mview.source"
+  val CursorProp = "graft.mview.cursor"
+  val KeysProp = "graft.mview.keys"
+  val MeasuresProp = "graft.mview.measures"
+
+  /** One view measure: `name` (output column), `expr` (ANSI SQL over the
+    * source schema), `op` in sum|count|min|max. */
+  final case class Measure(name: String, expr: String, op: String) {
+    require(Set("sum", "count", "min", "max")(op),
+      s"unsupported measure op '$op' (sum|count|min|max)")
+
+    private[MaterializedView] def partialAgg: Column = (op match {
+      case "sum" => sum(expr_)
+      case "count" => count(expr_).cast("long")
+      case "min" => min(expr_)
+      case "max" => max(expr_)
+    }).as(name)
+
+    private def expr_ : Column = org.apache.spark.sql.functions.expr(expr)
+
+    private[MaterializedView] def mergeOp: String = op match {
+      case "sum" | "count" => "sum_all"
+      case "min" => "min_all"
+      case "max" => "max_all"
+    }
+  }
+
+  /** Create an EMPTY view over `sourcePath` at `viewPath`; call [[refresh]]
+    * to fold in the source's history (the initial refresh IS the backfill —
+    * one incremental read over (0, latest]). The view is hash-partitioned
+    * by `keys`, so point lookups bucket-prune and view reads are
+    * shuffle-free bucket merges. */
+  def create(
+      spark: SparkSession,
+      sourcePath: String,
+      viewPath: String,
+      keys: Seq[String],
+      measures: Seq[Measure],
+      bucketNum: Int = 4): GraftTable = {
+    require(keys.nonEmpty, "materialized view needs at least one group key")
+    require(measures.nonEmpty, "materialized view needs at least one measure")
+    val dup = (keys ++ measures.map(_.name)).groupBy(identity)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate view column(s): ${dup.mkString(", ")}")
+    val src = GraftTable.forPath(spark, sourcePath)
+    require(src.info.cdcColumn.isEmpty,
+      "materialized views over CDC sources are not supported")
+    // view schema = the partial aggregate's schema (types come out of the
+    // analyzer, so decimal widening etc. match what refresh will write)
+    val viewSchema = partial(src.toDF.limit(0), keys, measures).schema
+    val props = Map(
+      SourceProp -> src.info.tablePath,
+      CursorProp -> "0",
+      KeysProp -> enc(keys),
+      MeasuresProp -> enc(measures.flatMap(m => Seq(m.name, m.expr, m.op)))) ++
+      measures.map(m => TableInfo.mergeOpProp(m.name) -> m.mergeOp)
+    GraftTable.createEmpty(spark, viewSchema, viewPath,
+      hashColumns = keys, bucketNum = bucketNum, properties = props)
+  }
+
+  /** Fold source commits in `(cursor, latest]` into the view; no-op when
+    * the view is already current. Returns the view table. */
+  def refresh(spark: SparkSession, viewPath: String): GraftTable = {
+    val v = GraftTable.forPath(spark, viewPath)
+    val p = v.info.properties
+    val sourcePath = p.getOrElse(SourceProp,
+      throw new IllegalArgumentException(s"$viewPath is not a materialized view"))
+    val cursor = p(CursorProp).toLong
+    val keys = dec(p(KeysProp))
+    val measures = dec(p(MeasuresProp)).grouped(3)
+      .map { case Seq(n, e, o) => Measure(n, e, o) }.toSeq
+    val src = GraftTable.forPath(spark, sourcePath)
+    val latest = src.partitions.map(_.timestamp).maxOption.getOrElse(cursor)
+    if (latest <= cursor) return v
+    val ops = src.commitOpsBetween(cursor, latest)
+    val bad = ops -- Set(CommitOp.Append, CommitOp.Merge, CommitOp.Compaction)
+    require(bad.isEmpty,
+      s"source $sourcePath has non-incremental commit(s) ${bad.mkString(", ")} " +
+        s"in ($cursor, $latest] — materialized views need insert-only sources")
+    val delta = src.incremental(cursor, latest)
+    v.upsert(partial(delta, keys, measures))
+    v.setProperties(Map(CursorProp -> latest.toString))
+    v
+  }
+
+  /** The current view contents (merge-on-read folds partial rows; after
+    * compaction this is a plain scan of one row per key). */
+  def read(spark: SparkSession, viewPath: String): DataFrame =
+    GraftTable.forPath(spark, viewPath).toDF
+
+  private def partial(delta: DataFrame, keys: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    val aggs = measures.map(_.partialAgg)
+    val out = delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // sum partials: a delta group whose measure values are all NULL must
+    // contribute zero, not poison the running total (sum_all null rule)
+    measures.filter(_.op == "sum").foldLeft(out) { (df, m) =>
+      df.withColumn(m.name,
+        coalesce(col(m.name), lit(0).cast(df.schema(m.name).dataType)))
+    }
+  }
+
+  private def enc(parts: Seq[String]): String =
+    parts.map(URLEncoder.encode(_, "UTF-8")).mkString(",")
+
+  private def dec(s: String): Seq[String] =
+    if (s.isEmpty) Nil
+    else s.split(",", -1).toSeq.map(URLDecoder.decode(_, "UTF-8"))
+}

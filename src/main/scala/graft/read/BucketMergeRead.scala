@@ -65,6 +65,14 @@ object BucketMergeRead {
       case MergeOps.UseLast | MergeOps.UseLastNotNull => orderableOrAny(f.dataType)
       case MergeOps.SumAll | MergeOps.SumLast => f.dataType match {
         case IntegerType | LongType | DoubleType | FloatType | ShortType => true
+        case _: DecimalType => true // materialized-view running totals
+        case _ => false
+      }
+      case MergeOps.MinAll | MergeOps.MaxAll => f.dataType match {
+        case IntegerType | LongType | DoubleType | FloatType | ShortType |
+             ByteType | BooleanType | StringType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
         case _ => false
       }
       case MergeOps.JoinedAll(_) | MergeOps.JoinedLast(_) => f.dataType == StringType
@@ -150,6 +158,8 @@ object BucketMergeRead {
             case MergeOps.SumAll | MergeOps.SumLast => 2
             case MergeOps.JoinedAll(_) | MergeOps.JoinedLast(_) => 3
             case _: graft.mergeop.RowMergeOp => 4
+            case MergeOps.MinAll => 5
+            case MergeOps.MaxAll => 6
             case other => throw new IllegalStateException(
               s"bucket merge does not support operator '${other.name}'")
           },
@@ -183,7 +193,8 @@ object BucketMergeRead {
 }
 
 /** Per-output-field merge spec: op 0=use_last 1=use_last_not_null 2=sum_all
-  * 3=joined_all 4=row-level custom operator (serialized with the task). */
+  * 3=joined_all 4=row-level custom operator (serialized with the task)
+  * 5=min_all 6=max_all. */
 case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String,
     custom: graft.mergeop.RowMergeOp = null)
 
@@ -410,6 +421,31 @@ class KWayMergeIterator(
     }
   }
 
+  /** Value comparison for the min_all/max_all operators, on the merged-key
+    * slow path only (types gated by [[BucketMergeRead.supports]]). */
+  private def cmpVal(dt: DataType, a: Any, b: Any): Int = dt match {
+    case IntegerType | DateType =>
+      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType =>
+      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case ShortType =>
+      java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case ByteType =>
+      java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
+    case BooleanType =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case _: DecimalType =>
+      a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .compare(b.asInstanceOf[org.apache.spark.sql.types.Decimal])
+    case other => throw new IllegalStateException(s"min/max merge on $other")
+  }
+
   /** Deep value copy: the source may be a reused vectorized-reader row whose
     * buffers are invalidated on advance. */
   private def deepCopy(v: Any): Any = v match {
@@ -468,6 +504,15 @@ class KWayMergeIterator(
               case FloatType => o.asInstanceOf[Float] + n.asInstanceOf[Float]
               case ShortType =>
                 (o.asInstanceOf[Short] + n.asInstanceOf[Short]).toShort
+              case dec: DecimalType =>
+                // running totals of materialized views; Decimal.+ widens
+                // internally, the result stays within the declared precision
+                // because the write side already aggregated to this type
+                {
+                  val s = o.asInstanceOf[org.apache.spark.sql.types.Decimal] +
+                    n.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                  if (s.changePrecision(dec.precision, dec.scale)) s else null
+                }
               case other => throw new IllegalStateException(s"sum_all on $other")
             }
           case 3 => // joined_all: non-null present values in version order
@@ -479,6 +524,13 @@ class KWayMergeIterator(
             // the combiner may retain it
             if (!contributed(idx)) deepCopy(n)
             else f.custom.combine(o, deepCopy(n))
+          case 5 | 6 => // min_all / max_all: nulls ignored (SQL MIN/MAX)
+            if (n == null) { skip = true; o }
+            else if (o == null) deepCopy(n)
+            else {
+              val c = cmpVal(f.dt, n, o)
+              if (if (f.op == 5) c < 0 else c > 0) deepCopy(n) else o
+            }
         }
         if (!skip) contributed(idx) = true
         if (v == null) acc.setNullAt(idx) else acc.update(idx, v)

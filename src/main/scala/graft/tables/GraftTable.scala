@@ -151,6 +151,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   def partitions: Seq[PartitionInfo] = store.listPartitionHeads(tablePath)
 
+  /** Distinct commit operations recorded in `(startTime, endTime]` across
+    * all partitions — lets incremental consumers (e.g.
+    * [[graft.pipeline.MaterializedView]]) verify a window is a consumable
+    * delta before folding it in. */
+  def commitOpsBetween(startTime: Long, endTime: Long): Set[String] =
+    partitions.flatMap(p =>
+      store.partitionVersions(tablePath, p.partitionDesc)
+        .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
+        .map(_.commitOp)).toSet
+
   /** Files visible at the current head (post del-fold), with run ordinals. */
   def liveFiles: Seq[ResolvedFile] = resolver.currentFiles(tablePath)
 

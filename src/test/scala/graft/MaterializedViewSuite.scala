@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MaterializedView
+import graft.pipeline.MaterializedView.Measure
+import graft.tables.GraftTable
+
+class MaterializedViewSuite extends SparkFixture {
+  import spark.implicits._
+
+  private def facts(n: Int, offset: Int = 0) =
+    (offset until offset + n).map(i =>
+      (i.toLong, s"k${i % 3}", i * 1.5, i % 7)).toDF("id", "k", "v", "w")
+
+  test("refresh folds only the delta; totals match a full groupBy") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val src = GraftTable.create(spark, facts(30), srcPath)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"),
+        measures = Seq(
+          Measure("total", "CAST(v AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count"),
+          Measure("vmin", "v", "min"),
+          Measure("wmax", "w", "max")))
+      MaterializedView.refresh(spark, viewPath)
+      src.append(facts(30, offset = 30))
+      src.append(facts(40, offset = 60))
+      MaterializedView.refresh(spark, viewPath)
+
+      val expected = facts(100).groupBy("k").agg(
+        sum($"v".cast("decimal(18,2)")).as("total"),
+        count(lit(1)).as("cnt"), min($"v").as("vmin"), max($"w").as("wmax"))
+      assertSameRows(MaterializedView.read(spark, viewPath), expected)
+
+      // refresh with no new commits is a no-op (cursor unchanged)
+      val cursor = GraftTable.forPath(spark, viewPath)
+        .info.properties(MaterializedView.CursorProp)
+      MaterializedView.refresh(spark, viewPath)
+      assert(GraftTable.forPath(spark, viewPath)
+        .info.properties(MaterializedView.CursorProp) == cursor)
+    }
+  }
+
+  test("view compaction folds partial rows without changing results") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val src = GraftTable.create(spark, facts(20), srcPath)
+      val view = MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(
+          Measure("total", "CAST(v AS DECIMAL(18,2))", "sum"),
+          Measure("vmax", "v", "max")))
+      (0 until 4).foreach { i =>
+        if (i > 0) src.append(facts(20, offset = i * 20))
+        MaterializedView.refresh(spark, viewPath)
+      }
+      val runs = view.liveFiles.groupBy(f => (f.partitionDesc, f.file.bucketId))
+        .values.map(_.map(_.commitOrdinal).distinct.size).max
+      assert(runs >= 2, s"expected partial runs before compaction, got $runs")
+      val before = MaterializedView.read(spark, viewPath).collect().toSet
+      view.compaction()
+      assert(MaterializedView.read(spark, viewPath).collect().toSet == before)
+      val runsAfter = view.liveFiles.groupBy(f => (f.partitionDesc, f.file.bucketId))
+        .values.map(_.map(_.commitOrdinal).distinct.size).max
+      assert(runsAfter == 1)
+    }
+  }
+
+  test("null measures: sum contributes zero, min/max ignore, count skips") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val rows1 = Seq((1L, "a", Some(2.0)), (2L, "a", None), (3L, "b", None))
+      val rows2 = Seq((4L, "a", Some(5.0)), (5L, "b", None))
+      val src = GraftTable.create(spark,
+        rows1.toDF("id", "k", "v"), srcPath)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(
+          Measure("total", "CAST(v AS DECIMAL(18,2))", "sum"),
+          Measure("nonnull", "v", "count"),
+          Measure("vmin", "v", "min")))
+      MaterializedView.refresh(spark, viewPath)
+      src.append(rows2.toDF("id", "k", "v"))
+      MaterializedView.refresh(spark, viewPath)
+      val got = MaterializedView.read(spark, viewPath)
+        .orderBy("k")
+        .select($"k", $"total".cast("double"), $"nonnull", $"vmin")
+        .collect().map(_.toString).toSeq
+      // b is all-null: sum reports 0 (documented deviation from SQL NULL),
+      // count 0, min null
+      assert(got == Seq("[a,7.0,2,2.0]", "[b,0.0,0,null]"))
+    }
+  }
+
+  test("refresh rejects non-incremental source commits") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val src = GraftTable.create(spark, facts(10), srcPath)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(Measure("cnt", "1", "count")))
+      MaterializedView.refresh(spark, viewPath)
+      src.delete(col("w") === 3)
+      src.append(facts(5, offset = 10))
+      val e = intercept[IllegalArgumentException] {
+        MaterializedView.refresh(spark, viewPath)
+      }
+      assert(e.getMessage.contains("insert-only"))
+    }
+  }
+
+  test("min_all/max_all merge ops stand alone on PK tables") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark,
+        Seq((1L, 5.0, "b"), (2L, 1.0, "x")).toDF("id", "v", "s"), s"$dir/t",
+        hashColumns = Seq("id"), bucketNum = 2,
+        properties = Map(
+          graft.meta.TableInfo.mergeOpProp("v") -> "min_all",
+          graft.meta.TableInfo.mergeOpProp("s") -> "max_all"))
+      t.upsert(Seq((1L, 7.0, "a"), (2L, 0.5, "z")).toDF("id", "v", "s"))
+      t.upsert(Seq((1L, 3.0, "c")).toDF("id", "v", "s"))
+      assertRows(t.toDF.select("id", "v", "s"),
+        Seq("[1,3.0,c]", "[2,0.5,z]"))
+    }
+  }
+}
