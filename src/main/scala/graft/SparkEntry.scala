@@ -673,6 +673,36 @@ object SparkEntry {
         col("total").cast("double").as("total"), col("cnt"),
         col("max_price"), col("min_odate")).orderBy("o_orderstatus")
     }),
+    "stream_mview" -> q((s, d) => {
+      // CONTINUOUSLY-maintained materialized view through the real
+      // streaming path: source commits drain as micro-batches
+      // (AvailableNow), each folded by partial-agg + merge-op upsert; a
+      // replayed micro-batch is skipped by the recorded batch id (the
+      // exactly-once sums need that PK-upserts alone can't give). A second
+      // run from the SAME checkpoint after more source commits resumes
+      // and catches up.
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val root = tmp("smv")
+      val o = rd(s, d, "orders")
+      val src = GraftTable.create(s,
+        o.filter(col("o_orderkey") % 2 === 0), s"$root/src")
+      MaterializedView.create(s, s"$root/src", s"$root/view",
+        keys = Seq("o_orderstatus"), measures = Seq(
+          Measure("total", "CAST(o_totalprice AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")))
+      val q1 = MaterializedView.maintainStream(s, s"$root/view", s"$root/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q1.awaitTermination(120000)
+      src.append(o.filter(col("o_orderkey") % 2 === 1))
+      val q2 = MaterializedView.maintainStream(s, s"$root/view", s"$root/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q2.awaitTermination(120000)
+      MaterializedView.read(s, s"$root/view")
+        .select(col("o_orderstatus"),
+          col("total").cast("double").as("total"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
     // ---------------------------------------------- DSv2 SQL surface (C12+)
     "catalog_sql_read" -> q((s, d) => {
       // CREATE TABLE AS SELECT + INSERT INTO (= upsert on a PK table) +
@@ -2091,6 +2121,11 @@ object SparkEntry {
         |  COUNT(*) AS cnt,
         |  MAX(o_totalprice) AS max_price,
         |  MIN(o_orderdate) AS min_odate
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "stream_mview" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "catalog_sql_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -49,6 +49,8 @@ object MaterializedView {
   val CursorProp = "graft.mview.cursor"
   val KeysProp = "graft.mview.keys"
   val MeasuresProp = "graft.mview.measures"
+  val LastBatchProp = "graft.mview.lastbatch"
+  val StreamIdProp = "graft.mview.stream"
 
   /** One view measure: `name` (output column), `expr` (ANSI SQL over the
     * source schema), `op` in sum|count|min|max. */
@@ -116,6 +118,9 @@ object MaterializedView {
     val keys = dec(p(KeysProp))
     val measures = dec(p(MeasuresProp)).grouped(3)
       .map { case Seq(n, e, o) => Measure(n, e, o) }.toSeq
+    require(!p.contains(StreamIdProp),
+      s"$viewPath is stream-maintained (see maintainStream) — a batch " +
+        "refresh would re-fold commits the stream already counted")
     val src = GraftTable.forPath(spark, sourcePath)
     val latest = src.partitions.map(_.timestamp).maxOption.getOrElse(cursor)
     if (latest <= cursor) return v
@@ -128,6 +133,62 @@ object MaterializedView {
     v.upsert(partial(delta, keys, measures))
     v.setProperties(Map(CursorProp -> latest.toString))
     v
+  }
+
+  /** CONTINUOUS maintenance: a Structured Streaming query over the source
+    * graft table that folds every micro-batch into the view the same way
+    * [[refresh]] folds a window — partial aggregate, merge-op upsert. The
+    * stream starts from the view's batch cursor (so it composes with prior
+    * [[refresh]] calls), and a micro-batch replayed after checkpoint
+    * recovery is skipped by the recorded last-folded batch id — the
+    * idempotence sums need that PK-upserts alone can't give.
+    *
+    * Once streamed, the view is BOUND to that checkpoint: restarting from
+    * the same checkpoint resumes exactly-once; a different checkpoint (or
+    * a batch [[refresh]]) would re-fold already-counted commits, so both
+    * are rejected. This is the sink-side (queryId, batchId) idempotence
+    * model of the reference's streaming sink (LakeSoulSink.scala:46-49)
+    * applied to non-idempotent running totals. */
+  def maintainStream(
+      spark: SparkSession,
+      viewPath: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val v = GraftTable.forPath(spark, viewPath)
+    val p = v.info.properties
+    val sourcePath = p.getOrElse(SourceProp,
+      throw new IllegalArgumentException(s"$viewPath is not a materialized view"))
+    val cursor = p(CursorProp).toLong
+    val keys = dec(p(KeysProp))
+    val measures = dec(p(MeasuresProp)).grouped(3)
+      .map { case Seq(n, e, o) => Measure(n, e, o) }.toSeq
+    val streamId = md5(checkpoint)
+    p.get(StreamIdProp) match {
+      case Some(other) if other != streamId =>
+        throw new IllegalStateException(s"$viewPath is already maintained by " +
+          "a stream with a different checkpoint — a second pipeline would " +
+          "re-fold commits the first already counted")
+      case None => v.setProperties(Map(StreamIdProp -> streamId))
+      case _ => // same checkpoint: resume
+    }
+    var reader = spark.readStream.format("graft")
+    if (cursor > 0) reader = reader.option("readStartTime", cursor.toString)
+    reader.load(sourcePath).writeStream
+      .queryName(s"graft-mview-${new java.io.File(viewPath).getName}")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val view = GraftTable.forPath(batch.sparkSession, viewPath)
+        val last = view.info.properties.get(LastBatchProp)
+          .map(_.toLong).getOrElse(-1L)
+        if (batchId > last) {
+          view.upsert(partial(batch, keys, measures))
+          view.setProperties(Map(LastBatchProp -> batchId.toString))
+        }
+      }
+      .start()
   }
 
   /** The current view contents (merge-on-read folds partial rows; after
@@ -146,6 +207,10 @@ object MaterializedView {
         coalesce(col(m.name), lit(0).cast(df.schema(m.name).dataType)))
     }
   }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
   private def enc(parts: Seq[String]): String =
     parts.map(URLEncoder.encode(_, "UTF-8")).mkString(",")

@@ -108,6 +108,42 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
+  test("maintainStream folds micro-batches; same-checkpoint rerun resumes") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val ckpt = s"$dir/ckpt"
+      val src = GraftTable.create(spark, facts(30), srcPath)
+      src.append(facts(30, offset = 30)) // two commits -> >=1 micro-batch
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(
+          Measure("total", "CAST(v AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")))
+      val q1 = MaterializedView.maintainStream(spark, viewPath, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q1.awaitTermination(120000)
+      // catch-up run from the SAME checkpoint after two more commits
+      src.append(facts(20, offset = 60))
+      src.append(facts(20, offset = 80))
+      val q2 = MaterializedView.maintainStream(spark, viewPath, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q2.awaitTermination(120000)
+      val expected = facts(100).groupBy("k").agg(
+        sum($"v".cast("decimal(18,2)")).as("total"), count(lit(1)).as("cnt"))
+      assertSameRows(MaterializedView.read(spark, viewPath), expected)
+
+      // the view is bound to its checkpoint: batch refresh and a second
+      // pipeline are both rejected
+      val e1 = intercept[IllegalArgumentException] {
+        MaterializedView.refresh(spark, viewPath)
+      }
+      assert(e1.getMessage.contains("stream-maintained"))
+      val e2 = intercept[IllegalStateException] {
+        MaterializedView.maintainStream(spark, viewPath, s"$dir/other_ckpt")
+      }
+      assert(e2.getMessage.contains("different checkpoint"))
+    }
+  }
+
   test("min_all/max_all merge ops stand alone on PK tables") {
     withTempPath { dir =>
       val t = GraftTable.create(spark,
