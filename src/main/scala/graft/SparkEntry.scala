@@ -673,6 +673,49 @@ object SparkEntry {
         col("total").cast("double").as("total"), col("cnt"),
         col("max_price"), col("min_odate")).orderBy("o_orderstatus")
     }),
+    "mview_approx_distinct" -> q((s, d) => {
+      // Filtered view with an approximate-COUNT(DISTINCT) measure: the
+      // HLL sketch is the only associative state that keeps distinct
+      // counts incremental (exact distinct would need a source rescan per
+      // refresh). Self-verifying: the estimate after two incremental
+      // refreshes must land within 5% of the exact distinct count for
+      // every group (HLL lgK=12 keeps relative error ~1.6% at these
+      // cardinalities); the emitted rows are the exact counts, which
+      // DuckDB replays.
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val li = rd(s, d, "lineitem")
+      val srcPath = tmp("mvadsrc"); val viewPath = tmp("mvad")
+      val src = GraftTable.create(s,
+        li.filter(col("l_orderkey") % 2 === 0), srcPath)
+      MaterializedView.create(s, srcPath, viewPath,
+        keys = Seq("l_returnflag"),
+        measures = Seq(
+          Measure("parts_approx", "l_partkey", "approx_distinct"),
+          Measure("n", "1", "count")),
+        filter = Some("l_quantity > 10"))
+      MaterializedView.refresh(s, viewPath)
+      src.append(li.filter(col("l_orderkey") % 2 === 1))
+      MaterializedView.refresh(s, viewPath)
+      val est = MaterializedView.read(s, viewPath)
+        .select(col("l_returnflag"), col("parts_approx"), col("n"))
+      val exact = li.filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("parts_exact"),
+          count(lit(1)).as("n_exact"))
+      val joined = est.join(exact, "l_returnflag").collect()
+      require(joined.nonEmpty, "empty view")
+      joined.foreach { r =>
+        val a = r.getAs[Long]("parts_approx").toDouble
+        val e = r.getAs[Long]("parts_exact").toDouble
+        require(math.abs(a - e) / e <= 0.05,
+          s"HLL estimate $a off >5% from exact $e for ${r.get(0)}")
+        require(r.getAs[Long]("n") == r.getAs[Long]("n_exact"),
+          "filtered row count mismatch")
+      }
+      exact.select(col("l_returnflag"), col("parts_exact"),
+        col("n_exact").as("n")).orderBy("l_returnflag")
+    }),
     "stream_mview" -> q((s, d) => {
       // CONTINUOUSLY-maintained materialized view through the real
       // streaming path: source commits drain as micro-batches
@@ -2122,6 +2165,12 @@ object SparkEntry {
         |  MAX(o_totalprice) AS max_price,
         |  MIN(o_orderdate) AS min_odate
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "mview_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS parts_exact,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "stream_mview" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

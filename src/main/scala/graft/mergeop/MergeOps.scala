@@ -129,6 +129,30 @@ object MergeOps {
       max(when(present, value))
   }
 
+  /** HyperLogLog-sketch union over BINARY sketch columns (the mergeable
+    * state behind approximate COUNT(DISTINCT) measures of
+    * [[graft.pipeline.MaterializedView]]): each run holds a serialized
+    * Apache DataSketches HLL sketch (`hll_sketch_agg`); merging unions the
+    * sketches — commutative, associative, idempotent per distinct item, so
+    * refreshes, bucket merges, and compactions can fold in any order.
+    * Runs inside the shuffle-free k-way merge (RowMergeOp) and through the
+    * aggregate path (`hll_union_agg`). */
+  case object HllUnion extends RowMergeOp {
+    val name = "hll_union"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      hll_union_agg(when(present, value), lit(true))
+    def combine(acc: Any, newer: Any): Any =
+      if (acc == null) newer
+      else if (newer == null) acc
+      else {
+        import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+        val u = new Union(HllSketch.DEFAULT_LG_K)
+        u.update(HllSketch.heapify(acc.asInstanceOf[Array[Byte]]))
+        u.update(HllSketch.heapify(newer.asInstanceOf[Array[Byte]]))
+        u.getResult(TgtHllType.HLL_8).toCompactByteArray
+      }
+  }
+
   /** Each run's LAST value, non-nulls concatenated in version order —
     * reference `JoinedLastByComma` / `JoinedLastBySemicolon`
     * (merge_operator.rs:28-29,84-96). */
@@ -143,7 +167,7 @@ object MergeOps {
   }
 
   val builtins: Map[String, MergeOp] = Seq(
-    UseLast, UseLastNotNull, SumAll, SumLast, MinAll, MaxAll,
+    UseLast, UseLastNotNull, SumAll, SumLast, MinAll, MaxAll, HllUnion,
     JoinedAll(","), JoinedAll(";"), JoinedLast(","), JoinedLast(";"))
     .map(op => op.name -> op).toMap
 

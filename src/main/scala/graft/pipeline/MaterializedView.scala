@@ -51,18 +51,25 @@ object MaterializedView {
   val MeasuresProp = "graft.mview.measures"
   val LastBatchProp = "graft.mview.lastbatch"
   val StreamIdProp = "graft.mview.stream"
+  val FilterProp = "graft.mview.filter"
 
   /** One view measure: `name` (output column), `expr` (ANSI SQL over the
-    * source schema), `op` in sum|count|min|max. */
+    * source schema), `op` in sum|count|min|max|approx_distinct.
+    * `approx_distinct` maintains a mergeable HLL sketch (binary column,
+    * [[graft.mergeop.MergeOps.HllUnion]]); [[read]] surfaces it as the
+    * estimated distinct count — the only way COUNT(DISTINCT) can be kept
+    * incrementally without re-scanning the source (exact distinct is not
+    * associative; the sketch union is). */
   final case class Measure(name: String, expr: String, op: String) {
-    require(Set("sum", "count", "min", "max")(op),
-      s"unsupported measure op '$op' (sum|count|min|max)")
+    require(Set("sum", "count", "min", "max", "approx_distinct")(op),
+      s"unsupported measure op '$op' (sum|count|min|max|approx_distinct)")
 
     private[MaterializedView] def partialAgg: Column = (op match {
       case "sum" => sum(expr_)
       case "count" => count(expr_).cast("long")
       case "min" => min(expr_)
       case "max" => max(expr_)
+      case "approx_distinct" => hll_sketch_agg(expr_)
     }).as(name)
 
     private def expr_ : Column = org.apache.spark.sql.functions.expr(expr)
@@ -71,6 +78,7 @@ object MaterializedView {
       case "sum" | "count" => "sum_all"
       case "min" => "min_all"
       case "max" => "max_all"
+      case "approx_distinct" => "hll_union"
     }
   }
 
@@ -85,7 +93,8 @@ object MaterializedView {
       viewPath: String,
       keys: Seq[String],
       measures: Seq[Measure],
-      bucketNum: Int = 4): GraftTable = {
+      bucketNum: Int = 4,
+      filter: Option[String] = None): GraftTable = {
     require(keys.nonEmpty, "materialized view needs at least one group key")
     require(measures.nonEmpty, "materialized view needs at least one measure")
     val dup = (keys ++ measures.map(_.name)).groupBy(identity)
@@ -95,13 +104,16 @@ object MaterializedView {
     require(src.info.cdcColumn.isEmpty,
       "materialized views over CDC sources are not supported")
     // view schema = the partial aggregate's schema (types come out of the
-    // analyzer, so decimal widening etc. match what refresh will write)
-    val viewSchema = partial(src.toDF.limit(0), keys, measures).schema
+    // analyzer, so decimal widening etc. match what refresh will write);
+    // the filter is validated against the source schema here too
+    val viewSchema = partial(
+      applyFilter(src.toDF.limit(0), filter), keys, measures).schema
     val props = Map(
       SourceProp -> src.info.tablePath,
       CursorProp -> "0",
       KeysProp -> enc(keys),
       MeasuresProp -> enc(measures.flatMap(m => Seq(m.name, m.expr, m.op)))) ++
+      filter.map(f => FilterProp -> f) ++
       measures.map(m => TableInfo.mergeOpProp(m.name) -> m.mergeOp)
     GraftTable.createEmpty(spark, viewSchema, viewPath,
       hashColumns = keys, bucketNum = bucketNum, properties = props)
@@ -129,7 +141,7 @@ object MaterializedView {
     require(bad.isEmpty,
       s"source $sourcePath has non-incremental commit(s) ${bad.mkString(", ")} " +
         s"in ($cursor, $latest] — materialized views need insert-only sources")
-    val delta = src.incremental(cursor, latest)
+    val delta = applyFilter(src.incremental(cursor, latest), p.get(FilterProp))
     v.upsert(partial(delta, keys, measures))
     v.setProperties(Map(CursorProp -> latest.toString))
     v
@@ -184,7 +196,8 @@ object MaterializedView {
         val last = view.info.properties.get(LastBatchProp)
           .map(_.toLong).getOrElse(-1L)
         if (batchId > last) {
-          view.upsert(partial(batch, keys, measures))
+          view.upsert(partial(
+            applyFilter(batch, p.get(FilterProp)), keys, measures))
           view.setProperties(Map(LastBatchProp -> batchId.toString))
         }
       }
@@ -192,9 +205,20 @@ object MaterializedView {
   }
 
   /** The current view contents (merge-on-read folds partial rows; after
-    * compaction this is a plain scan of one row per key). */
-  def read(spark: SparkSession, viewPath: String): DataFrame =
-    GraftTable.forPath(spark, viewPath).toDF
+    * compaction this is a plain scan of one row per key).
+    * `approx_distinct` sketch columns are surfaced as their estimated
+    * distinct counts; pass `estimate = false` to get the raw sketches
+    * (e.g. to union views). */
+  def read(spark: SparkSession, viewPath: String,
+      estimate: Boolean = true): DataFrame = {
+    val v = GraftTable.forPath(spark, viewPath)
+    val df = v.toDF
+    if (!estimate) df
+    else v.info.properties.get(MeasuresProp).map(dec).map(_.grouped(3)
+      .collect { case Seq(n, _, "approx_distinct") => n }.toSeq)
+      .getOrElse(Nil)
+      .foldLeft(df)((d, n) => d.withColumn(n, hll_sketch_estimate(col(n))))
+  }
 
   private def partial(delta: DataFrame, keys: Seq[String],
       measures: Seq[Measure]): DataFrame = {
@@ -207,6 +231,9 @@ object MaterializedView {
         coalesce(col(m.name), lit(0).cast(df.schema(m.name).dataType)))
     }
   }
+
+  private def applyFilter(df: DataFrame, filter: Option[String]): DataFrame =
+    filter.fold(df)(f => df.where(org.apache.spark.sql.functions.expr(f)))
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -144,6 +144,32 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
+  test("approx_distinct measure: sketch unions across refreshes + compaction") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      // w = i % 7 -> small per-group cardinality, where HLL is exact
+      val src = GraftTable.create(spark, facts(60), srcPath)
+      val view = MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(
+          Measure("dw", "w", "approx_distinct"),
+          Measure("cnt", "1", "count")),
+        filter = Some("w <> 3"))
+      MaterializedView.refresh(spark, viewPath)
+      src.append(facts(60, offset = 60)) // same w domain: pure overlap
+      MaterializedView.refresh(spark, viewPath)
+      val expected = facts(120).filter($"w" =!= 3).groupBy("k")
+        .agg(countDistinct($"w").as("dw"), count(lit(1)).as("cnt"))
+      assertSameRows(MaterializedView.read(spark, viewPath), expected)
+      // compaction folds the sketch runs via the same union
+      view.compaction()
+      assertSameRows(MaterializedView.read(spark, viewPath), expected)
+      // raw sketches stay accessible for cross-view unions
+      val raw = MaterializedView.read(spark, viewPath, estimate = false)
+      assert(raw.schema("dw").dataType ==
+        org.apache.spark.sql.types.BinaryType)
+    }
+  }
+
   test("min_all/max_all merge ops stand alone on PK tables") {
     withTempPath { dir =>
       val t = GraftTable.create(spark,
