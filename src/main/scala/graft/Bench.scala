@@ -201,6 +201,49 @@ object Bench {
       System.err.println(s"[bench] bucketed_join scenario failed: ${e.getMessage}")
     }
 
+    // materialized view maintenance: the claim under test is O(delta)
+    // refresh — folding a ~3% increment must cost a small fraction of the
+    // full recompute a non-incremental engine pays per update. Source +
+    // backfill build untimed; timed entries are (a) the median of three
+    // append->refresh cycles (refresh only), (b) the view read, (c) the
+    // full groupBy recompute over the same stored source for comparison.
+    try {
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val srcPath = java.nio.file.Files
+        .createTempDirectory("graft-bench-mvsrc-").toFile.getAbsolutePath
+      val viewPath = java.nio.file.Files
+        .createTempDirectory("graft-bench-mview-").toFile.getAbsolutePath
+      val src = GraftTable.create(spark,
+        li.filter(col("l_orderkey") % 10 =!= 0), srcPath)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq(
+          Measure("sum_qty", "CAST(l_quantity AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count"),
+          Measure("parts", "l_partkey", "approx_distinct")))
+      MaterializedView.refresh(spark, viewPath) // backfill untimed
+      val ts = (0 until 3).map { i =>
+        src.append(li.filter(col("l_orderkey") % 30 === i * 10))
+        val t0 = System.nanoTime()
+        MaterializedView.refresh(spark, viewPath)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      results("mview_refresh_delta") = ts(1)
+      results("mview_read") = minOf3 {
+        MaterializedView.read(spark, viewPath).count()
+      }
+      results("mview_full_recompute") = minOf3 {
+        src.toDF.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")),
+            count(lit(1)), approx_count_distinct(col("l_partkey")))
+          .count()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mview scenario failed: ${e.getMessage}")
+    }
+
     // storage-partitioned SQL join: two co-bucketed catalog tables built
     // UNTIMED, then the plain SQL join (zero exchanges) timed on its own
     try {
