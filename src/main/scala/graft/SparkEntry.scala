@@ -716,6 +716,44 @@ object SparkEntry {
       exact.select(col("l_returnflag"), col("parts_exact"),
         col("n_exact").as("n")).orderBy("l_returnflag")
     }),
+    "mview_approx_freq" -> q((s, d) => {
+      // Per-item frequency view without key x item result cardinality: a
+      // count-min sketch per group key, merged across incremental
+      // refreshes (cell-wise addition is associative), queried per item
+      // with graft_cms_estimate. Self-verifying against the CMS bound:
+      // exact <= estimate <= exact + eps * N (eps = 0.001, N = rows in
+      // the group's sketch); the emitted rows are the exact counts, which
+      // DuckDB replays.
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val o = rd(s, d, "orders")
+      val srcPath = tmp("mvfsrc"); val viewPath = tmp("mvf")
+      val src = GraftTable.create(s,
+        o.filter(col("o_orderkey") % 2 === 0), srcPath)
+      MaterializedView.create(s, srcPath, viewPath,
+        keys = Seq("o_orderstatus"),
+        measures = Seq(
+          Measure("prio_freq", "o_orderpriority", "approx_freq"),
+          Measure("n", "1", "count")))
+      MaterializedView.refresh(s, viewPath)
+      src.append(o.filter(col("o_orderkey") % 2 === 1))
+      MaterializedView.refresh(s, viewPath)
+      val exact = o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val est = MaterializedView.read(s, viewPath)
+        .join(exact, "o_orderstatus")
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("cnt"),
+          GraftFunctions.cmsEstimate(col("prio_freq"),
+            col("o_orderpriority")).as("est"), col("n"))
+        .collect()
+      require(est.nonEmpty, "empty estimate join")
+      est.foreach { r =>
+        val e = r.getAs[Long]("cnt"); val a = r.getAs[Long]("est")
+        require(a >= e && a <= e + math.ceil(0.001 * r.getAs[Long]("n")).toLong,
+          s"CMS estimate $a outside [$e, $e + eps*N] for ${r.get(0)}/${r.get(1)}")
+      }
+      exact.orderBy("o_orderstatus", "o_orderpriority")
+    }),
     "stream_mview" -> q((s, d) => {
       // CONTINUOUSLY-maintained materialized view through the real
       // streaming path: source commits drain as micro-batches
@@ -2171,6 +2209,10 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem WHERE l_quantity > 10
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mview_approx_freq" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "stream_mview" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

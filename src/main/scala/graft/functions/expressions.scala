@@ -260,6 +260,22 @@ object Kernels {
     h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
     h
   }
+
+  /** Union two serialized Spark CountMinSketches (same eps/confidence/seed
+    * by construction — all partials of one view measure share the literal
+    * parameters). */
+  def cmsMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = org.apache.spark.util.sketch.CountMinSketch.readFrom(a)
+    x.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch.readFrom(b))
+    x.toByteArray
+  }
+
+  /** Estimated count of `item` (matched by UTF-8 bytes) in a serialized
+    * CountMinSketch. */
+  def cmsEstimate(sketch: Array[Byte],
+      item: org.apache.spark.unsafe.types.UTF8String): Long =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(sketch)
+      .estimateCount(item.getBytes)
 }
 
 /** `graft_hamming(Array[Long], Array[Long]) -> Int` — popcount of xor, the
@@ -688,6 +704,27 @@ case class PrefixOrder(left: Expression, right: Expression)
   override def prettyName: String = "graft_prefix_order"
 }
 
+/** `graft_cms_estimate(sketch BINARY, item STRING) -> BIGINT`: estimated
+  * count of `item` in a serialized Spark `CountMinSketch` (the state behind
+  * the `approx_freq` measures of [[graft.pipeline.MaterializedView]]).
+  * Items are matched by their UTF-8 bytes — the same encoding
+  * `count_min_sketch` over a string column updates with, so estimates line
+  * up with the aggregate. Read-side only (one deserialize per group row,
+  * not a corpus-scale hot path). */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sk: Any, item: Any): Any =
+    Kernels.cmsEstimate(sk.asInstanceOf[Array[Byte]],
+      item.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.cmsEstimate($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cms_estimate"
+}
+
 /** Registration + Column helpers. Registered once per session into the
   * function registry (the Spark-4 equivalent of the reference's catalog
   * `loadFunction`, SparkFunctions.scala:7-14), then invoked with
@@ -709,7 +746,8 @@ object GraftFunctions {
     ("graft_residual_norm", es => ResidualNorm(es(0), es(1), es(2), es(3))),
     ("graft_bit_dot", es => BitDot(es(0), es(1))),
     ("graft_prefix_order", es => PrefixOrder(es(0), es(1))),
-    ("graft_sorted_overlap", es => SortedOverlap(es(0), es(1))))
+    ("graft_sorted_overlap", es => SortedOverlap(es(0), es(1))),
+    ("graft_cms_estimate", es => CmsEstimate(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -744,4 +782,7 @@ object GraftFunctions {
 
   def sortedOverlap(a: Column, b: Column): Column =
     call_function("graft_sorted_overlap", a, b)
+
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    call_function("graft_cms_estimate", sketch, item)
 }

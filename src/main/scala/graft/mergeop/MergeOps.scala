@@ -153,6 +153,41 @@ object MergeOps {
       }
   }
 
+  /** Count-min-sketch union over BINARY sketch columns (the mergeable
+    * state behind approximate per-item frequency measures of
+    * [[graft.pipeline.MaterializedView]]): each run holds a serialized
+    * Spark `CountMinSketch` (`count_min_sketch`); merging adds the count
+    * tables cell-wise — commutative and associative, so any fold order
+    * yields the same sketch. Runs inside the shuffle-free k-way merge
+    * (RowMergeOp); the aggregate path unions through a typed UDAF (only
+    * reached when a sibling column forces the fallback). */
+  case object CmsMerge extends RowMergeOp {
+    val name = "cms_merge"
+    @transient private lazy val unionUdaf =
+      org.apache.spark.sql.functions.udaf(
+        new org.apache.spark.sql.expressions.Aggregator[
+            Array[Byte], Array[Byte], Array[Byte]] {
+          def zero: Array[Byte] = null
+          private def m(a: Array[Byte], b: Array[Byte]) =
+            if (a == null) b else if (b == null) a
+            else graft.functions.Kernels.cmsMerge(a, b)
+          def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = m(buf, in)
+          def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = m(b1, b2)
+          def finish(buf: Array[Byte]): Array[Byte] = buf
+          def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+            org.apache.spark.sql.Encoders.BINARY
+          def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+            org.apache.spark.sql.Encoders.BINARY
+        }, org.apache.spark.sql.Encoders.BINARY)
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      unionUdaf(when(present, value))
+    def combine(acc: Any, newer: Any): Any =
+      if (acc == null) newer
+      else if (newer == null) acc
+      else graft.functions.Kernels.cmsMerge(
+        acc.asInstanceOf[Array[Byte]], newer.asInstanceOf[Array[Byte]])
+  }
+
   /** Each run's LAST value, non-nulls concatenated in version order —
     * reference `JoinedLastByComma` / `JoinedLastBySemicolon`
     * (merge_operator.rs:28-29,84-96). */
@@ -168,6 +203,7 @@ object MergeOps {
 
   val builtins: Map[String, MergeOp] = Seq(
     UseLast, UseLastNotNull, SumAll, SumLast, MinAll, MaxAll, HllUnion,
+    CmsMerge,
     JoinedAll(","), JoinedAll(";"), JoinedLast(","), JoinedLast(";"))
     .map(op => op.name -> op).toMap
 

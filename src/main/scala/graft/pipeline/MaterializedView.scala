@@ -59,10 +59,16 @@ object MaterializedView {
     * [[graft.mergeop.MergeOps.HllUnion]]); [[read]] surfaces it as the
     * estimated distinct count — the only way COUNT(DISTINCT) can be kept
     * incrementally without re-scanning the source (exact distinct is not
-    * associative; the sketch union is). */
+    * associative; the sketch union is). `approx_freq` maintains a
+    * count-min sketch of the expression's string values
+    * ([[graft.mergeop.MergeOps.CmsMerge]]); query per-item estimates with
+    * `GraftFunctions.cmsEstimate(col, item)` — approximate GROUP BY
+    * key x item counts without key x item result cardinality. */
   final case class Measure(name: String, expr: String, op: String) {
-    require(Set("sum", "count", "min", "max", "approx_distinct")(op),
-      s"unsupported measure op '$op' (sum|count|min|max|approx_distinct)")
+    require(Set("sum", "count", "min", "max", "approx_distinct",
+      "approx_freq")(op),
+      s"unsupported measure op '$op' " +
+        "(sum|count|min|max|approx_distinct|approx_freq)")
 
     private[MaterializedView] def partialAgg: Column = (op match {
       case "sum" => sum(expr_)
@@ -70,6 +76,10 @@ object MaterializedView {
       case "min" => min(expr_)
       case "max" => max(expr_)
       case "approx_distinct" => hll_sketch_agg(expr_)
+      // items are sketched by their STRING bytes so the read-side
+      // graft_cms_estimate(sketch, item) matches by the same encoding
+      case "approx_freq" => count_min_sketch(expr_.cast("string"),
+        lit(0.001), lit(0.99), lit(42))
     }).as(name)
 
     private def expr_ : Column = org.apache.spark.sql.functions.expr(expr)
@@ -79,6 +89,7 @@ object MaterializedView {
       case "min" => "min_all"
       case "max" => "max_all"
       case "approx_distinct" => "hll_union"
+      case "approx_freq" => "cms_merge"
     }
   }
 

@@ -170,6 +170,32 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
+  test("approx_freq measure: CMS folds across refreshes; estimates exact " +
+      "at low collision") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      graft.functions.GraftFunctions.register(spark)
+      val src = GraftTable.create(spark, facts(50), srcPath)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(
+          Measure("wf", "w", "approx_freq"),
+          Measure("cnt", "1", "count")))
+      MaterializedView.refresh(spark, viewPath)
+      src.append(facts(50, offset = 50))
+      MaterializedView.refresh(spark, viewPath)
+      GraftTable.forPath(spark, viewPath).compaction()
+      // 7 distinct items in a width-2000 sketch: estimates are exact
+      val exact = facts(100).groupBy("k", "w").count()
+      val est = MaterializedView.read(spark, viewPath)
+        .join(exact, "k")
+        .select($"k", $"w", $"count",
+          graft.functions.GraftFunctions.cmsEstimate(
+            $"wf", $"w".cast("string")).as("est"))
+      val bad = est.filter($"est" =!= $"count").collect()
+      assert(bad.isEmpty, s"CMS mismatches: ${bad.mkString(", ")}")
+    }
+  }
+
   test("min_all/max_all merge ops stand alone on PK tables") {
     withTempPath { dir =>
       val t = GraftTable.create(spark,
