@@ -645,18 +645,20 @@ object SparkEntry {
       val o = rd(s, d, "orders")
       val srcPath = tmp("mvsrc"); val viewPath = tmp("mview")
       val src = GraftTable.create(s, o.filter(col("o_orderkey") % 3 === 0), srcPath)
-      val view = MaterializedView.create(s, srcPath, viewPath,
-        keys = Seq("o_orderstatus"),
-        measures = Seq(
-          Measure("total", "CAST(o_totalprice AS DECIMAL(18,2))", "sum"),
-          Measure("cnt", "1", "count"),
-          Measure("max_price", "o_totalprice", "max"),
-          Measure("min_odate", "o_orderdate", "min")))
-      MaterializedView.refresh(s, viewPath) // backfill = (0, latest]
+      // lifecycle driven through the SQL CALL surface (create_mview /
+      // refresh_mview procedures) — the API form is covered by sbt
+      s.sql(s"CALL graft.create_mview(view_path => '$viewPath', " +
+        s"source_path => '$srcPath', keys => 'o_orderstatus', " +
+        "measures => 'total:sum:CAST(o_totalprice AS DECIMAL(18,2));" +
+        "cnt:count:1;max_price:max:o_totalprice;min_odate:min:o_orderdate')")
+      val view = GraftTable.forPath(s, viewPath)
+      def refreshSql(): Unit =
+        s.sql(s"CALL graft.refresh_mview(view_path => '$viewPath')").collect()
+      refreshSql() // backfill = (0, latest]
       src.append(o.filter(col("o_orderkey") % 3 === 1))
-      MaterializedView.refresh(s, viewPath)
+      refreshSql()
       src.append(o.filter(col("o_orderkey") % 3 === 2))
-      MaterializedView.refresh(s, viewPath)
+      refreshSql()
       // three refreshes must have left >1 partial run per bucket (proves
       // the reads below exercise the merge, not a pre-folded scan) ...
       val runs = view.liveFiles.groupBy(f => (f.partitionDesc, f.file.bucketId))

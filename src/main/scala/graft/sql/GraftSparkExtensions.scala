@@ -150,6 +150,28 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           case _ => 0L
         }
         s"dropped $dropped log lines"
+      case "create_mview" =>
+        // measures => 'name:op:expr;name:op:expr' — expr is last so it may
+        // itself contain colons (e.g. array/map syntax)
+        val measures = args("measures").split(';').toSeq.map { m =>
+          m.split(":", 3) match {
+            case Array(n, op, e) =>
+              graft.pipeline.MaterializedView.Measure(n, e, op)
+            case _ => throw new IllegalArgumentException(
+              s"bad measure '$m' (expected name:op:expr)")
+          }
+        }
+        graft.pipeline.MaterializedView.create(spark,
+          args("source_path"), args("view_path"),
+          args("keys").split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          measures,
+          args.get("bucket_num").map(_.toInt).getOrElse(4),
+          args.get("filter"))
+        "created"
+      case "refresh_mview" =>
+        val v = graft.pipeline.MaterializedView.refresh(spark, args("view_path"))
+        s"refreshed to ${v.info.properties(
+          graft.pipeline.MaterializedView.CursorProp)}"
       case other =>
         throw new IllegalArgumentException(s"unknown procedure graft.$other")
     }
