@@ -756,6 +756,52 @@ object SparkEntry {
       }
       exact.orderBy("o_orderstatus", "o_orderpriority")
     }),
+    "mview_approx_quantile" -> q((s, d) => {
+      // Incrementally-maintained percentiles: a KLL quantile sketch per
+      // group, merged across refreshes (bounded rank error under any fold
+      // order) — exact percentiles are not associative, so a
+      // non-incremental engine re-sorts the source per update. Self-
+      // verifying against the KLL rank bound (k=200 -> ~1.65%): the
+      // sketch's q-quantile must sit at exact rank q +- 0.03 in the
+      // source. Emitted rows are exact interpolated percentiles (Spark
+      // `percentile` == DuckDB `quantile_cont`).
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val li = rd(s, d, "lineitem")
+      val srcPath = tmp("mvqsrc"); val viewPath = tmp("mvq")
+      val src = GraftTable.create(s,
+        li.filter(col("l_orderkey") % 2 === 0), srcPath)
+      MaterializedView.create(s, srcPath, viewPath,
+        keys = Seq("l_returnflag"),
+        measures = Seq(
+          Measure("qsk", "l_quantity", "approx_quantile"),
+          Measure("n", "1", "count")))
+      MaterializedView.refresh(s, viewPath)
+      src.append(li.filter(col("l_orderkey") % 2 === 1))
+      MaterializedView.refresh(s, viewPath)
+      val sk = MaterializedView.read(s, viewPath)
+        .select(col("l_returnflag"),
+          GraftFunctions.kllQuantile(col("qsk"), lit(0.5)).as("p50"),
+          GraftFunctions.kllQuantile(col("qsk"), lit(0.95)).as("p95"),
+          col("n")).collect()
+      require(sk.nonEmpty, "empty view")
+      sk.foreach { r =>
+        val flag = r.getString(0); val n = r.getAs[Long]("n").toDouble
+        Seq((r.getDouble(1), 0.5), (r.getDouble(2), 0.95)).foreach {
+          case (v, p) =>
+            val grp = li.filter(col("l_returnflag") === flag)
+            val le = grp.filter(col("l_quantity") <= v).count() / n
+            val lt = grp.filter(col("l_quantity") < v).count() / n
+            require(le >= p - 0.03 && lt <= p + 0.03,
+              s"KLL q=$p for $flag: value $v at exact rank [$lt, $le]")
+        }
+      }
+      li.groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
     "stream_mview" -> q((s, d) => {
       // CONTINUOUSLY-maintained materialized view through the real
       // streaming path: source commits drain as micro-batches
@@ -2215,6 +2261,12 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
         |FROM orders GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "mview_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "stream_mview" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

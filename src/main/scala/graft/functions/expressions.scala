@@ -747,7 +747,10 @@ object GraftFunctions {
     ("graft_bit_dot", es => BitDot(es(0), es(1))),
     ("graft_prefix_order", es => PrefixOrder(es(0), es(1))),
     ("graft_sorted_overlap", es => SortedOverlap(es(0), es(1))),
-    ("graft_cms_estimate", es => CmsEstimate(es(0), es(1))))
+    ("graft_cms_estimate", es => CmsEstimate(es(0), es(1))),
+    ("graft_kll_agg", es => KllSketchAgg(es.head).toAggregateExpression()),
+    ("graft_kll_merge", es => KllMergeAgg(es.head).toAggregateExpression()),
+    ("graft_kll_quantile", es => KllQuantile(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -785,4 +788,10 @@ object GraftFunctions {
 
   def cmsEstimate(sketch: Column, item: Column): Column =
     call_function("graft_cms_estimate", sketch, item)
+
+  def kllAgg(values: Column): Column = call_function("graft_kll_agg", values)
+  def kllMerge(sketches: Column): Column =
+    call_function("graft_kll_merge", sketches)
+  def kllQuantile(sketch: Column, q: Column): Column =
+    call_function("graft_kll_quantile", sketch, q)
 }

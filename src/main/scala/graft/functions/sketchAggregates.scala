@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** KLL quantile-sketch aggregates (Apache DataSketches) — the mergeable
+  * state behind `approx_quantile` measures of
+  * [[graft.pipeline.MaterializedView]]: approximate percentiles (doc
+  * lengths, scores, latencies) maintained incrementally per group, where
+  * exact percentiles would need the full value multiset per refresh.
+  * Same architectural slot as Spark's own HllSketchAgg — a
+  * TypedImperativeAggregate whose buffer is the sketch itself, serialized
+  * only at shuffle boundaries. */
+abstract class KllAggBase extends TypedImperativeAggregate[KllDoublesSketch]
+    with UnaryLike[Expression] {
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(KllAggBase.K)
+  override def merge(b: KllDoublesSketch, o: KllDoublesSketch): KllDoublesSketch = {
+    b.merge(o); b
+  }
+  override def eval(b: KllDoublesSketch): Any = b.toByteArray
+  override def serialize(b: KllDoublesSketch): Array[Byte] = b.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+}
+
+object KllAggBase {
+  /** Sketch size/accuracy knob: k=200 gives ~1.65% rank error (the
+    * DataSketches default). */
+  val K = 200
+}
+
+/** `graft_kll_agg(DOUBLE) -> BINARY`: build a KLL sketch of the values
+  * (nulls skipped). */
+case class KllSketchAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KllAggBase {
+  override def update(b: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) b.update(v.asInstanceOf[Double])
+    b
+  }
+  override def withNewMutableAggBufferOffset(n: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KllSketchAgg =
+    copy(child = c)
+  override def prettyName: String = "graft_kll_agg"
+}
+
+/** `graft_kll_merge(BINARY) -> BINARY`: union serialized KLL sketches
+  * (nulls skipped) — the cross-run fold of `approx_quantile` measure
+  * columns on the aggregate merge path. */
+case class KllMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KllAggBase {
+  override def update(b: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      b.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    b
+  }
+  override def withNewMutableAggBufferOffset(n: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KllMergeAgg =
+    copy(child = c)
+  override def prettyName: String = "graft_kll_merge"
+}
+
+/** `graft_kll_quantile(sketch BINARY, q DOUBLE) -> DOUBLE`: the value at
+  * rank `q` (0..1, INCLUSIVE criteria); NULL for an empty sketch.
+  * Read-side only (one deserialize per group row, never a corpus-scale
+  * hot path) — interpreted eval is deliberate: the nullable boxed result
+  * doesn't fit nullSafeCodeGen's primitive contract and the row counts
+  * here never justify codegen. */
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(sk: Any, q: Any): Any =
+    KllKernels.quantile(sk.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_kll_quantile"
+}
+
+object KllKernels {
+  def quantile(bytes: Array[Byte], q: Double): java.lang.Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(
+      sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = KllDoublesSketch.heapify(Memory.wrap(a))
+    x.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+    x.toByteArray
+  }
+}

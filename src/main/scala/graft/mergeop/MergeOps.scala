@@ -188,6 +188,27 @@ object MergeOps {
         acc.asInstanceOf[Array[Byte]], newer.asInstanceOf[Array[Byte]])
   }
 
+  /** KLL quantile-sketch union over BINARY sketch columns (the mergeable
+    * state behind `approx_quantile` measures of
+    * [[graft.pipeline.MaterializedView]]): merging is the sketch's own
+    * `merge` — associative with bounded rank error, so percentiles stay
+    * queryable after any fold order. Fast path via RowMergeOp; aggregate
+    * path via the `graft_kll_merge` TypedImperativeAggregate. */
+  case object KllMerge extends RowMergeOp {
+    val name = "kll_merge"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column = {
+      import org.apache.spark.sql.graft.StreamShim
+      StreamShim.columnOf(graft.functions.KllMergeAgg(
+        StreamShim.expressionOf(when(present, value)))
+        .toAggregateExpression())
+    }
+    def combine(acc: Any, newer: Any): Any =
+      if (acc == null) newer
+      else if (newer == null) acc
+      else graft.functions.KllKernels.merge(
+        acc.asInstanceOf[Array[Byte]], newer.asInstanceOf[Array[Byte]])
+  }
+
   /** Each run's LAST value, non-nulls concatenated in version order —
     * reference `JoinedLastByComma` / `JoinedLastBySemicolon`
     * (merge_operator.rs:28-29,84-96). */
@@ -203,7 +224,7 @@ object MergeOps {
 
   val builtins: Map[String, MergeOp] = Seq(
     UseLast, UseLastNotNull, SumAll, SumLast, MinAll, MaxAll, HllUnion,
-    CmsMerge,
+    CmsMerge, KllMerge,
     JoinedAll(","), JoinedAll(";"), JoinedLast(","), JoinedLast(";"))
     .map(op => op.name -> op).toMap
 

@@ -66,9 +66,9 @@ object MaterializedView {
     * key x item counts without key x item result cardinality. */
   final case class Measure(name: String, expr: String, op: String) {
     require(Set("sum", "count", "min", "max", "approx_distinct",
-      "approx_freq")(op),
+      "approx_freq", "approx_quantile")(op),
       s"unsupported measure op '$op' " +
-        "(sum|count|min|max|approx_distinct|approx_freq)")
+        "(sum|count|min|max|approx_distinct|approx_freq|approx_quantile)")
 
     private[MaterializedView] def partialAgg: Column = (op match {
       case "sum" => sum(expr_)
@@ -80,6 +80,9 @@ object MaterializedView {
       // graft_cms_estimate(sketch, item) matches by the same encoding
       case "approx_freq" => count_min_sketch(expr_.cast("string"),
         lit(0.001), lit(0.99), lit(42))
+      // percentiles queried with graft_kll_quantile(col, q) on [[read]]
+      case "approx_quantile" =>
+        graft.functions.GraftFunctions.kllAgg(expr_.cast("double"))
     }).as(name)
 
     private def expr_ : Column = org.apache.spark.sql.functions.expr(expr)
@@ -90,6 +93,7 @@ object MaterializedView {
       case "max" => "max_all"
       case "approx_distinct" => "hll_union"
       case "approx_freq" => "cms_merge"
+      case "approx_quantile" => "kll_merge"
     }
   }
 
@@ -106,6 +110,7 @@ object MaterializedView {
       measures: Seq[Measure],
       bucketNum: Int = 4,
       filter: Option[String] = None): GraftTable = {
+    graft.functions.GraftFunctions.register(spark) // sketch measure exprs
     require(keys.nonEmpty, "materialized view needs at least one group key")
     require(measures.nonEmpty, "materialized view needs at least one measure")
     val dup = (keys ++ measures.map(_.name)).groupBy(identity)
@@ -133,6 +138,7 @@ object MaterializedView {
   /** Fold source commits in `(cursor, latest]` into the view; no-op when
     * the view is already current. Returns the view table. */
   def refresh(spark: SparkSession, viewPath: String): GraftTable = {
+    graft.functions.GraftFunctions.register(spark)
     val v = GraftTable.forPath(spark, viewPath)
     val p = v.info.properties
     val sourcePath = p.getOrElse(SourceProp,
@@ -203,6 +209,7 @@ object MaterializedView {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
         val view = GraftTable.forPath(batch.sparkSession, viewPath)
         val last = view.info.properties.get(LastBatchProp)
           .map(_.toLong).getOrElse(-1L)

@@ -196,6 +196,32 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
+  test("approx_quantile measure: KLL folds across refreshes; exact below k") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      graft.functions.GraftFunctions.register(spark)
+      val src = GraftTable.create(spark, facts(60), srcPath)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(
+          Measure("vq", "v", "approx_quantile"),
+          Measure("cnt", "1", "count")))
+      MaterializedView.refresh(spark, viewPath)
+      src.append(facts(60, offset = 60))
+      MaterializedView.refresh(spark, viewPath)
+      GraftTable.forPath(spark, viewPath).compaction()
+      // < k=200 values per group: the sketch retains every value, so the
+      // inclusive-rank quantile equals the exact order statistic
+      val got = MaterializedView.read(spark, viewPath)
+        .select($"k",
+          graft.functions.GraftFunctions.kllQuantile($"vq", lit(0.5)).as("p50"),
+          graft.functions.GraftFunctions.kllQuantile($"vq", lit(1.0)).as("p100"))
+      val exact = facts(120).groupBy("k").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+        max($"v").as("p100"))
+      assertSameRows(got, exact)
+    }
+  }
+
   test("min_all/max_all merge ops stand alone on PK tables") {
     withTempPath { dir =>
       val t = GraftTable.create(spark,
