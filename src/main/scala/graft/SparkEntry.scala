@@ -632,6 +632,32 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_name, sum_all(s_acctbal) AS s_acctbal " +
         "FROM graft_cat.vfy.mo_proj")
     }),
+    "clone_read" -> q((s, d) => {
+      // SHALLOW CLONE: metadata-only snapshot copy (zero data movement,
+      // O(files) commits) — the clone reads the source's merged MOR state
+      // through referenced files, stays isolated from post-clone source
+      // writes, and CALL graft.clone exposes it in SQL. Asserted in-query:
+      // every clone file lives under the source (nothing copied), and a
+      // post-clone source upsert does not leak in.
+      val o = rd(s, d, "orders")
+      val srcPath = tmp("clsrc"); val clonePath = tmp("clone")
+      val t = GraftTable.create(s, o, srcPath,
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      t.upsert(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      s.sql(s"CALL graft.clone(table_path => '$srcPath', " +
+        s"target_path => '$clonePath/t')").collect()
+      val c = GraftTable.forPath(s, s"$clonePath/t")
+      require(c.liveFiles.nonEmpty &&
+        c.liveFiles.forall(_.file.path.startsWith(
+          new java.io.File(srcPath).getCanonicalPath)),
+        "clone copied data instead of referencing it")
+      // post-clone source write must not leak into the clone
+      t.upsert(o.limit(50).withColumn("o_totalprice", lit(-1.0)))
+      require(c.toDF.filter(col("o_totalprice") === -1.0).count() == 0,
+        "clone not isolated from post-clone source writes")
+      c.toDF
+    }),
     "mview_incremental" -> q((s, d) => {
       // Incrementally-maintained materialized aggregate view: the source
       // fact table lands in three commit slices; each refresh folds ONLY
@@ -2244,6 +2270,11 @@ object SparkEntry {
     "merge_op_projection" ->
       """SELECT s_suppkey, s_name, s_acctbal + s_acctbal * 4 AS s_acctbal
         |FROM supplier""".stripMargin,
+    "clone_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "mview_incremental" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -150,6 +150,10 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           case _ => 0L
         }
         s"dropped $dropped log lines"
+      case "clone" =>
+        val c = tableOf(spark).cloneTo(args("target_path"),
+          args.get("as_of_ts").map(_.toLong))
+        s"cloned to ${c.tablePath}"
       case "create_mview" =>
         // measures => 'name:op:expr;name:op:expr' — expr is last so it may
         // itself contain colons (e.g. array/map syntax)

@@ -161,6 +161,60 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
         .map(_.commitOp)).toSet
 
+  /** SHALLOW CLONE: a new table at `targetPath` whose commits REFERENCE
+    * this table's data files — a metadata-only snapshot copy (O(files),
+    * zero data movement; the Delta/Iceberg shallow-clone shape, not in the
+    * reference). `asOfTime` clones the time-travel state instead of the
+    * head. MOR run order is preserved (each source run becomes one clone
+    * commit), so merge-on-read and merge operators behave identically.
+    *
+    * Semantics after the clone: writes/compaction on the clone land under
+    * the CLONE's directory; its vacuum only sweeps that directory, so
+    * referenced source files are never deleted from the clone side —
+    * `compaction()` on the clone rewrites the referenced state into its
+    * own files (= materialize into a deep copy). The one hazard is the
+    * standard shallow-clone one: vacuum/TTL cleaners ON THE SOURCE don't
+    * know about clone references; clone-then-compact before expiring
+    * source history. Incremental/streaming reads of the clone deliver
+    * only commits made AFTER the clone (the pre-clone history is one
+    * opaque snapshot, published as compaction+rewrite commits which the
+    * incremental reader deliberately refuses to treat as a delta). */
+  def cloneTo(targetPath: String, asOfTime: Option[Long] = None): GraftTable = {
+    val t = info
+    val tp = graft.util.PathUtil.local(targetPath)
+    require(store.getTableInfo(tp).isEmpty,
+      s"graft table already exists at $targetPath")
+    require(t.cdcColumn.isEmpty,
+      "shallow clone of CDC tables is not supported (delta files with CDC " +
+        "markers cannot be republished as a compacted snapshot verbatim)")
+    val files = asOfTime match {
+      case Some(ts) => resolver.filesUptoTime(tablePath, ts, _ => true)
+      case None => resolver.currentFiles(tablePath)
+    }
+    // maintenance bindings must not follow the clone (a cloned view would
+    // otherwise double-fold against the original's stream/cursor state)
+    val props = t.properties -- Seq("graft.mview.stream", "graft.mview.lastbatch")
+    store.createTable(TableInfo(MetaStore.newCommitId(),
+      new java.io.File(tp).getCanonicalPath, t.schemaJson,
+      t.rangeColumns, t.hashColumns, t.bucketNum, props))
+    val target = new GraftTable(spark, tp, store)
+    // one clone commit per source run, oldest first, per partition
+    val runsByPartition = files.groupBy(_.partitionDesc).view.mapValues(
+      _.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map(_._2)).toMap
+    val maxLevels = runsByPartition.values.map(_.size).maxOption.getOrElse(0)
+    (0 until maxLevels).foreach { level =>
+      val commits = runsByPartition.toSeq.sortBy(_._1).collect {
+        case (desc, runs) if runs.size > level =>
+          DataCommitInfo(MetaStore.newCommitId(), desc,
+            runs(level).map(_.file.copy(fileOp = "add")),
+            if (level == 0) CommitOp.Compaction else CommitOp.Rewrite, 0L)
+      }
+      store.commit(target.tablePath, commits,
+        commits.map(c => c.partitionDesc -> (level - 1)).toMap)
+    }
+    target
+  }
+
   /** Files visible at the current head (post del-fold), with run ordinals. */
   def liveFiles: Seq[ResolvedFile] = resolver.currentFiles(tablePath)
 
