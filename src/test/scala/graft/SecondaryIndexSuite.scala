@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.{GraftTable, SecondaryIndex}
+
+class SecondaryIndexSuite extends SparkFixture {
+  import spark.implicits._
+
+  private def rows(n: Int, offset: Int = 0) =
+    (offset until offset + n).map(i =>
+      (i.toLong, s"g${i % 5}", i * 1.5)).toDF("id", "g", "v")
+
+  test("lookup returns exactly the matching rows, bucket-pruned") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, rows(40), s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 8)
+      SecondaryIndex.create(spark, s"$dir/src", s"$dir/idx", "g", bucketNum = 8)
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      t.upsert(rows(40, offset = 40))
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      val got = SecondaryIndex.lookup(spark, s"$dir/idx", "g3")
+      assertSameRows(got, rows(80).filter($"g" === "g3"))
+      // unseen value -> empty frame, source schema
+      val none = SecondaryIndex.lookup(spark, s"$dir/idx", "nope")
+      assert(none.isEmpty && none.columns.toSeq == Seq("id", "g", "v"))
+    }
+  }
+
+  test("postings fold through index compaction; stale postings filtered") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, rows(30), s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 4)
+      SecondaryIndex.create(spark, s"$dir/src", s"$dir/idx", "g")
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      t.upsert(rows(30, offset = 30))
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      val idx = GraftTable.forPath(spark, s"$dir/idx")
+      idx.compaction()
+      assertSameRows(SecondaryIndex.lookup(spark, s"$dir/idx", "g1"),
+        rows(60).filter($"g" === "g1"))
+      // posting lists are sorted distinct after the fold
+      val pks = idx.toDF.filter($"ival" === "g1")
+        .select($"pks").head.getSeq[Long](0)
+      assert(pks == pks.distinct.sorted && pks.size == 12)
+      // upsert MOVES id=1 (g1 -> g4): the g1 posting is now stale; the
+      // lookup re-verify drops the fetched row, so answers stay correct
+      t.upsert(Seq((1L, "g4", -1.0)).toDF("id", "g", "v"))
+      assertSameRows(SecondaryIndex.lookup(spark, s"$dir/idx", "g1"),
+        rows(60).filter($"g" === "g1" && $"id" =!= 1L))
+    }
+  }
+
+  test("refresh rejects non-incremental sources; create validates") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, rows(10), s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 2)
+      intercept[IllegalArgumentException] {
+        SecondaryIndex.create(spark, s"$dir/src", s"$dir/idx0", "id")
+      }
+      SecondaryIndex.create(spark, s"$dir/src", s"$dir/idx", "g")
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      t.delete($"id" === 3L)
+      t.upsert(rows(5, offset = 10))
+      val e = intercept[IllegalArgumentException] {
+        SecondaryIndex.refresh(spark, s"$dir/idx")
+      }
+      assert(e.getMessage.contains("insert-only"))
+    }
+  }
+}
