@@ -632,6 +632,53 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_name, sum_all(s_acctbal) AS s_acctbal " +
         "FROM graft_cat.vfy.mo_proj")
     }),
+    "theta_overlap" -> q((s, d) => {
+      // Distinct-set OVERLAP analytics via theta sketches: an approx_set
+      // view measure folds per-priority customer sets across incremental
+      // refreshes (theta union merge op); pairwise overlaps come from
+      // read-time sketch INTERSECTION — the set-algebra step HLL cannot
+      // do, and the scale path for cross-source overlap matrices (k
+      // sketches to the driver instead of a corpus self-join). Self-
+      // verifying: every estimated intersection within 5% (or +-5 abs) of
+      // exact; emitted rows are the exact overlaps DuckDB replays.
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val o = rd(s, d, "orders")
+      val srcPath = tmp("thsrc"); val viewPath = tmp("thview")
+      val src = GraftTable.create(s,
+        o.filter(col("o_orderkey") % 2 === 0), srcPath)
+      MaterializedView.create(s, srcPath, viewPath,
+        keys = Seq("o_orderpriority"),
+        measures = Seq(Measure("custs", "o_custkey", "approx_set")))
+      MaterializedView.refresh(s, viewPath)
+      src.append(o.filter(col("o_orderkey") % 2 === 1))
+      MaterializedView.refresh(s, viewPath)
+      val sketches = MaterializedView.read(s, viewPath)
+        .select(col("o_orderpriority"), col("custs")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("custs"))
+        .sortBy(_._1)
+      val h = o.select(col("o_orderpriority").as("p"), col("o_custkey"))
+        .distinct()
+      val exact = h.as("x").join(h.as("y"),
+          col("x.o_custkey") === col("y.o_custkey") &&
+            col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("src_a"), col("y.p").as("src_b"))
+        .agg(count(lit(1)).as("overlap"))
+      val exactMap = exact.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      for {
+        i <- sketches.indices; j <- (i + 1) until sketches.length
+      } {
+        val est = graft.functions.ThetaKernels.estimate(
+          graft.functions.ThetaKernels.intersect(
+            sketches(i)._2, sketches(j)._2))
+        val ex = exactMap.getOrElse((sketches(i)._1, sketches(j)._1), 0L)
+          .toDouble
+        require(math.abs(est - ex) <= math.max(5.0, 0.05 * ex),
+          s"theta overlap ${sketches(i)._1}/${sketches(j)._1}: est $est vs exact $ex")
+      }
+      exact.orderBy("src_a", "src_b")
+    }),
     "secondary_index_lookup" -> q((s, d) => {
       // Incrementally-maintained secondary index: point lookups on a
       // non-PK column (o_custkey) as two bucket-pruned reads — the
@@ -2298,6 +2345,11 @@ object SparkEntry {
     "merge_op_projection" ->
       """SELECT s_suppkey, s_name, s_acctbal + s_acctbal * 4 AS s_acctbal
         |FROM supplier""".stripMargin,
+    "theta_overlap" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS p, o_custkey FROM orders)
+        |SELECT x.p AS src_a, y.p AS src_b, COUNT(*) AS overlap
+        |FROM h x JOIN h y ON x.o_custkey = y.o_custkey AND x.p < y.p
+        |GROUP BY x.p, y.p ORDER BY src_a, src_b""".stripMargin,
     "secondary_index_lookup" ->
       """SELECT * FROM orders WHERE o_custkey IN (1, 77, 421)
         |ORDER BY o_orderkey""".stripMargin,

@@ -750,7 +750,11 @@ object GraftFunctions {
     ("graft_cms_estimate", es => CmsEstimate(es(0), es(1))),
     ("graft_kll_agg", es => KllSketchAgg(es.head).toAggregateExpression()),
     ("graft_kll_merge", es => KllMergeAgg(es.head).toAggregateExpression()),
-    ("graft_kll_quantile", es => KllQuantile(es(0), es(1))))
+    ("graft_kll_quantile", es => KllQuantile(es(0), es(1))),
+    ("graft_theta_agg", es => ThetaSketchAgg(es.head).toAggregateExpression()),
+    ("graft_theta_estimate", es => ThetaEstimate(es.head)),
+    ("graft_theta_intersect", es => ThetaIntersect(es(0), es(1))),
+    ("graft_theta_union_of", es => ThetaUnionOf(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -794,4 +798,12 @@ object GraftFunctions {
     call_function("graft_kll_merge", sketches)
   def kllQuantile(sketch: Column, q: Column): Column =
     call_function("graft_kll_quantile", sketch, q)
+
+  def thetaAgg(items: Column): Column = call_function("graft_theta_agg", items)
+  def thetaEstimate(sketch: Column): Column =
+    call_function("graft_theta_estimate", sketch)
+  def thetaIntersect(a: Column, b: Column): Column =
+    call_function("graft_theta_intersect", a, b)
+  def thetaUnionOf(a: Column, b: Column): Column =
+    call_function("graft_theta_union_of", a, b)
 }

@@ -188,6 +188,26 @@ object MergeOps {
         acc.asInstanceOf[Array[Byte]], newer.asInstanceOf[Array[Byte]])
   }
 
+  /** Theta-sketch union over BINARY sketch columns — like [[HllUnion]]
+    * but the folded state supports SET ALGEBRA at read time
+    * (`graft_theta_intersect` / `graft_theta_union_of` +
+    * `graft_theta_estimate`): distinct-set measures whose pairwise
+    * overlaps stay queryable across groups. */
+  case object ThetaUnion extends RowMergeOp {
+    val name = "theta_union"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column = {
+      import org.apache.spark.sql.graft.StreamShim
+      StreamShim.columnOf(graft.functions.ThetaMergeAgg(
+        StreamShim.expressionOf(when(present, value)))
+        .toAggregateExpression())
+    }
+    def combine(acc: Any, newer: Any): Any =
+      if (acc == null) newer
+      else if (newer == null) acc
+      else graft.functions.ThetaKernels.union(
+        acc.asInstanceOf[Array[Byte]], newer.asInstanceOf[Array[Byte]])
+  }
+
   /** Sorted-set union over `ARRAY<BIGINT>` columns — the posting-list
     * combiner behind [[graft.tables.SecondaryIndex]]: each run holds the
     * SORTED DISTINCT pk list contributed by one refresh; merging is a
@@ -252,7 +272,7 @@ object MergeOps {
 
   val builtins: Map[String, MergeOp] = Seq(
     UseLast, UseLastNotNull, SumAll, SumLast, MinAll, MaxAll, HllUnion,
-    CmsMerge, KllMerge, SetUnionLongs,
+    CmsMerge, KllMerge, SetUnionLongs, ThetaUnion,
     JoinedAll(","), JoinedAll(";"), JoinedLast(","), JoinedLast(";"))
     .map(op => op.name -> op).toMap
 

@@ -66,9 +66,9 @@ object MaterializedView {
     * key x item counts without key x item result cardinality. */
   final case class Measure(name: String, expr: String, op: String) {
     require(Set("sum", "count", "min", "max", "approx_distinct",
-      "approx_freq", "approx_quantile")(op),
-      s"unsupported measure op '$op' " +
-        "(sum|count|min|max|approx_distinct|approx_freq|approx_quantile)")
+      "approx_freq", "approx_quantile", "approx_set")(op),
+      s"unsupported measure op '$op' (sum|count|min|max|approx_distinct" +
+        "|approx_freq|approx_quantile|approx_set)")
 
     private[MaterializedView] def partialAgg: Column = (op match {
       case "sum" => sum(expr_)
@@ -83,6 +83,9 @@ object MaterializedView {
       // percentiles queried with graft_kll_quantile(col, q) on [[read]]
       case "approx_quantile" =>
         graft.functions.GraftFunctions.kllAgg(expr_.cast("double"))
+      // theta sketch: distinct sets with read-time SET ALGEBRA
+      // (graft_theta_intersect/_union_of + _estimate across group rows)
+      case "approx_set" => graft.functions.GraftFunctions.thetaAgg(expr_)
     }).as(name)
 
     private def expr_ : Column = org.apache.spark.sql.functions.expr(expr)
@@ -94,6 +97,7 @@ object MaterializedView {
       case "approx_distinct" => "hll_union"
       case "approx_freq" => "cms_merge"
       case "approx_quantile" => "kll_merge"
+      case "approx_set" => "theta_union"
     }
   }
 

@@ -222,6 +222,35 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
+  test("approx_set measure: theta union folds; intersections exact below k") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val src = GraftTable.create(spark, facts(40), srcPath)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(Measure("ids", "id", "approx_set")))
+      MaterializedView.refresh(spark, viewPath)
+      src.append(facts(40)) // identical rows: pure overlap, idempotent union
+      src.append(facts(40, offset = 40))
+      MaterializedView.refresh(spark, viewPath)
+      GraftTable.forPath(spark, viewPath).compaction()
+      val sk = MaterializedView.read(spark, viewPath)
+        .select($"k", $"ids").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("ids")).toMap
+      // per-group distinct ids exact below nominal entries
+      sk.foreach { case (k, bytes) =>
+        val exact = facts(80).filter($"k" === k).select("id").distinct().count()
+        assert(graft.functions.ThetaKernels.estimate(bytes) == exact.toDouble)
+      }
+      // group sets are disjoint (id % 3 partitions): intersections are 0,
+      // the 3-way union is the full id count
+      val ks = sk.keys.toSeq.sorted
+      assert(graft.functions.ThetaKernels.estimate(
+        graft.functions.ThetaKernels.intersect(sk(ks(0)), sk(ks(1)))) == 0.0)
+      val all = ks.map(sk).reduce(graft.functions.ThetaKernels.union)
+      assert(graft.functions.ThetaKernels.estimate(all) == 80.0)
+    }
+  }
+
   test("min_all/max_all merge ops stand alone on PK tables") {
     withTempPath { dir =>
       val t = GraftTable.create(spark,
