@@ -632,6 +632,41 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_name, sum_all(s_acctbal) AS s_acctbal " +
         "FROM graft_cat.vfy.mo_proj")
     }),
+    "mview_rewrite" -> q((s, d) => {
+      // TRANSPARENT MV rewrite (Catalyst rule, freshness-gated): the SQL
+      // aggregate over the catalog table is answered from the registered
+      // materialized view — asserted in-query by the absence of any
+      // Aggregate in the optimized plan (O(groups) view scan instead of
+      // an O(source) scan+shuffle). A stale view would fall back to the
+      // source, so the rewrite can never serve wrong results.
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      v2(s)
+      rd(s, d, "orders").createOrReplaceTempView("rw_orders_in")
+      s.sql("CREATE TABLE graft_cat.vfy.rw_orders AS SELECT * FROM rw_orders_in")
+      val srcPath = graft.catalog.GraftCatalog.resolve(s, "vfy.rw_orders").get
+      val viewPath = tmp("rwview")
+      MaterializedView.create(s, srcPath, viewPath,
+        keys = Seq("o_orderstatus"),
+        measures = Seq(
+          Measure("total", "CAST(o_totalprice AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")))
+      MaterializedView.refresh(s, viewPath)
+      MaterializedView.enableRewrite(s, viewPath)
+      try {
+        val inner = s.sql(
+          "SELECT o_orderstatus, " +
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total, " +
+            "COUNT(*) AS cnt " +
+            "FROM graft_cat.vfy.rw_orders GROUP BY o_orderstatus")
+        require(!inner.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+          "aggregate was not rewritten to the materialized view")
+        inner.select(col("o_orderstatus"),
+          col("total").cast("double").as("total"), col("cnt"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint(true) // materialize before the registry resets
+      } finally MaterializedView.disableRewrite(s, viewPath)
+    }),
     "theta_overlap" -> q((s, d) => {
       // Distinct-set OVERLAP analytics via theta sketches: an approx_set
       // view measure folds per-priority customer sets across incremental
@@ -2345,6 +2380,11 @@ object SparkEntry {
     "merge_op_projection" ->
       """SELECT s_suppkey, s_name, s_acctbal + s_acctbal * 4 AS s_acctbal
         |FROM supplier""".stripMargin,
+    "mview_rewrite" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "theta_overlap" ->
       """WITH h AS (SELECT DISTINCT o_orderpriority AS p, o_custkey FROM orders)
         |SELECT x.p AS src_a, y.p AS src_b, COUNT(*) AS overlap

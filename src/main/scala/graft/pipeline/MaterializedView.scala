@@ -254,6 +254,45 @@ object MaterializedView {
     }
   }
 
+  // ------------------------------------------------ transparent rewrite
+  // registry consumed by graft.sql.MviewRewriteRule: canonical source
+  // path -> view paths whose aggregates may answer queries over it
+
+  private val rewriteViews =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  /** Allow [[graft.sql.MviewRewriteRule]] to answer matching aggregates
+    * over this view's source from the view (freshness-gated — a lagging
+    * view is skipped, never served stale). */
+  def enableRewrite(spark: SparkSession, viewPath: String): Unit = {
+    val v = GraftTable.forPath(spark, viewPath)
+    val source = v.info.properties.getOrElse(SourceProp,
+      throw new IllegalArgumentException(s"$viewPath is not a materialized view"))
+    val q = rewriteViews.computeIfAbsent(source,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    if (!q.contains(v.info.tablePath)) q.add(v.info.tablePath)
+  }
+
+  def disableRewrite(spark: SparkSession, viewPath: String): Unit = {
+    val tp = GraftTable.forPath(spark, viewPath).info.tablePath
+    rewriteViews.values().forEach(q => { q.remove(tp); () })
+  }
+
+  private[graft] def rewriteEnabled: Boolean = !rewriteViews.isEmpty
+
+  private[graft] def rewriteCandidates(sourcePath: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Option(rewriteViews.get(sourcePath)).map(_.asScala.toSeq).getOrElse(Nil)
+  }
+
+  private[graft] def decodeKeys(props: Map[String, String]): Seq[String] =
+    dec(props(KeysProp))
+
+  private[graft] def decodeMeasures(props: Map[String, String]): Seq[Measure] =
+    dec(props(MeasuresProp)).grouped(3)
+      .map { case Seq(n, e, o) => Measure(n, e, o) }.toSeq
+
   private def applyFilter(df: DataFrame, filter: Option[String]): DataFrame =
     filter.fold(df)(f => df.where(org.apache.spark.sql.functions.expr(f)))
 

@@ -31,6 +31,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // projection-embedded merge-operator selection: funName(col) in a
     // SELECT over a graft table -> per-scan merge-op option (M4)
     e.injectPostHocResolutionRule(spark => ExtractMergeOpProjection(spark))
+    // transparent, freshness-gated materialized-view rewrite of matching
+    // aggregates over graft catalog tables
+    e.injectPostHocResolutionRule(spark => MviewRewriteRule(spark))
     // clear errors for unsupported v1 commands against graft tables (C16)
     e.injectCheckRule(spark => GraftUnsupportedOperationsCheck(spark))
   }

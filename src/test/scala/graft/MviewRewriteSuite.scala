@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MaterializedView
+import graft.pipeline.MaterializedView.Measure
+import graft.tables.GraftTable
+
+class MviewRewriteSuite extends SparkFixture {
+  import spark.implicits._
+
+  private def facts(n: Int, offset: Int = 0) =
+    (offset until offset + n).map(i =>
+      (i.toLong, s"k${i % 3}", i * 1.5)).toDF("id", "k", "v")
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.optimizedPlan.toString
+
+  test("fresh view answers matching aggregates; staleness falls back") {
+    withTempPath { dir =>
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse", s"$dir/wh")
+      facts(60).createOrReplaceTempView("rw_src_in")
+      spark.sql("CREATE TABLE graft_cat.rw.src AS SELECT * FROM rw_src_in")
+      val srcPath = graft.catalog.GraftCatalog.resolve(spark, "rw.src").get
+      MaterializedView.create(spark, srcPath, s"$dir/view",
+        keys = Seq("k"), measures = Seq(
+          Measure("total", "v", "sum"),
+          Measure("cnt", "1", "count"),
+          Measure("vmax", "v", "max")))
+      MaterializedView.refresh(spark, s"$dir/view")
+      MaterializedView.enableRewrite(spark, s"$dir/view")
+      try {
+        val q = "SELECT k, SUM(v) AS total, COUNT(*) AS cnt, MAX(v) AS vmax " +
+          "FROM graft_cat.rw.src GROUP BY k"
+        // rewritten: no aggregate left in the plan, no source scan
+        val plan = planOf(q)
+        assert(!plan.contains("Aggregate"), s"not rewritten:\n$plan")
+        assertSameRows(spark.sql(q),
+          facts(60).groupBy("k").agg(sum($"v").as("total"),
+            count(lit(1)).as("cnt"), max($"v").as("vmax")))
+
+        // non-matching shapes keep the source aggregate (never wrong)
+        assert(planOf("SELECT k, SUM(v + 1) FROM graft_cat.rw.src GROUP BY k")
+          .contains("Aggregate"))
+        assert(planOf("SELECT k, COUNT(DISTINCT v) FROM graft_cat.rw.src GROUP BY k")
+          .contains("Aggregate"))
+        assert(planOf("SELECT id, SUM(v) FROM graft_cat.rw.src GROUP BY id")
+          .contains("Aggregate"))
+
+        // staleness: a new source commit disables the rewrite until refresh
+        GraftTable.forPath(spark, srcPath).append(facts(30, offset = 60))
+        assert(planOf(q).contains("Aggregate"), "stale view still rewrote")
+        assertSameRows(spark.sql(q),
+          facts(90).groupBy("k").agg(sum($"v").as("total"),
+            count(lit(1)).as("cnt"), max($"v").as("vmax")))
+        MaterializedView.refresh(spark, s"$dir/view")
+        assert(!planOf(q).contains("Aggregate"), "refreshed view not rewriting")
+        assertSameRows(spark.sql(q),
+          facts(90).groupBy("k").agg(sum($"v").as("total"),
+            count(lit(1)).as("cnt"), max($"v").as("vmax")))
+      } finally MaterializedView.disableRewrite(spark, s"$dir/view")
+    }
+  }
+}
