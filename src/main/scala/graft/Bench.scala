@@ -240,6 +240,29 @@ object Bench {
             count(lit(1)), approx_count_distinct(col("l_partkey")))
           .count()
       }
+      // transparent rewrite: same SQL text, answered from the view
+      // (rewritten) vs from the source (registry off) — the optimization
+      // the MviewRewriteRule buys without the query changing
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      if (!spark.conf.getOption("spark.graft.warehouse").isDefined)
+        spark.conf.set("spark.graft.warehouse", java.nio.file.Files
+          .createTempDirectory("graft-bench-wh0-").toFile.getAbsolutePath)
+      graft.catalog.GraftCatalog.register(spark, "bench.mvsrc", srcPath)
+      val sql = "SELECT l_returnflag, l_linestatus, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS cnt " +
+        "FROM graft_cat.bench.mvsrc GROUP BY l_returnflag, l_linestatus"
+      val vp2 = java.nio.file.Files
+        .createTempDirectory("graft-bench-mvrw-").toFile.getAbsolutePath
+      graft.pipeline.MaterializedView.create(spark, srcPath, s"$vp2/v",
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq(
+          Measure("sum_qty", "CAST(l_quantity AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")))
+      graft.pipeline.MaterializedView.refresh(spark, s"$vp2/v")
+      results("mview_sql_direct") = minOf3 { spark.sql(sql).count() }
+      graft.pipeline.MaterializedView.enableRewrite(spark, s"$vp2/v")
+      try results("mview_sql_rewritten") = minOf3 { spark.sql(sql).count() }
+      finally graft.pipeline.MaterializedView.disableRewrite(spark, s"$vp2/v")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mview scenario failed: ${e.getMessage}")
     }
