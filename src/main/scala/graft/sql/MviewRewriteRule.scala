@@ -22,15 +22,20 @@ import graft.tables.GraftTable
   * becomes a scan of the view's pre-folded rows (O(groups) instead of
   * O(source)) whenever [[MaterializedView.enableRewrite]] registered a
   * view whose source, group keys, and measure expressions SEMANTICALLY
-  * match the query. The freshness gate: a view whose cursor lags the
-  * source's latest commit is skipped, so results are always exact — a
-  * stale view costs the rewrite, never correctness.
+  * match the query. Two match shapes:
   *
-  * Matching scope (deliberately conservative — a miss means no rewrite,
-  * never a wrong answer): ungrouped-filter-free aggregates of
-  * sum/count/min/max (no DISTINCT, no FILTER clauses) whose grouping
-  * expressions are bare source columns equal to the view's key set, over
-  * views without a row filter. */
+  *  - EXACT: query keys == view keys -> plain projection of view columns;
+  *  - ROLLUP: query keys form a SUBSET of the view keys (including the
+  *    empty set, a global aggregate) -> re-aggregate the view's partial
+  *    rows (sum of sums, count as sum of counts, min of mins, max of
+  *    maxes) — still O(view rows), never the source.
+  *
+  * The freshness gate: a view whose cursor lags the source's latest
+  * commit is skipped, so results are always exact — a stale view costs
+  * the rewrite, never correctness. Matching is deliberately conservative
+  * (no DISTINCT, no FILTER clauses, bare-column grouping, filter-free
+  * views; casts AROUND an aggregate are re-applied on top): a miss means
+  * no rewrite, never a wrong answer. */
 case class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -49,39 +54,58 @@ case class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     rel <- relationOf(agg.child)
     sourceTable = rel.table.asInstanceOf[GraftTableV2].table
-    viewPath <- MaterializedView.rewriteCandidates(sourceTable.tablePath)
-      .find(vp => matches(agg, rel, sourceTable, vp))
-  } yield replace(agg, viewPath)
+    plan <- MaterializedView.rewriteCandidates(sourceTable.tablePath)
+      .flatMap(vp => rewriteWith(agg, rel, sourceTable, vp)).headOption
+  } yield plan
 
-  private def matches(agg: Aggregate, rel: DataSourceV2Relation,
-      source: GraftTable, viewPath: String): Boolean = {
+  private def rewriteWith(agg: Aggregate, rel: DataSourceV2Relation,
+      source: GraftTable, viewPath: String): Option[LogicalPlan] = {
     val view = GraftTable.forPath(spark, viewPath)
     val p = view.info.properties
-    if (p.contains(MaterializedView.FilterProp)) return false
+    if (p.contains(MaterializedView.FilterProp)) return None
     // freshness gate: every source commit must already be folded in
     val latest = source.partitions.map(_.timestamp).maxOption.getOrElse(0L)
-    if (p.get(MaterializedView.CursorProp).forall(_.toLong < latest)) return false
+    if (p.get(MaterializedView.CursorProp).forall(_.toLong < latest)) return None
     val keys = MaterializedView.decodeKeys(p)
     val measures = MaterializedView.decodeMeasures(p)
-    // group keys: bare columns, equal as a set to the view keys
+    // group keys must be bare source columns
     val groupNames = agg.groupingExpressions.map {
-      case a: AttributeReference => a.name
-      case _ => return false
+      case a: AttributeReference => a.name.toLowerCase
+      case _ => return None
     }
-    if (groupNames.map(_.toLowerCase).toSet != keys.map(_.toLowerCase).toSet)
-      return false
-    // every output must map to a view column (group key or measure)
-    agg.aggregateExpressions.forall(ne => columnFor(ne, rel, keys, measures).isDefined)
+    val keySet = keys.map(_.toLowerCase).toSet
+    if (!groupNames.toSet.subsetOf(keySet)) return None
+    val exact = groupNames.toSet == keySet
+
+    val viewPlan = MaterializedView.read(spark, viewPath)
+      .queryExecution.analyzed
+    val viewAttr: Map[String, Attribute] =
+      viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
+
+    // one rewritten output per aggregate output, or abort
+    val outs = agg.aggregateExpressions.map { ne =>
+      rewriteOutput(ne, rel, keys, measures, viewAttr, exact) match {
+        case Some(e) => Alias(e, ne.name)(exprId = ne.exprId,
+          qualifier = ne.qualifier)
+        case None => return None
+      }
+    }
+    logInfo(s"rewrote aggregate over ${source.tablePath} to mview $viewPath" +
+      (if (exact) "" else " (rollup)"))
+    if (exact) Some(Project(outs, viewPlan))
+    else Some(Aggregate(
+      groupNames.map(viewAttr), outs, viewPlan))
   }
 
-  /** The view column name answering `ne`, if any. */
-  private def columnFor(ne: NamedExpression, rel: DataSourceV2Relation,
-      keys: Seq[String], measures: Seq[MaterializedView.Measure])
-      : Option[String] = ne match {
-    case a: AttributeReference if keys.exists(_.equalsIgnoreCase(a.name)) =>
-      Some(keys.find(_.equalsIgnoreCase(a.name)).get)
-    case Alias(ae: AggregateExpression, _)
-        if !ae.isDistinct && ae.filter.isEmpty =>
+  /** Rewrite one aggregate-output expression in terms of the view's
+    * columns — exact mode projects, rollup mode re-aggregates. Casts
+    * around an aggregate are re-applied on top of the rewritten form. */
+  private def rewriteOutput(ne: NamedExpression, rel: DataSourceV2Relation,
+      keys: Seq[String], measures: Seq[MaterializedView.Measure],
+      viewAttr: Map[String, Attribute], exact: Boolean): Option[Expression] = {
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
       val (op, child) = ae.aggregateFunction match {
         case s: Sum => ("sum", s.child)
         case m: Min => ("min", m.child)
@@ -89,10 +113,36 @@ case class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case c: Count if c.children.length == 1 => ("count", c.children.head)
         case _ => return None
       }
-      measures.find(m => m.op == op &&
+      val m = measures.find(m => m.op == op &&
         resolveExpr(m.expr, rel).exists(_.semanticEquals(child)))
-        .map(_.name)
-    case _ => None
+        .getOrElse(return None)
+      val attr = viewAttr(m.name.toLowerCase)
+      val folded: Expression =
+        if (exact) attr
+        else op match {
+          case "sum" => Sum(attr).toAggregateExpression()
+          case "count" =>
+            // count rolls up as sum of counts; an empty view must yield
+            // COUNT's 0, not SUM's NULL
+            Coalesce(Seq(Sum(attr).toAggregateExpression(), Literal(0L)))
+          case "min" => Min(attr).toAggregateExpression()
+          case "max" => Max(attr).toAggregateExpression()
+        }
+      // rollup widening (e.g. sum over decimal) is cast back to the
+      // query's result type; values cannot overflow it — they equal the
+      // source-level aggregate the query would have produced
+      if (folded.dataType == ae.dataType) Some(folded)
+      else Some(Cast(folded, ae.dataType))
+    }
+
+    ne match {
+      case a: AttributeReference if keys.exists(_.equalsIgnoreCase(a.name)) =>
+        viewAttr.get(a.name.toLowerCase)
+      case Alias(ae: AggregateExpression, _) => rewriteAgg(ae)
+      case Alias(c @ Cast(ae: AggregateExpression, _, _, _), _) =>
+        rewriteAgg(ae).map(e => c.copy(child = e))
+      case _ => None
+    }
   }
 
   /** Parse a measure's SQL expr and resolve it against the relation's
@@ -112,28 +162,4 @@ case class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if (ok && resolved.resolved) Some(resolved) else None
     } catch { case _: Exception => None }
-
-  /** The view scan projected to the aggregate's exact output attributes
-    * (names AND exprIds preserved, so parents re-resolve nothing). */
-  private def replace(agg: Aggregate, viewPath: String): LogicalPlan = {
-    val rel2 = relationOf(agg.child).get
-    val source = rel2.table.asInstanceOf[GraftTableV2].table
-    val keys = MaterializedView.decodeKeys(
-      GraftTable.forPath(spark, viewPath).info.properties)
-    val measures = MaterializedView.decodeMeasures(
-      GraftTable.forPath(spark, viewPath).info.properties)
-    val viewPlan = MaterializedView.read(spark, viewPath)
-      .queryExecution.analyzed
-    val byName = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
-    val projections = agg.aggregateExpressions.map { ne =>
-      val col = columnFor(ne, rel2, keys, measures).get
-      val attr = byName(col.toLowerCase)
-      require(attr.dataType == ne.dataType,
-        s"mview rewrite type mismatch for ${ne.name}: " +
-          s"${attr.dataType} vs ${ne.dataType}")
-      Alias(attr, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
-    }
-    logInfo(s"rewrote aggregate over ${source.tablePath} to mview $viewPath")
-    Project(projections, viewPlan)
-  }
 }

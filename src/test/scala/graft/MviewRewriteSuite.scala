@@ -48,6 +48,18 @@ class MviewRewriteSuite extends SparkFixture {
         assert(planOf("SELECT id, SUM(v) FROM graft_cat.rw.src GROUP BY id")
           .contains("Aggregate"))
 
+        // ROLLUP: group keys a strict subset of the view keys (and the
+        // global aggregate) re-aggregate the view instead of the source;
+        // casts around aggregates are re-applied on top
+        val roll = "SELECT CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS cnt " +
+          "FROM graft_cat.rw.src"
+        val rollPlan = planOf(roll)
+        assert(!rollPlan.contains("BatchScan") && !rollPlan.contains("rw.src"),
+          s"rollup still scans the source:\n$rollPlan")
+        assertSameRows(spark.sql(roll),
+          facts(60).agg(sum($"v").cast("double").as("total"),
+            count(lit(1)).as("cnt")))
+
         // staleness: a new source commit disables the rewrite until refresh
         GraftTable.forPath(spark, srcPath).append(facts(30, offset = 60))
         assert(planOf(q).contains("Aggregate"), "stale view still rewrote")
