@@ -51,18 +51,40 @@ case class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    rel <- relationOf(agg.child)
-    sourceTable = rel.table.asInstanceOf[GraftTableV2].table
-    plan <- MaterializedView.rewriteCandidates(sourceTable.tablePath)
-      .flatMap(vp => rewriteWith(agg, rel, sourceTable, vp)).headOption
-  } yield plan
+  /** The aggregate's input, split into an optional row filter and the
+    * graft relation beneath it. */
+  private def childParts(p: LogicalPlan)
+      : (Option[Expression], Option[DataSourceV2Relation]) = p match {
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      (Some(f.condition), relationOf(f.child))
+    case other => (None, relationOf(other))
+  }
 
-  private def rewriteWith(agg: Aggregate, rel: DataSourceV2Relation,
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (qFilter, relOpt) = childParts(agg.child)
+    for {
+      rel <- relOpt
+      sourceTable = rel.table.asInstanceOf[GraftTableV2].table
+      plan <- MaterializedView.rewriteCandidates(sourceTable.tablePath)
+        .flatMap(vp => rewriteWith(agg, qFilter, rel, sourceTable, vp))
+        .headOption
+    } yield plan
+  }
+
+  private def rewriteWith(agg: Aggregate, qFilter: Option[Expression],
+      rel: DataSourceV2Relation,
       source: GraftTable, viewPath: String): Option[LogicalPlan] = {
     val view = GraftTable.forPath(spark, viewPath)
     val p = view.info.properties
-    if (p.contains(MaterializedView.FilterProp)) return None
+    // row filters must match semantically: a filtered view only answers
+    // the identically-filtered query (and an unfiltered view only an
+    // unfiltered one)
+    p.get(MaterializedView.FilterProp) match {
+      case None => if (qFilter.isDefined) return None
+      case Some(f) =>
+        val vf = resolveExpr(f, rel).getOrElse(return None)
+        if (!qFilter.exists(_.semanticEquals(vf))) return None
+    }
     // freshness gate: every source commit must already be folded in
     val latest = source.partitions.map(_.timestamp).maxOption.getOrElse(0L)
     if (p.get(MaterializedView.CursorProp).forall(_.toLong < latest)) return None
@@ -145,21 +167,19 @@ case class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Parse a measure's SQL expr and resolve it against the relation's
-    * output, so it can be compared semantically with the query's. */
+  /** Parse a view's measure/filter SQL and resolve it against the
+    * relation THROUGH THE ANALYZER, so implicit casts and literal
+    * promotions come out exactly as they do in the query being matched
+    * (a name-only resolution would leave e.g. `v > 30` as double-vs-int
+    * and never semanticEqual the query's coerced form). */
   private def resolveExpr(sql: String, rel: DataSourceV2Relation)
       : Option[Expression] =
     try {
       val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-      var ok = true
-      val resolved = parsed.transformUp {
-        case u: UnresolvedAttribute =>
-          rel.output.find(a =>
-            spark.sessionState.conf.resolver(a.name, u.name)) match {
-            case Some(a) => a
-            case None => ok = false; u
-          }
+      val probe = Project(Seq(Alias(parsed, "_mview_probe")()), rel)
+      spark.sessionState.analyzer.execute(probe) match {
+        case Project(Seq(a: Alias), _) if a.child.resolved => Some(a.child)
+        case _ => None
       }
-      if (ok && resolved.resolved) Some(resolved) else None
     } catch { case _: Exception => None }
 }

@@ -54,11 +54,29 @@ class MviewRewriteSuite extends SparkFixture {
         val roll = "SELECT CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS cnt " +
           "FROM graft_cat.rw.src"
         val rollPlan = planOf(roll)
-        assert(!rollPlan.contains("BatchScan") && !rollPlan.contains("rw.src"),
+        assert(!rollPlan.contains("RelationV2"),
           s"rollup still scans the source:\n$rollPlan")
         assertSameRows(spark.sql(roll),
           facts(60).agg(sum($"v").cast("double").as("total"),
             count(lit(1)).as("cnt")))
+
+        // FILTER matching: a filtered view answers only the identically-
+        // filtered query; the unfiltered view refuses filtered queries
+        MaterializedView.create(spark, srcPath, s"$dir/fview",
+          keys = Seq("k"), measures = Seq(Measure("cnt", "1", "count")),
+          filter = Some("v > 30"))
+        MaterializedView.refresh(spark, s"$dir/fview")
+        MaterializedView.enableRewrite(spark, s"$dir/fview")
+        val fq = "SELECT k, COUNT(*) AS cnt FROM graft_cat.rw.src " +
+          "WHERE v > 30 GROUP BY k"
+        assert(!planOf(fq).contains("RelationV2"), "filtered view not used")
+        assertSameRows(spark.sql(fq),
+          facts(60).filter($"v" > 30).groupBy("k")
+            .agg(count(lit(1)).as("cnt")))
+        // different predicate -> no rewrite
+        assert(planOf("SELECT k, COUNT(*) FROM graft_cat.rw.src " +
+          "WHERE v > 31 GROUP BY k").contains("RelationV2"))
+        MaterializedView.disableRewrite(spark, s"$dir/fview")
 
         // staleness: a new source commit disables the rewrite until refresh
         GraftTable.forPath(spark, srcPath).append(facts(30, offset = 60))
