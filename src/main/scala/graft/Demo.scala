@@ -15,6 +15,7 @@ object Demo {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -253,6 +254,49 @@ object Demo {
         .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
       println(s"mview counted rows = $viewCnt (expect 120), " +
         s"after compaction = $afterCnt (expect 120)")
+    }
+
+    // secondary index: bucket-pruned non-PK point lookup
+    locally {
+      import graft.tables.SecondaryIndex
+      val src = GraftTable.create(spark, orders.limit(100), s"$dir/si_src",
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      SecondaryIndex.create(spark, s"$dir/si_src", s"$dir/si_idx",
+        "o_orderstatus", bucketNum = 4)
+      SecondaryIndex.refresh(spark, s"$dir/si_idx")
+      val hits = SecondaryIndex.lookup(spark, s"$dir/si_idx", "O").count()
+      val direct = src.toDF.filter(
+        org.apache.spark.sql.functions.col("o_orderstatus") === "O").count()
+      println(s"secondary index lookup = $hits rows (direct filter $direct)")
+    }
+
+    // shallow clone: metadata-only snapshot copy
+    locally {
+      val c = t.cloneTo(s"$dir/orders_clone")
+      println(s"shallow clone rows = ${c.toDF.count()} " +
+        s"(source ${t.toDF.count()}), files referenced = ${
+          c.liveFiles.count(_.file.path.contains("orders_t"))}")
+    }
+
+    // transparent MV rewrite: the SQL aggregate answered from the view
+    locally {
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      // needs an insert-only source: demo.orders carries update/delete
+      // history (the guard above correctly rejects it), so use a fresh one
+      GraftTable.create(spark, orders.limit(200), s"$dir/rw_src")
+      graft.catalog.GraftCatalog.register(spark, "demo.rw_src", s"$dir/rw_src")
+      MaterializedView.create(spark, s"$dir/rw_src", s"$dir/rw_view",
+        keys = Seq("o_orderstatus"), measures = Seq(Measure("cnt", "1", "count")))
+      MaterializedView.refresh(spark, s"$dir/rw_view")
+      MaterializedView.enableRewrite(spark, s"$dir/rw_view")
+      try {
+        val df = spark.sql("SELECT o_orderstatus, COUNT(*) AS cnt " +
+          "FROM graft_cat.demo.rw_src GROUP BY o_orderstatus")
+        val rewritten = !df.queryExecution.optimizedPlan.toString.contains("Aggregate")
+        println(s"mview rewrite applied = $rewritten (expect true), " +
+          s"groups = ${df.count()} (expect 3)")
+      } finally MaterializedView.disableRewrite(spark, s"$dir/rw_view")
     }
 
     // error-path probes

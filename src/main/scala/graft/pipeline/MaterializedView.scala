@@ -297,8 +297,7 @@ object MaterializedView {
     filter.fold(df)(f => df.where(org.apache.spark.sql.functions.expr(f)))
 
   private def md5(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    graft.util.HashUtil.md5Hex(s).take(12)
 
   private def enc(parts: Seq[String]): String =
     parts.map(URLEncoder.encode(_, "UTF-8")).mkString(",")

@@ -179,6 +179,15 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val v = graft.pipeline.MaterializedView.refresh(spark, args("view_path"))
         s"refreshed to ${v.info.properties(
           graft.pipeline.MaterializedView.CursorProp)}"
+      case "create_index" =>
+        graft.tables.SecondaryIndex.create(spark,
+          args("source_path"), args("index_path"), args("column"),
+          args.get("bucket_num").map(_.toInt).getOrElse(32))
+        "created"
+      case "refresh_index" =>
+        val i = graft.tables.SecondaryIndex.refresh(spark, args("index_path"))
+        s"refreshed to ${i.info.properties(
+          graft.tables.SecondaryIndex.CursorProp)}"
       case other =>
         throw new IllegalArgumentException(s"unknown procedure graft.$other")
     }

@@ -35,6 +35,8 @@ object SecondaryIndex {
   val CursorProp = "graft.index.cursor"
   val ColumnProp = "graft.index.column"
   val PkProp = "graft.index.pk"
+  val LastBatchProp = "graft.index.lastbatch"
+  val StreamIdProp = "graft.index.stream"
 
   def create(
       spark: SparkSession,
@@ -73,6 +75,9 @@ object SecondaryIndex {
       throw new IllegalArgumentException(s"$indexPath is not a secondary index"))
     val cursor = p(CursorProp).toLong
     val column = p(ColumnProp); val pk = p(PkProp)
+    require(!p.contains(StreamIdProp),
+      s"$indexPath is stream-maintained (see maintainStream) — a batch " +
+        "refresh would re-fold commits the stream already counted")
     val src = GraftTable.forPath(spark, sourcePath)
     val latest = src.partitions.map(_.timestamp).maxOption.getOrElse(cursor)
     if (latest <= cursor) return idx
@@ -88,6 +93,54 @@ object SecondaryIndex {
     idx.upsert(partial)
     idx.setProperties(Map(CursorProp -> latest.toString))
     idx
+  }
+
+  /** CONTINUOUS maintenance: a Structured Streaming query over the source
+    * that folds every micro-batch into the index the same way [[refresh]]
+    * folds a window. Same exactly-once model as
+    * [[graft.pipeline.MaterializedView.maintainStream]]: replayed
+    * micro-batches are skipped by the recorded batch id, and the index is
+    * bound to its checkpoint (a second pipeline or a batch refresh after
+    * streaming is rejected). */
+  def maintainStream(
+      spark: SparkSession,
+      indexPath: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = GraftTable.forPath(spark, indexPath)
+    val p = idx.info.properties
+    val sourcePath = p.getOrElse(SourceProp,
+      throw new IllegalArgumentException(s"$indexPath is not a secondary index"))
+    val cursor = p(CursorProp).toLong
+    val column = p(ColumnProp); val pk = p(PkProp)
+    val streamId = graft.util.HashUtil.md5Hex(checkpoint).take(12)
+    p.get(StreamIdProp) match {
+      case Some(other) if other != streamId =>
+        throw new IllegalStateException(s"$indexPath is already maintained " +
+          "by a stream with a different checkpoint")
+      case None => idx.setProperties(Map(StreamIdProp -> streamId))
+      case _ =>
+    }
+    var reader = spark.readStream.format("graft")
+    if (cursor > 0) reader = reader.option("readStartTime", cursor.toString)
+    reader.load(sourcePath).writeStream
+      .queryName(s"graft-index-${new java.io.File(indexPath).getName}")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val index = GraftTable.forPath(batch.sparkSession, indexPath)
+        val last = index.info.properties.get(LastBatchProp)
+          .map(_.toLong).getOrElse(-1L)
+        if (batchId > last) {
+          index.upsert(batch.filter(col(column).isNotNull)
+            .groupBy(col(column).as("ival"))
+            .agg(sort_array(collect_set(col(pk).cast("long"))).as("pks")))
+          index.setProperties(Map(LastBatchProp -> batchId.toString))
+        }
+      }
+      .start()
   }
 
   /** Source rows whose indexed column equals `value` — two bucket-pruned

@@ -51,6 +51,30 @@ class SecondaryIndexSuite extends SparkFixture {
     }
   }
 
+  test("maintainStream folds micro-batches; binds the checkpoint") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, rows(30), s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 4)
+      t.upsert(rows(30, offset = 30))
+      SecondaryIndex.create(spark, s"$dir/src", s"$dir/idx", "g")
+      val q1 = SecondaryIndex.maintainStream(spark, s"$dir/idx", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q1.awaitTermination(120000)
+      t.upsert(rows(20, offset = 60))
+      val q2 = SecondaryIndex.maintainStream(spark, s"$dir/idx", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q2.awaitTermination(120000)
+      assertSameRows(SecondaryIndex.lookup(spark, s"$dir/idx", "g2"),
+        rows(80).filter($"g" === "g2"))
+      intercept[IllegalArgumentException] {
+        SecondaryIndex.refresh(spark, s"$dir/idx")
+      }
+      intercept[IllegalStateException] {
+        SecondaryIndex.maintainStream(spark, s"$dir/idx", s"$dir/other")
+      }
+    }
+  }
+
   test("refresh rejects non-incremental sources; create validates") {
     withTempPath { dir =>
       val t = GraftTable.create(spark, rows(10), s"$dir/src",
