@@ -632,6 +632,34 @@ object SparkEntry {
       s.sql("SELECT s_suppkey, s_name, sum_all(s_acctbal) AS s_acctbal " +
         "FROM graft_cat.vfy.mo_proj")
     }),
+    "mview_star" -> q((s, d) => {
+      // STAR-JOIN view (revenue by market segment): each fact delta joins
+      // the customer dimension at refresh time, then folds into per-
+      // segment running totals — the star-schema rollup maintained at
+      // O(delta + dim) per refresh, with the dim broadcast by Catalyst.
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.{DimJoin, Measure}
+      val o = rd(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      val c = rd(s, d, "customer")
+      val dimPath = tmp("stardim"); val srcPath = tmp("starsrc")
+      val viewPath = tmp("starview")
+      GraftTable.create(s, c, dimPath)
+      val src = GraftTable.create(s,
+        o.filter(col("o_orderkey") % 2 === 0), srcPath)
+      MaterializedView.create(s, srcPath, viewPath,
+        keys = Seq("c_mktsegment"),
+        measures = Seq(
+          Measure("revenue", "CAST(o_totalprice AS DECIMAL(18,2))", "sum"),
+          Measure("n_orders", "1", "count")),
+        dims = Seq(DimJoin(dimPath, Seq("c_custkey"), "inner")))
+      MaterializedView.refresh(s, viewPath)
+      src.append(o.filter(col("o_orderkey") % 2 === 1))
+      MaterializedView.refresh(s, viewPath)
+      MaterializedView.read(s, viewPath)
+        .select(col("c_mktsegment"),
+          col("revenue").cast("double").as("revenue"), col("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
     "mview_rewrite" -> q((s, d) => {
       // TRANSPARENT MV rewrite (Catalyst rule, freshness-gated): the SQL
       // aggregate over the catalog table is answered from the registered
@@ -2380,6 +2408,12 @@ object SparkEntry {
     "merge_op_projection" ->
       """SELECT s_suppkey, s_name, s_acctbal + s_acctbal * 4 AS s_acctbal
         |FROM supplier""".stripMargin,
+    "mview_star" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "mview_rewrite" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

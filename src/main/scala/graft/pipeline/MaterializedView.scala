@@ -52,6 +52,23 @@ object MaterializedView {
   val LastBatchProp = "graft.mview.lastbatch"
   val StreamIdProp = "graft.mview.stream"
   val FilterProp = "graft.mview.filter"
+  val DimsProp = "graft.mview.dims"
+
+  /** A dimension joined onto each fact delta BEFORE filter/aggregation
+    * (the star-schema rollup: revenue by nation without storing nation on
+    * the fact). `usingCols` is an equi-join USING list; `joinType` is
+    * `left` (keep facts with no dim row) or `inner`.
+    *
+    * Contract: the dimension is read AT REFRESH TIME — new facts see the
+    * dim's current rows, but a later dim-row change is NOT retroactively
+    * folded into already-refreshed aggregates (the standard streaming
+    * star-join semantics; re-create the view for a dim rewrite). */
+  final case class DimJoin(path: String, usingCols: Seq[String],
+      joinType: String = "left") {
+    require(Seq("left", "inner").contains(joinType),
+      s"dim join type must be left|inner, got '$joinType'")
+    require(usingCols.nonEmpty, "dim join needs at least one USING column")
+  }
 
   /** One view measure: `name` (output column), `expr` (ANSI SQL over the
     * source schema), `op` in sum|count|min|max|approx_distinct.
@@ -113,7 +130,8 @@ object MaterializedView {
       keys: Seq[String],
       measures: Seq[Measure],
       bucketNum: Int = 4,
-      filter: Option[String] = None): GraftTable = {
+      filter: Option[String] = None,
+      dims: Seq[DimJoin] = Nil): GraftTable = {
     graft.functions.GraftFunctions.register(spark) // sketch measure exprs
     require(keys.nonEmpty, "materialized view needs at least one group key")
     require(measures.nonEmpty, "materialized view needs at least one measure")
@@ -125,15 +143,18 @@ object MaterializedView {
       "materialized views over CDC sources are not supported")
     // view schema = the partial aggregate's schema (types come out of the
     // analyzer, so decimal widening etc. match what refresh will write);
-    // the filter is validated against the source schema here too
+    // the dim joins and filter are validated against the source here too
     val viewSchema = partial(
-      applyFilter(src.toDF.limit(0), filter), keys, measures).schema
+      applyFilter(applyDims(spark, src.toDF.limit(0), dims), filter),
+      keys, measures).schema
     val props = Map(
       SourceProp -> src.info.tablePath,
       CursorProp -> "0",
       KeysProp -> enc(keys),
       MeasuresProp -> enc(measures.flatMap(m => Seq(m.name, m.expr, m.op)))) ++
       filter.map(f => FilterProp -> f) ++
+      (if (dims.isEmpty) Map.empty else Map(DimsProp ->
+        enc(dims.flatMap(d => Seq(d.path, d.usingCols.mkString(";"), d.joinType))))) ++
       measures.map(m => TableInfo.mergeOpProp(m.name) -> m.mergeOp)
     GraftTable.createEmpty(spark, viewSchema, viewPath,
       hashColumns = keys, bucketNum = bucketNum, properties = props)
@@ -162,7 +183,9 @@ object MaterializedView {
     require(bad.isEmpty,
       s"source $sourcePath has non-incremental commit(s) ${bad.mkString(", ")} " +
         s"in ($cursor, $latest] — materialized views need insert-only sources")
-    val delta = applyFilter(src.incremental(cursor, latest), p.get(FilterProp))
+    val delta = applyFilter(
+      applyDims(spark, src.incremental(cursor, latest), decodeDims(p)),
+      p.get(FilterProp))
     v.upsert(partial(delta, keys, measures))
     v.setProperties(Map(CursorProp -> latest.toString))
     v
@@ -218,8 +241,9 @@ object MaterializedView {
         val last = view.info.properties.get(LastBatchProp)
           .map(_.toLong).getOrElse(-1L)
         if (batchId > last) {
-          view.upsert(partial(
-            applyFilter(batch, p.get(FilterProp)), keys, measures))
+          view.upsert(partial(applyFilter(
+            applyDims(batch.sparkSession, batch, decodeDims(p)),
+            p.get(FilterProp)), keys, measures))
           view.setProperties(Map(LastBatchProp -> batchId.toString))
         }
       }
@@ -295,6 +319,20 @@ object MaterializedView {
 
   private def applyFilter(df: DataFrame, filter: Option[String]): DataFrame =
     filter.fold(df)(f => df.where(org.apache.spark.sql.functions.expr(f)))
+
+  /** Join the fact delta to each dimension. Dims are typically broadcast-
+    * sized (Catalyst broadcasts them under the threshold automatically);
+    * refresh cost stays O(delta + dims), never O(fact history). */
+  private def applyDims(spark: SparkSession, df: DataFrame,
+      dims: Seq[DimJoin]): DataFrame =
+    dims.foldLeft(df)((d, j) =>
+      d.join(GraftTable.forPath(spark, j.path).toDF, j.usingCols, j.joinType))
+
+  private[graft] def decodeDims(props: Map[String, String]): Seq[DimJoin] =
+    props.get(DimsProp).map(dec).map(_.grouped(3).map {
+      case Seq(path, cols, jt) =>
+        DimJoin(path, cols.split(';').toSeq.filter(_.nonEmpty), jt)
+    }.toSeq).getOrElse(Nil)
 
   private def md5(s: String): String =
     graft.util.HashUtil.md5Hex(s).take(12)

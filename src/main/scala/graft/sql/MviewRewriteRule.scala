@@ -76,6 +76,9 @@ case class MviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       source: GraftTable, viewPath: String): Option[LogicalPlan] = {
     val view = GraftTable.forPath(spark, viewPath)
     val p = view.info.properties
+    // star-join views aggregate JOINED rows — they never answer a plain
+    // source aggregate (an inner dim join changes row multiplicity)
+    if (p.contains(MaterializedView.DimsProp)) return None
     // row filters must match semantically: a filtered view only answers
     // the identically-filtered query (and an unfiltered view only an
     // unfiltered one)

@@ -251,6 +251,30 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
+  test("star-join view: fact deltas join the dim before aggregation") {
+    withTempPath { dir =>
+      import MaterializedView.DimJoin
+      val dim = (0 until 3).map(i => (s"k$i", s"region${i % 2}"))
+        .toDF("k", "region")
+      GraftTable.create(spark, dim, s"$dir/dim")
+      val src = GraftTable.create(spark, facts(30), s"$dir/src")
+      MaterializedView.create(spark, s"$dir/src", s"$dir/view",
+        keys = Seq("region"),
+        measures = Seq(
+          Measure("total", "CAST(v AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")),
+        dims = Seq(DimJoin(s"$dir/dim", Seq("k"))))
+      MaterializedView.refresh(spark, s"$dir/view")
+      src.append(facts(30, offset = 30))
+      MaterializedView.refresh(spark, s"$dir/view")
+      val expected = facts(60).join(dim, Seq("k"), "left")
+        .groupBy("region").agg(
+          sum($"v".cast("decimal(18,2)")).as("total"),
+          count(lit(1)).as("cnt"))
+      assertSameRows(MaterializedView.read(spark, s"$dir/view"), expected)
+    }
+  }
+
   test("min_all/max_all merge ops stand alone on PK tables") {
     withTempPath { dir =>
       val t = GraftTable.create(spark,
