@@ -110,6 +110,19 @@ object MergeOps {
         dt: DataType): Column = UseLast.agg(value, version, present, dt)
   }
 
+  /** Sum over all NON-NULL values ever written — SQL `SUM` semantics
+    * (nulls ignored; NULL only if every contributing value is null),
+    * unlike [[SumAll]]'s reference null-poisoning rule. The combiner
+    * behind `sum`/`count` measures of
+    * [[graft.pipeline.MaterializedView]], so view totals agree exactly
+    * with the SQL aggregate they materialize (including the all-null
+    * group, which reports NULL — not 0, and not poison). */
+  case object SumNotNull extends MergeOp {
+    val name = "sum_not_null"
+    def agg(value: Column, version: Column, present: Column, dt: DataType): Column =
+      sum(when(present, value)).cast(dt)
+  }
+
   /** Minimum over all non-null values ever written (SQL `MIN` semantics:
     * nulls are ignored, NULL only if every contributing value is null).
     * Beyond the reference's operator set — the associative combiner that
@@ -271,8 +284,8 @@ object MergeOps {
   }
 
   val builtins: Map[String, MergeOp] = Seq(
-    UseLast, UseLastNotNull, SumAll, SumLast, MinAll, MaxAll, HllUnion,
-    CmsMerge, KllMerge, SetUnionLongs, ThetaUnion,
+    UseLast, UseLastNotNull, SumAll, SumLast, SumNotNull, MinAll, MaxAll,
+    HllUnion, CmsMerge, KllMerge, SetUnionLongs, ThetaUnion,
     JoinedAll(","), JoinedAll(";"), JoinedLast(","), JoinedLast(";"))
     .map(op => op.name -> op).toMap
 

@@ -39,10 +39,10 @@ import graft.tables.GraftTable
   * them double-folds that window on the next refresh — run refreshes from
   * one maintenance driver, like the reference's compaction service).
   *
-  * Null semantics: `sum` totals treat NULL measure values as contributing
-  * zero (a group whose values are ALL null reports 0 where SQL `SUM` gives
-  * NULL); `count` counts non-null evaluations (`count("1")` = COUNT(*));
-  * `min`/`max` ignore nulls exactly like SQL MIN/MAX.
+  * Null semantics match SQL exactly: `sum` ignores NULL measure values
+  * (NULL only for a group that never saw a non-null value), `count`
+  * counts non-null evaluations (`count("1")` = COUNT(*)), `min`/`max`
+  * ignore nulls like SQL MIN/MAX.
   */
 object MaterializedView {
   val SourceProp = "graft.mview.source"
@@ -108,7 +108,7 @@ object MaterializedView {
     private def expr_ : Column = org.apache.spark.sql.functions.expr(expr)
 
     private[MaterializedView] def mergeOp: String = op match {
-      case "sum" | "count" => "sum_all"
+      case "sum" | "count" => "sum_not_null" // SQL SUM: nulls contribute nothing
       case "min" => "min_all"
       case "max" => "max_all"
       case "approx_distinct" => "hll_union"
@@ -144,9 +144,20 @@ object MaterializedView {
     // view schema = the partial aggregate's schema (types come out of the
     // analyzer, so decimal widening etc. match what refresh will write);
     // the dim joins and filter are validated against the source here too
-    val viewSchema = partial(
-      applyFilter(applyDims(spark, src.toDF.limit(0), dims), filter),
-      keys, measures).schema
+    val preAgg = applyFilter(applyDims(spark, src.toDF.limit(0), dims), filter)
+    measures.filter(_.op == "approx_set").foreach { m =>
+      // theta updates accept integral and string items only — fail at
+      // create, not in the middle of the first refresh job
+      val dt = preAgg.select(org.apache.spark.sql.functions.expr(m.expr))
+        .schema.head.dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.StringType).contains(dt),
+        s"approx_set measure '${m.name}' needs an integral or string " +
+          s"expression (got $dt); cast explicitly if intended")
+    }
+    val viewSchema = partial(preAgg, keys, measures).schema
     val props = Map(
       SourceProp -> src.info.tablePath,
       CursorProp -> "0",
@@ -169,9 +180,8 @@ object MaterializedView {
     val sourcePath = p.getOrElse(SourceProp,
       throw new IllegalArgumentException(s"$viewPath is not a materialized view"))
     val cursor = p(CursorProp).toLong
-    val keys = dec(p(KeysProp))
-    val measures = dec(p(MeasuresProp)).grouped(3)
-      .map { case Seq(n, e, o) => Measure(n, e, o) }.toSeq
+    val keys = decodeKeys(p)
+    val measures = decodeMeasures(p)
     require(!p.contains(StreamIdProp),
       s"$viewPath is stream-maintained (see maintainStream) — a batch " +
         "refresh would re-fold commits the stream already counted")
@@ -183,6 +193,15 @@ object MaterializedView {
     require(bad.isEmpty,
       s"source $sourcePath has non-incremental commit(s) ${bad.mkString(", ")} " +
         s"in ($cursor, $latest] — materialized views need insert-only sources")
+    // a shallow clone's base snapshot is published as compaction/rewrite
+    // commits the incremental reader refuses to treat as a delta — an
+    // initial backfill that would silently fold NOTHING from a non-empty
+    // source must fail loudly instead
+    require(cursor > 0 || src.incrementalFiles(0L, latest).nonEmpty ||
+      src.liveFiles.isEmpty,
+      s"source $sourcePath has no incrementally-consumable history (e.g. " +
+        "a shallow clone's base snapshot) — materialized views need " +
+        "sources whose rows arrived as append/upsert commits")
     val delta = applyFilter(
       applyDims(spark, src.incremental(cursor, latest), decodeDims(p)),
       p.get(FilterProp))
@@ -197,12 +216,16 @@ object MaterializedView {
     * stream starts from the view's batch cursor (so it composes with prior
     * [[refresh]] calls), and a micro-batch replayed after checkpoint
     * recovery is skipped by the recorded last-folded batch id — the
-    * idempotence sums need that PK-upserts alone can't give.
+    * replay protection sums need that PK-upserts alone can't give. The
+    * upsert and the batch-id bump are two meta operations (the same
+    * window as [[refresh]]'s cursor bump and the streaming sink's
+    * (queryId, batchId) record): a crash BETWEEN them re-folds that one
+    * micro-batch on recovery — run one maintenance driver per view.
     *
     * Once streamed, the view is BOUND to that checkpoint: restarting from
-    * the same checkpoint resumes exactly-once; a different checkpoint (or
-    * a batch [[refresh]]) would re-fold already-counted commits, so both
-    * are rejected. This is the sink-side (queryId, batchId) idempotence
+    * the same checkpoint resumes; a different checkpoint (or a batch
+    * [[refresh]]) would re-fold already-counted commits, so both are
+    * rejected. This is the sink-side (queryId, batchId) idempotence
     * model of the reference's streaming sink (LakeSoulSink.scala:46-49)
     * applied to non-idempotent running totals. */
   def maintainStream(
@@ -217,27 +240,36 @@ object MaterializedView {
     val sourcePath = p.getOrElse(SourceProp,
       throw new IllegalArgumentException(s"$viewPath is not a materialized view"))
     val cursor = p(CursorProp).toLong
-    val keys = dec(p(KeysProp))
-    val measures = dec(p(MeasuresProp)).grouped(3)
-      .map { case Seq(n, e, o) => Measure(n, e, o) }.toSeq
+    val keys = decodeKeys(p)
+    val measures = decodeMeasures(p)
     val streamId = md5(checkpoint)
     p.get(StreamIdProp) match {
       case Some(other) if other != streamId =>
         throw new IllegalStateException(s"$viewPath is already maintained by " +
           "a stream with a different checkpoint — a second pipeline would " +
           "re-fold commits the first already counted")
-      case None => v.setProperties(Map(StreamIdProp -> streamId))
-      case _ => // same checkpoint: resume
+      case _ => // new binding recorded AFTER start() succeeds; same: resume
     }
     var reader = spark.readStream.format("graft")
     if (cursor > 0) reader = reader.option("readStartTime", cursor.toString)
-    reader.load(sourcePath).writeStream
+    val query = reader.load(sourcePath).writeStream
       .queryName(s"graft-mview-${new java.io.File(viewPath).getName}")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.functions.GraftFunctions.register(batch.sparkSession)
         val view = GraftTable.forPath(batch.sparkSession, viewPath)
+        // the batch-refresh guard, streamed: the source delivering a
+        // window that contains an update/rewrite would silently DROP the
+        // whole window's rows (incremental delivery aborts) — fail the
+        // query loudly instead of advancing past lost data
+        val srcT = GraftTable.forPath(batch.sparkSession, sourcePath)
+        val bad = srcT.commitOpsBetween(cursor, Long.MaxValue) --
+          Set(CommitOp.Append, CommitOp.Merge, CommitOp.Compaction)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"source $sourcePath received non-incremental commit(s) " +
+            s"${bad.mkString(", ")} — the stream-maintained view can no " +
+            "longer fold a consumable delta; rebuild the view")
         val last = view.info.properties.get(LastBatchProp)
           .map(_.toLong).getOrElse(-1L)
         if (batchId > last) {
@@ -248,6 +280,10 @@ object MaterializedView {
         }
       }
       .start()
+    // bind only once the stream exists — a failed start() must not wedge
+    // the view into rejecting all future maintenance
+    v.setProperties(Map(StreamIdProp -> streamId))
+    query
   }
 
   /** The current view contents (merge-on-read folds partial rows; after
@@ -260,22 +296,20 @@ object MaterializedView {
     val v = GraftTable.forPath(spark, viewPath)
     val df = v.toDF
     if (!estimate) df
-    else v.info.properties.get(MeasuresProp).map(dec).map(_.grouped(3)
-      .collect { case Seq(n, _, "approx_distinct") => n }.toSeq)
+    else v.info.properties.get(MeasuresProp)
+      .map(_ => decodeMeasures(v.info.properties)
+        .collect { case Measure(n, _, "approx_distinct") => n })
       .getOrElse(Nil)
       .foldLeft(df)((d, n) => d.withColumn(n, hll_sketch_estimate(col(n))))
   }
 
   private def partial(delta: DataFrame, keys: Seq[String],
       measures: Seq[Measure]): DataFrame = {
+    // an all-null sum partial stays NULL: sum_not_null ignores it across
+    // runs, so the view total matches SQL SUM exactly (NULL only when the
+    // group never saw a non-null value)
     val aggs = measures.map(_.partialAgg)
-    val out = delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    // sum partials: a delta group whose measure values are all NULL must
-    // contribute zero, not poison the running total (sum_all null rule)
-    measures.filter(_.op == "sum").foldLeft(out) { (df, m) =>
-      df.withColumn(m.name,
-        coalesce(col(m.name), lit(0).cast(df.schema(m.name).dataType)))
-    }
+    delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   // ------------------------------------------------ transparent rewrite

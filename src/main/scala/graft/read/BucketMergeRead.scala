@@ -63,11 +63,12 @@ object BucketMergeRead {
   private def mergeSupported(table: TableInfo, f: StructField): Boolean =
     TransactionalWrite.mergeOpFor(table, f.name) match {
       case MergeOps.UseLast | MergeOps.UseLastNotNull => orderableOrAny(f.dataType)
-      case MergeOps.SumAll | MergeOps.SumLast => f.dataType match {
-        case IntegerType | LongType | DoubleType | FloatType | ShortType => true
-        case _: DecimalType => true // materialized-view running totals
-        case _ => false
-      }
+      case MergeOps.SumAll | MergeOps.SumLast | MergeOps.SumNotNull =>
+        f.dataType match {
+          case IntegerType | LongType | DoubleType | FloatType | ShortType => true
+          case _: DecimalType => true // materialized-view running totals
+          case _ => false
+        }
       case MergeOps.MinAll | MergeOps.MaxAll => f.dataType match {
         case IntegerType | LongType | DoubleType | FloatType | ShortType |
              ByteType | BooleanType | StringType | DateType | TimestampType |
@@ -160,6 +161,7 @@ object BucketMergeRead {
             case _: graft.mergeop.RowMergeOp => 4
             case MergeOps.MinAll => 5
             case MergeOps.MaxAll => 6
+            case MergeOps.SumNotNull => 7
             case other => throw new IllegalStateException(
               s"bucket merge does not support operator '${other.name}'")
           },
@@ -194,7 +196,7 @@ object BucketMergeRead {
 
 /** Per-output-field merge spec: op 0=use_last 1=use_last_not_null 2=sum_all
   * 3=joined_all 4=row-level custom operator (serialized with the task)
-  * 5=min_all 6=max_all. */
+  * 5=min_all 6=max_all 7=sum_not_null. */
 case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String,
     custom: graft.mergeop.RowMergeOp = null)
 
@@ -421,6 +423,24 @@ class KWayMergeIterator(
     }
   }
 
+  /** Typed addition for the sum operators (types gated by
+    * [[BucketMergeRead.supports]]). */
+  private def addVals(dt: DataType, o: Any, n: Any): Any = dt match {
+    case IntegerType => o.asInstanceOf[Int] + n.asInstanceOf[Int]
+    case LongType => o.asInstanceOf[Long] + n.asInstanceOf[Long]
+    case DoubleType => o.asInstanceOf[Double] + n.asInstanceOf[Double]
+    case FloatType => o.asInstanceOf[Float] + n.asInstanceOf[Float]
+    case ShortType => (o.asInstanceOf[Short] + n.asInstanceOf[Short]).toShort
+    case dec: DecimalType =>
+      // running totals of materialized views; Decimal.+ widens internally,
+      // the result stays within the declared precision because the write
+      // side already aggregated to this type
+      val s = o.asInstanceOf[org.apache.spark.sql.types.Decimal] +
+        n.asInstanceOf[org.apache.spark.sql.types.Decimal]
+      if (s.changePrecision(dec.precision, dec.scale)) s else null
+    case other => throw new IllegalStateException(s"sum merge on $other")
+  }
+
   /** Value comparison for the min_all/max_all operators, on the merged-key
     * slow path only (types gated by [[BucketMergeRead.supports]]). */
   private def cmpVal(dt: DataType, a: Any, b: Any): Int = dt match {
@@ -497,24 +517,11 @@ class KWayMergeIterator(
           case 2 => // sum_all: null among PRESENT values poisons
             if (n == null || poisoned(idx)) { poisoned(idx) = true; null }
             else if (!contributed(idx) || o == null) n
-            else f.dt match {
-              case IntegerType => o.asInstanceOf[Int] + n.asInstanceOf[Int]
-              case LongType => o.asInstanceOf[Long] + n.asInstanceOf[Long]
-              case DoubleType => o.asInstanceOf[Double] + n.asInstanceOf[Double]
-              case FloatType => o.asInstanceOf[Float] + n.asInstanceOf[Float]
-              case ShortType =>
-                (o.asInstanceOf[Short] + n.asInstanceOf[Short]).toShort
-              case dec: DecimalType =>
-                // running totals of materialized views; Decimal.+ widens
-                // internally, the result stays within the declared precision
-                // because the write side already aggregated to this type
-                {
-                  val s = o.asInstanceOf[org.apache.spark.sql.types.Decimal] +
-                    n.asInstanceOf[org.apache.spark.sql.types.Decimal]
-                  if (s.changePrecision(dec.precision, dec.scale)) s else null
-                }
-              case other => throw new IllegalStateException(s"sum_all on $other")
-            }
+            else addVals(f.dt, o, n)
+          case 7 => // sum_not_null: SQL SUM — nulls contribute nothing
+            if (n == null) { skip = true; o }
+            else if (o == null) n
+            else addVals(f.dt, o, n)
           case 3 => // joined_all: non-null present values in version order
             if (n == null) { skip = true; o }
             else if (o == null) deepCopy(n)

@@ -191,9 +191,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       case Some(ts) => resolver.filesUptoTime(tablePath, ts, _ => true)
       case None => resolver.currentFiles(tablePath)
     }
-    // maintenance bindings must not follow the clone (a cloned view would
-    // otherwise double-fold against the original's stream/cursor state)
-    val props = t.properties -- Seq("graft.mview.stream", "graft.mview.lastbatch")
+    // stream-maintained views/indexes cannot be cloned: their maintenance
+    // progress lives in the stream checkpoint (the cursor stays at its
+    // pre-stream value), so a refreshed clone would re-fold everything the
+    // stream already counted
+    require(!t.properties.contains("graft.mview.stream") &&
+      !t.properties.contains("graft.index.stream"),
+      "cannot shallow-clone a stream-maintained view/index — its progress " +
+        "lives in the stream checkpoint, not the table cursor")
+    val props = t.properties --
+      Seq("graft.mview.lastbatch", "graft.index.lastbatch")
     store.createTable(TableInfo(MetaStore.newCommitId(),
       new java.io.File(tp).getCanonicalPath, t.schemaJson,
       t.rangeColumns, t.hashColumns, t.bucketNum, props))

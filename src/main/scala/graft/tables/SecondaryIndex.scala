@@ -86,6 +86,14 @@ object SecondaryIndex {
     require(bad.isEmpty,
       s"source $sourcePath has non-incremental commit(s) ${bad.mkString(", ")} " +
         "— secondary indexes need insert-only sources")
+    // a shallow clone's base snapshot is compaction commits the incremental
+    // reader skips — an initial backfill that would index NOTHING from a
+    // non-empty source must fail loudly (see MaterializedView.refresh)
+    require(cursor > 0 || src.incrementalFiles(0L, latest).nonEmpty ||
+      src.liveFiles.isEmpty,
+      s"source $sourcePath has no incrementally-consumable history (e.g. " +
+        "a shallow clone's base snapshot) — secondary indexes need sources " +
+        "whose rows arrived as append/upsert commits")
     val partial = src.incremental(cursor, latest)
       .filter(col(column).isNotNull)
       .groupBy(col(column).as("ival"))
@@ -120,17 +128,25 @@ object SecondaryIndex {
       case Some(other) if other != streamId =>
         throw new IllegalStateException(s"$indexPath is already maintained " +
           "by a stream with a different checkpoint")
-      case None => idx.setProperties(Map(StreamIdProp -> streamId))
-      case _ =>
+      case _ => // new binding recorded AFTER start() succeeds; same: resume
     }
     var reader = spark.readStream.format("graft")
     if (cursor > 0) reader = reader.option("readStartTime", cursor.toString)
-    reader.load(sourcePath).writeStream
+    val query = reader.load(sourcePath).writeStream
       .queryName(s"graft-index-${new java.io.File(indexPath).getName}")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val index = GraftTable.forPath(batch.sparkSession, indexPath)
+        // fail loudly when the source turns non-incremental (a window
+        // containing update/rewrite delivers NOTHING — silently advancing
+        // past it would lose postings; see MaterializedView.maintainStream)
+        val srcT = GraftTable.forPath(batch.sparkSession, sourcePath)
+        val bad = srcT.commitOpsBetween(cursor, Long.MaxValue) --
+          Set(CommitOp.Append, CommitOp.Merge, CommitOp.Compaction)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"source $sourcePath received non-incremental commit(s) " +
+            s"${bad.mkString(", ")} — rebuild the index")
         val last = index.info.properties.get(LastBatchProp)
           .map(_.toLong).getOrElse(-1L)
         if (batchId > last) {
@@ -141,6 +157,10 @@ object SecondaryIndex {
         }
       }
       .start()
+    // bind only once the stream exists (a failed start() must not wedge
+    // the index into rejecting all future maintenance)
+    idx.setProperties(Map(StreamIdProp -> streamId))
+    query
   }
 
   /** Source rows whose indexed column equals `value` — two bucket-pruned
@@ -161,16 +181,18 @@ object SecondaryIndex {
   }
 
   /** Bucket-pruned multi-PK fetch: read only the pk buckets the postings
-    * hash to, then keep exactly the requested keys. */
+    * hash to, then keep exactly the requested keys. Bucket ids come from
+    * driver-local foldable eval — no Spark job before the actual read. */
   private def fetchByPks(spark: SparkSession, src: GraftTable,
       pk: String, pks: Array[Long]): DataFrame = {
     val t = src.info
-    val pkType = src.schema(pk).dataType
-    import spark.implicits._
-    val buckets = pks.toSeq.toDF("pkv")
-      .select(TransactionalWrite.bucketIdExpr(
-        Seq(col("pkv").cast(pkType)), t.bucketNum).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val schema = src.schema
+    val narrowed: Any => Any = schema(pk).dataType match {
+      case IntegerType => v => v.asInstanceOf[Long].toInt
+      case _ => identity
+    }
+    val buckets = pks.map(v => TransactionalWrite.bucketOf(
+      spark, schema, Seq(pk -> narrowed(v)), t.bucketNum)).toSet
     val files = src.liveFiles.filter(f =>
       f.file.bucketId == -1 || buckets.contains(f.file.bucketId))
     GraftRead.read(spark, t, files)

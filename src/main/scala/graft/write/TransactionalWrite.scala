@@ -64,14 +64,21 @@ object TransactionalWrite {
 
   /** Bucket id for concrete primary-key values (point reads / DSv2 bucket
     * pruning) — evaluated through the same expression as the write side so
-    * the two can never diverge. */
+    * the two can never diverge. Driver-local foldable eval: a point lookup
+    * must not pay a Spark job just to hash its key. */
   def bucketOf(
       spark: SparkSession,
       schema: StructType,
       keyValues: Seq[(String, Any)],
       bucketNum: Int): Int = {
-    val lits = keyValues.map { case (c, v) => lit(v).cast(schema(c).dataType) }
-    spark.range(1).select(bucketIdExpr(lits, bucketNum).as("b")).head.getInt(0)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
+    // the resolved catalyst form of bucketIdExpr: pmod(hash(seed=42), n)
+    val exprs = keyValues.map { case (c, v) =>
+      Cast(Literal(v), schema(c).dataType)
+    }
+    Pmod(Murmur3Hash(exprs, 42), Literal(bucketNum))
+      .eval(InternalRow.empty).asInstanceOf[Int]
   }
 
   def mergeOpFor(table: TableInfo, column: String): MergeOp =

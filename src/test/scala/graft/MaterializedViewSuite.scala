@@ -67,7 +67,7 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
-  test("null measures: sum contributes zero, min/max ignore, count skips") {
+  test("null measures: sum/min/count follow SQL null semantics") {
     withTempPath { dir =>
       val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
       val rows1 = Seq((1L, "a", Some(2.0)), (2L, "a", None), (3L, "b", None))
@@ -86,9 +86,8 @@ class MaterializedViewSuite extends SparkFixture {
         .orderBy("k")
         .select($"k", $"total".cast("double"), $"nonnull", $"vmin")
         .collect().map(_.toString).toSeq
-      // b is all-null: sum reports 0 (documented deviation from SQL NULL),
-      // count 0, min null
-      assert(got == Seq("[a,7.0,2,2.0]", "[b,0.0,0,null]"))
+      // b is all-null: sum NULL (exact SQL SUM semantics), count 0, min null
+      assert(got == Seq("[a,7.0,2,2.0]", "[b,null,0,null]"))
     }
   }
 
