@@ -267,6 +267,32 @@ object Bench {
       System.err.println(s"[bench] mview scenario failed: ${e.getMessage}")
     }
 
+    // secondary index: point lookup on a non-PK column (two bucket-pruned
+    // reads) vs the full filter scan a non-indexed engine pays; build +
+    // refresh untimed
+    try {
+      import graft.tables.SecondaryIndex
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      val siSrc = java.nio.file.Files
+        .createTempDirectory("graft-bench-sisrc-").toFile.getAbsolutePath
+      val siIdx = java.nio.file.Files
+        .createTempDirectory("graft-bench-siidx-").toFile.getAbsolutePath
+      val src = GraftTable.create(spark, o, siSrc,
+        hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+      SecondaryIndex.create(spark, siSrc, siIdx, "o_custkey",
+        bucketNum = cpus.toInt)
+      SecondaryIndex.refresh(spark, siIdx)
+      SecondaryIndex.lookup(spark, siIdx, 77L).count() // warm
+      results("index_lookup") = minOf3 {
+        SecondaryIndex.lookup(spark, siIdx, 77L).count()
+      }
+      results("index_full_filter") = minOf3 {
+        src.toDF.filter(col("o_custkey") === 77L).count()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] index scenario failed: ${e.getMessage}")
+    }
+
     // storage-partitioned SQL join: two co-bucketed catalog tables built
     // UNTIMED, then the plain SQL join (zero exchanges) timed on its own
     try {

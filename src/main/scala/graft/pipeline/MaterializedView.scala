@@ -54,6 +54,12 @@ object MaterializedView {
   val FilterProp = "graft.mview.filter"
   val DimsProp = "graft.mview.dims"
 
+  /** Optional int property: when a refresh leaves >= N partial runs in
+    * some bucket, it triggers a view compaction — bounds merge-on-read
+    * fan-in without an external scheduler (the reference's compaction
+    * cadence, scoped to the view). */
+  val AutoCompactProp = "graft.mview.autocompact"
+
   /** A dimension joined onto each fact delta BEFORE filter/aggregation
     * (the star-schema rollup: revenue by nation without storing nation on
     * the fact). `usingCols` is an equi-join USING list; `joinType` is
@@ -131,7 +137,8 @@ object MaterializedView {
       measures: Seq[Measure],
       bucketNum: Int = 4,
       filter: Option[String] = None,
-      dims: Seq[DimJoin] = Nil): GraftTable = {
+      dims: Seq[DimJoin] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
     graft.functions.GraftFunctions.register(spark) // sketch measure exprs
     require(keys.nonEmpty, "materialized view needs at least one group key")
     require(measures.nonEmpty, "materialized view needs at least one measure")
@@ -158,7 +165,7 @@ object MaterializedView {
           s"expression (got $dt); cast explicitly if intended")
     }
     val viewSchema = partial(preAgg, keys, measures).schema
-    val props = Map(
+    val props = properties ++ Map(
       SourceProp -> src.info.tablePath,
       CursorProp -> "0",
       KeysProp -> enc(keys),
@@ -207,8 +214,18 @@ object MaterializedView {
       p.get(FilterProp))
     v.upsert(partial(delta, keys, measures))
     v.setProperties(Map(CursorProp -> latest.toString))
+    autoCompact(v)
     v
   }
+
+  /** Compact when any bucket's run count reaches the [[AutoCompactProp]]
+    * threshold (no-op without the property). */
+  private[graft] def autoCompact(v: GraftTable): Unit =
+    v.info.properties.get(AutoCompactProp).map(_.toInt).foreach { n =>
+      val runs = v.liveFiles.groupBy(f => (f.partitionDesc, f.file.bucketId))
+        .values.map(_.map(_.commitOrdinal).distinct.size).maxOption.getOrElse(0)
+      if (runs >= n) v.compaction()
+    }
 
   /** CONTINUOUS maintenance: a Structured Streaming query over the source
     * graft table that folds every micro-batch into the view the same way
@@ -277,6 +294,7 @@ object MaterializedView {
             applyDims(batch.sparkSession, batch, decodeDims(p)),
             p.get(FilterProp)), keys, measures))
           view.setProperties(Map(LastBatchProp -> batchId.toString))
+          autoCompact(view)
         }
       }
       .start()

@@ -179,6 +179,12 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val v = graft.pipeline.MaterializedView.refresh(spark, args("view_path"))
         s"refreshed to ${v.info.properties(
           graft.pipeline.MaterializedView.CursorProp)}"
+      case "enable_rewrite" =>
+        graft.pipeline.MaterializedView.enableRewrite(spark, args("view_path"))
+        "rewrite enabled"
+      case "disable_rewrite" =>
+        graft.pipeline.MaterializedView.disableRewrite(spark, args("view_path"))
+        "rewrite disabled"
       case "create_index" =>
         graft.tables.SecondaryIndex.create(spark,
           args("source_path"), args("index_path"), args("column"),

@@ -100,6 +100,8 @@ object SecondaryIndex {
       .agg(sort_array(collect_set(col(pk).cast("long"))).as("pks"))
     idx.upsert(partial)
     idx.setProperties(Map(CursorProp -> latest.toString))
+    // honors graft.mview.autocompact on the index table too
+    graft.pipeline.MaterializedView.autoCompact(idx)
     idx
   }
 

@@ -274,6 +274,26 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
+  test("autocompact bounds run counts across refreshes") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val src = GraftTable.create(spark, facts(20), srcPath)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"), measures = Seq(Measure("cnt", "1", "count")),
+        properties = Map(MaterializedView.AutoCompactProp -> "3"))
+      (0 until 6).foreach { i =>
+        if (i > 0) src.append(facts(10, offset = 10 + i * 10))
+        MaterializedView.refresh(spark, viewPath)
+      }
+      val v = GraftTable.forPath(spark, viewPath)
+      val runs = v.liveFiles.groupBy(f => (f.partitionDesc, f.file.bucketId))
+        .values.map(_.map(_.commitOrdinal).distinct.size).max
+      assert(runs < 3, s"autocompact did not bound runs: $runs")
+      val expected = facts(70).groupBy("k").agg(count(lit(1)).as("cnt"))
+      assertSameRows(MaterializedView.read(spark, viewPath), expected)
+    }
+  }
+
   test("min_all/max_all merge ops stand alone on PK tables") {
     withTempPath { dir =>
       val t = GraftTable.create(spark,
