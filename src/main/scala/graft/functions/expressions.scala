@@ -754,7 +754,8 @@ object GraftFunctions {
     ("graft_theta_agg", es => ThetaSketchAgg(es.head).toAggregateExpression()),
     ("graft_theta_estimate", es => ThetaEstimate(es.head)),
     ("graft_theta_intersect", es => ThetaIntersect(es(0), es(1))),
-    ("graft_theta_union_of", es => ThetaUnionOf(es(0), es(1))))
+    ("graft_theta_union_of", es => ThetaUnionOf(es(0), es(1))),
+    ("graft_theta_a_not_b", es => ThetaANotB(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -806,4 +807,6 @@ object GraftFunctions {
     call_function("graft_theta_intersect", a, b)
   def thetaUnionOf(a: Column, b: Column): Column =
     call_function("graft_theta_union_of", a, b)
+  def thetaANotB(a: Column, b: Column): Column =
+    call_function("graft_theta_a_not_b", a, b)
 }

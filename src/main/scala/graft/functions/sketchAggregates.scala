@@ -203,6 +203,20 @@ case class ThetaIntersect(left: Expression, right: Expression)
   override def prettyName: String = "graft_theta_intersect"
 }
 
+/** `graft_theta_a_not_b(a, b) -> BINARY`: sketch of the set difference
+  * A \ B — with intersect and union this completes the theta set algebra
+  * (e.g. "documents only in source A"). Read-side only. */
+case class ThetaANotB(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaKernels.aNotB(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_theta_a_not_b"
+}
+
 /** `graft_theta_union_of(a, b) -> BINARY`: pairwise sketch union. */
 case class ThetaUnionOf(left: Expression, right: Expression)
     extends BinaryExpression
@@ -234,6 +248,11 @@ object ThetaKernels {
     u.union(Sketch.heapify(Memory.wrap(b)))
     u.getResult.toByteArray
   }
+
+  def aNotB(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    SetOperation.builder().buildANotB()
+      .aNotB(Sketch.heapify(Memory.wrap(a)), Sketch.heapify(Memory.wrap(b)))
+      .toByteArray
 }
 
 object KllKernels {

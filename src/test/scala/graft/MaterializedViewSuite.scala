@@ -247,6 +247,10 @@ class MaterializedViewSuite extends SparkFixture {
         graft.functions.ThetaKernels.intersect(sk(ks(0)), sk(ks(1)))) == 0.0)
       val all = ks.map(sk).reduce(graft.functions.ThetaKernels.union)
       assert(graft.functions.ThetaKernels.estimate(all) == 80.0)
+      // set difference completes the algebra: all \ group0 = the rest
+      val rest = graft.functions.ThetaKernels.aNotB(all, sk(ks(0)))
+      assert(graft.functions.ThetaKernels.estimate(rest) ==
+        80.0 - graft.functions.ThetaKernels.estimate(sk(ks(0))))
     }
   }
 
