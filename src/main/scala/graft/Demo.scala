@@ -44,6 +44,10 @@ object Demo {
         .filter(col("o_totalprice") === col("exp")).count()} (expect 100)")
     println(s"time-travel rows @ts1 = ${t.snapshotAt(ts1).count()}")
     println(s"incremental rows = ${t.incremental(ts1, t.lastCommitTs).count()} (expect 105)")
+    println(s"diff change feed = ${
+      t.diff(ts1, t.lastCommitTs).groupBy("_change_type").count()
+        .orderBy("_change_type").collect().map(r => s"${r.get(0)}=${r.get(1)}")
+        .mkString(", ")} (expect insert=5, update pre=100, post=100)")
 
     // general MERGE INTO clauses (API): delete cheap matched orders, bump the
     // rest, insert unmatched keys shifted into a new range

@@ -1400,6 +1400,35 @@ object SparkEntry {
       t.upsert(o.filter(col("o_orderstatus") === "F"))
       t.incremental(ts1, t.lastCommitTs)
     }),
+    "table_diff" -> q((s, d) => {
+      // row-level change feed (CDF — Delta's table_changes shape, beyond
+      // the reference's file-level incremental read): exact
+      // insert/update_preimage/update_postimage/delete reconstruction
+      // between two versions of a non-CDC PK table, via one full-outer PK
+      // join of the two snapshots (GraftTable.diff)
+      val o = rd(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val t = GraftTable.create(s, o.filter(col("o_orderkey") % 3 =!= 0),
+        tmp("diff"), hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      val ts1 = t.lastCommitTs
+      t.upsert(o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete("o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0")
+      t.diff(ts1, t.lastCommitTs)
+    }),
+    "table_diff_cdc" -> q((s, d) => {
+      // CDF over a CDC table: O(delta) — the stored marker is the change
+      // type, no snapshot comparison needed (GraftTable.diff, CDC branch)
+      val c = rd(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), lit("insert").as("op"))
+      val t = GraftTable.create(s, c, tmp("diffcdc"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4,
+        properties = Map(TableInfo.CdcColumnProp -> "op"))
+      val ts1 = t.lastCommitTs
+      t.upsert(c.filter(col("c_custkey") % 7 === 0).withColumn("op", lit("delete")))
+      t.upsert(c.filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 7 =!= 0)
+        .withColumn("c_name", upper(col("c_name"))).withColumn("op", lit("update")))
+      t.diff(ts1, t.lastCommitTs)
+    }),
     "partition_prune_read" -> q((s, d) => {
       val e = rd(s, d, "events")
       val t = GraftTable.create(s, e, tmp("prune"),
@@ -2666,6 +2695,24 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "time_travel" -> "SELECT * FROM orders",
     "incremental_read" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    // CDF replay: the closed form of (base %3<>0) + upsert(%5=0, price*2)
+    // + delete(%7=0 AND %5<>0) — inserts are the upserted keys absent from
+    // the base, updates emit pre+post, deletes the pre-image
+    "table_diff" -> ("SELECT * FROM (" +
+      "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'insert' AS _change_type " +
+      "FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0 " +
+      "UNION ALL SELECT o_orderkey, o_totalprice, 'update_preimage' " +
+      "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0 " +
+      "UNION ALL SELECT o_orderkey, o_totalprice * 2, 'update_postimage' " +
+      "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0 " +
+      "UNION ALL SELECT o_orderkey, o_totalprice, 'delete' " +
+      "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0)"),
+    // CDC branch: markers map 1:1 to change types (update -> postimage)
+    "table_diff_cdc" -> ("SELECT * FROM (" +
+      "SELECT c_custkey, c_name, 'delete' AS _change_type " +
+      "FROM customer WHERE c_custkey % 7 = 0 " +
+      "UNION ALL SELECT c_custkey, UPPER(c_name), 'update_postimage' " +
+      "FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0)"),
     "partition_prune_read" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_type = 'click'",
     "streaming_sink_exactly_once" -> "SELECT * FROM events",

@@ -16,7 +16,7 @@ import graft.tables.GraftTable
   * §3.3; sources/LakeSoulDataSource.scala):
   *
   *   spark.read.format("graft").load(path)            // batch read
-  *     .option("readtype", "snapshot"|"incremental")  // time travel
+  *     .option("readtype", "snapshot"|"incremental"|"diff")  // time travel / CDF
   *     .option("readendtime", <ms>) .option("readstarttime", <ms>)
   *     .option("partitiondesc", "k=v")                // partition pruning
   *   df.write.format("graft")                         // batch write
@@ -122,7 +122,17 @@ case class GraftRelation(
   private def spark: SparkSession = sqlContext.sparkSession
   private def table: GraftTable = GraftTable.forPath(spark, path)
 
-  override lazy val schema: StructType = table.schema
+  override lazy val schema: StructType =
+    if (parameters.get("readtype").contains("diff")) {
+      // CDF shape: table columns (CDC marker consumed into the change type)
+      // + _change_type — matches GraftTable.diff's output
+      val t = table
+      val base = t.info.cdcColumn match {
+        case Some(cdc) => StructType(t.schema.filterNot(_.name == cdc))
+        case None => t.schema
+      }
+      base.add("_change_type", org.apache.spark.sql.types.StringType)
+    } else table.schema
 
   /** Live-file byte sum (scaled by the parquet compression factor) so the
     * join planner can auto-broadcast small graft tables instead of assuming
@@ -186,6 +196,12 @@ case class GraftRelation(
           case Some(ds) => t.incrementalForDescs(st, et, ds)
           case None => t.incremental(st, et, partPred)
         }
+      case "diff" =>
+        // row-level change feed (full rows + _change_type) over
+        // (readstarttime, readendtime]; see GraftTable.diff
+        t.diff(parameters.getOrElse("readstarttime", "0").toLong,
+          parameters.get("readendtime").map(_.toLong)
+            .getOrElse(t.lastCommitTs))
       case _ =>
         // PK-equality on every hash column -> bucket-pruned point read (M6)
         val eq = filters.collect { case EqualTo(a, v) => a -> v }.toMap

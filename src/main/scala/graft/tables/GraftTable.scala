@@ -108,6 +108,62 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs),
       keepCdcRows = true)
 
+  /** Row-level change feed over (startTime, endTime] — the CDF shape
+    * (Delta's `table_changes`, Iceberg's changelog scan; beyond the
+    * reference, which stops at the file-level incremental read): full rows
+    * plus `_change_type` ∈ {insert, update_preimage, update_postimage,
+    * delete}.
+    *
+    * CDC tables answer from the incremental file set alone — the stored
+    * marker IS the change type, O(delta) cost (the format stores
+    * postimages only, so no preimage rows by construction). Non-CDC PK
+    * tables reconstruct exact row changes by comparing the two snapshots
+    * on the primary key: one full-outer sort-merge join, a single PK
+    * shuffle per side — exact for every commit type (upsert, UPDATE/DELETE
+    * rewrites, compaction), where marking every row of a rewritten file —
+    * the naive incremental-files approach — would fabricate updates for
+    * untouched rows that merely rode along in a rewrite. Both snapshots
+    * read under the CURRENT schema (per-file evolution null-fills), so the
+    * comparison is well-typed across schema changes. */
+  def diff(startTime: Long, endTime: Long): DataFrame = {
+    val ct = "_change_type"
+    info.cdcColumn match {
+      case Some(cdc) =>
+        incremental(startTime, endTime)
+          .withColumn(ct,
+            when(col(cdc) === "delete", lit("delete"))
+              .when(col(cdc) === "update", lit("update_postimage"))
+              .otherwise(lit("insert")))
+          .drop(cdc)
+      case None =>
+        require(info.hasPrimaryKey,
+          s"diff requires a primary-key or CDC table: $tablePath")
+        val pks = info.hashColumns
+        val cols = schema.fieldNames.toSeq
+        def pack(df: DataFrame, as: String): DataFrame = df.select(
+          struct(pks.map(col): _*).as("_gk"),
+          struct(cols.map(col): _*).as(as))
+        val j = pack(snapshotAt(startTime), "_gb")
+          .join(pack(snapshotAt(endTime), "_ga"), Seq("_gk"), "full_outer")
+        // unchanged rows explode a NULL (zero output rows); updates emit
+        // the pre- and post-image as two rows from the one joined row
+        val noChange = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+          StructField("r", StructType(schema.fields)),
+          StructField("t", org.apache.spark.sql.types.StringType))))
+        val change = when(col("_gb").isNull,
+            array(struct(col("_ga").as("r"), lit("insert").as("t"))))
+          .when(col("_ga").isNull,
+            array(struct(col("_gb").as("r"), lit("delete").as("t"))))
+          .when(!(col("_ga") <=> col("_gb")), array(
+            struct(col("_gb").as("r"), lit("update_preimage").as("t")),
+            struct(col("_ga").as("r"), lit("update_postimage").as("t"))))
+          .otherwise(lit(null).cast(noChange))
+        j.select(explode(change).as("_gc"))
+          .select((cols.map(c => col(s"_gc.r.$c")) :+
+            col("_gc.t").as(ct)): _*)
+    }
+  }
+
   /** Table-level commit history (DESCRIBE-HISTORY / `VERSION AS OF`
     * surface): every publish writes its partition versions with ONE shared
     * timestamp, so grouping the version lines by timestamp reconstructs the

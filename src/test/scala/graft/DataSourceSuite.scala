@@ -264,6 +264,44 @@ class DataSourceSuite extends SparkFixture {
     }
   }
 
+  test("readtype=diff returns the exact row-level change feed (CDF): " +
+    "insert/update pre+post/delete, untouched rows absent") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark,
+        Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "v"), dir,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val ts1 = t.lastCommitTs
+      t.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"))
+      t.delete("id = 1")
+      val diff = spark.read.format("graft")
+        .option("readtype", "diff").option("readstarttime", ts1.toString)
+        .load(dir)
+      assertRows(diff.orderBy("id", "_change_type"),
+        Seq("[1,a,delete]", "[2,B,update_postimage]", "[2,b,update_preimage]",
+          "[3,c,insert]"))
+      // a compaction rewrites every file but fabricates no changes
+      t.compaction()
+      assert(t.diff(ts1, t.lastCommitTs).orderBy("id", "_change_type")
+        .collect().map(_.toString).toSeq ==
+        Seq("[1,a,delete]", "[2,B,update_postimage]", "[2,b,update_preimage]",
+          "[3,c,insert]"))
+    }
+  }
+
+  test("KafkaIngest fails fast with guidance when the connector is absent " +
+    "(S12: source wiring is real, the jar is the only missing piece)") {
+    import graft.streaming.KafkaIngest
+    // this sandbox has no spark-sql-kafka jars: availability must report
+    // false and source() must raise the actionable message, not a deep
+    // ClassNotFoundException out of query start
+    assert(!KafkaIngest.available(spark))
+    val e = intercept[IllegalStateException] {
+      KafkaIngest.source(spark,
+        KafkaIngest.KafkaOptions("localhost:9092", "events.*"))
+    }
+    assert(e.getMessage.contains("kafka connector not on the classpath"))
+  }
+
   test("lookupByPk prunes to one bucket and returns the row") {
     withTempPath { path =>
       val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
