@@ -63,6 +63,24 @@ class ModelCheckSuite extends SparkFixture {
         assert(readState(t.snapshotAt(ts)) == expected,
           s"round $round: snapshot @$ts")
 
+        // CDF invariant: diff(tsA, tsB) must equal the model-state delta
+        // for ANY pair of versions — inserts, deletes, update pre+post
+        // images, exactly, and nothing for untouched keys (rewrites and
+        // compactions in between must not fabricate changes)
+        val Seq(ia, ib) =
+          Seq(rnd.nextInt(snapshots.size), rnd.nextInt(snapshots.size)).sorted
+        val (tsA, mA) = snapshots(ia)
+        val (tsB, mB) = snapshots(ib)
+        val expDiff: Set[(Long, Long, String, String)] =
+          (mB.keySet -- mA.keySet).map(k => (k, mB(k)._1, mB(k)._2, "insert")) ++
+          (mA.keySet -- mB.keySet).map(k => (k, mA(k)._1, mA(k)._2, "delete")) ++
+          (mA.keySet & mB.keySet).filter(k => mA(k) != mB(k)).flatMap(k => Seq(
+            (k, mA(k)._1, mA(k)._2, "update_preimage"),
+            (k, mB(k)._1, mB(k)._2, "update_postimage")))
+        val gotDiff = t.diff(tsA, tsB).select("id", "v", "tag", "_change_type")
+          .as[(Long, Long, String, String)].collect().toSet
+        assert(gotDiff == expDiff, s"round $round: diff($tsA, $tsB)")
+
         // vacuum with a retention boundary cutting mid-history: every
         // snapshot at-or-after the boundary must still read bit-exact
         // (vacuum liveness = retained versions, not just heads)
