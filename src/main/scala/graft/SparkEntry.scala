@@ -1467,6 +1467,36 @@ object SparkEntry {
         .unionByName(GraftTable.forPath(s, s"$root/wh/vfy_ing/t1").toDF)
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
+    "stream_change_feed" -> q((s, d) => {
+      // STREAMING change feed (readtype=diff) through the real engine: a
+      // CDC source table takes inserts + deletes + updates, the stream
+      // emits _change_type rows per micro-batch (O(delta) — the stored
+      // marker, no snapshot comparison), sunk to a plain table and read
+      // back. AvailableNow unpaced = one batch over (0, last], so the
+      // per-PK merge keeps each key's LAST marker — the deterministic form
+      // the oracle replays
+      val root = tmp("scf")
+      val c = rd(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), lit("insert").as("op"))
+      val t = GraftTable.create(s, c, s"$root/src",
+        hashColumns = Seq("c_custkey"), bucketNum = 4,
+        properties = Map(TableInfo.CdcColumnProp -> "op"))
+      t.upsert(c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("op", lit("delete")))
+      t.upsert(c.filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 7 =!= 0)
+        .withColumn("c_name", upper(col("c_name"))).withColumn("op", lit("update")))
+      val q0 = s.readStream.format("graft").option("readtype", "diff")
+        .load(s"$root/src")
+        .writeStream.format("graft")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("queryId", "vfy-scf")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination(120000)
+      GraftTable.forPath(s, s"$root/out").toDF
+        .select("c_custkey", "c_name", "_change_type")
+    }),
     "stream_window_agg" -> q((s, d) => {
       // watermarked tumbling-window STREAMING aggregation through the real
       // path: readStream from a graft source table, 1 h window x
@@ -2707,6 +2737,16 @@ object SparkEntry {
       "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0 " +
       "UNION ALL SELECT o_orderkey, o_totalprice, 'delete' " +
       "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0)"),
+    // one AvailableNow batch over (0, last] merges per PK to the LAST
+    // marker: delete beats the insert, update beats the insert, untouched
+    // keys keep their initial insert
+    "stream_change_feed" -> ("SELECT * FROM (" +
+      "SELECT c_custkey, c_name, 'delete' AS _change_type " +
+      "FROM customer WHERE c_custkey % 7 = 0 " +
+      "UNION ALL SELECT c_custkey, UPPER(c_name), 'update_postimage' " +
+      "FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0 " +
+      "UNION ALL SELECT c_custkey, c_name, 'insert' " +
+      "FROM customer WHERE c_custkey % 7 <> 0 AND NOT (c_custkey % 11 = 0))"),
     // CDC branch: markers map 1:1 to change types (update -> postimage)
     "table_diff_cdc" -> ("SELECT * FROM (" +
       "SELECT c_custkey, c_name, 'delete' AS _change_type " +

@@ -91,9 +91,18 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      GraftTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
+      parameters: Map[String, String]): (String, StructType) = {
+    val t = GraftTable.forPath(sqlContext.sparkSession, pathOf(parameters))
+    val s = if (parameters.get("readtype").contains("diff")) {
+      val cdc = t.info.cdcColumn.getOrElse(throw new IllegalArgumentException(
+        "streaming readtype=diff needs a CDC table (the stored marker makes " +
+          "each micro-batch O(delta)); a non-CDC PK table would pay a full " +
+          "two-snapshot comparison per trigger — use batch diff() instead"))
+      StructType(t.schema.filterNot(_.name == cdc))
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+    } else t.schema
+    (shortName(), s)
+  }
 
   override def createSource(
       sqlContext: SQLContext,
@@ -269,6 +278,9 @@ class GraftStreamSource(
 
   private def table: GraftTable = GraftTable.forPath(spark, path)
   private val startTime = parameters.getOrElse("readstarttime", "0").toLong
+  // streaming change feed (CDC tables only — validated in sourceSchema):
+  // each micro-batch is the O(delta) diff of its offset range
+  private val diffMode = parameters.get("readtype").contains("diff")
 
   // admission control (same semantics as the DSv2 stream): pace deep
   // backlogs by whole-commit budgets instead of one giant first batch.
@@ -285,7 +297,12 @@ class GraftStreamSource(
   @volatile private var handedOut: Long = startTime
   @volatile private var availableNowCap: Option[Long] = None
 
-  override def schema: StructType = table.schema
+  override def schema: StructType =
+    if (diffMode) {
+      val t = table
+      StructType(t.schema.filterNot(f => t.info.cdcColumn.contains(f.name)))
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+    } else table.schema
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(table.lastCommitTs)
@@ -326,7 +343,8 @@ class GraftStreamSource(
     val s = start.map(o => offsetValue(o)).getOrElse(startTime)
     val e = offsetValue(end)
     if (e > handedOut) handedOut = e
-    org.apache.spark.sql.graft.StreamShim.asStreaming(table.incremental(s, e))
+    val batch = if (diffMode) table.diff(s, e) else table.incremental(s, e)
+    org.apache.spark.sql.graft.StreamShim.asStreaming(batch)
   }
 
   private def offsetValue(o: Offset): Long = o match {

@@ -371,4 +371,42 @@ class DataSourceSuite extends SparkFixture {
       }
     }
   }
+
+  test("streaming change feed (readtype=diff): CDC micro-batches emit " +
+    "_change_type rows; non-CDC tables are rejected with guidance") {
+    withTempPath { src =>
+      withTempPath { ckpt =>
+        import graft.meta.TableInfo
+        val t = GraftTable.create(spark,
+          Seq((1L, "a", "insert"), (2L, "b", "insert")).toDF("id", "v", "op"),
+          src, hashColumns = Seq("id"), bucketNum = 1,
+          properties = Map(TableInfo.CdcColumnProp -> "op"))
+        t.upsert(Seq((2L, "b", "delete"), (3L, "c", "update")).toDF("id", "v", "op"))
+        val got = scala.collection.mutable.ArrayBuffer[String]()
+        val q = spark.readStream.format("graft")
+          .option("readtype", "diff").load(src)
+          .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized { got ++= b.collect().map(_.toString) }; ()
+          }
+          .option("checkpointLocation", s"$ckpt/q")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+        assert(got.sorted == Seq("[1,a,insert]", "[2,b,delete]",
+          "[3,c,update_postimage]"), got)
+
+        // non-CDC: per-trigger snapshot comparison would be O(table) — the
+        // source refuses and points at batch diff()
+        withTempPath { plain =>
+          GraftTable.create(spark, Seq((1L, "x")).toDF("id", "v"), plain,
+            hashColumns = Seq("id"), bucketNum = 1)
+          val e = intercept[IllegalArgumentException] {
+            spark.readStream.format("graft")
+              .option("readtype", "diff").load(plain)
+          }
+          assert(e.getMessage.contains("needs a CDC table"))
+        }
+      }
+    }
+  }
 }
