@@ -1467,6 +1467,18 @@ object SparkEntry {
         .unionByName(GraftTable.forPath(s, s"$root/wh/vfy_ing/t1").toDF)
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
+    "expectations_quarantine" -> q((s, d) => {
+      // data-quality expectations on the write path (DLT-style, beyond the
+      // reference): docs shorter than 200 chars are routed to the
+      // _quarantine sidecar instead of failing the load or silently
+      // vanishing; the query returns the triage view
+      val doc = rd(s, d, "documents")
+      val t = GraftTable.createEmpty(s, doc.schema, tmp("expq"))
+        .expect("text_len", "length(text) >= 200", "quarantine")
+      t.append(doc)
+      t.quarantined
+        .select(col("doc_id"), col("_g_violations")(0).as("violation"))
+    }),
     "stream_change_feed" -> q((s, d) => {
       // STREAMING change feed (readtype=diff) through the real engine: a
       // CDC source table takes inserts + deletes + updates, the stream
@@ -2737,6 +2749,9 @@ object SparkEntry {
       "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0 " +
       "UNION ALL SELECT o_orderkey, o_totalprice, 'delete' " +
       "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0)"),
+    "expectations_quarantine" ->
+      ("SELECT doc_id, 'text_len' AS violation FROM documents " +
+        "WHERE NOT coalesce(length(text) >= 200, FALSE)"),
     // one AvailableNow batch over (0, last] merges per PK to the LAST
     // marker: delete beats the insert, update beats the insert, untouched
     // keys keep their initial insert

@@ -928,6 +928,41 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   /** Partition TTL in days: partitions with no commit newer than this are
     * dropped by [[cleanExpiredPartitions]]. */
+  /** Data-quality expectation on every future write: rows failing
+    * `predicate` are failed/dropped/quarantined per `action`
+    * (TransactionalWrite.applyExpectations). `fail` is a hard check
+    * constraint; `drop` removes violating rows; `quarantine` removes them
+    * AND persists them under `<tablePath>/_quarantine` (read back via
+    * [[quarantined]]). */
+  def expect(name: String, predicate: String,
+      action: String = "fail"): GraftTable = {
+    require(Set("fail", "drop", "quarantine")(action),
+      s"action must be fail|drop|quarantine, got '$action'")
+    if (action == "fail")
+      setProperties(Map(s"graft.check.$name" -> predicate))
+    else setProperties(Map(
+      s"graft.expect.$name" -> predicate,
+      s"graft.expect.$name.action" -> action))
+    this
+  }
+
+  /** Rows quarantined by `expect(..., action = "quarantine")`: source
+    * columns + `_g_violations` (names of the failed expectations) +
+    * `_g_expect_ts`. Empty frame with that shape when nothing has been
+    * quarantined yet. */
+  def quarantined: DataFrame = {
+    val dir = new java.io.File(tablePath, "_quarantine")
+    if (dir.isDirectory && dir.list().exists(_.endsWith(".parquet")) ||
+        dir.isDirectory && dir.list().exists(!_.startsWith("_")))
+      spark.read.parquet(dir.getPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema.add("_g_violations",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))
+        .add("_g_expect_ts", org.apache.spark.sql.types.TimestampType))
+  }
+
   def setPartitionTtl(days: Int): GraftTable = {
     setProperties(Map("graft.partition.ttl.days" -> days.toString)); this
   }

@@ -97,7 +97,47 @@ object TransactionalWrite {
       s"batch is missing partition/primary-key columns: ${missing.mkString(", ")}")
     val normalized =
       df.select(keep.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    enforceInvariants(table, normalized)
+    enforceInvariants(table, applyExpectations(table, normalized))
+  }
+
+  /** Data-quality EXPECTATIONS (beyond the reference; the
+    * pipeline-curation companion to C15's hard invariants): table
+    * properties `graft.expect.<name>` = SQL predicate with
+    * `graft.expect.<name>.action` ∈ fail (default — same as a check
+    * constraint), `drop` (violating rows silently removed from the batch),
+    * `quarantine` (removed AND persisted to `<tablePath>/_quarantine` as
+    * parquet with `_g_violations` + `_g_expect_ts` columns for triage /
+    * replay). NULL predicate results count as violations (a quality gate
+    * that cannot evaluate has not passed). The quarantine write is a
+    * second job over the violating subset — the batch is evaluated twice
+    * on that path unless the caller caches it. */
+  private def applyExpectations(table: TableInfo, df: DataFrame): DataFrame = {
+    val props = table.properties
+    val prefix = "graft.expect."
+    val soft = props.collect {
+      case (k, v) if k.startsWith(prefix) && !k.endsWith(".action") &&
+          props.getOrElse(s"$k.action", "fail") != "fail" =>
+        (k.stripPrefix(prefix), v, props(s"$k.action"))
+    }.toSeq.sortBy(_._1)
+    if (soft.isEmpty) return df
+    require(soft.forall(e => e._3 == "drop" || e._3 == "quarantine"),
+      s"unknown expectation action in ${soft.filterNot(e =>
+        e._3 == "drop" || e._3 == "quarantine").map(_._3).mkString(", ")} " +
+        "(want fail|drop|quarantine)")
+    def violations(actions: Set[String]) = array_compact(array(
+      soft.collect { case (n, p, a) if actions(a) =>
+        when(!coalesce(expr(p).cast("boolean"), lit(false)), lit(n))
+      }: _*))
+    val flagged = df.withColumn("_g_violations", violations(Set("drop", "quarantine")))
+    if (soft.exists(_._3 == "quarantine")) {
+      val bad = df
+        .withColumn("_g_violations", violations(Set("quarantine")))
+        .filter(size(col("_g_violations")) > 0)
+        .withColumn("_g_expect_ts", current_timestamp())
+      bad.write.mode("append")
+        .parquet(new File(table.tablePath, "_quarantine").getPath)
+    }
+    flagged.filter(size(col("_g_violations")) === 0).drop("_g_violations")
   }
 
   /** Schema invariants (C15, schema/InvariantCheckerExec): primary-key

@@ -154,6 +154,38 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("expectations: drop removes violating rows, quarantine persists " +
+    "them for triage, fail stays a hard constraint") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((0L, "seed", 1)).toDF("id", "v", "n"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.expect("minlen", "length(v) >= 3", "quarantine")
+      t.expect("nonneg", "n >= 0", "drop")
+      t.append(Seq(
+        (1L, "good", 5),   // passes both
+        (2L, "x", 1),      // minlen -> quarantined
+        (3L, "okay", -2),  // nonneg -> silently dropped
+        (4L, "y", -9)      // both -> quarantined (minlen recorded)
+      ).toDF("id", "v", "n"))
+      assertRows(t.toDF.select("id").orderBy("id"), Seq("[0]", "[1]"))
+      val quar = t.quarantined
+        .select(col("id"), col("_g_violations")(0).as("viol")).orderBy("id")
+      assertRows(quar, Seq("[2,minlen]", "[4,minlen]"))
+      // fail action = check constraint
+      t.expect("cap", "id < 100")
+      val e = intercept[Exception] {
+        t.append(Seq((200L, "zzz", 1)).toDF("id", "v", "n"))
+      }
+      assert(e.getMessage.contains("cap")
+        || e.getCause != null && e.getCause.getMessage.contains("cap"))
+      // quarantined reader on a table with no quarantine dir: empty, typed
+      assert(GraftTable.create(spark, Seq((1L, "a", 1)).toDF("id", "v", "n"),
+        path + "-clean", hashColumns = Seq("id"), bucketNum = 1)
+        .quarantined.count() == 0)
+    }
+  }
+
   test("catalog: forName, listTables, drop") {
     withTempPath { path =>
       val name = s"default.t${System.nanoTime()}"
