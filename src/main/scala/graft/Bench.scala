@@ -152,7 +152,10 @@ object Bench {
       // builds its source table inside the timed query — the number is the
       // whole pipeline, not just the transform)
       "mixture_epochs", "stream_window_agg", "stream_dedup",
-      "split_leakage_safe", "sample_cluster_k")
+      "split_leakage_safe", "sample_cluster_k",
+      // r5 late additions: change feed + mutable views (each builds its
+      // tables inside the timed query, like the streaming entries)
+      "table_diff", "mview_mutable")
 
     // steady state = median of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench notes)

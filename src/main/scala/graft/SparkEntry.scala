@@ -796,6 +796,35 @@ object SparkEntry {
         "clone not isolated from post-clone source writes")
       c.toDF
     }),
+    "mview_mutable" -> q((s, d) => {
+      // MUTABLE-source materialized view: the source takes an UPDATE (price
+      // bump), an overwriting upsert, and a DELETE between refreshes; each
+      // refresh folds the row-level change feed with signed weights
+      // (+post/-pre), so the view stays exact where insert-only views
+      // must throw — groups whose rows all left VANISH at read
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val o = rd(s, d, "orders")
+      val srcPath = tmp("mmsrc"); val viewPath = tmp("mmview")
+      val src = GraftTable.create(s, o, srcPath,
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      MaterializedView.create(s, srcPath, viewPath,
+        keys = Seq("o_orderstatus"),
+        measures = Seq(
+          Measure("total", "CAST(o_totalprice AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")),
+        mutable = true)
+      MaterializedView.refresh(s, viewPath) // backfill
+      src.update(col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      MaterializedView.refresh(s, viewPath)
+      src.delete("o_orderkey % 7 = 0")
+      // delete an entire group: status 'P' rows all leave the source
+      src.delete(col("o_orderstatus") === "P")
+      MaterializedView.refresh(s, viewPath)
+      MaterializedView.read(s, viewPath)
+        .select(col("o_orderstatus"), col("total").cast("double"), col("cnt"))
+    }),
     "mview_incremental" -> q((s, d) => {
       // Incrementally-maintained materialized aggregate view: the source
       // fact table lands in three commit slices; each refresh folds ONLY
@@ -2503,6 +2532,17 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    // closed form of base + update(%5: price*2) + delete(%7) + delete(P):
+    // surviving rows are %7<>0 and status<>'P', price doubled when %5=0
+    "mview_mutable" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0
+        |    THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus""".stripMargin,
     "mview_incremental" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

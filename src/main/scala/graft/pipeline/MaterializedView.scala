@@ -60,6 +60,20 @@ object MaterializedView {
     * cadence, scoped to the view). */
   val AutoCompactProp = "graft.mview.autocompact"
 
+  /** Marks a MUTABLE-source view (create(..., mutable = true)): refresh
+    * folds the source's row-level change feed with signed weights, so
+    * UPDATE/DELETE/overwriting-upsert commits maintain the view exactly
+    * instead of throwing. */
+  val MutableProp = "graft.mview.mutable"
+  /** Hidden signed row count per group (mutable views): a group whose
+    * rows were all deleted folds to 0 and vanishes from [[read]]. */
+  val RowsCol = "_g_rows"
+  /** Hidden signed non-null count per sum measure (mutable views):
+    * restores SQL SUM's NULL-when-no-non-null-value at [[read]] (a sum
+    * folded to 0 by deletes is indistinguishable from a true 0 without
+    * it). */
+  def nnCol(measure: String): String = s"_g_nn_$measure"
+
   /** A dimension joined onto each fact delta BEFORE filter/aggregation
     * (the star-schema rollup: revenue by nation without storing nation on
     * the fact). `usingCols` is an equi-join USING list; `joinType` is
@@ -138,7 +152,8 @@ object MaterializedView {
       bucketNum: Int = 4,
       filter: Option[String] = None,
       dims: Seq[DimJoin] = Nil,
-      properties: Map[String, String] = Map.empty): GraftTable = {
+      properties: Map[String, String] = Map.empty,
+      mutable: Boolean = false): GraftTable = {
     graft.functions.GraftFunctions.register(spark) // sketch measure exprs
     require(keys.nonEmpty, "materialized view needs at least one group key")
     require(measures.nonEmpty, "materialized view needs at least one measure")
@@ -148,6 +163,17 @@ object MaterializedView {
     val src = GraftTable.forPath(spark, sourcePath)
     require(src.info.cdcColumn.isEmpty,
       "materialized views over CDC sources are not supported")
+    if (mutable) {
+      // the signed fold can only invert sum/count; min/max/sketches are
+      // not subtractable (a deleted row may have held the min)
+      val bad = measures.filterNot(m => Set("sum", "count")(m.op))
+      require(bad.isEmpty,
+        s"mutable views need invertible measures (sum|count); got " +
+          bad.map(m => s"${m.name}:${m.op}").mkString(", "))
+      require(src.info.hasPrimaryKey,
+        "mutable views need a primary-key source (the change feed " +
+          "reconstructs row changes on the PK)")
+    }
     // view schema = the partial aggregate's schema (types come out of the
     // analyzer, so decimal widening etc. match what refresh will write);
     // the dim joins and filter are validated against the source here too
@@ -164,7 +190,13 @@ object MaterializedView {
         s"approx_set measure '${m.name}' needs an integral or string " +
           s"expression (got $dt); cast explicitly if intended")
     }
-    val viewSchema = partial(preAgg, keys, measures).schema
+    val viewSchema =
+      if (mutable) partialSigned(preAgg.withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("insert")), keys, measures).schema
+      else partial(preAgg, keys, measures).schema
+    val hidden =
+      if (mutable) RowsCol +: measures.collect { case Measure(n, _, "sum") => nnCol(n) }
+      else Nil
     val props = properties ++ Map(
       SourceProp -> src.info.tablePath,
       CursorProp -> "0",
@@ -173,7 +205,9 @@ object MaterializedView {
       filter.map(f => FilterProp -> f) ++
       (if (dims.isEmpty) Map.empty else Map(DimsProp ->
         enc(dims.flatMap(d => Seq(d.path, d.usingCols.mkString(";"), d.joinType))))) ++
-      measures.map(m => TableInfo.mergeOpProp(m.name) -> m.mergeOp)
+      (if (mutable) Map(MutableProp -> "true") else Map.empty) ++
+      measures.map(m => TableInfo.mergeOpProp(m.name) -> m.mergeOp) ++
+      hidden.map(c => TableInfo.mergeOpProp(c) -> "sum_not_null")
     GraftTable.createEmpty(spark, viewSchema, viewPath,
       hashColumns = keys, bucketNum = bucketNum, properties = props)
   }
@@ -195,6 +229,22 @@ object MaterializedView {
     val src = GraftTable.forPath(spark, sourcePath)
     val latest = src.partitions.map(_.timestamp).maxOption.getOrElse(cursor)
     if (latest <= cursor) return v
+    if (p.get(MutableProp).contains("true")) {
+      // MUTABLE view: fold the row-level change feed with signed weights —
+      // exact for ANY commit mix (updates, deletes, overwriting upserts,
+      // compactions) because diff() compares the two snapshots on the PK.
+      // Cost per refresh is two snapshot scans + one PK join (vs O(delta)
+      // for insert-only views) — the price of invertible maintenance
+      // without write-time preimage capture; the view upsert itself still
+      // touches only changed groups.
+      val changes = src.diff(cursor, latest)
+      val delta = applyFilter(
+        applyDims(spark, changes, decodeDims(p)), p.get(FilterProp))
+      v.upsert(partialSigned(delta, keys, measures))
+      v.setProperties(Map(CursorProp -> latest.toString))
+      autoCompact(v)
+      return v
+    }
     val ops = src.commitOpsBetween(cursor, latest)
     val bad = ops -- Set(CommitOp.Append, CommitOp.Merge, CommitOp.Compaction)
     require(bad.isEmpty,
@@ -259,6 +309,10 @@ object MaterializedView {
     val cursor = p(CursorProp).toLong
     val keys = decodeKeys(p)
     val measures = decodeMeasures(p)
+    require(!p.get(MutableProp).contains("true"),
+      "mutable views are batch-refresh only: the incremental stream " +
+        "carries no preimages, so a micro-batch cannot invert updates — " +
+        "run refresh() on a cadence instead")
     val streamId = md5(checkpoint)
     p.get(StreamIdProp) match {
       case Some(other) if other != streamId =>
@@ -312,13 +366,47 @@ object MaterializedView {
   def read(spark: SparkSession, viewPath: String,
       estimate: Boolean = true): DataFrame = {
     val v = GraftTable.forPath(spark, viewPath)
-    val df = v.toDF
+    val p = v.info.properties
+    var df = v.toDF
+    if (p.get(MutableProp).contains("true")) {
+      // groups whose rows were all deleted fold to 0 and vanish (SQL
+      // GROUP BY shows no empty groups); a sum whose non-null
+      // contributions all left reads NULL, not the 0 the fold left behind
+      val sums = decodeMeasures(p).collect { case Measure(n, _, "sum") => n }
+      df = sums.foldLeft(df.filter(col(RowsCol) =!= 0L))((d, n) =>
+        d.withColumn(n, when(col(nnCol(n)) === 0L, lit(null)).otherwise(col(n))))
+        .drop(RowsCol +: sums.map(nnCol): _*)
+    }
     if (!estimate) df
-    else v.info.properties.get(MeasuresProp)
-      .map(_ => decodeMeasures(v.info.properties)
+    else p.get(MeasuresProp)
+      .map(_ => decodeMeasures(p)
         .collect { case Measure(n, _, "approx_distinct") => n })
       .getOrElse(Nil)
       .foldLeft(df)((d, n) => d.withColumn(n, hll_sketch_estimate(col(n))))
+  }
+
+  /** Signed partial aggregate over change-feed rows (mutable views):
+    * insert/update_postimage rows contribute their value, delete/
+    * update_preimage rows its NEGATION (unary minus keeps the analyzed
+    * type, so decimal partials match the view schema), plus the hidden
+    * signed row / per-sum non-null counters [[read]] uses to restore
+    * vanishing groups and SQL NULL-sum semantics. */
+  private def partialSigned(delta: DataFrame, keys: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pos = col("_change_type").isin("insert", "update_postimage")
+    def signed(e: Column): Column = when(pos, e).otherwise(-e)
+    val w = when(pos, lit(1L)).otherwise(lit(-1L))
+    val aggs = measures.map {
+      case Measure(n, e, "sum") => sum(signed(expr(e))).as(n)
+      case Measure(n, e, "count") =>
+        sum(when(expr(e).isNotNull, w).otherwise(0L)).cast("long").as(n)
+      case m => throw new IllegalStateException(
+        s"non-invertible measure ${m.name}:${m.op} in a mutable view")
+    } ++ measures.collect { case Measure(n, e, "sum") =>
+      sum(when(expr(e).isNotNull, w).otherwise(0L)).cast("long").as(nnCol(n))
+    } :+ sum(w).cast("long").as(RowsCol)
+    delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def partial(delta: DataFrame, keys: Seq[String],
@@ -343,6 +431,10 @@ object MaterializedView {
     * view is skipped, never served stale). */
   def enableRewrite(spark: SparkSession, viewPath: String): Unit = {
     val v = GraftTable.forPath(spark, viewPath)
+    require(!v.info.properties.get(MutableProp).contains("true"),
+      "transparent rewrite over mutable views is not supported (the " +
+        "rewrite rule reads raw view rows; mutable views need the " +
+        "zero-group/null-sum adjustments MaterializedView.read applies)")
     val source = v.info.properties.getOrElse(SourceProp,
       throw new IllegalArgumentException(s"$viewPath is not a materialized view"))
     val q = rewriteViews.computeIfAbsent(source,

@@ -149,11 +149,22 @@ object TransactionalWrite {
     val pkChecks = table.hashColumns.filter(df.columns.contains).map(c =>
       assert_true(col(c).isNotNull,
         lit(s"primary-key column '$c' must not be null")))
+    // schema-level NOT NULL (any field the table schema declares
+    // non-nullable): without this, a NULL written into a non-nullable
+    // column survives the parquet file but the merge reader's unsafe
+    // projection silently materializes it as 0/""/false — enforce loudly
+    // at write time instead (Delta's NOT NULL invariant semantics)
+    val schemaChecks = graft.util.SchemaUtil.fromJson(table.schemaJson)
+      .filter(f => !f.nullable && df.columns.contains(f.name) &&
+        !table.hashColumns.contains(f.name))
+      .map(f => assert_true(col(f.name).isNotNull,
+        lit(s"NOT NULL column '${f.name}' received a null (declare the " +
+          "column nullable at table creation to store nulls)")))
     val userChecks = table.properties.collect {
       case (k, v) if k.startsWith("graft.check.") =>
         assert_true(expr(v), lit(s"check constraint violated: $k = '$v'"))
     }
-    val checks = pkChecks ++ userChecks
+    val checks = pkChecks ++ schemaChecks ++ userChecks
     if (checks.isEmpty) df
     // assert_true yields NULL on success (and raises on violation), so the
     // filter is always-true but cannot be pruned — the assertion must run

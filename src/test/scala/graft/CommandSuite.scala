@@ -151,6 +151,15 @@ class CommandSuite extends SparkFixture {
       assert(e2.getMessage.contains("positive_v")
         || e2.getCause != null && e2.getCause.getMessage.contains("positive_v"))
       assertRows(t.toDF, Seq("[1,10]"))
+      // schema-level NOT NULL: v was created non-nullable (primitive
+      // encoder) — upserting a NULL must fail loudly, not silently
+      // materialize 0 through the merge reader's unsafe projection
+      val e3 = intercept[Exception] {
+        t.upsert(Seq((Some(3), None: Option[Int])).toDF("id", "v"))
+      }
+      assert(e3.getMessage.contains("NOT NULL")
+        || e3.getCause != null && e3.getCause.getMessage.contains("NOT NULL"))
+      assertRows(t.toDF, Seq("[1,10]"))
     }
   }
 

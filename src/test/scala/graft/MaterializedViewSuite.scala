@@ -43,6 +43,65 @@ class MaterializedViewSuite extends SparkFixture {
     }
   }
 
+  test("mutable view: updates, deletes and overwriting upserts maintain " +
+    "the view exactly; vanished groups and all-null sums read like SQL") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      // v is Option[Double] -> NULLABLE: the all-null-sum scenario below
+      // upserts NULL measure values, which a non-nullable schema rejects
+      // at write (the NOT NULL invariant)
+      def nfacts(n: Int) = (0 until n).map(i =>
+        (i.toLong, s"k${i % 3}", Some(i * 1.5): Option[Double], i % 7))
+        .toDF("id", "k", "v", "w")
+      val src = GraftTable.create(spark, nfacts(30), srcPath,
+        hashColumns = Seq("id"), bucketNum = 2)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("k"),
+        measures = Seq(
+          Measure("total", "CAST(v AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")),
+        mutable = true)
+      MaterializedView.refresh(spark, viewPath) // backfill via diff(0, ts]
+
+      def check(): Unit = {
+        val expected = src.toDF.groupBy("k").agg(
+          sum($"v".cast("decimal(18,2)")).as("total"),
+          count(lit(1)).as("cnt"))
+        assertSameRows(MaterializedView.read(spark, viewPath), expected)
+      }
+      check()
+
+      // UPDATE (file-targeted rewrite) + refresh
+      src.update(col("id") % 5 === 0, Map("v" -> (col("v") * 10)))
+      MaterializedView.refresh(spark, viewPath); check()
+      // overwriting upsert (the case insert-only views double-count)
+      src.upsert(nfacts(10).withColumn("v", col("v") + 100))
+      MaterializedView.refresh(spark, viewPath); check()
+      // DELETE a whole group -> the group must VANISH from the view
+      src.delete(col("k") === "k1")
+      MaterializedView.refresh(spark, viewPath); check()
+      assert(!MaterializedView.read(spark, viewPath)
+        .select("k").as[String].collect().contains("k1"))
+      // drive one group's sum contributions to all-NULL -> SQL sum = NULL
+      src.upsert(Seq((0L, "k0", None: Option[Double], 0),
+        (3L, "k0", None: Option[Double], 3))
+        .toDF("id", "k", "v", "w"))
+      src.delete(col("k") === "k0" && col("v").isNotNull)
+      MaterializedView.refresh(spark, viewPath); check()
+      val k0 = MaterializedView.read(spark, viewPath)
+        .filter(col("k") === "k0").select("total", "cnt").head
+      assert(k0.isNullAt(0) && k0.getLong(1) == 2, k0)
+
+      // non-invertible measures are rejected at creation
+      val e = intercept[IllegalArgumentException] {
+        MaterializedView.create(spark, srcPath, s"$dir/view2",
+          keys = Seq("k"), measures = Seq(Measure("m", "v", "min")),
+          mutable = true)
+      }
+      assert(e.getMessage.contains("invertible"))
+    }
+  }
+
   test("view compaction folds partial rows without changing results") {
     withTempPath { dir =>
       val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
