@@ -83,6 +83,25 @@ object BucketMergeRead {
 
   private def orderableOrAny(dt: DataType): Boolean = true
 
+  /** bucket -> ordered runs; a "run" r = all ordinal-r files of the bucket
+    * across range partitions, concatenated in partition-desc order (files
+    * are internally sorted by (range, pk), and descs are disjoint key
+    * ranges under the desc-string comparator). Path tiebreak: rolled file
+    * parts (...c000, ...c001) of one task concatenate in pk order. */
+  private def bucketGroups(table: TableInfo, schema: StructType,
+      files: Seq[ResolvedFile]): Seq[BucketGroup] =
+    (0 until table.bucketNum).map { b =>
+      val mine = files.filter(_.file.bucketId == b)
+      val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
+        case (_, fs) =>
+          (fs.sortBy(f => (f.partitionDesc, f.file.path)).map { f =>
+            PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
+              0L, f.file.size)
+          }, presentMask(schema, fs.head.file.existCols))
+      }
+      BucketGroup(b, runs)
+    }
+
   def read(
       spark: SparkSession,
       table: TableInfo,
@@ -100,24 +119,7 @@ object BucketMergeRead {
       files: Seq[ResolvedFile])
     : org.apache.spark.rdd.RDD[InternalRow] = {
     val readFn = org.apache.spark.sql.graft.StreamShim.parquetReadFunction(spark, schema)
-
-    // bucket -> ordered runs; a "run" r = all ordinal-r files of the bucket
-    // across range partitions, concatenated in partition-desc order (files
-    // are internally sorted by (range, pk), and descs are disjoint key
-    // ranges under the desc-string comparator below)
-    val groups: Seq[BucketGroup] = (0 until table.bucketNum).map { b =>
-      val mine = files.filter(_.file.bucketId == b)
-      val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
-        case (_, fs) =>
-          // path tiebreak: rolled file parts (...c000, ...c001) of one task
-          // concatenate in pk order
-          (fs.sortBy(f => (f.partitionDesc, f.file.path)).map { f =>
-            PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
-              0L, f.file.size)
-          }, presentMask(schema, fs.head.file.existCols))
-      }
-      BucketGroup(b, runs)
-    }
+    val groups = bucketGroups(table, schema, files)
 
     val keyIdx = (table.rangeColumns ++ table.hashColumns).map(schema.fieldIndex)
     val keyTypes = keyIdx.map(schema.fields(_).dataType)
@@ -140,6 +142,70 @@ object BucketMergeRead {
             else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
               merges, nFields, g.runs.map(_._2).toArray)
           merged.map(proj)
+        }
+      }
+  }
+
+  /** ZERO-SHUFFLE snapshot diff (the scale path behind GraftTable.diff):
+    * both snapshots of a bucketed PK table share the bucket layout, so one
+    * task per bucket merges the OLD file set and the NEW file set
+    * independently (the same loser-tree merge reads use) and walks the two
+    * key-sorted streams in lockstep — keys only in old emit `delete`, only
+    * in new `insert`, value-changed keys the `update_preimage`/
+    * `update_postimage` pair, unchanged keys nothing. No exchange at all:
+    * the join-based form shuffles BOTH full snapshots on the PK; here cost
+    * is one narrow stage reading each snapshot's files once, and at
+    * 1000-executor scale the diff stays proportional to bucket data with
+    * zero network. Works across any commit mix (upserts, UPDATE/DELETE
+    * rewrites, compaction) because it compares the two MERGED states, not
+    * the file deltas. */
+  def diffRead(
+      spark: SparkSession,
+      table: TableInfo,
+      schema: StructType,
+      oldFiles: Seq[ResolvedFile],
+      newFiles: Seq[ResolvedFile]): DataFrame = {
+    val outSchema = schema.add("_change_type", StringType)
+    org.apache.spark.sql.graft.StreamShim.dfFromInternalRows(
+      spark, diffRdd(spark, table, schema, oldFiles, newFiles), outSchema)
+  }
+
+  def diffRdd(
+      spark: SparkSession,
+      table: TableInfo,
+      schema: StructType,
+      oldFiles: Seq[ResolvedFile],
+      newFiles: Seq[ResolvedFile])
+    : org.apache.spark.rdd.RDD[InternalRow] = {
+    val readFn = org.apache.spark.sql.graft.StreamShim.parquetReadFunction(spark, schema)
+    val pairs = bucketGroups(table, schema, oldFiles)
+      .zip(bucketGroups(table, schema, newFiles))
+    val keyIdxArr = (table.rangeColumns ++ table.hashColumns)
+      .map(schema.fieldIndex).toArray
+    val keyTypesArr = keyIdxArr.map(schema.fields(_).dataType)
+    val merges = fieldMerges(table, schema)
+    val nFields = schema.length
+    val dts = schema.fields.map(_.dataType)
+    spark.sparkContext
+      .parallelize(pairs, math.max(1, pairs.size))
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(dts :+ StringType)
+        val keyComps = RowComp.makeComps(keyIdxArr, keyTypesArr)
+        val fieldComps = dts.zipWithIndex.map { case (dt, i) =>
+          RowComp.makeComp(i, dt)
+        }
+        it.flatMap { case (og, ng) =>
+          def mk(g: BucketGroup): Iterator[InternalRow] = {
+            val runIters: IndexedSeq[Iterator[InternalRow]] = g.runs.map { run =>
+              run._1.iterator.flatMap(pf => flatten(readFn(pf)))
+            }.toIndexedSeq
+            if (runIters.isEmpty) Iterator.empty
+            else if (runIters.size == 1) runIters.head
+            else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
+              merges, nFields, g.runs.map(_._2).toArray)
+          }
+          new SnapshotDiffIterator(mk(og), mk(ng), keyComps, fieldComps,
+            dts, proj)
         }
       }
   }
@@ -221,26 +287,95 @@ case class FieldMerge(idx: Int, dt: DataType, op: Int, sep: String,
   *     per-field copy.
   *
   * Run 0 is the oldest; on equal keys, later runs win per the operator. */
-class KWayMergeIterator(
-    runs: IndexedSeq[Iterator[InternalRow]],
-    keyIdx: Array[Int],
-    keyTypes: Array[DataType],
-    fields: Array[FieldMerge],
-    nFields: Int,
-    runMasks: Array[Array[Boolean]]) extends Iterator[InternalRow] {
+/** Lockstep walk of two key-sorted merged snapshot streams of one bucket,
+  * emitting CDF rows (row values + `_change_type`) for differing keys only.
+  * Output rows are materialized UnsafeRow COPIES: the upstream vectorized
+  * readers reuse their buffers, and the update case must hold the postimage
+  * across an advance. */
+private[read] class SnapshotDiffIterator(
+    oldIt: Iterator[InternalRow],
+    newIt: Iterator[InternalRow],
+    keyComps: Array[RowComp],
+    fieldComps: Array[RowComp],
+    dts: Array[org.apache.spark.sql.types.DataType],
+    proj: UnsafeProjection) extends Iterator[InternalRow] {
 
-  def this(runs: IndexedSeq[Iterator[InternalRow]], keyIdx: Array[Int],
-      keyTypes: Array[DataType], fields: Array[FieldMerge], nFields: Int) =
-    this(runs, keyIdx, keyTypes, fields, nFields,
-      Array.fill(runs.size)(Array.fill(nFields)(true)))
+  private val n = dts.length
+  private val INSERT = UTF8String.fromString("insert")
+  private val DELETE = UTF8String.fromString("delete")
+  private val PRE = UTF8String.fromString("update_preimage")
+  private val POST = UTF8String.fromString("update_postimage")
 
-  private abstract class RowComp {
-    def compare(a: InternalRow, b: InternalRow): Int
+  private var oh: InternalRow = if (oldIt.hasNext) oldIt.next() else null
+  private var nh: InternalRow = if (newIt.hasNext) newIt.next() else null
+  private var ready: InternalRow = null
+  private var pending: InternalRow = null // postimage queued behind the preimage
+
+  private def advOld(): Unit = oh = if (oldIt.hasNext) oldIt.next() else null
+  private def advNew(): Unit = nh = if (newIt.hasNext) newIt.next() else null
+
+  private def emit(r: InternalRow, t: UTF8String): InternalRow = {
+    val out = new GenericInternalRow(n + 1)
+    var i = 0
+    while (i < n) {
+      if (r.isNullAt(i)) out.setNullAt(i) else out.update(i, r.get(i, dts(i)))
+      i += 1
+    }
+    out.update(n, t)
+    proj(out).copy()
   }
 
+  private def rowsEqual(a: InternalRow, b: InternalRow): Boolean = {
+    var i = 0
+    while (i < fieldComps.length) {
+      if (fieldComps(i).compare(a, b) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  private def step(): Unit = {
+    while (ready == null && (oh != null || nh != null)) {
+      if (oh == null) { ready = emit(nh, INSERT); advNew() }
+      else if (nh == null) { ready = emit(oh, DELETE); advOld() }
+      else {
+        val c = RowComp.compare(keyComps, oh, nh)
+        if (c < 0) { ready = emit(oh, DELETE); advOld() }
+        else if (c > 0) { ready = emit(nh, INSERT); advNew() }
+        else {
+          if (!rowsEqual(oh, nh)) {
+            ready = emit(oh, PRE)
+            pending = emit(nh, POST)
+          }
+          advOld(); advNew()
+        }
+      }
+    }
+  }
+
+  override def hasNext: Boolean = {
+    if (ready == null && pending != null) { ready = pending; pending = null }
+    if (ready == null) step()
+    ready != null
+  }
+
+  override def next(): InternalRow = {
+    if (!hasNext) throw new NoSuchElementException
+    val r = ready
+    ready = null
+    r
+  }
+}
+
+abstract class RowComp {
+  def compare(a: InternalRow, b: InternalRow): Int
+}
+
+object RowComp {
   /** Null-aware (nulls first, matching the write-side sort), primitive-typed
-    * per-column comparator. */
-  private def makeComp(i: Int, dt: DataType): RowComp = {
+    * per-column comparator — shared by the k-way merge and the snapshot-diff
+    * kernel. */
+  def makeComp(i: Int, dt: DataType): RowComp = {
     val base: RowComp = dt match {
       case LongType | TimestampType | TimestampNTZType => new RowComp {
         def compare(a: InternalRow, b: InternalRow): Int =
@@ -294,20 +429,39 @@ class KWayMergeIterator(
     }
   }
 
-  private val k = runs.size
-  private val heads = new Array[InternalRow](k)
-  private val keyComps: Array[RowComp] =
+  def makeComps(keyIdx: Array[Int], keyTypes: Array[DataType]): Array[RowComp] =
     keyIdx.zip(keyTypes).map { case (i, dt) => makeComp(i, dt) }
 
-  private def compareKeys(a: InternalRow, b: InternalRow): Int = {
+  def compare(comps: Array[RowComp], a: InternalRow, b: InternalRow): Int = {
     var i = 0
-    while (i < keyComps.length) {
-      val c = keyComps(i).compare(a, b)
+    while (i < comps.length) {
+      val c = comps(i).compare(a, b)
       if (c != 0) return c
       i += 1
     }
     0
   }
+}
+
+class KWayMergeIterator(
+    runs: IndexedSeq[Iterator[InternalRow]],
+    keyIdx: Array[Int],
+    keyTypes: Array[DataType],
+    fields: Array[FieldMerge],
+    nFields: Int,
+    runMasks: Array[Array[Boolean]]) extends Iterator[InternalRow] {
+
+  def this(runs: IndexedSeq[Iterator[InternalRow]], keyIdx: Array[Int],
+      keyTypes: Array[DataType], fields: Array[FieldMerge], nFields: Int) =
+    this(runs, keyIdx, keyTypes, fields, nFields,
+      Array.fill(runs.size)(Array.fill(nFields)(true)))
+
+  private val k = runs.size
+  private val heads = new Array[InternalRow](k)
+  private val keyComps: Array[RowComp] = RowComp.makeComps(keyIdx, keyTypes)
+
+  private def compareKeys(a: InternalRow, b: InternalRow): Int =
+    RowComp.compare(keyComps, a, b)
 
   // ---- loser tree (Knuth TAOCP v3 replacement-selection shape) ----------
   // internal nodes 1..k-1 hold the LOSER run index of each match; slot 0

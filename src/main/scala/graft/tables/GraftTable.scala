@@ -138,6 +138,17 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       case None =>
         require(info.hasPrimaryKey,
           s"diff requires a primary-key or CDC table: $tablePath")
+        // scale path: both snapshots share the bucket layout, so the diff
+        // runs as one task per bucket walking two loser-tree merges in
+        // lockstep — ZERO shuffle (the join below shuffles both snapshots)
+        val oldFiles = resolver.filesUptoTime(tablePath, startTime)
+        val newFiles = resolver.filesUptoTime(tablePath, endTime)
+        if (graft.read.BucketMergeRead.supports(info, schema, oldFiles) &&
+            graft.read.BucketMergeRead.supports(info, schema, newFiles))
+          return graft.read.BucketMergeRead.diffRead(
+            spark, info, schema, oldFiles, newFiles)
+        // fallback (custom agg-only merge ops): full-outer PK join of the
+        // two merged snapshots
         val pks = info.hashColumns
         val cols = schema.fieldNames.toSeq
         def pack(df: DataFrame, as: String): DataFrame = df.select(
