@@ -149,30 +149,39 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             spark, info, schema, oldFiles, newFiles)
         // fallback (custom agg-only merge ops): full-outer PK join of the
         // two merged snapshots
-        val pks = info.hashColumns
-        val cols = schema.fieldNames.toSeq
-        def pack(df: DataFrame, as: String): DataFrame = df.select(
-          struct(pks.map(col): _*).as("_gk"),
-          struct(cols.map(col): _*).as(as))
-        val j = pack(snapshotAt(startTime), "_gb")
-          .join(pack(snapshotAt(endTime), "_ga"), Seq("_gk"), "full_outer")
-        // unchanged rows explode a NULL (zero output rows); updates emit
-        // the pre- and post-image as two rows from the one joined row
-        val noChange = org.apache.spark.sql.types.ArrayType(StructType(Seq(
-          StructField("r", StructType(schema.fields)),
-          StructField("t", org.apache.spark.sql.types.StringType))))
-        val change = when(col("_gb").isNull,
-            array(struct(col("_ga").as("r"), lit("insert").as("t"))))
-          .when(col("_ga").isNull,
-            array(struct(col("_gb").as("r"), lit("delete").as("t"))))
-          .when(!(col("_ga") <=> col("_gb")), array(
-            struct(col("_gb").as("r"), lit("update_preimage").as("t")),
-            struct(col("_ga").as("r"), lit("update_postimage").as("t"))))
-          .otherwise(lit(null).cast(noChange))
-        j.select(explode(change).as("_gc"))
-          .select((cols.map(c => col(s"_gc.r.$c")) :+
-            col("_gc.t").as(ct)): _*)
+        diffViaJoin(startTime, endTime)
     }
+  }
+
+  /** Join-based CDF form — the fallback [[diff]] uses when the bucket
+    * kernel can't (custom agg-only merge ops), kept callable for the
+    * kernel-vs-join probe (`tools/DiffProbe`). Shuffles BOTH snapshots on
+    * the PK. */
+  private[graft] def diffViaJoin(startTime: Long, endTime: Long): DataFrame = {
+    val ct = "_change_type"
+    val pks = info.hashColumns
+    val cols = schema.fieldNames.toSeq
+    def pack(df: DataFrame, as: String): DataFrame = df.select(
+      struct(pks.map(col): _*).as("_gk"),
+      struct(cols.map(col): _*).as(as))
+    val j = pack(snapshotAt(startTime), "_gb")
+      .join(pack(snapshotAt(endTime), "_ga"), Seq("_gk"), "full_outer")
+    // unchanged rows explode a NULL (zero output rows); updates emit
+    // the pre- and post-image as two rows from the one joined row
+    val noChange = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("r", StructType(schema.fields)),
+      StructField("t", org.apache.spark.sql.types.StringType))))
+    val change = when(col("_gb").isNull,
+        array(struct(col("_ga").as("r"), lit("insert").as("t"))))
+      .when(col("_ga").isNull,
+        array(struct(col("_gb").as("r"), lit("delete").as("t"))))
+      .when(!(col("_ga") <=> col("_gb")), array(
+        struct(col("_gb").as("r"), lit("update_preimage").as("t")),
+        struct(col("_ga").as("r"), lit("update_postimage").as("t"))))
+      .otherwise(lit(null).cast(noChange))
+    j.select(explode(change).as("_gc"))
+      .select((cols.map(c => col(s"_gc.r.$c")) :+
+        col("_gc.t").as(ct)): _*)
   }
 
   /** Table-level commit history (DESCRIBE-HISTORY / `VERSION AS OF`
