@@ -185,6 +185,13 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case "disable_rewrite" =>
         graft.pipeline.MaterializedView.disableRewrite(spark, args("view_path"))
         "rewrite disabled"
+      case "expect" =>
+        // data-quality expectation on future writes:
+        // CALL graft.expect(table_path => '...', name => 'minlen',
+        //   predicate => 'length(text) >= 3', action => 'quarantine')
+        tableOf(spark).expect(args("name"), args("predicate"),
+          args.getOrElse("action", "fail"))
+        "expectation set"
       case "create_index" =>
         graft.tables.SecondaryIndex.create(spark,
           args("source_path"), args("index_path"), args("column"),

@@ -192,6 +192,11 @@ class CommandSuite extends SparkFixture {
       assert(GraftTable.create(spark, Seq((1L, "a", 1)).toDF("id", "v", "n"),
         path + "-clean", hashColumns = Seq("id"), bucketNum = 1)
         .quarantined.count() == 0)
+      // SQL surface: CALL graft.expect sets the same properties
+      spark.sql(s"CALL graft.expect(table_path => '$path', " +
+        "name => 'sqlgate', predicate => 'n < 1000', action => 'drop')")
+      t.append(Seq((9L, "fine", 5000)).toDF("id", "v", "n"))
+      assert(t.toDF.filter(col("id") === 9L).count() == 0)
     }
   }
 
