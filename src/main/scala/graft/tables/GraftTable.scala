@@ -983,6 +983,34 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         .add("_g_expect_ts", org.apache.spark.sql.types.TimestampType))
   }
 
+  /** AUTO RE-BUCKETING (100 TB lifecycle): the bucket count is fixed at
+    * creation, so a table that grows 100x ends up with huge buckets —
+    * long merge tasks, capped parallelism. With the
+    * `graft.bucket.targetBytes` property set, this check re-buckets
+    * (newBucketNum compaction — one full rewrite) to the next power-of-2
+    * count that brings avg live bytes/bucket back under target. Growth is
+    * geometric, so a table pays at most log2(growth) rewrites over its
+    * lifetime; the CompactionDaemon calls this each sweep. Returns the new
+    * bucket count when it re-bucketed. */
+  def autoRebucket(): Option[Int] =
+    info.properties.get("graft.bucket.targetBytes").map(_.toLong)
+      .filter(_ > 0).filter(_ => info.hasPrimaryKey).flatMap { target =>
+        val live = liveFiles.map(_.file.size).sum
+        val n = info.bucketNum
+        if (live / math.max(1, n) <= target) None
+        else {
+          var k = n
+          while (live / k > target) k *= 2
+          compaction(CompactionOptions(newBucketNum = Some(k)), _ => true)
+          Some(k)
+        }
+      }
+
+  /** Opt in to [[autoRebucket]] at `targetBytes` avg bucket size. */
+  def setBucketTargetBytes(targetBytes: Long): GraftTable = {
+    setProperties(Map("graft.bucket.targetBytes" -> targetBytes.toString)); this
+  }
+
   def setPartitionTtl(days: Int): GraftTable = {
     setProperties(Map("graft.partition.ttl.days" -> days.toString)); this
   }

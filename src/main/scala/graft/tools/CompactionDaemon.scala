@@ -36,11 +36,13 @@ class CompactionDaemon(
         val t = GraftTable.forPath(spark, path)
         val before = t.liveFiles.groupBy(_.partitionDesc)
           .values.map(_.map(_.commitOrdinal).distinct.size).maxOption.getOrElse(0)
-        if (before > fileNumLimit) {
+        val rebucketed = t.autoRebucket().isDefined // no-op without the prop
+        if (before > fileNumLimit && !rebucketed) {
           t.compaction(CompactionOptions(fileNumLimit = Some(fileNumLimit)),
             _ => true)
           Some(path)
-        } else None
+        } else if (rebucketed) Some(path)
+        else None
       } catch { case _: Throwable => None } // dropped tables, races: skip
     }
 

@@ -312,6 +312,26 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("auto re-bucketing: growth past targetBytes re-buckets to the next " +
+    "power-of-2 count, data intact; under target is a no-op") {
+    withTempPath { path =>
+      val df = (1 to 2000).map(i => (i.toLong, s"value-$i" * 8)).toDF("id", "v")
+      val t = GraftTable.create(spark, df, path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val live = t.liveFiles.map(_.file.size).sum
+      // target above current avg -> no-op
+      t.setBucketTargetBytes(live)
+      assert(t.autoRebucket().isEmpty)
+      assert(t.info.bucketNum == 2)
+      // target at ~1/3 of avg -> buckets double until avg fits (2 -> 8)
+      t.setBucketTargetBytes(live / 6)
+      assert(t.autoRebucket().contains(8))
+      assert(t.info.bucketNum == 8)
+      assert(t.toDF.count() == 2000)
+      assert(t.lookupByPk(Seq(1777L)).count() == 1) // PK pruning still right
+    }
+  }
+
   test("compaction daemon compacts only tables over the run threshold") {
     withTempPath { p1 =>
       withTempPath { p2 =>
