@@ -88,7 +88,8 @@ object TransactionalWrite {
   /** Normalize an incoming batch to the table schema: keep table-schema
     * column order, cast types; columns absent from the batch stay absent
     * (schema evolution — recorded in existCols, read back as null). */
-  def normalize(table: TableInfo, df: DataFrame): DataFrame = {
+  def normalize(table: TableInfo, df: DataFrame,
+      ingestion: Boolean = true): DataFrame = {
     val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
     val present = df.columns.toSet
     val keep = schema.fields.filter(f => present.contains(f.name))
@@ -97,7 +98,12 @@ object TransactionalWrite {
       s"batch is missing partition/primary-key columns: ${missing.mkString(", ")}")
     val normalized =
       df.select(keep.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    enforceInvariants(table, applyExpectations(table, normalized))
+    // expectations gate NEW data entering the table (ingestion commits
+    // only): a maintenance rewrite or compaction re-running them would
+    // silently REMOVE previously-admitted rows if an expectation was added
+    // after they loaded — data loss through an internal op
+    enforceInvariants(table,
+      if (ingestion) applyExpectations(table, normalized) else normalized)
   }
 
   /** Data-quality EXPECTATIONS (beyond the reference; the
@@ -213,7 +219,8 @@ object TransactionalWrite {
       skipPreMerge: Boolean = false,
       clusterCols: Seq[String] = Nil): Seq[DataCommitInfo] = {
     val commitId = MetaStore.newCommitId()
-    val df0 = normalize(table, dfIn)
+    val df0 = normalize(table, dfIn,
+      ingestion = commitOp == CommitOp.Append || commitOp == CommitOp.Merge)
     val df = if (table.hasPrimaryKey && !skipPreMerge) preMerge(table, df0) else df0
     val existCols = df.columns.mkString(",")
 

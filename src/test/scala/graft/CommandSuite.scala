@@ -197,6 +197,14 @@ class CommandSuite extends SparkFixture {
         "name => 'sqlgate', predicate => 'n < 1000', action => 'drop')")
       t.append(Seq((9L, "fine", 5000)).toDF("id", "v", "n"))
       assert(t.toDF.filter(col("id") === 9L).count() == 0)
+      // expectations gate INGESTION only: an expectation added after rows
+      // loaded must not let a maintenance rewrite remove them
+      t.expect("late_gate", "id <> 0", "drop")
+      val before = t.toDF.count()
+      t.compaction()
+      assert(t.toDF.count() == before,
+        "compaction must not re-apply expectations to admitted rows")
+      assert(t.toDF.filter(col("id") === 0L).count() == 1)
     }
   }
 
