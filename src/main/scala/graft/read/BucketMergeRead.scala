@@ -178,8 +178,31 @@ object BucketMergeRead {
       newFiles: Seq[ResolvedFile])
     : org.apache.spark.rdd.RDD[InternalRow] = {
     val readFn = org.apache.spark.sql.graft.StreamShim.parquetReadFunction(spark, schema)
-    val pairs = bucketGroups(table, schema, oldFiles)
-      .zip(bucketGroups(table, schema, newFiles))
+    // one diff task per TOUCHED (partition, bucket): a pair whose ordered
+    // run structure is identical between the snapshots cannot differ, so
+    // it is skipped without reading a byte — an append-only window over a
+    // partitioned table diffs only the touched partitions' buckets
+    // (O(changed data), not O(table))
+    def byPB(fs: Seq[ResolvedFile]) = fs.groupBy(f => (f.partitionDesc, f.file.bucketId))
+    def runSig(fs: Seq[ResolvedFile]) = fs.groupBy(_.commitOrdinal)
+      .toSeq.sortBy(_._1).map(_._2.map(_.file.path).sorted)
+    def runsOf(fs: Seq[ResolvedFile]): Seq[(Seq[PartitionedFile], Array[Boolean])] =
+      fs.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map { case (_, run) =>
+        (run.sortBy(f => (f.partitionDesc, f.file.path)).map { f =>
+          PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
+            0L, f.file.size)
+        }, presentMask(schema, run.head.file.existCols))
+      }
+    val oldBy = byPB(oldFiles); val newBy = byPB(newFiles)
+    val pairs: Seq[(BucketGroup, BucketGroup)] =
+      (oldBy.keySet ++ newBy.keySet).toSeq.sorted
+        .filter { k =>
+          runSig(oldBy.getOrElse(k, Nil)) != runSig(newBy.getOrElse(k, Nil))
+        }
+        .map { case k @ (_, b) =>
+          (BucketGroup(b, runsOf(oldBy.getOrElse(k, Nil))),
+            BucketGroup(b, runsOf(newBy.getOrElse(k, Nil))))
+        }
     val keyIdxArr = (table.rangeColumns ++ table.hashColumns)
       .map(schema.fieldIndex).toArray
     val keyTypesArr = keyIdxArr.map(schema.fields(_).dataType)

@@ -288,6 +288,28 @@ class DataSourceSuite extends SparkFixture {
     }
   }
 
+  test("diff kernel prunes untouched (partition, bucket) pairs: an append " +
+    "to one partition diffs only that partition's buckets") {
+    withTempPath { dir =>
+      val df = (1 to 400).map(i => (i.toLong, s"p${i % 4}", i * 2))
+        .toDF("id", "p", "v")
+      val t = GraftTable.create(spark, df, dir,
+        rangeColumns = Seq("p"), hashColumns = Seq("id"), bucketNum = 4)
+      val ts1 = t.lastCommitTs
+      t.append(Seq((1001L, "p2", -1), (1002L, "p2", -2)).toDF("id", "p", "v"))
+      val oldF = t.filesUptoTime(ts1)
+      val newF = t.filesUptoTime(t.lastCommitTs)
+      val rdd = graft.read.BucketMergeRead.diffRdd(spark, t.info, t.schema,
+        oldF, newF)
+      // only p=p2's touched buckets become tasks (2 new keys land in <= 2
+      // buckets), not 4 partitions x 4 buckets
+      assert(rdd.getNumPartitions <= 2, s"got ${rdd.getNumPartitions} tasks")
+      assert(t.diff(ts1, t.lastCommitTs).orderBy("id")
+        .collect().map(_.toString).toSeq ==
+        Seq("[1001,p2,-1,insert]", "[1002,p2,-2,insert]"))
+    }
+  }
+
   test("KafkaIngest fails fast with guidance when the connector is absent " +
     "(S12: source wiring is real, the jar is the only missing piece)") {
     import graft.streaming.KafkaIngest
