@@ -83,18 +83,29 @@ object SecondaryIndex {
     if (latest <= cursor) return idx
     val bad = src.commitOpsBetween(cursor, latest) --
       Set(CommitOp.Append, CommitOp.Merge, CommitOp.Compaction)
-    require(bad.isEmpty,
-      s"source $sourcePath has non-incremental commit(s) ${bad.mkString(", ")} " +
-        "— secondary indexes need insert-only sources")
     // a shallow clone's base snapshot is compaction commits the incremental
     // reader skips — an initial backfill that would index NOTHING from a
     // non-empty source must fail loudly (see MaterializedView.refresh)
-    require(cursor > 0 || src.incrementalFiles(0L, latest).nonEmpty ||
-      src.liveFiles.isEmpty,
+    require(bad.nonEmpty || cursor > 0 ||
+      src.incrementalFiles(0L, latest).nonEmpty || src.liveFiles.isEmpty,
       s"source $sourcePath has no incrementally-consumable history (e.g. " +
         "a shallow clone's base snapshot) — secondary indexes need sources " +
         "whose rows arrived as append/upsert commits")
-    val partial = src.incremental(cursor, latest)
+    // insert-only windows fold the O(delta) incremental read; a window
+    // carrying UPDATE/DELETE rewrites folds the ADD side of the change
+    // feed instead (the zero-shuffle diff kernel, pruned to touched
+    // partition/bucket pairs). The REMOVE side is deliberately not folded:
+    // posting lists only union (set_union_longs), and stale postings are
+    // verified-safe — a deleted pk fetches no row, a moved value fails the
+    // lookup's re-verification — so updates/deletes cost lookup IO, never
+    // wrong answers, and maintenance no longer wedges on the first
+    // non-incremental source commit.
+    val adds =
+      if (bad.isEmpty) src.incremental(cursor, latest)
+      else src.diff(cursor, latest)
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type")
+    val partial = adds
       .filter(col(column).isNotNull)
       .groupBy(col(column).as("ival"))
       .agg(sort_array(collect_set(col(pk).cast("long"))).as("pks"))

@@ -84,12 +84,21 @@ class SecondaryIndexSuite extends SparkFixture {
       }
       SecondaryIndex.create(spark, s"$dir/src", s"$dir/idx", "g")
       SecondaryIndex.refresh(spark, s"$dir/idx")
-      t.delete($"id" === 3L)
-      t.upsert(rows(5, offset = 10))
-      val e = intercept[IllegalArgumentException] {
-        SecondaryIndex.refresh(spark, s"$dir/idx")
-      }
-      assert(e.getMessage.contains("insert-only"))
+      // a window carrying DELETE + UPDATE no longer wedges maintenance:
+      // refresh folds the ADD side of the change feed; deleted pks fetch
+      // nothing and moved values fail re-verification, so lookups stay
+      // exact through the mutation
+      t.delete($"id" === 3L)                        // g3 loses id 3
+      t.update($"id" === 7L, Map("g" -> lit("g3"))) // id 7 moves g2 -> g3
+      t.upsert(rows(5, offset = 10))                // ids 10-14 insert
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      assertSameRows(SecondaryIndex.lookup(spark, s"$dir/idx", "g3"),
+        t.toDF.filter($"g" === "g3"))
+      assert(SecondaryIndex.lookup(spark, s"$dir/idx", "g3")
+        .select("id").as[Long].collect().toSet == Set(7L, 8L, 13L))
+      // the moved row's OLD value no longer returns it
+      assert(!SecondaryIndex.lookup(spark, s"$dir/idx", "g2")
+        .select("id").as[Long].collect().contains(7L))
     }
   }
 }
