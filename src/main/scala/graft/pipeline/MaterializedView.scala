@@ -231,12 +231,14 @@ object MaterializedView {
     if (latest <= cursor) return v
     if (p.get(MutableProp).contains("true")) {
       // MUTABLE view: fold the row-level change feed with signed weights —
-      // exact for ANY commit mix (updates, deletes, overwriting upserts,
-      // compactions) because diff() compares the two snapshots on the PK.
-      // Cost per refresh is two snapshot scans + one PK join (vs O(delta)
-      // for insert-only views) — the price of invertible maintenance
-      // without write-time preimage capture; the view upsert itself still
-      // touches only changed groups.
+      // ALWAYS via the zero-shuffle diff kernel (pruned to touched
+      // partition/bucket pairs), exact for any commit mix. Deliberately no
+      // "append-only window" O(delta) shortcut: on a PK table even an
+      // Append commit can land an existing key (the MOR merge overwrites
+      // at read), and folding it as a pure insert would silently
+      // double-count — the exactness these views exist for wins over the
+      // shortcut. Insert-only pipelines that can promise disjoint keys
+      // should use the plain (immutable) view, which is O(delta).
       val changes = src.diff(cursor, latest)
       val delta = applyFilter(
         applyDims(spark, changes, decodeDims(p)), p.get(FilterProp))
