@@ -84,23 +84,27 @@ object BucketMergeRead {
   private def orderableOrAny(dt: DataType): Boolean = true
 
   /** bucket -> ordered runs; a "run" r = all ordinal-r files of the bucket
-    * across range partitions, concatenated in partition-desc order (files
-    * are internally sorted by (range, pk), and descs are disjoint key
-    * ranges under the desc-string comparator). Path tiebreak: rolled file
-    * parts (...c000, ...c001) of one task concatenate in pk order. */
+    * across range partitions, concatenated in TYPED partition order
+    * ([[graft.util.DescOrder]] — desc-STRING order diverges for numeric
+    * ranges and broke the merge's sorted-run invariant; files are
+    * internally sorted by (range, pk), and descs are disjoint key ranges
+    * under the typed comparator). Path tiebreak: rolled file parts
+    * (...c000, ...c001) of one task concatenate in pk order. */
   private def bucketGroups(table: TableInfo, schema: StructType,
-      files: Seq[ResolvedFile]): Seq[BucketGroup] =
+      files: Seq[ResolvedFile]): Seq[BucketGroup] = {
+    val runOrd = graft.util.DescOrder.runFileOrdering(table, schema)
     (0 until table.bucketNum).map { b =>
       val mine = files.filter(_.file.bucketId == b)
       val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
         case (_, fs) =>
-          (fs.sortBy(f => (f.partitionDesc, f.file.path)).map { f =>
+          (fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map { f =>
             PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
               0L, f.file.size)
           }, presentMask(schema, fs.head.file.existCols))
       }
       BucketGroup(b, runs)
     }
+  }
 
   def read(
       spark: SparkSession,

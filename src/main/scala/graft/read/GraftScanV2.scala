@@ -3,6 +3,7 @@ package graft.read
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
@@ -389,6 +390,7 @@ class GraftScan(
     keepCdcRows: Boolean = false,
     scanOptions: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportOrdering
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // metadata-level file skipping (zone maps): drop files whose min/max
@@ -502,14 +504,30 @@ class GraftScan(
         info.bucketNum)
     else new UnknownPartitioning(planInputPartitions().length)
 
+  /** The k-way merge emits each bucket partition in (rangeCols, pkCols)
+    * ascending nulls-first order (RowComp comparators over typed-ordered
+    * runs — DescOrder), so report it: together with KeyGroupedPartitioning
+    * this is the reference's SetPartitionAndOrdering.scala:41-127 — a
+    * sort-merge join between co-bucketed PK tables plans with NEITHER an
+    * exchange NOR a sort on either side. */
+  override def outputOrdering(): Array[connector.expressions.SortOrder] =
+    if (bucketMergeable)
+      (info.rangeColumns ++ info.hashColumns).map(c =>
+        Expressions.sort(Expressions.column(c),
+          connector.expressions.SortDirection.ASCENDING)).toArray
+    else Array.empty
+
   override def planInputPartitions(): Array[InputPartition] =
     if (bucketMergeable) {
+      // typed run-concatenation order — see DescOrder (desc-string order
+      // breaks the merge's sorted-run invariant for numeric range columns)
+      val runOrd = graft.util.DescOrder.runFileOrdering(info, schema)
       val buckets = pkBucket.map(Seq(_)).getOrElse(0 until info.bucketNum)
       buckets.map { b =>
         val mine = files.filter(_.file.bucketId == b)
         val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
           case (_, fs) =>
-            GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path)).map(f =>
+            GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map(f =>
               PartitionedFile(InternalRow.empty,
                 SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
               BucketMergeRead.presentMask(schema, fs.head.file.existCols))
@@ -650,17 +668,20 @@ class GraftMicroBatchStream(
         PartitionedFile(InternalRow.empty,
           SparkPath.fromPathString(f.file.path), 0L, f.file.size),
         BucketMergeRead.presentMask(schema, f.file.existCols)): InputPartition).toArray
-    else (0 until info.bucketNum).map { b =>
+    else {
+      val runOrd = graft.util.DescOrder.runFileOrdering(info, schema)
+      (0 until info.bucketNum).map { b =>
       val mine = files.filter(_.file.bucketId == b)
       val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
         case (_, fs) =>
-          GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path)).map(f =>
+          GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map(f =>
             PartitionedFile(InternalRow.empty,
               SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
             BucketMergeRead.presentMask(schema, fs.head.file.existCols))
       }.toArray
       GraftBucketPartition(b, runs): InputPartition
     }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -68,6 +68,58 @@ class BucketedJoinSuite extends SparkFixture {
     }
   }
 
+  test("SPJ sort-merge join plans zero exchanges AND zero sorts (reported ordering)") {
+    // the reference's SetPartitionAndOrdering.scala:41-127: the scan reports
+    // HashPartitioning + (range, pk) ordering, so an SMJ between co-bucketed
+    // PK tables needs neither an exchange nor a sort on either side
+    withTempPath { wh =>
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse", wh)
+      val restore = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" ->
+          spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold" ->
+          spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.join.preferSortMergeJoin" ->
+          spark.conf.getOption("spark.sql.join.preferSortMergeJoin"))
+      try {
+        (1 to 300).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
+          .createOrReplaceTempView("smj_src_l")
+        (151 to 450).map(i => (i.toLong, i * 2)).toDF("id", "rv")
+          .createOrReplaceTempView("smj_src_r")
+        spark.sql("CREATE TABLE graft_cat.smj.l PARTITIONED BY (bucket(4, id)) " +
+          "AS SELECT * FROM smj_src_l")
+        spark.sql("CREATE TABLE graft_cat.smj.r PARTITIONED BY (bucket(4, id)) " +
+          "AS SELECT * FROM smj_src_r")
+        // deltas on both sides so the MOR merge path (not a plain compacted
+        // scan) is what reports the ordering
+        spark.sql("INSERT INTO graft_cat.smj.l VALUES (200, 'L200')")
+        spark.sql("INSERT INTO graft_cat.smj.r VALUES (200, 999)")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        val j = spark.sql("SELECT l.id, lv, rv FROM graft_cat.smj.l l " +
+          "JOIN graft_cat.smj.r r ON l.id = r.id")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+        assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+        // correctness: same rows as the plain join of the raw sources, with
+        // last-writer-wins on the upserted key
+        assert(j.count() == 150)
+        assert(j.filter($"id" === 200L).head.getString(1) == "L200")
+        assert(j.filter($"id" === 200L).head.getInt(2) == 999)
+      } finally {
+        restore.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        spark.sql("DROP TABLE IF EXISTS graft_cat.smj.l")
+        spark.sql("DROP TABLE IF EXISTS graft_cat.smj.r")
+      }
+    }
+  }
+
   test("bucketedJoin validates bucketing compatibility") {
     withTempPath { p1 =>
       withTempPath { p2 =>
