@@ -551,13 +551,20 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // re-bucketing forces a full rewrite)
       val (keep, merge) = opts.fileSizeLimit match {
         case Some(limit) if opts.newBucketNum.isEmpty =>
-          // a "run" is one commit ordinal within a partition; carry it over
-          // only if ALL its files exceed the limit AND it is merge-free
-          val byRun = all.groupBy(f => (f.partitionDesc, f.commitOrdinal))
-          val (k, m) = byRun.partition { case (_, fs) =>
-            fs.forall(_.file.size >= limit)
+          // a "run" is one commit ordinal within a partition (small = any
+          // file under the limit). The merged output is published as the
+          // NEWEST run, so only the maximal SUFFIX of consecutive small
+          // runs may merge: merging a small run from below a carried-over
+          // large run would lift its older values above the carried run's
+          // newer ones (last-writer-wins resurrection). Older small runs
+          // stranded under a large run wait for full compaction.
+          val perDesc = all.groupBy(_.partitionDesc).values.map { fs =>
+            val runs = fs.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map(_._2)
+            val suffix = runs.reverse
+              .takeWhile(_.exists(_.file.size < limit)).reverse
+            (runs.dropRight(suffix.size).flatten, suffix.flatten)
           }
-          (k.values.flatten.toSeq, m.values.flatten.toSeq)
+          (perDesc.flatMap(_._1).toSeq, perDesc.flatMap(_._2).toSeq)
         case _ => (Nil, all)
       }
       if (merge.nonEmpty) {
