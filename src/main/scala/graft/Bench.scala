@@ -296,6 +296,30 @@ object Bench {
       System.err.println(s"[bench] index scenario failed: ${e.getMessage}")
     }
 
+    // DELETE modes head-to-head: the same ~1.5%-selectivity predicate
+    // delete on two identical PK tables — tombstone (key-only delta run,
+    // zero data files rewritten; the 100 TB operating mode) vs the
+    // copy-on-write rewrite. Builds untimed; timed = the delete op and a
+    // post-delete read each. One-shot ops on fresh state can't re-run, so
+    // these are single-sample entries (the regime medians above cover the
+    // noise argument).
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      def freshTable(tag: String) = GraftTable.create(spark, orders,
+        java.nio.file.Files.createTempDirectory(s"graft-bench-$tag-")
+          .toFile.getAbsolutePath,
+        hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+      val pred = col("o_orderstatus") === "F" && col("o_orderkey") % 37 === 0
+      val tt = freshTable("deltomb")
+      results("delete_tombstone") = time { tt.deleteTombstone(pred) }
+      results("delete_tombstone_read") = minOf3 { tt.toDF.count() }
+      val tr = freshTable("delrw")
+      results("delete_rewrite") = time { tr.delete(pred) }
+      results("delete_rewrite_read") = minOf3 { tr.toDF.count() }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] delete scenario failed: ${e.getMessage}")
+    }
+
     // storage-partitioned SQL join: two co-bucketed catalog tables built
     // UNTIMED, then the plain SQL join (zero exchanges) timed on its own
     try {

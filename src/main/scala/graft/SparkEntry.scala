@@ -1404,6 +1404,28 @@ object SparkEntry {
       t.delete(col("c_acctbal") < 0)
       t.toDF
     }),
+    "delete_tombstone" -> q((s, d) => {
+      // DELETE as a key-only TOMBSTONE delta run (the LSM answer to
+      // deletion vectors): O(matched rows) written, ZERO data files
+      // rewritten — asserted in-query: every pre-delete file must still be
+      // live afterwards. Then an upsert revives one deleted key (run-order
+      // semantics) and a FULL compaction materializes the rest away.
+      val c = rd(s, d, "customer")
+      val t = GraftTable.create(s, c, tmp("deltomb"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      val before = t.liveFiles.map(_.file.path).toSet
+      t.deleteTombstone(col("c_mktsegment") === "BUILDING")
+      require(before.subsetOf(t.liveFiles.map(_.file.path).toSet),
+        "tombstone delete must not rewrite data files")
+      require(t.liveFiles.exists(f => graft.meta.Tombstone.isTombstone(f.file)),
+        "tombstone run missing")
+      t.upsert(c.filter(col("c_custkey") === 1L)
+        .withColumn("c_mktsegment", lit("REVIVED")))
+      t.compaction()
+      require(!t.liveFiles.exists(f => graft.meta.Tombstone.isTombstone(f.file)),
+        "full compaction must drop tombstone runs")
+      t.toDF
+    }),
     "compaction_read" -> q((s, d) => {
       val o = rd(s, d, "orders")
       val t = GraftTable.create(s, o, tmp("compact"),
@@ -2740,6 +2762,10 @@ object SparkEntry {
         |  c_mktsegment FROM customer""".stripMargin,
     "delete_cmd" ->
       "SELECT * FROM customer WHERE NOT (c_acctbal < 0)",
+    "delete_tombstone" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |  CASE WHEN c_custkey = 1 THEN 'REVIVED' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE c_mktsegment <> 'BUILDING' OR c_custkey = 1""".stripMargin,
     "compaction_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

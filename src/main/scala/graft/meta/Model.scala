@@ -72,9 +72,26 @@ case class TableInfo(
   def cdcColumn: Option[String] = properties.get(TableInfo.CdcColumnProp)
 }
 
+/** TOMBSTONE delta runs (beyond-ref; the LSM answer to deletion vectors):
+  * a run whose rows are just primary keys, marking every older version of
+  * those keys deleted. DELETE stops rewriting whole buckets and writes only
+  * the matched keys; the k-way merge drops a key whose newest holder is a
+  * tombstone run. Flagged by a reserved token inside `existCols` so
+  * [[DataFileInfo]] and its serialization stay unchanged. */
+object Tombstone {
+  val Marker = "__graft_tombstone__"
+  def isTombstone(existCols: String): Boolean =
+    existCols != null && existCols.nonEmpty &&
+      existCols.split(',').contains(Marker)
+  def isTombstone(f: DataFileInfo): Boolean = isTombstone(f.existCols)
+}
+
 object TableInfo {
   /** Reference: `lakesoul_cdc_change_column` (LakeSoulUtils.scala:228-247). */
   val CdcColumnProp = "graft.cdc.column"
+  /** "tombstone" routes predicate DELETEs on PK tables through [[Tombstone]]
+    * delta runs instead of file rewrites (default: rewrite). */
+  val DeleteModeProp = "graft.delete.mode"
   /** Reference: `skip_merge_on_read` (LakeSoulUtils.scala:232). */
   val SkipMergeOnReadProp = "graft.skipMergeOnRead"
   /** Per-column merge operators, e.g. "sum" -> "sum_all". */

@@ -43,9 +43,10 @@ object BucketMergeRead {
   /** One run of one bucket: files sorted by partition desc + the run's
     * physical-column presence mask over the read schema (schema evolution:
     * files written before a column existed mark it absent — absent is NOT
-    * an explicit null, MergeParquetScan.scala:211-257). */
+    * an explicit null, MergeParquetScan.scala:211-257) + whether the run is
+    * a key-only tombstone run ([[graft.meta.Tombstone]]). */
   private case class BucketGroup(
-      bucket: Int, runs: Seq[(Seq[PartitionedFile], Array[Boolean])])
+      bucket: Int, runs: Seq[(Seq[PartitionedFile], Array[Boolean], Boolean)])
 
   /** Presence mask of one run's physical columns over the read schema. */
   def presentMask(schema: StructType, existCols: String): Array[Boolean] =
@@ -100,7 +101,8 @@ object BucketMergeRead {
           (fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map { f =>
             PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
               0L, f.file.size)
-          }, presentMask(schema, fs.head.file.existCols))
+          }, presentMask(schema, fs.head.file.existCols),
+            graft.meta.Tombstone.isTombstone(fs.head.file))
       }
       BucketGroup(b, runs)
     }
@@ -142,9 +144,12 @@ object BucketMergeRead {
           }.toIndexedSeq
           val merged: Iterator[InternalRow] =
             if (runIters.isEmpty) Iterator.empty
-            else if (runIters.size == 1) runIters.head
-            else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
-              merges, nFields, g.runs.map(_._2).toArray)
+            else if (runIters.size == 1) {
+              // a lone tombstone run holds no live rows
+              if (g.runs.head._3) Iterator.empty else runIters.head
+            } else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
+              merges, nFields, g.runs.map(_._2).toArray,
+              g.runs.map(_._3).toArray)
           merged.map(proj)
         }
       }
@@ -190,12 +195,14 @@ object BucketMergeRead {
     def byPB(fs: Seq[ResolvedFile]) = fs.groupBy(f => (f.partitionDesc, f.file.bucketId))
     def runSig(fs: Seq[ResolvedFile]) = fs.groupBy(_.commitOrdinal)
       .toSeq.sortBy(_._1).map(_._2.map(_.file.path).sorted)
-    def runsOf(fs: Seq[ResolvedFile]): Seq[(Seq[PartitionedFile], Array[Boolean])] =
+    def runsOf(fs: Seq[ResolvedFile])
+        : Seq[(Seq[PartitionedFile], Array[Boolean], Boolean)] =
       fs.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map { case (_, run) =>
         (run.sortBy(f => (f.partitionDesc, f.file.path)).map { f =>
           PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
             0L, f.file.size)
-        }, presentMask(schema, run.head.file.existCols))
+        }, presentMask(schema, run.head.file.existCols),
+          graft.meta.Tombstone.isTombstone(run.head.file))
       }
     val oldBy = byPB(oldFiles); val newBy = byPB(newFiles)
     val pairs: Seq[(BucketGroup, BucketGroup)] =
@@ -227,9 +234,11 @@ object BucketMergeRead {
               run._1.iterator.flatMap(pf => flatten(readFn(pf)))
             }.toIndexedSeq
             if (runIters.isEmpty) Iterator.empty
-            else if (runIters.size == 1) runIters.head
-            else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
-              merges, nFields, g.runs.map(_._2).toArray)
+            else if (runIters.size == 1) {
+              if (g.runs.head._3) Iterator.empty else runIters.head
+            } else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
+              merges, nFields, g.runs.map(_._2).toArray,
+              g.runs.map(_._3).toArray)
           }
           new SnapshotDiffIterator(mk(og), mk(ng), keyComps, fieldComps,
             dts, proj)
@@ -476,12 +485,24 @@ class KWayMergeIterator(
     keyTypes: Array[DataType],
     fields: Array[FieldMerge],
     nFields: Int,
-    runMasks: Array[Array[Boolean]]) extends Iterator[InternalRow] {
+    runMasks: Array[Array[Boolean]],
+    runTombs: Array[Boolean]) extends Iterator[InternalRow] {
+
+  def this(runs: IndexedSeq[Iterator[InternalRow]], keyIdx: Array[Int],
+      keyTypes: Array[DataType], fields: Array[FieldMerge], nFields: Int,
+      runMasks: Array[Array[Boolean]]) =
+    this(runs, keyIdx, keyTypes, fields, nFields, runMasks,
+      new Array[Boolean](runs.size))
 
   def this(runs: IndexedSeq[Iterator[InternalRow]], keyIdx: Array[Int],
       keyTypes: Array[DataType], fields: Array[FieldMerge], nFields: Int) =
     this(runs, keyIdx, keyTypes, fields, nFields,
-      Array.fill(runs.size)(Array.fill(nFields)(true)))
+      Array.fill(runs.size)(Array.fill(nFields)(true)),
+      new Array[Boolean](runs.size))
+
+  /** Any tombstone run present? When false, the original zero-copy
+    * hasNext/next shape runs untouched (no lookahead buffering). */
+  private val anyTomb = runTombs.exists(identity)
 
   private val k = runs.size
   private val heads = new Array[InternalRow](k)
@@ -567,41 +588,97 @@ class KWayMergeIterator(
   private def flushPending(): Unit =
     if (pendingRun >= 0) { advanceNow(pendingRun); pendingRun = -1 }
 
-  override def hasNext: Boolean = {
-    flushPending()
-    val w = loserTree(0)
-    w >= 0 && heads(w) != null
+  /** Buffered next row for the tombstone-aware path only (a dropped key
+    * forces lookahead; the tomb-free path keeps the unbuffered shape). */
+  private var ready: InternalRow = null
+
+  override def hasNext: Boolean =
+    if (!anyTomb) {
+      flushPending()
+      val w = loserTree(0)
+      w >= 0 && heads(w) != null
+    } else {
+      if (ready == null) ready = computeNextWithTombs()
+      ready != null
+    }
+
+  override def next(): InternalRow =
+    if (!anyTomb) {
+      flushPending()
+      val w = loserTree(0)
+      val first = heads(w)
+      val ru = runnerUp(w)
+      if (ru < 0 || heads(ru) == null || compareKeys(heads(ru), first) != 0) {
+        // unique key: emit the live row, defer the advance until it's
+        // consumed (absent evolved columns surface as nulls from the
+        // reader — correct for a single contributor)
+        pendingRun = w
+        first
+      } else mergeGroup(w, first, firstTomb = false) // never null: no tombs
+    } else {
+      if (!hasNext) throw new NoSuchElementException
+      val r = ready
+      ready = null
+      r
+    }
+
+  /** Tombstone-aware scan for the next LIVE key: unique keys held only by a
+    * tombstone run are skipped; grouped keys whose newest holder is a
+    * tombstone are dropped. The unique-key zero-copy path is preserved —
+    * the returned live row's run advances lazily via pendingRun. */
+  private def computeNextWithTombs(): InternalRow = {
+    while (true) {
+      flushPending()
+      val w = loserTree(0)
+      if (w < 0 || heads(w) == null) return null
+      val first = heads(w)
+      val ru = runnerUp(w)
+      if (ru < 0 || heads(ru) == null || compareKeys(heads(ru), first) != 0) {
+        if (runTombs(w)) advanceNow(w) // deleted key, no other holder: skip
+        else { pendingRun = w; return first }
+      } else {
+        val r = mergeGroup(w, first, firstTomb = runTombs(w))
+        if (r != null) return r
+      }
+    }
+    null // unreachable
   }
 
-  override def next(): InternalRow = {
-    flushPending()
-    val w = loserTree(0)
-    val first = heads(w)
-    val ru = runnerUp(w)
-    if (ru < 0 || heads(ru) == null || compareKeys(heads(ru), first) != 0) {
-      // unique key: emit the live row, defer the advance until it's consumed
-      // (absent evolved columns surface as nulls from the reader — correct
-      // for a single contributor)
-      pendingRun = w
-      first
-    } else {
-      // >=2 runs hold this key: deep-copy into a scratch row, fold newer
-      // runs into it oldest -> newest, advancing each contributor eagerly.
-      // contributed/poisoned track per-field operator state across runs
-      // with heterogeneous physical columns (schema evolution).
-      val acc = new GenericInternalRow(nFields)
-      val contributed = new Array[Boolean](nFields)
-      val poisoned = new Array[Boolean](nFields)
-      copyRow(first, runMasks(w), acc, contributed, poisoned)
-      advanceNow(w)
-      var w2 = loserTree(0)
-      while (w2 >= 0 && heads(w2) != null && compareKeys(heads(w2), acc) == 0) {
+  /** Fold all holders of one key, oldest -> newest. A tombstone holder
+    * discards every older contribution (keys in `acc` stay valid for the
+    * comparator); a later live holder revives the key from scratch. Returns
+    * null when the newest holder was a tombstone (key deleted). */
+  private def mergeGroup(w0: Int, first: InternalRow,
+      firstTomb: Boolean): InternalRow = {
+    // >=2 runs hold this key: deep-copy into a scratch row, fold newer
+    // runs into it oldest -> newest, advancing each contributor eagerly.
+    // contributed/poisoned track per-field operator state across runs
+    // with heterogeneous physical columns (schema evolution).
+    val acc = new GenericInternalRow(nFields)
+    val contributed = new Array[Boolean](nFields)
+    val poisoned = new Array[Boolean](nFields)
+    copyRow(first, runMasks(w0), acc, contributed, poisoned)
+    var dead = firstTomb
+    advanceNow(w0)
+    var w2 = loserTree(0)
+    while (w2 >= 0 && heads(w2) != null && compareKeys(heads(w2), acc) == 0) {
+      if (anyTomb && runTombs(w2)) {
+        // newer tombstone: wipe accumulated operator state; acc's key
+        // fields remain valid (tombstone rows carry the same key)
+        java.util.Arrays.fill(contributed, false)
+        java.util.Arrays.fill(poisoned, false)
+        dead = true
+      } else if (dead) {
+        // revive: a run newer than the tombstone re-inserts the key fresh
+        copyRow(heads(w2), runMasks(w2), acc, contributed, poisoned)
+        dead = false
+      } else {
         mergeInto(acc, heads(w2), runMasks(w2), contributed, poisoned)
-        advanceNow(w2)
-        w2 = loserTree(0)
       }
-      acc
+      advanceNow(w2)
+      w2 = loserTree(0)
     }
+    if (dead) null else acc
   }
 
   /** Typed addition for the sum operators (types gated by

@@ -56,13 +56,23 @@ object GraftRead {
       return emptyDF(spark, schema).select(outputCols.map(col): _*)
 
     val skipMerge = table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
+    val hasTombs = files.exists(f => Tombstone.isTombstone(f.file))
+    require(!hasTombs || (table.hasPrimaryKey && !skipMerge),
+      "table has tombstone delete runs but the read cannot merge " +
+        "(skip_merge_on_read / no primary key); run full compaction() to " +
+        "materialize the deletes first")
     // split by range partition: only partitions with >1 sorted run pay the
     // merge (and its shuffle); single-run partitions — the bulk of a
-    // regularly-compacted table — stream through a plain vectorized scan
+    // regularly-compacted table — stream through a plain vectorized scan.
+    // Tombstone runs force the merge path (they are deletion markers, not
+    // data — a plain scan would surface their key-only rows).
     val byDesc = files.groupBy(_.partitionDesc)
     val (multiRun, singleRun) =
       if (!table.hasPrimaryKey || skipMerge) (Map.empty[String, Seq[ResolvedFile]], byDesc)
-      else byDesc.partition(_._2.map(_.commitOrdinal).distinct.size > 1)
+      else byDesc.partition { case (_, fs) =>
+        fs.map(_.commitOrdinal).distinct.size > 1 ||
+          fs.exists(f => Tombstone.isTombstone(f.file))
+      }
 
     val plainFiles = singleRun.values.flatten.map(_.file.path).toSeq
     val plain =
@@ -102,6 +112,14 @@ object GraftRead {
       table: TableInfo,
       schema: StructType,
       files: Seq[ResolvedFile]): DataFrame = {
+    // the aggregate fallback serves custom agg-only merge operators; its
+    // SQL aggregation cannot express "discard contributions older than the
+    // newest tombstone", so tombstoned tables must stay on the k-way merge
+    // (deleteTombstone enforces this at write time — defense in depth here)
+    require(!files.exists(f => Tombstone.isTombstone(f.file)),
+      "tombstone delete runs require the bucket-merge reader; this table's " +
+        "merge operators route to the aggregate fallback — run full " +
+        "compaction() to materialize the deletes first")
     // One scan per (commit ordinal, physical column list): the version tag and
     // column-presence flags are literals per scan, so they constant-fold.
     val groups = files.groupBy(f => (f.commitOrdinal, f.file.existCols))

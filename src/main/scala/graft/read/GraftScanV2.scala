@@ -202,6 +202,9 @@ class GraftScanBuilder(
     if (info.hasPrimaryKey &&
         files.groupBy(_.partitionDesc).values
           .exists(_.map(_.commitOrdinal).distinct.size > 1)) return None
+    // tombstone delete runs make footer counts non-exact (belt and braces:
+    // a tombstone commit always makes its partition multi-run)
+    if (files.exists(f => graft.meta.Tombstone.isTombstone(f.file))) return None
 
     def colRef(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -530,12 +533,21 @@ class GraftScan(
             GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map(f =>
               PartitionedFile(InternalRow.empty,
                 SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
-              BucketMergeRead.presentMask(schema, fs.head.file.existCols))
+              BucketMergeRead.presentMask(schema, fs.head.file.existCols),
+              graft.meta.Tombstone.isTombstone(fs.head.file))
         }.toArray
         GraftBucketPartition(b, runs): InputPartition
       }.toArray
     } else {
-      // plain scan: one partition per file (no merge semantics needed)
+      // plain scan: one partition per file (no merge semantics needed).
+      // Tombstone runs require merge semantics — surfacing their key-only
+      // rows as data would be silently wrong, so refuse loudly (reachable
+      // only by forcing skip_merge_on_read / unsupported merge ops onto a
+      // tombstoned table; deleteTombstone rejects both up front).
+      require(!files.exists(f => graft.meta.Tombstone.isTombstone(f.file)),
+        "table has tombstone delete runs but the scan cannot merge " +
+          "(skip_merge_on_read or unsupported merge operators); run full " +
+          "compaction() to materialize the deletes first")
       files.map { f =>
         GraftFilePartition(
           PartitionedFile(InternalRow.empty,
@@ -677,7 +689,8 @@ class GraftMicroBatchStream(
           GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map(f =>
             PartitionedFile(InternalRow.empty,
               SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
-            BucketMergeRead.presentMask(schema, fs.head.file.existCols))
+            BucketMergeRead.presentMask(schema, fs.head.file.existCols),
+            graft.meta.Tombstone.isTombstone(fs.head.file))
       }.toArray
       GraftBucketPartition(b, runs): InputPartition
     }.toArray
@@ -695,8 +708,10 @@ class GraftMicroBatchStream(
   }
 }
 
-/** One sorted run of one bucket: files + physical-column presence mask. */
-case class GraftRunSpec(files: Array[PartitionedFile], mask: Array[Boolean])
+/** One sorted run of one bucket: files + physical-column presence mask +
+  * whether the run is a key-only tombstone run ([[graft.meta.Tombstone]]). */
+case class GraftRunSpec(files: Array[PartitionedFile], mask: Array[Boolean],
+    tomb: Boolean = false)
 
 case class GraftBucketPartition(bucket: Int, runs: Array[GraftRunSpec])
     extends InputPartition with HasPartitionKey {
@@ -723,9 +738,11 @@ case class GraftPartitionReaderFactory(
           r.files.iterator.flatMap(pf => BucketMergeRead.flattenRows(readFn(pf))))
           .toIndexedSeq
         if (runIters.isEmpty) Iterator.empty
-        else if (runIters.size == 1) runIters.head
-        else new KWayMergeIterator(runIters, keyIdx, keyTypes, fieldMerges,
-          nFields, runs.map(_.mask))
+        else if (runIters.size == 1) {
+          // a lone tombstone run holds no live rows
+          if (runs.head.tomb) Iterator.empty else runIters.head
+        } else new KWayMergeIterator(runIters, keyIdx, keyTypes, fieldMerges,
+          nFields, runs.map(_.mask), runs.map(_.tomb))
       case GraftFilePartition(f, _) =>
         BucketMergeRead.flattenRows(readFn(f))
     }

@@ -509,8 +509,75 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         conj.forall(c => refNames(c).exists(_.subsetOf(t.rangeColumns.toSet)))) {
       val hit = partitionsMatching(cond, partitions.map(_.partitionDesc))
       publish(expireCommitsFor(hit))
+    } else if (t.properties.get(TableInfo.DeleteModeProp).contains("tombstone") &&
+        tombstoneEligible(t)) {
+      tombstoneDelete(t, heads, cond)
     } else rewriteFiles(targetFiles(cond), heads) { df =>
       df.filter(!coalesce(cond, lit(false)))
+    }
+  }
+
+  /** DELETE as an O(matched-rows) TOMBSTONE delta run (beyond-ref; the LSM
+    * answer to deletion vectors): instead of rewriting every targeted file,
+    * write the matching primary keys as a key-only tombstone run — the
+    * k-way merge drops any key whose newest holder is a tombstone. At
+    * 100 TB a predicate DELETE stops rewriting whole buckets and costs one
+    * pruned read (to find the keys) plus a write proportional to the
+    * MATCHED rows, not the touched files. Snapshot-dependent: CASes on
+    * attempt-start heads like every rewrite. A later upsert of the same key
+    * re-inserts it (the run order revives it); tombstones are physically
+    * removed by FULL compaction — leveled compaction carries them, since
+    * merging a tombstone without every older run would resurrect the
+    * deleted keys. `delete(cond)` routes here automatically when the table
+    * property `graft.delete.mode=tombstone` is set. */
+  def deleteTombstone(cond: Column): Unit = withRetry {
+    val t = info
+    require(t.hasPrimaryKey, "tombstone delete requires a primary-key table")
+    require(t.cdcColumn.isEmpty,
+      "CDC tables delete via their marker column (upsert rows with the " +
+        "delete marker) — tombstone runs are for plain PK tables")
+    require(!t.properties.get(TableInfo.SkipMergeOnReadProp).contains("true"),
+      "tombstone delete requires merge-on-read (skip_merge_on_read is set)")
+    require(graft.read.BucketMergeRead.supports(t, schema, Nil),
+      "tombstone delete requires merge operators supported by the " +
+        "bucket-merge reader (custom aggregate-only operators route to the " +
+        "SQL fallback, which cannot express tombstone semantics)")
+    tombstoneDelete(t, headsNow, cond)
+  }
+
+  private def tombstoneEligible(t: TableInfo): Boolean =
+    t.hasPrimaryKey && t.cdcColumn.isEmpty &&
+      !t.properties.get(TableInfo.SkipMergeOnReadProp).contains("true") &&
+      graft.read.BucketMergeRead.supports(t, schema, Nil)
+
+  private def tombstoneDelete(t: TableInfo, heads: Map[String, Int],
+      cond: Column): Unit = {
+    val files = targetFiles(cond)
+    if (files.nonEmpty) {
+      val sch = schema
+      val keyCols = (t.rangeColumns ++ t.hashColumns).distinct
+      // read only the columns the predicate needs (falling back to all
+      // when the reference set is unresolvable)
+      val needed = refNames(cond) match {
+        case Some(rs) => (keyCols ++ rs.toSeq.sorted).distinct
+          .filter(sch.fieldNames.contains(_))
+        case None => sch.fieldNames.toSeq
+      }
+      val matched = GraftRead.read(spark, t, files,
+        requiredColumns = Some(needed)).filter(cond)
+      // full table schema with non-key columns null: the tombstone run
+      // shares the format's sorted-bucketed shape; existCols marks only
+      // the keys (+ the tombstone marker) as meaningful
+      val tombDf = matched.select(sch.fields.map { f =>
+        if (keyCols.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      // CommitOp.Rewrite: folds like a delta (appends the run) but ABORTS
+      // incremental/streaming delivery — a deletion is not a consumable
+      // delta for a non-CDC table (reference Update-commit semantics)
+      val commits = TransactionalWrite.writeFiles(spark, t, tombDf,
+        CommitOp.Rewrite, tombstone = true)
+      publish(commits, heads)
     }
   }
 
@@ -560,8 +627,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           // stranded under a large run wait for full compaction.
           val perDesc = all.groupBy(_.partitionDesc).values.map { fs =>
             val runs = fs.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map(_._2)
-            val suffix = runs.reverse
+            val suffix0 = runs.reverse
               .takeWhile(_.exists(_.file.size < limit)).reverse
+            // a tombstone run may only merge together with ALL older runs
+            // (else the deleted keys in carried-over runs resurrect): when
+            // the suffix covers the whole partition that holds; otherwise
+            // trim it to start strictly after the newest tombstone run
+            val suffix =
+              if (suffix0.size == runs.size) suffix0
+              else suffix0.reverse.takeWhile(
+                !_.exists(f => Tombstone.isTombstone(f.file))).reverse
             (runs.dropRight(suffix.size).flatten, suffix.flatten)
           }
           (perDesc.flatMap(_._1).toSeq, perDesc.flatMap(_._2).toSeq)

@@ -217,12 +217,24 @@ object TransactionalWrite {
       dfIn: DataFrame,
       commitOp: String,
       skipPreMerge: Boolean = false,
-      clusterCols: Seq[String] = Nil): Seq[DataCommitInfo] = {
+      clusterCols: Seq[String] = Nil,
+      tombstone: Boolean = false): Seq[DataCommitInfo] = {
     val commitId = MetaStore.newCommitId()
-    val df0 = normalize(table, dfIn,
-      ingestion = commitOp == CommitOp.Append || commitOp == CommitOp.Merge)
+    // tombstone runs are key-only deletion markers built from rows the
+    // table already admitted: full schema with non-key columns null, so
+    // NOT NULL/check invariants must not run (and expectations never gate
+    // internal writes). Flagged through existCols (Tombstone.Marker) with
+    // only the key columns listed as physically meaningful.
+    val df0 =
+      if (tombstone) dfIn
+      else normalize(table, dfIn,
+        ingestion = commitOp == CommitOp.Append || commitOp == CommitOp.Merge)
     val df = if (table.hasPrimaryKey && !skipPreMerge) preMerge(table, df0) else df0
-    val existCols = df.columns.mkString(",")
+    val existCols =
+      if (tombstone)
+        ((table.rangeColumns ++ table.hashColumns).distinct :+ Tombstone.Marker)
+          .mkString(",")
+      else df.columns.mkString(",")
 
     // Duplicate range values into string-typed directory columns with the
     // reference's null/empty sentinels (TransactionalWrite.scala:188-203).

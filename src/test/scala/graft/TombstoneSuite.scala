@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.Tombstone
+import graft.tables.{CompactionOptions, GraftTable}
+
+/** DELETE via key-only tombstone delta runs (beyond-ref; the LSM answer to
+  * deletion vectors): no data file is rewritten, the k-way merge drops keys
+  * whose newest holder is a tombstone, full compaction materializes. */
+class TombstoneSuite extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def mkTable(dir: String): GraftTable = {
+    val df = (1L to 100L).map(i => (i, s"v$i", i * 10)).toDF("k", "v", "n")
+    GraftTable.create(spark, df, dir, hashColumns = Seq("k"), bucketNum = 4)
+  }
+
+  test("tombstone delete drops matching rows without rewriting data files") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      val before = t.liveFiles.map(_.file.path).toSet
+      t.deleteTombstone($"n" >= 500 && $"n" < 700) // k in 50..69
+      val after = t.liveFiles
+      // every original file still live, plus a tombstone run
+      assert(before.subsetOf(after.map(_.file.path).toSet))
+      val tombs = after.filter(f => Tombstone.isTombstone(f.file))
+      assert(tombs.nonEmpty, "a tombstone run must have been committed")
+      val got = t.toDF.select("k").as[Long].collect().sorted
+      assert(got.toSeq == ((1L to 49L) ++ (70L to 100L)))
+      // the predicate column survives for remaining rows
+      assert(t.toDF.filter($"k" === 10L).select("v").as[String].head == "v10")
+    }
+  }
+
+  test("delete(cond) routes through tombstones when the table property is set") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      t.setProperties(Map(graft.meta.TableInfo.DeleteModeProp -> "tombstone"))
+      val before = t.liveFiles.map(_.file.path).toSet
+      t.delete($"k" % 10 === 0)
+      assert(before.subsetOf(t.liveFiles.map(_.file.path).toSet),
+        "property-routed delete must not rewrite data files")
+      assert(t.liveFiles.exists(f => Tombstone.isTombstone(f.file)))
+      assert(t.toDF.count() == 90)
+    }
+  }
+
+  test("a later upsert revives a tombstoned key") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      t.deleteTombstone($"k" === 7L)
+      assert(t.toDF.filter($"k" === 7L).count() == 0)
+      t.upsert(Seq((7L, "revived", 0L)).toDF("k", "v", "n"))
+      val row = t.toDF.filter($"k" === 7L).select("v", "n").head
+      assert(row.getString(0) == "revived" && row.getLong(1) == 0L)
+      assert(t.toDF.count() == 100)
+    }
+  }
+
+  test("tombstone resets sum_all accumulation; revival starts fresh") {
+    withTempPath { dir =>
+      val df = Seq((1L, 10), (2L, 10)).toDF("k", "c")
+      val t = GraftTable.create(spark, df, dir,
+        hashColumns = Seq("k"), bucketNum = 2,
+        properties = Map(graft.meta.TableInfo.mergeOpProp("c") -> "sum_all"))
+      t.upsert(Seq((1L, 5), (2L, 5)).toDF("k", "c")) // sums: k1=15, k2=15
+      t.deleteTombstone($"k" === 1L)
+      t.upsert(Seq((1L, 3), (2L, 3)).toDF("k", "c"))
+      val got = t.toDF.orderBy("k").as[(Long, Int)].collect().toSeq
+      // k=1 restarted at 3 (pre-tombstone 15 discarded); k=2 kept summing
+      assert(got == Seq((1L, 3), (2L, 18)), s"got $got")
+    }
+  }
+
+  test("full compaction materializes tombstones away") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      t.deleteTombstone($"k" <= 30L)
+      t.compaction()
+      val files = t.liveFiles
+      assert(!files.exists(f => Tombstone.isTombstone(f.file)),
+        "full compaction must drop tombstone runs")
+      assert(files.map(_.commitOrdinal).distinct.size == 1)
+      assert(t.toDF.select("k").as[Long].collect().sorted.toSeq ==
+        (31L to 100L))
+    }
+  }
+
+  test("leveled compaction carries tombstones (no resurrection)") {
+    withTempPath { dir =>
+      // big base run (carried), tombstone, then small upserts after it
+      val base = (1L to 50000L).map(i => (i, s"v$i" + ("x" * 10))).toDF("k", "v")
+      val t = GraftTable.create(spark, base, dir,
+        hashColumns = Seq("k"), bucketNum = 2)
+      t.deleteTombstone($"k" <= 25000L)
+      t.upsert(Seq((60001L, "new1")).toDF("k", "v"))
+      t.upsert(Seq((60002L, "new2")).toDF("k", "v"))
+      t.compaction(CompactionOptions(fileSizeLimit = Some(64L * 1024)), _ => true)
+      // the tombstone run must still be live (only the post-tombstone small
+      // runs were eligible to merge)
+      assert(t.liveFiles.exists(f => Tombstone.isTombstone(f.file)),
+        "leveled compaction must not consume a tombstone under a carried run")
+      assert(t.toDF.count() == 25002)
+      assert(t.toDF.filter($"k" === 1000L).count() == 0)
+      // full compaction then applies the deletes for real
+      t.compaction()
+      assert(!t.liveFiles.exists(f => Tombstone.isTombstone(f.file)))
+      assert(t.toDF.count() == 25002)
+    }
+  }
+
+  test("time travel before the delete still sees the rows") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      val ts = System.currentTimeMillis()
+      Thread.sleep(5)
+      t.deleteTombstone($"k" > 90L)
+      assert(t.toDF.count() == 90)
+      assert(t.snapshotAt(ts).count() == 100)
+    }
+  }
+
+  test("change feed (diff) emits delete rows across a tombstone commit") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      val ts0 = System.currentTimeMillis(); Thread.sleep(5)
+      t.deleteTombstone($"k" === 5L || $"k" === 6L)
+      Thread.sleep(5)
+      val d = t.diff(ts0, System.currentTimeMillis())
+      val changes = d.select("k", "_change_type").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(changes == Seq((5L, "delete"), (6L, "delete")), s"got $changes")
+    }
+  }
+
+  test("incremental reads abort across a tombstone commit (Rewrite semantics)") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      val t0 = t.history.map(_._2).max
+      Thread.sleep(5)
+      t.deleteTombstone($"k" === 1L)
+      Thread.sleep(5)
+      val t1 = System.currentTimeMillis()
+      // the tombstone commit is not a consumable delta: the window covering
+      // it delivers nothing (the reference's Update-commit abort)
+      assert(t.incremental(t0 + 1, t1).count() == 0)
+    }
+  }
+
+  test("tombstone delete refuses CDC and skip-merge tables") {
+    withTempPath { dir =>
+      val df = Seq((1L, "a", "insert")).toDF("k", "v", "op")
+      val t = GraftTable.create(spark, df, dir, hashColumns = Seq("k"),
+        bucketNum = 2,
+        properties = Map(graft.meta.TableInfo.CdcColumnProp -> "op"))
+      val e = intercept[IllegalArgumentException](t.deleteTombstone($"k" === 1L))
+      assert(e.getMessage.contains("CDC"))
+    }
+    withTempPath { dir =>
+      val df = Seq((1L, "a")).toDF("k", "v")
+      val t = GraftTable.create(spark, df, dir, hashColumns = Seq("k"),
+        bucketNum = 2,
+        properties = Map(graft.meta.TableInfo.SkipMergeOnReadProp -> "true"))
+      val e = intercept[IllegalArgumentException](t.deleteTombstone($"k" === 1L))
+      assert(e.getMessage.contains("skip_merge_on_read"))
+    }
+  }
+
+  test("SQL reads through the catalog see tombstone deletes") {
+    withTempPath { dir =>
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      if (spark.conf.getOption("spark.graft.warehouse").isEmpty)
+        spark.conf.set("spark.graft.warehouse", dir + "/wh")
+      val t = mkTable(dir + "/t")
+      graft.catalog.GraftCatalog.register(spark, "ts.tomb_t", dir + "/t")
+      t.deleteTombstone($"k" <= 50L)
+      val cnt = spark.sql("SELECT count(*) AS c FROM graft_cat.ts.tomb_t")
+        .as[Long].head
+      assert(cnt == 50)
+      // aggregate pushdown must NOT have answered from footer stats
+      // (tombstones make counts non-exact pre-merge); the result above being
+      // correct is the proof either way, but assert the guard directly too
+      val one = spark.sql(
+        "SELECT v FROM graft_cat.ts.tomb_t WHERE k = 60").as[String].head
+      assert(one == "v60")
+    }
+  }
+}
