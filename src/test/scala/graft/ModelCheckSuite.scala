@@ -36,7 +36,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 4 + rnd.nextInt(5)) {
-          rnd.nextInt(5) match {
+          rnd.nextInt(7) match {
             case 0 | 1 => // upsert (unique PKs per batch — the format contract)
               val b = batch()
               t.upsert(b.toDF("id", "v", "tag"))
@@ -53,6 +53,15 @@ class ModelCheckSuite extends SparkFixture {
               model = model.map { case (k, (v, g)) =>
                 k -> (v, if (v >= cut) "upd" else g)
               }
+            case 5 => // TOMBSTONE delete: same visible semantics as case 2,
+              // zero data files rewritten (key-only delta run)
+              val cut = rnd.nextInt(1000)
+              t.deleteTombstone(col("v") < cut)
+              model = model.filter { case (_, (v, _)) => v >= cut }
+            case 6 => // leveled compaction: newest-suffix merge must never
+              // change the merged result (tombstones carried, order kept)
+              t.compaction(graft.tables.CompactionOptions(
+                fileSizeLimit = Some(256L * 1024)), _ => true)
           }
           Thread.sleep(2) // distinct commit timestamps for time travel
           snapshots :+= t.lastCommitTs -> model
