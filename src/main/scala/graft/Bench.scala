@@ -310,12 +310,34 @@ object Bench {
           .toFile.getAbsolutePath,
         hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
       val pred = col("o_orderstatus") === "F" && col("o_orderkey") % 37 === 0
+      // untimed warmup JITs both paths (matched-key read + delta write,
+      // rewrite read + filtered write) so ordering doesn't skew the pair
+      locally {
+        val w = GraftTable.create(spark, orders.limit(20000),
+          java.nio.file.Files.createTempDirectory("graft-bench-delwarm-")
+            .toFile.getAbsolutePath,
+          hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+        w.deleteTombstone(pred)
+        w.delete(col("o_orderkey") % 41 === 0)
+        w.updateDelta(col("o_orderkey") % 43 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
+        w.update(col("o_orderkey") % 47 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
+      }
       val tt = freshTable("deltomb")
       results("delete_tombstone") = time { tt.deleteTombstone(pred) }
       results("delete_tombstone_read") = minOf3 { tt.toDF.count() }
       val tr = freshTable("delrw")
       results("delete_rewrite") = time { tr.delete(pred) }
       results("delete_rewrite_read") = minOf3 { tr.toDF.count() }
+      // UPDATE modes, same shape: delta run vs copy-on-write rewrite
+      val uset = Map("o_totalprice" -> (col("o_totalprice") * 1.1))
+      val ud = freshTable("upddelta")
+      results("update_delta") = time { ud.updateDelta(pred, uset) }
+      results("update_delta_read") = minOf3 { ud.toDF.count() }
+      val ur = freshTable("updrw")
+      results("update_rewrite") = time { ur.update(pred, uset) }
+      results("update_rewrite_read") = minOf3 { ur.toDF.count() }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] delete scenario failed: ${e.getMessage}")
     }

@@ -1404,6 +1404,21 @@ object SparkEntry {
       t.delete(col("c_acctbal") < 0)
       t.toDF
     }),
+    "update_delta" -> q((s, d) => {
+      // UPDATE as an upsert delta run (companion to delete_tombstone):
+      // matched rows re-written as a delta, ZERO data files rewritten —
+      // asserted in-query. Exact because every non-key column here merges
+      // with use_last.
+      val c = rd(s, d, "customer")
+      val t = GraftTable.create(s, c, tmp("upddelta"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      val before = t.liveFiles.map(_.file.path).toSet
+      t.updateDelta(col("c_mktsegment") === "MACHINERY",
+        Map("c_acctbal" -> (col("c_acctbal") + 500)))
+      require(before.subsetOf(t.liveFiles.map(_.file.path).toSet),
+        "delta update must not rewrite data files")
+      t.toDF
+    }),
     "delete_tombstone" -> q((s, d) => {
       // DELETE as a key-only TOMBSTONE delta run (the LSM answer to
       // deletion vectors): O(matched rows) written, ZERO data files
@@ -2762,6 +2777,10 @@ object SparkEntry {
         |  c_mktsegment FROM customer""".stripMargin,
     "delete_cmd" ->
       "SELECT * FROM customer WHERE NOT (c_acctbal < 0)",
+    "update_delta" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer""".stripMargin,
     "delete_tombstone" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
         |  CASE WHEN c_custkey = 1 THEN 'REVIVED' ELSE c_mktsegment END AS c_mktsegment

@@ -92,6 +92,9 @@ object TableInfo {
   /** "tombstone" routes predicate DELETEs on PK tables through [[Tombstone]]
     * delta runs instead of file rewrites (default: rewrite). */
   val DeleteModeProp = "graft.delete.mode"
+  /** "delta" routes UPDATEs on PK tables (use_last-family merge ops only)
+    * through upsert delta runs instead of file rewrites (default: rewrite). */
+  val UpdateModeProp = "graft.update.mode"
   /** Reference: `skip_merge_on_read` (LakeSoulUtils.scala:232). */
   val SkipMergeOnReadProp = "graft.skipMergeOnRead"
   /** Per-column merge operators, e.g. "sum" -> "sum_all". */

@@ -471,10 +471,69 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val bad = set.keySet.intersect((t.rangeColumns ++ t.hashColumns).toSet)
     require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
     val heads = headsNow
-    rewriteFiles(targetFiles(cond), heads) { df =>
+    if (t.properties.get(TableInfo.UpdateModeProp).contains("delta") &&
+        deltaUpdateEligible(t)) {
+      deltaUpdate(t, heads, cond, set)
+    } else rewriteFiles(targetFiles(cond), heads) { df =>
       set.foldLeft(df) { case (d, (c, expr)) =>
         d.withColumn(c, when(cond, expr).otherwise(col(c)))
       }
+    }
+  }
+
+  /** UPDATE as an O(matched-rows) DELTA run (beyond-ref; the companion to
+    * [[deleteTombstone]]): instead of rewriting every targeted file, read
+    * the matching rows (pruned), apply the SET expressions, and commit the
+    * result as an ordinary upsert delta — last-writer-wins makes the new
+    * row the visible version, and no data file is touched. Exact only when
+    * EVERY non-key column merges with use_last / use_last_not_null:
+    * re-writing a row's untouched columns must be an overwrite, not a
+    * contribution (sum/concat operators would double-count them).
+    * `update(cond, set)` routes here automatically under table property
+    * `graft.update.mode=delta`. Unlike tombstones, the delta IS a
+    * consumable incremental batch (full rows, commit op `merge`), so
+    * streaming consumers receive the updated rows instead of aborting. */
+  def updateDelta(cond: Column, set: Map[String, Column]): Unit = withRetry {
+    val t = info
+    val bad = set.keySet.intersect((t.rangeColumns ++ t.hashColumns).toSet)
+    require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
+    require(t.hasPrimaryKey, "delta update requires a primary-key table")
+    require(t.cdcColumn.isEmpty,
+      "CDC tables update via their marker column — delta updates are for " +
+        "plain PK tables")
+    require(deltaUpdateOpsOk(t),
+      "delta update requires use_last/use_last_not_null on every non-key " +
+        "column (other operators would treat the re-written row as a new " +
+        "contribution); use the rewrite path")
+    deltaUpdate(t, headsNow, cond, set)
+  }
+
+  private def deltaUpdateEligible(t: TableInfo): Boolean =
+    t.hasPrimaryKey && t.cdcColumn.isEmpty && deltaUpdateOpsOk(t)
+
+  private def deltaUpdateOpsOk(t: TableInfo): Boolean = {
+    val keys = (t.rangeColumns ++ t.hashColumns).toSet
+    schema.fields.filterNot(f => keys.contains(f.name)).forall { f =>
+      TransactionalWrite.mergeOpFor(t, f.name) match {
+        case graft.mergeop.MergeOps.UseLast |
+             graft.mergeop.MergeOps.UseLastNotNull => true
+        case _ => false
+      }
+    }
+  }
+
+  private def deltaUpdate(t: TableInfo, heads: Map[String, Int],
+      cond: Column, set: Map[String, Column]): Unit = {
+    val files = targetFiles(cond)
+    if (files.nonEmpty) {
+      val matched = GraftRead.read(spark, t, files).filter(cond)
+      val updated = set.foldLeft(matched) { case (d, (c, e)) =>
+        d.withColumn(c, e)
+      }
+      // snapshot-dependent (SET expressions may read current values), so
+      // CAS on attempt-start heads like every rewrite
+      publish(TransactionalWrite.writeFiles(spark, t, updated, CommitOp.Merge),
+        heads)
     }
   }
 

@@ -36,7 +36,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 4 + rnd.nextInt(5)) {
-          rnd.nextInt(7) match {
+          rnd.nextInt(8) match {
             case 0 | 1 => // upsert (unique PKs per batch — the format contract)
               val b = batch()
               t.upsert(b.toDF("id", "v", "tag"))
@@ -62,6 +62,13 @@ class ModelCheckSuite extends SparkFixture {
               // change the merged result (tombstones carried, order kept)
               t.compaction(graft.tables.CompactionOptions(
                 fileSizeLimit = Some(256L * 1024)), _ => true)
+            case 7 => // DELTA update: same visible semantics as case 4,
+              // zero data files rewritten (upsert delta of matched rows)
+              val cut = rnd.nextInt(1000)
+              t.updateDelta(col("v") >= cut, Map("tag" -> lit("du")))
+              model = model.map { case (k, (v, g)) =>
+                k -> (v, if (v >= cut) "du" else g)
+              }
           }
           Thread.sleep(2) // distinct commit timestamps for time travel
           snapshots :+= t.lastCommitTs -> model
