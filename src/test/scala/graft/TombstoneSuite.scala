@@ -168,6 +168,58 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SQL DELETE routes through tombstones under the table property") {
+    withTempPath { dir =>
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      if (spark.conf.getOption("spark.graft.warehouse").isEmpty)
+        spark.conf.set("spark.graft.warehouse", dir + "/wh")
+      val t = mkTable(dir + "/t")
+      t.setProperties(Map(graft.meta.TableInfo.DeleteModeProp -> "tombstone"))
+      graft.catalog.GraftCatalog.register(spark, "ts.sqldel", dir + "/t")
+      val before = t.liveFiles.map(_.file.path).toSet
+      spark.sql("DELETE FROM graft_cat.ts.sqldel WHERE n >= 800")
+      assert(before.subsetOf(t.liveFiles.map(_.file.path).toSet),
+        "SQL DELETE must ride the tombstone path under the property")
+      assert(t.liveFiles.exists(f => Tombstone.isTombstone(f.file)))
+      assert(t.toDF.count() == 79)
+    }
+  }
+
+  test("mutable materialized views fold tombstone deletes and delta updates") {
+    withTempPath { dir =>
+      import graft.pipeline.MaterializedView
+      import graft.pipeline.MaterializedView.Measure
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val src = GraftTable.create(spark,
+        (1L to 60L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "g", "v"),
+        srcPath, hashColumns = Seq("id"), bucketNum = 2)
+      MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("g"),
+        measures = Seq(
+          Measure("total", "CAST(v AS DECIMAL(18,2))", "sum"),
+          Measure("cnt", "1", "count")),
+        mutable = true)
+      MaterializedView.refresh(spark, viewPath)
+      def check(): Unit = {
+        val expected = src.toDF.groupBy("g").agg(
+          sum(col("v").cast("decimal(18,2)")).as("total"),
+          count(lit(1)).as("cnt"))
+        assertSameRows(MaterializedView.read(spark, viewPath), expected)
+      }
+      check()
+      // tombstone delete on the SOURCE -> the change feed must deliver
+      // exact delete rows and the view must subtract them
+      src.deleteTombstone($"v" >= 40.0)
+      MaterializedView.refresh(spark, viewPath); check()
+      // delta update -> pre/post images folded exactly
+      src.updateDelta($"id" % 5 === 0, Map("v" -> (col("v") + 100)))
+      MaterializedView.refresh(spark, viewPath); check()
+      // and a revival after the tombstone
+      src.upsert(Seq((41L, "g2", 7.5)).toDF("id", "g", "v"))
+      MaterializedView.refresh(spark, viewPath); check()
+    }
+  }
+
   test("SQL reads through the catalog see tombstone deletes") {
     withTempPath { dir =>
       spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
