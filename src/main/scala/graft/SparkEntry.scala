@@ -1404,6 +1404,38 @@ object SparkEntry {
       t.delete(col("c_acctbal") < 0)
       t.toDF
     }),
+    "merge_delta" -> q((s, d) => {
+      // General MERGE INTO compiled to DELTA commits under
+      // graft.merge.mode=delta: conditional DELETE -> tombstone run,
+      // UPDATE/INSERT -> upsert delta, published atomically; ZERO data
+      // files rewritten (asserted in-query).
+      import graft.tables.{GraftMerge, MergeMatchedClause, MergeNotMatchedClause}
+      val c = rd(s, d, "customer")
+      val t = GraftTable.create(s, c, tmp("mrgdelta"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      t.setProperties(Map(graft.meta.TableInfo.MergeModeProp -> "delta"))
+      val src = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k"), lit(100.0).as("amt"))
+        .unionByName(c.filter(col("c_custkey") % 9 === 0)
+          .select((col("c_custkey") + 100000).as("k"), lit(1.0).as("amt")))
+      val before = t.liveFiles.map(_.file.path).toSet
+      t.mergeIntoClauses(src, Map("c_custkey" -> "k"),
+        matched = Seq(
+          MergeMatchedClause(Some(GraftMerge.target("c_acctbal") < 0), None),
+          MergeMatchedClause(None, Some(Map(
+            "c_acctbal" -> (GraftMerge.target("c_acctbal") + GraftMerge.source("amt")))))),
+        notMatched = Seq(MergeNotMatchedClause(None, Map(
+          "c_custkey" -> GraftMerge.source("k"),
+          "c_name" -> lit("ins"),
+          "c_nationkey" -> lit(0),
+          "c_acctbal" -> GraftMerge.source("amt"),
+          "c_mktsegment" -> lit("NEW")))))
+      require(before.subsetOf(t.liveFiles.map(_.file.path).toSet),
+        "delta merge must not rewrite data files")
+      require(t.liveFiles.exists(f => graft.meta.Tombstone.isTombstone(f.file)),
+        "delta merge DELETE clause must produce a tombstone run")
+      t.toDF
+    }),
     "update_delta" -> q((s, d) => {
       // UPDATE as an upsert delta run (companion to delete_tombstone):
       // matched rows re-written as a delta, ZERO data files rewritten —
@@ -2777,6 +2809,15 @@ object SparkEntry {
         |  c_mktsegment FROM customer""".stripMargin,
     "delete_cmd" ->
       "SELECT * FROM customer WHERE NOT (c_acctbal < 0)",
+    "merge_delta" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 5 = 0 AND c_acctbal < 0)
+        |UNION ALL
+        |SELECT c_custkey + 100000, 'ins', 0, 1.0, 'NEW'
+        |FROM customer WHERE c_custkey % 9 = 0""".stripMargin,
     "update_delta" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal,

@@ -187,18 +187,25 @@ class FileMetaStore extends MetaStore {
           s"partition '${c.partitionDesc}' moved: expected v$exp, found v$cur")
     }
     val ts = nextTs()
+    // fold sequentially so ONE atomic call may carry several commits for the
+    // same partition (e.g. a MERGE publishing an update delta plus a
+    // tombstone run): each commit extends the running head, not the
+    // pre-call snapshot (which would silently drop all but the last)
+    val running = scala.collection.mutable.Map[String, PartitionInfo]()
     val newHeads = commits.map { c0 =>
       val c = c0.copy(timestamp = ts)
       Files.writeString(commitsDir(tablePath).resolve(s"${c.commitId}.json"), jwrite(c))
-      val prev = heads.get(c.partitionDesc)
+      val prev = running.get(c.partitionDesc).orElse(heads.get(c.partitionDesc))
       val snapshot = c.commitOp match {
         case CommitOp.Append | CommitOp.Merge | CommitOp.Rewrite =>
           prev.map(_.snapshot).getOrElse(Nil) :+ c.commitId
         case CommitOp.Update | CommitOp.Compaction => Seq(c.commitId)
         case other => throw new IllegalArgumentException(s"unknown commitOp $other")
       }
-      PartitionInfo(c.partitionDesc, prev.map(_.version + 1).getOrElse(0),
+      val pi = PartitionInfo(c.partitionDesc, prev.map(_.version + 1).getOrElse(0),
         snapshot, c.commitOp, ts)
+      running(c.partitionDesc) = pi
+      pi
     }
     appendVersions(tablePath, newHeads)
   }

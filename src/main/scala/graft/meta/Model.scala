@@ -95,6 +95,11 @@ object TableInfo {
   /** "delta" routes UPDATEs on PK tables (use_last-family merge ops only)
     * through upsert delta runs instead of file rewrites (default: rewrite). */
   val UpdateModeProp = "graft.update.mode"
+  /** "delta" routes general MERGE INTO clauses through delta commits
+    * (update/insert rows as an upsert delta + deletes as a tombstone run,
+    * published atomically) instead of copy-on-write bucket rewrites, when
+    * the clause/operator mix is eligible (default: rewrite). */
+  val MergeModeProp = "graft.merge.mode"
   /** Reference: `skip_merge_on_read` (LakeSoulUtils.scala:232). */
   val SkipMergeOnReadProp = "graft.skipMergeOnRead"
   /** Per-column merge operators, e.g. "sum" -> "sum_all". */

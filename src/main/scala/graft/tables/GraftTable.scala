@@ -472,7 +472,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
     val heads = headsNow
     if (t.properties.get(TableInfo.UpdateModeProp).contains("delta") &&
-        deltaUpdateEligible(t)) {
+        deltaUpdateEligible(t, set.keySet)) {
       deltaUpdate(t, heads, cond, set)
     } else rewriteFiles(targetFiles(cond), heads) { df =>
       set.foldLeft(df) { case (d, (c, expr)) =>
@@ -501,22 +501,27 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     require(t.cdcColumn.isEmpty,
       "CDC tables update via their marker column — delta updates are for " +
         "plain PK tables")
-    require(deltaUpdateOpsOk(t),
+    require(deltaUpdateOpsOk(t, set.keySet),
       "delta update requires use_last/use_last_not_null on every non-key " +
-        "column (other operators would treat the re-written row as a new " +
-        "contribution); use the rewrite path")
+        "column, and use_last on every SET column (other operators would " +
+        "treat the re-written row as a new contribution, and a SET to NULL " +
+        "could not overwrite under use_last_not_null); use the rewrite path")
     deltaUpdate(t, headsNow, cond, set)
   }
 
-  private def deltaUpdateEligible(t: TableInfo): Boolean =
-    t.hasPrimaryKey && t.cdcColumn.isEmpty && deltaUpdateOpsOk(t)
+  private def deltaUpdateEligible(t: TableInfo, setCols: Set[String]): Boolean =
+    t.hasPrimaryKey && t.cdcColumn.isEmpty && deltaUpdateOpsOk(t, setCols)
 
-  private def deltaUpdateOpsOk(t: TableInfo): Boolean = {
+  /** Whole-row delta rewrites are exact iff untouched columns merge with
+    * use_last/use_last_not_null (the re-written merged value is an
+    * overwrite, not a contribution) and SET columns with use_last exactly
+    * (under use_last_not_null a SET producing NULL could not overwrite). */
+  private def deltaUpdateOpsOk(t: TableInfo, setCols: Set[String]): Boolean = {
     val keys = (t.rangeColumns ++ t.hashColumns).toSet
     schema.fields.filterNot(f => keys.contains(f.name)).forall { f =>
       TransactionalWrite.mergeOpFor(t, f.name) match {
-        case graft.mergeop.MergeOps.UseLast |
-             graft.mergeop.MergeOps.UseLastNotNull => true
+        case graft.mergeop.MergeOps.UseLast => true
+        case graft.mergeop.MergeOps.UseLastNotNull => !setCols.contains(f.name)
         case _ => false
       }
     }
@@ -972,7 +977,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           e.otherwise(lit(default))
         }
 
-      def applyClauses(target: DataFrame): DataFrame = {
+      // delete-clause action ids (matched i / not-matched-by-source 2000+i)
+      val deleteActions: Seq[Int] =
+        matched.zipWithIndex.collect { case (c, i) if c.set.isEmpty => i } ++
+          notMatchedBySource.zipWithIndex.collect {
+            case (c, i) if c.set.isEmpty => 2000 + i
+          }
+
+      /** Full-outer join frame with the winning clause id in `_g_action`. */
+      def withActions(target: DataFrame): DataFrame = {
         val tgt = target.withColumn("_g_t_present", lit(true)).alias(GraftMerge.TargetAlias)
         val joinCond = t.hashColumns.map { c =>
           GraftMerge.target(c) === GraftMerge.source(onKeys(c)).cast(sch(c).dataType)
@@ -984,12 +997,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           when(tP && sP, actionChain(matched.map(_.condition), 0, KeepTarget))
             .when(sP && !tP, actionChain(notMatched.map(_.condition), 1000, Drop))
             .otherwise(actionChain(notMatchedBySource.map(_.condition), 2000, KeepTarget))
-        val dropActions: Seq[Int] =
-          matched.zipWithIndex.collect { case (c, i) if c.set.isEmpty => i } ++
-            notMatchedBySource.zipWithIndex.collect { case (c, i) if c.set.isEmpty => 2000 + i } :+
-            Drop
-        val kept = joined.withColumn("_g_action", action)
-          .filter(!col("_g_action").isin(dropActions: _*))
+        joined.withColumn("_g_action", action)
+      }
+
+      /** Output-row projection per action (update SET / insert values /
+        * carried target row), one codegen'd when-chain per column. */
+      def projectOut(frame: DataFrame): DataFrame = {
         val outExprs = outCols.map { c =>
           val cases: Seq[(Int, Column)] =
             matched.zipWithIndex.collect {
@@ -1009,8 +1022,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             else e.otherwise(GraftMerge.target(c))
           full.cast(sch(c).dataType).as(c)
         }
-        kept.select(outExprs: _*)
+        frame.select(outExprs: _*)
       }
+
+      def applyClauses(target: DataFrame): DataFrame =
+        projectOut(withActions(target)
+          .filter(!col("_g_action").isin((deleteActions :+ Drop): _*)))
+
+      val deltaMode =
+        t.properties.get(TableInfo.MergeModeProp).contains("delta") &&
+          deltaMergeEligible(t, matched, notMatchedBySource)
 
       if (files.isEmpty) {
         // nothing to rewrite — only NOT MATCHED inserts can produce rows;
@@ -1019,8 +1040,63 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
         val inserted = applyClauses(emptyTarget)
         publish(TransactionalWrite.writeFiles(spark, t, inserted, CommitOp.Rewrite), heads)
+      } else if (deltaMode) {
+        // DELTA MERGE (beyond-ref; the MERGE companion of updateDelta /
+        // deleteTombstone): only the rows a clause actually touched are
+        // written — update/insert rows as an upsert delta run, deleted
+        // keys as a tombstone run — and the targeted files are NOT
+        // rewritten. Both commits publish in ONE atomic CAS'd call (the
+        // store folds same-partition commits sequentially). Cost is
+        // O(source + matched rows), not O(touched buckets).
+        val target = GraftRead.read(spark, t, files)
+        val frame0 = withActions(target)
+        val needBoth = deleteActions.nonEmpty
+        val frame =
+          if (needBoth)
+            frame0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else frame0
+        try {
+          val writes = projectOut(frame.filter(col("_g_action") >= 0 &&
+            !col("_g_action").isin(deleteActions: _*)))
+          val upCommits =
+            TransactionalWrite.writeFiles(spark, t, writes, CommitOp.Merge)
+          val delCommits =
+            if (deleteActions.isEmpty) Nil
+            else {
+              val keyCols = (t.rangeColumns ++ t.hashColumns).distinct
+              val delRows = frame.filter(col("_g_action").isin(deleteActions: _*))
+                .select(sch.fields.map { f =>
+                  if (keyCols.contains(f.name))
+                    GraftMerge.target(f.name).cast(f.dataType).as(f.name)
+                  else lit(null).cast(f.dataType).as(f.name)
+                }.toSeq: _*)
+              TransactionalWrite.writeFiles(spark, t, delRows,
+                CommitOp.Rewrite, tombstone = true)
+            }
+          publish(upCommits ++ delCommits, heads)
+        } finally if (needBoth) frame.unpersist()
       } else rewriteFiles(files, heads, bucketAligned = false)(applyClauses)
     }
+  }
+
+  /** Delta MERGE is exact iff: update clauses only touch use_last-family
+    * tables (whole matched rows are re-written — see [[deltaUpdateOpsOk]]),
+    * and delete clauses can ride tombstone runs (bucket-merge-supported,
+    * no skip_merge_on_read; CDC is already rejected by mergeIntoClauses).
+    * Insert-only merges are always eligible: NOT MATCHED keys are fresh,
+    * so any merge operator sees a first contribution. */
+  private def deltaMergeEligible(t: TableInfo,
+      matched: Seq[MergeMatchedClause],
+      notMatchedBySource: Seq[MergeMatchedClause]): Boolean = {
+    val updateClauses = (matched ++ notMatchedBySource).exists(_.set.isDefined)
+    val deleteClauses = (matched ++ notMatchedBySource).exists(_.set.isEmpty)
+    val setCols = (matched ++ notMatchedBySource)
+      .flatMap(_.set.toSeq.flatMap(_.keySet)).toSet
+    val opsOk = !updateClauses || deltaUpdateOpsOk(t, setCols)
+    val delOk = !deleteClauses ||
+      (!t.properties.get(TableInfo.SkipMergeOnReadProp).contains("true") &&
+        graft.read.BucketMergeRead.supports(t, schema, Nil))
+    opsOk && delOk
   }
 
   /** Delete physical files no longer referenced by any retained version and
