@@ -1404,6 +1404,27 @@ object SparkEntry {
       t.delete(col("c_acctbal") < 0)
       t.toDF
     }),
+    "apply_changes" -> q((s, d) => {
+      // APPLY CHANGES INTO: replicate table A to B by folding A's
+      // row-level change feed (diff) into B — one atomic commit of an
+      // upsert delta + a tombstone run, O(changed rows) per cycle,
+      // zero files rewritten on the replica (asserted in-query).
+      val c = rd(s, d, "customer")
+      val a = GraftTable.create(s, c, tmp("acA"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      val b = GraftTable.create(s, c, tmp("acB"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      val ts0 = a.lastCommitTs
+      a.deleteTombstone(col("c_acctbal") < 0)
+      a.updateDelta(col("c_mktsegment") === "AUTOMOBILE",
+        Map("c_acctbal" -> (col("c_acctbal") + 10)))
+      Thread.sleep(2)
+      val before = b.liveFiles.map(_.file.path).toSet
+      b.applyChanges(a.diff(ts0, System.currentTimeMillis()))
+      require(before.subsetOf(b.liveFiles.map(_.file.path).toSet),
+        "applyChanges must not rewrite the replica's data files")
+      b.toDF
+    }),
     "merge_delta" -> q((s, d) => {
       // General MERGE INTO compiled to DELTA commits under
       // graft.merge.mode=delta: conditional DELETE -> tombstone run,
@@ -2809,6 +2830,11 @@ object SparkEntry {
         |  c_mktsegment FROM customer""".stripMargin,
     "delete_cmd" ->
       "SELECT * FROM customer WHERE NOT (c_acctbal < 0)",
+    "apply_changes" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE NOT (c_acctbal < 0)""".stripMargin,
     "merge_delta" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,

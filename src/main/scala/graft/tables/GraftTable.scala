@@ -509,6 +509,59 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     deltaUpdate(t, headsNow, cond, set)
   }
 
+  /** APPLY CHANGES INTO (beyond-ref; the replication primitive that
+    * composes [[diff]] with the delta DML family): fold one batch of a
+    * row-level change feed — full rows + `_change_type` in {insert,
+    * update_postimage, delete}; `update_preimage` rows are ignored — into
+    * this table as ONE atomic commit: insert/update rows land as an upsert
+    * delta run, delete rows as a [[Tombstone]] run, published together
+    * under the same CAS. Replicating table A to B is then
+    * `B.applyChanges(A.diff(tsPrev, tsNow))` per cycle, with cost
+    * O(changed rows) on both sides — no rewrite, no full-table shuffle.
+    * Requires the use_last-family/tombstone eligibility of the delta DML
+    * (change rows carry FULL values, so applying them must be an
+    * overwrite, and deletes need the k-way merge). */
+  def applyChanges(changes: DataFrame): Unit = {
+    val ct = "_change_type"
+    require(changes.columns.contains(ct),
+      s"applyChanges needs a `$ct` column (diff/change-feed shape)")
+    val t = info
+    require(t.hasPrimaryKey, "applyChanges requires a primary-key table")
+    require(t.cdcColumn.isEmpty,
+      "CDC tables ingest change feeds natively (upsert rows carrying the " +
+        "marker column); applyChanges is for plain PK tables")
+    require(deltaUpdateOpsOk(t, Set.empty),
+      "applyChanges requires use_last/use_last_not_null merge operators " +
+        "(change rows carry full values; applying them must overwrite)")
+    withRetry {
+      val heads = headsNow
+      val sch = schema
+      val keyCols = (t.rangeColumns ++ t.hashColumns).distinct
+      val dataCols = sch.fieldNames.toSeq
+      val ups = changes
+        .filter(col(ct).isin("insert", "update_postimage"))
+        .select(dataCols.map(col): _*)
+      val upCommits =
+        TransactionalWrite.writeFiles(spark, t, ups, CommitOp.Merge)
+      val dels = changes.filter(col(ct) === "delete")
+      val delCommits =
+        if (dels.isEmpty) Nil
+        else {
+          require(graft.read.BucketMergeRead.supports(t, sch, Nil) &&
+            !t.properties.get(TableInfo.SkipMergeOnReadProp).contains("true"),
+            "delete changes need tombstone support (bucket-merge operators, " +
+              "merge-on-read enabled)")
+          val delRows = dels.select(sch.fields.map { f =>
+            if (keyCols.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+          TransactionalWrite.writeFiles(spark, t, delRows,
+            CommitOp.Rewrite, tombstone = true)
+        }
+      publish(upCommits ++ delCommits, heads)
+    }
+  }
+
   private def deltaUpdateEligible(t: TableInfo, setCols: Set[String]): Boolean =
     t.hasPrimaryKey && t.cdcColumn.isEmpty && deltaUpdateOpsOk(t, setCols)
 

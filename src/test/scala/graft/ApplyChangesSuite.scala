@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.GraftTable
+
+/** APPLY CHANGES INTO: folding a diff change feed into another table as one
+  * atomic commit (upsert delta + tombstone run) — table replication with
+  * O(changed rows) cost per cycle. */
+class ApplyChangesSuite extends SparkFixture {
+  import spark.implicits._
+
+  test("replicating via diff + applyChanges converges under random ops") {
+    withTempPath { dir =>
+      val rnd = new scala.util.Random(11)
+      val init = (1L to 40L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "w")
+      val a = GraftTable.create(spark, init, s"$dir/a",
+        hashColumns = Seq("id"), bucketNum = 2)
+      val b = GraftTable.create(spark, init, s"$dir/b",
+        hashColumns = Seq("id"), bucketNum = 3) // bucket layout may differ
+      var cursor = a.lastCommitTs
+
+      def state(t: GraftTable): Map[Long, (String, Double)] =
+        t.toDF.as[(Long, String, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+
+      for (step <- 1 to 6) {
+        rnd.nextInt(4) match {
+          case 0 => a.upsert(rnd.shuffle((1L to 60L).toList).take(8)
+            .map(i => (i, s"s$step-$i", i + step * 0.5)).toDF("id", "v", "w"))
+          case 1 => a.deleteTombstone(col("w") > rnd.nextInt(50))
+          case 2 => a.delete(col("id") % (2 + rnd.nextInt(5)) === 0) // rewrite tier
+          case 3 => a.updateDelta(col("id") % 3 === 0,
+            Map("v" -> lit(s"u$step")))
+        }
+        Thread.sleep(5)
+        val now = System.currentTimeMillis()
+        b.applyChanges(a.diff(cursor, now))
+        cursor = now
+        assert(state(b) == state(a), s"step $step: replica diverged")
+      }
+    }
+  }
+
+  test("applyChanges is one atomic commit and is replay-idempotent") {
+    withTempPath { dir =>
+      val init = (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "w")
+      val b = GraftTable.create(spark, init, s"$dir/b",
+        hashColumns = Seq("id"), bucketNum = 2)
+      val changes = Seq(
+        (5L, 99.0, "update_postimage"),
+        (5L, 5.0, "update_preimage"), // must be ignored
+        (21L, 21.0, "insert"),
+        (7L, 7.0, "delete")).toDF("id", "w", "_change_type")
+      val before = b.liveFiles.map(_.file.path).toSet
+      b.applyChanges(changes)
+      assert(before.subsetOf(b.liveFiles.map(_.file.path).toSet),
+        "applyChanges must not rewrite data files")
+      def check(): Unit = {
+        val got = b.toDF.as[(Long, Double)].collect().toMap
+        assert(!got.contains(7L))
+        assert(got(5L) == 99.0 && got(21L) == 21.0 && got.size == 20)
+      }
+      check()
+      b.applyChanges(changes) // replay: same change batch lands on same state
+      check()
+    }
+  }
+
+  test("non-use_last tables and missing _change_type are rejected") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, Seq((1L, 5)).toDF("id", "c"), dir,
+        hashColumns = Seq("id"), bucketNum = 2,
+        properties = Map(graft.meta.TableInfo.mergeOpProp("c") -> "sum_all"))
+      val ch = Seq((1L, 9, "insert")).toDF("id", "c", "_change_type")
+      val e = intercept[IllegalArgumentException](t.applyChanges(ch))
+      assert(e.getMessage.contains("use_last"))
+      val t2 = GraftTable.create(spark, Seq((1L, 5)).toDF("id", "c"),
+        s"$dir/t2", hashColumns = Seq("id"), bucketNum = 2)
+      val e2 = intercept[IllegalArgumentException](
+        t2.applyChanges(Seq((1L, 9)).toDF("id", "c")))
+      assert(e2.getMessage.contains("_change_type"))
+    }
+  }
+}
