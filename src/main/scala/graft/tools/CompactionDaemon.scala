@@ -24,22 +24,35 @@ class CompactionDaemon(
     spark: SparkSession,
     tablePaths: () => Seq[String],
     intervalMs: Long = 60000L,
-    fileNumLimit: Int = 5) {
+    fileNumLimit: Int = 5,
+    tombstoneRunLimit: Int = 2) {
 
   private val running = new AtomicBoolean(false)
   @volatile private var thread: Thread = _
 
-  /** One sweep over all tables; returns the table paths it compacted. */
+  /** One sweep over all tables; returns the table paths it compacted.
+    * Two triggers, both per-partition:
+    *  - more than `fileNumLimit` sorted runs (the size-tiered MOR-read
+    *    trigger);
+    *  - `tombstoneRunLimit`+ tombstone runs — a quiet partition (one big
+    *    compacted run + a few tombstone deletes) never crosses the run
+    *    limit, but its deleted rows must still be PHYSICALLY removed
+    *    eventually (leveled compaction deliberately carries tombstones;
+    *    only a full partition compaction materializes them). */
   def runOnce(): Seq[String] =
     tablePaths().flatMap { path =>
       try {
         val t = GraftTable.forPath(spark, path)
-        val before = t.liveFiles.groupBy(_.partitionDesc)
-          .values.map(_.map(_.commitOrdinal).distinct.size).maxOption.getOrElse(0)
+        val byDesc = t.liveFiles.groupBy(_.partitionDesc)
+        val due = byDesc.collect { case (desc, fs)
+            if fs.map(_.commitOrdinal).distinct.size > fileNumLimit ||
+              fs.filter(f => graft.meta.Tombstone.isTombstone(f.file))
+                .map(_.commitOrdinal).distinct.size >= tombstoneRunLimit =>
+          desc
+        }.toSet
         val rebucketed = t.autoRebucket().isDefined // no-op without the prop
-        if (before > fileNumLimit && !rebucketed) {
-          t.compaction(CompactionOptions(fileNumLimit = Some(fileNumLimit)),
-            _ => true)
+        if (due.nonEmpty && !rebucketed) {
+          t.compaction(CompactionOptions(), due.contains)
           Some(path)
         } else if (rebucketed) Some(path)
         else None

@@ -168,6 +168,23 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("compaction daemon materializes accumulated tombstones in quiet partitions") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      t.compaction() // one big run, below any run-count trigger
+      t.deleteTombstone($"k" <= 10L)
+      t.deleteTombstone($"k" > 90L)
+      // 3 runs total — under fileNumLimit=5, but 2 tombstone runs
+      val daemon = new graft.tools.CompactionDaemon(spark,
+        () => Seq(t.tablePath), fileNumLimit = 5, tombstoneRunLimit = 2)
+      assert(daemon.runOnce() == Seq(t.tablePath))
+      assert(!t.liveFiles.exists(f => Tombstone.isTombstone(f.file)),
+        "daemon must fully compact tombstone-heavy quiet partitions")
+      assert(t.toDF.select("k").as[Long].collect().sorted.toSeq == (11L to 90L))
+      assert(daemon.runOnce().isEmpty) // steady state
+    }
+  }
+
   test("SQL DELETE routes through tombstones under the table property") {
     withTempPath { dir =>
       spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
