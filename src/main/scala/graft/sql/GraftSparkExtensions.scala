@@ -83,7 +83,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 case class GraftCallCommand(proc: String, args: Map[String, String])
     extends LeafRunnableCommand {
 
-  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+  override lazy val output: Seq[Attribute] = DataTypeUtils.toAttributes(
     if (proc == "history")
       StructType(Seq(
         StructField("version", org.apache.spark.sql.types.IntegerType),
@@ -91,6 +91,12 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         StructField("operation", StringType),
         StructField("partitions", org.apache.spark.sql.types.IntegerType),
         StructField("files_added", org.apache.spark.sql.types.IntegerType)))
+    else if (proc == "diff")
+      // tabular change feed: the table's schema + _change_type (resolved
+      // at analysis time from the named table)
+      graft.util.SchemaUtil.fromJson(
+        tableOf(org.apache.spark.sql.SparkSession.active).info.schemaJson)
+        .add("_change_type", StringType)
     else StructType(Seq(StructField("result", StringType))))
 
   private def tableOf(spark: SparkSession): GraftTable =
@@ -109,6 +115,17 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       return tableOf(spark).history.map {
         case (v, ts, op, nParts, nFiles) => Row(v, ts, op, nParts, nFiles)
       }
+    // tabular row-level change feed between two timestamps (the SQL face
+    // of GraftTable.diff — Delta's table_changes shape). CALL results
+    // materialize on the driver; for bulk consumption use the DataFrame
+    // form (readtype=diff) instead.
+    if (proc == "diff") {
+      val t = tableOf(spark)
+      val from = args.get("from_ts").map(_.toLong).getOrElse(0L)
+      val to = args.get("to_ts").map(_.toLong)
+        .getOrElse(System.currentTimeMillis())
+      return t.diff(from, to).collect().toSeq
+    }
     val result = proc match {
       case "compaction" =>
         val t = tableOf(spark)

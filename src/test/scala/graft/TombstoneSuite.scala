@@ -168,6 +168,20 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("CALL graft.diff returns the change feed as SQL rows") {
+    withTempPath { dir =>
+      val t = mkTable(dir)
+      val ts0 = System.currentTimeMillis(); Thread.sleep(5)
+      t.deleteTombstone($"k" === 5L)
+      t.upsert(Seq((200L, "fresh", 0L)).toDF("k", "v", "n"))
+      Thread.sleep(5)
+      val rows = spark.sql(
+        s"CALL graft.diff(table_path => '${t.tablePath}', from_ts => '$ts0')")
+        .select("k", "_change_type").as[(Long, String)].collect().sorted.toSeq
+      assert(rows == Seq((5L, "delete"), (200L, "insert")), s"got $rows")
+    }
+  }
+
   test("compaction daemon materializes accumulated tombstones in quiet partitions") {
     withTempPath { dir =>
       val t = mkTable(dir)
