@@ -303,6 +303,38 @@ object Demo {
       } finally MaterializedView.disableRewrite(spark, s"$dir/rw_view")
     }
 
+    // rewrite-free DML family: tombstone delete, delta update, delta
+    // merge, and change-feed replication — none may rewrite a data file
+    locally {
+      val cust = spark.read.parquet(s"$sf/customer.parquet")
+      val a = GraftTable.create(spark, cust, s"$dir/dml_a",
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      val b = GraftTable.create(spark, cust, s"$dir/dml_b",
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      val ts0 = a.lastCommitTs
+      val before = a.liveFiles.map(_.file.path).toSet
+      a.deleteTombstone(col("c_acctbal") < 0)
+      a.updateDelta(col("c_mktsegment") === "BUILDING",
+        Map("c_acctbal" -> (col("c_acctbal") + 1)))
+      val untouched = before.subsetOf(a.liveFiles.map(_.file.path).toSet)
+      val expect = cust.filter(!(col("c_acctbal") < 0)).count()
+      println(s"tombstone delete + delta update rows = ${a.toDF.count()} " +
+        s"(expect $expect), data files untouched = $untouched (expect true)")
+      Thread.sleep(2)
+      b.applyChanges(a.diff(ts0, System.currentTimeMillis()))
+      println(s"applyChanges replica matches = ${
+        b.toDF.count() == a.toDF.count()} (expect true)")
+      val cursor = b.replicateFrom(a)
+      println(s"replicateFrom cursor = ${cursor > 0} (expect true)")
+      val callDiff = spark.sql("CALL graft.diff(table_path => '" +
+        a.tablePath + s"', from_ts => '$ts0')").count()
+      println(s"CALL graft.diff change rows = $callDiff (expect > 0)")
+      a.compaction()
+      println(s"post-compaction rows = ${a.toDF.count()} (expect $expect), " +
+        s"tombstones gone = ${!a.liveFiles.exists(f =>
+          graft.meta.Tombstone.isTombstone(f.file))} (expect true)")
+    }
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

@@ -55,7 +55,8 @@ object MetadataTables {
       StructField("size_bytes", LongType),
       StructField("commit_ordinal", IntegerType),
       StructField("row_count", LongType),
-      StructField("file_op", StringType))),
+      StructField("file_op", StringType),
+      StructField("tombstone", BooleanType))),
       () => {
         // a real column named like the reserved row-count key shadows the
         // synthetic stats entry — its bounds are NOT a row count, so report
@@ -66,7 +67,8 @@ object MetadataTables {
             rf.file.size, rf.commitOrdinal,
             if (shadowed) null
             else FileStats.rowCount(FileStats.decode(rf.file.stats)).map(Long.box).orNull,
-            s(rf.file.fileOp))
+            s(rf.file.fileOp),
+            graft.meta.Tombstone.isTombstone(rf.file))
         }.toArray
       })
 

@@ -562,6 +562,26 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Continuous replication ([[applyChanges]] in a resumable loop): pull
+    * this table up to date with `src` by applying
+    * `src.diff(cursor, src.lastCommitTs)`, where the cursor persists as a
+    * property on THIS table so restarts resume where they left off. The
+    * first call (cursor 0) backfills the full snapshot as inserts. The
+    * cursor write is a separate meta update AFTER the atomic applyChanges
+    * commit — a crash between the two replays the same window next call,
+    * which converges because applyChanges is replay-idempotent. Returns
+    * the new cursor (src commit timestamp), or the old one if src had no
+    * new commits. */
+  def replicateFrom(src: GraftTable): Long = {
+    val cursor = info.properties.get(GraftTable.ReplicaCursorProp)
+      .map(_.toLong).getOrElse(0L)
+    val now = src.lastCommitTs
+    if (now <= cursor) return cursor
+    applyChanges(src.diff(cursor, now))
+    setProperties(Map(GraftTable.ReplicaCursorProp -> now.toString))
+    now
+  }
+
   private def deltaUpdateEligible(t: TableInfo, setCols: Set[String]): Boolean =
     t.hasPrimaryKey && t.cdcColumn.isEmpty && deltaUpdateOpsOk(t, setCols)
 
@@ -1700,6 +1720,10 @@ case class CompactionOptions(
     newBucketNum: Option[Int] = None)
 
 object GraftTable {
+  /** Replication cursor ([[GraftTable.replicateFrom]]): the source commit
+    * timestamp this replica has applied up to. */
+  val ReplicaCursorProp = "graft.replica.cursor"
+
 
   /** Create a table from an initial DataFrame (cf. LakeSoulTable create +
     * write, SURVEY.md §7.3). */

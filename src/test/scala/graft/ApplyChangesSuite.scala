@@ -67,6 +67,33 @@ class ApplyChangesSuite extends SparkFixture {
     }
   }
 
+  test("replicateFrom: resumable cursor, initial backfill, crash replay converges") {
+    withTempPath { dir =>
+      val a = GraftTable.create(spark,
+        (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "w"), s"$dir/a",
+        hashColumns = Seq("id"), bucketNum = 2)
+      // EMPTY replica: first replicateFrom backfills the snapshot (cursor 0)
+      val b = GraftTable.create(spark,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          a.schema), s"$dir/b", hashColumns = Seq("id"), bucketNum = 2)
+      def state(t: GraftTable): Map[Long, Double] =
+        t.toDF.as[(Long, Double)].collect().toMap
+      val c1 = b.replicateFrom(a)
+      assert(state(b) == state(a) && state(b).size == 30)
+      assert(b.replicateFrom(a) == c1, "no new commits -> cursor unchanged")
+      // mutate the source, pull again
+      Thread.sleep(5)
+      a.deleteTombstone(col("id") <= 5L)
+      a.upsert(Seq((31L, 31.0)).toDF("id", "w"))
+      val c2 = b.replicateFrom(a)
+      assert(c2 > c1 && state(b) == state(a))
+      // crash simulation: cursor rolled back to c1 -> the window replays,
+      // replay-idempotence converges to the same state
+      b.setProperties(Map(GraftTable.ReplicaCursorProp -> c1.toString))
+      assert(b.replicateFrom(a) == c2 && state(b) == state(a))
+    }
+  }
+
   test("non-use_last tables and missing _change_type are rejected") {
     withTempPath { dir =>
       val t = GraftTable.create(spark, Seq((1L, 5)).toDF("id", "c"), dir,
