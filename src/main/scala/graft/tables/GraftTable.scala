@@ -562,6 +562,26 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Idempotent writer token (Delta's txnAppId/txnVersion shape, beyond
+    * the reference): run `body` only if `version` is strictly greater than
+    * the last version recorded for `appId` on this table, then record it.
+    * An orchestrator RETRY of the same job version becomes a no-op instead
+    * of a duplicate append; returns whether the body ran. Persistence
+    * rides the streaming sink's exactly-once batch bookkeeping. The record
+    * lands AFTER the write commit (same shape as the sink): a crash
+    * between the two replays that version once on restart — pair it with
+    * per-version-idempotent writes (upsert of a deterministic batch) for
+    * end-to-end exactly-once. */
+  def txn(appId: String, version: Long)(body: => Unit): Boolean = {
+    val key = s"txn:$appId"
+    if (version <= store.getMaxBatchId(tablePath, key)) false
+    else {
+      body
+      store.recordBatchId(tablePath, key, version)
+      true
+    }
+  }
+
   /** Continuous replication ([[applyChanges]] in a resumable loop): pull
     * this table up to date with `src` by applying
     * `src.diff(cursor, src.lastCommitTs)`, where the cursor persists as a

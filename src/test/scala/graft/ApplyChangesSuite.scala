@@ -94,6 +94,38 @@ class ApplyChangesSuite extends SparkFixture {
     }
   }
 
+  test("txn tokens make retried job versions no-ops") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), dir,
+        hashColumns = Seq("id"), bucketNum = 2)
+      assert(t.txn("loader", 1) { t.upsert(Seq((2L, "b")).toDF("id", "v")) })
+      // orchestrator retry of version 1: body must NOT run
+      assert(!t.txn("loader", 1) { t.upsert(Seq((9L, "dup")).toDF("id", "v")) })
+      assert(t.txn("loader", 2) { t.upsert(Seq((3L, "c")).toDF("id", "v")) })
+      // a different app id has its own sequence
+      assert(t.txn("other", 1) { () })
+      assert(t.toDF.count() == 3)
+      assert(!t.txn("loader", 2) { () } && !t.txn("loader", 1) { () })
+    }
+  }
+
+  test("secondary index refresh folds tombstone deletes") {
+    withTempPath { dir =>
+      import graft.tables.SecondaryIndex
+      val src = GraftTable.create(spark,
+        (1L to 40L).map(i => (i, i % 4)).toDF("id", "grp"), s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 2)
+      SecondaryIndex.create(spark, s"$dir/src", s"$dir/idx", "grp", bucketNum = 2)
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      assert(SecondaryIndex.lookup(spark, s"$dir/idx", 1).count() == 10)
+      src.deleteTombstone(col("grp") === 1 && col("id") <= 20L)
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      val hits = SecondaryIndex.lookup(spark, s"$dir/idx", 1)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(hits == Seq(21L, 25L, 29L, 33L, 37L), s"got $hits")
+    }
+  }
+
   test("non-use_last tables and missing _change_type are rejected") {
     withTempPath { dir =>
       val t = GraftTable.create(spark, Seq((1L, 5)).toDF("id", "c"), dir,
