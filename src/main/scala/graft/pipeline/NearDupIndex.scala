@@ -45,6 +45,23 @@ class NearDupIndex private (
         .select(col("_g_band").as("band"), col("_g_bh").as("bh"),
           col("_g_id").as("doc_id")))
 
+  /** Remove documents by id — DELETION MAINTENANCE: every (band, bh,
+    * doc_id) signature row of the given docs is killed with a TOMBSTONE
+    * run (O(removed) bytes written, nothing rewritten), so re-adding a
+    * CHANGED text no longer leaves stale bands behind — the mutable-doc
+    * contract documented on the class: `remove(ids); add(newTexts)`. */
+  def remove(ids: DataFrame): Unit = {
+    val keyed = ids.toDF("_g_rm")
+    val matched = table.toDF
+      .join(broadcast(keyed), col("doc_id") === col("_g_rm"), "left_semi")
+    table.applyChanges(matched.withColumn("_change_type", lit("delete")))
+  }
+
+  def remove(ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    remove(ids.toDF("_g_rm"))
+  }
+
   /** Candidate (id_corpus, id_new) pairs for a new batch: the batch's
     * banded signatures (small) broadcast-join the persisted index on
     * (band, bh). Degenerate LSH buckets — the classic skew hazard — are

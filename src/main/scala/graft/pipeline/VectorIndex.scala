@@ -40,6 +40,25 @@ class VectorIndex private (
         "rebuild it with VectorIndex.build")
   }
 
+  /** Remove vectors by id — DELETION MAINTENANCE for the IVF index (the
+    * reference's RaBitQ index is append-only): the matching (cell, id)
+    * rows are killed with a TOMBSTONE run, so removal writes O(removed)
+    * bytes and rewrites nothing; compaction materializes on cadence. This
+    * completes the mutable-embedding contract documented on [[append]]:
+    * `remove(changedIds); append(changedVecs)` relocates a vector cleanly
+    * even when it hops cells. */
+  def remove(ids: DataFrame): Unit = {
+    val keyed = ids.toDF("_g_rm")
+    val matched = indexTable.toDF
+      .join(broadcast(keyed), col(idCol) === col("_g_rm"), "left_semi")
+    indexTable.applyChanges(matched.withColumn("_change_type", lit("delete")))
+  }
+
+  def remove(ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    remove(ids.toDF("_g_rm"))
+  }
+
   /** Top-k by cosine, probing the nprobe nearest cells. Probe selection is
     * driver-side over the (tiny) collected centroids. */
   def search(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {

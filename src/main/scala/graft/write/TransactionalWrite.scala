@@ -96,8 +96,18 @@ object TransactionalWrite {
     val missing = (table.rangeColumns ++ table.hashColumns).filterNot(present.contains)
     require(missing.isEmpty,
       s"batch is missing partition/primary-key columns: ${missing.mkString(", ")}")
+    // cast only on a REAL type change: equal-up-to-nullability types skip
+    // it — parquet round-trips array/map elements as nullable, and casting
+    // array<t, nullable> to a schema recorded with containsNull=false is a
+    // CAST_WITHOUT_SUGGESTION analysis error, not a no-op
+    val inTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val normalized =
-      df.select(keep.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      df.select(keep.map { f =>
+        if (org.apache.spark.sql.types.DataType.equalsStructurally(
+            inTypes(f.name), f.dataType,
+            ignoreNullability = true)) col(f.name).as(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
     // expectations gate NEW data entering the table (ingestion commits
     // only): a maintenance rewrite or compaction re-running them would
     // silently REMOVE previously-admitted rows if an expectation was added

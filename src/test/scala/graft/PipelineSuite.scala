@@ -130,6 +130,44 @@ class PipelineSuite extends SparkFixture {
         corpus.unionByName(batchTexts), threshold = 0.9)
       .filter($"jaccard" === 1.0).collect()
     assert(found.nonEmpty)
+
+    // DELETION maintenance: remove one indexed doc (tombstone run, nothing
+    // rewritten) -> a copy of it no longer surfaces; other docs still do
+    val victim = expected.head
+    reopened.remove(Seq(victim))
+    val copyOfVictim = corpus.filter($"doc_id" === victim)
+      .withColumn("doc_id", $"doc_id" + 7000000L)
+    assert(reopened.check(copyOfVictim, "doc_id", "text", corpus,
+      threshold = 0.9).filter($"id_a" === victim).isEmpty)
+    val survivor = expected.find(_ != victim).get
+    val copyOfSurvivor = corpus.filter($"doc_id" === survivor)
+      .withColumn("doc_id", $"doc_id" + 8000000L)
+    assert(!reopened.check(copyOfSurvivor, "doc_id", "text", corpus,
+      threshold = 0.9).filter($"id_a" === survivor).isEmpty)
+  }
+
+  test("vector index deletion maintenance: remove kills ids; re-append relocates") {
+    import graft.pipeline.VectorIndex
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vrm-")
+      .toFile.getAbsolutePath
+    val idx = VectorIndex.build(spark, e, dir, "vec_id", "embedding", nlist = 8)
+    val q0 = e.filter($"vec_id" === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    def topIds(k: Int) = idx.search(q0, k, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(topIds(5).head == 0L) // self-match first
+    idx.remove(Seq(0L))
+    assert(!topIds(5).contains(0L), "removed id must not surface")
+    // relocate: re-append id 0 with a DIFFERENT vector (may hop cells) —
+    // the documented mutable-embedding contract remove+append
+    val moved = e.filter($"vec_id" === 17).select(
+      lit(0L).as("vec_id"), $"embedding")
+    idx.append(moved)
+    val hits = idx.search(e.filter($"vec_id" === 17).select("embedding")
+      .head.getSeq[Float](0).toArray, 5, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.contains(0L), s"relocated id must surface near its new home: $hits")
   }
 
   test("streaming curation: cross-batch near-dup admission via the persisted index") {
