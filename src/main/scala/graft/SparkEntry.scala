@@ -1878,6 +1878,26 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 1000000)
       idx.check(batch, "doc_id", "text", corpusText = doc, threshold = 0.8)
     }),
+    "dedup_index_remove" -> q((s, d) => {
+      // DELETION maintenance of the persisted near-dup index: remove every
+      // 16th corpus doc's signatures (a TOMBSTONE run on the index sidecar
+      // — zero index files rewritten, asserted in-query), then check a
+      // batch; removed docs must no longer surface as id_a
+      val doc = rd(s, d, "documents")
+      val path = tmp("neardupidxrm")
+      val idx = graft.pipeline.NearDupIndex.create(s, path)
+      idx.add(doc, "doc_id", "text")
+      val it = GraftTable.forPath(s, path)
+      val before = it.liveFiles.map(_.file.path).toSet
+      idx.remove(doc.filter(col("doc_id") % 16 === 0).select("doc_id"))
+      require(before.subsetOf(it.liveFiles.map(_.file.path).toSet),
+        "index removal must not rewrite index files")
+      require(it.liveFiles.exists(f => graft.meta.Tombstone.isTombstone(f.file)),
+        "index removal must land as a tombstone run")
+      val batch = doc.filter(col("doc_id") % 8 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      idx.check(batch, "doc_id", "text", corpusText = doc, threshold = 0.8)
+    }),
     "dedup_simhash" -> q((s, d) =>
       // md5-derived per-token hash -> DuckDB recomputes the identical
       // 64-bit signature (bit-majority over md5 hex prefixes) and replays
@@ -3590,6 +3610,20 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id % 8 = 0
         |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.8""".stripMargin,
+    "dedup_index_remove" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id + 1000000 AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id % 8 = 0
+        |WHERE a.doc_id % 16 <> 0
+        |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) >= 0.8""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
