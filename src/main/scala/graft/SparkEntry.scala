@@ -2151,6 +2151,27 @@ object SparkEntry {
         "vec_id", "embedding", nlist = 16)
       idx.search(q0, k = 20, nprobe = 8)
     }),
+    "ann_index_remove" -> q((s, d) => {
+      // DELETION maintenance of the persisted IVF index: remove a subset
+      // of vectors (a TOMBSTONE run on the sidecar — zero index files
+      // rewritten, asserted in-query), then search; removed ids must not
+      // surface. The reference's IVF-RaBitQ index is append-only —
+      // deletes are a beyond-ref capability the tombstone machinery buys.
+      val e = rd(s, d, "embeddings")
+      val q0 = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val base = tmp("vecidxrm")
+      val idx = graft.pipeline.VectorIndex.build(s, e, base,
+        "vec_id", "embedding", nlist = 16)
+      val it = GraftTable.forPath(s, s"$base/_g_vecindex")
+      val before = it.liveFiles.map(_.file.path).toSet
+      idx.remove(e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      require(before.subsetOf(it.liveFiles.map(_.file.path).toSet),
+        "index removal must not rewrite index files")
+      require(it.liveFiles.exists(f => graft.meta.Tombstone.isTombstone(f.file)),
+        "index removal must land as a tombstone run")
+      idx.search(q0, k = 20, nprobe = 8)
+    }),
     "text_stats" -> q((s, d) => {
       GraftFunctions.register(s)
       val t = col("text")
@@ -3362,6 +3383,9 @@ object SparkEntry {
         |GROUP BY source, epoch""".stripMargin,
     "ann_ivf" -> annIvfOracle,
     "ann_index_persisted" -> annIvfOracle,
+    "ann_index_remove" -> annIvfOracle.replace(
+      "FROM assigned a JOIN probe USING (cell), q",
+      "FROM assigned a JOIN probe USING (cell), q WHERE a.vec_id % 7 <> 3"),
     "agg_pushdown" ->
       ("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
         "max(o_orderkey) AS max_key, max(o_totalprice) AS max_price FROM orders"),
