@@ -91,6 +91,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         StructField("operation", StringType),
         StructField("partitions", org.apache.spark.sql.types.IntegerType),
         StructField("files_added", org.apache.spark.sql.types.IntegerType)))
+    else if (proc == "validate")
+      StructType(Seq(StructField("issue", StringType)))
     else if (proc == "diff")
       // tabular change feed: the table's schema + _change_type (resolved
       // at analysis time from the named table)
@@ -119,6 +121,10 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
     // of GraftTable.diff — Delta's table_changes shape). CALL results
     // materialize on the driver; for bulk consumption use the DataFrame
     // form (readtype=diff) instead.
+    // consistency check: one row per violation, empty result = healthy
+    if (proc == "validate")
+      return tableOf(spark)
+        .validate(args.getOrElse("max_issues", "100").toInt).map(Row(_))
     if (proc == "diff") {
       val t = tableOf(spark)
       val from = args.get("from_ts").map(_.toLong).getOrElse(0L)

@@ -562,6 +562,13 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Consistency check (fsck, beyond-ref ops tooling — see [[Validator]]):
+    * verifies file existence/sizes against metadata and, per
+    * (partition, bucket, run), the sorted-run order, PK uniqueness, bucket
+    * placement, footer row counts and tombstone shape. Empty = healthy. */
+  def validate(maxIssues: Int = 100): Seq[String] =
+    Validator.validate(this, maxIssues)
+
   /** Idempotent writer token (Delta's txnAppId/txnVersion shape, beyond
     * the reference): run `body` only if `version` is strictly greater than
     * the last version recorded for `appId` on this table, then record it.

@@ -75,6 +75,8 @@ class ModelCheckSuite extends SparkFixture {
         }
 
         assert(readState(t.toDF) == model, s"round $round: final state")
+        // format invariants hold after ANY op sequence (fsck)
+        assert(t.validate() == Nil, s"round $round: validate")
         val (ts, expected) = snapshots(rnd.nextInt(snapshots.size))
         assert(readState(t.snapshotAt(ts)) == expected,
           s"round $round: snapshot @$ts")
