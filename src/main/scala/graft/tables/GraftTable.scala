@@ -472,6 +472,10 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
     val heads = headsNow
     if (t.properties.get(TableInfo.UpdateModeProp).contains("delta") &&
+        t.cdcColumn.isDefined && !set.contains(t.cdcColumn.get) &&
+        deltaUpdateOpsOk(t, set.keySet)) {
+      markerUpdate(t, heads, cond, set)
+    } else if (t.properties.get(TableInfo.UpdateModeProp).contains("delta") &&
         deltaUpdateEligible(t, set.keySet)) {
       deltaUpdate(t, heads, cond, set)
     } else rewriteFiles(targetFiles(cond), heads) { df =>
@@ -674,10 +678,66 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       val hit = partitionsMatching(cond, partitions.map(_.partitionDesc))
       publish(expireCommitsFor(hit))
     } else if (t.properties.get(TableInfo.DeleteModeProp).contains("tombstone") &&
+        t.cdcColumn.isDefined) {
+      markerDelete(t, heads, cond)
+    } else if (t.properties.get(TableInfo.DeleteModeProp).contains("tombstone") &&
         tombstoneEligible(t)) {
       tombstoneDelete(t, heads, cond)
     } else rewriteFiles(targetFiles(cond), heads) { df =>
       df.filter(!coalesce(cond, lit(false)))
+    }
+  }
+
+  /** DELETE on a CDC table as an O(matched-rows) delta of `delete`-marker
+    * rows — the CDC-native tombstone (the format already hides marker
+    * deletes on read and drops them at full compaction, M8/F6): no data
+    * file is rewritten, and incremental/streaming consumers receive the
+    * deletions as proper CDC rows. `delete(cond)` routes here for CDC
+    * tables under graft.delete.mode=tombstone. */
+  def deleteMarker(cond: Column): Unit = withRetry {
+    val t = info
+    require(t.cdcColumn.isDefined,
+      "deleteMarker requires a CDC table (plain PK tables: deleteTombstone)")
+    markerDelete(t, headsNow, cond)
+  }
+
+  private def markerDelete(t: TableInfo, heads: Map[String, Int],
+      cond: Column): Unit = {
+    val files = targetFiles(cond)
+    if (files.nonEmpty) {
+      // visible rows only (existing delete markers auto-hidden on read)
+      val matched = GraftRead.read(spark, t, files).filter(cond)
+        .withColumn(t.cdcColumn.get, lit("delete"))
+      publish(TransactionalWrite.writeFiles(spark, t, matched, CommitOp.Merge),
+        heads)
+    }
+  }
+
+  /** UPDATE on a CDC table as an O(matched-rows) delta of `update`-marker
+    * rows (see [[deleteMarker]]); same use_last eligibility as
+    * [[updateDelta]]. `update(cond, set)` routes here for CDC tables under
+    * graft.update.mode=delta. */
+  def updateMarker(cond: Column, set: Map[String, Column]): Unit = withRetry {
+    val t = info
+    require(t.cdcColumn.isDefined,
+      "updateMarker requires a CDC table (plain PK tables: updateDelta)")
+    require(!set.contains(t.cdcColumn.get), "cannot SET the CDC marker column")
+    require(deltaUpdateOpsOk(t, set.keySet),
+      "marker update requires use_last-family merge operators " +
+        "(the re-written row must overwrite)")
+    markerUpdate(t, headsNow, cond, set)
+  }
+
+  private def markerUpdate(t: TableInfo, heads: Map[String, Int],
+      cond: Column, set: Map[String, Column]): Unit = {
+    val files = targetFiles(cond)
+    if (files.nonEmpty) {
+      val matched = GraftRead.read(spark, t, files).filter(cond)
+      val updated = set.foldLeft(matched) { case (d, (c, e)) =>
+        d.withColumn(c, e)
+      }.withColumn(t.cdcColumn.get, lit("update"))
+      publish(TransactionalWrite.writeFiles(spark, t, updated, CommitOp.Merge),
+        heads)
     }
   }
 

@@ -80,6 +80,41 @@ class DeltaUpdateSuite extends SparkFixture {
     }
   }
 
+  test("CDC tables: marker-based DELETE and UPDATE are pure deltas") {
+    withTempPath { dir =>
+      val df = (1L to 60L).map(i => (i, s"v$i", "insert")).toDF("k", "v", "op")
+      val t = GraftTable.create(spark, df, dir, hashColumns = Seq("k"),
+        bucketNum = 2,
+        properties = Map(
+          TableInfo.CdcColumnProp -> "op",
+          TableInfo.DeleteModeProp -> "tombstone",
+          TableInfo.UpdateModeProp -> "delta"))
+      val before = t.liveFiles.map(_.file.path).toSet
+      t.delete($"k" % 5 === 0)
+      t.update($"k" % 7 === 0, Map("v" -> lit("upd")))
+      assert(before.subsetOf(t.liveFiles.map(_.file.path).toSet),
+        "CDC marker DML must not rewrite data files")
+      def visible(): Map[Long, String] =
+        t.toDF.select("k", "v").as[(Long, String)].collect().toMap
+      val got = visible()
+      (1L to 60L).foreach { k =>
+        if (k % 5 == 0) assert(!got.contains(k), s"k=$k must be deleted")
+        else if (k % 7 == 0) assert(got(k) == "upd", s"k=$k must be updated")
+        else assert(got(k) == s"v$k")
+      }
+      // streams consume the markers as proper CDC rows
+      val inc = t.incremental(t.history.map(_._2).min + 1,
+        System.currentTimeMillis())
+      val ops = inc.groupBy("op").count().as[(String, Long)].collect().toMap
+      // 8 multiples of 7 in 1..60, but 35 was already deleted -> 7 updates
+      assert(ops("delete") == 12 && ops("update") == 7, s"got $ops")
+      // full compaction materializes: deletes gone, updates become inserts
+      t.compaction()
+      assert(visible() == got)
+      assert(t.toDF(_ => true).count() == 48) // 60 - 12 deleted
+    }
+  }
+
   test("SQL UPDATE through the catalog uses the delta path under the property") {
     withTempPath { dir =>
       spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
