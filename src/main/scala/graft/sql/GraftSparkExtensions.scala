@@ -224,6 +224,13 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val i = graft.tables.SecondaryIndex.refresh(spark, args("index_path"))
         s"refreshed to ${i.info.properties(
           graft.tables.SecondaryIndex.CursorProp)}"
+      case "replicate" =>
+        // pull target up to date with source via the change feed
+        // (GraftTable.replicateFrom: resumable cursor, initial backfill)
+        val src = GraftTable.forPath(spark, args("source_path"))
+        val cursor = GraftTable.forPath(spark, args("target_path"))
+          .replicateFrom(src)
+        s"replicated to $cursor"
       case other =>
         throw new IllegalArgumentException(s"unknown procedure graft.$other")
     }

@@ -168,6 +168,42 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("schema evolution after a tombstone delete stays exact") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark,
+        (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), dir,
+        hashColumns = Seq("k"), bucketNum = 2)
+      t.deleteTombstone($"k" <= 5L)
+      // widen the schema AFTER the tombstone run exists, then revive one
+      // deleted key with the new column set
+      t.upsert(Seq((3L, "revived", 42L)).toDF("k", "v", "extra"))
+      val got = t.toDF.select("k", "v", "extra")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == ((6L to 20L).toSet + 3L))
+      assert(got(3L) == (("revived", Some(42L))))
+      assert(got(10L) == ((s"v10", None))) // pre-evolution rows null-fill
+      t.compaction()
+      assert(t.toDF.count() == 16 &&
+        !t.liveFiles.exists(f => Tombstone.isTombstone(f.file)))
+    }
+  }
+
+  test("CALL graft.replicate pulls a target up to date") {
+    withTempPath { dir =>
+      val a = mkTable(s"$dir/a")
+      val b = GraftTable.create(spark,
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], a.schema),
+        s"$dir/b", hashColumns = Seq("k"), bucketNum = 2)
+      a.deleteTombstone($"k" > 90L)
+      val res = spark.sql("CALL graft.replicate(source_path => '" +
+        a.tablePath + "', target_path => '" + b.tablePath + "')")
+      assert(res.head.getString(0).startsWith("replicated to"))
+      assert(b.toDF.count() == 90)
+    }
+  }
+
   test("CALL graft.diff returns the change feed as SQL rows") {
     withTempPath { dir =>
       val t = mkTable(dir)
