@@ -93,12 +93,15 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         StructField("files_added", org.apache.spark.sql.types.IntegerType)))
     else if (proc == "validate")
       StructType(Seq(StructField("issue", StringType)))
-    else if (proc == "diff")
+    else if (proc == "diff") {
       // tabular change feed: the table's schema + _change_type (resolved
-      // at analysis time from the named table)
-      graft.util.SchemaUtil.fromJson(
-        tableOf(org.apache.spark.sql.SparkSession.active).info.schemaJson)
+      // at analysis time from the named table); CDC tables' diff maps the
+      // stored marker INTO _change_type and drops the marker column
+      val ti = tableOf(org.apache.spark.sql.SparkSession.active).info
+      StructType(graft.util.SchemaUtil.fromJson(ti.schemaJson)
+        .filterNot(f => ti.cdcColumn.contains(f.name)))
         .add("_change_type", StringType)
+    }
     else StructType(Seq(StructField("result", StringType))))
 
   private def tableOf(spark: SparkSession): GraftTable =
@@ -128,8 +131,11 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
     if (proc == "diff") {
       val t = tableOf(spark)
       val from = args.get("from_ts").map(_.toLong).getOrElse(0L)
-      val to = args.get("to_ts").map(_.toLong)
-        .getOrElse(System.currentTimeMillis())
+      // default upper bound = the newest COMMIT timestamp, not wall clock:
+      // the store's monotonic stamps can run a few ms ahead of
+      // currentTimeMillis under same-millisecond bursts, and a wall-clock
+      // bound would silently exclude those commits
+      val to = args.get("to_ts").map(_.toLong).getOrElse(t.lastCommitTs)
       return t.diff(from, to).collect().toSeq
     }
     val result = proc match {

@@ -534,37 +534,57 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     require(t.cdcColumn.isEmpty,
       "CDC tables ingest change feeds natively (upsert rows carrying the " +
         "marker column); applyChanges is for plain PK tables")
-    require(deltaUpdateOpsOk(t, Set.empty),
-      "applyChanges requires use_last/use_last_not_null merge operators " +
-        "(change rows carry full values; applying them must overwrite)")
+    // EVERY column of a change row is effectively SET (full-value
+    // overwrite), so use_last is required on all non-key columns: under
+    // use_last_not_null a NULL postimage could not overwrite an older
+    // non-null value and the replica would silently diverge
+    val allValueCols = schema.fieldNames.toSet --
+      (t.rangeColumns ++ t.hashColumns)
+    require(deltaUpdateOpsOk(t, allValueCols),
+      "applyChanges requires use_last on every non-key column (change rows " +
+        "carry full values, including NULLs, and applying them must be an " +
+        "overwrite — use_last_not_null would keep stale non-null values)")
     withRetry {
       val heads = headsNow
       val sch = schema
       val keyCols = (t.rangeColumns ++ t.hashColumns).distinct
       val dataCols = sch.fieldNames.toSeq
-      val ups = changes
-        .filter(col(ct).isin("insert", "update_postimage"))
-        .select(dataCols.map(col): _*)
-      val upCommits =
-        TransactionalWrite.writeFiles(spark, t, ups, CommitOp.Merge)
-      val dels = changes.filter(col(ct) === "delete")
-      val delCommits =
-        if (dels.isEmpty) Nil
-        else {
-          require(graft.read.BucketMergeRead.supports(t, sch, Nil) &&
-            !t.properties.get(TableInfo.SkipMergeOnReadProp).contains("true"),
-            "delete changes need tombstone support (bucket-merge operators, " +
-              "merge-on-read enabled)")
-          val delRows = dels.select(sch.fields.map { f =>
-            if (keyCols.contains(f.name)) col(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toSeq: _*)
-          TransactionalWrite.writeFiles(spark, t, delRows,
-            CommitOp.Rewrite, tombstone = true)
-        }
-      publish(upCommits ++ delCommits, heads)
+      // the feed (often a two-snapshot diff) is consumed up to three times
+      // (upsert write, delete probe, tombstone write) — materialize once
+      val cached = changes.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val ups = cached
+          .filter(col(ct).isin("insert", "update_postimage"))
+          .select(dataCols.map(col): _*)
+        val upCommits =
+          TransactionalWrite.writeFiles(spark, t, ups, CommitOp.Merge)
+        val dels = cached.filter(col(ct) === "delete")
+        val delCommits =
+          if (dels.isEmpty) Nil
+          else {
+            require(graft.read.BucketMergeRead.supports(t, sch, Nil) &&
+              !t.properties.get(TableInfo.SkipMergeOnReadProp).contains("true"),
+              "delete changes need tombstone support (bucket-merge operators, " +
+                "merge-on-read enabled)")
+            TransactionalWrite.writeFiles(spark, t,
+              tombstoneProjection(dels, sch, keyCols, col),
+              CommitOp.Rewrite, tombstone = true)
+          }
+        publish(upCommits ++ delCommits, heads)
+      } finally cached.unpersist()
     }
   }
+
+  /** Full-schema tombstone rows: key columns via `keyOf`, every other
+    * column null — the one shape the merge reader, [[Validator]] and the
+    * existCols marker all agree on. */
+  private def tombstoneProjection(df: DataFrame, sch: StructType,
+      keyCols: Seq[String], keyOf: String => Column): DataFrame =
+    df.select(sch.fields.map { f =>
+      if (keyCols.contains(f.name)) keyOf(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
 
   /** Consistency check (fsck, beyond-ref ops tooling — see [[Validator]]):
     * verifies file existence/sizes against metadata and, per
@@ -792,10 +812,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // full table schema with non-key columns null: the tombstone run
       // shares the format's sorted-bucketed shape; existCols marks only
       // the keys (+ the tombstone marker) as meaningful
-      val tombDf = matched.select(sch.fields.map { f =>
-        if (keyCols.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }.toSeq: _*)
+      val tombDf = tombstoneProjection(matched, sch, keyCols, col)
       // CommitOp.Rewrite: folds like a delta (appends the run) but ABORTS
       // incremental/streaming delivery — a deletion is not a consumable
       // delta for a non-CDC table (reference Update-commit semantics)
@@ -1224,12 +1241,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             if (deleteActions.isEmpty) Nil
             else {
               val keyCols = (t.rangeColumns ++ t.hashColumns).distinct
-              val delRows = frame.filter(col("_g_action").isin(deleteActions: _*))
-                .select(sch.fields.map { f =>
-                  if (keyCols.contains(f.name))
-                    GraftMerge.target(f.name).cast(f.dataType).as(f.name)
-                  else lit(null).cast(f.dataType).as(f.name)
-                }.toSeq: _*)
+              val delRows = tombstoneProjection(
+                frame.filter(col("_g_action").isin(deleteActions: _*)),
+                sch, keyCols, GraftMerge.target)
               TransactionalWrite.writeFiles(spark, t, delRows,
                 CommitOp.Rewrite, tombstone = true)
             }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 import graft.meta._
 import graft.mergeop.{MergeOp, MergeOps}
@@ -88,6 +88,23 @@ object TransactionalWrite {
   /** Normalize an incoming batch to the table schema: keep table-schema
     * column order, cast types; columns absent from the batch stay absent
     * (schema evolution — recorded in existCols, read back as null). */
+  /** Name-sensitive type equality ignoring nullability/containsNull only
+    * (Spark's sameType is private[sql]; equalsStructurally would ignore
+    * nested struct field NAMES and skip a required renaming cast). */
+  private def sameTypeIgnoreNullability(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeIgnoreNullability(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeIgnoreNullability(x.keyType, y.keyType) &&
+          sameTypeIgnoreNullability(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameTypeIgnoreNullability(f.dataType, g.dataType)
+        }
+      case _ => a == b
+    }
+
   def normalize(table: TableInfo, df: DataFrame,
       ingestion: Boolean = true): DataFrame = {
     val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
@@ -99,13 +116,15 @@ object TransactionalWrite {
     // cast only on a REAL type change: equal-up-to-nullability types skip
     // it — parquet round-trips array/map elements as nullable, and casting
     // array<t, nullable> to a schema recorded with containsNull=false is a
-    // CAST_WITHOUT_SUGGESTION analysis error, not a no-op
+    // CAST_WITHOUT_SUGGESTION analysis error, not a no-op. sameType (NOT
+    // equalsStructurally, which ignores nested field NAMES) so a batch
+    // whose struct fields are named differently still gets the renaming
+    // cast the table schema requires.
     val inTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val normalized =
       df.select(keep.map { f =>
-        if (org.apache.spark.sql.types.DataType.equalsStructurally(
-            inTypes(f.name), f.dataType,
-            ignoreNullability = true)) col(f.name).as(f.name)
+        if (sameTypeIgnoreNullability(inTypes(f.name), f.dataType))
+          col(f.name).as(f.name)
         else col(f.name).cast(f.dataType).as(f.name)
       }.toSeq: _*)
     // expectations gate NEW data entering the table (ingestion commits
