@@ -84,29 +84,51 @@ object BucketMergeRead {
 
   private def orderableOrAny(dt: DataType): Boolean = true
 
-  /** bucket -> ordered runs; a "run" r = all ordinal-r files of the bucket
-    * across range partitions, concatenated in TYPED partition order
-    * ([[graft.util.DescOrder]] — desc-STRING order diverges for numeric
-    * ranges and broke the merge's sorted-run invariant; files are
-    * internally sorted by (range, pk), and descs are disjoint key ranges
+  /** Ordered runs of one bucket's files. A "run" = all ordinal-r files
+    * sharing one (presence-mask, tombstone) SIGNATURE, concatenated in TYPED
+    * partition order ([[graft.util.DescOrder]] — desc-STRING order diverges
+    * for numeric ranges and broke the merge's sorted-run invariant; files
+    * are internally sorted by (range, pk), and descs are disjoint key ranges
     * under the typed comparator). Path tiebreak: rolled file parts
-    * (...c000, ...c001) of one task concatenate in pk order. */
-  private def bucketGroups(table: TableInfo, schema: StructType,
-      files: Seq[ResolvedFile]): Seq[BucketGroup] = {
+    * (...c000, ...c001) of one task concatenate in pk order.
+    *
+    * The signature split is CORRECTNESS, not hygiene: commit ordinals are
+    * PER-PARTITION (SnapshotResolver.filesAt indexes each partition's own
+    * snapshot), so after divergent partition histories — an upsert touching
+    * only p=1, then a tombstone delete hitting p=2 — one ordinal mixes a
+    * data commit with a tombstone commit (or two schema-evolution states)
+    * across range partitions. Taking the flag/mask from the group head would
+    * silently drop live rows or surface deleted keys. Partitions are
+    * KEY-DISJOINT (range columns lead the merge key), so a key never spans
+    * two same-ordinal sub-runs and their relative order is irrelevant;
+    * per-partition run order is preserved because each partition's files
+    * still sort by their own ordinal. */
+  def orderedRuns(table: TableInfo, schema: StructType, files: Seq[ResolvedFile])
+      : Seq[(Seq[ResolvedFile], Array[Boolean], Boolean)] = {
     val runOrd = graft.util.DescOrder.runFileOrdering(table, schema)
-    (0 until table.bucketNum).map { b =>
-      val mine = files.filter(_.file.bucketId == b)
-      val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
-        case (_, fs) =>
-          (fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map { f =>
-            PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
-              0L, f.file.size)
-          }, presentMask(schema, fs.head.file.existCols),
-            graft.meta.Tombstone.isTombstone(fs.head.file))
-      }
-      BucketGroup(b, runs)
+    files.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).flatMap { case (_, fs) =>
+      fs.groupBy(f => (presentMask(schema, f.file.existCols).toSeq,
+          graft.meta.Tombstone.isTombstone(f.file)))
+        .map { case ((maskSeq, tomb), sub) =>
+          (sub.sortBy(f => (f.partitionDesc, f.file.path))(runOrd),
+            maskSeq.toArray, tomb)
+        }
+        .toSeq.sortBy(_._1.head.file.path) // deterministic sub-run order
     }
   }
+
+  private def bucketGroups(table: TableInfo, schema: StructType,
+      files: Seq[ResolvedFile]): Seq[BucketGroup] =
+    (0 until table.bucketNum).map { b =>
+      val runs = orderedRuns(table, schema, files.filter(_.file.bucketId == b))
+        .map { case (fs, mask, tomb) =>
+          (fs.map { f =>
+            PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
+              0L, f.file.size)
+          }, mask, tomb)
+        }
+      BucketGroup(b, runs)
+    }
 
   def read(
       spark: SparkSession,

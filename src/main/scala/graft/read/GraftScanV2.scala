@@ -522,19 +522,18 @@ class GraftScan(
 
   override def planInputPartitions(): Array[InputPartition] =
     if (bucketMergeable) {
-      // typed run-concatenation order — see DescOrder (desc-string order
-      // breaks the merge's sorted-run invariant for numeric range columns)
-      val runOrd = graft.util.DescOrder.runFileOrdering(info, schema)
+      // run split/order delegated to BucketMergeRead.orderedRuns: commit
+      // ordinals are per-partition, so same-ordinal groups split by
+      // (mask, tombstone) signature when partition histories diverge
       val buckets = pkBucket.map(Seq(_)).getOrElse(0 until info.bucketNum)
       buckets.map { b =>
         val mine = files.filter(_.file.bucketId == b)
-        val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
-          case (_, fs) =>
-            GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map(f =>
+        val runs = BucketMergeRead.orderedRuns(info, schema, mine).map {
+          case (fs, mask, tomb) =>
+            GraftRunSpec(fs.map(f =>
               PartitionedFile(InternalRow.empty,
                 SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
-              BucketMergeRead.presentMask(schema, fs.head.file.existCols),
-              graft.meta.Tombstone.isTombstone(fs.head.file))
+              mask, tomb)
         }.toArray
         GraftBucketPartition(b, runs): InputPartition
       }.toArray
@@ -681,16 +680,14 @@ class GraftMicroBatchStream(
           SparkPath.fromPathString(f.file.path), 0L, f.file.size),
         BucketMergeRead.presentMask(schema, f.file.existCols)): InputPartition).toArray
     else {
-      val runOrd = graft.util.DescOrder.runFileOrdering(info, schema)
       (0 until info.bucketNum).map { b =>
       val mine = files.filter(_.file.bucketId == b)
-      val runs = mine.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map {
-        case (_, fs) =>
-          GraftRunSpec(fs.sortBy(f => (f.partitionDesc, f.file.path))(runOrd).map(f =>
+      val runs = BucketMergeRead.orderedRuns(info, schema, mine).map {
+        case (fs, mask, tomb) =>
+          GraftRunSpec(fs.map(f =>
             PartitionedFile(InternalRow.empty,
               SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
-            BucketMergeRead.presentMask(schema, fs.head.file.existCols),
-            graft.meta.Tombstone.isTombstone(fs.head.file))
+            mask, tomb)
       }.toArray
       GraftBucketPartition(b, runs): InputPartition
     }.toArray

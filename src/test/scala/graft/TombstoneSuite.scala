@@ -287,6 +287,58 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("divergent partition histories: tombstone in one partition, data in another") {
+    // Commit ordinals are PER-PARTITION, so after an upsert touching only
+    // r=1 and a tombstone delete hitting only r=2, ordinal 1 holds a DATA
+    // commit in r=1 and a TOMBSTONE commit in r=2. The run grouping must
+    // split the mixed ordinal (orderedRuns signature split) — a head-derived
+    // flag either deletes the r=1 upserts or resurrects the r=2 keys.
+    withTempPath { dir =>
+      val df = (1L to 100L).map(i => (i % 2 + 1, i, s"v$i")).toDF("r", "k", "v")
+      val t = GraftTable.create(spark, df, dir,
+        rangeColumns = Seq("r"), hashColumns = Seq("k"), bucketNum = 2)
+      // ordinal 1 in r=1: data upsert; ordinal 1 in r=2: tombstone
+      t.upsert(Seq((1L, 2L, "updated2"), (1L, 4L, "updated4")).toDF("r", "k", "v"))
+      t.deleteTombstone($"r" === 2L && $"k" <= 10L) // k in {1,3,5,7,9}
+      val got = t.toDF.select("r", "k", "v").as[(Long, Long, String)]
+        .collect().toSeq
+      val expected = (1L to 100L).filterNot(k => k % 2 == 1 && k <= 10L)
+        .map { k =>
+          val v = if (k == 2L) "updated2" else if (k == 4L) "updated4" else s"v$k"
+          (k % 2 + 1, k, v)
+        }
+      assert(got.sorted == expected.sorted,
+        s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+      // and the symmetric order: tombstone first (r=1), then data (r=2)
+      t.deleteTombstone($"r" === 1L && $"k" === 2L)
+      t.upsert(Seq((2L, 3L, "revived3")).toDF("r", "k", "v"))
+      val got2 = t.toDF.select("k", "v").as[(Long, String)].collect().toMap
+      assert(!got2.contains(2L) && got2(3L) == "revived3" &&
+        got2(4L) == "updated4" && got2(11L) == "v11")
+    }
+  }
+
+  test("divergent partition histories: schema evolution masks split per ordinal") {
+    // Same hazard for presence masks: an upsert carrying a NEW column into
+    // r=1 shares ordinal 1 with a pre-evolution upsert into r=2; a
+    // head-derived mask either surfaces phantom nulls (overwriting merged
+    // values under use_last) or hides the evolved column.
+    withTempPath { dir =>
+      val df = (1L to 40L).map(i => (i % 2 + 1, i, s"v$i")).toDF("r", "k", "v")
+      val t = GraftTable.create(spark, df, dir,
+        rangeColumns = Seq("r"), hashColumns = Seq("k"), bucketNum = 2)
+      t.upsert(Seq((2L, 1L, "old1")).toDF("r", "k", "v")) // r=2, pre-evolution
+      t.upsert(Seq((1L, 2L, "new2", 42L)).toDF("r", "k", "v", "extra")) // r=1, evolved
+      val got = t.toDF.select("k", "v", "extra")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(1L) == (("old1", None)), s"got ${got(1L)}")
+      assert(got(2L) == (("new2", Some(42L))), s"got ${got(2L)}")
+      assert(got(3L) == (("v3", None)))
+      assert(got.size == 40)
+    }
+  }
+
   test("SQL reads through the catalog see tombstone deletes") {
     withTempPath { dir =>
       spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
