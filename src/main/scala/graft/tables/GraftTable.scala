@@ -554,11 +554,27 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       val cached = changes.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the upsert run and the tombstone run publish as ONE commit with
+        // the tombstone run newer, so a feed carrying several events for
+        // one key (delete then reinsert) would resolve to deleted — the
+        // at-most-one-change-per-key shape a two-snapshot diff guarantees
+        // must hold for any feed. Validate it (O(delta) groupBy on the
+        // cached feed) instead of silently losing the reinsert.
+        val dup = cached
+          .filter(col(ct).isin("insert", "update_postimage", "delete"))
+          .groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"applyChanges batch carries multiple effective events for key " +
+            s"${dup.headOption.map(_.toString).getOrElse("")} — a change " +
+            "batch must hold at most one insert/update_postimage/delete " +
+            "per key (split the feed into per-snapshot batches and apply " +
+            "them in order)")
         val ups = cached
           .filter(col(ct).isin("insert", "update_postimage"))
           .select(dataCols.map(col): _*)
-        val upCommits =
-          TransactionalWrite.writeFiles(spark, t, ups, CommitOp.Merge)
+        val upCommits = TransactionalWrite.writeFiles(spark, t, ups,
+          CommitOp.Merge, internal = true)
         val dels = cached.filter(col(ct) === "delete")
         val delCommits =
           if (dels.isEmpty) Nil
@@ -661,8 +677,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       }
       // snapshot-dependent (SET expressions may read current values), so
       // CAS on attempt-start heads like every rewrite
-      publish(TransactionalWrite.writeFiles(spark, t, updated, CommitOp.Merge),
-        heads)
+      publish(TransactionalWrite.writeFiles(spark, t, updated,
+        CommitOp.Merge, internal = true), heads)
     }
   }
 
@@ -728,8 +744,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // visible rows only (existing delete markers auto-hidden on read)
       val matched = GraftRead.read(spark, t, files).filter(cond)
         .withColumn(t.cdcColumn.get, lit("delete"))
-      publish(TransactionalWrite.writeFiles(spark, t, matched, CommitOp.Merge),
-        heads)
+      publish(TransactionalWrite.writeFiles(spark, t, matched,
+        CommitOp.Merge, internal = true), heads)
     }
   }
 
@@ -756,8 +772,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       val updated = set.foldLeft(matched) { case (d, (c, e)) =>
         d.withColumn(c, e)
       }.withColumn(t.cdcColumn.get, lit("update"))
-      publish(TransactionalWrite.writeFiles(spark, t, updated, CommitOp.Merge),
-        heads)
+      publish(TransactionalWrite.writeFiles(spark, t, updated,
+        CommitOp.Merge, internal = true), heads)
     }
   }
 
@@ -1235,8 +1251,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         try {
           val writes = projectOut(frame.filter(col("_g_action") >= 0 &&
             !col("_g_action").isin(deleteActions: _*)))
-          val upCommits =
-            TransactionalWrite.writeFiles(spark, t, writes, CommitOp.Merge)
+          val upCommits = TransactionalWrite.writeFiles(spark, t, writes,
+            CommitOp.Merge, internal = true)
           val delCommits =
             if (deleteActions.isEmpty) Nil
             else {

@@ -136,8 +136,13 @@ object Validator {
           }
           } catch {
             // a file that cannot be decoded (corruption, checksum failure,
-            // truncation) IS a violation — report it, don't fail the check
+            // truncation) IS a violation — report it, don't fail the check.
+            // Reset the order cursor: `prev` still holds the failed file's
+            // last row, which would spuriously flag the NEXT file as
+            // out-of-order or duplicate-PK (its footer count was already
+            // consumed above, so no stale count check fires either).
             case e: Exception =>
+              prev = null
               out += s"run (${spec.desc}, b${spec.bucket}, r${spec.ordinal}): " +
                 s"unreadable file $path: ${e.getClass.getSimpleName}: " +
                 String.valueOf(e.getMessage).take(120)

@@ -247,17 +247,27 @@ object TransactionalWrite {
       commitOp: String,
       skipPreMerge: Boolean = false,
       clusterCols: Seq[String] = Nil,
-      tombstone: Boolean = false): Seq[DataCommitInfo] = {
+      tombstone: Boolean = false,
+      internal: Boolean = false): Seq[DataCommitInfo] = {
     val commitId = MetaStore.newCommitId()
     // tombstone runs are key-only deletion markers built from rows the
     // table already admitted: full schema with non-key columns null, so
     // NOT NULL/check invariants must not run (and expectations never gate
     // internal writes). Flagged through existCols (Tombstone.Marker) with
     // only the key columns listed as physically meaningful.
+    //
+    // `internal` marks delta-DML rewrites of ALREADY-ADMITTED rows that
+    // commit with CommitOp.Merge for run-order semantics (deltaUpdate,
+    // marker delete/update, applyChanges, delta MERGE): expectations are
+    // ingestion-only gates — re-running them here would silently swallow a
+    // CDC delete marker or updated row when an expectation was added after
+    // the rows loaded, the exact internal-op hazard the equivalent
+    // CommitOp.Rewrite paths already avoid. Hard invariants still run.
     val df0 =
       if (tombstone) dfIn
       else normalize(table, dfIn,
-        ingestion = commitOp == CommitOp.Append || commitOp == CommitOp.Merge)
+        ingestion = !internal &&
+          (commitOp == CommitOp.Append || commitOp == CommitOp.Merge))
     val df = if (table.hasPrimaryKey && !skipPreMerge) preMerge(table, df0) else df0
     val existCols =
       if (tombstone)

@@ -141,4 +141,30 @@ class ApplyChangesSuite extends SparkFixture {
       assert(e2.getMessage.contains("_change_type"))
     }
   }
+
+  test("a feed with several events per key is rejected, not silently lost") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+        dir, hashColumns = Seq("id"), bucketNum = 2)
+      // delete-then-reinsert of key 1 in ONE batch: the tombstone run
+      // publishes newer than the upsert run, so accepting this would
+      // resolve key 1 to deleted — must fail loudly instead
+      val feed = Seq(
+        (1L, null.asInstanceOf[String], "delete"),
+        (1L, "reborn", "insert"),
+        (2L, "b2", "update_postimage")
+      ).toDF("id", "v", "_change_type")
+      val e = intercept[IllegalArgumentException](t.applyChanges(feed))
+      assert(e.getMessage.contains("multiple effective events"), e.getMessage)
+      // table unchanged; preimage rows don't count toward the limit
+      assert(t.toDF.count() == 2)
+      val ok = Seq(
+        (2L, "old", "update_preimage"),
+        (2L, "newv", "update_postimage")
+      ).toDF("id", "v", "_change_type")
+      t.applyChanges(ok)
+      assert(t.toDF.filter(col("id") === 2L).select("v").head.getString(0)
+        == "newv")
+    }
+  }
 }

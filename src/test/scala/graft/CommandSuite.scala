@@ -208,6 +208,58 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("expectations stay ingestion-only across delta DML (Merge-op internal writes)") {
+    withTempPath { path =>
+      // plain PK table, delta update mode
+      val t = GraftTable.create(spark,
+        (1L to 10L).map(i => (i, s"val$i", i.toInt)).toDF("id", "v", "n"), path,
+        hashColumns = Seq("id"), bucketNum = 2,
+        properties = Map(graft.meta.TableInfo.UpdateModeProp -> "delta"))
+      // late expectation every existing row violates
+      t.expect("late", "n >= 1000", "drop")
+      // delta UPDATE re-writes admitted rows with CommitOp.Merge — the
+      // expectation must NOT swallow them (the row would silently vanish)
+      t.update(col("id") === 3L, Map("v" -> lit("updated3")))
+      assert(t.toDF.count() == 10, "delta update must not drop admitted rows")
+      assert(t.toDF.filter(col("id") === 3L).select("v").head.getString(0)
+        == "updated3")
+      // applyChanges (replication): the source admitted these rows; the
+      // replica's expectation must not re-gate the feed
+      import spark.implicits._
+      val feed = Seq(
+        (4L, "post4", 4, "update_postimage"),
+        (99L, "new", 5, "insert"),
+        (5L, null.asInstanceOf[String], 0, "delete")
+      ).toDF("id", "v", "n", "_change_type")
+      t.applyChanges(feed)
+      val after = t.toDF.select("id", "v").as[(Long, String)].collect().toMap
+      assert(after(4L) == "post4", "postimage swallowed by late expectation")
+      assert(after(99L) == "new")
+      assert(!after.contains(5L), "delete change must apply")
+      // but NEW data through upsert() is still gated
+      t.upsert(Seq((200L, "gated", 1)).toDF("id", "v", "n"))
+      assert(t.toDF.filter(col("id") === 200L).count() == 0,
+        "plain upsert must still run expectations")
+      t.upsert(Seq((201L, "passes", 5000)).toDF("id", "v", "n"))
+      assert(t.toDF.filter(col("id") === 201L).count() == 1)
+    }
+    withTempPath { path =>
+      // CDC table: marker delete/update rows must never be re-gated
+      val t = GraftTable.create(spark,
+        (1L to 6L).map(i => (i, s"v$i", "insert")).toDF("id", "v", "op"), path,
+        hashColumns = Seq("id"), bucketNum = 2,
+        properties = Map(graft.meta.TableInfo.CdcColumnProp -> "op",
+          graft.meta.TableInfo.DeleteModeProp -> "tombstone"))
+      t.expect("late", "length(v) >= 100", "drop")
+      t.deleteMarker(col("id") <= 2L)
+      assert(t.toDF.count() == 4,
+        "marker delete must not be swallowed by a late expectation")
+      t.updateMarker(col("id") === 5L, Map("v" -> lit("upd")))
+      assert(t.toDF.filter(col("id") === 5L).select("v").head.getString(0)
+        == "upd")
+    }
+  }
+
   test("catalog: forName, listTables, drop") {
     withTempPath { path =>
       val name = s"default.t${System.nanoTime()}"
