@@ -4,12 +4,23 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.tables.GraftTable
 
-/** Benchmark main — prints ONE JSON line the driver records as BENCH_r{N}.json.
+/** Benchmark main. Prints the full per-query detail on one line (also
+  * written to bench_detail.json), then a compact (<2 KB) summary as the
+  * FINAL line — the line the driver records as BENCH_r{N}.json. r5's
+  * single detail-laden line outgrew the driver's tail buffer and parsed
+  * as null; the summary/detail split keeps the machine-readable
+  * round-over-round signal intact.
   *
   * Two parts:
   *  1. headline queries from SparkEntry (scan/agg/join/window/dedup/ANN/text)
   *  2. the reference's MOR scenario (BASELINE.md): init write -> 10 upserts
   *     of N/5 rows -> MOR read -> compaction -> post-compaction read.
+  *
+  * Estimators: re-runnable read-only queries publish the MEDIAN of 3
+  * (medianOf3 — guards symmetric noise); the MOR scenario's reads publish
+  * the MIN of 3 (min3 — hypervisor stalls are one-sided and can span 2 of
+  * 3 samples); unrepeatable mutation regimes publish count x median of
+  * the per-op times within the regime.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -157,9 +168,13 @@ object Bench {
       // tables inside the timed query, like the streaming entries)
       "table_diff", "mview_mutable")
 
-    // steady state = median of 3 runs (single-sample entries produced
-    // phantom regressions on a noisy host in r3/r4 — see README bench notes)
-    def minOf3(body: => Unit): Double = {
+    // steady state = MEDIAN of 3 runs (single-sample entries produced
+    // phantom regressions on a noisy host in r3/r4 — see README bench
+    // notes). Median guards re-runnable read-only queries; the MOR
+    // scenario's `min3` (true min) guards the one-sided-stall case where a
+    // hypervisor pause can span 2 of 3 samples. (r5's `minOf3` returned the
+    // median under a min name — renamed to match behavior.)
+    def medianOf3(body: => Unit): Double = {
       val ts = Seq.fill(3) {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.sorted
@@ -173,7 +188,7 @@ object Bench {
         System.err.println(s"[bench] $name failed (cold): ${e.getMessage}")
         cold(name) = -1.0
       }
-      try results(name) = minOf3 { fn(spark, sfDir).count() }
+      try results(name) = medianOf3 { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         results(name) = -1.0
@@ -199,7 +214,7 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-bench-bjr-").toFile.getAbsolutePath,
         hashColumns = Seq("custkey"), bucketNum = cpus.toInt)
       bjl.bucketedJoin(bjr).count() // warm-up (JIT the merge-join path)
-      results("bucketed_join") = minOf3 { bjl.bucketedJoin(bjr).count() }
+      results("bucketed_join") = medianOf3 { bjl.bucketedJoin(bjr).count() }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed_join scenario failed: ${e.getMessage}")
     }
@@ -234,10 +249,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       results("mview_refresh_delta") = ts(1)
-      results("mview_read") = minOf3 {
+      results("mview_read") = medianOf3 {
         MaterializedView.read(spark, viewPath).count()
       }
-      results("mview_full_recompute") = minOf3 {
+      results("mview_full_recompute") = medianOf3 {
         src.toDF.groupBy("l_returnflag", "l_linestatus")
           .agg(sum(col("l_quantity").cast("decimal(18,2)")),
             count(lit(1)), approx_count_distinct(col("l_partkey")))
@@ -262,9 +277,9 @@ object Bench {
           Measure("sum_qty", "CAST(l_quantity AS DECIMAL(18,2))", "sum"),
           Measure("cnt", "1", "count")))
       graft.pipeline.MaterializedView.refresh(spark, s"$vp2/v")
-      results("mview_sql_direct") = minOf3 { spark.sql(sql).count() }
+      results("mview_sql_direct") = medianOf3 { spark.sql(sql).count() }
       graft.pipeline.MaterializedView.enableRewrite(spark, s"$vp2/v")
-      try results("mview_sql_rewritten") = minOf3 { spark.sql(sql).count() }
+      try results("mview_sql_rewritten") = medianOf3 { spark.sql(sql).count() }
       finally graft.pipeline.MaterializedView.disableRewrite(spark, s"$vp2/v")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mview scenario failed: ${e.getMessage}")
@@ -286,10 +301,10 @@ object Bench {
         bucketNum = cpus.toInt)
       SecondaryIndex.refresh(spark, siIdx)
       SecondaryIndex.lookup(spark, siIdx, 77L).count() // warm
-      results("index_lookup") = minOf3 {
+      results("index_lookup") = medianOf3 {
         SecondaryIndex.lookup(spark, siIdx, 77L).count()
       }
-      results("index_full_filter") = minOf3 {
+      results("index_full_filter") = medianOf3 {
         src.toDF.filter(col("o_custkey") === 77L).count()
       }
     } catch { case e: Throwable =>
@@ -326,18 +341,18 @@ object Bench {
       }
       val tt = freshTable("deltomb")
       results("delete_tombstone") = time { tt.deleteTombstone(pred) }
-      results("delete_tombstone_read") = minOf3 { tt.toDF.count() }
+      results("delete_tombstone_read") = medianOf3 { tt.toDF.count() }
       val tr = freshTable("delrw")
       results("delete_rewrite") = time { tr.delete(pred) }
-      results("delete_rewrite_read") = minOf3 { tr.toDF.count() }
+      results("delete_rewrite_read") = medianOf3 { tr.toDF.count() }
       // UPDATE modes, same shape: delta run vs copy-on-write rewrite
       val uset = Map("o_totalprice" -> (col("o_totalprice") * 1.1))
       val ud = freshTable("upddelta")
       results("update_delta") = time { ud.updateDelta(pred, uset) }
-      results("update_delta_read") = minOf3 { ud.toDF.count() }
+      results("update_delta_read") = medianOf3 { ud.toDF.count() }
       val ur = freshTable("updrw")
       results("update_rewrite") = time { ur.update(pred, uset) }
-      results("update_rewrite_read") = minOf3 { ur.toDF.count() }
+      results("update_rewrite_read") = medianOf3 { ur.toDF.count() }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] delete scenario failed: ${e.getMessage}")
     }
@@ -361,7 +376,7 @@ object Bench {
         "AS SELECT * FROM bench_spj_r")
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      results("spj_join_sql") = minOf3 {
+      results("spj_join_sql") = medianOf3 {
         spark.sql("SELECT l.custkey, c_name, n_orders FROM graft_cat.bench.l l " +
           "JOIN graft_cat.bench.r r ON l.custkey = r.custkey").count()
       }
@@ -370,10 +385,9 @@ object Bench {
       System.err.println(s"[bench] spj scenario failed: ${e.getMessage}")
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jsonMap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     // `total` sums the same entry set rounds 1-3 summed (steady-state
     // headline queries + the core MOR scenario + the two joins) so the
     // round-over-round totals stay comparable; the cadenced-regime and
@@ -385,7 +399,29 @@ object Bench {
     val total = results.collect {
       case (k, v) if totalKeys.contains(k) && v >= 0 => v
     }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}""")
+    // Output protocol (r5 postmortem: the one detail-laden line outgrew the
+    // driver's tail-capture buffer and BENCH_r05.json parsed as null): the
+    // FULL per-query detail prints first on its own line (and lands in
+    // bench_detail.json for local diffing), then the FINAL line is a
+    // compact summary — total + the MOR scenario + the headline steady
+    // numbers + the scenario-entry numbers — kept well under 2 KB so a
+    // tail capture always holds the whole line.
+    val detail = f"""{"metric":"detail","queries":${jsonMap(results)},"queries_cold":${jsonMap(cold)},"sf":"$sfDir"}"""
+    println(detail)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val summaryKeys: Seq[String] =
+      results.keys.filter(_.startsWith("mor_")).toSeq ++ headline ++ Seq(
+        "bucketed_join", "spj_join_sql", "mview_refresh_delta",
+        "mview_full_recompute", "delete_tombstone", "delete_rewrite",
+        "update_delta", "update_rewrite", "index_lookup", "index_full_filter")
+    val summary = scala.collection.mutable.LinkedHashMap[String, Double]()
+    summaryKeys.distinct.foreach(k => results.get(k).foreach(summary(k) = _))
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(summary)},"sf":"$sfDir"}"""
+    require(line.length < 2048, s"final bench line must stay compact, got ${line.length}")
+    println(line)
     spark.stop()
   }
 }

@@ -136,7 +136,19 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       // currentTimeMillis under same-millisecond bursts, and a wall-clock
       // bound would silently exclude those commits
       val to = args.get("to_ts").map(_.toLong).getOrElse(t.lastCommitTs)
-      return t.diff(from, to).collect().toSeq
+      // CALL results materialize on the driver, so the row count is HARD
+      // bounded (default 10k, override via max_rows): an unbounded window
+      // over a big table would OOM the driver. Bulk consumption belongs to
+      // the DataFrame form (readtype=diff), which stays distributed.
+      val maxRows = args.getOrElse("max_rows", "10000").toInt
+      val rows = t.diff(from, to).limit(maxRows + 1).collect().toSeq
+      require(rows.size <= maxRows,
+        s"CALL graft.diff produced more than max_rows=$maxRows rows — a " +
+          "CALL materializes its result on the driver; read the change " +
+          "feed distributed instead (spark.read.format(\"graft\")" +
+          ".option(\"readtype\", \"diff\") with readStartTime/readEndTime), " +
+          "or raise max_rows explicitly")
+      return rows
     }
     val result = proc match {
       case "compaction" =>

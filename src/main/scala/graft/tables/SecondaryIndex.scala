@@ -176,21 +176,38 @@ object SecondaryIndex {
     query
   }
 
+  /** Driver-side posting pushdown cap (the [[graft.pipeline.NearDupIndex]]
+    * pattern): a SELECTIVE lookup collects its postings and prunes the
+    * source read to their pk buckets; a HOT key whose posting list exceeds
+    * the cap would turn into a driver-memory bottleneck plus a giant
+    * IN-list expression, so it falls back to a distributed semi-join. */
+  val MaxPushdownPks = 10000
+
   /** Source rows whose indexed column equals `value` — two bucket-pruned
-    * reads, no source scan. Values never indexed (or probed before the
-    * first refresh) return an empty frame with the source schema. */
+    * reads for selective values, no source scan; a bucket-unprunable
+    * semi-join for hot keys past [[MaxPushdownPks]] (millions of postings
+    * at 100 TB span every bucket anyway — nothing to prune, and the
+    * posting list must stay off the driver). Values never indexed (or
+    * probed before the first refresh) return an empty frame with the
+    * source schema. */
   def lookup(spark: SparkSession, indexPath: String, value: Any): DataFrame = {
     val idx = GraftTable.forPath(spark, indexPath)
     val p = idx.info.properties
     val src = GraftTable.forPath(spark, p(SourceProp))
     val column = p(ColumnProp); val pk = p(PkProp)
-    val postings = idx.lookupByPk(Seq(value)).select(explode(col("pks")))
+    val postingsDf = idx.lookupByPk(Seq(value))
+      .select(explode(col("pks")).as("_g_pk"))
+    val capped = postingsDf.limit(MaxPushdownPks + 1)
       .collect().map(_.getLong(0))
-    if (postings.isEmpty) return src.toDF.limit(0)
-    fetchByPks(spark, src, pk, postings)
-      // stale-posting safety: a row whose indexed value moved away since
-      // the posting was written is fetched but filtered out here
-      .filter(col(column) === lit(value))
+    if (capped.isEmpty) return src.toDF.limit(0)
+    // stale-posting safety on both paths: a row whose indexed value moved
+    // away since the posting was written is fetched but filtered out here
+    if (capped.length <= MaxPushdownPks)
+      fetchByPks(spark, src, pk, capped).filter(col(column) === lit(value))
+    else
+      src.toDF
+        .join(postingsDf, col(pk).cast("long") === col("_g_pk"), "left_semi")
+        .filter(col(column) === lit(value))
   }
 
   /** Bucket-pruned multi-PK fetch: read only the pk buckets the postings

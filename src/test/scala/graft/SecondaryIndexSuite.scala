@@ -27,6 +27,33 @@ class SecondaryIndexSuite extends SparkFixture {
     }
   }
 
+  test("hot-key lookup past the pushdown cap uses a semi-join, not a driver IN-list") {
+    withTempPath { dir =>
+      val n = SecondaryIndex.MaxPushdownPks + 2000
+      // one hot value ("hot") on 12k rows, a cold one on 50
+      val df = (0 until n).map(i => (i.toLong, "hot", i * 1.0))
+        .toDF("id", "g", "v")
+        .union((n until n + 50).map(i => (i.toLong, "cold", i * 1.0))
+          .toDF("id", "g", "v"))
+      GraftTable.create(spark, df, s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 8)
+      SecondaryIndex.create(spark, s"$dir/src", s"$dir/idx", "g", bucketNum = 8)
+      SecondaryIndex.refresh(spark, s"$dir/idx")
+      val hot = SecondaryIndex.lookup(spark, s"$dir/idx", "hot")
+      // no giant IN-list in the plan: the hot path must be a semi-join
+      val plan = hot.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"hot-key lookup must plan a semi-join, got:\n${plan.take(800)}")
+      assert(!plan.contains(" IN ("), "no driver IN-list on the hot path")
+      assert(hot.count() == n)
+      assert(hot.agg(min("id"), max("id")).head.toSeq == Seq(0L, (n - 1).toLong))
+      // cold key stays on the bucket-pruned pushdown path and is identical
+      val cold2 = SecondaryIndex.lookup(spark, s"$dir/idx", "cold")
+      assert(!cold2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(cold2.count() == 50)
+    }
+  }
+
   test("postings fold through index compaction; stale postings filtered") {
     withTempPath { dir =>
       val t = GraftTable.create(spark, rows(30), s"$dir/src",

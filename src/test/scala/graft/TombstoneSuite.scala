@@ -215,6 +215,18 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
         s"CALL graft.diff(table_path => '${t.tablePath}', from_ts => '$ts0')")
         .select("k", "_change_type").as[(Long, String)].collect().sorted.toSeq
       assert(rows == Seq((5L, "delete"), (200L, "insert")), s"got $rows")
+      // driver-materialization bound: a window wider than max_rows errors
+      // with readtype=diff guidance instead of collecting unbounded
+      val e = intercept[Exception](spark.sql(
+        s"CALL graft.diff(table_path => '${t.tablePath}', from_ts => '0', " +
+          "max_rows => '50')").collect())
+      assert(e.getMessage.contains("readtype") &&
+        e.getMessage.contains("max_rows"), e.getMessage)
+      // explicit raise admits the same window
+      val wide = spark.sql(
+        s"CALL graft.diff(table_path => '${t.tablePath}', from_ts => '0', " +
+          "max_rows => '20000')")
+      assert(wide.count() == 100) // full-window diff = the 100 live rows
     }
   }
 
