@@ -248,10 +248,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * the CLONE's directory; its vacuum only sweeps that directory, so
     * referenced source files are never deleted from the clone side —
     * `compaction()` on the clone rewrites the referenced state into its
-    * own files (= materialize into a deep copy). The one hazard is the
-    * standard shallow-clone one: vacuum/TTL cleaners ON THE SOURCE don't
-    * know about clone references; clone-then-compact before expiring
-    * source history. Incremental/streaming reads of the clone deliver
+    * own files (= materialize into a deep copy). The standard shallow-clone
+    * hazard — source-side vacuum/TTL deleting files a clone references —
+    * is closed: clones register on the source ([[GraftTable.ClonesProp]],
+    * listed via [[clones]]) and the source's [[vacuum]] keeps every file a
+    * registered clone still references; dropping the clone releases them.
+    * Incremental/streaming reads of the clone deliver
     * only commits made AFTER the clone (the pre-clone history is one
     * opaque snapshot, published as compaction+rewrite commits which the
     * incremental reader deliberately refuses to treat as a delta). */
@@ -295,7 +297,36 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       store.commit(target.tablePath, commits,
         commits.map(c => c.partitionDesc -> (level - 1)).toMap)
     }
+    // register the clone on the SOURCE so its cleaners (vacuum/TTL) skip
+    // files the clone still references — closing the standard shallow-clone
+    // hazard where expiring source history breaks clones
+    val registered = info.properties.get(GraftTable.ClonesProp)
+      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    setProperties(Map(GraftTable.ClonesProp ->
+      (registered :+ target.tablePath).distinct.mkString("\n")))
     target
+  }
+
+  /** Shallow clones registered against this table (targets of [[cloneTo]]);
+    * dropped clones are pruned lazily by [[vacuum]]. */
+  def clones: Seq[String] = info.properties.get(GraftTable.ClonesProp)
+    .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Every file any still-existing registered clone references — protected
+    * from this table's [[vacuum]] regardless of version age. Conservative:
+    * the clone's FULL retained history counts (its own time travel must
+    * keep working). Clones dropped from the catalog are pruned from the
+    * registration here. */
+  private def cloneReferencedFiles(): Set[String] = {
+    val registered = clones
+    if (registered.isEmpty) return Set.empty
+    val (alive, gone) = registered.partition(p => store.getTableInfo(p).isDefined)
+    if (gone.nonEmpty)
+      setProperties(Map(GraftTable.ClonesProp -> alive.mkString("\n")))
+    alive.flatMap { p =>
+      store.retainedVersions(p, 0L)
+        .flatMap(pi => resolver.filesAt(p, pi)).map(_.file.path)
+    }.toSet
   }
 
   /** Files visible at the current head (post del-fold), with run ordinals. */
@@ -1298,8 +1329,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * whenever a recent compaction replaced a long-lived file. */
   def vacuum(retainMs: Long = 0L): Long = {
     val cutoff = System.currentTimeMillis() - retainMs
+    // registered shallow clones keep their referenced files alive: a
+    // source-side vacuum must never break a clone (clone -> source vacuum
+    // -> clone still reads)
     val live = store.retainedVersions(tablePath, cutoff)
-      .flatMap(pi => resolver.filesAt(tablePath, pi)).map(_.file.path).toSet
+      .flatMap(pi => resolver.filesAt(tablePath, pi)).map(_.file.path).toSet ++
+      cloneReferencedFiles()
     val dataDir = java.nio.file.Paths.get(tablePath, "data")
     if (!java.nio.file.Files.exists(dataDir)) return 0L
     // Distributed sweep: one task per commit directory (the immediate
@@ -1465,7 +1500,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     // exclusively owned by strictly-older versions are deletable
     val retained = (newV ++ oldV.lastOption)
       .flatMap(pi => resolver.filesAt(tablePath, pi))
-      .map(_.file.path).toSet
+      .map(_.file.path).toSet ++
+      cloneReferencedFiles() // registered clones keep their files (see vacuum)
     val old = oldV.dropRight(1)
       .flatMap(pi => resolver.filesAt(tablePath, pi))
       .map(_.file.path).distinct
@@ -1840,6 +1876,11 @@ object GraftTable {
   /** Replication cursor ([[GraftTable.replicateFrom]]): the source commit
     * timestamp this replica has applied up to. */
   val ReplicaCursorProp = "graft.replica.cursor"
+
+  /** Newline-separated target paths of shallow clones taken from this
+    * table ([[GraftTable.cloneTo]]); the table's cleaners keep every file
+    * a registered clone still references. */
+  val ClonesProp = "graft.clones"
 
 
   /** Create a table from an initial DataFrame (cf. LakeSoulTable create +

@@ -52,6 +52,14 @@ object TransactionalWrite {
     * (parquet sizes the filter from it; default 1M). */
   val BloomNdvProp = "graft.bloom.ndv"
 
+  /** Test-only injection point: invoked after a commit's data files are
+    * fully on disk and before the unpublished commits return to the caller
+    * for the meta publish — crash tests abort exactly in the window the
+    * no-rename protocol must tolerate (files exist, no commit references
+    * them; the reference's rename-rollback analog is
+    * TransactionCommit.scala:398-427). */
+  @volatile var postWriteHook: () => Unit = () => ()
+
   val NullSentinel = "__GRAFT_NULL__"
   val EmptySentinel = "__GRAFT_EMPTY__"
   val RangePrefix = "__g_r_"
@@ -344,6 +352,7 @@ object TransactionalWrite {
       case None => spark.conf.unset(tsKey)
     }
 
+    postWriteHook()
     val listed = listCommitFiles(commitDir.toPath, table, existCols)
     // per-file min/max bounds from the just-written (page-cache-hot) footers
     val files = FileStatsCollector.attach(spark, table, df.schema, listed)

@@ -60,6 +60,32 @@ class CloneSuite extends SparkFixture {
     }
   }
 
+  test("source vacuum keeps clone-referenced files; dropping the clone releases them") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, rows(30), s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 2)
+      t.upsert(rows(15).withColumn("v", $"v" + 1))
+      val c = t.cloneTo(s"$dir/clone")
+      assert(t.clones == Seq(c.tablePath), "clone must register on the source")
+      val expected = c.toDF.collect().toSet
+      // source compaction orphans the pre-compaction files from the
+      // SOURCE's perspective — but the clone still references them
+      t.compaction()
+      val swept = t.vacuum(0L)
+      assert(swept == 0L,
+        s"source vacuum must keep clone-referenced files, deleted $swept")
+      assert(c.toDF.collect().toSet == expected, "clone broke after source vacuum")
+      assert(c.validate() == Nil)
+      // dropping the clone releases the references: the next source vacuum
+      // sweeps the now-unreferenced pre-compaction files
+      c.dropTable()
+      val swept2 = t.vacuum(0L)
+      assert(swept2 > 0L, "dropped clone must release its file references")
+      assert(t.clones.isEmpty, "dropped clones must be pruned from the registry")
+      assert(t.validate() == Nil)
+    }
+  }
+
   test("clone rejects existing targets and CDC sources") {
     withTempPath { dir =>
       val t = GraftTable.create(spark, rows(5), s"$dir/src",

@@ -171,4 +171,52 @@ class ModelCheckSuite extends SparkFixture {
       }
     }
   }
+
+  test("crash between data-file write and meta publish: invisible, valid, sweepable") {
+    import graft.write.TransactionalWrite
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1L to 100L).map(i => (i, i * 2, s"t$i")).toDF("id", "v", "tag"), path,
+        hashColumns = Seq("id"), bucketNum = 4)
+      t.upsert(Seq((1L, 10L, "u1")).toDF("id", "v", "tag"))
+      val liveBefore = t.liveFiles.map(_.file.path).toSet
+      def dataFiles() = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path, "data"))
+        try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(_.toAbsolutePath.toString).toSet
+        finally s.close()
+      }
+      val filesBefore = dataFiles()
+      // crash INSIDE the commit window: data files are on disk, the meta
+      // publish never runs
+      TransactionalWrite.postWriteHook =
+        () => throw new RuntimeException("injected crash before publish")
+      try {
+        val e = intercept[RuntimeException] {
+          t.upsert((200L to 260L).map(i => (i, i, "orphan")).toDF("id", "v", "tag"))
+        }
+        assert(e.getMessage.contains("injected crash"))
+      } finally TransactionalWrite.postWriteHook = () => ()
+      val orphans = dataFiles() -- filesBefore
+      assert(orphans.nonEmpty, "the crashed write must have left files behind")
+      // 1. readers never see the orphan (meta store is the source of truth)
+      assert(t.toDF.count() == 100)
+      assert(t.toDF.filter(col("tag") === "orphan").count() == 0)
+      assert(t.liveFiles.map(_.file.path).toSet == liveBefore)
+      // 2. fsck is clean — orphans are not a consistency violation
+      assert(t.validate() == Nil)
+      // 3. vacuum sweeps exactly the orphans; live data unaffected
+      val swept = t.vacuum(0L)
+      assert(swept >= orphans.size,
+        s"vacuum must sweep the ${orphans.size} orphan files, swept $swept")
+      assert((dataFiles() & orphans).isEmpty, "orphans still on disk")
+      assert(t.toDF.count() == 100 && t.validate() == Nil)
+      // 4. the crashed op retries cleanly (no wedged state)
+      t.upsert((200L to 260L).map(i => (i, i, "retried")).toDF("id", "v", "tag"))
+      assert(t.toDF.count() == 161)
+      assert(t.toDF.filter(col("tag") === "retried").count() == 61)
+      assert(t.validate() == Nil)
+    }
+  }
 }
