@@ -166,7 +166,11 @@ object Bench {
       "split_leakage_safe", "sample_cluster_k",
       // r5 late additions: change feed + mutable views (each builds its
       // tables inside the timed query, like the streaming entries)
-      "table_diff", "mview_mutable")
+      "table_diff", "mview_mutable",
+      // r6: graft-FORMAT TPC-H — identical plans over graft PK tables; the
+      // steady-state ratio vs the raw q1/q3/q5/q18 entries is the format
+      // tax (the one-time table build lands in the *_cold pass only)
+      "q1_graft", "q3_graft", "q5_graft", "q18_graft")
 
     // steady state = MEDIAN of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench
@@ -415,7 +419,8 @@ object Bench {
       results.keys.filter(_.startsWith("mor_")).toSeq ++ headline ++ Seq(
         "bucketed_join", "spj_join_sql", "mview_refresh_delta",
         "mview_full_recompute", "delete_tombstone", "delete_rewrite",
-        "update_delta", "update_rewrite", "index_lookup", "index_full_filter")
+        "update_delta", "update_rewrite", "index_lookup", "index_full_filter",
+        "q1_graft", "q3_graft", "q5_graft", "q18_graft")
     val summary = scala.collection.mutable.LinkedHashMap[String, Double]()
     summaryKeys.distinct.foreach(k => results.get(k).foreach(summary(k) = _))
     val line =

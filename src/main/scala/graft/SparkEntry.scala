@@ -65,6 +65,100 @@ object SparkEntry {
   // Decimal cast for hash-stable aggregation of double columns.
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Graft-FORMAT TPC-H (the r5 gap: q1-q22 proved query breadth over raw
+    * parquet but exercised stock Spark scans, not the engine's format).
+    * The 8 tables load ONCE per (JVM, sf dir) into graft PK tables
+    * bucketed on their natural keys — the bucketed DSv2 scan + sorted-run
+    * path — and the q*_graft entries run the IDENTICAL plans over them,
+    * pricing the format tax head-to-head (reference harness:
+    * rust/lakesoul-datafusion/src/tpch/sql.rs:12-20 declares plain
+    * LakeSoul-format tables the same way). Dimension keys are unique in
+    * the driver's testdata, so their PK pre-merge is row-preserving and
+    * the DuckDB oracles carry over verbatim; the synthetic lineitem has
+    * NO unique natural key (sf0.001 carries duplicate
+    * (l_orderkey,l_linenumber[,l_partkey,l_suppkey]) rows), so it loads
+    * as a plain non-PK graft table — the realistic fact-table layout
+    * (append-only facts, PK dimensions) and the path a PK dedupe would
+    * silently corrupt. */
+  private val graftTpchRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val graftTpchLayout: Seq[(String, Seq[String], Int)] = Seq(
+    ("lineitem", Nil, 16),
+    ("orders", Seq("o_orderkey"), 16),
+    ("customer", Seq("c_custkey"), 8),
+    ("part", Seq("p_partkey"), 8),
+    ("supplier", Seq("s_suppkey"), 4),
+    ("nation", Seq("n_nationkey"), 2),
+    ("region", Seq("r_regionkey"), 2))
+  private def rdGraft(s: SparkSession, d: String, name: String): DataFrame = {
+    val root = graftTpchRoots.computeIfAbsent(d, dir => {
+      val r = tmp("tpch")
+      graftTpchLayout.foreach { case (t, pk, n) =>
+        GraftTable.create(s, rd(s, dir, t), s"$r/$t",
+          hashColumns = pk, bucketNum = n)
+      }
+      r
+    })
+    GraftTable.forPath(s, s"$root/$name").toDF
+  }
+
+  private type TblReader = (SparkSession, String, String) => DataFrame
+
+  private def tpchQ1(r: TblReader)(s: SparkSession, d: String): DataFrame =
+    r(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def tpchQ3(r: TblReader)(s: SparkSession, d: String): DataFrame = {
+    val c = r(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = r(s, d, "orders")
+    val l = r(s, d, "lineitem")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def tpchQ5(r: TblReader)(s: SparkSession, d: String): DataFrame = {
+    val reg = r(s, d, "region"); val n = r(s, d, "nation")
+    val cst = r(s, d, "customer"); val o = r(s, d, "orders")
+    val l = r(s, d, "lineitem"); val sup = r(s, d, "supplier")
+    reg.join(n, col("r_regionkey") === col("n_regionkey"))
+      .join(cst, col("n_nationkey") === col("c_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  private def tpchQ18(r: TblReader)(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = r(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    r(s, d, "customer")
+      .join(r(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   // Mixture-planning target weights (normalized by Mixture.plan): src0 is
   // over-asked so the 4-epoch cap bites (shortfall reported), src1 lands on
   // a fractional 3.5-ish pass, src3 is fractional-only, src4..19 are absent
@@ -74,45 +168,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------- relational (Spark-delegated)
-    "q1_agg" -> q((s, d) => {
-      rd(s, d, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(dec("l_quantity")).cast("double").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("double").as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-    "q3_top_orders" -> q((s, d) => {
-      val c = rd(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = rd(s, d, "orders")
-      val l = rd(s, d, "lineitem")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec("l_extendedprice") *
-          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-    "q5_region_revenue" -> q((s, d) => {
-      val r = rd(s, d, "region"); val n = rd(s, d, "nation")
-      val cst = rd(s, d, "customer"); val o = rd(s, d, "orders")
-      val l = rd(s, d, "lineitem"); val sup = rd(s, d, "supplier")
-      r.join(n, col("r_regionkey") === col("n_regionkey"))
-        .join(cst, col("n_nationkey") === col("c_nationkey"))
-        .join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey") &&
-          col("s_nationkey") === col("c_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(dec("l_extendedprice") *
-          (lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").as("revenue"))
-        .orderBy("n_name")
-    }),
+    "q1_agg" -> q(tpchQ1(rd)),
+    "q1_graft" -> q(tpchQ1(rdGraft)),
+    "q3_top_orders" -> q(tpchQ3(rd)),
+    "q3_graft" -> q(tpchQ3(rdGraft)),
+    "q5_region_revenue" -> q(tpchQ5(rd)),
+    "q5_graft" -> q(tpchQ5(rdGraft)),
     "q_window_top2_per_cust" -> q((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -289,19 +350,8 @@ object SparkEntry {
         .select((lit(100.0) * col("promo_revenue") / col("total_revenue"))
           .as("promo_pct"), col("promo_revenue"), col("total_revenue"))
     }),
-    "q18_large_volume_cust" -> q((s, d) => {
-      val bigOrders = rd(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"))
-        .filter(col("sum_qty") > 150)
-      rd(s, d, "customer")
-        .join(rd(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(100)
-    }),
+    "q18_large_volume_cust" -> q(tpchQ18(rd)),
+    "q18_graft" -> q(tpchQ18(rdGraft)),
     "q19_discounted_revenue" -> q((s, d) => {
       // q19 analogue: no p_container/l_shipinstruct -> the OR-of-ANDs uses
       // p_brand/p_size/l_quantity. The shape is the point: a single join
@@ -2363,7 +2413,15 @@ object SparkEntry {
       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
       |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleBase ++ Map(
+    "q1_graft" -> oracleBase("q1_agg"),
+    "q3_graft" -> oracleBase("q3_top_orders"),
+    "q5_graft" -> oracleBase("q5_region_revenue"),
+    "q18_graft" -> oracleBase("q18_large_volume_cust"))
+
+  // graft-backed TPC-H variants read the identical rows through the
+  // engine's format, so their oracles are the raw-parquet ones above.
+  private def oracleBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
