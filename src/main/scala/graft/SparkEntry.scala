@@ -44,7 +44,23 @@ object SparkEntry {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => { GraftFunctions.register(s); f(s, d) }
 
+  /** When set (see [[graftVariant]]), TPC-H table reads route through the
+    * graft-format tables instead of raw parquet — the whole q1-q22 suite
+    * then exercises the engine's scan path without duplicating 22 query
+    * bodies. */
+  private val graftTpchMode = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private def graftVariant(name: String): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      graftTpchMode.set(java.lang.Boolean.TRUE)
+      try queries(name)(s, d)
+      finally graftTpchMode.set(java.lang.Boolean.FALSE)
+    }
+
   private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (graftTpchMode.get && graftTpchLayout.exists(_._1 == name))
+      return rdGraft(s, dir, name)
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts arrives as whatever the generator's parquet writer encoded:
     // TIMESTAMP(NANOS) read as long nanos (spark.sql.legacy.parquet
@@ -94,7 +110,9 @@ object SparkEntry {
     val root = graftTpchRoots.computeIfAbsent(d, dir => {
       val r = tmp("tpch")
       graftTpchLayout.foreach { case (t, pk, n) =>
-        GraftTable.create(s, rd(s, dir, t), s"$r/$t",
+        // raw parquet read, NOT rd(): under graftVariant's reader flag a
+        // recursive rd() would re-enter this computeIfAbsent
+        GraftTable.create(s, s.read.parquet(s"$dir/$t.parquet"), s"$r/$t",
           hashColumns = pk, bucketNum = n)
       }
       r
@@ -352,6 +370,26 @@ object SparkEntry {
     }),
     "q18_large_volume_cust" -> q(tpchQ18(rd)),
     "q18_graft" -> q(tpchQ18(rdGraft)),
+    // the remaining 18 TPC-H queries over graft tables, via the reader
+    // flag (identical plans; see graftVariant)
+    "q2_graft" -> graftVariant("q2_min_cost_supp"),
+    "q4_graft" -> graftVariant("q4_priority_orders"),
+    "q6_graft" -> graftVariant("q6_forecast_revenue"),
+    "q7_graft" -> graftVariant("q7_volume_shipping"),
+    "q8_graft" -> graftVariant("q8_market_share"),
+    "q9_graft" -> graftVariant("q9_product_profit"),
+    "q10_graft" -> graftVariant("q10_returned_items"),
+    "q11_graft" -> graftVariant("q11_important_parts"),
+    "q12_graft" -> graftVariant("q12_late_lines"),
+    "q13_graft" -> graftVariant("q13_cust_order_dist"),
+    "q14_graft" -> graftVariant("q14_promo_revenue"),
+    "q15_graft" -> graftVariant("q15_top_supplier"),
+    "q16_graft" -> graftVariant("q16_supplier_cnt"),
+    "q17_graft" -> graftVariant("q17_small_qty_revenue"),
+    "q19_graft" -> graftVariant("q19_discounted_revenue"),
+    "q20_graft" -> graftVariant("q20_potential_promotion"),
+    "q21_graft" -> graftVariant("q21_waiting_suppliers"),
+    "q22_graft" -> graftVariant("q22_global_sales_opportunity"),
     "q19_discounted_revenue" -> q((s, d) => {
       // q19 analogue: no p_container/l_shipinstruct -> the OR-of-ANDs uses
       // p_brand/p_size/l_quantity. The shape is the point: a single join
@@ -2413,11 +2451,25 @@ object SparkEntry {
       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cl) AS rn
       |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin
 
-  def oracleSql: Map[String, String] = oracleBase ++ Map(
-    "q1_graft" -> oracleBase("q1_agg"),
-    "q3_graft" -> oracleBase("q3_top_orders"),
-    "q5_graft" -> oracleBase("q5_region_revenue"),
-    "q18_graft" -> oracleBase("q18_large_volume_cust"))
+  /** graft-variant name -> raw TPC-H entry it mirrors (oracles shared). */
+  private[graft] val graftTwins: Map[String, String] = Map(
+    "q1_graft" -> "q1_agg", "q2_graft" -> "q2_min_cost_supp",
+    "q3_graft" -> "q3_top_orders", "q4_graft" -> "q4_priority_orders",
+    "q5_graft" -> "q5_region_revenue", "q6_graft" -> "q6_forecast_revenue",
+    "q7_graft" -> "q7_volume_shipping", "q8_graft" -> "q8_market_share",
+    "q9_graft" -> "q9_product_profit", "q10_graft" -> "q10_returned_items",
+    "q11_graft" -> "q11_important_parts", "q12_graft" -> "q12_late_lines",
+    "q13_graft" -> "q13_cust_order_dist", "q14_graft" -> "q14_promo_revenue",
+    "q15_graft" -> "q15_top_supplier", "q16_graft" -> "q16_supplier_cnt",
+    "q17_graft" -> "q17_small_qty_revenue",
+    "q18_graft" -> "q18_large_volume_cust",
+    "q19_graft" -> "q19_discounted_revenue",
+    "q20_graft" -> "q20_potential_promotion",
+    "q21_graft" -> "q21_waiting_suppliers",
+    "q22_graft" -> "q22_global_sales_opportunity")
+
+  def oracleSql: Map[String, String] =
+    oracleBase ++ graftTwins.map { case (g, raw) => g -> oracleBase(raw) }
 
   // graft-backed TPC-H variants read the identical rows through the
   // engine's format, so their oracles are the raw-parquet ones above.
