@@ -61,15 +61,20 @@ object GraftRead {
       "table has tombstone delete runs but the read cannot merge " +
         "(skip_merge_on_read / no primary key); run full compaction() to " +
         "materialize the deletes first")
-    // split by range partition: only partitions with >1 sorted run pay the
-    // merge (and its shuffle); single-run partitions — the bulk of a
-    // regularly-compacted table — stream through a plain vectorized scan.
-    // Tombstone runs force the merge path (they are deletion markers, not
-    // data — a plain scan would surface their key-only rows).
-    val byDesc = files.groupBy(_.partitionDesc)
+    // split by (range partition, bucket): only groups with >1 sorted run
+    // pay the merge; single-run groups — the bulk of a regularly-compacted
+    // table, plus every bucket a small delta did NOT touch — stream through
+    // a plain vectorized scan. Buckets are key-disjoint, so the dispatch is
+    // safe at bucket granularity, and at cluster scale it keeps a
+    // partition-local upsert from dragging the partition's other buckets
+    // onto the row-at-a-time merge path. Tombstone runs force the merge
+    // path (they are deletion markers, not data — a plain scan would
+    // surface their key-only rows).
+    val byGroup = files.groupBy(f => (f.partitionDesc, f.file.bucketId))
     val (multiRun, singleRun) =
-      if (!table.hasPrimaryKey || skipMerge) (Map.empty[String, Seq[ResolvedFile]], byDesc)
-      else byDesc.partition { case (_, fs) =>
+      if (!table.hasPrimaryKey || skipMerge)
+        (Map.empty[(String, Int), Seq[ResolvedFile]], byGroup)
+      else byGroup.partition { case (_, fs) =>
         fs.map(_.commitOrdinal).distinct.size > 1 ||
           fs.exists(f => Tombstone.isTombstone(f.file))
       }
