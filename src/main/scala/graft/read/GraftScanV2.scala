@@ -564,8 +564,19 @@ class GraftScan(
     val cdcIdx =
       if (keepCdcRows) -1 // incremental reads keep tombstones (F6 exemption)
       else info.cdcColumn.map(schema.fieldIndex).getOrElse(-1)
+    // columnar is all-or-nothing per scan (Spark rejects mixed row/columnar
+    // partitions), so offer it only when EVERY planned partition is
+    // merge-free — the fully-compacted / never-upserted steady state
+    val mergeFree = planInputPartitions().forall {
+      case _: GraftFilePartition => true
+      case GraftBucketPartition(_, runs) =>
+        runs.isEmpty || (runs.length == 1 && !runs.head.tomb)
+      case _ => false
+    }
     GraftPartitionReaderFactory(readFn, keyIdx, keyTypes, fieldMerges,
-      schema.length, cdcIdx)
+      schema.length, cdcIdx,
+      allowColumnar = mergeFree && org.apache.spark.sql.graft.StreamShim
+        .parquetSupportsBatch(spark, schema))
   }
 }
 
@@ -726,7 +737,54 @@ case class GraftPartitionReaderFactory(
     keyTypes: Array[org.apache.spark.sql.types.DataType],
     fieldMerges: Array[FieldMerge],
     nFields: Int,
-    cdcIdx: Int) extends PartitionReaderFactory {
+    cdcIdx: Int,
+    allowColumnar: Boolean = false) extends PartitionReaderFactory {
+
+  /** COLUMNAR fast path: a merge-free partition (plain file, or a bucket
+    * whose whole visible state is one non-tombstone sorted run — i.e. a
+    * compacted or never-upserted bucket) needs no per-row semantics at all,
+    * so when the underlying reader is batched its ColumnarBatches stream
+    * straight to Spark and the scan stays on the vectorized path
+    * end-to-end. Spark rejects MIXED row/columnar partitions, so
+    * `allowColumnar` is the scan-level decision computed on the driver:
+    * reader batched AND no CDC filter AND every planned partition
+    * merge-free — true for a fully-compacted or never-upserted table,
+    * which is the steady state the compaction cadence maintains; any
+    * pending multi-run or tombstoned bucket drops the whole scan to the
+    * row-based merge path. Schema evolution is safe here: the vectorized
+    * parquet reader fills absent columns with null vectors, the same
+    * single-contributor semantics the row path gives one run. */
+  override def supportColumnarReads(p: InputPartition): Boolean = allowColumnar
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val files: Iterator[PartitionedFile] = p match {
+      case GraftFilePartition(f, _) => Iterator(f)
+      case GraftBucketPartition(_, runs) =>
+        require(runs.length <= 1 && !runs.exists(_.tomb),
+          "columnar read on a merge-pending bucket — allowColumnar must " +
+            "only be set when every planned partition is merge-free")
+        if (runs.isEmpty) Iterator.empty else runs.head.files.iterator
+      case other => throw new IllegalStateException(
+        s"columnar read offered for unsupported partition $other")
+    }
+    // widen to Any BEFORE matching: the reader erases ColumnarBatch behind
+    // Iterator[InternalRow], and a typed lambda param would checkcast
+    // InternalRow first (same pitfall BucketMergeRead.flatten documents)
+    val batches = files.flatMap(readFn).asInstanceOf[Iterator[Any]].map {
+      case b: org.apache.spark.sql.vectorized.ColumnarBatch => b
+      case row => throw new IllegalStateException(
+        s"batched reader yielded a row (${row.getClass.getName}); " +
+          "allowColumnar must mirror the reader's supportBatch decision")
+    }
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { current = batches.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+      override def close(): Unit = ()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rows: Iterator[InternalRow] = p match {

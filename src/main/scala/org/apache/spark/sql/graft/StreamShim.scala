@@ -90,6 +90,17 @@ object StreamShim {
         .OPTION_RETURNING_BATCH -> batched.toString),
       hadoopConf = spark.sessionState.newHadoopConf())
   }
+
+  /** Whether [[parquetReadFunction]] for this schema yields ColumnarBatches
+    * (the same `supportBatch` decision it makes internally) — callers use
+    * this to offer DSv2 columnar reads on merge-free partitions. */
+  def parquetSupportsBatch(
+      session: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .supportBatch(spark, schema)
+  }
 }
 
 /** Serializable handle around Spark's parquet OutputWriterFactory (see
