@@ -418,10 +418,12 @@ class GraftScan(
   override def filterAttributes(): Array[NamedReference] =
     schema.fieldNames.map(Expressions.column)
 
-  override def filter(runtimeFilters: Array[Filter]): Unit =
+  override def filter(runtimeFilters: Array[Filter]): Unit = {
     files = StatsSkipping.prune(info,
       graft.util.SchemaUtil.fromJson(info.schemaJson), files,
       runtimeFilters.toSeq)
+    plannedCache = null // partition plan derives from `files` — recompute
+  }
 
   private val bucketMergeable =
     info.hasPrimaryKey && BucketMergeRead.supports(info, schema, files) &&
@@ -520,7 +522,21 @@ class GraftScan(
           connector.expressions.SortDirection.ASCENDING)).toArray
     else Array.empty
 
-  override def planInputPartitions(): Array[InputPartition] =
+  /** Partition plan cache: planInputPartitions / outputPartitioning /
+    * createReaderFactory all need the run split, which groups + sorts every
+    * resolved file — compute it once per `files` state. Runtime filtering
+    * (filter()) mutates `files`, so it invalidates rather than a lazy val. */
+  @volatile private var plannedCache: Array[InputPartition] = _
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cached = plannedCache
+    if (cached != null) return cached
+    val computed = computePartitions()
+    plannedCache = computed
+    computed
+  }
+
+  private def computePartitions(): Array[InputPartition] =
     if (bucketMergeable) {
       // run split/order delegated to BucketMergeRead.orderedRuns: commit
       // ordinals are per-partition, so same-ordinal groups split by
@@ -566,7 +582,12 @@ class GraftScan(
       else info.cdcColumn.map(schema.fieldIndex).getOrElse(-1)
     // columnar is all-or-nothing per scan (Spark rejects mixed row/columnar
     // partitions), so offer it only when EVERY planned partition is
-    // merge-free — the fully-compacted / never-upserted steady state
+    // merge-free — the fully-compacted / never-upserted steady state —
+    // AND the per-row CDC delete-marker filter is a no-op (cdcIdx < 0).
+    // A merge-free state can still carry cdc='delete' rows (partial /
+    // leveled compaction writes its merged run with keepCdcRows, and
+    // skip_merge_on_read forces the plain path); streaming those batches
+    // unfiltered would resurface deleted rows.
     val mergeFree = planInputPartitions().forall {
       case _: GraftFilePartition => true
       case GraftBucketPartition(_, runs) =>
@@ -575,8 +596,9 @@ class GraftScan(
     }
     GraftPartitionReaderFactory(readFn, keyIdx, keyTypes, fieldMerges,
       schema.length, cdcIdx,
-      allowColumnar = mergeFree && org.apache.spark.sql.graft.StreamShim
-        .parquetSupportsBatch(spark, schema))
+      allowColumnar = mergeFree && cdcIdx < 0 &&
+        org.apache.spark.sql.graft.StreamShim
+          .parquetSupportsBatch(spark, schema))
   }
 }
 

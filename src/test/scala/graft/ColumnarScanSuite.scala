@@ -43,4 +43,28 @@ class ColumnarScanSuite extends SparkFixture {
       } finally spark.sql("DROP TABLE IF EXISTS graft_cat.cs.t")
     }
   }
+
+  test("CDC tables never scan columnar: delete markers must filter even " +
+    "in a merge-free state") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.cs")
+      try {
+        spark.sql("CREATE TABLE graft_cat.cs.cdc (id BIGINT, v STRING, op STRING) " +
+          "PARTITIONED BY (bucket(2, id)) " +
+          "TBLPROPERTIES ('graft.cdc.column'='op')")
+        // ONE commit carrying a delete marker: every bucket is a single
+        // non-tombstone run (merge-free), but the scan still owes the
+        // cdc != 'delete' filter — the columnar fast path would stream the
+        // batch unfiltered and resurface id=3.
+        spark.sql("INSERT INTO graft_cat.cs.cdc VALUES " +
+          "(1, 'a', 'insert'), (2, 'b', 'insert'), (3, 'c', 'delete')")
+        val scan = spark.sql("SELECT * FROM graft_cat.cs.cdc")
+        assert(!scan.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+          s"CDC scan must stay row-based (per-row delete filter):\n" +
+            s"${scan.queryExecution.executedPlan}")
+        assertRows(scan, Seq("[1,a,insert]", "[2,b,insert]"))
+      } finally spark.sql("DROP TABLE IF EXISTS graft_cat.cs.cdc")
+    }
+  }
 }
