@@ -152,27 +152,18 @@ object BucketMergeRead {
     val keyIdx = (table.rangeColumns ++ table.hashColumns).map(schema.fieldIndex)
     val keyTypes = keyIdx.map(schema.fields(_).dataType)
     val merges = fieldMerges(table, schema)
-    val nFields = schema.length
     val keyIdxArr = keyIdx.toArray
     val keyTypesArr = keyTypes.toArray
+    val cap = BoundedMerge.cap(spark)
 
     spark.sparkContext
       .parallelize(groups, math.max(1, groups.size))
       .mapPartitions { it =>
         val proj = UnsafeProjection.create(schema.fields.map(_.dataType))
         it.flatMap { g =>
-          val runIters: IndexedSeq[Iterator[InternalRow]] = g.runs.map { run =>
-            run._1.iterator.flatMap(pf => flatten(readFn(pf)))
-          }.toIndexedSeq
-          val merged: Iterator[InternalRow] =
-            if (runIters.isEmpty) Iterator.empty
-            else if (runIters.size == 1) {
-              // a lone tombstone run holds no live rows
-              if (g.runs.head._3) Iterator.empty else runIters.head
-            } else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
-              merges, nFields, g.runs.map(_._2).toArray,
-              g.runs.map(_._3).toArray)
-          merged.map(proj)
+          BoundedMerge.iterator(readFn, g.runs.map(_._1).toIndexedSeq,
+            g.runs.map(_._2).toArray, g.runs.map(_._3).toArray,
+            keyIdxArr, keyTypesArr, merges, cap).map(proj)
         }
       }
   }
@@ -217,14 +208,19 @@ object BucketMergeRead {
     def byPB(fs: Seq[ResolvedFile]) = fs.groupBy(f => (f.partitionDesc, f.file.bucketId))
     def runSig(fs: Seq[ResolvedFile]) = fs.groupBy(_.commitOrdinal)
       .toSeq.sortBy(_._1).map(_._2.map(_.file.path).sorted)
+    // run split via orderedRuns, NOT a bare commitOrdinal groupBy: ordinals
+    // are per-partition, so a same-ordinal group may mix a tombstone commit
+    // with a data commit (or two schema-evolution states) across divergent
+    // partition histories. byPB keys by partitionDesc first, which makes
+    // single-partition groups today — but orderedRuns is the invariant, not
+    // an accident of the caller's grouping.
     def runsOf(fs: Seq[ResolvedFile])
         : Seq[(Seq[PartitionedFile], Array[Boolean], Boolean)] =
-      fs.groupBy(_.commitOrdinal).toSeq.sortBy(_._1).map { case (_, run) =>
-        (run.sortBy(f => (f.partitionDesc, f.file.path)).map { f =>
+      orderedRuns(table, schema, fs).map { case (run, mask, tomb) =>
+        (run.map { f =>
           PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
             0L, f.file.size)
-        }, presentMask(schema, run.head.file.existCols),
-          graft.meta.Tombstone.isTombstone(run.head.file))
+        }, mask, tomb)
       }
     val oldBy = byPB(oldFiles); val newBy = byPB(newFiles)
     val pairs: Seq[(BucketGroup, BucketGroup)] =
@@ -240,8 +236,8 @@ object BucketMergeRead {
       .map(schema.fieldIndex).toArray
     val keyTypesArr = keyIdxArr.map(schema.fields(_).dataType)
     val merges = fieldMerges(table, schema)
-    val nFields = schema.length
     val dts = schema.fields.map(_.dataType)
+    val cap = BoundedMerge.cap(spark)
     spark.sparkContext
       .parallelize(pairs, math.max(1, pairs.size))
       .mapPartitions { it =>
@@ -251,17 +247,10 @@ object BucketMergeRead {
           RowComp.makeComp(i, dt)
         }
         it.flatMap { case (og, ng) =>
-          def mk(g: BucketGroup): Iterator[InternalRow] = {
-            val runIters: IndexedSeq[Iterator[InternalRow]] = g.runs.map { run =>
-              run._1.iterator.flatMap(pf => flatten(readFn(pf)))
-            }.toIndexedSeq
-            if (runIters.isEmpty) Iterator.empty
-            else if (runIters.size == 1) {
-              if (g.runs.head._3) Iterator.empty else runIters.head
-            } else new KWayMergeIterator(runIters, keyIdxArr, keyTypesArr,
-              merges, nFields, g.runs.map(_._2).toArray,
-              g.runs.map(_._3).toArray)
-          }
+          def mk(g: BucketGroup): Iterator[InternalRow] =
+            BoundedMerge.iterator(readFn, g.runs.map(_._1).toIndexedSeq,
+              g.runs.map(_._2).toArray, g.runs.map(_._3).toArray,
+              keyIdxArr, keyTypesArr, merges, cap)
           new SnapshotDiffIterator(mk(og), mk(ng), keyComps, fieldComps,
             dts, proj)
         }

@@ -598,7 +598,8 @@ class GraftScan(
       schema.length, cdcIdx,
       allowColumnar = mergeFree && cdcIdx < 0 &&
         org.apache.spark.sql.graft.StreamShim
-          .parquetSupportsBatch(spark, schema))
+          .parquetSupportsBatch(spark, schema),
+      maxOpenRuns = BoundedMerge.cap(spark))
   }
 }
 
@@ -734,7 +735,8 @@ class GraftMicroBatchStream(
     GraftPartitionReaderFactory(readFn, keyIdx,
       keyIdx.map(schema.fields(_).dataType),
       BucketMergeRead.fieldMerges(info, schema), schema.length,
-      cdcIdx = -1) // incremental semantics: tombstones kept (F6 exemption)
+      cdcIdx = -1, // incremental semantics: tombstones kept (F6 exemption)
+      maxOpenRuns = BoundedMerge.cap(spark))
   }
 }
 
@@ -760,7 +762,8 @@ case class GraftPartitionReaderFactory(
     fieldMerges: Array[FieldMerge],
     nFields: Int,
     cdcIdx: Int,
-    allowColumnar: Boolean = false) extends PartitionReaderFactory {
+    allowColumnar: Boolean = false,
+    maxOpenRuns: Int = BoundedMerge.DefaultCap) extends PartitionReaderFactory {
 
   /** COLUMNAR fast path: a merge-free partition (plain file, or a bucket
     * whose whole visible state is one non-tombstone sorted run — i.e. a
@@ -811,15 +814,9 @@ case class GraftPartitionReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rows: Iterator[InternalRow] = p match {
       case GraftBucketPartition(_, runs) =>
-        val runIters = runs.map(r =>
-          r.files.iterator.flatMap(pf => BucketMergeRead.flattenRows(readFn(pf))))
-          .toIndexedSeq
-        if (runIters.isEmpty) Iterator.empty
-        else if (runIters.size == 1) {
-          // a lone tombstone run holds no live rows
-          if (runs.head.tomb) Iterator.empty else runIters.head
-        } else new KWayMergeIterator(runIters, keyIdx, keyTypes, fieldMerges,
-          nFields, runs.map(_.mask), runs.map(_.tomb))
+        BoundedMerge.iterator(readFn,
+          runs.map(_.files.toSeq).toIndexedSeq, runs.map(_.mask),
+          runs.map(_.tomb), keyIdx, keyTypes, fieldMerges, maxOpenRuns)
       case GraftFilePartition(f, _) =>
         BucketMergeRead.flattenRows(readFn(f))
     }

@@ -107,18 +107,35 @@ object RefScaleProbe {
       // small-file tax every format pays on an uncompacted backlog.)
       val plain = spark.read.parquet(live.map(_.file.path): _*)
       val readPlain = min3 { plain.agg(sum(col("val"))).collect() }
+      // default read: open-run cap active (spark.graft.merge.maxOpenRuns,
+      // default 16) — past the cap the merge pre-spills oldest runs, so
+      // per-task reader memory stays bounded at any backlog depth
+      graft.read.MergeReaderGauge.reset()
       val readDeltas = min3 { readAgg() }
+      val peakCapped = graft.read.MergeReaderGauge.peak
+      // unbounded comparison: every run's reader open for the whole merge
+      // (the pre-round-7 behavior — fine here, OOM risk on wide schemas)
+      spark.conf.set(graft.read.BoundedMerge.ConfKey, "100000")
+      graft.read.MergeReaderGauge.reset()
+      val readDeltasUnbounded = min3 { readAgg() }
+      val peakUnbounded = graft.read.MergeReaderGauge.peak
+      spark.conf.unset(graft.read.BoundedMerge.ConfKey)
       val tCompact = time { t.compaction() }
       val readCompacted = min3 { readAgg() }
       val mergeTax = readDeltas / readPlain - 1.0
+      val mergeTaxUnbounded = readDeltasUnbounded / readPlain - 1.0
       val backlogTax = readDeltas / readCompacted - 1.0
       println(f"[refscale:$tag] init=${initRows}r/$tInit%.1fs " +
         f"upserts=${nUpserts}x$perUpsert%dr/$tUpserts%.1fs " +
         f"cadence_compactions=$tCompactions%.1fs live_runs=$runsNow " +
         f"files=${live.size} read_plain_same_files=$readPlain%.2fs " +
-        f"read_deltas=$readDeltas%.2fs full_compaction=$tCompact%.1fs " +
-        f"read_compacted=$readCompacted%.2fs " +
-        f"merge_tax=${mergeTax * 100}%.1f%% backlog_tax=${backlogTax * 100}%.1f%%")
+        f"read_deltas=$readDeltas%.2fs (peak_open_readers=$peakCapped) " +
+        f"read_deltas_unbounded=$readDeltasUnbounded%.2fs " +
+        f"(peak_open_readers=$peakUnbounded) " +
+        f"full_compaction=$tCompact%.1fs read_compacted=$readCompacted%.2fs " +
+        f"merge_tax=${mergeTax * 100}%.1f%% " +
+        f"merge_tax_unbounded=${mergeTaxUnbounded * 100}%.1f%% " +
+        f"backlog_tax=${backlogTax * 100}%.1f%%")
     }
 
     runPhase("no-compaction", cadence = 0)

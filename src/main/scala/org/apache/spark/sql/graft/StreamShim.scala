@@ -91,6 +91,15 @@ object StreamShim {
       hadoopConf = spark.sessionState.newHadoopConf())
   }
 
+  /** Executor-local scratch directory for merge spill files — Spark's own
+    * configured local dir (spark.local.dir / YARN container dirs), the same
+    * place shuffle and spill data land; java.io.tmpdir outside a Spark env. */
+  def localSpillDir(): String = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) System.getProperty("java.io.tmpdir")
+    else org.apache.spark.util.Utils.getLocalDir(env.conf)
+  }
+
   /** Whether [[parquetReadFunction]] for this schema yields ColumnarBatches
     * (the same `supportBatch` decision it makes internally) — callers use
     * this to offer DSv2 columnar reads on merge-free partitions. */

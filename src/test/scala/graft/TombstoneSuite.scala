@@ -135,6 +135,31 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("diff across divergent partition histories splits mixed ordinals") {
+    // table_diff rendition of the divergent-history hazard: after an upsert
+    // touching only r=1 and a tombstone delete hitting only r=2, ordinal 1
+    // holds a data commit in one partition and a tombstone commit in the
+    // other. The diff's run builder must apply the same signature split as
+    // the snapshot path (orderedRuns) — a head-derived flag either reports
+    // the r=1 updates as deletes or misses the r=2 deletions.
+    withTempPath { dir =>
+      val df = (1L to 40L).map(i => (i % 2 + 1, i, s"v$i")).toDF("r", "k", "v")
+      val t = GraftTable.create(spark, df, dir,
+        rangeColumns = Seq("r"), hashColumns = Seq("k"), bucketNum = 2)
+      val ts0 = System.currentTimeMillis(); Thread.sleep(5)
+      t.upsert(Seq((1L, 2L, "updated2"), (1L, 4L, "updated4")).toDF("r", "k", "v"))
+      t.deleteTombstone($"r" === 2L && $"k" <= 9L) // odd k in 1..9
+      Thread.sleep(5)
+      val d = t.diff(ts0, System.currentTimeMillis())
+      val changes = d.select("k", "_change_type").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(changes == Seq((1L, "delete"), (2L, "update_postimage"),
+        (2L, "update_preimage"), (3L, "delete"), (4L, "update_postimage"),
+        (4L, "update_preimage"), (5L, "delete"), (7L, "delete"),
+        (9L, "delete")), s"got $changes")
+    }
+  }
+
   test("incremental reads abort across a tombstone commit (Rewrite semantics)") {
     withTempPath { dir =>
       val t = mkTable(dir)
