@@ -117,7 +117,18 @@ object SparkEntry {
       }
       r
     })
-    GraftTable.forPath(s, s"$root/$name").toDF
+    // read through the DSv2 CATALOG scan (GraftScanV2: pushdown,
+    // KeyGroupedPartitioning, columnar batches), not the library read path
+    // — the format-tax numbers then price the engine's actual SQL surface.
+    // Registration is re-checked per read because other queries repoint
+    // spark.graft.warehouse (v2()), which starts a fresh name registry.
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+    if (s.conf.getOption("spark.graft.warehouse").isEmpty)
+      s.conf.set("spark.graft.warehouse", tmp("v2wh"))
+    val fq = s"tpch${d.hashCode & 0x7fffffff}.$name"
+    if (graft.catalog.GraftCatalog.resolve(s, fq).isEmpty)
+      graft.catalog.GraftCatalog.register(s, fq, s"$root/$name")
+    s.table(s"graft_cat.$fq")
   }
 
   private type TblReader = (SparkSession, String, String) => DataFrame

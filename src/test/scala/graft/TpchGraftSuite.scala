@@ -22,4 +22,16 @@ class TpchGraftSuite extends SparkFixture {
       assert(SparkEntry.oracleSql(g) == SparkEntry.oracleSql(r))
     }
   }
+
+  test("graft variants scan through the DSv2 catalog (BatchScan + GraftScan)") {
+    val plan = SparkEntry.queries("q1_graft")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") && plan.contains("GraftScan"),
+      s"q1_graft must read via the DSv2 GraftScan, got:\n$plan")
+    // a PK-bucketed dimension also reports its scan through DSv2
+    val plan5 = SparkEntry.queries("q5_graft")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan5.contains("GraftScan"),
+      s"q5_graft must read via the DSv2 GraftScan, got:\n$plan5")
+  }
 }
