@@ -47,14 +47,88 @@ import org.apache.spark.sql.types.DataType
 object BoundedMerge {
 
   val ConfKey = "spark.graft.merge.maxOpenRuns"
+  val BudgetConfKey = "spark.graft.merge.readerMemBudget"
   val DefaultCap = 16
+  val DefaultBudgetBytes: Long = 64L * 1024 * 1024
 
   def cap(spark: SparkSession): Int =
     math.max(2, spark.conf.getOption(ConfKey).map(_.toInt).getOrElse(DefaultCap))
 
-  /** One run of one bucket ready to merge. */
-  private case class Run(open: () => Iterator[InternalRow],
-      mask: Array[Boolean], tomb: Boolean, parquet: Boolean)
+  /** Schema-aware default: the hazard being bounded is per-reader batch
+    * memory (~4096 rows x row width each), so the open-run budget scales
+    * inversely with schema width — a narrow 3-column table merges a
+    * 100-run backlog with zero spill I/O (its 100 readers fit the budget),
+    * a 100-column table clamps hard. An explicit maxOpenRuns conf wins. */
+  def cap(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): Int =
+    spark.conf.getOption(ConfKey).map(n => math.max(2, n.toInt)).getOrElse {
+      val budget = spark.conf.getOption(BudgetConfKey).map(_.toLong)
+        .getOrElse(DefaultBudgetBytes)
+      val rowWidth = math.max(8, schema.defaultSize)
+      val derived = budget / (4096L * rowWidth)
+      math.max(8, math.min(256, derived)).toInt
+    }
+
+  /** One run of one bucket after bounding: parquet files, or a spill file
+    * holding the pre-merged rows of a group of runs. */
+  private[read] case class RunSource(files: Seq[PartitionedFile], spill: File,
+      mask: Array[Boolean], tomb: Boolean) {
+    def isParquet: Boolean = spill == null
+  }
+
+  /** Bound a bucket's ordered runs (oldest first): when more than `cap`
+    * parquet runs exist, pre-merge oldest consecutive same-signature groups
+    * (each <= cap wide, drained sequentially) into local spill files until
+    * at most `cap` parquet runs remain. Spill-file cleanup registers on the
+    * task; results feed either [[KWayMergeIterator]] (rows) or
+    * [[BatchMergeIterator]] (columnar) — the bound is shared. */
+  private[read] def sources(
+      readFn: PartitionedFile => Iterator[InternalRow],
+      runFiles: IndexedSeq[Seq[PartitionedFile]],
+      masks: Array[Array[Boolean]],
+      tombs: Array[Boolean],
+      keyIdx: Array[Int],
+      keyTypes: Array[DataType],
+      merges: Array[FieldMerge],
+      capIn: Int): IndexedSeq[RunSource] = {
+    val nFields = merges.length
+    val dts = merges.map(_.dt)
+    val k = runFiles.size
+    val cap = math.max(2, capIn)
+    var runs: Vector[RunSource] = (0 until k).map(i =>
+      RunSource(runFiles(i), null, masks(i), tombs(i))).toVector
+    if (k <= cap) return runs
+    def pq(s: RunSource): Iterator[InternalRow] = MergeReaderGauge.tracked(
+      s.files.iterator.flatMap(pf => BucketMergeRead.flattenRows(readFn(pf))))
+    var parquetCount = k
+    val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+    var idx = 0
+    while (parquetCount > cap && idx < runs.length) {
+      val head = runs(idx)
+      if (!head.isParquet) idx += 1
+      else {
+        var j = idx + 1
+        while (j < runs.length && (j - idx) < cap && runs(j).isParquet &&
+            runs(j).tomb == head.tomb &&
+            java.util.Arrays.equals(runs(j).mask, head.mask)) j += 1
+        val group = runs.slice(idx, j)
+        val merged =
+          if (group.size == 1) pq(group.head)
+          else new KWayMergeIterator(group.map(pq).toIndexedSeq,
+            keyIdx, keyTypes, merges, nFields, group.map(_.mask).toArray,
+            new Array[Boolean](group.size)) // tombs merge as data: key union
+        val file = writeSpill(merged, dts)
+        spills += file
+        runs = runs.patch(idx,
+          Seq(RunSource(Nil, file, head.mask, head.tomb)), j - idx)
+        parquetCount -= group.size
+        idx += 1
+      }
+    }
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
+    runs
+  }
 
   /** Merge a bucket's ordered runs (oldest first) with at most `cap` open
     * parquet readers. Drop-in replacement for constructing KWayMergeIterator
@@ -69,49 +143,20 @@ object BoundedMerge {
       merges: Array[FieldMerge],
       capIn: Int): Iterator[InternalRow] = {
     val nFields = merges.length
-    val dts = merges.map(_.dt)
     val k = runFiles.size
     def pq(i: Int): Iterator[InternalRow] = MergeReaderGauge.tracked(
       runFiles(i).iterator.flatMap(pf => BucketMergeRead.flattenRows(readFn(pf))))
     if (k == 0) return Iterator.empty
     if (k == 1) return if (tombs(0)) Iterator.empty else pq(0)
-    val cap = math.max(2, capIn)
-    if (k <= cap)
-      return new KWayMergeIterator((0 until k).map(pq), keyIdx, keyTypes,
-        merges, nFields, masks, tombs)
-
-    var runs: Vector[Run] = (0 until k).map(i =>
-      Run(() => pq(i), masks(i), tombs(i), parquet = true)).toVector
-    var parquetCount = k
-    val spills = scala.collection.mutable.ArrayBuffer.empty[File]
-    var idx = 0
-    while (parquetCount > cap && idx < runs.length) {
-      val head = runs(idx)
-      if (!head.parquet) idx += 1
-      else {
-        var j = idx + 1
-        while (j < runs.length && (j - idx) < cap && runs(j).parquet &&
-            runs(j).tomb == head.tomb &&
-            java.util.Arrays.equals(runs(j).mask, head.mask)) j += 1
-        val group = runs.slice(idx, j)
-        val merged =
-          if (group.size == 1) group.head.open()
-          else new KWayMergeIterator(group.map(_.open()).toIndexedSeq,
-            keyIdx, keyTypes, merges, nFields, group.map(_.mask).toArray,
-            new Array[Boolean](group.size)) // tombs merge as data: key union
-        val file = writeSpill(merged, dts)
-        spills += file
-        runs = runs.patch(idx,
-          Seq(Run(() => readSpill(file, nFields), head.mask, head.tomb,
-            parquet = false)), j - idx)
-        parquetCount -= group.size
-        idx += 1
-      }
+    val bounded = sources(readFn, runFiles, masks, tombs, keyIdx, keyTypes,
+      merges, capIn)
+    val iters = bounded.map { s =>
+      if (s.isParquet) MergeReaderGauge.tracked(
+        s.files.iterator.flatMap(pf => BucketMergeRead.flattenRows(readFn(pf))))
+      else readSpill(s.spill, nFields)
     }
-    Option(TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
-    new KWayMergeIterator(runs.map(_.open()).toIndexedSeq, keyIdx, keyTypes,
-      merges, nFields, runs.map(_.mask).toArray, runs.map(_.tomb).toArray)
+    new KWayMergeIterator(iters, keyIdx, keyTypes, merges, nFields,
+      bounded.map(_.mask).toArray, bounded.map(_.tomb).toArray)
   }
 
   /** Length-prefixed LZ4 UnsafeRow stream; -1 sentinel terminates. */
@@ -138,7 +183,7 @@ object BoundedMerge {
   /** Streaming spill reader; reuses one UnsafeRow over a growable buffer
     * (the merge contract allows reuse: a run's row is only invalidated by
     * that run's own next()). Opens lazily, closes at the sentinel. */
-  private def readSpill(f: File, nFields: Int): Iterator[InternalRow] =
+  private[read] def readSpill(f: File, nFields: Int): Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private var in: DataInputStream = _
       private var nextSize = Int.MinValue // unopened marker
@@ -179,8 +224,8 @@ private[graft] object MergeReaderGauge {
   def reset(): Unit = { open.set(0); peakCount.set(0) }
   def peak: Int = peakCount.get()
 
-  def tracked(it: Iterator[InternalRow]): Iterator[InternalRow] =
-    new Iterator[InternalRow] {
+  def tracked[T](it: Iterator[T]): Iterator[T] =
+    new Iterator[T] {
       private var opened = false
       private var closed = false
       private def markOpen(): Unit = if (!opened) {
@@ -195,6 +240,6 @@ private[graft] object MergeReaderGauge {
         if (!h && !closed) { closed = true; open.decrementAndGet() }
         h
       }
-      override def next(): InternalRow = { markOpen(); it.next() }
+      override def next(): T = { markOpen(); it.next() }
     }
 }

@@ -59,7 +59,13 @@ object BucketMergeRead {
   def supports(table: TableInfo, schema: StructType, files: Seq[ResolvedFile]): Boolean =
     table.hasPrimaryKey &&
       files.forall(f => f.file.bucketId >= 0 && f.file.bucketId < table.bucketNum) &&
-      schema.fields.forall(f => mergeSupported(table, f))
+      opsSupported(table, schema)
+
+  /** Schema-level operator support (no file listing needed) — gates whether
+    * a snapshot read can route through the DSv2 scan's k-way merge or must
+    * stay on the library path for the aggregate-merge fallback. */
+  def opsSupported(table: TableInfo, schema: StructType): Boolean =
+    schema.fields.forall(f => mergeSupported(table, f))
 
   private def mergeSupported(table: TableInfo, f: StructField): Boolean =
     TransactionalWrite.mergeOpFor(table, f.name) match {
@@ -154,7 +160,7 @@ object BucketMergeRead {
     val merges = fieldMerges(table, schema)
     val keyIdxArr = keyIdx.toArray
     val keyTypesArr = keyTypes.toArray
-    val cap = BoundedMerge.cap(spark)
+    val cap = BoundedMerge.cap(spark, schema)
 
     spark.sparkContext
       .parallelize(groups, math.max(1, groups.size))
@@ -237,7 +243,7 @@ object BucketMergeRead {
     val keyTypesArr = keyIdxArr.map(schema.fields(_).dataType)
     val merges = fieldMerges(table, schema)
     val dts = schema.fields.map(_.dataType)
-    val cap = BoundedMerge.cap(spark)
+    val cap = BoundedMerge.cap(spark, schema)
     spark.sparkContext
       .parallelize(pairs, math.max(1, pairs.size))
       .mapPartitions { it =>
@@ -704,42 +710,71 @@ class KWayMergeIterator(
     null // unreachable
   }
 
-  /** Fold all holders of one key, oldest -> newest. A tombstone holder
-    * discards every older contribution (keys in `acc` stay valid for the
-    * comparator); a later live holder revives the key from scratch. Returns
+  private val grouper = new GroupMerger(fields, nFields)
+
+  /** Fold all holders of one key, oldest -> newest (state machine in
+    * [[GroupMerger]], shared with the columnar BatchMergeIterator). Returns
     * null when the newest holder was a tombstone (key deleted). */
   private def mergeGroup(w0: Int, first: InternalRow,
       firstTomb: Boolean): InternalRow = {
-    // >=2 runs hold this key: deep-copy into a scratch row, fold newer
-    // runs into it oldest -> newest, advancing each contributor eagerly.
-    // contributed/poisoned track per-field operator state across runs
-    // with heterogeneous physical columns (schema evolution).
-    val acc = new GenericInternalRow(nFields)
-    val contributed = new Array[Boolean](nFields)
-    val poisoned = new Array[Boolean](nFields)
-    copyRow(first, runMasks(w0), acc, contributed, poisoned)
-    var dead = firstTomb
+    grouper.start(first, runMasks(w0), firstTomb)
     advanceNow(w0)
     var w2 = loserTree(0)
-    while (w2 >= 0 && heads(w2) != null && compareKeys(heads(w2), acc) == 0) {
-      if (anyTomb && runTombs(w2)) {
-        // newer tombstone: wipe accumulated operator state; acc's key
-        // fields remain valid (tombstone rows carry the same key)
-        java.util.Arrays.fill(contributed, false)
-        java.util.Arrays.fill(poisoned, false)
-        dead = true
-      } else if (dead) {
-        // revive: a run newer than the tombstone re-inserts the key fresh
-        copyRow(heads(w2), runMasks(w2), acc, contributed, poisoned)
-        dead = false
-      } else {
-        mergeInto(acc, heads(w2), runMasks(w2), contributed, poisoned)
-      }
+    while (w2 >= 0 && heads(w2) != null &&
+        compareKeys(heads(w2), grouper.keyRow) == 0) {
+      grouper.add(heads(w2), runMasks(w2), anyTomb && runTombs(w2))
       advanceNow(w2)
       w2 = loserTree(0)
     }
-    if (dead) null else acc
+    grouper.result()
   }
+}
+
+/** Per-key merge fold, oldest -> newest: deep-copies the first holder into a
+  * scratch row, folds newer holders with the per-field operators. A
+  * tombstone holder discards every older contribution (the scratch row's
+  * key fields stay valid for the comparator); a later live holder revives
+  * the key from scratch. contributed/poisoned track per-field operator
+  * state across runs with heterogeneous physical columns (schema
+  * evolution). Shared by the row-path [[KWayMergeIterator]] and the
+  * columnar [[BatchMergeIterator]]; one instance per merge task, restarted
+  * per key group (the result row escapes to the caller, so each group
+  * allocates its own scratch row — group-merged keys are the rare case). */
+final class GroupMerger(fields: Array[FieldMerge], nFields: Int) {
+
+  private var acc: GenericInternalRow = _
+  private val contributed = new Array[Boolean](nFields)
+  private val poisoned = new Array[Boolean](nFields)
+  private var dead = false
+
+  /** The accumulator (key fields always valid for comparisons). */
+  def keyRow: InternalRow = acc
+
+  def start(first: InternalRow, mask: Array[Boolean], tomb: Boolean): Unit = {
+    acc = new GenericInternalRow(nFields)
+    java.util.Arrays.fill(contributed, false)
+    java.util.Arrays.fill(poisoned, false)
+    copyRow(first, mask, acc, contributed, poisoned)
+    dead = tomb
+  }
+
+  def add(newer: InternalRow, mask: Array[Boolean], tomb: Boolean): Unit =
+    if (tomb) {
+      // newer tombstone: wipe accumulated operator state; acc's key
+      // fields remain valid (tombstone rows carry the same key)
+      java.util.Arrays.fill(contributed, false)
+      java.util.Arrays.fill(poisoned, false)
+      dead = true
+    } else if (dead) {
+      // revive: a run newer than the tombstone re-inserts the key fresh
+      copyRow(newer, mask, acc, contributed, poisoned)
+      dead = false
+    } else {
+      mergeInto(acc, newer, mask, contributed, poisoned)
+    }
+
+  /** Merged row, or null when the newest holder was a tombstone. */
+  def result(): InternalRow = if (dead) null else acc
 
   /** Typed addition for the sum operators (types gated by
     * [[BucketMergeRead.supports]]). */

@@ -32,6 +32,11 @@ object GraftRead {
   def emptyDF(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  /** Whether a snapshot read of this table can route through the DSv2
+    * scan's k-way merge (see GraftTable.toDF). */
+  def bucketMergeSupported(table: TableInfo, schema: StructType): Boolean =
+    BucketMergeRead.opsSupported(table, schema)
+
   /** Read the given resolved file set as a merged DataFrame.
     * @param keepCdcRows when true (incremental/streaming reads), CDC `delete`
     *                    marker rows are kept (F6 exemption). */

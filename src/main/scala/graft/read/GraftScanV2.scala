@@ -563,6 +563,16 @@ class GraftScan(
         "table has tombstone delete runs but the scan cannot merge " +
           "(skip_merge_on_read or unsupported merge operators); run full " +
           "compaction() to materialize the deletes first")
+      // A PK table with MERGE-PENDING state whose operators the k-way merge
+      // does not support (agg-only custom operators) cannot be answered by
+      // a plain scan either — it would surface one row per version. The
+      // library read applies the aggregate fallback; the SQL scan refuses.
+      require(!info.hasPrimaryKey || !multiRun ||
+          info.properties.get(TableInfo.SkipMergeOnReadProp).contains("true"),
+        "table has merge-pending (multi-run) state but its merge operators " +
+          "are not supported by the SQL scan's k-way merge; read via " +
+          "GraftTable.toDF (aggregate merge fallback) or run compaction() " +
+          "first")
       files.map { f =>
         GraftFilePartition(
           PartitionedFile(InternalRow.empty,
@@ -580,26 +590,20 @@ class GraftScan(
     val cdcIdx =
       if (keepCdcRows) -1 // incremental reads keep tombstones (F6 exemption)
       else info.cdcColumn.map(schema.fieldIndex).getOrElse(-1)
-    // columnar is all-or-nothing per scan (Spark rejects mixed row/columnar
-    // partitions), so offer it only when EVERY planned partition is
-    // merge-free — the fully-compacted / never-upserted steady state —
-    // AND the per-row CDC delete-marker filter is a no-op (cdcIdx < 0).
-    // A merge-free state can still carry cdc='delete' rows (partial /
-    // leveled compaction writes its merged run with keepCdcRows, and
-    // skip_merge_on_read forces the plain path); streaming those batches
+    // COLUMNAR whenever the reader batches and the per-row CDC delete
+    // filter is a no-op: merge-free partitions stream reader batches
+    // untouched, merge-pending buckets go through BatchMergeIterator
+    // (pass-through slices + builder batches) — the scan stays vectorized
+    // end-to-end in both states. CDC tables stay on the row path: a
+    // merge-free state can still carry cdc='delete' rows (partial/leveled
+    // compaction output, skip_merge_on_read), and streaming batches
     // unfiltered would resurface deleted rows.
-    val mergeFree = planInputPartitions().forall {
-      case _: GraftFilePartition => true
-      case GraftBucketPartition(_, runs) =>
-        runs.isEmpty || (runs.length == 1 && !runs.head.tomb)
-      case _ => false
-    }
     GraftPartitionReaderFactory(readFn, keyIdx, keyTypes, fieldMerges,
-      schema.length, cdcIdx,
-      allowColumnar = mergeFree && cdcIdx < 0 &&
+      schema, cdcIdx,
+      allowColumnar = cdcIdx < 0 &&
         org.apache.spark.sql.graft.StreamShim
           .parquetSupportsBatch(spark, schema),
-      maxOpenRuns = BoundedMerge.cap(spark))
+      maxOpenRuns = BoundedMerge.cap(spark, schema))
   }
 }
 
@@ -734,9 +738,9 @@ class GraftMicroBatchStream(
     val keyIdx = (info.rangeColumns ++ info.hashColumns).map(schema.fieldIndex).toArray
     GraftPartitionReaderFactory(readFn, keyIdx,
       keyIdx.map(schema.fields(_).dataType),
-      BucketMergeRead.fieldMerges(info, schema), schema.length,
+      BucketMergeRead.fieldMerges(info, schema), schema,
       cdcIdx = -1, // incremental semantics: tombstones kept (F6 exemption)
-      maxOpenRuns = BoundedMerge.cap(spark))
+      maxOpenRuns = BoundedMerge.cap(spark, schema))
   }
 }
 
@@ -760,48 +764,63 @@ case class GraftPartitionReaderFactory(
     keyIdx: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
     fieldMerges: Array[FieldMerge],
-    nFields: Int,
+    schema: org.apache.spark.sql.types.StructType,
     cdcIdx: Int,
     allowColumnar: Boolean = false,
     maxOpenRuns: Int = BoundedMerge.DefaultCap) extends PartitionReaderFactory {
 
-  /** COLUMNAR fast path: a merge-free partition (plain file, or a bucket
-    * whose whole visible state is one non-tombstone sorted run — i.e. a
-    * compacted or never-upserted bucket) needs no per-row semantics at all,
-    * so when the underlying reader is batched its ColumnarBatches stream
-    * straight to Spark and the scan stays on the vectorized path
-    * end-to-end. Spark rejects MIXED row/columnar partitions, so
-    * `allowColumnar` is the scan-level decision computed on the driver:
-    * reader batched AND no CDC filter AND every planned partition
-    * merge-free — true for a fully-compacted or never-upserted table,
-    * which is the steady state the compaction cadence maintains; any
-    * pending multi-run or tombstoned bucket drops the whole scan to the
-    * row-based merge path. Schema evolution is safe here: the vectorized
-    * parquet reader fills absent columns with null vectors, the same
-    * single-contributor semantics the row path gives one run. */
+  private def nFields: Int = schema.length
+
+  /** COLUMNAR path: merge-free partitions (plain files, single-run buckets)
+    * stream the vectorized reader's batches untouched; merge-PENDING
+    * buckets go through [[BatchMergeIterator]] — batch pass-through for
+    * unique-key stretches, a builder batch for overlap regions, identical
+    * semantics to the row path (shared GroupMerger). Spark rejects MIXED
+    * row/columnar partitions, so `allowColumnar` is the scan-level
+    * decision: reader batched AND no CDC delete filter (that one is
+    * per-row; CDC scans stay row-based). Schema evolution is safe in both
+    * modes: the reader null-fills absent columns (single-contributor
+    * semantics), and grouped keys consult per-run presence masks. */
   override def supportColumnarReads(p: InputPartition): Boolean = allowColumnar
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val files: Iterator[PartitionedFile] = p match {
-      case GraftFilePartition(f, _) => Iterator(f)
-      case GraftBucketPartition(_, runs) =>
-        require(runs.length <= 1 && !runs.exists(_.tomb),
-          "columnar read on a merge-pending bucket — allowColumnar must " +
-            "only be set when every planned partition is merge-free")
-        if (runs.isEmpty) Iterator.empty else runs.head.files.iterator
-      case other => throw new IllegalStateException(
-        s"columnar read offered for unsupported partition $other")
-    }
     // widen to Any BEFORE matching: the reader erases ColumnarBatch behind
     // Iterator[InternalRow], and a typed lambda param would checkcast
     // InternalRow first (same pitfall BucketMergeRead.flatten documents)
-    val batches = files.flatMap(readFn).asInstanceOf[Iterator[Any]].map {
-      case b: org.apache.spark.sql.vectorized.ColumnarBatch => b
-      case row => throw new IllegalStateException(
-        s"batched reader yielded a row (${row.getClass.getName}); " +
-          "allowColumnar must mirror the reader's supportBatch decision")
-    }
+    val batchesOf: PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = pf =>
+      readFn(pf).asInstanceOf[Iterator[Any]].map {
+        case b: org.apache.spark.sql.vectorized.ColumnarBatch => b
+        case row => throw new IllegalStateException(
+          s"batched reader yielded a row (${row.getClass.getName}); " +
+            "allowColumnar must mirror the reader's supportBatch decision")
+      }
+    val batches: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      p match {
+        case GraftFilePartition(f, _) => batchesOf(f)
+        case GraftBucketPartition(_, runs) =>
+          if (runs.isEmpty || (runs.length == 1 && runs.head.tomb))
+            Iterator.empty
+          else if (runs.length == 1) // merge-free: reader batches untouched
+            runs.head.files.iterator.flatMap(batchesOf)
+          else {
+            val bounded = BoundedMerge.sources(readFn,
+              runs.map(_.files.toSeq).toIndexedSeq, runs.map(_.mask),
+              runs.map(_.tomb), keyIdx, keyTypes, fieldMerges, maxOpenRuns)
+            val cursors: IndexedSeq[MergeRunCursor] = bounded.map { s =>
+              if (s.isParquet) new BatchRunCursor(
+                MergeReaderGauge.tracked(s.files.iterator.flatMap(batchesOf)),
+                s.mask, s.tomb): MergeRunCursor
+              else new RowRunCursor(
+                BoundedMerge.readSpill(s.spill, nFields), s.mask, s.tomb)
+            }
+            new BatchMergeIterator(cursors, keyIdx, keyTypes, fieldMerges,
+              schema)
+          }
+        case other => throw new IllegalStateException(
+          s"columnar read offered for unsupported partition $other")
+      }
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
       override def next(): Boolean =

@@ -30,8 +30,27 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   // ---------------------------------------------------------------- reads
 
-  /** Current snapshot, merged + CDC-filtered. */
-  def toDF: DataFrame = toDF(_ => true)
+  /** Current snapshot, merged + CDC-filtered.
+    *
+    * Routes through the DSv2 scan (GraftScanV2) whenever the table's merge
+    * operators support the k-way merge: the read then gets Catalyst filter
+    * pushdown, zone-map + runtime file pruning, KeyGroupedPartitioning, and
+    * the COLUMNAR merge (batch pass-through on unique-key stretches) — the
+    * identical surface `spark.table("graft_cat.ns.t")` uses. Agg-only
+    * custom merge operators (and an explicit bucketMergeRead=false) stay on
+    * the library path for the aggregate-merge fallback. */
+  def toDF: DataFrame = {
+    val t = info
+    val routeV2 =
+      !t.properties.get("graft.bucketMergeRead").contains("false") &&
+        (!t.hasPrimaryKey ||
+          t.properties.get(TableInfo.SkipMergeOnReadProp).contains("true") ||
+          GraftRead.bucketMergeSupported(t, schema))
+    if (routeV2)
+      org.apache.spark.sql.graft.StreamShim.dsv2Df(spark,
+        new graft.catalog.GraftTableV2(spark, this, tablePath))
+    else toDF(_ => true)
+  }
 
   def toDF(partitionPred: String => Boolean): DataFrame =
     GraftRead.read(spark, info, resolver.currentFiles(tablePath, partitionPred))

@@ -91,6 +91,18 @@ object StreamShim {
       hadoopConf = spark.sessionState.newHadoopConf())
   }
 
+  /** DataFrame over a DSv2 Table handle (logical DataSourceV2Relation —
+    * private[sql] create, hence this shim): library snapshot reads route
+    * through the same GraftScanV2 the SQL catalog uses, so they get filter
+    * pushdown, KeyGroupedPartitioning, and the columnar merge. */
+  def dsv2Df(
+      session: org.apache.spark.sql.SparkSession,
+      table: org.apache.spark.sql.connector.catalog.Table): DataFrame = {
+    val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      .create(table, None, None)
+    ofRows(session, rel)
+  }
+
   /** Executor-local scratch directory for merge spill files — Spark's own
     * configured local dir (spark.local.dir / YARN container dirs), the same
     * place shuffle and spill data land; java.io.tmpdir outside a Spark env. */

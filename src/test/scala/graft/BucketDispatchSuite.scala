@@ -24,14 +24,20 @@ class BucketDispatchSuite extends SparkFixture {
       val t = mk(dir)
       t.upsert(spark.range(0, 1).select(col("id"), lit(999L).as("v")))
 
+      // toDF routes through the DSv2 scan: ONE BatchScan whose bucket
+      // partitions dispatch internally (untouched buckets stream reader
+      // batches; the touched bucket k-way-merges, still columnar)
       val df = t.toDF
       val plan = df.queryExecution.executedPlan.toString
-      // merge path present (the touched bucket)...
-      assert(plan.contains("ExistingRDD"),
-        s"expected the k-way merge scan in:\n$plan")
-      // ...AND the plain parquet scan (the three untouched buckets)
-      assert(plan.contains("FileScan parquet") || plan.contains("BatchScan"),
-        s"expected a plain vectorized scan of untouched buckets in:\n$plan")
+      assert(plan.contains("BatchScan") && plan.contains("GraftScan"),
+        s"expected the DSv2 graft scan in:\n$plan")
+      // the library path keeps the explicit split: merge RDD for the
+      // touched bucket UNION plain parquet scan for the untouched ones
+      val libPlan = t.toDF(_ => true).queryExecution.executedPlan.toString
+      assert(libPlan.contains("ExistingRDD"),
+        s"expected the k-way merge scan in:\n$libPlan")
+      assert(libPlan.contains("FileScan parquet"),
+        s"expected a plain vectorized scan of untouched buckets in:\n$libPlan")
 
       // and the merged result is still exactly right
       val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

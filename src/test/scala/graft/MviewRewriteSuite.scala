@@ -54,8 +54,13 @@ class MviewRewriteSuite extends SparkFixture {
         val roll = "SELECT CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS cnt " +
           "FROM graft_cat.rw.src"
         val rollPlan = planOf(roll)
-        assert(!rollPlan.contains("RelationV2"),
+        // the rewrite must re-aggregate the VIEW, not the source table
+        // (view reads are RelationV2 too now that toDF routes through DSv2,
+        // so assert on the scanned identifier, not the node type)
+        assert(!rollPlan.contains("rw.src"),
           s"rollup still scans the source:\n$rollPlan")
+        assert(rollPlan.contains("view"),
+          s"rollup should scan the materialized view:\n$rollPlan")
         assertSameRows(spark.sql(roll),
           facts(60).agg(sum($"v").cast("double").as("total"),
             count(lit(1)).as("cnt")))
@@ -69,13 +74,13 @@ class MviewRewriteSuite extends SparkFixture {
         MaterializedView.enableRewrite(spark, s"$dir/fview")
         val fq = "SELECT k, COUNT(*) AS cnt FROM graft_cat.rw.src " +
           "WHERE v > 30 GROUP BY k"
-        assert(!planOf(fq).contains("RelationV2"), "filtered view not used")
+        assert(!planOf(fq).contains("rw.src"), "filtered view not used")
         assertSameRows(spark.sql(fq),
           facts(60).filter($"v" > 30).groupBy("k")
             .agg(count(lit(1)).as("cnt")))
         // different predicate -> no rewrite
         assert(planOf("SELECT k, COUNT(*) FROM graft_cat.rw.src " +
-          "WHERE v > 31 GROUP BY k").contains("RelationV2"))
+          "WHERE v > 31 GROUP BY k").contains("rw.src"))
         MaterializedView.disableRewrite(spark, s"$dir/fview")
 
         // staleness: a new source commit disables the rewrite until refresh
