@@ -91,6 +91,8 @@ object MetadataTables {
       StructField("partition_desc", StringType),
       StructField("version", IntegerType),
       StructField("n_files", IntegerType),
+      StructField("n_runs", IntegerType),
+      StructField("max_bucket_runs", IntegerType),
       StructField("total_bytes", LongType),
       StructField("row_count", LongType),
       StructField("last_commit_ms", LongType))),
@@ -100,8 +102,17 @@ object MetadataTables {
         t.partitions.map { p =>
           val fs = byDesc.getOrElse(p.partitionDesc, Nil)
           val counts = fs.map(f => FileStats.rowCount(FileStats.decode(f.file.stats)))
-          InternalRow(s(p.partitionDesc), p.version, fs.size,
-            fs.map(_.file.size).sum,
+          // run depth: n_runs = the partition's distinct commit ordinals;
+          // max_bucket_runs = the deepest single bucket — the number a MOR
+          // read task actually k-way-merges (and the compaction daemon's
+          // prioritization key)
+          val nRuns = fs.map(_.commitOrdinal).distinct.size
+          val maxBucketRuns =
+            if (fs.isEmpty) 0
+            else fs.groupBy(_.file.bucketId).values
+              .map(_.map(_.commitOrdinal).distinct.size).max
+          InternalRow(s(p.partitionDesc), p.version, fs.size, nRuns,
+            maxBucketRuns, fs.map(_.file.size).sum,
             if (shadowed || counts.exists(_.isEmpty)) null
             else Long.box(counts.flatten.sum),
             p.timestamp)

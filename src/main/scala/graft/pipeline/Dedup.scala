@@ -269,7 +269,18 @@ object Dedup {
     // with candidate count, not corpus size
     val ids = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val sh = df.join(broadcast(ids), Seq(idCol), "left_semi")
+    // BROADCAST-OVERFLOW GUARD: the shingle arrays broadcast only while the
+    // candidate set is broadcast-sized. A pathological corpus (huge
+    // near-dup cliques) can push the candidate docs past the 8 GB broadcast
+    // ceiling — counting ids is cheap (pairs is already checkpointed), and
+    // past the cap the two verify joins fall back to shuffled equi-joins:
+    // same output, one extra shuffle of the candidate shingle rows.
+    val maxBroadcastDocs = df.sparkSession.conf
+      .getOption("spark.graft.dedup.broadcastVerifyMaxDocs")
+      .map(_.toLong).getOrElse(2000000L)
+    val big = ids.count() > maxBroadcastDocs
+    def bc(d: DataFrame): DataFrame = if (big) d else broadcast(d)
+    val sh = df.join(bc(ids), Seq(idCol), "left_semi")
       // tokens materialized before shingling (wordShinglesOf perf contract)
       .select(col(idCol), tokens(col(textCol)).as("_g_ts"))
       .select(col(idCol),
@@ -287,9 +298,9 @@ object Dedup {
       .cast("double")
     val union = (size(col("_g_sa")) + size(col("_g_sb"))).cast("double") - inter
     pairs
-      .join(broadcast(sh.withColumnRenamed(idCol, "id_a")
+      .join(bc(sh.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("_g_sh", "_g_sa")), "id_a")
-      .join(broadcast(sh.withColumnRenamed(idCol, "id_b")
+      .join(bc(sh.withColumnRenamed(idCol, "id_b")
         .withColumnRenamed("_g_sh", "_g_sb")), "id_b")
       .withColumn("jaccard", when(union === 0.0, 0.0).otherwise(inter / union))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -25,7 +25,8 @@ class CompactionDaemon(
     tablePaths: () => Seq[String],
     intervalMs: Long = 60000L,
     fileNumLimit: Int = 5,
-    tombstoneRunLimit: Int = 2) {
+    tombstoneRunLimit: Int = 2,
+    maxPartitionsPerSweep: Int = Int.MaxValue) {
 
   private val running = new AtomicBoolean(false)
   @volatile private var thread: Thread = _
@@ -38,18 +39,32 @@ class CompactionDaemon(
     *    compacted run + a few tombstone deletes) never crosses the run
     *    limit, but its deleted rows must still be PHYSICALLY removed
     *    eventually (leveled compaction deliberately carries tombstones;
-    *    only a full partition compaction materializes them). */
+    *    only a full partition compaction materializes them).
+    *
+    * DEEPEST-FIRST: due partitions are ordered by their deepest bucket's
+    * run count (the same `max_bucket_runs` that `t$partitions` surfaces —
+    * the per-task k-way width a MOR read actually pays) and, when a sweep
+    * budget is set (`maxPartitionsPerSweep`), only the worst offenders
+    * compact this sweep. At reference scale a cadence daemon always has
+    * more backlog than budget; spending it where run depth (and therefore
+    * both read latency and task memory) is worst buys the most read-path
+    * relief per compaction second. */
   def runOnce(): Seq[String] =
     tablePaths().flatMap { path =>
       try {
         val t = GraftTable.forPath(spark, path)
         val byDesc = t.liveFiles.groupBy(_.partitionDesc)
+        def bucketDepth(fs: Seq[graft.meta.ResolvedFile]): Int =
+          if (fs.isEmpty) 0
+          else fs.groupBy(_.file.bucketId).values
+            .map(_.map(_.commitOrdinal).distinct.size).max
         val due = byDesc.collect { case (desc, fs)
             if fs.map(_.commitOrdinal).distinct.size > fileNumLimit ||
               fs.filter(f => graft.meta.Tombstone.isTombstone(f.file))
                 .map(_.commitOrdinal).distinct.size >= tombstoneRunLimit =>
-          desc
-        }.toSet
+          desc -> bucketDepth(fs)
+        }.toSeq.sortBy { case (desc, depth) => (-depth, desc) }
+          .take(maxPartitionsPerSweep).map(_._1).toSet
         val rebucketed = t.autoRebucket().isDefined // no-op without the prop
         if (due.nonEmpty && !rebucketed) {
           t.compaction(CompactionOptions(), due.contains)

@@ -416,6 +416,46 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("budgeted daemon sweep compacts the deepest-backlog partition first") {
+    withTempPath { p =>
+      import spark.implicits._
+      // range-partitioned table with a SKEWED backlog: r=1 takes 12 upserts
+      // (deep buckets), r=2 takes 5, r=3 stays quiet
+      val base = (1L to 60L).map(i => (i % 3 + 1, i, 0L)).toDF("r", "id", "v")
+      val t = GraftTable.create(spark, base, p,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 2)
+      (1 to 12).foreach(k =>
+        t.upsert(Seq((1L, (k % 20 + 1) * 3L, k.toLong)).toDF("r", "id", "v")))
+      (1 to 5).foreach(k =>
+        t.upsert(Seq((2L, (k % 20 + 1) * 3L + 1, k.toLong)).toDF("r", "id", "v")))
+      def runsOf(desc: String): Int = t.liveFiles
+        .filter(_.partitionDesc == desc).map(_.commitOrdinal).distinct.size
+
+      // surface run depth through t$partitions (the daemon's priority key)
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
+      if (spark.conf.getOption("spark.graft.warehouse").isEmpty)
+        spark.conf.set("spark.graft.warehouse", p + "-wh")
+      graft.catalog.GraftCatalog.register(spark, "cdp.skew", p)
+      val depths = spark.sql("SELECT partition_desc, max_bucket_runs FROM " +
+        "graft_cat.cdp.`skew$partitions` ORDER BY max_bucket_runs DESC")
+        .collect().map(r => r.getString(0) -> r.getInt(1))
+      assert(depths.head._1 == "r=1" && depths.head._2 > depths(1)._2,
+        s"run-depth surface wrong: ${depths.toSeq}")
+
+      // a budget of ONE partition per sweep must spend it on r=1
+      val daemon = new graft.tools.CompactionDaemon(spark,
+        () => Seq(t.tablePath), fileNumLimit = 3, maxPartitionsPerSweep = 1)
+      assert(daemon.runOnce().nonEmpty)
+      assert(runsOf("r=1") == 1, "deepest partition should compact first")
+      assert(runsOf("r=2") == 6, "budget of 1 must not touch r=2 yet")
+      // next sweep clears the runner-up; quiet partition untouched throughout
+      assert(daemon.runOnce().nonEmpty)
+      assert(runsOf("r=2") == 1 && runsOf("r=3") == 1)
+      assert(daemon.runOnce().isEmpty) // steady state
+      assert(t.toDF.count() == 60)
+    }
+  }
+
   test("size-capped rolling writer splits files, merge read stays correct") {
     withTempPath { p =>
       import spark.implicits._

@@ -268,6 +268,21 @@ class PipelineSuite extends SparkFixture {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("jaccard verify past the broadcast cap falls back to shuffled " +
+    "joins with identical pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+    val reference = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5).collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.dedup.broadcastVerifyMaxDocs", "1")
+    try {
+      val fallback = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.5).collect().map(_.toString).sorted.toSeq
+      assert(fallback == reference,
+        s"fallback diverged: got ${fallback.size} vs ${reference.size} pairs")
+    } finally spark.conf.unset("spark.graft.dedup.broadcastVerifyMaxDocs")
+  }
+
   test("simhash near-dup pairs on documents subset") {
     val common = (1 to 30).map(i => s"tok$i").mkString(" ")
     val df = Seq((1L, common + " ending1"), (2L, common + " ending2"),
