@@ -25,6 +25,17 @@ trait MetaStore {
   def getTableInfo(tablePath: String): Option[TableInfo]
   def updateTableInfo(info: TableInfo): Unit
 
+  /** ATOMIC read-modify-write of the table's properties, under the store's
+    * table lock: concurrent property writers (clone registration racing
+    * vacuum's lazy prune, two clones registering at once) must not lose
+    * updates the way read-then-updateTableInfo does. */
+  def updateProperties(tablePath: String)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    val t = getTableInfo(tablePath).getOrElse(throw new IllegalArgumentException(
+      s"no graft table at $tablePath"))
+    updateTableInfo(t.copy(properties = f(t.properties)))
+  }
+
   /** Atomically publish `commits` (one per touched partition), bumping each
     * partition's version. `expectedVersions` maps partitionDesc -> version the
     * writer read (-1 = partition did not exist); a mismatch at publish time
@@ -172,6 +183,20 @@ class FileMetaStore extends MetaStore {
     Files.writeString(tableInfoPath(info.tablePath), jwrite(info))
     infoCache.remove(canonical(info.tablePath))
   }
+
+  /** Read + modify + write under ONE file lock (the trait default's
+    * read-then-update is not atomic across processes). Writes the file
+    * directly — a nested updateTableInfo would re-acquire the same
+    * FileLock (OverlappingFileLockException). */
+  override def updateProperties(tablePath: String)(
+      f: Map[String, String] => Map[String, String]): Unit =
+    withFileLock(tablePath) {
+      val p = tableInfoPath(tablePath)
+      require(Files.exists(p), s"no graft table at $tablePath")
+      val t = jread[TableInfo](Files.readString(p))
+      Files.writeString(p, jwrite(t.copy(properties = f(t.properties))))
+      infoCache.remove(canonical(tablePath))
+    }
 
   override def commit(
       tablePath: String,

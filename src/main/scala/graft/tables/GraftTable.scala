@@ -318,11 +318,17 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
     // register the clone on the SOURCE so its cleaners (vacuum/TTL) skip
     // files the clone still references — closing the standard shallow-clone
-    // hazard where expiring source history breaks clones
-    val registered = info.properties.get(GraftTable.ClonesProp)
-      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    setProperties(Map(GraftTable.ClonesProp ->
-      (registered :+ target.tablePath).distinct.mkString("\n")))
+    // hazard where expiring source history breaks clones. ATOMIC RMW under
+    // the store's table lock: a plain read-then-setProperties racing
+    // vacuum's lazy prune (or a concurrent cloneTo) could lose this
+    // registration, after which source-side vacuum deletes files the live
+    // clone references — the exact hazard the registration closes.
+    store.updateProperties(tablePath) { props =>
+      val registered = props.get(GraftTable.ClonesProp)
+        .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      props + (GraftTable.ClonesProp ->
+        (registered :+ target.tablePath).distinct.mkString("\n"))
+    }
     target
   }
 
@@ -341,7 +347,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     if (registered.isEmpty) return Set.empty
     val (alive, gone) = registered.partition(p => store.getTableInfo(p).isDefined)
     if (gone.nonEmpty)
-      setProperties(Map(GraftTable.ClonesProp -> alive.mkString("\n")))
+      // prune under the table lock, re-checking each candidate INSIDE the
+      // critical section: a registration that raced in since the read
+      // survives, and a clone is dropped from the list only on a CONFIRMED
+      // second absent read (dropTable removed its table_info) — never on a
+      // single failed read, which would permanently unprotect a live clone
+      store.updateProperties(tablePath) { props =>
+        val cur = props.get(GraftTable.ClonesProp)
+          .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val keep = cur.filterNot(p =>
+          gone.contains(p) && store.getTableInfo(p).isEmpty)
+        props + (GraftTable.ClonesProp -> keep.mkString("\n"))
+      }
     alive.flatMap { p =>
       store.retainedVersions(p, 0L)
         .flatMap(pi => resolver.filesAt(p, pi)).map(_.file.path)
@@ -574,7 +591,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * O(changed rows) on both sides — no rewrite, no full-table shuffle.
     * Requires the use_last-family/tombstone eligibility of the delta DML
     * (change rows carry FULL values, so applying them must be an
-    * overwrite, and deletes need the k-way merge). */
+    * overwrite, and deletes need the k-way merge).
+    *
+    * EXPECTATIONS BYPASS — BY DESIGN: soft expectations (drop/quarantine)
+    * declared on the REPLICA do not gate the feed, inserts included. A
+    * replica's contract is fidelity to its source — gating would silently
+    * diverge the two tables (a dropped insert is missing forever, a
+    * dropped postimage leaves a stale row), which is strictly worse than
+    * admitting a row the source already admitted. Declare expectations on
+    * the SOURCE table, where ingestion actually happens; hard invariants
+    * (fail/check constraints) still run here on every write. */
   def applyChanges(changes: DataFrame): Unit = {
     val ct = "_change_type"
     require(changes.columns.contains(ct),
@@ -1281,7 +1307,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // run the same clause logic against an empty target
         val emptyTarget = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-        val inserted = applyClauses(emptyTarget)
+        // every produced row is a NOT MATCHED insert: expectations gate
+        val inserted = TransactionalWrite.gateIngestion(t, applyClauses(emptyTarget))
         publish(TransactionalWrite.writeFiles(spark, t, inserted, CommitOp.Rewrite), heads)
       } else if (deltaMode) {
         // DELTA MERGE (beyond-ref; the MERGE companion of updateDelta /
@@ -1293,14 +1320,27 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // O(source + matched rows), not O(touched buckets).
         val target = GraftRead.read(spark, t, files)
         val frame0 = withActions(target)
-        val needBoth = deleteActions.nonEmpty
+        // persist when >1 subplan consumes the frame (tombstone split,
+        // and/or the insert-gating split below)
+        val needBoth = deleteActions.nonEmpty || notMatched.nonEmpty
         val frame =
           if (needBoth)
             frame0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else frame0
         try {
-          val writes = projectOut(frame.filter(col("_g_action") >= 0 &&
-            !col("_g_action").isin(deleteActions: _*)))
+          val keep = frame.filter(col("_g_action") >= 0 &&
+            !col("_g_action").isin(deleteActions: _*))
+          // WHEN NOT MATCHED inserts (action ids 1000..1999) are genuinely
+          // NEW rows entering through user-facing DML, so declared
+          // drop/quarantine expectations gate them like any ingestion;
+          // matched/not-matched-by-source updates re-write ALREADY-ADMITTED
+          // rows and stay exempt (a late expectation must not swallow them)
+          val insertPred = col("_g_action") >= 1000 && col("_g_action") < 2000
+          val writes =
+            if (notMatched.isEmpty) projectOut(keep)
+            else TransactionalWrite
+              .gateIngestion(t, projectOut(keep.filter(insertPred)))
+              .unionByName(projectOut(keep.filter(!insertPred)))
           val upCommits = TransactionalWrite.writeFiles(spark, t, writes,
             CommitOp.Merge, internal = true)
           val delCommits =
@@ -1315,7 +1355,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             }
           publish(upCommits ++ delCommits, heads)
         } finally if (needBoth) frame.unpersist()
-      } else rewriteFiles(files, heads, bucketAligned = false)(applyClauses)
+      } else rewriteFiles(files, heads, bucketAligned = false) { target =>
+        // rewrite-mode MERGE: same insert-gating split as the delta path
+        // (NOT MATCHED rows are new data; rewritten rows are exempt). The
+        // union consumes the target twice only when insert clauses exist.
+        val keep = withActions(target)
+          .filter(!col("_g_action").isin((deleteActions :+ Drop): _*))
+        val insertPred = col("_g_action") >= 1000 && col("_g_action") < 2000
+        if (notMatched.isEmpty) projectOut(keep)
+        else TransactionalWrite
+          .gateIngestion(t, projectOut(keep.filter(insertPred)))
+          .unionByName(projectOut(keep.filter(!insertPred)))
+      }
     }
   }
 

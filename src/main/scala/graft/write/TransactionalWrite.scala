@@ -154,6 +154,13 @@ object TransactionalWrite {
     * that cannot evaluate has not passed). The quarantine write is a
     * second job over the violating subset — the batch is evaluated twice
     * on that path unless the caller caches it. */
+  /** Run the soft (drop/quarantine) expectations on `df` as if it were an
+    * ingestion batch — for callers whose write is internal-flagged as a
+    * whole but smuggles a genuinely NEW subset (MERGE WHEN NOT MATCHED
+    * inserts inside a delta/rewrite commit). */
+  def gateIngestion(table: TableInfo, df: DataFrame): DataFrame =
+    applyExpectations(table, df)
+
   private def applyExpectations(table: TableInfo, df: DataFrame): DataFrame = {
     val props = table.properties
     val prefix = "graft.expect."

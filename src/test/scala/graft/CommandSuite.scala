@@ -244,6 +244,40 @@ class CommandSuite extends SparkFixture {
       assert(t.toDF.filter(col("id") === 201L).count() == 1)
     }
     withTempPath { path =>
+      // MERGE WHEN NOT MATCHED inserts are NEW data through user-facing
+      // DML: late expectations DO gate them — while matched updates of
+      // admitted rows stay exempt. Both merge modes (delta + rewrite).
+      import spark.implicits._
+      Seq(graft.meta.TableInfo.MergeModeProp -> "delta", "" -> "").foreach {
+        case (pk, pv) =>
+          withTempPath { p2 =>
+            val props = if (pk.isEmpty) Map.empty[String, String] else Map(pk -> pv)
+            val t = GraftTable.create(spark,
+              (1L to 5L).map(i => (i, s"v$i", i.toInt)).toDF("id", "v", "n"),
+              p2, hashColumns = Seq("id"), bucketNum = 2, properties = props)
+            t.expect("late", "n >= 1000", "drop")
+            val src = Seq((2L, "upd2", 2), (50L, "newpass", 5000),
+              (51L, "newfail", 7)).toDF("id", "v", "n")
+            t.mergeIntoClauses(src, Map("id" -> "id"),
+              matched = Seq(graft.tables.MergeMatchedClause(None, Some(Map(
+                "v" -> graft.tables.GraftMerge.source("v"),
+                "n" -> graft.tables.GraftMerge.source("n"))))),
+              notMatched = Seq(graft.tables.MergeNotMatchedClause(None, Map(
+                "id" -> graft.tables.GraftMerge.source("id"),
+                "v" -> graft.tables.GraftMerge.source("v"),
+                "n" -> graft.tables.GraftMerge.source("n")))))
+            val after = t.toDF.select("id", "v").as[(Long, String)]
+              .collect().toMap
+            assert(after(2L) == "upd2",
+              s"matched update swallowed by late expectation (props=$props)")
+            assert(after(50L) == "newpass", s"passing insert lost (props=$props)")
+            assert(!after.contains(51L),
+              s"NOT MATCHED insert must be gated by expectations (props=$props)")
+            assert(after.size == 6)
+          }
+      }
+    }
+    withTempPath { path =>
       // CDC table: marker delete/update rows must never be re-gated
       val t = GraftTable.create(spark,
         (1L to 6L).map(i => (i, s"v$i", "insert")).toDF("id", "v", "op"), path,
