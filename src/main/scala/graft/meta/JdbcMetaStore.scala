@@ -1,0 +1,598 @@
+package graft.meta
+
+import java.io.File
+import java.sql.{Connection, DriverManager, SQLException}
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+import org.json4s._
+import org.json4s.jackson.Serialization
+import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
+
+/** Multi-host [[MetaStore]] over any JDBC database — the analogue of the
+  * reference's PostgreSQL catalog (lakesoul-common
+  * `meta/DBManager.java:423-620` `commitData`/`appendConflict`;
+  * `docker/lakesoul-docker-compose-env/meta_init.sql` table shapes), where
+  * the database — not a driver-local file lock — arbitrates concurrent
+  * writers across hosts. Tested against Derby (embedded + in-memory, on
+  * Spark's classpath); the SQL is deliberately ANSI-portable so the same
+  * store runs against PostgreSQL on a real cluster (`jdbc:postgresql:...`).
+  * Select it with `-Dgraft.meta.uri=jdbc:...` or by passing the store to
+  * `GraftTable.forPath/create` directly.
+  *
+  * DATA MODEL — the same log-ordered semantics as [[FileMetaStore]] (head =
+  * LAST log line per partition, not max version; rollback re-appends an old
+  * version; drop appends version -1), so every consumer sees identical
+  * history on either backend:
+  *   - graft_table_info(table_path PK, rev, info)        — TableInfo JSON;
+  *     `rev` drives CAS property read-modify-writes
+  *   - graft_seq(table_path PK, next_seq, last_ts)       — per-table commit
+  *     serializer: every writing transaction X-locks this row FIRST (total
+  *     lock order → no deadlocks) and allocates log sequence numbers and
+  *     strictly-increasing commit timestamps from it
+  *   - graft_partition_log(table_path, seq PK, ...)      — the version log,
+  *     one row per PartitionInfo line, ordered by seq
+  *   - graft_partition_head(table_path, partition_desc PK, version, seq)
+  *     — head pointer per partition; the optimistic-CAS arbitration surface
+  *   - graft_commit_info(table_path, commit_id PK, info) — DataCommitInfo
+  *     JSON, immutable once written (cached forever)
+  *   - graft_stream_batch(table_path, query_id PK, max_batch)
+  *
+  * CONCURRENCY: `commit` verifies every touched partition still sits at the
+  * writer's expected version INSIDE the transaction, after taking the
+  * per-table lock row — a stale writer gets [[MetaRerunException]] and the
+  * caller's retry loop re-reads and replays, exactly the reference's
+  * conflict path (`appendConflict` retries, `MetaRerunException`
+  * TransactionCommit.scala:398-427). Lock-timeout/deadlock SQLStates map to
+  * [[MetaRerunException]] too, so a contended catalog degrades to retries,
+  * never to wrong answers. */
+class JdbcMetaStore(url: String) extends MetaStore {
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  if (url.startsWith("jdbc:derby:"))
+    try Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    catch { case _: Throwable => () } // SPI autoload usually suffices
+
+  // ------------------------------------------------------------ connections
+  private val pool = new ConcurrentLinkedQueue[Connection]()
+
+  private def borrow(): Connection = {
+    var c = pool.poll()
+    while (c != null && c.isClosed) c = pool.poll()
+    if (c == null) c = DriverManager.getConnection(url)
+    c
+  }
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = borrow()
+    var ok = false
+    try { val r = f(c); ok = true; r }
+    finally {
+      if (ok) pool.offer(c)
+      else try c.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** One transaction; maps arbitration SQLStates to [[MetaRerunException]]. */
+  private def withTx[T](f: Connection => T): T = withConn { c =>
+    c.setAutoCommit(false)
+    try {
+      val r = f(c)
+      c.commit()
+      c.setAutoCommit(true)
+      r
+    } catch {
+      case e: Throwable =>
+        try c.rollback() catch { case _: Throwable => () }
+        c.setAutoCommit(true)
+        e match {
+          case s: SQLException if isContention(s) =>
+            throw new MetaRerunException(s"catalog contention: ${s.getMessage}")
+          case _ => throw e
+        }
+    }
+  }
+
+  private def isContention(e: SQLException): Boolean = {
+    val st = Option(e.getSQLState).getOrElse("")
+    // 40001 serialization failure (PG), 40XL1/40XL2 lock timeout (Derby),
+    // 40001 also Derby deadlock
+    st.startsWith("40")
+  }
+
+  private def isDuplicate(e: SQLException): Boolean =
+    Option(e.getSQLState).contains("23505")
+
+  private def canonical(p: String): String = new File(p).getCanonicalPath
+
+  // ------------------------------------------------------------------- DDL
+  private val ddl = Seq(
+    """CREATE TABLE graft_table_info (
+       table_path VARCHAR(1000) NOT NULL PRIMARY KEY,
+       rev INT NOT NULL,
+       info CLOB NOT NULL)""",
+    """CREATE TABLE graft_seq (
+       table_path VARCHAR(1000) NOT NULL PRIMARY KEY,
+       next_seq BIGINT NOT NULL,
+       last_ts BIGINT NOT NULL)""",
+    """CREATE TABLE graft_partition_log (
+       table_path VARCHAR(1000) NOT NULL,
+       seq BIGINT NOT NULL,
+       partition_desc VARCHAR(1000) NOT NULL,
+       version INT NOT NULL,
+       commit_op VARCHAR(20) NOT NULL,
+       ts BIGINT NOT NULL,
+       snapshot CLOB NOT NULL,
+       PRIMARY KEY (table_path, seq))""",
+    """CREATE INDEX graft_plog_desc
+       ON graft_partition_log (table_path, partition_desc)""",
+    """CREATE TABLE graft_partition_head (
+       table_path VARCHAR(1000) NOT NULL,
+       partition_desc VARCHAR(1000) NOT NULL,
+       version INT NOT NULL,
+       seq BIGINT NOT NULL,
+       PRIMARY KEY (table_path, partition_desc))""",
+    """CREATE TABLE graft_commit_info (
+       table_path VARCHAR(1000) NOT NULL,
+       commit_id VARCHAR(64) NOT NULL,
+       info CLOB NOT NULL,
+       PRIMARY KEY (table_path, commit_id))""",
+    """CREATE TABLE graft_stream_batch (
+       table_path VARCHAR(1000) NOT NULL,
+       query_id VARCHAR(300) NOT NULL,
+       max_batch BIGINT NOT NULL,
+       PRIMARY KEY (table_path, query_id))""")
+
+  locally {
+    withConn { c =>
+      val have = {
+        val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val b = Set.newBuilder[String]
+        while (rs.next()) b += rs.getString("TABLE_NAME").toLowerCase
+        rs.close(); b.result()
+      }
+      if (!have.contains("graft_table_info"))
+        ddl.foreach { stmt =>
+          val s = c.createStatement()
+          try s.execute(stmt)
+          catch { case e: SQLException if existsAlready(e) => () }
+          finally s.close()
+        }
+    }
+  }
+
+  private def existsAlready(e: SQLException): Boolean = {
+    val st = Option(e.getSQLState).getOrElse("")
+    st == "X0Y32" || st == "42P07" // Derby / PostgreSQL "already exists"
+  }
+
+  // ------------------------------------------------------------- internals
+  /** X-lock the table's serializer row (self-assignment UPDATE — portable
+    * row lock held to transaction end). Requires the table to exist. */
+  private def lockTable(c: Connection, tp: String): Unit = {
+    val ps = c.prepareStatement(
+      "UPDATE graft_seq SET next_seq = next_seq + 0 WHERE table_path = ?")
+    try {
+      ps.setString(1, tp)
+      if (ps.executeUpdate() != 1)
+        throw new IllegalArgumentException(s"no graft table at $tp")
+    } finally ps.close()
+  }
+
+  /** Allocate `n` log sequence numbers and one strictly-increasing commit
+    * timestamp. Caller holds the lock row. Returns (firstSeq, ts). */
+  private def allocate(c: Connection, tp: String, n: Int): (Long, Long) = {
+    val rd = c.prepareStatement(
+      "SELECT next_seq, last_ts FROM graft_seq WHERE table_path = ?")
+    val (seq0, lastTs) = try {
+      rd.setString(1, tp)
+      val rs = rd.executeQuery()
+      require(rs.next(), s"no graft table at $tp")
+      val r = (rs.getLong(1), rs.getLong(2)); rs.close(); r
+    } finally rd.close()
+    val ts = math.max(System.currentTimeMillis(), lastTs + 1)
+    val up = c.prepareStatement(
+      "UPDATE graft_seq SET next_seq = ?, last_ts = ? WHERE table_path = ?")
+    try {
+      up.setLong(1, seq0 + n); up.setLong(2, ts); up.setString(3, tp)
+      up.executeUpdate()
+    } finally up.close()
+    (seq0, ts)
+  }
+
+  private def rowToPi(rs: java.sql.ResultSet): PartitionInfo =
+    PartitionInfo(rs.getString("partition_desc"), rs.getInt("version"),
+      jread[Seq[String]](rs.getString("snapshot")), rs.getString("commit_op"),
+      rs.getLong("ts"))
+
+  private def logRows(c: Connection, tp: String,
+      desc: Option[String]): Vector[PartitionInfo] = {
+    val sql = "SELECT partition_desc, version, commit_op, ts, snapshot " +
+      "FROM graft_partition_log WHERE table_path = ?" +
+      desc.map(_ => " AND partition_desc = ?").getOrElse("") + " ORDER BY seq"
+    val ps = c.prepareStatement(sql)
+    try {
+      ps.setString(1, tp)
+      desc.foreach(ps.setString(2, _))
+      val rs = ps.executeQuery()
+      val b = Vector.newBuilder[PartitionInfo]
+      while (rs.next()) b += rowToPi(rs)
+      rs.close(); b.result()
+    } finally ps.close()
+  }
+
+  /** Heads of the given partitions (absent / dropped = not in the map). */
+  private def readHeads(c: Connection, tp: String,
+      descs: Seq[String]): Map[String, PartitionInfo] =
+    if (descs.isEmpty) Map.empty
+    else {
+      val marks = descs.map(_ => "?").mkString(",")
+      val ps = c.prepareStatement(
+        "SELECT l.partition_desc, l.version, l.commit_op, l.ts, l.snapshot " +
+          "FROM graft_partition_head h JOIN graft_partition_log l " +
+          "ON h.table_path = l.table_path AND h.seq = l.seq " +
+          s"WHERE h.table_path = ? AND h.version >= 0 " +
+          s"AND h.partition_desc IN ($marks)")
+      try {
+        ps.setString(1, tp)
+        descs.zipWithIndex.foreach { case (d, i) => ps.setString(i + 2, d) }
+        val rs = ps.executeQuery()
+        val b = Map.newBuilder[String, PartitionInfo]
+        while (rs.next()) { val pi = rowToPi(rs); b += pi.partitionDesc -> pi }
+        rs.close(); b.result()
+      } finally ps.close()
+    }
+
+  private def insertLogRow(c: Connection, tp: String, seq: Long,
+      pi: PartitionInfo): Unit = {
+    val ps = c.prepareStatement(
+      "INSERT INTO graft_partition_log (table_path, seq, partition_desc, " +
+        "version, commit_op, ts, snapshot) VALUES (?,?,?,?,?,?,?)")
+    try {
+      ps.setString(1, tp); ps.setLong(2, seq); ps.setString(3, pi.partitionDesc)
+      ps.setInt(4, pi.version); ps.setString(5, pi.commitOp)
+      ps.setLong(6, pi.timestamp); ps.setString(7, jwrite(pi.snapshot))
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  private def upsertHead(c: Connection, tp: String, pi: PartitionInfo,
+      seq: Long): Unit = {
+    val up = c.prepareStatement(
+      "UPDATE graft_partition_head SET version = ?, seq = ? " +
+        "WHERE table_path = ? AND partition_desc = ?")
+    val n = try {
+      up.setInt(1, pi.version); up.setLong(2, seq)
+      up.setString(3, tp); up.setString(4, pi.partitionDesc)
+      up.executeUpdate()
+    } finally up.close()
+    if (n == 0) {
+      val ins = c.prepareStatement(
+        "INSERT INTO graft_partition_head (table_path, partition_desc, " +
+          "version, seq) VALUES (?,?,?,?)")
+      try {
+        ins.setString(1, tp); ins.setString(2, pi.partitionDesc)
+        ins.setInt(3, pi.version); ins.setLong(4, seq)
+        ins.executeUpdate()
+      } catch {
+        // lost a first-create race (other writer committed between our
+        // UPDATE miss and this INSERT — possible under READ_COMMITTED)
+        case e: SQLException if isDuplicate(e) =>
+          throw new MetaRerunException(
+            s"partition '${pi.partitionDesc}' created concurrently")
+      } finally ins.close()
+    }
+  }
+
+  // ---------------------------------------------------------------- tables
+  override def createTable(info: TableInfo): Unit = {
+    val tp = canonical(info.tablePath)
+    try withTx { c =>
+      val ps = c.prepareStatement(
+        "INSERT INTO graft_table_info (table_path, rev, info) VALUES (?,0,?)")
+      try { ps.setString(1, tp); ps.setString(2, jwrite(info)); ps.executeUpdate() }
+      finally ps.close()
+      val sq = c.prepareStatement(
+        "INSERT INTO graft_seq (table_path, next_seq, last_ts) VALUES (?,0,0)")
+      try { sq.setString(1, tp); sq.executeUpdate() } finally sq.close()
+    } catch {
+      case e: SQLException if isDuplicate(e) =>
+        throw new IllegalArgumentException(
+          s"graft table already exists at ${info.tablePath}")
+    }
+  }
+
+  override def getTableInfo(tablePath: String): Option[TableInfo] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT info FROM graft_table_info WHERE table_path = ?")
+    try {
+      ps.setString(1, canonical(tablePath))
+      val rs = ps.executeQuery()
+      val r = if (rs.next()) Some(jread[TableInfo](rs.getString(1))) else None
+      rs.close(); r
+    } finally ps.close()
+  }
+
+  override def updateTableInfo(info: TableInfo): Unit = withTx { c =>
+    val ps = c.prepareStatement(
+      "UPDATE graft_table_info SET info = ?, rev = rev + 1 WHERE table_path = ?")
+    try {
+      ps.setString(1, jwrite(info)); ps.setString(2, canonical(info.tablePath))
+      if (ps.executeUpdate() != 1)
+        throw new IllegalArgumentException(s"no graft table at ${info.tablePath}")
+    } finally ps.close()
+  }
+
+  override def updateProperties(tablePath: String)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    val tp = canonical(tablePath)
+    var done = false
+    while (!done) {
+      // optimistic CAS on rev — a racing property writer costs a re-read,
+      // never a lost update
+      val cur = withConn { c =>
+        val ps = c.prepareStatement(
+          "SELECT rev, info FROM graft_table_info WHERE table_path = ?")
+        try {
+          ps.setString(1, tp)
+          val rs = ps.executeQuery()
+          require(rs.next(), s"no graft table at $tablePath")
+          val r = (rs.getInt(1), jread[TableInfo](rs.getString(2)))
+          rs.close(); r
+        } finally ps.close()
+      }
+      val (rev, t) = cur
+      val updated = t.copy(properties = f(t.properties))
+      done = withTx { c =>
+        val ps = c.prepareStatement(
+          "UPDATE graft_table_info SET info = ?, rev = ? " +
+            "WHERE table_path = ? AND rev = ?")
+        try {
+          ps.setString(1, jwrite(updated)); ps.setInt(2, rev + 1)
+          ps.setString(3, tp); ps.setInt(4, rev)
+          ps.executeUpdate() == 1
+        } finally ps.close()
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- commit
+  override def commit(
+      tablePath: String,
+      commits: Seq[DataCommitInfo],
+      expectedVersions: Map[String, Int]): Unit = {
+    val tp = canonical(tablePath)
+    withTx { c =>
+      lockTable(c, tp)
+      val (seq0, ts) = allocate(c, tp, commits.size)
+      val heads = readHeads(c, tp, commits.map(_.partitionDesc).distinct)
+      commits.foreach { cm =>
+        val cur = heads.get(cm.partitionDesc).map(_.version).getOrElse(-1)
+        val exp = expectedVersions.getOrElse(cm.partitionDesc, -1)
+        if (cur != exp)
+          throw new MetaRerunException(
+            s"partition '${cm.partitionDesc}' moved: expected v$exp, found v$cur")
+      }
+      // fold sequentially so one atomic call may carry several commits for
+      // the same partition (mirrors FileMetaStore.commit)
+      var seq = seq0
+      val running = scala.collection.mutable.Map[String, PartitionInfo]()
+      commits.foreach { c0 =>
+        val cm = c0.copy(timestamp = ts)
+        val ins = c.prepareStatement(
+          "INSERT INTO graft_commit_info (table_path, commit_id, info) " +
+            "VALUES (?,?,?)")
+        try { ins.setString(1, tp); ins.setString(2, cm.commitId)
+          ins.setString(3, jwrite(cm)); ins.executeUpdate() }
+        finally ins.close()
+        val prev = running.get(cm.partitionDesc).orElse(heads.get(cm.partitionDesc))
+        val snapshot = cm.commitOp match {
+          case CommitOp.Append | CommitOp.Merge | CommitOp.Rewrite =>
+            prev.map(_.snapshot).getOrElse(Nil) :+ cm.commitId
+          case CommitOp.Update | CommitOp.Compaction => Seq(cm.commitId)
+          case other => throw new IllegalArgumentException(s"unknown commitOp $other")
+        }
+        val pi = PartitionInfo(cm.partitionDesc,
+          prev.map(_.version + 1).getOrElse(0), snapshot, cm.commitOp, ts)
+        insertLogRow(c, tp, seq, pi)
+        upsertHead(c, tp, pi, seq)
+        running(cm.partitionDesc) = pi
+        seq += 1
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------- reads
+  override def listPartitionHeads(tablePath: String): Seq[PartitionInfo] =
+    withConn { c =>
+      val ps = c.prepareStatement(
+        "SELECT l.partition_desc, l.version, l.commit_op, l.ts, l.snapshot " +
+          "FROM graft_partition_head h JOIN graft_partition_log l " +
+          "ON h.table_path = l.table_path AND h.seq = l.seq " +
+          "WHERE h.table_path = ? AND h.version >= 0")
+      try {
+        ps.setString(1, canonical(tablePath))
+        val rs = ps.executeQuery()
+        val b = Vector.newBuilder[PartitionInfo]
+        while (rs.next()) b += rowToPi(rs)
+        rs.close(); b.result().sortBy(_.partitionDesc)
+      } finally ps.close()
+    }
+
+  override def partitionHead(tablePath: String,
+      desc: String): Option[PartitionInfo] = withConn { c =>
+    readHeads(c, canonical(tablePath), Seq(desc)).get(desc)
+  }
+
+  override def partitionVersions(tablePath: String,
+      desc: String): Seq[PartitionInfo] = withConn { c =>
+    MetaStore.lineage(logRows(c, canonical(tablePath), Some(desc)))
+  }
+
+  private val commitCache = new ConcurrentHashMap[String, DataCommitInfo]()
+
+  override def getCommits(tablePath: String,
+      ids: Seq[String]): Map[String, DataCommitInfo] = {
+    if (commitCache.size() > 131072) commitCache.clear()
+    val tp = canonical(tablePath)
+    val missing = ids.filterNot(id => commitCache.containsKey(tp + "\u0000" + id))
+    if (missing.nonEmpty) withConn { c =>
+      missing.grouped(500).foreach { chunk =>
+        val marks = chunk.map(_ => "?").mkString(",")
+        val ps = c.prepareStatement(
+          "SELECT commit_id, info FROM graft_commit_info " +
+            s"WHERE table_path = ? AND commit_id IN ($marks)")
+        try {
+          ps.setString(1, tp)
+          chunk.zipWithIndex.foreach { case (id, i) => ps.setString(i + 2, id) }
+          val rs = ps.executeQuery()
+          while (rs.next())
+            commitCache.put(tp + "\u0000" + rs.getString(1),
+              jread[DataCommitInfo](rs.getString(2)))
+          rs.close()
+        } finally ps.close()
+      }
+    }
+    ids.map { id =>
+      val v = commitCache.get(tp + "\u0000" + id)
+      require(v != null, s"missing commit $id for $tablePath")
+      id -> v
+    }.toMap
+  }
+
+  // ------------------------------------------------------------- mutations
+  override def rollbackPartition(tablePath: String, desc: String,
+      toVersion: Int): Unit = {
+    val tp = canonical(tablePath)
+    withTx { c =>
+      lockTable(c, tp)
+      val target = MetaStore.lineage(logRows(c, tp, Some(desc)))
+        .find(_.version == toVersion)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no version $toVersion for partition '$desc'"))
+      val (seq, ts) = allocate(c, tp, 1)
+      val pi = target.copy(timestamp = ts)
+      insertLogRow(c, tp, seq, pi)
+      upsertHead(c, tp, pi, seq)
+    }
+  }
+
+  override def dropPartition(tablePath: String, desc: String): Unit = {
+    val tp = canonical(tablePath)
+    withTx { c =>
+      lockTable(c, tp)
+      val (seq, ts) = allocate(c, tp, 1)
+      val pi = PartitionInfo(desc, -1, Nil, CommitOp.Update, ts)
+      insertLogRow(c, tp, seq, pi)
+      upsertHead(c, tp, pi, seq)
+    }
+  }
+
+  override def dropTable(tablePath: String): Unit = {
+    val tp = canonical(tablePath)
+    withTx { c =>
+      Seq("graft_partition_log", "graft_partition_head", "graft_commit_info",
+        "graft_stream_batch", "graft_table_info", "graft_seq").foreach { t =>
+        val ps = c.prepareStatement(s"DELETE FROM $t WHERE table_path = ?")
+        try { ps.setString(1, tp); ps.executeUpdate() } finally ps.close()
+      }
+    }
+    commitCache.keySet().removeIf(_.startsWith(tp + "\u0000"))
+  }
+
+  // ------------------------------------------------------------- streaming
+  override def getMaxBatchId(tablePath: String, queryId: String): Long =
+    withConn { c =>
+      val ps = c.prepareStatement(
+        "SELECT max_batch FROM graft_stream_batch " +
+          "WHERE table_path = ? AND query_id = ?")
+      try {
+        ps.setString(1, canonical(tablePath)); ps.setString(2, queryId)
+        val rs = ps.executeQuery()
+        val r = if (rs.next()) rs.getLong(1) else -1L
+        rs.close(); r
+      } finally ps.close()
+    }
+
+  override def recordBatchId(tablePath: String, queryId: String,
+      batchId: Long): Unit = {
+    val tp = canonical(tablePath)
+    try withTx { c =>
+      val up = c.prepareStatement(
+        "UPDATE graft_stream_batch SET max_batch = ? " +
+          "WHERE table_path = ? AND query_id = ? AND max_batch < ?")
+      val touched = try {
+        up.setLong(1, batchId); up.setString(2, tp)
+        up.setString(3, queryId); up.setLong(4, batchId)
+        up.executeUpdate()
+      } finally up.close()
+      if (touched == 0 && getMaxBatchIdTx(c, tp, queryId).isEmpty) {
+        val ins = c.prepareStatement(
+          "INSERT INTO graft_stream_batch (table_path, query_id, max_batch) " +
+            "VALUES (?,?,?)")
+        try { ins.setString(1, tp); ins.setString(2, queryId)
+          ins.setLong(3, batchId); ins.executeUpdate() }
+        finally ins.close()
+      }
+    } catch {
+      case e: SQLException if isDuplicate(e) => recordBatchId(tablePath, queryId, batchId)
+    }
+  }
+
+  private def getMaxBatchIdTx(c: Connection, tp: String,
+      queryId: String): Option[Long] = {
+    val ps = c.prepareStatement(
+      "SELECT max_batch FROM graft_stream_batch " +
+        "WHERE table_path = ? AND query_id = ?")
+    try {
+      ps.setString(1, tp); ps.setString(2, queryId)
+      val rs = ps.executeQuery()
+      val r = if (rs.next()) Some(rs.getLong(1)) else None
+      rs.close(); r
+    } finally ps.close()
+  }
+
+  // -------------------------------------------------------------- retention
+  override def retainedVersions(tablePath: String,
+      retainAfterTs: Long): Seq[PartitionInfo] = withConn { c =>
+    val all = logRows(c, canonical(tablePath), None)
+    all.indices.filter(MetaStore.retainIndices(all, retainAfterTs)).map(all)
+  }
+
+  override def compactVersionLog(tablePath: String,
+      retainAfterTs: Long): Long = {
+    val tp = canonical(tablePath)
+    withTx { c =>
+      lockTable(c, tp)
+      // re-read seqs + lines under the lock so the keep decision and the
+      // deletes see the same log
+      val ps = c.prepareStatement(
+        "SELECT seq, partition_desc, version, commit_op, ts, snapshot " +
+          "FROM graft_partition_log WHERE table_path = ? ORDER BY seq")
+      val (seqs, all) = try {
+        ps.setString(1, tp)
+        val rs = ps.executeQuery()
+        val sb = Vector.newBuilder[Long]; val pb = Vector.newBuilder[PartitionInfo]
+        while (rs.next()) { sb += rs.getLong("seq"); pb += rowToPi(rs) }
+        rs.close(); (sb.result(), pb.result())
+      } finally ps.close()
+      val keep = MetaStore.retainIndices(all, retainAfterTs)
+      val dropSeqs = seqs.indices.filterNot(keep).map(seqs)
+      dropSeqs.grouped(500).foreach { chunk =>
+        val marks = chunk.map(_ => "?").mkString(",")
+        val del = c.prepareStatement(
+          s"DELETE FROM graft_partition_log WHERE table_path = ? AND seq IN ($marks)")
+        try {
+          del.setString(1, tp)
+          chunk.zipWithIndex.foreach { case (s, i) => del.setLong(i + 2, s) }
+          del.executeUpdate()
+        } finally del.close()
+      }
+      dropSeqs.size.toLong
+    }
+  }
+
+  override def invalidateCache(tablePath: String): Unit = {
+    val tp = canonical(tablePath)
+    commitCache.keySet().removeIf(_.startsWith(tp + "\u0000"))
+  }
+}

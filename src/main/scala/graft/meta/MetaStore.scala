@@ -417,15 +417,8 @@ class FileMetaStore extends MetaStore {
     * tombstone, which partitionVersions still needs to cut history at).
     * Shared by [[compactVersionLog]] and [[retainedVersions]] so log
     * pruning and vacuum liveness can never disagree. */
-  private def retainIdx(all: Seq[PartitionInfo], retainAfterTs: Long): scala.collection.mutable.BitSet = {
-    val keepIdx = scala.collection.mutable.BitSet()
-    all.zipWithIndex.groupBy(_._1.partitionDesc).foreach { case (_, lines) =>
-      val (old, fresh) = lines.partition(_._1.timestamp <= retainAfterTs)
-      fresh.foreach(keepIdx += _._2)
-      old.lastOption.foreach(keepIdx += _._2)
-    }
-    keepIdx
-  }
+  private def retainIdx(all: Seq[PartitionInfo], retainAfterTs: Long): scala.collection.mutable.BitSet =
+    MetaStore.retainIndices(all, retainAfterTs)
 
   override def retainedVersions(tablePath: String, retainAfterTs: Long): Seq[PartitionInfo] = {
     val all = allVersionLines(tablePath)
@@ -466,19 +459,10 @@ class FileMetaStore extends MetaStore {
       allVersionLines(tablePath).filter(_.partitionDesc == desc))
   }
 
-  override def partitionVersions(tablePath: String, desc: String): Seq[PartitionInfo] = {
+  override def partitionVersions(tablePath: String, desc: String): Seq[PartitionInfo] =
     // Versions valid for the current head lineage: cut history at the last
     // tombstone, and collapse rollback re-appends (same version re-published).
-    val lines = descLines(tablePath, desc)
-    val afterDrop = lines.lastIndexWhere(_.version == -1) match {
-      case -1 => lines
-      case i => lines.drop(i + 1)
-    }
-    val m = scala.collection.mutable.LinkedHashMap[Int, PartitionInfo]()
-    afterDrop.foreach(pi => m(pi.version) = pi)
-    val head = afterDrop.lastOption.map(_.version).getOrElse(-1)
-    m.values.toSeq.filter(_.version <= head).sortBy(_.version)
-  }
+    MetaStore.lineage(descLines(tablePath, desc))
 
   override def getCommits(tablePath: String, ids: Seq[String]): Map[String, DataCommitInfo] = {
     if (commitCache.size() > 131072) commitCache.clear() // crude bound; refills lazily
@@ -571,7 +555,45 @@ object FileMetaStore {
 }
 
 object MetaStore {
-  /** Process-wide default store (single-driver embedded catalog). */
-  lazy val default: MetaStore = new FileMetaStore
+  /** Process-wide default store. `-Dgraft.meta.uri=jdbc:...` selects the
+    * [[JdbcMetaStore]] (multi-host catalog: Derby embedded/in-memory for
+    * tests, PostgreSQL on a real cluster — the reference's deployment);
+    * unset = the single-driver embedded [[FileMetaStore]]. */
+  lazy val default: MetaStore =
+    sys.props.get("graft.meta.uri").filter(_.startsWith("jdbc:"))
+      .map(new JdbcMetaStore(_)).getOrElse(new FileMetaStore)
   def newCommitId(): String = UUID.randomUUID().toString
+
+  /** Version-log retention contract, shared by every store so log pruning
+    * and vacuum liveness can never disagree: per partition keep everything
+    * newer than the boundary PLUS the newest at-or-before line (the base
+    * the retained lineage folds onto — may be a drop tombstone, which
+    * [[lineage]] still needs to cut history at). Returns indices into
+    * `all` (log order) to KEEP. */
+  private[meta] def retainIndices(all: Seq[PartitionInfo],
+      retainAfterTs: Long): scala.collection.mutable.BitSet = {
+    val keepIdx = scala.collection.mutable.BitSet()
+    all.zipWithIndex.groupBy(_._1.partitionDesc).foreach { case (_, lines) =>
+      val (old, fresh) = lines.partition(_._1.timestamp <= retainAfterTs)
+      fresh.foreach(keepIdx += _._2)
+      old.lastOption.foreach(keepIdx += _._2)
+    }
+    keepIdx
+  }
+
+  /** Collapse ONE partition's log lines (log order) into the version
+    * lineage valid for the current head: cut history at the last drop
+    * (version -1), collapse rollback re-appends (same version republished
+    * — last wins), and trim to at most the head version. Shared by every
+    * store so time travel sees identical history on all backends. */
+  private[meta] def lineage(lines: Seq[PartitionInfo]): Seq[PartitionInfo] = {
+    val afterDrop = lines.lastIndexWhere(_.version == -1) match {
+      case -1 => lines
+      case i => lines.drop(i + 1)
+    }
+    val m = scala.collection.mutable.LinkedHashMap[Int, PartitionInfo]()
+    afterDrop.foreach(pi => m(pi.version) = pi)
+    val head = afterDrop.lastOption.map(_.version).getOrElse(-1)
+    m.values.toSeq.filter(_.version <= head).sortBy(_.version)
+  }
 }

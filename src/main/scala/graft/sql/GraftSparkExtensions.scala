@@ -188,11 +188,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val t = tableOf(spark)
         val boundary = System.currentTimeMillis() -
           args.getOrElse("retain_ms", "0").toLong
-        val dropped = graft.meta.MetaStore.default match {
-          case fs: graft.meta.FileMetaStore =>
-            fs.compactVersionLog(t.tablePath, boundary)
-          case _ => 0L
-        }
+        val dropped =
+          graft.meta.MetaStore.default.compactVersionLog(t.tablePath, boundary)
         s"dropped $dropped log lines"
       case "clone" =>
         val c = tableOf(spark).cloneTo(args("target_path"),

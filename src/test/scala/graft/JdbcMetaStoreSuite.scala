@@ -1,0 +1,173 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.meta._
+import graft.tables.GraftTable
+
+/** The JDBC catalog (multi-host arbitration, reference: PostgreSQL
+  * `DBManager.commitData`) — exercised on Derby in-memory, with semantic
+  * parity against [[FileMetaStore]] asserted on an identical op script. */
+class JdbcMetaStoreSuite extends SparkFixture {
+  import spark.implicits._
+
+  private def freshStore(db: String): JdbcMetaStore =
+    new JdbcMetaStore(s"jdbc:derby:memory:$db;create=true")
+
+  private def ti(path: String) = TableInfo(
+    tableId = java.util.UUID.randomUUID().toString, tablePath = path,
+    schemaJson = """{"type":"struct","fields":[]}""",
+    rangeColumns = Nil, hashColumns = Seq("id"), bucketNum = 2,
+    properties = Map("k" -> "v"))
+
+  private def commitOf(desc: String, op: String, n: Int) = DataCommitInfo(
+    MetaStore.newCommitId(), desc,
+    Seq(DataFileInfo(s"/f/$desc-$n.parquet", "add", 100L, 0)), op, 0L)
+
+  /** Run the same mutation script against both stores; heads, lineages and
+    * retained sets must agree on everything except timestamps. */
+  test("file and jdbc stores agree on an identical op script") {
+    withTempPath { path =>
+      val stores = Seq(new FileMetaStore, freshStore("parity"))
+      def strip(pi: PartitionInfo) = (pi.partitionDesc, pi.version,
+        pi.snapshot.size, pi.commitOp)
+      val results = stores.map { s =>
+        s.createTable(ti(path))
+        // v0..v2 on p=a (append, merge, merge), v0 on p=b
+        var expected = Map("a" -> -1, "b" -> -1)
+        s.commit(path, Seq(commitOf("a", CommitOp.Append, 0),
+          commitOf("b", CommitOp.Append, 0)), expected)
+        expected = Map("a" -> 0)
+        s.commit(path, Seq(commitOf("a", CommitOp.Merge, 1)), expected)
+        // one atomic call carrying TWO commits for the same partition
+        s.commit(path, Seq(commitOf("a", CommitOp.Merge, 2),
+          commitOf("a", CommitOp.Merge, 3)), Map("a" -> 1))
+        // compaction collapses the snapshot
+        s.commit(path, Seq(commitOf("a", CommitOp.Compaction, 4)), Map("a" -> 3))
+        // rollback to v1 (re-appends v1; head = v1 by log order)
+        s.rollbackPartition(path, "a", 1)
+        // drop b, then recreate it from scratch
+        s.dropPartition(path, "b")
+        s.commit(path, Seq(commitOf("b", CommitOp.Append, 9)), Map("b" -> -1))
+        val heads = s.listPartitionHeads(path).map(strip)
+        val versA = s.partitionVersions(path, "a").map(strip)
+        val versB = s.partitionVersions(path, "b").map(strip)
+        val retainAll = s.retainedVersions(path, 0L).map(strip).sorted
+        val dropped = s.compactVersionLog(path, Long.MaxValue)
+        val afterCompact = s.listPartitionHeads(path).map(strip)
+        val versAfterA = s.partitionVersions(path, "a").map(strip)
+        s.dropTable(path)
+        (heads, versA, versB, retainAll, dropped, afterCompact, versAfterA)
+      }
+      assert(results(0) == results(1),
+        s"\nfile: ${results(0)}\njdbc: ${results(1)}")
+      // the parity script must also exercise the lineage rules themselves
+      val (heads, versA, _, _, _, _, _) = results(0)
+      assert(heads.find(_._1 == "a").get._2 == 1) // rollback repointed head
+      assert(versA.map(_._2) == Seq(0, 1)) // history cut to the head lineage
+    }
+  }
+
+  test("stale expectedVersions raises MetaRerunException; retry lands") {
+    withTempPath { path =>
+      val s = freshStore("cas")
+      s.createTable(ti(path))
+      s.commit(path, Seq(commitOf("a", CommitOp.Append, 0)), Map("a" -> -1))
+      intercept[MetaRerunException] {
+        s.commit(path, Seq(commitOf("a", CommitOp.Merge, 1)), Map("a" -> -1))
+      }
+      s.commit(path, Seq(commitOf("a", CommitOp.Merge, 1)), Map("a" -> 0))
+      assert(s.partitionHead(path, "a").get.version == 1)
+      s.dropTable(path)
+    }
+  }
+
+  test("graft table end-to-end on the jdbc catalog") {
+    withTempPath { path =>
+      val s = freshStore("e2e")
+      val t = GraftTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+        path, hashColumns = Seq("id"), bucketNum = 2, store = s)
+      t.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"))
+      t.upsert(Seq((1L, "a2")).toDF("id", "v"))
+      assertRows(t.toDF.select("id", "v"), Seq("[1,a2]", "[2,b2]", "[3,c]"))
+      // time travel across jdbc-allocated (monotonic) timestamps
+      val root = t.partitions.head
+      assert(root.version == 2) // after 2 upserts
+      val ts0 = s.partitionVersions(path, root.partitionDesc)
+        .find(_.version == 0).get.timestamp
+      assertRows(t.snapshotAt(ts0).select("id", "v"), Seq("[1,a]", "[2,b]"))
+      t.delete(col("id") === 2L)
+      t.compaction()
+      assertRows(t.toDF.select("id", "v"), Seq("[1,a2]", "[3,c]"))
+      // exactly-once bookkeeping
+      assert(s.getMaxBatchId(path, "q1") == -1L)
+      s.recordBatchId(path, "q1", 5L)
+      s.recordBatchId(path, "q1", 3L) // lower id never regresses the max
+      assert(s.getMaxBatchId(path, "q1") == 5L)
+      // double-create guarded like the file store
+      intercept[IllegalArgumentException] {
+        GraftTable.create(spark, Seq((9L, "x")).toDF("id", "v"), path,
+          hashColumns = Seq("id"), bucketNum = 2, store = s)
+      }
+      s.dropTable(path)
+    }
+  }
+
+  test("concurrent upserts through the jdbc catalog: CAS retry, no losses") {
+    withTempPath { path =>
+      // separate store instances = separate connections, as on distinct hosts
+      val create = freshStore("conc")
+      val t = GraftTable.create(spark, Seq((0L, 0)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2, store = create)
+      val n = 6
+      val pool = Executors.newFixedThreadPool(n)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to n).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try GraftTable.forPath(spark, path, store = freshStore("conc"))
+              .upsert(Seq((i.toLong, i * 10)).toDF("id", "v"))
+            catch { case e: Throwable => errs.add(e) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"concurrent upserts failed: ${errs.peek()}")
+      assertRows(t.toDF.select("id", "v"), (0 to n).map(i => s"[$i,${i * 10}]"))
+      assert(t.partitions.head.version == n)
+      create.dropTable(path)
+    }
+  }
+
+  test("updateProperties RMW: racing writers both land") {
+    withTempPath { path =>
+      val s = freshStore("props")
+      s.createTable(ti(path))
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      (1 to 2).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            (1 to 20).foreach { j =>
+              s.updateProperties(path)(p => p + (s"w$i-$j" -> "x"))
+            }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      val props = s.getTableInfo(path).get.properties
+      (1 to 2).foreach(i => (1 to 20).foreach(j =>
+        assert(props.contains(s"w$i-$j"), s"lost update w$i-$j")))
+      s.dropTable(path)
+    }
+  }
+}
