@@ -619,6 +619,19 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") * 2))
       t.toDF
     }),
+    "jdbc_catalog_mor" -> q((s, d) => {
+      // the SAME MOR upsert flow with commit arbitration through a JDBC
+      // database (Derby in-memory here; PostgreSQL on a real cluster) —
+      // proves the write/merge/read path is catalog-agnostic end-to-end
+      val store = new graft.meta.JdbcMetaStore(
+        s"jdbc:derby:memory:graftgate${java.lang.Long.toHexString(System.nanoTime())};create=true")
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("jdbccat"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4, store = store)
+      t.upsert(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.toDF
+    }),
     "upsert_rewrite" -> q((s, d) => {
       // J1 rewrite/copy-on-write mode: every 10th order gets a doubled
       // price, every 7th is re-inserted under a shifted key; afterwards the
@@ -2725,6 +2738,10 @@ object SparkEntry {
         |    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
     "mor_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "jdbc_catalog_mor" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
