@@ -220,27 +220,37 @@ class JdbcMetaStore(url: String) extends MetaStore {
     } finally ps.close()
   }
 
-  /** Heads of the given partitions (absent / dropped = not in the map). */
-  private def readHeads(c: Connection, tp: String,
-      descs: Seq[String]): Map[String, PartitionInfo] =
-    if (descs.isEmpty) Map.empty
-    else {
-      val marks = descs.map(_ => "?").mkString(",")
+  /** Head LOG rows of the given partitions — INCLUDING dropped heads
+    * (version -1), which callers that only want live heads must filter.
+    * IN-lists are chunked small: a multi-thousand-parameter IN degrades to
+    * a full scan of the (growing) head table on Derby — quadratic fill —
+    * while ≤100-element lists stay on PK multi-probes, constant per desc. */
+  private def headRows(c: Connection, tp: String,
+      descs: Seq[String]): Vector[PartitionInfo] = {
+    val b = Vector.newBuilder[PartitionInfo]
+    descs.grouped(100).foreach { chunk =>
+      val marks = chunk.map(_ => "?").mkString(",")
       val ps = c.prepareStatement(
         "SELECT l.partition_desc, l.version, l.commit_op, l.ts, l.snapshot " +
           "FROM graft_partition_head h JOIN graft_partition_log l " +
           "ON h.table_path = l.table_path AND h.seq = l.seq " +
-          s"WHERE h.table_path = ? AND h.version >= 0 " +
-          s"AND h.partition_desc IN ($marks)")
+          s"WHERE h.table_path = ? AND h.partition_desc IN ($marks)")
       try {
         ps.setString(1, tp)
-        descs.zipWithIndex.foreach { case (d, i) => ps.setString(i + 2, d) }
+        chunk.zipWithIndex.foreach { case (d, i) => ps.setString(i + 2, d) }
         val rs = ps.executeQuery()
-        val b = Map.newBuilder[String, PartitionInfo]
-        while (rs.next()) { val pi = rowToPi(rs); b += pi.partitionDesc -> pi }
-        rs.close(); b.result()
+        while (rs.next()) b += rowToPi(rs)
+        rs.close()
       } finally ps.close()
     }
+    b.result()
+  }
+
+  /** Heads of the given partitions (absent / dropped = not in the map). */
+  private def readHeads(c: Connection, tp: String,
+      descs: Seq[String]): Map[String, PartitionInfo] =
+    headRows(c, tp, descs).iterator.filter(_.version >= 0)
+      .map(pi => pi.partitionDesc -> pi).toMap
 
   private def insertLogRow(c: Connection, tp: String, seq: Long,
       pi: PartitionInfo): Unit = {
@@ -356,6 +366,11 @@ class JdbcMetaStore(url: String) extends MetaStore {
   }
 
   // ---------------------------------------------------------------- commit
+  /** One transaction, JDBC-BATCHED: a commit touching N partitions costs a
+    * constant number of statement round trips (lock + seq + 2 reads + 4
+    * batched writes), not O(N) — the difference between ~180 and >10k
+    * partition-commits/s when a wide streaming ingest (many range partitions
+    * per micro-batch) lands its files (see tools/JdbcCatalogProbe). */
   override def commit(
       tablePath: String,
       commits: Seq[DataCommitInfo],
@@ -364,7 +379,13 @@ class JdbcMetaStore(url: String) extends MetaStore {
     withTx { c =>
       lockTable(c, tp)
       val (seq0, ts) = allocate(c, tp, commits.size)
-      val heads = readHeads(c, tp, commits.map(_.partitionDesc).distinct)
+      val descs = commits.map(_.partitionDesc).distinct
+      val rows = headRows(c, tp, descs)
+      val heads = rows.iterator.filter(_.version >= 0)
+        .map(pi => pi.partitionDesc -> pi).toMap
+      // dropped partitions (version -1) still own a head ROW that re-create
+      // must UPDATE, not re-INSERT
+      val existingRows = rows.iterator.map(_.partitionDesc).toSet
       commits.foreach { cm =>
         val cur = heads.get(cm.partitionDesc).map(_.version).getOrElse(-1)
         val exp = expectedVersions.getOrElse(cm.partitionDesc, -1)
@@ -373,32 +394,87 @@ class JdbcMetaStore(url: String) extends MetaStore {
             s"partition '${cm.partitionDesc}' moved: expected v$exp, found v$cur")
       }
       // fold sequentially so one atomic call may carry several commits for
-      // the same partition (mirrors FileMetaStore.commit)
+      // the same partition (mirrors FileMetaStore.commit); only the FINAL
+      // PartitionInfo per partition becomes the head pointer
       var seq = seq0
-      val running = scala.collection.mutable.Map[String, PartitionInfo]()
-      commits.foreach { c0 =>
-        val cm = c0.copy(timestamp = ts)
-        val ins = c.prepareStatement(
-          "INSERT INTO graft_commit_info (table_path, commit_id, info) " +
-            "VALUES (?,?,?)")
-        try { ins.setString(1, tp); ins.setString(2, cm.commitId)
-          ins.setString(3, jwrite(cm)); ins.executeUpdate() }
-        finally ins.close()
-        val prev = running.get(cm.partitionDesc).orElse(heads.get(cm.partitionDesc))
-        val snapshot = cm.commitOp match {
-          case CommitOp.Append | CommitOp.Merge | CommitOp.Rewrite =>
-            prev.map(_.snapshot).getOrElse(Nil) :+ cm.commitId
-          case CommitOp.Update | CommitOp.Compaction => Seq(cm.commitId)
-          case other => throw new IllegalArgumentException(s"unknown commitOp $other")
+      val running = scala.collection.mutable.LinkedHashMap[String, (PartitionInfo, Long)]()
+      val insCommit = c.prepareStatement(
+        "INSERT INTO graft_commit_info (table_path, commit_id, info) " +
+          "VALUES (?,?,?)")
+      val insLog = c.prepareStatement(
+        "INSERT INTO graft_partition_log (table_path, seq, partition_desc, " +
+          "version, commit_op, ts, snapshot) VALUES (?,?,?,?,?,?,?)")
+      try {
+        commits.foreach { c0 =>
+          val cm = c0.copy(timestamp = ts)
+          insCommit.setString(1, tp); insCommit.setString(2, cm.commitId)
+          insCommit.setString(3, jwrite(cm)); insCommit.addBatch()
+          val prev = running.get(cm.partitionDesc).map(_._1)
+            .orElse(heads.get(cm.partitionDesc))
+          val snapshot = cm.commitOp match {
+            case CommitOp.Append | CommitOp.Merge | CommitOp.Rewrite =>
+              prev.map(_.snapshot).getOrElse(Nil) :+ cm.commitId
+            case CommitOp.Update | CommitOp.Compaction => Seq(cm.commitId)
+            case other => throw new IllegalArgumentException(s"unknown commitOp $other")
+          }
+          val pi = PartitionInfo(cm.partitionDesc,
+            prev.map(_.version + 1).getOrElse(0), snapshot, cm.commitOp, ts)
+          insLog.setString(1, tp); insLog.setLong(2, seq)
+          insLog.setString(3, pi.partitionDesc); insLog.setInt(4, pi.version)
+          insLog.setString(5, pi.commitOp); insLog.setLong(6, pi.timestamp)
+          insLog.setString(7, jwrite(pi.snapshot)); insLog.addBatch()
+          running(cm.partitionDesc) = (pi, seq)
+          seq += 1
         }
-        val pi = PartitionInfo(cm.partitionDesc,
-          prev.map(_.version + 1).getOrElse(0), snapshot, cm.commitOp, ts)
-        insertLogRow(c, tp, seq, pi)
-        upsertHead(c, tp, pi, seq)
-        running(cm.partitionDesc) = pi
-        seq += 1
+        insCommit.executeBatch()
+        insLog.executeBatch()
+      } catch {
+        case e: java.sql.BatchUpdateException if batchHasDuplicate(e) =>
+          // commit_id collision = a concurrent writer landed our retry's ids
+          throw new MetaRerunException(s"catalog contention: ${e.getMessage}")
+      } finally { insCommit.close(); insLog.close() }
+      val (toUpdate, toInsert) =
+        running.toSeq.partition { case (d, _) => existingRows(d) }
+      if (toUpdate.nonEmpty) {
+        val up = c.prepareStatement(
+          "UPDATE graft_partition_head SET version = ?, seq = ? " +
+            "WHERE table_path = ? AND partition_desc = ?")
+        try {
+          toUpdate.foreach { case (d, (pi, s)) =>
+            up.setInt(1, pi.version); up.setLong(2, s)
+            up.setString(3, tp); up.setString(4, d); up.addBatch()
+          }
+          require(up.executeBatch().forall(_ == 1),
+            s"head row vanished mid-commit for $tp")
+        } finally up.close()
+      }
+      if (toInsert.nonEmpty) {
+        val ins = c.prepareStatement(
+          "INSERT INTO graft_partition_head (table_path, partition_desc, " +
+            "version, seq) VALUES (?,?,?,?)")
+        try {
+          toInsert.foreach { case (d, (pi, s)) =>
+            ins.setString(1, tp); ins.setString(2, d)
+            ins.setInt(3, pi.version); ins.setLong(4, s); ins.addBatch()
+          }
+          ins.executeBatch()
+        } catch {
+          // lost a first-create race (other writer committed between our
+          // existence read and this INSERT — possible under READ_COMMITTED)
+          case e: java.sql.BatchUpdateException if batchHasDuplicate(e) =>
+            throw new MetaRerunException("partition created concurrently")
+        } finally ins.close()
       }
     }
+  }
+
+  private def batchHasDuplicate(e: java.sql.BatchUpdateException): Boolean = {
+    var cur: SQLException = e
+    while (cur != null) {
+      if (isDuplicate(cur)) return true
+      cur = cur.getNextException
+    }
+    false
   }
 
   // ----------------------------------------------------------------- reads

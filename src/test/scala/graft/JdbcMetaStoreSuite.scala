@@ -70,6 +70,32 @@ class JdbcMetaStoreSuite extends SparkFixture {
     }
   }
 
+  test("one atomic commit across many partitions (batched writes)") {
+    withTempPath { path =>
+      val s = freshStore("wide")
+      s.createTable(ti(path))
+      val n = 300
+      // a wide streaming micro-batch: one commit touching n partitions
+      s.commit(path, (0 until n).map(i => commitOf(s"p$i", CommitOp.Append, 0)),
+        Map.empty)
+      val heads = s.listPartitionHeads(path)
+      assert(heads.size == n && heads.forall(_.version == 0))
+      // drop one, then re-create it INSIDE a wide batch: its head row exists
+      // at version -1, so the batched upsert must UPDATE, not INSERT
+      s.dropPartition(path, "p7")
+      s.commit(path,
+        Seq(commitOf("p7", CommitOp.Append, 1), commitOf("p8", CommitOp.Merge, 1),
+          commitOf("p8", CommitOp.Merge, 2), commitOf("pNew", CommitOp.Append, 0)),
+        Map("p7" -> -1, "p8" -> 0))
+      assert(s.partitionHead(path, "p7").get.version == 0)
+      val h8 = s.partitionHead(path, "p8").get
+      assert(h8.version == 2 && h8.snapshot.size == 3) // folded within the call
+      assert(s.partitionHead(path, "pNew").get.version == 0)
+      assert(s.listPartitionHeads(path).size == n + 1)
+      s.dropTable(path)
+    }
+  }
+
   test("stale expectedVersions raises MetaRerunException; retry lands") {
     withTempPath { path =>
       val s = freshStore("cas")
