@@ -93,7 +93,7 @@ object Bench {
             .withColumn("w_ts", org.apache.spark.sql.functions
               .timestamp_micros(col("o_orderkey") * 1000000L))
           GraftTable.create(spark, src, s"$sdir/src")
-          spark.readStream.format("graft").load(s"$sdir/src")
+          val q = spark.readStream.format("graft").load(s"$sdir/src")
             .withWatermark("w_ts", "1 hour")
             .groupBy(window(col("w_ts"), "1 hour"))
             .agg(fcount(lit(1)).as("n"))
@@ -105,7 +105,9 @@ object Bench {
             .option("queryId", "bench-stream-warm")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-            .awaitTermination(60000)
+          // Stop a stalled warmup instead of letting it run concurrently
+          // with (and pollute) the timed entries below.
+          if (!q.awaitTermination(60000)) q.stop()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
         }

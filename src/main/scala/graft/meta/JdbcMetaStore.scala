@@ -44,7 +44,14 @@ import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
   * conflict path (`appendConflict` retries, `MetaRerunException`
   * TransactionCommit.scala:398-427). Lock-timeout/deadlock SQLStates map to
   * [[MetaRerunException]] too, so a contended catalog degrades to retries,
-  * never to wrong answers. */
+  * never to wrong answers.
+  *
+  * TABLE IDENTITY: the `table_path` key is a LEXICAL normalization of the
+  * path/URI the caller passed — no symlink resolution, so the key is
+  * host-independent. All hosts must address a table by the same absolute
+  * path or URI (e.g. `s3://bucket/tables/t`); two hosts reaching the same
+  * bytes through different mount points are, by design, different tables
+  * to the catalog. */
 class JdbcMetaStore(url: String) extends MetaStore {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
@@ -102,7 +109,43 @@ class JdbcMetaStore(url: String) extends MetaStore {
   private def isDuplicate(e: SQLException): Boolean =
     Option(e.getSQLState).contains("23505")
 
-  private def canonical(p: String): String = new File(p).getCanonicalPath
+  /** Filesystem-INDEPENDENT table identity key. Must NOT use
+    * File.getCanonicalPath: that resolves symlinks against the LOCAL
+    * filesystem and mangles URI-style paths (s3://bucket/t), so two hosts
+    * mounting the same data differently would register the same table under
+    * different keys and the cross-host commit arbitration this store exists
+    * for would never see the conflict. Instead: pure lexical normalization
+    * — URI paths keep `scheme://authority` (scheme lower-cased) and the
+    * path part is segment-normalized; local paths are made absolute against
+    * the CWD (hosts must address tables by absolute path or URI — see the
+    * class doc) and segment-normalized, symlinks left untouched. */
+  private def canonical(p: String): String = {
+    val schemeIdx = p.indexOf("://")
+    if (schemeIdx > 0 && p.substring(0, schemeIdx).forall(ch =>
+        ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.')) {
+      val scheme = p.substring(0, schemeIdx).toLowerCase
+      val rest = p.substring(schemeIdx + 3)
+      val slash = rest.indexOf('/')
+      val (auth, path) =
+        if (slash < 0) (rest, "") else (rest.substring(0, slash), rest.substring(slash))
+      s"$scheme://$auth${normalizeSegments(path)}"
+    } else {
+      val abs = if (p.startsWith("/")) p else new File(p).getAbsolutePath
+      normalizeSegments(abs.replace(File.separatorChar, '/'))
+    }
+  }
+
+  /** Collapse `//`, `.` and `..` segments lexically (no filesystem access);
+    * drops any trailing slash. Input is an absolute path ("" allowed). */
+  private def normalizeSegments(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    path.split('/').foreach {
+      case "" | "." => ()
+      case ".."     => if (out.nonEmpty) out.remove(out.size - 1)
+      case seg      => out += seg
+    }
+    if (out.isEmpty) "/" else out.mkString("/", "/", "")
+  }
 
   // ------------------------------------------------------------------- DDL
   private val ddl = Seq(
@@ -143,20 +186,18 @@ class JdbcMetaStore(url: String) extends MetaStore {
        PRIMARY KEY (table_path, query_id))""")
 
   locally {
+    // Run EVERY CREATE unconditionally, relying on the "already exists"
+    // SQLState guard for idempotence. Gating all DDL on graft_table_info's
+    // presence had a bootstrap race: a second host connecting while the
+    // first is mid-DDL would see graft_table_info, skip the rest, and fail
+    // on the still-missing tables.
     withConn { c =>
-      val have = {
-        val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
-        val b = Set.newBuilder[String]
-        while (rs.next()) b += rs.getString("TABLE_NAME").toLowerCase
-        rs.close(); b.result()
+      ddl.foreach { stmt =>
+        val s = c.createStatement()
+        try s.execute(stmt)
+        catch { case e: SQLException if existsAlready(e) => () }
+        finally s.close()
       }
-      if (!have.contains("graft_table_info"))
-        ddl.foreach { stmt =>
-          val s = c.createStatement()
-          try s.execute(stmt)
-          catch { case e: SQLException if existsAlready(e) => () }
-          finally s.close()
-        }
     }
   }
 
@@ -444,7 +485,10 @@ class JdbcMetaStore(url: String) extends MetaStore {
             up.setInt(1, pi.version); up.setLong(2, s)
             up.setString(3, tp); up.setString(4, d); up.addBatch()
           }
-          require(up.executeBatch().forall(_ == 1),
+          // JDBC allows drivers to report SUCCESS_NO_INFO (-2) for batch
+          // elements; only an explicit 0 means the head row vanished.
+          require(up.executeBatch().forall(n =>
+              n == 1 || n == java.sql.Statement.SUCCESS_NO_INFO),
             s"head row vanished mid-commit for $tp")
         } finally up.close()
       }

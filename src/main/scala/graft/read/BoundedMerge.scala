@@ -102,6 +102,11 @@ object BoundedMerge {
       s.files.iterator.flatMap(pf => BucketMergeRead.flattenRows(readFn(pf))))
     var parquetCount = k
     val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+    // Register cleanup BEFORE writing any spill: if writeSpill throws
+    // mid-loop (disk full), the files already in `spills` are still
+    // deleted at task end instead of leaking until JVM exit.
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
     var idx = 0
     while (parquetCount > cap && idx < runs.length) {
       val head = runs(idx)
@@ -125,8 +130,6 @@ object BoundedMerge {
         idx += 1
       }
     }
-    Option(TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
     runs
   }
 

@@ -196,4 +196,36 @@ class JdbcMetaStoreSuite extends SparkFixture {
       s.dropTable(path)
     }
   }
+
+  test("table identity is lexical and host-independent (URIs survive)") {
+    val s = freshStore("ident")
+    // URI-style path: getCanonicalPath would have mangled s3://b/t into a
+    // local filesystem path; the lexical key must keep scheme+authority and
+    // normalize only the path segments.
+    s.createTable(ti("s3://bucket/tables/t1"))
+    assert(s.getTableInfo("s3://bucket/tables/t1").isDefined)
+    assert(s.getTableInfo("S3://bucket/tables//./t1/").isDefined,
+      "scheme case, //, ., and trailing / must normalize to the same key")
+    assert(s.getTableInfo("s3://bucket/tables/x/../t1").isDefined)
+    assert(s.getTableInfo("s3://bucket/tables/t2").isEmpty)
+    // Local absolute paths: lexical-only normalization — a symlinked alias
+    // is a DIFFERENT key by design (documented: hosts address tables by
+    // byte-identical absolute path or URI).
+    s.createTable(ti("/data/warehouse/t2"))
+    assert(s.getTableInfo("/data//warehouse/./t2/").isDefined)
+    assert(s.getTableInfo("/data/warehouse/sub/../t2").isDefined)
+    s.dropTable("s3://bucket/tables/t1")
+    s.dropTable("/data/warehouse/t2")
+  }
+
+  test("second connection bootstraps DDL idempotently") {
+    // Two stores against the same database: the second constructor must
+    // run every CREATE (guarded by SQLState) rather than skipping DDL when
+    // graft_table_info already exists — the mid-DDL bootstrap race.
+    val a = freshStore("boot")
+    val b = new JdbcMetaStore("jdbc:derby:memory:boot") // same db, no create
+    b.createTable(ti("/boot/t"))
+    assert(a.getTableInfo("/boot/t").isDefined)
+    b.dropTable("/boot/t")
+  }
 }
