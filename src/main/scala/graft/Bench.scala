@@ -77,40 +77,6 @@ object Bench {
           hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
         (1 to 2).foreach(_ => wt.upsert(orders.limit(5000)))
         wt.toDF.count()
-        // untimed STREAMING warmup: the first streaming query in a JVM
-        // pays Structured Streaming's machinery once (micro-batch thread,
-        // checkpoint/commit logs, state store provider, progress
-        // reporter, plus JIT of the whole path) — r6 saw the first timed
-        // stream_* entry swing 3.4 -> 5.9 s on identical data purely from
-        // landing that cost inside the measurement. A minimal stateful
-        // AvailableNow pipeline absorbs it here so the timed entries
-        // measure the work, not first-use initialization.
-        try {
-          import org.apache.spark.sql.functions.{count => fcount, lit, window}
-          val sdir = java.nio.file.Files
-            .createTempDirectory("graft-bench-swarm-").toFile.getAbsolutePath
-          val src = orders.limit(200)
-            .withColumn("w_ts", org.apache.spark.sql.functions
-              .timestamp_micros(col("o_orderkey") * 1000000L))
-          GraftTable.create(spark, src, s"$sdir/src")
-          val q = spark.readStream.format("graft").load(s"$sdir/src")
-            .withWatermark("w_ts", "1 hour")
-            .groupBy(window(col("w_ts"), "1 hour"))
-            .agg(fcount(lit(1)).as("n"))
-            .select(col("n"))
-            .writeStream.format("graft")
-            .outputMode("append")
-            .option("path", s"$sdir/out")
-            .option("checkpointLocation", s"$sdir/ckpt")
-            .option("queryId", "bench-stream-warm")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          // Stop a stalled warmup instead of letting it run concurrently
-          // with (and pollute) the timed entries below.
-          if (!q.awaitTermination(60000)) q.stop()
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
-        }
       }
       val dir = java.nio.file.Files.createTempDirectory("graft-bench-").toFile.getAbsolutePath
       var t: GraftTable = null
@@ -171,6 +137,45 @@ object Bench {
       batch.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")
+    }
+
+    // untimed STREAMING warmup — AFTER the MOR regime, BEFORE the headline
+    // queries. The first streaming query in a JVM pays Structured
+    // Streaming's machinery once (micro-batch thread, checkpoint/commit
+    // logs, state store provider, progress reporter, plus JIT of the whole
+    // path) — r6 saw the first timed stream_* entry swing 3.4 -> 5.9 s on
+    // identical data purely from landing that cost inside the measurement.
+    // A minimal stateful AvailableNow pipeline absorbs it here. Placement
+    // matters: r7 ran this BEFORE the MOR regime and the gate recorded
+    // mor_upsert_10x at 2x its steady cost — the baseline-comparable MOR
+    // numbers must run in the quietest JVM, so streaming spins up only
+    // after they are recorded.
+    try {
+      import org.apache.spark.sql.functions.{count => fcount, lit, window}
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val sdir = java.nio.file.Files
+        .createTempDirectory("graft-bench-swarm-").toFile.getAbsolutePath
+      val src = orders.limit(200)
+        .withColumn("w_ts", org.apache.spark.sql.functions
+          .timestamp_micros(col("o_orderkey") * 1000000L))
+      GraftTable.create(spark, src, s"$sdir/src")
+      val q = spark.readStream.format("graft").load(s"$sdir/src")
+        .withWatermark("w_ts", "1 hour")
+        .groupBy(window(col("w_ts"), "1 hour"))
+        .agg(fcount(lit(1)).as("n"))
+        .select(col("n"))
+        .writeStream.format("graft")
+        .outputMode("append")
+        .option("path", s"$sdir/out")
+        .option("checkpointLocation", s"$sdir/ckpt")
+        .option("queryId", "bench-stream-warm")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // Stop a stalled warmup instead of letting it run concurrently
+      // with (and pollute) the timed entries below.
+      if (!q.awaitTermination(60000)) q.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
     }
 
     // extra per-operator diagnostics: timed and published in `queries` but

@@ -44,6 +44,15 @@ object Demo {
         .filter(col("o_totalprice") === col("exp")).count()} (expect 100)")
     println(s"time-travel rows @ts1 = ${t.snapshotAt(ts1).count()}")
     println(s"incremental rows = ${t.incremental(ts1, t.lastCommitTs).count()} (expect 105)")
+
+    // whole-table RESTORE: roll the upsert off every partition in one atomic
+    // meta commit, check we are back at the create snapshot, then restore
+    // forward again (the restore is itself a commit, so it is undoable)
+    val tsAfterUpsert = t.lastCommitTs
+    t.restoreToTimestamp(ts1)
+    println(s"rows after restore to ts1 = ${t.toDF.count()} (expect ${orders.count()})")
+    t.restoreToTimestamp(tsAfterUpsert)
+    println(s"rows after restore forward = ${t.toDF.count()} (expect +5 again)")
     println(s"diff change feed = ${
       t.diff(ts1, t.lastCommitTs).groupBy("_change_type").count()
         .orderBy("_change_type").collect().map(r => s"${r.get(0)}=${r.get(1)}")

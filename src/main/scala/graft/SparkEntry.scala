@@ -1623,6 +1623,22 @@ object SparkEntry {
       t.upsert(o.withColumn("o_totalprice", col("o_totalprice") * 3))
       t.snapshotAt(ts1)
     }),
+    "restore_read" -> q((s, d) => {
+      // whole-table RESTORE (the table-wide companion of rollbackPartition;
+      // Delta RESTORE TABLE): create -> upsert a x3-price overlay -> delete
+      // a slice -> restore to the create boundary in ONE atomic meta
+      // commit -> read. The restored table must be row-identical to the
+      // create input (the oracle reads the raw parquet), proving both
+      // mutations were rolled off every partition together.
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o, tmp("restore"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      val ts1 = t.lastCommitTs
+      t.upsert(o.withColumn("o_totalprice", col("o_totalprice") * 3))
+      t.delete("o_orderkey % 7 = 0")
+      t.restoreToTimestamp(ts1)
+      t.toDF
+    }),
     "incremental_read" -> q((s, d) => {
       val o = rd(s, d, "orders")
       val t = GraftTable.create(s, o.filter(col("o_orderstatus") === "O"),
@@ -3067,6 +3083,7 @@ object SparkEntry {
         |  abs(o_totalprice * -1) AS absprice
         |FROM orders""".stripMargin,
     "time_travel" -> "SELECT * FROM orders",
+    "restore_read" -> "SELECT * FROM orders",
     "incremental_read" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     // CDF replay: the closed form of (base %3<>0) + upsert(%5=0, price*2)
     // + delete(%7=0 AND %5<>0) — inserts are the upserted keys absent from

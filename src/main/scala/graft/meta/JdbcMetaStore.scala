@@ -596,6 +596,24 @@ class JdbcMetaStore(url: String) extends MetaStore {
     }
   }
 
+  override def restoreTable(tablePath: String, asOfTs: Long): Seq[PartitionInfo] = {
+    val tp = canonical(tablePath)
+    withTx { c =>
+      lockTable(c, tp)
+      val appends = MetaStore.restoreAppends(logRows(c, tp, None), asOfTs)
+      if (appends.isEmpty) Nil
+      else {
+        val (seq0, ts) = allocate(c, tp, appends.size)
+        appends.zipWithIndex.map { case (pi0, i) =>
+          val pi = pi0.copy(timestamp = ts)
+          insertLogRow(c, tp, seq0 + i, pi)
+          upsertHead(c, tp, pi, seq0 + i)
+          pi
+        }
+      }
+    }
+  }
+
   override def dropPartition(tablePath: String, desc: String): Unit = {
     val tp = canonical(tablePath)
     withTx { c =>

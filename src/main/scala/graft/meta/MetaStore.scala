@@ -65,6 +65,19 @@ trait MetaStore {
   /** Repoint a partition head to an old version (C10 rollbackPartition). */
   def rollbackPartition(tablePath: String, partitionDesc: String, toVersion: Int): Unit
 
+  /** Whole-table RESTORE: atomically repoint EVERY partition to its state
+    * as of `asOfTs` (millis, inclusive — the same boundary `snapshotAt`
+    * reads), in ONE commit — readers switch from the old head set to the
+    * restored one atomically, never observing a half-restored table. Per
+    * partition a NEW head version carrying the boundary snapshot is
+    * appended (Delta-RESTORE shape — history, old versions and time
+    * travel stay intact); partitions created after the boundary get a
+    * drop tombstone; partitions already at their boundary content append
+    * nothing (idempotent). Metadata-only (O(partitions), no data IO); the
+    * restore is itself a commit — undoable by another restore, by version
+    * or timestamp. Returns the appended lines. */
+  def restoreTable(tablePath: String, asOfTs: Long): Seq[PartitionInfo]
+
   def dropTable(tablePath: String): Unit
   def dropPartition(tablePath: String, partitionDesc: String): Unit
 
@@ -481,6 +494,17 @@ class FileMetaStore extends MetaStore {
       appendVersions(tablePath, Seq(target.copy(timestamp = nextTs())))
     }
 
+  override def restoreTable(tablePath: String, asOfTs: Long): Seq[PartitionInfo] =
+    withFileLock(tablePath) {
+      // ONE commit timestamp for every appended line (like commit()): time
+      // travel must never resolve a boundary INSIDE the restore
+      val ts = nextTs()
+      val appends = MetaStore.restoreAppends(allVersionLines(tablePath), asOfTs)
+        .map(_.copy(timestamp = ts))
+      if (appends.nonEmpty) appendVersions(tablePath, appends)
+      appends
+    }
+
   override def dropTable(tablePath: String): Unit = withFileLock(tablePath) {
     def rec(f: File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rec)
@@ -580,6 +604,37 @@ object MetaStore {
     }
     keepIdx
   }
+
+  /** The log lines a whole-table restore to `asOfTs` must append. Delta-
+    * RESTORE shape, NOT the rollback re-append: each restored partition
+    * gets a NEW head version carrying the boundary state's snapshot, so
+    * forward history, old versions, `VERSION AS OF` and pre-restore time
+    * travel all stay intact (a rollback-style re-append would collapse
+    * the lineage and discard them). The boundary state is the LAST log
+    * line at-or-before `asOfTs` — exactly what a reader at that time saw,
+    * including a drop tombstone if the partition was dropped then. A
+    * partition with no line at-or-before the boundary did not exist yet:
+    * it gets a drop tombstone. op = Update because the restored snapshot
+    * replaces the head wholesale and is NOT a consumable delta (incremental
+    * consumers must abort, as for any rewrite). Partitions whose current
+    * content already equals the boundary state append nothing (restore is
+    * idempotent). Timestamps on the returned lines are placeholders — the
+    * store reassigns them at append time. */
+  private[meta] def restoreAppends(all: Seq[PartitionInfo],
+      asOfTs: Long): Seq[PartitionInfo] =
+    all.groupBy(_.partitionDesc).toSeq.sortBy(_._1).flatMap { case (d, lines) =>
+      val cur = lines.last
+      lines.filter(_.timestamp <= asOfTs).lastOption match {
+        case None | Some(PartitionInfo(_, -1, _, _, _)) =>
+          // absent (or dropped) at the boundary: drop now, once
+          if (cur.version == -1) None
+          else Some(PartitionInfo(d, -1, Nil, CommitOp.Update, 0L))
+        case Some(b) =>
+          if (cur.version >= 0 && cur.snapshot == b.snapshot) None
+          else Some(PartitionInfo(d, cur.version + 1, b.snapshot,
+            CommitOp.Update, 0L))
+      }
+    }
 
   /** Collapse ONE partition's log lines (log order) into the version
     * lineage valid for the current head: cut history at the last drop

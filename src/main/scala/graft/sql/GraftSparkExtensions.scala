@@ -168,6 +168,15 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           args.getOrElse("partition_desc", graft.meta.TableInfo.RootPartition),
           args("version").toInt)
         "rolled back"
+      case "restore" =>
+        // whole-table restore: version = 1-based table-level commit number
+        // (CALL graft.history's numbering), or as_of_ts = epoch millis
+        val t = tableOf(spark)
+        val moved = args.get("version").map(v => t.restoreToVersion(v.toInt))
+          .orElse(args.get("as_of_ts").map(ts => t.restoreToTimestamp(ts.toLong)))
+          .getOrElse(throw new IllegalArgumentException(
+            "graft.restore needs version or as_of_ts"))
+        s"restored, ${moved.size} partition heads moved"
       case "vacuum" =>
         val n = tableOf(spark).vacuum(args.getOrElse("retain_ms", "0").toLong)
         s"deleted $n files"

@@ -1607,6 +1607,42 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def dropPartition(partitionDesc: String): Unit =
     store.dropPartition(tablePath, partitionDesc)
 
+  /** Whole-table RESTORE (beyond-ref; the table-wide companion of C10's
+    * per-partition rollback — the operation Delta ships as RESTORE TABLE
+    * and Iceberg as rollback_to_timestamp): atomically repoint EVERY
+    * partition to its state as of `toTime` (`yyyy-MM-dd HH:mm:ss`,
+    * optional zone id), in ONE meta commit — a concurrent reader sees
+    * either the old table or the restored one, never a mix (N sequential
+    * rollbackPartition calls cannot promise that). Partitions created
+    * after the boundary are dropped. Metadata-only: O(partitions), no
+    * data IO, and the restore is itself a commit — time-travelable, and
+    * undoable by restoring to just before it. Files older than the
+    * cleanup/TTL horizon may be gone (same contract as rollbackPartition
+    * and time travel: restore targets must lie within the retention
+    * window). Returns the partitions whose head moved. */
+  def restore(toTime: String, timeZoneID: String = ""): Seq[String] = {
+    val zone =
+      if (timeZoneID.isEmpty ||
+        !java.time.ZoneId.getAvailableZoneIds.contains(timeZoneID))
+        java.time.ZoneId.systemDefault()
+      else java.time.ZoneId.of(timeZoneID)
+    val ms = java.time.LocalDateTime.parse(toTime.replace(' ', 'T'))
+      .atZone(zone).toInstant.toEpochMilli
+    restoreToTimestamp(ms)
+  }
+
+  /** [[restore]] with an epoch-millis boundary (inclusive — the same
+    * boundary `snapshotAt` reads, so `restore(ts)` makes `toDF` return
+    * exactly what `snapshotAt(ts)` returned before it). */
+  def restoreToTimestamp(ms: Long): Seq[String] =
+    store.restoreTable(tablePath, ms).map(_.partitionDesc)
+
+  /** [[restore]] to a 1-based table-level commit version — the same
+    * numbering `history`, `CALL graft.history` and SQL `VERSION AS OF`
+    * use. */
+  def restoreToVersion(v: Int): Seq[String] =
+    restoreToTimestamp(timestampOfVersion(v))
+
   // ------------------------------------------------------------------- DDL
 
   /** ALTER TABLE ADD COLUMN (C12, alterTableCommands.scala:48-310) —

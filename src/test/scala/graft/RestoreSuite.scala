@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.{FileMetaStore, JdbcMetaStore, MetaStore}
+import graft.tables.GraftTable
+
+/** Whole-table RESTORE — the atomic table-wide companion of
+  * rollbackPartition (Delta RESTORE TABLE / Iceberg rollback_to_timestamp).
+  * Covers: snapshot equivalence, drop of partitions created after the
+  * boundary, idempotence, undo-by-restore, file/JDBC store parity, and the
+  * CALL surface. */
+class RestoreSuite extends SparkFixture {
+  import spark.implicits._
+
+  private def src = (1 to 40).map(i => (i.toLong, i * 10, s"g${i % 4}"))
+    .toDF("id", "v", "g")
+
+  test("restore returns the table to the snapshot at the boundary") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, src, path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val ts1 = t.lastCommitTs
+      t.upsert(src.withColumn("v", col("v") * 7))
+      t.delete("id % 3 = 0")
+      assert(t.toDF.count() < 40)
+      val moved = t.restoreToTimestamp(ts1)
+      assert(moved.nonEmpty)
+      // row-identical to the pre-mutation snapshot AND to snapshotAt(ts1)
+      assertSameRows(t.toDF, src)
+      assertSameRows(t.toDF, t.snapshotAt(ts1))
+      // idempotent: a second restore to the same boundary appends nothing
+      assert(t.restoreToTimestamp(ts1).isEmpty)
+    }
+  }
+
+  test("partitions created after the boundary are dropped atomically") {
+    withTempPath { path =>
+      val a = src.filter(col("g") === "g0")
+      val t = GraftTable.create(spark, a, path,
+        rangeColumns = Seq("g"), hashColumns = Seq("id"), bucketNum = 2)
+      val ts1 = t.lastCommitTs
+      t.upsert(src.filter(col("g") === "g1")) // NEW range partition g=g1
+      t.upsert(a.withColumn("v", col("v") + 1))
+      assert(t.partitions.map(_.partitionDesc).toSet == Set("g=g0", "g=g1"))
+      t.restoreToTimestamp(ts1)
+      // g=g1 did not exist at the boundary: restore drops it; g=g0 rolls back
+      assert(t.partitions.map(_.partitionDesc).toSet == Set("g=g0"))
+      assertSameRows(t.toDF, a)
+    }
+  }
+
+  test("a restore is itself a commit: undoable by restoring past it") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, src, path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val ts1 = t.lastCommitTs
+      t.upsert(src.withColumn("v", col("v") * 2))
+      val ts2 = t.lastCommitTs
+      t.restoreToTimestamp(ts1)
+      assertSameRows(t.toDF, src)
+      // undo the restore: go back to the post-upsert state
+      t.restoreToTimestamp(ts2)
+      assertSameRows(t.toDF, src.withColumn("v", col("v") * 2))
+    }
+  }
+
+  test("restoreToVersion uses history's 1-based commit numbering") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, src, path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      t.upsert(src.withColumn("v", col("v") * 5))
+      t.delete("id > 20")
+      assert(t.history.size >= 3)
+      t.restoreToVersion(2)
+      assertSameRows(t.toDF, src.withColumn("v", col("v") * 5))
+      t.restoreToVersion(1)
+      assertSameRows(t.toDF, src)
+    }
+  }
+
+  test("file and jdbc stores restore identically on the same op script") {
+    withTempPath { pathA => withTempPath { pathB =>
+      val jdbc = new JdbcMetaStore("jdbc:derby:memory:restoredb;create=true")
+      val stores: Seq[(MetaStore, String)] =
+        Seq((new FileMetaStore, pathA), (jdbc, pathB))
+      val results = stores.map { case (store, path) =>
+        val t = GraftTable.create(spark, src, path,
+          hashColumns = Seq("id"), bucketNum = 2, store = store)
+        val ts1 = t.lastCommitTs
+        t.upsert(src.withColumn("v", col("v") * 7))
+        t.delete("id % 4 = 0")
+        val moved = t.restoreToTimestamp(ts1).sorted
+        (moved, t.toDF.collect().map(_.toString).sorted.toSeq)
+      }
+      assert(results(0)._1 == results(1)._1, "moved partition sets differ")
+      assert(results(0)._2 == results(1)._2, "restored rows differ")
+      assert(results(0)._2 == src.collect().map(_.toString).sorted.toSeq)
+      jdbc.dropTable(pathB)
+    }}
+  }
+
+  test("CALL graft.restore by version and by timestamp") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, src, path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val ts1 = t.lastCommitTs
+      t.upsert(src.withColumn("v", col("v") * 9))
+      val out = spark.sql(
+        s"CALL graft.restore(table_path => '$path', as_of_ts => '$ts1')")
+        .collect().map(_.getString(0)).mkString
+      assert(out.contains("restored"))
+      assertSameRows(GraftTable.forPath(spark, path).toDF, src)
+      spark.sql(s"CALL graft.restore(table_path => '$path', version => '2')")
+      assertSameRows(GraftTable.forPath(spark, path).toDF,
+        src.withColumn("v", col("v") * 9))
+    }
+  }
+}
