@@ -632,6 +632,34 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") * 2))
       t.toDF
     }),
+    "multi_table_txn" -> q((s, d) => {
+      // MULTI-TABLE ATOMIC COMMIT (GraftTransaction.upsertAll, beyond-ref):
+      // a fact table and a dim table share one JDBC catalog; ONE catalog
+      // transaction publishes upserts to both, so readers can never see
+      // one side updated without the other. The gate result joins the two
+      // tables after the transaction — either table missing its upsert
+      // hash-mismatches the oracle.
+      val store = new graft.meta.JdbcMetaStore(
+        s"jdbc:derby:memory:grafttxn${java.lang.Long.toHexString(System.nanoTime())};create=true")
+      val o = rd(s, d, "orders")
+      val cu = rd(s, d, "customer")
+      val to = GraftTable.create(s, o, tmp("txn_orders"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4, store = store)
+      val tc = GraftTable.create(s, cu, tmp("txn_cust"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4, store = store)
+      graft.tables.GraftTransaction.upsertAll(Seq(
+        to -> o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        tc -> cu.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)))
+      // DECIMAL sums: double addition is order-sensitive at this row count
+      // and would ulp-diverge from DuckDB's plan order
+      to.toDF.join(tc.toDF, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"),
+          count(lit(1)).as("n"))
+    }),
     "upsert_rewrite" -> q((s, d) => {
       // J1 rewrite/copy-on-write mode: every 10th order gets a doubled
       // price, every 7th is re-inserted under a shifted key; afterwards the
@@ -2761,6 +2789,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "multi_table_txn" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p FROM orders),
+        |  c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000
+        |         ELSE c_acctbal END AS DECIMAL(18,2)) AS b FROM customer)
+        |SELECT c.c_mktsegment, sum(o.p) AS rev, sum(c.b) AS bal,
+        |  count(*) AS n
+        |FROM o JOIN c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "upsert_rewrite" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

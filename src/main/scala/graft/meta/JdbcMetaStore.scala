@@ -419,6 +419,35 @@ class JdbcMetaStore(url: String) extends MetaStore {
     val tp = canonical(tablePath)
     withTx { c =>
       lockTable(c, tp)
+      commitLocked(c, tp, commits, expectedVersions)
+    }
+  }
+
+  /** MULTI-TABLE atomic commit — the capability a single arbitration
+    * database enables that per-table file logs cannot: every entry's
+    * commits land in ONE database transaction, so a crash or a CAS
+    * conflict on ANY table rolls back ALL of them and concurrent readers
+    * never observe table A updated but table B not. Tables lock in sorted
+    * canonical-path order (total order -> no deadlocks between concurrent
+    * multi-table writers holding overlapping table sets). */
+  override def commitMany(
+      entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
+    if (entries.isEmpty) return
+    val es = entries.map { case (p, cs, ev) => (canonical(p), cs, ev) }
+      .sortBy(_._1)
+    require(es.map(_._1).distinct.size == es.size,
+      "commitMany: same table twice (merge its commits into one entry)")
+    withTx { c =>
+      es.foreach { case (tp, _, _) => lockTable(c, tp) }
+      es.foreach { case (tp, cs, ev) => commitLocked(c, tp, cs, ev) }
+    }
+  }
+
+  /** The body of [[commit]], run under an already-held table lock inside
+    * the caller's transaction. */
+  private def commitLocked(c: Connection, tp: String,
+      commits: Seq[DataCommitInfo],
+      expectedVersions: Map[String, Int]): Unit = {
       val (seq0, ts) = allocate(c, tp, commits.size)
       val descs = commits.map(_.partitionDesc).distinct
       val rows = headRows(c, tp, descs)
@@ -509,7 +538,6 @@ class JdbcMetaStore(url: String) extends MetaStore {
             throw new MetaRerunException("partition created concurrently")
         } finally ins.close()
       }
-    }
   }
 
   private def batchHasDuplicate(e: java.sql.BatchUpdateException): Boolean = {

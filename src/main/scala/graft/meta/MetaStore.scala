@@ -65,6 +65,23 @@ trait MetaStore {
   /** Repoint a partition head to an old version (C10 rollbackPartition). */
   def rollbackPartition(tablePath: String, partitionDesc: String, toVersion: Int): Unit
 
+  /** Atomically publish commits to SEVERAL tables in ONE catalog
+    * transaction — entries are (tablePath, commits, expectedVersions),
+    * each with [[commit]]'s CAS semantics; a version conflict on ANY
+    * table aborts ALL of them with [[MetaRerunException]]. Only a
+    * transactional catalog can promise this: the default delegates a
+    * single entry to [[commit]] and refuses more (the file store's
+    * per-table logs cannot make two tables' commits crash-atomic). */
+  def commitMany(
+      entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit =
+    entries match {
+      case Seq() => ()
+      case Seq((tp, commits, expected)) => commit(tp, commits, expected)
+      case _ => throw new UnsupportedOperationException(
+        "multi-table atomic commit requires a transactional catalog " +
+          "(JdbcMetaStore; select with -Dgraft.meta.uri=jdbc:...)")
+    }
+
   /** Whole-table RESTORE: atomically repoint EVERY partition to its state
     * as of `asOfTs` (millis, inclusive — the same boundary `snapshotAt`
     * reads), in ONE commit — readers switch from the old head set to the

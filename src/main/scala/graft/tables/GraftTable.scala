@@ -19,7 +19,7 @@ import graft.write.TransactionalWrite
   * re-runs against the new snapshot (TransactionCommit.scala:398-427).
   */
 class GraftTable(val spark: SparkSession, val tablePath: String,
-    store: MetaStore = MetaStore.default) {
+    private[tables] val store: MetaStore = MetaStore.default) {
 
   private val resolver = new SnapshotResolver(store)
 
@@ -479,6 +479,21 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     withRetry {
       publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge))
     }
+  }
+
+  /** Write (but do NOT publish) the delta-upsert data files for `df` and
+    * return this table's [[graft.meta.MetaStore.commitMany]] entry — the
+    * staging half of [[GraftTransaction.upsertAll]]. The files are
+    * invisible until the entry is committed; an abandoned stage leaves
+    * only orphan files for vacuum. */
+  private[tables] def stageUpsert(df: DataFrame): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
+    require(info.hasPrimaryKey, "upsert requires a primary-key (hash-partitioned) table")
+    mergeSchema(df.schema)
+    val heads = headsNow
+    val commits = TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge)
+    val expected = commits.map(c =>
+      c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap
+    (tablePath, commits, expected)
   }
 
   /** Upsert (J1 REWRITE / copy-on-write mode, reference
