@@ -100,6 +100,31 @@ class RestoreSuite extends SparkFixture {
     }}
   }
 
+  test("a restored source makes mview refresh fail loudly, never fold wrong") {
+    withTempPath { dir =>
+      val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
+      val src = GraftTable.create(spark, src3col(srcPath), srcPath)
+      graft.pipeline.MaterializedView.create(spark, srcPath, viewPath,
+        keys = Seq("g"),
+        measures = Seq(
+          graft.pipeline.MaterializedView.Measure("total", "v", "sum")))
+      graft.pipeline.MaterializedView.refresh(spark, viewPath)
+      val ts1 = src.lastCommitTs
+      src.append(src3col(srcPath))
+      src.restoreToTimestamp(ts1)
+      // the restore's Update commit sits in the refresh window: folding it
+      // as a delta would double-count, so refresh must refuse
+      val e = intercept[IllegalArgumentException] {
+        graft.pipeline.MaterializedView.refresh(spark, viewPath)
+      }
+      assert(e.getMessage.contains("non-incremental"), e.getMessage)
+    }
+  }
+
+  private def src3col(path: String) =
+    (1 to 20).map(i => (i.toLong + path.hashCode.abs % 7, i * 10, s"g${i % 3}"))
+      .toDF("id", "v", "g")
+
   test("CALL graft.restore by version and by timestamp") {
     withTempPath { path =>
       val t = GraftTable.create(spark, src, path,
