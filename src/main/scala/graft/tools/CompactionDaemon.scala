@@ -40,6 +40,10 @@ class CompactionDaemon(
   /** Tables skipped by the fast path in the most recent sweep (ops/test
     * introspection). */
   @volatile var lastSweepSkipped: Int = 0
+  /** Tables that errored in the most recent sweep, with the error message
+    * (ops/test introspection — a throwing table must be visible, not
+    * silently absorbed). */
+  @volatile var lastSweepErrors: Seq[(String, String)] = Nil
 
   /** One sweep over all tables; returns the table paths it compacted.
     * Two triggers, both per-partition:
@@ -61,41 +65,58 @@ class CompactionDaemon(
     * relief per compaction second. */
   def runOnce(): Seq[String] = {
     lastSweepSkipped = 0
-    tablePaths().flatMap { path =>
+    val errors = Seq.newBuilder[(String, String)]
+    val out = tablePaths().flatMap { path =>
       try {
         val t = GraftTable.forPath(spark, path)
         val tsNow = t.lastCommitTs
         if (lastSeen.get(path) != null && lastSeen.get(path) == tsNow) {
           lastSweepSkipped += 1
           None
-        } else compactIfDue(t, path)
-      } catch { case _: Throwable => None } // dropped tables, races: skip
+        } else compactIfDue(t, path, tsNow)
+      } catch {
+        // dropped tables and commit races are expected between listing and
+        // resolution — skip the table this sweep, but keep it visible;
+        // fatal errors (OOM, linkage) must propagate, never be absorbed
+        case scala.util.control.NonFatal(e) =>
+          errors += (path -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+      }
     }
+    lastSweepErrors = errors.result()
+    out
   }
 
-  private def compactIfDue(t: GraftTable, path: String): Option[String] = {
+  private def compactIfDue(
+      t: GraftTable, path: String, tsAtSweepStart: Long): Option[String] = {
         val byDesc = t.liveFiles.groupBy(_.partitionDesc)
         def bucketDepth(fs: Seq[graft.meta.ResolvedFile]): Int =
           if (fs.isEmpty) 0
           else fs.groupBy(_.file.bucketId).values
             .map(_.map(_.commitOrdinal).distinct.size).max
-        val due = byDesc.collect { case (desc, fs)
+        val dueAll = byDesc.collect { case (desc, fs)
             if fs.map(_.commitOrdinal).distinct.size > fileNumLimit ||
               fs.filter(f => graft.meta.Tombstone.isTombstone(f.file))
                 .map(_.commitOrdinal).distinct.size >= tombstoneRunLimit =>
           desc -> bucketDepth(fs)
         }.toSeq.sortBy { case (desc, depth) => (-depth, desc) }
-          .take(maxPartitionsPerSweep).map(_._1).toSet
+        val due = dueAll.take(maxPartitionsPerSweep).map(_._1).toSet
         val rebucketed = t.autoRebucket().isDefined // no-op without the prop
         val acted =
           if (due.nonEmpty && !rebucketed) {
             t.compaction(CompactionOptions(), due.contains)
             true
           } else rebucketed
-        // record AFTER any compaction so its own commit doesn't re-trigger
-        // a resolution next sweep; a writer landing meanwhile moves the
-        // timestamp past this value and re-arms the table
-        lastSeen.put(path, t.lastCommitTs)
+        // Fast-path bookkeeping. Record lastSeen ONLY for a quiet sweep
+        // (nothing due, nothing rebucketed), and with the timestamp read at
+        // sweep START — never a post-compaction re-read, which can absorb a
+        // concurrent writer's commit and silently skip it next sweep. Any
+        // sweep that acted, or that the budget truncated (due deeper than
+        // maxPartitionsPerSweep, or a rebucket pre-empting compaction),
+        // leaves the table armed so residual backlog keeps draining without
+        // waiting for an external write to move the commit timestamp.
+        if (!acted && dueAll.isEmpty) lastSeen.put(path, tsAtSweepStart)
+        else lastSeen.remove(path)
         if (acted) Some(path) else None
   }
 

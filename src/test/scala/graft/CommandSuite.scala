@@ -490,6 +490,49 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("budget-truncated backlog drains over sweeps with NO further writes") {
+    withTempPath { p =>
+      import spark.implicits._
+      // three backlogged partitions, budget of one: the quiescent fast path
+      // must NOT arm after a truncated sweep — the backlog has to drain to
+      // empty without any external commit moving the table's timestamp
+      val base = (1L to 60L).map(i => (i % 3 + 1, i, 0L)).toDF("r", "id", "v")
+      val t = GraftTable.create(spark, base, p,
+        rangeColumns = Seq("r"), hashColumns = Seq("id"), bucketNum = 2)
+      for (r <- 1L to 3L; k <- 1 to 5)
+        t.upsert(Seq((r, (k % 20 + 1) * 3L + r - 1, k.toLong)).toDF("r", "id", "v"))
+      def dueParts: Int = t.liveFiles.groupBy(_.partitionDesc).values
+        .count(_.map(_.commitOrdinal).distinct.size > 3)
+      assert(dueParts == 3)
+      val daemon = new graft.tools.CompactionDaemon(spark,
+        () => Seq(t.tablePath), fileNumLimit = 3, maxPartitionsPerSweep = 1)
+      assert(daemon.runOnce().nonEmpty && dueParts == 2)
+      assert(daemon.lastSweepSkipped == 0)
+      assert(daemon.runOnce().nonEmpty && dueParts == 1)
+      assert(daemon.lastSweepSkipped == 0, "truncated sweep must stay armed")
+      assert(daemon.runOnce().nonEmpty && dueParts == 0)
+      assert(daemon.runOnce().isEmpty) // fully drained -> steady state
+      daemon.runOnce()
+      assert(daemon.lastSweepSkipped == 1, "quiet table should fast-path now")
+      assert(t.toDF.count() == 60)
+    }
+  }
+
+  test("daemon reports throwing tables instead of silently skipping them") {
+    withTempPath { p =>
+      import spark.implicits._
+      val t = GraftTable.create(spark,
+        Seq((1L, 1)).toDF("id", "v"), p, hashColumns = Seq("id"), bucketNum = 1)
+      (1 to 5).foreach(k => t.upsert(Seq((1L, k)).toDF("id", "v")))
+      val daemon = new graft.tools.CompactionDaemon(spark,
+        () => Seq(p + "-does-not-exist", t.tablePath), fileNumLimit = 3)
+      val compacted = daemon.runOnce()
+      assert(compacted == Seq(t.tablePath), "healthy table still compacts")
+      assert(daemon.lastSweepErrors.map(_._1) == Seq(p + "-does-not-exist"),
+        s"missing table must surface in lastSweepErrors: ${daemon.lastSweepErrors}")
+    }
+  }
+
   test("size-capped rolling writer splits files, merge read stays correct") {
     withTempPath { p =>
       import spark.implicits._
