@@ -660,6 +660,35 @@ object SparkEntry {
           sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"),
           count(lit(1)).as("n"))
     }),
+    "multi_table_txn_mixed" -> q((s, d) => {
+      // MIXED multi-table transaction (GraftTransaction.run): ONE catalog
+      // commit carries an upsert into the fact table PLUS a delta update
+      // AND a tombstone delete on the dim table (two ops on one table merge
+      // into a single entry and fold in op order). The join after the
+      // transaction hash-mismatches the oracle if any op is missing or if
+      // the fold order is wrong (custkeys divisible by 35 must be deleted,
+      // not updated).
+      val store = new graft.meta.JdbcMetaStore(
+        s"jdbc:derby:memory:grafttxm${java.lang.Long.toHexString(System.nanoTime())};create=true")
+      val o = rd(s, d, "orders")
+      val cu = rd(s, d, "customer")
+      val to = GraftTable.create(s, o, tmp("txm_orders"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4, store = store)
+      val tc = GraftTable.create(s, cu, tmp("txm_cust"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4, store = store)
+      import graft.tables.GraftTransaction._
+      graft.tables.GraftTransaction.run(Seq(
+        TxUpsert(to, o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)),
+        TxUpdateDelta(tc, col("c_custkey") % 5 === 0,
+          Map("c_acctbal" -> (col("c_acctbal") + 1000))),
+        TxDeleteTombstone(tc, col("c_custkey") % 7 === 0)))
+      to.toDF.join(tc.toDF, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"),
+          count(lit(1)).as("n"))
+    }),
     "upsert_rewrite" -> q((s, d) => {
       // J1 rewrite/copy-on-write mode: every 10th order gets a doubled
       // price, every 7th is re-inserted under a shifted key; afterwards the
@@ -2796,6 +2825,18 @@ object SparkEntry {
         |  c AS (SELECT c_custkey, c_mktsegment,
         |    CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000
         |         ELSE c_acctbal END AS DECIMAL(18,2)) AS b FROM customer)
+        |SELECT c.c_mktsegment, sum(o.p) AS rev, sum(c.b) AS bal,
+        |  count(*) AS n
+        |FROM o JOIN c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "multi_table_txn_mixed" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p FROM orders),
+        |  c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000
+        |         ELSE c_acctbal END AS DECIMAL(18,2)) AS b FROM customer
+        |    WHERE c_custkey % 7 <> 0)
         |SELECT c.c_mktsegment, sum(o.p) AS rev, sum(c.b) AS bal,
         |  count(*) AS n
         |FROM o JOIN c ON o.o_custkey = c.c_custkey

@@ -433,13 +433,21 @@ class JdbcMetaStore(url: String) extends MetaStore {
   override def commitMany(
       entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
     if (entries.isEmpty) return
-    val es = entries.map { case (p, cs, ev) => (canonical(p), cs, ev) }
+    val es = entries.map { case (p, cs, ev) => (canonical(p), p, cs, ev) }
       .sortBy(_._1)
     require(es.map(_._1).distinct.size == es.size,
       "commitMany: same table twice (merge its commits into one entry)")
     withTx { c =>
-      es.foreach { case (tp, _, _) => lockTable(c, tp) }
-      es.foreach { case (tp, cs, ev) => commitLocked(c, tp, cs, ev) }
+      es.foreach { case (tp, _, _, _) => lockTable(c, tp) }
+      es.foreach { case (tp, orig, cs, ev) =>
+        try commitLocked(c, tp, cs, ev)
+        catch {
+          // name the losing table (by the caller's path) so the retry can
+          // re-stage just that table's files instead of the whole set
+          case e: MetaRerunException if e.conflictedTable.isEmpty =>
+            throw new MetaRerunException(e.getMessage, Some(orig))
+        }
+      }
     }
   }
 

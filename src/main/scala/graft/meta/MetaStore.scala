@@ -15,7 +15,11 @@ import org.json4s.jackson.Serialization.{read => jread, write => jwrite}
 /** Thrown when an optimistic commit loses a CAS race; callers re-read the
   * snapshot and retry. Reference: MetaRerunException
   * (TransactionCommit.scala:398-427). */
-class MetaRerunException(msg: String) extends RuntimeException(msg)
+class MetaRerunException(msg: String,
+    /** The table whose CAS failed, when the conflict names one — lets a
+      * multi-table transaction re-stage only the conflicted table instead
+      * of rewriting every table's data files on each retry. */
+    val conflictedTable: Option[String] = None) extends RuntimeException(msg)
 
 /** Metadata store API — the same five logical tables as the reference's
   * PostgreSQL catalog (SURVEY.md §1.1), behind a trait so other backends can

@@ -489,12 +489,33 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   private[tables] def stageUpsert(df: DataFrame): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
     require(info.hasPrimaryKey, "upsert requires a primary-key (hash-partitioned) table")
     mergeSchema(df.schema)
-    val heads = headsNow
-    val commits = TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge)
-    val expected = commits.map(c =>
-      c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap
-    (tablePath, commits, expected)
+    stagedEntry(headsNow,
+      TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge))
   }
+
+  /** Stage (write, do NOT publish) a tombstone DELETE — the transaction
+    * counterpart of [[deleteTombstone]], same eligibility rules. */
+  private[tables] def stageDeleteTombstone(cond: Column): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
+    val t = info
+    requireTombstoneDeletable(t)
+    val heads = headsNow
+    stagedEntry(heads, tombstoneDeleteCommits(t, cond))
+  }
+
+  /** Stage (write, do NOT publish) a delta UPDATE — the transaction
+    * counterpart of [[updateDelta]], same eligibility rules. */
+  private[tables] def stageUpdateDelta(cond: Column,
+      set: Map[String, Column]): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
+    val t = info
+    requireDeltaUpdatable(t, set)
+    val heads = headsNow
+    stagedEntry(heads, deltaUpdateCommits(t, cond, set))
+  }
+
+  private def stagedEntry(heads: Map[String, Int],
+      commits: Seq[graft.meta.DataCommitInfo]): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) =
+    (tablePath, commits, commits.map(c =>
+      c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap)
 
   /** Upsert (J1 REWRITE / copy-on-write mode, reference
     * UpsertCommand.scala:125-143): full-outer join the batch against the
@@ -581,6 +602,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * streaming consumers receive the updated rows instead of aborting. */
   def updateDelta(cond: Column, set: Map[String, Column]): Unit = withRetry {
     val t = info
+    requireDeltaUpdatable(t, set)
+    deltaUpdate(t, headsNow, cond, set)
+  }
+
+  private def requireDeltaUpdatable(
+      t: TableInfo, set: Map[String, Column]): Unit = {
     val bad = set.keySet.intersect((t.rangeColumns ++ t.hashColumns).toSet)
     require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
     require(t.hasPrimaryKey, "delta update requires a primary-key table")
@@ -592,7 +619,6 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         "column, and use_last on every SET column (other operators would " +
         "treat the re-written row as a new contribution, and a SET to NULL " +
         "could not overwrite under use_last_not_null); use the rewrite path")
-    deltaUpdate(t, headsNow, cond, set)
   }
 
   /** APPLY CHANGES INTO (beyond-ref; the replication primitive that
@@ -760,16 +786,24 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   private def deltaUpdate(t: TableInfo, heads: Map[String, Int],
       cond: Column, set: Map[String, Column]): Unit = {
+    // snapshot-dependent (SET expressions may read current values), so
+    // CAS on attempt-start heads like every rewrite
+    val commits = deltaUpdateCommits(t, cond, set)
+    if (commits.nonEmpty) publish(commits, heads)
+  }
+
+  /** The write half of [[deltaUpdate]]: staged, unpublished commits. */
+  private def deltaUpdateCommits(t: TableInfo, cond: Column,
+      set: Map[String, Column]): Seq[DataCommitInfo] = {
     val files = targetFiles(cond)
-    if (files.nonEmpty) {
+    if (files.isEmpty) Nil
+    else {
       val matched = GraftRead.read(spark, t, files).filter(cond)
       val updated = set.foldLeft(matched) { case (d, (c, e)) =>
         d.withColumn(c, e)
       }
-      // snapshot-dependent (SET expressions may read current values), so
-      // CAS on attempt-start heads like every rewrite
-      publish(TransactionalWrite.writeFiles(spark, t, updated,
-        CommitOp.Merge, internal = true), heads)
+      TransactionalWrite.writeFiles(spark, t, updated,
+        CommitOp.Merge, internal = true)
     }
   }
 
@@ -883,6 +917,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * property `graft.delete.mode=tombstone` is set. */
   def deleteTombstone(cond: Column): Unit = withRetry {
     val t = info
+    requireTombstoneDeletable(t)
+    tombstoneDelete(t, headsNow, cond)
+  }
+
+  private def requireTombstoneDeletable(t: TableInfo): Unit = {
     require(t.hasPrimaryKey, "tombstone delete requires a primary-key table")
     require(t.cdcColumn.isEmpty,
       "CDC tables delete via their marker column (upsert rows with the " +
@@ -893,7 +932,6 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       "tombstone delete requires merge operators supported by the " +
         "bucket-merge reader (custom aggregate-only operators route to the " +
         "SQL fallback, which cannot express tombstone semantics)")
-    tombstoneDelete(t, headsNow, cond)
   }
 
   private def tombstoneEligible(t: TableInfo): Boolean =
@@ -903,8 +941,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   private def tombstoneDelete(t: TableInfo, heads: Map[String, Int],
       cond: Column): Unit = {
+    val commits = tombstoneDeleteCommits(t, cond)
+    if (commits.nonEmpty) publish(commits, heads)
+  }
+
+  /** The write half of [[tombstoneDelete]]: the staged tombstone-run
+    * commits for `cond`'s matches, NOT yet published (empty when no file
+    * can match). */
+  private def tombstoneDeleteCommits(
+      t: TableInfo, cond: Column): Seq[DataCommitInfo] = {
     val files = targetFiles(cond)
-    if (files.nonEmpty) {
+    if (files.isEmpty) Nil
+    else {
       val sch = schema
       val keyCols = (t.rangeColumns ++ t.hashColumns).distinct
       // read only the columns the predicate needs (falling back to all
@@ -923,9 +971,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // CommitOp.Rewrite: folds like a delta (appends the run) but ABORTS
       // incremental/streaming delivery — a deletion is not a consumable
       // delta for a non-CDC table (reference Update-commit semantics)
-      val commits = TransactionalWrite.writeFiles(spark, t, tombDf,
+      TransactionalWrite.writeFiles(spark, t, tombDf,
         CommitOp.Rewrite, tombstone = true)
-      publish(commits, heads)
     }
   }
 

@@ -1,8 +1,10 @@
 package graft.tables
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.ThreadLocalRandom
 
-import graft.meta.MetaRerunException
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.meta.{DataCommitInfo, MetaRerunException}
 
 /** Multi-table ATOMIC writes (beyond-ref — neither the reference nor Delta
   * offers cross-table transactions; Iceberg only gained them with a REST
@@ -11,15 +13,21 @@ import graft.meta.MetaRerunException
   * ([[graft.meta.JdbcMetaStore]]) arbitrates every table's commits, so N
   * tables' meta updates can share ONE database transaction.
   *
-  * Protocol (the no-rename commit protocol, table-spanning): each table's
+  * Protocol (the no-rename commit protocol, table-spanning): each op's
   * data files are written first — invisible to every reader until meta
   * publish — then `commitMany` lands all tables' version-log appends and
   * head CAS updates in one catalog transaction. A version conflict on ANY
-  * table (concurrent writer) rolls back ALL tables and the whole batch
-  * retries; a crash before the commit leaves only orphan data files for
-  * vacuum. Readers therefore never observe table A updated but table B
-  * not — the invariant that makes e.g. a fact table and its summary table
-  * consumable without reconciliation logic.
+  * table (concurrent writer) rolls back ALL tables and the batch retries
+  * with jittered exponential backoff, re-staging ONLY the conflicted
+  * table when the CAS error names one; a crash before the commit leaves
+  * only orphan data files for vacuum. Readers therefore never observe
+  * table A updated but table B not — the invariant that makes e.g. a fact
+  * table and its summary table consumable without reconciliation logic.
+  *
+  * Beyond upserts, a transaction may stage any op with the
+  * stage-then-publish shape: tombstone DELETEs and delta UPDATEs ride the
+  * same commit (e.g. upsert today's facts into A while tombstoning the
+  * superseded rows of B — the classic fact+rollup pipeline step).
   *
   * Scale: the data writes are ordinary per-table Spark jobs (cluster-wide,
   * no extra shuffle); the transaction itself touches O(partitions) catalog
@@ -27,28 +35,95 @@ import graft.meta.MetaRerunException
 object GraftTransaction {
 
   private val MaxAttempts = 8
+  private val BackoffBaseMs = 20L
+  private val BackoffCapMs = 1000L
 
-  /** Upsert each batch into its PK table, all-or-nothing. All tables must
-    * share one catalog, and multi-table atomicity requires the JDBC
-    * catalog ([[graft.meta.MetaStore.commitMany]] refuses >1 table on the
-    * file store rather than pretend). Batches are staged (files written,
-    * nothing visible), then published in one catalog transaction; on a
-    * CAS conflict the WHOLE set re-stages and retries. */
-  def upsertAll(targets: Seq[(GraftTable, DataFrame)]): Unit = {
-    if (targets.isEmpty) return
-    val store = targets.head._1.store
-    require(targets.forall(_._1.store eq store),
+  /** One staged operation of a multi-table transaction. Each op writes its
+    * data files on `stage()` (invisible until publish) and returns its
+    * [[graft.meta.MetaStore.commitMany]] entry. */
+  sealed trait TxOp {
+    def table: GraftTable
+    private[tables] def stage(): (String, Seq[DataCommitInfo], Map[String, Int])
+  }
+
+  /** Delta upsert of `df` into a PK `table` (see [[GraftTable.upsert]]). */
+  final case class TxUpsert(table: GraftTable, df: DataFrame) extends TxOp {
+    private[tables] def stage() = table.stageUpsert(df)
+  }
+
+  /** Tombstone DELETE of `cond`'s matches (see
+    * [[GraftTable.deleteTombstone]] for eligibility). */
+  final case class TxDeleteTombstone(table: GraftTable, cond: Column)
+      extends TxOp {
+    private[tables] def stage() = table.stageDeleteTombstone(cond)
+  }
+
+  /** Delta UPDATE `set` over `cond`'s matches (see
+    * [[GraftTable.updateDelta]] for eligibility). */
+  final case class TxUpdateDelta(table: GraftTable, cond: Column,
+      set: Map[String, Column]) extends TxOp {
+    private[tables] def stage() = table.stageUpdateDelta(cond, set)
+  }
+
+  /** Upsert each batch into its PK table, all-or-nothing (the common case,
+    * kept as sugar over [[run]]). */
+  def upsertAll(targets: Seq[(GraftTable, DataFrame)]): Unit =
+    run(targets.map { case (t, df) => TxUpsert(t, df) })
+
+  /** Execute a mixed batch of staged ops as ONE atomic cross-table commit.
+    * All tables must share one catalog, and multi-table atomicity requires
+    * the JDBC catalog ([[graft.meta.MetaStore.commitMany]] refuses >1
+    * table on the file store rather than pretend). Several ops may target
+    * the same table: their commits merge into that table's entry and fold
+    * sequentially (op order preserved within the table). On a CAS conflict
+    * the commit retries with jittered exponential backoff; when the error
+    * names the losing table only THAT table's ops re-stage — the other
+    * tables' already-written files are reused, so contention on one table
+    * does not multiply write IO across all of them. */
+  def run(ops: Seq[TxOp]): Unit = {
+    if (ops.isEmpty) return
+    val store = ops.head.table.store
+    require(ops.forall(_.table.store eq store),
       "multi-table transaction: all tables must share one catalog store")
-    require(targets.map(_._1.tablePath).distinct.size == targets.size,
-      "multi-table transaction: same table twice (union its batches)")
+    val byTable: Seq[(String, Seq[TxOp])] =
+      ops.groupBy(_.table.tablePath).toSeq.sortBy(_._1)
+
+    def stageTable(tableOps: Seq[TxOp]): (String, Seq[DataCommitInfo], Map[String, Int]) = {
+      val entries = tableOps.map(_.stage())
+      val path = entries.head._1
+      // all ops staged against the same attempt-start snapshot: if a
+      // concurrent writer moved a partition BETWEEN two stage() calls the
+      // expected versions disagree — surface it as the CAS conflict it is
+      // rather than committing a torn expectation
+      val expected = entries.flatMap(_._3)
+      val merged = expected.groupBy(_._1).map { case (d, vs) =>
+        if (vs.map(_._2).distinct.size > 1)
+          throw new MetaRerunException(
+            s"partition '$d' moved between stagings", Some(path))
+        d -> vs.head._2
+      }
+      (path, entries.flatMap(_._2), merged)
+    }
+
+    val staged = scala.collection.mutable.LinkedHashMap[String, (String, Seq[DataCommitInfo], Map[String, Int])]()
+    var toStage = byTable // tables whose files need (re)writing this attempt
     var attempts = 0
     while (true) {
       try {
-        store.commitMany(targets.map { case (t, df) => t.stageUpsert(df) })
+        toStage.foreach { case (p, tableOps) => staged(p) = stageTable(tableOps) }
+        toStage = Nil
+        store.commitMany(staged.values.filter(_._2.nonEmpty).toSeq)
         return
       } catch {
-        case _: MetaRerunException if attempts < MaxAttempts =>
-          attempts += 1 // conflict on some table: re-stage everything
+        case e: MetaRerunException if attempts < MaxAttempts =>
+          attempts += 1
+          // jittered exponential backoff: N cluster writers retrying in
+          // lockstep re-collide forever; full jitter spreads them out
+          val cap = math.min(BackoffCapMs, BackoffBaseMs << (attempts - 1))
+          Thread.sleep(ThreadLocalRandom.current().nextLong(cap + 1))
+          toStage = e.conflictedTable
+            .flatMap(tp => byTable.find(_._1 == tp))
+            .map(Seq(_)).getOrElse(byTable) // unnamed conflict: all tables
       }
     }
   }

@@ -99,6 +99,126 @@ class GraftTransactionSuite extends SparkFixture {
     }}
   }
 
+  test("mixed transaction: upsert + delta update + tombstone delete atomically") {
+    withTempPath { pa => withTempPath { pb =>
+      val s = jdbc("txn5")
+      val a = GraftTable.create(spark, rows(10, 1), pa,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      val b = GraftTable.create(spark, rows(10, 1), pb,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      import GraftTransaction._
+      GraftTransaction.run(Seq(
+        TxUpsert(a, rows(10, 1).withColumn("v", col("v") * 2)),
+        TxUpdateDelta(b, col("id") <= 4, Map("v" -> (col("v") + 100))),
+        TxDeleteTombstone(b, col("id") <= 2)))
+      assertSameRows(a.toDF, rows(10, 2))
+      // b: ids 1,2 deleted; 3,4 updated (+100); 5..10 untouched
+      assertSameRows(b.toDF,
+        Seq((3L, 103), (4L, 104)).toDF("id", "v")
+          .unionByName(rows(10, 1).filter(col("id") > 4)))
+      // deletion landed as a TOMBSTONE run, not a rewrite
+      assert(b.liveFiles.exists(f => Tombstone.isTombstone(f.file)),
+        "delete should have staged a tombstone run")
+      // one catalog commit per table: create + txn = 2 history entries
+      assert(a.history.size == 2 && b.history.size == 2,
+        s"expected one txn commit per table: ${a.history.size}/${b.history.size}")
+      s.dropTable(pa); s.dropTable(pb)
+    }}
+  }
+
+  test("several ops on ONE table merge into one entry, folding in op order") {
+    withTempPath { pa =>
+      val s = jdbc("txn6")
+      val a = GraftTable.create(spark, rows(6, 1), pa,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      import GraftTransaction._
+      GraftTransaction.run(Seq(
+        TxUpsert(a, rows(6, 2)),                       // v = 2i
+        TxDeleteTombstone(a, col("id") <= 2),          // drop 1, 2
+        TxUpsert(a, Seq((1L, 999)).toDF("id", "v"))))  // revive 1
+      assertSameRows(a.toDF,
+        Seq((1L, 999)).toDF("id", "v")
+          .unionByName(rows(6, 2).filter(col("id") > 2)))
+      // ONE atomic commit despite three staged ops
+      assert(a.history.size == 2,
+        s"three same-table ops must share one commit: ${a.history.size}")
+      s.dropTable(pa)
+    }
+  }
+
+  test("a named conflict re-stages ONLY the conflicted table") {
+    withTempPath { pa => withTempPath { pb =>
+      // store that fails the FIRST multi-table commit, naming table b as
+      // the loser — a's staged files must be reused, b's rewritten
+      class FailOnce(url: String) extends JdbcMetaStore(url) {
+        @volatile var induced = 0
+        override def commitMany(
+            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
+          if (induced == 0 && entries.size > 1) {
+            induced += 1
+            throw new MetaRerunException("induced conflict", Some(pb))
+          }
+          super.commitMany(entries)
+        }
+      }
+      val s = new FailOnce("jdbc:derby:memory:txn7;create=true")
+      val a = GraftTable.create(spark, rows(8, 1), pa,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      val b = GraftTable.create(spark, rows(8, 1), pb,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      def parquets(p: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(p))
+      }
+      val (a0, b0) = (parquets(pa), parquets(pb))
+      GraftTransaction.upsertAll(Seq(a -> rows(8, 3), b -> rows(8, 5)))
+      assert(s.induced == 1, "conflict was not induced")
+      assertSameRows(a.toDF, rows(8, 3))
+      assertSameRows(b.toDF, rows(8, 5))
+      val (aN, bN) = (parquets(pa) - a0, parquets(pb) - b0)
+      // b staged twice (orphan + live run), a exactly once
+      assert(bN == 2 * aN,
+        s"expected only b to re-stage: a wrote $aN files, b wrote $bN")
+      s.dropTable(pa); s.dropTable(pb)
+    }}
+  }
+
+  test("sustained contention: concurrent mixed txns retry with backoff and land") {
+    withTempPath { pa => withTempPath { pb =>
+      val s = jdbc("txn8")
+      val a = GraftTable.create(spark, rows(8, 1), pa,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      val b = GraftTable.create(spark, rows(8, 1), pb,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      import GraftTransaction._
+      val n = 4
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      def worker(mul: Int): Runnable = () => {
+        start.await()
+        try (1 to n).foreach { k =>
+          GraftTransaction.run(Seq(
+            TxUpsert(a, rows(8, mul * k)),
+            TxUpdateDelta(b, col("id") <= 3, Map("v" -> (col("v") + 1)))))
+        } catch { case e: Throwable => errs.add(e) }
+      }
+      pool.submit(worker(10)); pool.submit(worker(100))
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(180, TimeUnit.SECONDS), "timeout")
+      assert(errs.isEmpty, s"txn failed under contention: ${errs.peek()}")
+      // every transaction advanced both tables exactly once
+      assert(a.history.size == 1 + 2 * n && b.history.size == 1 + 2 * n)
+      // 2n updates of +1 each applied to ids 1..3 exactly once apiece
+      assert(b.toDF.filter(col("id") <= 3).select(sum(col("v"))).head.getLong(0)
+        == (1 + 2 + 3) + 3 * 2 * n)
+      s.dropTable(pa); s.dropTable(pb)
+    }}
+  }
+
   test("file store: single entry delegates, several tables refuse") {
     withTempPath { pa => withTempPath { pb =>
       val s = new FileMetaStore
