@@ -35,24 +35,40 @@ object FileStatsCollector {
 
   private val DriverReadLimit = 256
 
-  def attach(
-      spark: SparkSession,
-      table: graft.meta.TableInfo,
-      schema: StructType,
-      files: Seq[(String, DataFileInfo)]): Seq[(String, DataFileInfo)] = {
-    if (files.isEmpty) return files
-    if (table.properties.get(EnabledProp).contains("false")) return files
+  /** The collection spec for a table+schema, or None when collection is
+    * disabled / nothing is indexable. Shared between driver-side [[attach]]
+    * and the task-side [[StatsCommitProtocol]]. */
+  def specFor(table: graft.meta.TableInfo,
+      schema: StructType): Option[StatsCommitProtocol.Spec] = {
+    if (table.properties.get(EnabledProp).contains("false")) return None
     val nCols = table.properties.get(NumColsProp).map(_.toInt).getOrElse(DefaultNumCols)
     // leading-columns cap (same idea as Delta's dataSkippingNumIndexedCols):
     // bound the metadata size on wide tables
     val indexed: Map[String, DataType] = schema.fields.take(nCols).collect {
       case f if supported(f.dataType) => f.name -> f.dataType
     }.toMap
-    if (indexed.isEmpty) return files
+    if (indexed.isEmpty) None
     // the synthetic row-count entry must never collide with a REAL column of
     // the reserved name anywhere in the schema (not just the indexed prefix):
     // a shadowed entry would feed bogus bounds to StatsSkipping.mightMatch
-    val rowCountShadowed = schema.fieldNames.contains(FileStats.RowCountKey)
+    else Some(StatsCommitProtocol.Spec(indexed,
+      schema.fieldNames.contains(FileStats.RowCountKey)))
+  }
+
+  def attach(
+      spark: SparkSession,
+      table: graft.meta.TableInfo,
+      schema: StructType,
+      allFiles: Seq[(String, DataFileInfo)]): Seq[(String, DataFileInfo)] = {
+    // files that already carry stats (task-side collection) are kept as-is
+    val files = allFiles.filter(_._2.stats.isEmpty)
+    if (files.isEmpty) return allFiles
+    val sp = specFor(table, schema) match {
+      case Some(s) => s
+      case None => return allFiles
+    }
+    val indexed = sp.indexed
+    val rowCountShadowed = sp.rowCountShadowed
 
     val paths = files.map(f => f._2.path -> f._2.size)
     val statsByPath: Map[String, String] =
@@ -84,9 +100,25 @@ object FileStatsCollector {
           }
           .collect().toMap
       }
-    files.map { case (desc, f) =>
-      (desc, f.copy(stats = statsByPath.getOrElse(f.path, "")))
+    allFiles.map { case (desc, f) =>
+      if (f.stats.nonEmpty) (desc, f)
+      else (desc, f.copy(stats = statsByPath.getOrElse(f.path, "")))
     }
+  }
+
+  /** Single-file footer read for the task-side collector: raw local FS
+    * when the path is a plain local file (skips the .crc companion reads),
+    * the Hadoop path otherwise. */
+  private[write] def readLocalOrHadoop(path: String, conf: Configuration,
+      indexed: Map[String, DataType], rowCountShadowed: Boolean): String = {
+    val local = new java.io.File(path)
+    val in =
+      if (local.isFile) {
+        val fs = new org.apache.hadoop.fs.RawLocalFileSystem()
+        fs.initialize(java.net.URI.create("file:///"), conf)
+        rawInputFile(fs, path, local.length())
+      } else HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    readFileStats(in, indexed, rowCountShadowed)
   }
 
   /** Parquet InputFile over a raw (checksum-free) local FS with a known

@@ -351,17 +351,43 @@ object TransactionalWrite {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    // min/max stats are read inside the WRITE TASKS at task commit (footer
+    // page-cache hot on the writing executor, zero driver IO) — the commit
+    // protocol ships them back in the task commit messages
+    val protoKey = "spark.sql.sources.commitProtocolClass"
+    val prevProto = spark.conf.getOption(protoKey)
+    val statsSpec = FileStatsCollector.specFor(table, df.schema)
+    statsSpec.foreach { sp =>
+      StatsCommitProtocol.register(commitDir.getAbsolutePath, sp)
+      spark.conf.set(protoKey, classOf[StatsCommitProtocol].getName)
+    }
     try {
       (if (partDirCols.nonEmpty) writer.partitionBy(partDirCols: _*) else writer)
         .parquet(commitDir.getAbsolutePath)
-    } finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    } finally {
+      prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
+      if (statsSpec.isDefined) prevProto match {
+        case Some(v) => spark.conf.set(protoKey, v)
+        case None => spark.conf.unset(protoKey)
+      }
     }
 
     postWriteHook()
-    val listed = listCommitFiles(commitDir.toPath, table, existCols)
-    // per-file min/max bounds from the just-written (page-cache-hot) footers
+    val taskStats =
+      if (statsSpec.isDefined) StatsCommitProtocol.take(commitDir.getAbsolutePath)
+      else Map.empty[String, String]
+    val listed = listCommitFiles(commitDir.toPath, table, existCols).map {
+      case (desc, f) =>
+        // task stats are keyed by output-relative path (partition dirs +
+        // file name) — bare names collide across a task's partition dirs
+        val rel = commitDir.toPath.relativize(java.nio.file.Paths.get(f.path))
+          .iterator().asScala.mkString("/")
+        (desc, f.copy(stats = taskStats.getOrElse(rel, "")))
+    }
+    // fallback only: any file the tasks didn't cover reads its footer here
     val files = FileStatsCollector.attach(spark, table, df.schema, listed)
     // One DataCommitInfo per touched range partition (TransactionCommit.scala:268-376).
     files.groupBy(_._1).map { case (desc, fs) =>

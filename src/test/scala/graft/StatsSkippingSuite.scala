@@ -29,6 +29,22 @@ class StatsSkippingSuite extends SparkFixture {
     }
   }
 
+  test("stats come from the write tasks, not the driver fallback") {
+    withTempPath { path =>
+      val before = graft.write.StatsCommitProtocol.collectedFiles.get()
+      val t = GraftTable.create(spark,
+        (1L to 200L).map(i => (i, i * 1.5)).toDF("id", "v"),
+        path, hashColumns = Seq("id"), bucketNum = 4)
+      t.upsert(Seq((5L, 99.0)).toDF("id", "v"))
+      val taskCollected =
+        graft.write.StatsCommitProtocol.collectedFiles.get() - before
+      val live = t.liveFiles
+      assert(live.forall(_.file.stats.nonEmpty), "every file needs stats")
+      assert(taskCollected == live.size.toLong,
+        s"expected all ${live.size} files collected task-side, got $taskCollected")
+    }
+  }
+
   test("nulls tracked: hasNull and allNull flags") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
