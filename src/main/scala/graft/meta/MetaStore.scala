@@ -646,8 +646,23 @@ object MetaStore {
     all.groupBy(_.partitionDesc).toSeq.sortBy(_._1).flatMap { case (d, lines) =>
       val cur = lines.last
       lines.filter(_.timestamp <= asOfTs).lastOption match {
-        case None | Some(PartitionInfo(_, -1, _, _, _)) =>
-          // absent (or dropped) at the boundary: drop now, once
+        case None =>
+          // no line at-or-before the boundary. "Created after the
+          // boundary" is only trustworthy when the partition's CREATION
+          // line (version 0) is still in the log — after retention pruning
+          // (compactVersionLog) the earliest retained line may postdate a
+          // boundary the partition in fact existed at, and dropping it
+          // would silently empty data the user asked to restore. Fail
+          // loudly instead of guessing.
+          if (cur.version != -1 && lines.head.version != 0)
+            throw new IllegalStateException(
+              s"cannot restore partition '$d' to $asOfTs: its log before " +
+                s"${lines.head.timestamp} was pruned by retention " +
+                "(compactVersionLog); the boundary state is unrecoverable")
+          if (cur.version == -1) None
+          else Some(PartitionInfo(d, -1, Nil, CommitOp.Update, 0L))
+        case Some(PartitionInfo(_, -1, _, _, _)) =>
+          // dropped at the boundary: drop now, once
           if (cur.version == -1) None
           else Some(PartitionInfo(d, -1, Nil, CommitOp.Update, 0L))
         case Some(b) =>

@@ -128,6 +128,87 @@ final class BatchMergeIterator(
     builderBatch
   }
 
+  // every output column type the column-wise slice copier handles; any
+  // other type (decimal, nested) falls back to the per-row converter loop
+  private val sliceCopyable = schema.fields.forall(f => f.dataType match {
+    case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType => true
+    case _ => false
+  })
+
+  /** Copy `n` unique-key rows from the cursor's current batch into the
+    * builder, column-major when every type supports it (tight per-column
+    * loops, no per-row dispatch), per-row converter otherwise. Advances
+    * the cursor past the copied rows either way. */
+  private def appendSlice(cw: MergeRunCursor, n: Int): Unit = {
+    if (builderVecs == null) {
+      builderVecs = OnHeapColumnVector.allocateColumns(BuilderCap, schema)
+      builderBatch = new ColumnarBatch(
+        builderVecs.asInstanceOf[Array[ColumnVector]])
+    } else if (builderDirty) {
+      builderVecs.foreach(_.reset())
+      builderDirty = false
+    }
+    if (sliceCopyable) {
+      val batch = cw.currentBatch
+      val start = cw.currentIdx
+      var c = 0
+      while (c < nFields) {
+        copyColumn(builderVecs(c), batch.column(c), schema(c).dataType, start, n)
+        c += 1
+      }
+      builderRows += n
+      cw.advanceBy(n)
+    } else {
+      var i = 0
+      while (i < n) { appendRow(cw.head); cw.advance(); i += 1 }
+    }
+  }
+
+  private def copyColumn(dst: WritableColumnVector, src: ColumnVector,
+      dt: DataType, start: Int, n: Int): Unit = {
+    import org.apache.spark.sql.types._
+    var i = 0
+    dt match {
+      case IntegerType | DateType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull() else dst.appendInt(src.getInt(r)); i += 1 }
+      case LongType | TimestampType | TimestampNTZType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull() else dst.appendLong(src.getLong(r)); i += 1 }
+      case DoubleType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull() else dst.appendDouble(src.getDouble(r)); i += 1 }
+      case FloatType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull() else dst.appendFloat(src.getFloat(r)); i += 1 }
+      case ShortType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull() else dst.appendShort(src.getShort(r)); i += 1 }
+      case ByteType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull() else dst.appendByte(src.getByte(r)); i += 1 }
+      case BooleanType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull() else dst.appendBoolean(src.getBoolean(r)); i += 1 }
+      case StringType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull()
+          else { val b = src.getUTF8String(r).getBytes; dst.appendByteArray(b, 0, b.length) }
+          i += 1 }
+      case BinaryType =>
+        while (i < n) { val r = start + i
+          if (src.isNullAt(r)) dst.appendNull()
+          else { val b = src.getBinary(r); dst.appendByteArray(b, 0, b.length) }
+          i += 1 }
+      case other => throw new IllegalStateException(s"unsliceable type $other")
+    }
+  }
+
   /** Run whose takeBatch() was emitted last call: its head (= the reader's
     * NEXT batch, overwriting the emitted one) must not be pulled until the
     * caller is done with the emitted batch — settle at the next call. */
@@ -164,12 +245,23 @@ final class BatchMergeIterator(
       } else {
         val first = cw.head
         if (ruHead == null || cmp(first, ruHead) != 0) {
-          // unique key: single holder
-          if (!cw.tomb) {
+          // unique-key STRETCH: every row of the winner's batch whose key is
+          // below the runner-up's head has a single holder — binary-search
+          // the cut once and move the whole slice column-wise, instead of a
+          // compare + tree-adjust + row-convert per row (the overlap-region
+          // half of the reference's batch-native merge,
+          // sorted_stream_merger.rs)
+          val n = cw.sliceBelow(ruHead, keyComps)
+          if (cw.tomb) { cw.advanceBy(math.max(n, 1)); adjust(w) }
+          else if (n > 1) {
+            appendSlice(cw, math.min(n, BuilderCap - builderRows))
+            adjust(w)
+            if (builderRows == BuilderCap) return flushBuilder()
+          } else {
             appendRow(first) // converter reads the view before the advance
             cw.advance(); adjust(w)
             if (builderRows == BuilderCap) return flushBuilder()
-          } else { cw.advance(); adjust(w) }
+          }
         } else {
           // >=2 holders: fold oldest -> newest through the shared kernel
           grouper.start(first, cw.mask, cw.tomb)
@@ -210,6 +302,16 @@ private[read] trait MergeRunCursor {
   def takeBatch(): ColumnarBatch
   /** Skip the whole current batch (tombstone fast path). */
   def dropBatch(): Unit
+  /** Rows from the current position whose key sorts strictly below `limit`
+    * (binary search within the current batch; `limit == null` = rest of
+    * the batch). 0 when not batch-backed. */
+  def sliceBelow(limit: InternalRow, comps: Array[RowComp]): Int
+  /** Advance `n` rows (never past the current batch for batch cursors). */
+  def advanceBy(n: Int): Unit
+  /** Current batch / position, for the column-wise slice copy (valid only
+    * after a positive [[sliceBelow]]). */
+  def currentBatch: ColumnarBatch
+  def currentIdx: Int
 }
 
 /** Cursor over a vectorized parquet run (Iterator[ColumnarBatch]). Head and
@@ -225,6 +327,7 @@ private[read] final class BatchRunCursor(
   private var idx = 0
   private var headRow: ColumnarBatchRow = _
   private var lastRow: ColumnarBatchRow = _
+  private var probeRow: ColumnarBatchRow = _
   private var needPull = true
 
   private def pull(): Unit = {
@@ -236,6 +339,7 @@ private[read] final class BatchRunCursor(
         val cols = Array.tabulate[ColumnVector](cur.numCols)(cur.column)
         headRow = new ColumnarBatchRow(cols)
         lastRow = new ColumnarBatchRow(cols)
+        probeRow = new ColumnarBatchRow(cols)
         headRow.rowId = 0
         lastRow.rowId = cur.numRows - 1
         return
@@ -270,6 +374,31 @@ private[read] final class BatchRunCursor(
   }
 
   override def dropBatch(): Unit = { cur = null; needPull = true }
+
+  override def sliceBelow(limit: InternalRow, comps: Array[RowComp]): Int = {
+    if (needPull) pull()
+    if (cur == null) return 0
+    if (limit == null) return cur.numRows - idx
+    // rows of a run are key-sorted: first j in [idx, numRows) with
+    // key(j) >= limit bounds the single-holder stretch
+    var lo = idx
+    var hi = cur.numRows
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      probeRow.rowId = mid
+      if (RowComp.compare(comps, probeRow, limit) < 0) lo = mid + 1 else hi = mid
+    }
+    lo - idx
+  }
+
+  override def advanceBy(n: Int): Unit = {
+    idx += n
+    if (idx >= cur.numRows) { cur = null; needPull = true }
+    else headRow.rowId = idx
+  }
+
+  override def currentBatch: ColumnarBatch = cur
+  override def currentIdx: Int = idx
 }
 
 /** Cursor over a row stream (spill runs from [[BoundedMerge]]); never
@@ -286,5 +415,14 @@ private[read] final class RowRunCursor(
   override def takeBatch(): ColumnarBatch =
     throw new IllegalStateException("row run offers no batch")
   override def dropBatch(): Unit =
+    throw new IllegalStateException("row run offers no batch")
+  override def sliceBelow(limit: InternalRow, comps: Array[RowComp]): Int = 0
+  override def advanceBy(n: Int): Unit = {
+    var i = 0
+    while (i < n) { advance(); i += 1 }
+  }
+  override def currentBatch: ColumnarBatch =
+    throw new IllegalStateException("row run offers no batch")
+  override def currentIdx: Int =
     throw new IllegalStateException("row run offers no batch")
 }

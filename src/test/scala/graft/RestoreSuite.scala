@@ -100,6 +100,86 @@ class RestoreSuite extends SparkFixture {
     }}
   }
 
+  test("restore past the retention horizon fails loudly, never empties data") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, src, path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val tsCreate = t.lastCommitTs
+      Thread.sleep(5)
+      t.upsert(src.withColumn("v", col("v") + 1))
+      val tsV1 = t.lastCommitTs
+      Thread.sleep(5)
+      t.upsert(src.withColumn("v", col("v") + 2))
+      // prune history: the creation line (version 0) is dropped, the newest
+      // at-or-before tsV1 becomes each partition's retained base
+      MetaStore.default.compactVersionLog(t.tablePath, tsV1)
+      // a boundary the log can still answer works
+      assert(t.restoreToTimestamp(tsV1).nonEmpty)
+      assertSameRows(t.toDF, src.withColumn("v", col("v") + 1))
+      // a boundary BEFORE the retained base must fail, not silently drop
+      val e = intercept[IllegalStateException](t.restoreToTimestamp(tsCreate))
+      assert(e.getMessage.contains("pruned by retention"))
+      assertSameRows(t.toDF, src.withColumn("v", col("v") + 1)) // untouched
+    }
+  }
+
+  test("restore x secondary index: stale postings re-verify; refresh stays exact") {
+    withTempPath { dir =>
+      val rows0 = (1 to 30).map(i => (i.toLong, s"g${i % 3}", i * 1.0))
+        .toDF("id", "g", "v")
+      val t = GraftTable.create(spark, rows0, s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 4)
+      graft.tables.SecondaryIndex.create(
+        spark, s"$dir/src", s"$dir/idx", "g", bucketNum = 4)
+      graft.tables.SecondaryIndex.refresh(spark, s"$dir/idx")
+      val ts1 = t.lastCommitTs
+      Thread.sleep(5)
+      // new rows under a brand-new indexed value, then index them
+      t.upsert((100 to 110).map(i => (i.toLong, "gX", i * 1.0))
+        .toDF("id", "g", "v"))
+      graft.tables.SecondaryIndex.refresh(spark, s"$dir/idx")
+      assert(graft.tables.SecondaryIndex
+        .lookup(spark, s"$dir/idx", "gX").count() == 11)
+      // restore the SOURCE past those rows: postings for gX are now stale
+      t.restoreToTimestamp(ts1)
+      // lookups re-verify fetched rows — stale postings return nothing
+      assert(graft.tables.SecondaryIndex
+        .lookup(spark, s"$dir/idx", "gX").isEmpty)
+      assertSameRows(
+        graft.tables.SecondaryIndex.lookup(spark, s"$dir/idx", "g1"),
+        rows0.filter($"g" === "g1"))
+      // maintenance across the restore window keeps lookups exact
+      Thread.sleep(5)
+      t.upsert(Seq((200L, "gY", 1.0)).toDF("id", "g", "v"))
+      graft.tables.SecondaryIndex.refresh(spark, s"$dir/idx")
+      assert(graft.tables.SecondaryIndex
+        .lookup(spark, s"$dir/idx", "gY").count() == 1)
+      assert(graft.tables.SecondaryIndex
+        .lookup(spark, s"$dir/idx", "gX").isEmpty)
+    }
+  }
+
+  test("restore x shallow clone: clone stays pinned; source vacuum keeps its files") {
+    withTempPath { dir =>
+      val t = GraftTable.create(spark, src, s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 2)
+      val ts1 = t.lastCommitTs
+      Thread.sleep(5)
+      t.upsert(src.withColumn("v", col("v") * 5))
+      val cl = t.cloneTo(s"$dir/clone") // pins the post-upsert snapshot
+      val pinned = cl.toDF.collect().map(_.toString).sorted
+      // restoring the SOURCE must not move the clone
+      t.restoreToTimestamp(ts1)
+      assertSameRows(t.toDF, src)
+      assert(cl.toDF.collect().map(_.toString).sorted.sameElements(pinned),
+        "clone content moved with the source restore")
+      // source vacuum after the restore keeps clone-referenced files alive
+      t.vacuum()
+      assert(cl.toDF.collect().map(_.toString).sorted.sameElements(pinned),
+        "vacuum after restore deleted files the clone still reads")
+    }
+  }
+
   test("a restored source makes mview refresh fail loudly, never fold wrong") {
     withTempPath { dir =>
       val srcPath = s"$dir/src"; val viewPath = s"$dir/view"
