@@ -445,7 +445,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
           // name the losing table (by the caller's path) so the retry can
           // re-stage just that table's files instead of the whole set
           case e: MetaRerunException if e.conflictedTable.isEmpty =>
-            throw new MetaRerunException(e.getMessage, Some(orig))
+            throw new MetaRerunException(e.getMessage, Some(orig), e)
         }
       }
     }

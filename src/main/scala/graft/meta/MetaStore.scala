@@ -19,7 +19,11 @@ class MetaRerunException(msg: String,
     /** The table whose CAS failed, when the conflict names one — lets a
       * multi-table transaction re-stage only the conflicted table instead
       * of rewriting every table's data files on each retry. */
-    val conflictedTable: Option[String] = None) extends RuntimeException(msg)
+    val conflictedTable: Option[String] = None,
+    /** Underlying store error, kept when a rewrap renames the conflict —
+      * retry-exhaustion reports must distinguish a real CAS race from an
+      * unexpected database failure. */
+    cause: Throwable = null) extends RuntimeException(msg, cause)
 
 /** Metadata store API — the same five logical tables as the reference's
   * PostgreSQL catalog (SURVEY.md §1.1), behind a trait so other backends can

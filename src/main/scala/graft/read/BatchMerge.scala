@@ -129,7 +129,7 @@ final class BatchMergeIterator(
   }
 
   // every output column type the column-wise slice copier handles; any
-  // other type (decimal, nested) falls back to the per-row converter loop
+  // other type (nested) falls back to the per-row converter loop
   private val sliceCopyable = schema.fields.forall(f => f.dataType match {
     case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
@@ -137,6 +137,7 @@ final class BatchMergeIterator(
          org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
          org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
     case _ => false
   })
 
@@ -162,6 +163,7 @@ final class BatchMergeIterator(
         c += 1
       }
       builderRows += n
+      BatchMergeIterator.sliceCopiedRows.add(n)
       cw.advanceBy(n)
     } else {
       var i = 0
@@ -205,6 +207,33 @@ final class BatchMergeIterator(
           if (src.isNullAt(r)) dst.appendNull()
           else { val b = src.getBinary(r); dst.appendByteArray(b, 0, b.length) }
           i += 1 }
+      case d: DecimalType =>
+        // same storage convention as Spark's RowToColumnConverter (and the
+        // vectorized parquet updaters): precision <=9 int-backed, <=18
+        // long-backed, wider as unscaled-BigInteger byte arrays — so the
+        // TPC-H-shaped graft tables (l_extendedprice DECIMAL(12,2)...) stay
+        // on the columnar overlap path instead of the per-row converter
+        val p = d.precision; val sc = d.scale
+        if (p <= Decimal.MAX_INT_DIGITS) {
+          while (i < n) { val r = start + i
+            if (src.isNullAt(r)) dst.appendNull()
+            else dst.appendInt(src.getDecimal(r, p, sc).toUnscaledLong.toInt)
+            i += 1 }
+        } else if (p <= Decimal.MAX_LONG_DIGITS) {
+          while (i < n) { val r = start + i
+            if (src.isNullAt(r)) dst.appendNull()
+            else dst.appendLong(src.getDecimal(r, p, sc).toUnscaledLong)
+            i += 1 }
+        } else {
+          while (i < n) { val r = start + i
+            if (src.isNullAt(r)) dst.appendNull()
+            else {
+              val b = src.getDecimal(r, p, sc)
+                .toJavaBigDecimal.unscaledValue.toByteArray
+              dst.appendByteArray(b, 0, b.length)
+            }
+            i += 1 }
+        }
       case other => throw new IllegalStateException(s"unsliceable type $other")
     }
   }
@@ -283,6 +312,14 @@ final class BatchMergeIterator(
     }
     null // unreachable
   }
+}
+
+object BatchMergeIterator {
+  /** Rows moved by the column-major slice copier in this JVM (local-mode
+    * test/ops gauge, like [[graft.write.StatsCommitProtocol.collectedFiles]]:
+    * proves overlap regions actually take the columnar path — an assertion
+    * on its delta fails if someone silently disables the fast path). */
+  val sliceCopiedRows = new java.util.concurrent.atomic.LongAdder
 }
 
 /** Cursor over one sorted run for the columnar merge. */

@@ -30,6 +30,7 @@ class CompactionDaemon(
 
   private val running = new AtomicBoolean(false)
   @volatile private var thread: Thread = _
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[CompactionDaemon])
 
   // Quiescent-table fast path — the poll-side analogue of the reference
   // daemon's PG LISTEN wakeup: remember each table's last-seen commit
@@ -84,6 +85,13 @@ class CompactionDaemon(
       }
     }
     lastSweepErrors = errors.result()
+    // a throwing table must be VISIBLE in ops output every sweep, not just
+    // in the introspection field — at cluster scale silent skips compound
+    // into unbounded run depth on exactly the tables that are broken
+    if (lastSweepErrors.nonEmpty)
+      log.warn("compaction sweep skipped {} erroring table(s): {}",
+        lastSweepErrors.size,
+        lastSweepErrors.map { case (p, m) => s"$p -> $m" }.mkString("; "): Any)
     out
   }
 
@@ -122,10 +130,27 @@ class CompactionDaemon(
 
   def start(): Unit = if (running.compareAndSet(false, true)) {
     thread = new Thread(() => {
-      while (running.get()) {
-        runOnce()
-        try Thread.sleep(intervalMs)
-        catch { case _: InterruptedException => () }
+      try {
+        while (running.get()) {
+          // runOnce() already absorbs per-table NonFatal errors; this guard
+          // covers throws from tablePaths() itself (catalog store hiccup) —
+          // log and keep sweeping. Fatal errors (OOM, linkage) still exit,
+          // but through the finally below so the daemon never dies with
+          // `running` stuck true (which would make start() a permanent
+          // no-op until an explicit stop()).
+          try runOnce()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"compaction sweep failed (daemon continues): " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          try Thread.sleep(intervalMs)
+          catch { case _: InterruptedException => () }
+        }
+      } finally {
+        if (running.compareAndSet(true, false))
+          log.error("compaction daemon thread exited abnormally; " +
+            "call start() to restart it")
       }
     }, "graft-compaction-daemon")
     thread.setDaemon(true)

@@ -347,38 +347,42 @@ object TransactionalWrite {
           writer = writer.option(s"parquet.bloom.filter.expected.ndv#$c", n))
       }
     // timestamps as INT64 micros: INT96 (Spark's default) has no usable
-    // parquet statistics, which would blind the file-skipping bounds
+    // parquet statistics, which would blind the file-skipping bounds.
+    // Both conf swaps go through the REFCOUNTED guard: concurrent
+    // writeFiles on one SparkSession (the repo runs concurrent
+    // transactions) each set the same session-constant values, and the
+    // conf is only restored when the LAST writer leaves — a plain
+    // save/set/restore let one writer's finally unset the protocol class
+    // mid-plan for another, silently dropping that write to the
+    // driver-side stats fallback.
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    SessionConfGuard.acquire(spark, tsKey, "TIMESTAMP_MICROS")
     // min/max stats are read inside the WRITE TASKS at task commit (footer
     // page-cache hot on the writing executor, zero driver IO) — the commit
     // protocol ships them back in the task commit messages
     val protoKey = "spark.sql.sources.commitProtocolClass"
-    val prevProto = spark.conf.getOption(protoKey)
     val statsSpec = FileStatsCollector.specFor(table, df.schema)
     statsSpec.foreach { sp =>
       StatsCommitProtocol.register(commitDir.getAbsolutePath, sp)
-      spark.conf.set(protoKey, classOf[StatsCommitProtocol].getName)
+      SessionConfGuard.acquire(spark, protoKey, classOf[StatsCommitProtocol].getName)
     }
+    // taking the stats in the finally (not after it) guarantees the
+    // `pending` spec registration is cleared even when the write job
+    // fails or aborts — a long-lived driver with repeated failed writes
+    // must not accumulate registrations
+    var taskStats = Map.empty[String, String]
     try {
       (if (partDirCols.nonEmpty) writer.partitionBy(partDirCols: _*) else writer)
         .parquet(commitDir.getAbsolutePath)
     } finally {
-      prevTs match {
-        case Some(v) => spark.conf.set(tsKey, v)
-        case None => spark.conf.unset(tsKey)
-      }
-      if (statsSpec.isDefined) prevProto match {
-        case Some(v) => spark.conf.set(protoKey, v)
-        case None => spark.conf.unset(protoKey)
+      SessionConfGuard.release(spark, tsKey)
+      if (statsSpec.isDefined) {
+        SessionConfGuard.release(spark, protoKey)
+        taskStats = StatsCommitProtocol.take(commitDir.getAbsolutePath)
       }
     }
 
     postWriteHook()
-    val taskStats =
-      if (statsSpec.isDefined) StatsCommitProtocol.take(commitDir.getAbsolutePath)
-      else Map.empty[String, String]
     val listed = listCommitFiles(commitDir.toPath, table, existCols).map {
       case (desc, f) =>
         // task stats are keyed by output-relative path (partition dirs +
