@@ -4,6 +4,23 @@ package graft.meta
   * and bytes that boundary adds — the streaming admission-control unit. */
 case class CommitBatch(ts: Long, files: Long, bytes: Long)
 
+/** A STRICT incremental read crossed a non-delta commit (RESTORE /
+  * overwrite / UPDATE-rewrite). Streaming sources read in strict mode so
+  * a running stream whose checkpointed offset precedes such a boundary
+  * fails LOUDLY with re-pin guidance instead of silently skipping the
+  * partition's window (batch incremental reads keep the reference's
+  * abort-to-empty semantics, DataOperation.scala:209-254 — the stream is
+  * different: its offset would advance past the boundary and the gap
+  * would be unrecoverable without anyone noticing). */
+class NonIncrementalWindowException(
+    val tablePath: String, val partitionDesc: String, val boundaryTs: Long)
+  extends IllegalStateException(
+    s"incremental window crosses a non-delta commit (RESTORE/overwrite) at " +
+    s"ts=$boundaryTs in partition '$partitionDesc' of $tablePath: delta " +
+    "delivery cannot continue without skipping or re-emitting rows. " +
+    "Restart the stream with a fresh checkpoint to re-read the restored " +
+    s"state, or set readStartTime >= $boundaryTs to continue past the boundary.")
+
 /** Pure version/visibility algebra over the meta store — the heart of the
   * format (SURVEY.md §1.3; reference: DataOperation.scala:101-254).
   */
@@ -83,11 +100,17 @@ class SnapshotResolver(store: MetaStore) {
       tablePath: String,
       partitionDesc: String,
       startTime: Long,
-      endTime: Long): Seq[ResolvedFile] = {
+      endTime: Long,
+      strict: Boolean = false): Seq[ResolvedFile] = {
     val versions = store.partitionVersions(tablePath, partitionDesc)
       .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
-    if (versions.exists(v => v.commitOp == CommitOp.Update ||
-        v.commitOp == CommitOp.Rewrite)) return Nil
+    val nonDelta = versions.filter(v => v.commitOp == CommitOp.Update ||
+      v.commitOp == CommitOp.Rewrite)
+    if (nonDelta.nonEmpty) {
+      if (strict) throw new NonIncrementalWindowException(
+        tablePath, partitionDesc, nonDelta.map(_.timestamp).min)
+      return Nil
+    }
     val fresh = versions.filterNot(_.commitOp == CommitOp.Compaction)
     // New commits of each version = snapshot minus previous version's snapshot.
     val commitIds = scala.collection.mutable.LinkedHashSet[String]()
@@ -150,10 +173,12 @@ class SnapshotResolver(store: MetaStore) {
       tablePath: String,
       startTime: Long,
       endTime: Long,
-      partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
+      partitionPred: String => Boolean = _ => true,
+      strict: Boolean = false): Seq[ResolvedFile] =
     store.listPartitionHeads(tablePath)
       .filter(pi => partitionPred(pi.partitionDesc))
-      .flatMap(pi => incrementalFiles(tablePath, pi.partitionDesc, startTime, endTime))
+      .flatMap(pi =>
+        incrementalFiles(tablePath, pi.partitionDesc, startTime, endTime, strict))
 
   /** Incremental analog of [[currentFilesForDescs]]: per-desc resolution
     * without a head listing (incrementalFiles is already per-desc). */

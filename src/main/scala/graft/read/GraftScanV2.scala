@@ -711,7 +711,11 @@ class GraftMicroBatchStream(
   override def planInputPartitions(start: VOffset, end: VOffset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].ts
     val e = end.asInstanceOf[GraftStreamOffset].ts
-    val files = table.incrementalFiles(s, e)
+    // strict: a RESTORE/overwrite between the checkpointed offset and this
+    // batch's end must fail the query with re-pin guidance — the batch
+    // reader's silent abort-to-empty would advance the offset past the
+    // boundary and lose the window forever
+    val files = table.incrementalFiles(s, e, strict = true)
     if (!info.hasPrimaryKey)
       files.map(f => GraftFilePartition(
         PartitionedFile(InternalRow.empty,

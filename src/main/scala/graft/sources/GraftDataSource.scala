@@ -343,7 +343,10 @@ class GraftStreamSource(
     val s = start.map(o => offsetValue(o)).getOrElse(startTime)
     val e = offsetValue(end)
     if (e > handedOut) handedOut = e
-    val batch = if (diffMode) table.diff(s, e) else table.incremental(s, e)
+    // strict: fail loudly (with re-pin guidance) when a RESTORE/overwrite
+    // landed inside the stream's window — see NonIncrementalWindowException
+    val batch = if (diffMode) table.diff(s, e, strict = true)
+      else table.incremental(s, e, strict = true)
     org.apache.spark.sql.graft.StreamShim.asStreaming(batch)
   }
 

@@ -114,11 +114,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       resolver.filesUptoTimeForDescs(tablePath, endTime, descs))
 
   /** Incremental read over (startTime, endTime] (C1 forPathIncremental):
-    * the merged delta; CDC marker rows are KEPT (F6 exemption). */
+    * the merged delta; CDC marker rows are KEPT (F6 exemption). `strict`
+    * (streaming sources) throws [[graft.meta.NonIncrementalWindowException]]
+    * when the window crosses a RESTORE/overwrite boundary instead of the
+    * batch semantics' silent abort-to-empty. */
   def incremental(startTime: Long, endTime: Long,
-      partitionPred: String => Boolean = _ => true): DataFrame =
+      partitionPred: String => Boolean = _ => true,
+      strict: Boolean = false): DataFrame =
     GraftRead.read(spark, info,
-      resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred),
+      resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred,
+        strict = strict),
       keepCdcRows = true)
 
   def incrementalForDescs(startTime: Long, endTime: Long,
@@ -144,11 +149,14 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * untouched rows that merely rode along in a rewrite. Both snapshots
     * read under the CURRENT schema (per-file evolution null-fills), so the
     * comparison is well-typed across schema changes. */
-  def diff(startTime: Long, endTime: Long): DataFrame = {
+  def diff(startTime: Long, endTime: Long, strict: Boolean = false): DataFrame = {
     val ct = "_change_type"
     info.cdcColumn match {
       case Some(cdc) =>
-        incremental(startTime, endTime)
+        // strict only matters here: the CDC branch rides the incremental
+        // file set; the snapshot-comparison branch below is exact across
+        // ANY commit type (a restore shows up as the deletes/updates it is)
+        incremental(startTime, endTime, strict = strict)
           .withColumn(ct,
             when(col(cdc) === "delete", lit("delete"))
               .when(col(cdc) === "update", lit("update_postimage"))
@@ -384,10 +392,14 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def filesUptoTimeForDescs(endTime: Long, descs: Seq[String]): Seq[ResolvedFile] =
     resolver.filesUptoTimeForDescs(tablePath, endTime, descs)
 
-  /** Incremental file set over (startTime, endTime] (DSv2 scan options). */
+  /** Incremental file set over (startTime, endTime] (DSv2 scan options).
+    * `strict` = streaming semantics: throw on a RESTORE/overwrite boundary
+    * inside the window instead of silently dropping the partition. */
   def incrementalFiles(startTime: Long, endTime: Long,
-      partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
-    resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred)
+      partitionPred: String => Boolean = _ => true,
+      strict: Boolean = false): Seq[ResolvedFile] =
+    resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred,
+      strict = strict)
 
   def incrementalFilesForDescs(startTime: Long, endTime: Long,
       descs: Seq[String]): Seq[ResolvedFile] =

@@ -219,6 +219,151 @@ class GraftTransactionSuite extends SparkFixture {
     }}
   }
 
+  test("crash between staging and commitMany: readers never see partial " +
+    "state, vacuum reclaims each table's orphans, the retry lands") {
+    withTempPath { pa => withTempPath { pb =>
+      class CrashAtPublish(url: String) extends JdbcMetaStore(url) {
+        @volatile var crash = false
+        override def commitMany(
+            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
+          if (crash) throw new RuntimeException("injected crash at publish")
+          super.commitMany(entries)
+        }
+      }
+      val s = new CrashAtPublish("jdbc:derby:memory:txn9;create=true")
+      val a = GraftTable.create(spark, rows(12, 1), pa,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      val b = GraftTable.create(spark, rows(12, 1), pb,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      def parquets(p: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(p))
+      }
+      val (a0, b0) = (parquets(pa), parquets(pb))
+      import GraftTransaction._
+      def ops = Seq(
+        TxUpsert(a, rows(12, 7)),
+        TxUpdateDelta(b, col("id") <= 4, Map("v" -> (col("v") + 100))),
+        TxDeleteTombstone(b, col("id") > 10))
+      // every op stages its data files, then the single publish dies — the
+      // mixed-transaction crash window VERDICTs call out: orphans now span
+      // SEVERAL tables
+      s.crash = true
+      val e = intercept[RuntimeException] { GraftTransaction.run(ops) }
+      assert(e.getMessage.contains("injected crash"))
+      s.crash = false
+      val (aOrphans, bOrphans) = (parquets(pa) - a0, parquets(pb) - b0)
+      assert(aOrphans > 0 && bOrphans > 0,
+        s"staging must have written files to both tables ($aOrphans/$bOrphans)")
+      // no reader ever sees partial state; fsck is clean on both tables
+      assertSameRows(a.toDF, rows(12, 1))
+      assertSameRows(b.toDF, rows(12, 1))
+      assert(a.validate() == Nil && b.validate() == Nil)
+      // vacuum on EACH table reclaims exactly its orphans
+      assert(a.vacuum(0L) == aOrphans.toLong && b.vacuum(0L) == bOrphans.toLong)
+      assert(parquets(pa) == a0 && parquets(pb) == b0)
+      assertSameRows(a.toDF, rows(12, 1))
+      assertSameRows(b.toDF, rows(12, 1))
+      // the crashed transaction retries cleanly (no wedged state)
+      GraftTransaction.run(ops)
+      assertSameRows(a.toDF, rows(12, 7))
+      assertSameRows(b.toDF, (1 to 10)
+        .map(i => (i.toLong, if (i <= 4) i + 100 else i)).toDF("id", "v"))
+      s.dropTable(pa); s.dropTable(pb)
+    }}
+  }
+
+  test("crash MID-staging (second table's files half-written): same " +
+    "invariants — invisible, sweepable, retryable") {
+    withTempPath { pa => withTempPath { pb =>
+      import graft.write.TransactionalWrite
+      val s = jdbc("txn10")
+      val a = GraftTable.create(spark, rows(10, 1), pa,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      val b = GraftTable.create(spark, rows(10, 1), pb,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      import GraftTransaction._
+      def ops = Seq(TxUpsert(a, rows(10, 5)), TxUpsert(b, rows(10, 9)))
+      // the SECOND stage() dies after its data files hit disk, before any
+      // publish — torn staging across tables
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      TransactionalWrite.postWriteHook = () =>
+        if (calls.incrementAndGet() == 2)
+          throw new RuntimeException("injected crash mid-staging")
+      try {
+        val e = intercept[RuntimeException] { GraftTransaction.run(ops) }
+        assert(e.getMessage.contains("mid-staging"))
+      } finally TransactionalWrite.postWriteHook = () => ()
+      assertSameRows(a.toDF, rows(10, 1))
+      assertSameRows(b.toDF, rows(10, 1))
+      assert(a.validate() == Nil && b.validate() == Nil)
+      assert(a.vacuum(0L) + b.vacuum(0L) > 0, "orphans must be sweepable")
+      GraftTransaction.run(ops)
+      assertSameRows(a.toDF, rows(10, 5))
+      assertSameRows(b.toDF, rows(10, 9))
+      s.dropTable(pa); s.dropTable(pb)
+    }}
+  }
+
+  test("concurrent MIXED txns sharing one table (upsert+delete folds) " +
+    "converge under CAS contention") {
+    withTempPath { pa => withTempPath { pb =>
+      val s = jdbc("txn11")
+      val a = GraftTable.create(spark, rows(8, 1), pa,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      val b = GraftTable.create(spark, rows(8, 1), pb,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      import GraftTransaction._
+      val n = 3
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      def batch(base: Long) = (0 until 10)
+        .map(j => (base + j, 1)).toDF("id", "v")
+      // worker 1: upsert into a + delta-update shared b
+      val w1: Runnable = () => {
+        start.await()
+        try (1 to n).foreach { k =>
+          GraftTransaction.run(Seq(
+            TxUpsert(a, rows(8, 10 * k)),
+            TxUpdateDelta(b, col("id") <= 3, Map("v" -> (col("v") + 1)))))
+        } catch { case e: Throwable => errs.add(e) }
+      }
+      // worker 2: upsert 10 fresh ids into shared b and tombstone-delete
+      // the lower 5 of the PREVIOUS iteration's batch in the same
+      // transaction (staged ops read the txn-START snapshot, so a delete
+      // can only target rows that existed before the transaction)
+      val w2: Runnable = () => {
+        start.await()
+        try (1 to n).foreach { k =>
+          val base = 1000L + k * 100
+          val prev = 1000L + (k - 1) * 100
+          GraftTransaction.run(Seq(
+            TxUpsert(b, batch(base)),
+            TxDeleteTombstone(b, col("id") >= prev && col("id") < prev + 5)))
+        } catch { case e: Throwable => errs.add(e) }
+      }
+      pool.submit(w1); pool.submit(w2)
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(180, TimeUnit.SECONDS), "timeout")
+      assert(errs.isEmpty, s"txn failed under contention: ${errs.peek()}")
+      assertSameRows(a.toDF, rows(8, 10 * n))
+      // b: base rows with ids 1..3 incremented n times; batches 1..n-1
+      // lost their lower 5 to the NEXT iteration's delete; batch n intact
+      val expB = (1 to 8).map(i => (i.toLong, if (i <= 3) i + n else i))
+        .toDF("id", "v")
+        .unionByName((1 to n).flatMap { k =>
+          val keep = if (k < n) 5 until 10 else 0 until 10
+          keep.map(j => (1000L + k * 100 + j, 1)) }.toDF("id", "v"))
+      assertSameRows(b.toDF, expB)
+      assert(b.validate() == Nil)
+      s.dropTable(pa); s.dropTable(pb)
+    }}
+  }
+
   test("file store: single entry delegates, several tables refuse") {
     withTempPath { pa => withTempPath { pb =>
       val s = new FileMetaStore

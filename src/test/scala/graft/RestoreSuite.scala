@@ -221,4 +221,57 @@ class RestoreSuite extends SparkFixture {
         src.withColumn("v", col("v") * 9))
     }
   }
+
+  test("restore aborts a running incremental stream LOUDLY with re-pin " +
+    "guidance; readStartTime past the boundary resumes delivery") {
+    withTempPath { path =>
+      withTempPath { out =>
+        withTempPath { ckpt =>
+          import org.apache.spark.sql.streaming.Trigger
+          val t = GraftTable.create(spark, Seq((1L, "a")).toDF("id", "v"), path,
+            hashColumns = Seq("id"), bucketNum = 1)
+          t.upsert(Seq((2L, "b")).toDF("id", "v"))
+          def run(dst: String, dir: String,
+              opts: Map[String, String] = Map.empty) = {
+            var r = spark.readStream.format("graft")
+            opts.foreach { case (k, v) => r = r.option(k, v) }
+            val q = r.load(path)
+              .writeStream.format("graft")
+              .option("path", dst)
+              .option("hashPartitions", "id").option("hashBucketNum", "1")
+              .option("checkpointLocation", dir)
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination(120000)
+            q
+          }
+          run(s"$out/d1", s"$ckpt/q")
+          assert(spark.read.format("graft").load(s"$out/d1").count() == 2)
+
+          val ts1 = t.lastCommitTs
+          t.upsert(Seq((3L, "c")).toDF("id", "v")) // the stream never sees this
+          t.restoreToTimestamp(ts1)
+          val restoreTs = t.lastCommitTs
+
+          // checkpointed offset now precedes the RESTORE boundary: the next
+          // micro-batch must FAIL with guidance, not silently skip the
+          // window and advance the offset past it
+          val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            run(s"$out/d1", s"$ckpt/q")
+          }
+          val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+          assert(msg.contains("non-delta commit") && msg.contains("readStartTime"),
+            s"expected the strict-window error with re-pin guidance, got: $msg")
+
+          // the advertised re-pin: a fresh checkpoint pinned past the
+          // restore boundary resumes clean delta delivery
+          run(s"$out/d2", s"$ckpt/q2",
+            Map("readStartTime" -> restoreTs.toString))
+          t.upsert(Seq((4L, "d")).toDF("id", "v"))
+          run(s"$out/d2", s"$ckpt/q2",
+            Map("readStartTime" -> restoreTs.toString))
+          assertRows(spark.read.format("graft").load(s"$out/d2"), Seq("[4,d]"))
+        }
+      }
+    }
+  }
 }

@@ -42,7 +42,11 @@ trait SparkFixture extends AnyFunSuite with BeforeAndAfterAll {
 object SparkFixture {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: task retries ON so retry/speculation
+      // interactions (e.g. StatsCommitProtocol under a failed first
+      // attempt) are testable; tests that expect failing jobs still fail,
+      // they just pay one extra attempt
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -45,6 +45,47 @@ class StatsSkippingSuite extends SparkFixture {
     }
   }
 
+  test("write-task retry: stats land once, row counts exact, no stale " +
+    "first-attempt entries (fixture runs local[4,2] so tasks retry)") {
+    withTempPath { path =>
+      import spark.implicits._
+      val before = graft.write.StatsCommitProtocol.collectedFiles.get()
+      // single-stage write (non-PK, no range dirs: no exchange between the
+      // source and FileFormatWriter) so the throw fails the WRITE task
+      // itself — late in the partition, after the task opened its temp
+      // file — then Spark's second attempt rewrites the partition in full.
+      // Both attempts produce the same final file name, so even if a
+      // zombie first attempt reached commitTask its entries would collide
+      // into the committed attempt's keys instead of duplicating.
+      val df = spark.range(0, 400, 1, 4).map { i =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0 && i % 100 == 99)
+          throw new RuntimeException("injected first-attempt failure")
+        (i, i * 1.5, s"s$i")
+      }.toDF("id", "v", "s")
+      val t = GraftTable.create(spark, df, path)
+      assert(t.toDF.count() == 400)
+      val live = t.liveFiles
+      assert(live.nonEmpty && live.forall(_.file.stats.nonEmpty),
+        "every file needs stats despite the retried first attempts")
+      val taskCollected =
+        graft.write.StatsCommitProtocol.collectedFiles.get() - before
+      assert(taskCollected == live.size.toLong,
+        s"expected ${live.size} files collected task-side, got $taskCollected")
+      // row counts exact: per-file footer counts must sum to the real total
+      // (a stale 99-row first-attempt entry would break the sum)
+      val counted = live.map(f =>
+        FileStats.rowCount(FileStats.decode(f.file.stats)).getOrElse(-1L))
+      assert(counted.forall(_ >= 0), s"row count missing: $counted")
+      assert(counted.sum == 400L, s"per-file counts must sum exact: $counted")
+      // min/max exact over the merged state
+      val idStats = FileStats.decode(
+        live.minBy(f => FileStats.decode(f.file.stats)("id").mn.get.toLong)
+          .file.stats)("id")
+      assert(idStats.mn.contains("0"))
+    }
+  }
+
   test("nulls tracked: hasNull and allNull flags") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
