@@ -526,7 +526,13 @@ object Dedup {
     * join + min-aggregate, rounds = graph diameter, which for near-dup
     * clusters is tiny). Returns (id, component) where component = min id of
     * the cluster; singleton docs map to themselves. Bounded at `maxIters`
-    * rounds as a runaway guard. */
+    * rounds as a runaway guard.
+    *
+    * Scale shape: propagation runs ONLY over the edge-touched vertex set —
+    * the near-dup subgraph, typically orders of magnitude smaller than the
+    * corpus — never over every document. Singletons (the overwhelming
+    * majority at 100 TB) join in once at the end with comp = their own id,
+    * instead of riding every iteration's join + convergence count. */
   def components(
       df: DataFrame,
       idCol: String,
@@ -535,7 +541,9 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("_g_s"), col("id_b").as("_g_d"))
       .unionAll(pairs.select(col("id_b").as("_g_s"), col("id_a").as("_g_d")))
       .distinct().cache()
-    var labels = df.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
+    // symmetric edges: _g_s alone covers every endpoint
+    var labels = edges.select(col("_g_s").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).cache()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -552,7 +560,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    df.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("comp", "_g_comp"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_g_comp"), col("id")).as("comp"))
   }
 
   /** End-to-end near-dup dedup: keep ONE representative (min id) per

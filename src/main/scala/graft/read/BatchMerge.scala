@@ -214,15 +214,23 @@ final class BatchMergeIterator(
         // TPC-H-shaped graft tables (l_extendedprice DECIMAL(12,2)...) stay
         // on the columnar overlap path instead of the per-row converter
         val p = d.precision; val sc = d.scale
+        // parquet-reader and builder vectors store p<=18 decimals as raw
+        // unscaled int/long (the allocation convention above) — read them
+        // raw instead of materializing a Decimal per value; other vector
+        // implementations fall through to the getDecimal contract
+        val raw = src.isInstanceOf[WritableColumnVector] &&
+          p <= Decimal.MAX_LONG_DIGITS
         if (p <= Decimal.MAX_INT_DIGITS) {
           while (i < n) { val r = start + i
             if (src.isNullAt(r)) dst.appendNull()
-            else dst.appendInt(src.getDecimal(r, p, sc).toUnscaledLong.toInt)
+            else dst.appendInt(if (raw) src.getInt(r)
+              else src.getDecimal(r, p, sc).toUnscaledLong.toInt)
             i += 1 }
         } else if (p <= Decimal.MAX_LONG_DIGITS) {
           while (i < n) { val r = start + i
             if (src.isNullAt(r)) dst.appendNull()
-            else dst.appendLong(src.getDecimal(r, p, sc).toUnscaledLong)
+            else dst.appendLong(if (raw) src.getLong(r)
+              else src.getDecimal(r, p, sc).toUnscaledLong)
             i += 1 }
         } else {
           while (i < n) { val r = start + i

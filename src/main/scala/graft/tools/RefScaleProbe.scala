@@ -59,10 +59,15 @@ object RefScaleProbe {
     }
     def min3(body: => Unit): Double = Seq.fill(3)(time(body)).min
 
-    // deterministic synthetic rows: id PK + numeric + ~40-byte payload
+    // deterministic synthetic rows: id PK + numeric + ~40-byte payload.
+    // args(4) = "decimal" switches val to DECIMAL(12,2) — the TPC-H-shaped
+    // analytics schema — proving the columnar slice copier's decimal path
+    // carries the same merge tax as primitives at reference scale
+    val decimalVal = args.lift(4).contains("decimal")
     def rows(start: Long, n: Long) = spark.range(start, start + n)
       .select(col("id"),
-        (col("id") % 997 * 3.5).as("val"),
+        (if (decimalVal) (col("id") % 997 * 3.5).cast("decimal(12,2)")
+         else col("id") % 997 * 3.5).as("val"),
         concat(lit("payload-"), col("id") % 100000,
           lit("-"), col("id") % 7919).as("tag"))
     // upsert batch i: NEW keys above the init range (incremental data,
@@ -71,7 +76,8 @@ object RefScaleProbe {
     // is exercised, not just concatenation
     def batch(i: Int) = rows(initRows + (i - 1).toLong * perUpsert, perUpsert)
       .union(rows(((i * 1009L) % initRows) min (initRows - perUpsert / 100),
-        perUpsert / 100).withColumn("val", col("val") + i))
+        perUpsert / 100).withColumn("val", (col("val") + i)
+          .cast(if (decimalVal) "decimal(12,2)" else "double")))
 
     def runPhase(tag: String, cadence: Int): Unit = {
       val dir = java.nio.file.Files

@@ -512,6 +512,21 @@ class PipelineSuite extends SparkFixture {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("components: empty pair set -> every doc a singleton; propagation " +
+    "runs only over edge-touched vertices") {
+    import spark.implicits._
+    val docs = (1L to 50L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val comp = graft.pipeline.Dedup.components(docs, "id", empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (1L to 50L).map(i => i -> i).toMap)
+    // edge ids outside the doc set do not leak into the output
+    val stray = Seq((100L, 101L)).toDF("id_a", "id_b")
+    val comp2 = graft.pipeline.Dedup.components(docs, "id", stray)
+    assert(comp2.count() == 50)
+    assert(comp2.filter(col("id") > 50L).count() == 0)
+  }
+
   test("keepBest elects the highest-quality doc per near-dup cluster") {
     import spark.implicits._
     // cluster {1,2,3}: 2 has the best quality; cluster {5,6}: tie -> min id;
