@@ -364,6 +364,106 @@ class GraftTransactionSuite extends SparkFixture {
     }}
   }
 
+  test("randomized mixed-transaction sequences with crash injection match " +
+    "an in-memory model (stage-time snapshots, per-table fold order)") {
+    withTempPath { pa => withTempPath { pb =>
+      class CrashingStore(url: String) extends JdbcMetaStore(url) {
+        @volatile var crash = false
+        override def commitMany(
+            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
+          if (crash) throw new RuntimeException("injected crash at publish")
+          super.commitMany(entries)
+        }
+      }
+      val s = new CrashingStore("jdbc:derby:memory:txn12;create=true")
+      val seed = System.nanoTime()
+      val rnd = new scala.util.Random(seed)
+      info(s"model-check seed = $seed")
+
+      val a = GraftTable.create(spark, rows(20, 1), pa,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      val b = GraftTable.create(spark, rows(20, 2), pb,
+        hashColumns = Seq("id"), bucketNum = 2, store = s)
+      val tables = Map(pa -> a, pb -> b)
+      // model state per table: id -> v (Int, matching rows()'s schema)
+      val model = scala.collection.mutable.Map(
+        pa -> scala.collection.mutable.Map((1L to 20L).map(i => i -> i.toInt): _*),
+        pb -> scala.collection.mutable.Map((1L to 20L).map(i => i -> i.toInt * 2): _*))
+
+      import GraftTransaction._
+      // an op = (TxOp, model effect computed against the txn-START state,
+      // applied in op order — mirroring staged-snapshot + fold semantics)
+      type Effect = (String, Map[Long, Int], Set[Long]) // table, upserts, deletes
+      def randOp(): (TxOp, Effect) = {
+        val p = if (rnd.nextBoolean()) pa else pb
+        val t = tables(p)
+        val s0 = model(p).toMap // txn-start snapshot (model mutates per txn)
+        rnd.nextInt(3) match {
+          case 0 =>
+            val ids = (0 until (1 + rnd.nextInt(6)))
+              .map(_ => 1L + rnd.nextInt(30)).distinct
+            val v = rnd.nextInt(1000)
+            (TxUpsert(t, ids.map(i => (i, v + i.toInt)).toDF("id", "v")),
+              (p, ids.map(i => i -> (v + i.toInt)).toMap, Set.empty[Long]))
+          case 1 =>
+            val cut = 1L + rnd.nextInt(30)
+            val add = 1 + rnd.nextInt(9)
+            (TxUpdateDelta(t, col("id") <= cut, Map("v" -> (col("v") + add))),
+              (p, s0.collect { case (i, v) if i <= cut => i -> (v + add) },
+                Set.empty[Long]))
+          case _ =>
+            val lo = 1L + rnd.nextInt(30)
+            val hi = lo + rnd.nextInt(5)
+            (TxDeleteTombstone(t, col("id") >= lo && col("id") <= hi),
+              (p, Map.empty[Long, Int],
+                s0.keySet.filter(i => i >= lo && i <= hi)))
+        }
+      }
+
+      var crashes = 0
+      (1 to 14).foreach { _ =>
+        val nOps = 1 + rnd.nextInt(3)
+        val opsAndEffects = (0 until nOps).map(_ => randOp())
+        // a txn whose every op stages nothing (no-match delete/update)
+        // never reaches commitMany, so the crash hook cannot fire on it
+        val effective = opsAndEffects.exists { case (_, (_, ups, dels)) =>
+          ups.nonEmpty || dels.nonEmpty }
+        val doCrash = effective && rnd.nextDouble() < 0.3
+        if (doCrash) {
+          s.crash = true
+          intercept[RuntimeException] {
+            GraftTransaction.run(opsAndEffects.map(_._1))
+          }
+          s.crash = false
+          crashes += 1 // model untouched: the txn must be invisible
+        } else {
+          GraftTransaction.run(opsAndEffects.map(_._1))
+          // apply effects in op order; each was computed against the
+          // txn-start snapshot (randOp captured s0 when built, which is
+          // exactly the pre-txn state since we only mutate here)
+          opsAndEffects.foreach { case (_, (p, ups, dels)) =>
+            dels.foreach(model(p).remove)
+            ups.foreach { case (i, v) => model(p)(i) = v }
+          }
+        }
+      }
+
+      Seq(pa, pb).foreach { p =>
+        val exp = model(p).toSeq.map { case (i, v) => (i, v) }
+          .toDF("id", "v")
+        assertSameRows(tables(p).toDF, exp)
+        assert(tables(p).validate() == Nil, s"fsck dirty for $p (seed $seed)")
+      }
+      assert(crashes == 0 || (a.vacuum(0L) + b.vacuum(0L)) > 0,
+        s"$crashes crashed txns must have left sweepable orphans (seed $seed)")
+      Seq(pa, pb).foreach { p =>
+        assertSameRows(tables(p).toDF,
+          model(p).toSeq.map { case (i, v) => (i, v) }.toDF("id", "v"))
+      }
+      s.dropTable(pa); s.dropTable(pb)
+    }}
+  }
+
   test("file store: single entry delegates, several tables refuse") {
     withTempPath { pa => withTempPath { pb =>
       val s = new FileMetaStore
