@@ -65,6 +65,32 @@ trait MetaStore {
   def partitionHead(tablePath: String, partitionDesc: String): Option[PartitionInfo] =
     listPartitionHeads(tablePath).find(_.partitionDesc == partitionDesc)
 
+  /** Newest version-log line timestamp (0 for an empty table) — the
+    * streaming source polls this EVERY trigger and the compaction daemon
+    * every sweep per table, so stores should answer it without
+    * materializing heads (the JDBC store runs one MAX down its ts index).
+    * Log-max, NOT live-head-max, deliberately: a dropPartition appends a
+    * log line, so the log max is MONOTONIC — a head-max would REWIND when
+    * the newest-committed partition is dropped, and a streaming offset
+    * must never go backward (snapshotAt(lastCommitTs) would also disagree
+    * with the current state). This default derives from live heads (the
+    * best a generic store can do); stores with log access override. */
+  def maxCommitTs(tablePath: String): Long = {
+    val heads = listPartitionHeads(tablePath)
+    if (heads.isEmpty) 0L else heads.map(_.timestamp).max
+  }
+
+  /** Live partitions with at least one version line in (startTime,
+    * endTime] — the partitions a streaming micro-batch must resolve. May
+    * return a SUPERSET (this default returns every live partition; the
+    * per-partition version filters downstream do the exact work); the
+    * JDBC store answers with one indexed range query, so planning a
+    * micro-batch over a 100k-partition table touches O(changed)
+    * partitions, not O(all). */
+  def partitionsChangedBetween(
+      tablePath: String, startTime: Long, endTime: Long): Seq[String] =
+    listPartitionHeads(tablePath).map(_.partitionDesc)
+
   /** Full version history of one partition, oldest first. */
   def partitionVersions(tablePath: String, partitionDesc: String): Seq[PartitionInfo]
 
@@ -449,6 +475,13 @@ class FileMetaStore extends MetaStore {
 
   private def allVersionLines(tablePath: String): Seq[PartitionInfo] =
     logState(tablePath).lines
+
+  /** Log-max over the cached parsed log (monotonic across drops — see the
+    * trait scaladoc); stat-warm like every other read here. */
+  override def maxCommitTs(tablePath: String): Long = {
+    val all = allVersionLines(tablePath)
+    if (all.isEmpty) 0L else all.map(_.timestamp).max
+  }
 
   /** Per partition keep everything newer than the boundary plus the newest
     * at-or-before line (the base of the retained lineage — may be a

@@ -140,10 +140,13 @@ class SnapshotResolver(store: MetaStore) {
   def commitBatches(tablePath: String, startTime: Long, endTime: Long,
       maxBoundaries: Int = Int.MaxValue): Seq[CommitBatch] = {
     // Pass 1 (cheap, in-memory log only): every version line in range with
-    // the commit ids it newly adds. No commit JSON is touched yet.
+    // the commit ids it newly adds. No commit JSON is touched yet. Only
+    // partitions with lines in range are consulted (indexed range query on
+    // the JDBC store — pacing a deep backlog must not point-read every
+    // partition's history).
     val lines = scala.collection.mutable.ArrayBuffer[(PartitionInfo, Seq[String])]()
-    store.listPartitionHeads(tablePath).foreach { head =>
-      val all = store.partitionVersions(tablePath, head.partitionDesc)
+    store.partitionsChangedBetween(tablePath, startTime, endTime).foreach { desc =>
+      val all = store.partitionVersions(tablePath, desc)
       all.filter(v => v.timestamp > startTime && v.timestamp <= endTime)
         .foreach { v =>
           val newIds =
@@ -175,10 +178,13 @@ class SnapshotResolver(store: MetaStore) {
       endTime: Long,
       partitionPred: String => Boolean = _ => true,
       strict: Boolean = false): Seq[ResolvedFile] =
-    store.listPartitionHeads(tablePath)
-      .filter(pi => partitionPred(pi.partitionDesc))
-      .flatMap(pi =>
-        incrementalFiles(tablePath, pi.partitionDesc, startTime, endTime, strict))
+    // only partitions with commits in the window can contribute (or carry
+    // a non-delta boundary) — a micro-batch on a 100k-partition table
+    // resolves O(changed) partitions, not O(all)
+    store.partitionsChangedBetween(tablePath, startTime, endTime)
+      .filter(partitionPred)
+      .flatMap(desc =>
+        incrementalFiles(tablePath, desc, startTime, endTime, strict))
 
   /** Incremental analog of [[currentFilesForDescs]]: per-desc resolution
     * without a head listing (incrementalFiles is already per-desc). */

@@ -246,11 +246,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     h(v - 1)._2
   }
 
-  /** Latest commit timestamp (for snapshot/incremental boundaries). */
-  def lastCommitTs: Long = {
-    val heads = store.listPartitionHeads(tablePath)
-    if (heads.isEmpty) 0L else heads.map(_.timestamp).max
-  }
+  /** Latest commit timestamp (for snapshot/incremental boundaries) —
+    * served by the store without materializing heads where it can
+    * ([[graft.meta.MetaStore.maxCommitTs]]): the streaming source polls
+    * this every trigger, the compaction daemon every sweep per table. */
+  def lastCommitTs: Long = store.maxCommitTs(tablePath)
 
   def partitions: Seq[PartitionInfo] = store.listPartitionHeads(tablePath)
 

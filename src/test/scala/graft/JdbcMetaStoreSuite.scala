@@ -96,6 +96,56 @@ class JdbcMetaStoreSuite extends SparkFixture {
     }
   }
 
+  test("maxCommitTs: indexed MAX matches head-max while all partitions " +
+    "live, and stays MONOTONIC across drops (offsets never rewind)") {
+    withTempPath { path =>
+      val s = freshStore("maxts")
+      s.createTable(ti(path))
+      def headMax: Long = {
+        val hs = s.listPartitionHeads(path)
+        if (hs.isEmpty) 0L else hs.map(_.timestamp).max
+      }
+      assert(s.maxCommitTs(path) == 0L && headMax == 0L)
+      s.commit(path, Seq(commitOf("a", CommitOp.Append, 0)), Map.empty)
+      assert(s.maxCommitTs(path) == headMax && s.maxCommitTs(path) > 0L)
+      s.commit(path, Seq(commitOf("b", CommitOp.Append, 0)), Map.empty)
+      s.commit(path, Seq(commitOf("a", CommitOp.Merge, 1)), Map("a" -> 0))
+      assert(s.maxCommitTs(path) == headMax)
+      // dropping the newest-committed partition must NOT rewind the max:
+      // the drop is itself a newer log line (head-max would go backward,
+      // and a streaming offset seeded from it would regress)
+      val before = s.maxCommitTs(path)
+      s.dropPartition(path, "a")
+      assert(s.maxCommitTs(path) >= before,
+        "maxCommitTs must be monotonic across drops")
+      assert(headMax < s.maxCommitTs(path),
+        "live-head max rewinds on drop — exactly why maxCommitTs is log-max")
+      s.dropTable(path)
+    }
+  }
+
+  test("partitionsChangedBetween: indexed range query returns exactly the " +
+    "live partitions with commits in-window") {
+    withTempPath { path =>
+      val s = freshStore("chg")
+      s.createTable(ti(path))
+      s.commit(path, Seq(commitOf("a", CommitOp.Append, 0),
+        commitOf("b", CommitOp.Append, 0)), Map.empty)
+      val ts1 = s.maxCommitTs(path)
+      s.commit(path, Seq(commitOf("b", CommitOp.Merge, 1)), Map("b" -> 0))
+      s.commit(path, Seq(commitOf("c", CommitOp.Append, 0)), Map.empty)
+      val ts2 = s.maxCommitTs(path)
+      assert(s.partitionsChangedBetween(path, 0L, ts2) == Seq("a", "b", "c"))
+      assert(s.partitionsChangedBetween(path, ts1, ts2) == Seq("b", "c"),
+        "only partitions with in-window commits")
+      assert(s.partitionsChangedBetween(path, ts2, ts2 + 10) == Nil)
+      // a dropped partition leaves the changed set even with in-window lines
+      s.dropPartition(path, "b")
+      assert(s.partitionsChangedBetween(path, ts1, ts2) == Seq("c"))
+      s.dropTable(path)
+    }
+  }
+
   test("stale expectedVersions raises MetaRerunException; retry lands") {
     withTempPath { path =>
       val s = freshStore("cas")
