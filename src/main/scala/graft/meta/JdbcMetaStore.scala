@@ -624,6 +624,33 @@ class JdbcMetaStore(url: String) extends MetaStore {
     MetaStore.lineage(logRows(c, canonical(tablePath), Some(desc)))
   }
 
+  /** ONE connection + ONE reused PreparedStatement, point-probed per desc
+    * down graft_plog_desc. Measured on Derby: point probes cost ~0.03 ms
+    * while >=100-param IN-lists fall off the index to ~58 ms scans per
+    * chunk — the opposite of intuition; the win over the default
+    * implementation is dropping the per-call connection/prepare overhead,
+    * not the query count. (A PostgreSQL deployment would use one
+    * `partition_desc = ANY(?)` array probe instead.) */
+  override def partitionVersionsBulk(tablePath: String,
+      descs: Seq[String]): Map[String, Seq[PartitionInfo]] = withConn { c =>
+    val tp = canonical(tablePath)
+    val ps = c.prepareStatement(
+      "SELECT partition_desc, version, commit_op, ts, snapshot " +
+        "FROM graft_partition_log WHERE table_path = ? " +
+        "AND partition_desc = ? ORDER BY seq")
+    try {
+      ps.setString(1, tp)
+      descs.iterator.map { d =>
+        ps.setString(2, d)
+        val rs = ps.executeQuery()
+        val b = Vector.newBuilder[PartitionInfo]
+        while (rs.next()) b += rowToPi(rs)
+        rs.close()
+        d -> MetaStore.lineage(b.result())
+      }.toMap
+    } finally ps.close()
+  }
+
   private val commitCache = new ConcurrentHashMap[String, DataCommitInfo]()
 
   override def getCommits(tablePath: String,
@@ -632,21 +659,24 @@ class JdbcMetaStore(url: String) extends MetaStore {
     val tp = canonical(tablePath)
     val missing = ids.filterNot(id => commitCache.containsKey(tp + "\u0000" + id))
     if (missing.nonEmpty) withConn { c =>
-      missing.grouped(500).foreach { chunk =>
-        val marks = chunk.map(_ => "?").mkString(",")
-        val ps = c.prepareStatement(
-          "SELECT commit_id, info FROM graft_commit_info " +
-            s"WHERE table_path = ? AND commit_id IN ($marks)")
-        try {
-          ps.setString(1, tp)
-          chunk.zipWithIndex.foreach { case (id, i) => ps.setString(i + 2, id) }
+      // reused-statement PK point probes: on Derby a multi-param IN-list
+      // falls off the index to a table scan per chunk (~58 ms vs ~0.03 ms
+      // a probe), which turned whole-table snapshot resolution quadratic
+      // once filesAtMany batched all commit ids through here
+      val ps = c.prepareStatement(
+        "SELECT info FROM graft_commit_info " +
+          "WHERE table_path = ? AND commit_id = ?")
+      try {
+        ps.setString(1, tp)
+        missing.foreach { id =>
+          ps.setString(2, id)
           val rs = ps.executeQuery()
-          while (rs.next())
-            commitCache.put(tp + "\u0000" + rs.getString(1),
-              jread[DataCommitInfo](rs.getString(2)))
+          if (rs.next())
+            commitCache.put(tp + "\u0000" + id,
+              jread[DataCommitInfo](rs.getString(1)))
           rs.close()
-        } finally ps.close()
-      }
+        }
+      } finally ps.close()
     }
     ids.map { id =>
       val v = commitCache.get(tp + "\u0000" + id)

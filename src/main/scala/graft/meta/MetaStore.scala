@@ -80,6 +80,16 @@ trait MetaStore {
     if (heads.isEmpty) 0L else heads.map(_.timestamp).max
   }
 
+  /** Version lineages of MANY partitions in one round — time travel on a
+    * wide table resolves every (pred-surviving) partition's lineage, and
+    * per-desc point queries turn that into O(partitions) database
+    * round-trips; stores batch it (the JDBC store: chunked IN-list probes
+    * down its (table_path, partition_desc) index). Absent descs map to
+    * empty lineages. */
+  def partitionVersionsBulk(tablePath: String,
+      descs: Seq[String]): Map[String, Seq[PartitionInfo]] =
+    descs.map(d => d -> partitionVersions(tablePath, d)).toMap
+
   /** Live partitions with at least one version line in (startTime,
     * endTime] — the partitions a streaming micro-batch must resolve. May
     * return a SUPERSET (this default returns every live partition; the
@@ -481,6 +491,16 @@ class FileMetaStore extends MetaStore {
   override def maxCommitTs(tablePath: String): Long = {
     val all = allVersionLines(tablePath)
     if (all.isEmpty) 0L else all.map(_.timestamp).max
+  }
+
+  /** One pass over the cached log instead of per-desc scans (the
+    * single-desc read filters the whole log per call — O(descs x lines)
+    * if looped). */
+  override def partitionVersionsBulk(tablePath: String,
+      descs: Seq[String]): Map[String, Seq[PartitionInfo]] = {
+    val grouped = allVersionLines(tablePath).groupBy(_.partitionDesc)
+    descs.iterator.map(d =>
+      d -> MetaStore.lineage(grouped.getOrElse(d, Nil))).toMap
   }
 
   /** Per partition keep everything newer than the boundary plus the newest

@@ -30,8 +30,11 @@ class SnapshotResolver(store: MetaStore) {
     * newest -> oldest, dropping paths seen with a `del` op
     * (DataOperation.scala:101-149). Returned oldest-commit-first with the
     * commit ordinal (the MOR merge order). */
-  def filesAt(tablePath: String, pi: PartitionInfo): Seq[ResolvedFile] = {
-    val commits = store.getCommits(tablePath, pi.snapshot)
+  def filesAt(tablePath: String, pi: PartitionInfo): Seq[ResolvedFile] =
+    filesAtWith(store.getCommits(tablePath, pi.snapshot), pi)
+
+  private def filesAtWith(commits: Map[String, DataCommitInfo],
+      pi: PartitionInfo): Seq[ResolvedFile] = {
     val deleted = scala.collection.mutable.HashSet[String]()
     val out = scala.collection.mutable.ArrayBuffer[ResolvedFile]()
     // newest -> oldest so a `del` hides any older `add` of the same path
@@ -50,28 +53,42 @@ class SnapshotResolver(store: MetaStore) {
     out.sortBy(_.commitOrdinal).toSeq
   }
 
+  /** [[filesAt]] over many partitions with ONE (chunked) commit fetch —
+    * a wide-table snapshot pays O(commit-ids / chunk) database
+    * round-trips, never one per partition. */
+  def filesAtMany(tablePath: String,
+      pis: Seq[PartitionInfo]): Seq[ResolvedFile] = {
+    val ids = pis.iterator.flatMap(_.snapshot).toSeq.distinct
+    if (ids.isEmpty) return Nil
+    val commits = store.getCommits(tablePath, ids)
+    pis.flatMap(pi => filesAtWith(commits, pi))
+  }
+
   /** Current files of every partition matching `partitionPred`. */
   def currentFiles(
       tablePath: String,
       partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
-    store.listPartitionHeads(tablePath)
-      .filter(pi => partitionPred(pi.partitionDesc))
-      .flatMap(pi => filesAt(tablePath, pi))
+    filesAtMany(tablePath,
+      store.listPartitionHeads(tablePath)
+        .filter(pi => partitionPred(pi.partitionDesc)))
 
   /** Current files of EXACTLY the named partitions — a point lookup per
     * desc, never a full head listing (the equal-value prune fast path; at
     * 100k+ partitions the listing itself is the cost). */
   def currentFilesForDescs(
       tablePath: String, descs: Seq[String]): Seq[ResolvedFile] =
-    descs.flatMap(d => store.partitionHead(tablePath, d))
-      .flatMap(pi => filesAt(tablePath, pi))
+    filesAtMany(tablePath, descs.flatMap(d => store.partitionHead(tablePath, d)))
 
-  /** Time-travel analog of [[currentFilesForDescs]]: per-desc version
-    * resolution (partitionVersions is itself a point lookup). */
+  /** Time-travel analog of [[currentFilesForDescs]]: lineages fetched in
+    * one bulk round ([[MetaStore.partitionVersionsBulk]]), boundary pick
+    * per desc. */
   def filesUptoTimeForDescs(
-      tablePath: String, endTime: Long, descs: Seq[String]): Seq[ResolvedFile] =
-    descs.flatMap(d => versionUptoTime(tablePath, d, endTime))
-      .flatMap(pi => filesAt(tablePath, pi))
+      tablePath: String, endTime: Long, descs: Seq[String]): Seq[ResolvedFile] = {
+    val lineages = store.partitionVersionsBulk(tablePath, descs)
+    filesAtMany(tablePath,
+      descs.flatMap(d => lineages.getOrElse(d, Nil)
+        .filter(_.timestamp <= endTime).lastOption))
+  }
 
   /** Time travel: latest version with timestamp <= endTime
     * (DataOperation.getLastedVersionUptoTime, :166-207). */
@@ -87,10 +104,13 @@ class SnapshotResolver(store: MetaStore) {
       tablePath: String,
       endTime: Long,
       partitionPred: String => Boolean = _ => true): Seq[ResolvedFile] =
-    store.listPartitionHeads(tablePath)
-      .filter(pi => partitionPred(pi.partitionDesc))
-      .flatMap(pi => versionUptoTime(tablePath, pi.partitionDesc, endTime))
-      .flatMap(pi => filesAt(tablePath, pi))
+    // prune on the head listing FIRST (pushed partition predicates), then
+    // resolve the survivors' lineages in one bulk round instead of a
+    // point query per partition — wide-table time travel is O(batches),
+    // not O(partitions), in database round-trips
+    filesUptoTimeForDescs(tablePath, endTime,
+      store.listPartitionHeads(tablePath).map(_.partitionDesc)
+        .filter(partitionPred))
 
   /** Incremental read of one partition over (startTime, endTime]: the union
     * of non-compaction commits in range; aborts (empty) if an Update commit

@@ -257,12 +257,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   /** Distinct commit operations recorded in `(startTime, endTime]` across
     * all partitions — lets incremental consumers (e.g.
     * [[graft.pipeline.MaterializedView]]) verify a window is a consumable
-    * delta before folding it in. */
+    * delta before folding it in. Consults only partitions with in-window
+    * commits ([[graft.meta.MetaStore.partitionsChangedBetween]]) — this
+    * runs per incremental refresh, so it must not point-read every
+    * partition's history on a wide table. */
   def commitOpsBetween(startTime: Long, endTime: Long): Set[String] =
-    partitions.flatMap(p =>
-      store.partitionVersions(tablePath, p.partitionDesc)
-        .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
-        .map(_.commitOp)).toSet
+    store.partitionsChangedBetween(tablePath, startTime, endTime)
+      .flatMap(desc =>
+        store.partitionVersions(tablePath, desc)
+          .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
+          .map(_.commitOp)).toSet
 
   /** SHALLOW CLONE: a new table at `targetPath` whose commits REFERENCE
     * this table's data files — a metadata-only snapshot copy (O(files),

@@ -60,8 +60,8 @@ object StreamWidthProbe {
     commitOne("p=s0000007") // the trigger's delta: ONE changed partition
     val ts2 = store.maxCommitTs(tp)
 
-    def bench(what: String, reps: Int)(body: => Any): Unit = {
-      body // warm
+    def bench(what: String, reps: Int, warm: Boolean = true)(body: => Any): Unit = {
+      if (warm) body
       val ms = (1 to reps).map(_ => timeMs(body)._2).min
       println(f"[streamwidth] $what: $ms%.1f ms")
     }
@@ -82,6 +82,34 @@ object StreamWidthProbe {
     }
     bench("commitBatches over 1-commit window", 5) {
       resolver.commitBatches(tp, ts1, ts2)
+    }
+    if (args.lift(1).contains("debug")) {
+      val descs = store.listPartitionHeads(tp).map(_.partitionDesc)
+      bench("debug: listPartitionHeads", 1, warm = false) { descs.size }
+      var lineages: Map[String, Seq[graft.meta.PartitionInfo]] = Map.empty
+      bench("debug: partitionVersionsBulk(all)", 1, warm = false) {
+        lineages = store.partitionVersionsBulk(tp, descs)
+      }
+      val pis = descs.flatMap(d => lineages.getOrElse(d, Nil)
+        .filter(_.timestamp <= ts2).lastOption)
+      val ids = pis.iterator.flatMap(_.snapshot).toSeq.distinct
+      bench(s"debug: getCommits(${ids.size} ids)", 1, warm = false) {
+        store.getCommits(tp, ids).size
+      }
+      bench("debug: assembly (cached commits)", 1, warm = false) {
+        resolver.filesAtMany(tp, pis).size
+      }
+    }
+    // full-table time travel: bulk lineage + ONE chunked commit fetch vs a
+    // point query per desc (plus a commit fetch per partition via filesAt)
+    bench("filesUptoTime over ALL partitions (bulk lineage)", 2) {
+      val fs = resolver.filesUptoTime(tp, ts2)
+      require(fs.size >= n, s"expected >= $n files, got ${fs.size}")
+    }
+    bench("naive time travel (per-desc lineage point reads)", 1, warm = false) {
+      store.listPartitionHeads(tp)
+        .flatMap(pi => resolver.versionUptoTime(tp, pi.partitionDesc, ts2))
+        .size
     }
     store.dropTable(tp)
   }
