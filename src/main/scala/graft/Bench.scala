@@ -72,13 +72,13 @@ object Bench {
       // not JVM class loading + first-call codegen (probe: the first upsert
       // in a cold JVM costs 2-3x its steady-state time)
       locally {
-        val wdir = java.nio.file.Files.createTempDirectory("graft-bench-warm-").toFile.getAbsolutePath
+        val wdir = graft.tools.ProbeTmp.dir("graft-bench-warm-")
         val wt = GraftTable.create(spark, orders.limit(20000), wdir,
           hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
         (1 to 2).foreach(_ => wt.upsert(orders.limit(5000)))
         wt.toDF.count()
       }
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-").toFile.getAbsolutePath
+      val dir = graft.tools.ProbeTmp.dir("graft-bench-")
       var t: GraftTable = null
       results("mor_write_init") = time {
         t = GraftTable.create(spark, orders, dir,
@@ -162,8 +162,7 @@ object Bench {
     try {
       import org.apache.spark.sql.functions.{count => fcount, lit, window}
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      val sdir = java.nio.file.Files
-        .createTempDirectory("graft-bench-swarm-").toFile.getAbsolutePath
+      val sdir = graft.tools.ProbeTmp.dir("graft-bench-swarm-")
       val src = orders.limit(200)
         .withColumn("w_ts", org.apache.spark.sql.functions
           .timestamp_micros(col("o_orderkey") * 1000000L))
@@ -260,10 +259,10 @@ object Bench {
         .groupBy(col("o_custkey").as("custkey"))
         .agg(count(lit(1)).as("n_orders"))
       val bjl = GraftTable.create(spark, cstIn,
-        java.nio.file.Files.createTempDirectory("graft-bench-bjl-").toFile.getAbsolutePath,
+        graft.tools.ProbeTmp.dir("graft-bench-bjl-"),
         hashColumns = Seq("custkey"), bucketNum = cpus.toInt)
       val bjr = GraftTable.create(spark, ordIn,
-        java.nio.file.Files.createTempDirectory("graft-bench-bjr-").toFile.getAbsolutePath,
+        graft.tools.ProbeTmp.dir("graft-bench-bjr-"),
         hashColumns = Seq("custkey"), bucketNum = cpus.toInt)
       bjl.bucketedJoin(bjr).count() // warm-up (JIT the merge-join path)
       results("bucketed_join") = medianOf3 { bjl.bucketedJoin(bjr).count() }
@@ -281,10 +280,8 @@ object Bench {
       import graft.pipeline.MaterializedView
       import graft.pipeline.MaterializedView.Measure
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val srcPath = java.nio.file.Files
-        .createTempDirectory("graft-bench-mvsrc-").toFile.getAbsolutePath
-      val viewPath = java.nio.file.Files
-        .createTempDirectory("graft-bench-mview-").toFile.getAbsolutePath
+      val srcPath = graft.tools.ProbeTmp.dir("graft-bench-mvsrc-")
+      val viewPath = graft.tools.ProbeTmp.dir("graft-bench-mview-")
       val src = GraftTable.create(spark,
         li.filter(col("l_orderkey") % 10 =!= 0), srcPath)
       MaterializedView.create(spark, srcPath, viewPath,
@@ -315,14 +312,12 @@ object Bench {
       // the MviewRewriteRule buys without the query changing
       spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
       if (!spark.conf.getOption("spark.graft.warehouse").isDefined)
-        spark.conf.set("spark.graft.warehouse", java.nio.file.Files
-          .createTempDirectory("graft-bench-wh0-").toFile.getAbsolutePath)
+        spark.conf.set("spark.graft.warehouse", graft.tools.ProbeTmp.dir("graft-bench-wh0-"))
       graft.catalog.GraftCatalog.register(spark, "bench.mvsrc", srcPath)
       val sql = "SELECT l_returnflag, l_linestatus, " +
         "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS cnt " +
         "FROM graft_cat.bench.mvsrc GROUP BY l_returnflag, l_linestatus"
-      val vp2 = java.nio.file.Files
-        .createTempDirectory("graft-bench-mvrw-").toFile.getAbsolutePath
+      val vp2 = graft.tools.ProbeTmp.dir("graft-bench-mvrw-")
       graft.pipeline.MaterializedView.create(spark, srcPath, s"$vp2/v",
         keys = Seq("l_returnflag", "l_linestatus"),
         measures = Seq(
@@ -343,10 +338,8 @@ object Bench {
     try {
       import graft.tables.SecondaryIndex
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
-      val siSrc = java.nio.file.Files
-        .createTempDirectory("graft-bench-sisrc-").toFile.getAbsolutePath
-      val siIdx = java.nio.file.Files
-        .createTempDirectory("graft-bench-siidx-").toFile.getAbsolutePath
+      val siSrc = graft.tools.ProbeTmp.dir("graft-bench-sisrc-")
+      val siIdx = graft.tools.ProbeTmp.dir("graft-bench-siidx-")
       val src = GraftTable.create(spark, o, siSrc,
         hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
       SecondaryIndex.create(spark, siSrc, siIdx, "o_custkey",
@@ -373,16 +366,14 @@ object Bench {
     try {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       def freshTable(tag: String) = GraftTable.create(spark, orders,
-        java.nio.file.Files.createTempDirectory(s"graft-bench-$tag-")
-          .toFile.getAbsolutePath,
+        graft.tools.ProbeTmp.dir(s"graft-bench-$tag-"),
         hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
       val pred = col("o_orderstatus") === "F" && col("o_orderkey") % 37 === 0
       // untimed warmup JITs both paths (matched-key read + delta write,
       // rewrite read + filtered write) so ordering doesn't skew the pair
       locally {
         val w = GraftTable.create(spark, orders.limit(20000),
-          java.nio.file.Files.createTempDirectory("graft-bench-delwarm-")
-            .toFile.getAbsolutePath,
+          graft.tools.ProbeTmp.dir("graft-bench-delwarm-"),
           hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
         w.deleteTombstone(pred)
         w.delete(col("o_orderkey") % 41 === 0)
@@ -414,7 +405,7 @@ object Bench {
     try {
       spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalogV2")
       spark.conf.set("spark.graft.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-bench-wh-").toFile.getAbsolutePath)
+        graft.tools.ProbeTmp.dir("graft-bench-wh-"))
       spark.read.parquet(s"$sfDir/customer.parquet")
         .selectExpr("c_custkey AS custkey", "c_name", "c_mktsegment")
         .createOrReplaceTempView("bench_spj_l")

@@ -32,7 +32,10 @@ object SparkEntry {
   }
 
   private def tmp(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag-").toFile.getAbsolutePath
+    // exit-time cleanup: a Verify/Bench run materializes ~175 temp tables;
+    // leftovers across repeated runs fill the disk out from under later
+    // gate runs (state-store commits fail on a full /tmp)
+    graft.tools.ProbeTmp.dir(s"graft-$tag-")
 
   /** Point the DSv2 catalog `graft_cat` at a fresh warehouse. */
   private def v2(s: SparkSession): Unit = {
@@ -617,6 +620,20 @@ object SparkEntry {
         hashColumns = Seq("o_orderkey"), bucketNum = 4)
       t.upsert(o.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.toDF
+    }),
+    "mor_upsert_decimal" -> q((s, d) => {
+      // the SAME MOR flow on a DECIMAL(12,2) price column — drives the
+      // columnar merge's decimal slice path (BatchMerge copyColumn's
+      // raw-unscaled reads) through the full write/merge/read loop
+      // against the DuckDB oracle, not just the unit suite
+      val o = rd(s, d, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+      val t = GraftTable.create(s, o, tmp("morupdec"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      t.upsert(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(12,2)")))
       t.toDF
     }),
     "jdbc_catalog_mor" -> q((s, d) => {
@@ -2813,6 +2830,12 @@ object SparkEntry {
     "mor_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "mor_upsert_decimal" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 10 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+        |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DECIMAL(12,2)) AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "jdbc_catalog_mor" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -533,6 +533,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     (tablePath, commits, commits.map(c =>
       c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap)
 
+  /** Current-head expectations for already-staged commits — ONLY safe for
+    * base-independent stagings (pure delta upserts, which commute with
+    * interleaved commits exactly like [[publish]]'s publish-time heads);
+    * lets a multi-table retry refresh an unconflicted table's expectations
+    * without rewriting its data files. */
+  private[tables] def refreshedExpectations(
+      commits: Seq[graft.meta.DataCommitInfo]): Map[String, Int] = {
+    val heads = headsNow
+    commits.map(c =>
+      c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap
+  }
+
   /** Upsert (J1 REWRITE / copy-on-write mode, reference
     * UpsertCommand.scala:125-143): full-outer join the batch against the
     * current merged state of the touched partitions and REWRITE them

@@ -124,6 +124,30 @@ object GraftTransaction {
           toStage = e.conflictedTable
             .flatMap(tp => byTable.find(_._1 == tp))
             .map(Seq(_)).getOrElse(byTable) // unnamed conflict: all tables
+          // Cross-table ping-pong guard: while this writer re-stages the
+          // NAMED table, a concurrent writer may advance the others,
+          // leaving their attempt-1 expectations stale — each retry then
+          // fixes one table, trips on another, and the loop can exhaust
+          // MaxAttempts without ever being wrong, just late. Pure-upsert
+          // stagings are base-independent deltas (they commute with
+          // interleaved commits, the same argument as publish-time
+          // heads), so refresh their expectations to the CURRENT heads
+          // without rewriting files; stagings holding update/delete ops
+          // were computed FROM a snapshot and must re-stage instead.
+          if (toStage.size < byTable.size) {
+            val restaging = toStage.map(_._1).toSet
+            val mustRestage = Seq.newBuilder[(String, Seq[TxOp])]
+            byTable.filterNot { case (p, _) => restaging.contains(p) }
+              .foreach { case (p, tableOps) =>
+                if (tableOps.forall(_.isInstanceOf[TxUpsert]))
+                  staged.get(p).foreach { case (path, commits, _) =>
+                    staged(p) = (path, commits,
+                      tableOps.head.table.refreshedExpectations(commits))
+                  }
+                else mustRestage += ((p, tableOps))
+              }
+            toStage = toStage ++ mustRestage.result()
+          }
       }
     }
   }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object BacklogProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(400)
-    val dir = java.nio.file.Files.createTempDirectory("graft-backlog").toString
+    val dir = ProbeTmp.dir("graft-backlog")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-backlog-probe")

@@ -32,7 +32,7 @@ object CadenceProbe {
     Seq(("stats_on", Map.empty[String, String]),
       ("stats_off", Map(FileStatsCollector.EnabledProp -> "false"))).foreach {
       case (label, props) =>
-        val dir = java.nio.file.Files.createTempDirectory("graft-cad-").toFile.getAbsolutePath
+        val dir = ProbeTmp.dir("graft-cad-")
         var t: GraftTable = null
         println(f"[$label] create: ${time { t = GraftTable.create(spark, orders, dir, hashColumns = Seq("o_orderkey"), bucketNum = 32, properties = props) }}%.2f s")
         // mimic the bench order: 10 plain upserts, reads, full compaction,

@@ -35,8 +35,7 @@ object MergeCostProbe {
       .select(col("id"), (col("id") % 997 * 3.5).as("val"),
         concat(lit("payload-"), col("id") % 100000).as("tag"))
 
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-mergecost-").toFile.getAbsolutePath
+    val dir = ProbeTmp.dir("graft-mergecost-")
     val t = GraftTable.create(spark, rows(0, initRows), dir,
       hashColumns = Seq("id"), bucketNum = 32)
     (1 to nRuns).foreach { i =>

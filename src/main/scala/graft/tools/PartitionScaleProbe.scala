@@ -43,8 +43,7 @@ object PartitionScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-pscale-").toFile
-    val path = dir.getAbsolutePath
+    val path = ProbeTmp.dir("graft-pscale-")
     println(s"[pscale] table at $path, target $n partitions")
 
     // 4 real partitions with data through the normal write path

@@ -80,8 +80,7 @@ object RefScaleProbe {
           .cast(if (decimalVal) "decimal(12,2)" else "double")))
 
     def runPhase(tag: String, cadence: Int): Unit = {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-refscale-$tag-").toFile.getAbsolutePath
+      val dir = ProbeTmp.dir(s"graft-refscale-$tag-")
       var t: GraftTable = null
       val tInit = time {
         t = GraftTable.create(spark, rows(0, initRows), dir,
