@@ -503,6 +503,16 @@ class FileMetaStore extends MetaStore {
       d -> MetaStore.lineage(grouped.getOrElse(d, Nil))).toMap
   }
 
+  /** One pass over the cached log (the trait default returns every live
+    * head — a superset that makes each micro-batch O(partitions) again). */
+  override def partitionsChangedBetween(
+      tablePath: String, startTime: Long, endTime: Long): Seq[String] = {
+    val live = headMap(tablePath).keySet
+    allVersionLines(tablePath).iterator
+      .filter(l => l.timestamp > startTime && l.timestamp <= endTime)
+      .map(_.partitionDesc).filter(live).distinct.toSeq.sorted
+  }
+
   /** Per partition keep everything newer than the boundary plus the newest
     * at-or-before line (the base of the retained lineage — may be a
     * tombstone, which partitionVersions still needs to cut history at).
