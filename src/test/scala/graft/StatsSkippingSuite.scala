@@ -86,6 +86,41 @@ class StatsSkippingSuite extends SparkFixture {
     }
   }
 
+  test("CONCURRENT writes both stay on the task-side stats path (the " +
+    "refcounted conf guard keeps the protocol class set for both)") {
+    withTempPath { pa =>
+      withTempPath { pb =>
+        import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+        val before = graft.write.StatsCommitProtocol.collectedFiles.get()
+        val pool = Executors.newFixedThreadPool(2)
+        val start = new CountDownLatch(1)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        def writer(p: String, base: Long): Runnable = () => {
+          start.await()
+          try {
+            val t = GraftTable.create(spark,
+              (base to base + 300L).map(i => (i, i * 1.5)).toDF("id", "v"),
+              p, hashColumns = Seq("id"), bucketNum = 2)
+            t.upsert(Seq((base, 9.9)).toDF("id", "v"))
+          } catch { case e: Throwable => errs.add(e) }
+        }
+        pool.submit(writer(pa, 0L)); pool.submit(writer(pb, 10000L))
+        start.countDown()
+        pool.shutdown()
+        assert(pool.awaitTermination(120, TimeUnit.SECONDS), "timeout")
+        assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+        val files = GraftTable.forPath(spark, pa).liveFiles ++
+          GraftTable.forPath(spark, pb).liveFiles
+        assert(files.forall(_.file.stats.nonEmpty), "stats missing")
+        val collected =
+          graft.write.StatsCommitProtocol.collectedFiles.get() - before
+        assert(collected == files.size.toLong,
+          s"expected all ${files.size} files collected task-side " +
+            s"(no writer dropped to the driver fallback), got $collected")
+      }
+    }
+  }
+
   test("nulls tracked: hasNull and allNull flags") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
