@@ -44,6 +44,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // CALIBRATION CANARY (r10 postmortem: two rounds of gate artifacts
+    // carried phantom regressions from sustained host contention that the
+    // per-leg estimators can't reject). A fixed pure-Spark probe — 1e9-row
+    // range sum through whole-stage codegen, zero graft code, zero IO —
+    // timed at bench START and END and published in the summary. Any
+    // reader comparing rounds can normalize: if canary_start/canary_end
+    // moved 2x vs the previous round, so did everything else on that host.
+    def canary(): Double = {
+      def once = time {
+        spark.range(0L, 1000000000L, 1L, 128)
+          .selectExpr("sum(id * 2654435761)").collect()
+      }
+      once // untimed JIT warm
+      Seq.fill(3)(once).sorted.apply(1)
+    }
+
     val headline = Seq(
       "q1_agg", "q3_top_orders", "q5_region_revenue", "q_window_top2_per_cust",
       "q_events_hourly", "q_topk_orders", "dedup_exact", "dedup_minhash",
@@ -57,6 +73,8 @@ object Bench {
     // executes in. Both are published; `queries` = steady state.
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    results("canary_start") = canary()
 
     // MOR scenario FIRST (2.2.0-blog shape; BASELINE.md's only quantified
     // comparable): init N rows -> 10 upserts of N/5 -> MOR read ->
@@ -99,6 +117,11 @@ object Bench {
       }
       val upsertTimes = (1 to 10).map(_ => time { t.upsert(batch) })
       results("mor_upsert_10x") = 10 * median(upsertTimes)
+      // the min-based twin: under SUSTAINED contention (not a single
+      // stall) the median inflates with the host while the min tracks the
+      // quietest window — publishing both lets a reader separate "code
+      // got slower" (both move) from "host was loaded" (median-only move)
+      results("mor_upsert_10x_min") = 10 * upsertTimes.min
       // cold = first-ever read (one-time file-metadata first-touch + JIT of
       // the merge path); headline number is STEADY-STATE (min of 3:
       // hypervisor stalls are strictly one-sided noise — they only ever ADD
@@ -140,6 +163,12 @@ object Bench {
       }
       results("mor_upsert_cadenced_10x") =
         10 * median(cadUpserts.toSeq) + 2 * cadCompactions.min
+      // ADVICE r10: the r9->r10 estimator change (2-sample median -> 3-sample
+      // min on the compaction term) was a one-sided step; publish the
+      // median-based twin for at least one round so gate comparisons
+      // against pre-change baselines can re-baseline on either regime
+      results("mor_upsert_cadenced_10x_med") =
+        10 * median(cadUpserts.toSeq) + 2 * median(cadCompactions.toSeq)
       // cadenced read vs mor_read_compacted is the published MOR-degradation
       // ratio (BASELINE.md bar: <= ~15% under pending deltas)
       results("mor_read_cadenced") = min3 { t.toDF.count() }
@@ -449,13 +478,15 @@ object Bench {
     // compact summary — total + the MOR scenario + the headline steady
     // numbers + the scenario-entry numbers — kept well under 2 KB so a
     // tail capture always holds the whole line.
+    results("canary_end") = canary()
     val detail = f"""{"metric":"detail","queries":${jsonMap(results)},"queries_cold":${jsonMap(cold)},"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val summaryKeys: Seq[String] =
-      results.keys.filter(_.startsWith("mor_")).toSeq ++ headline ++ Seq(
+      Seq("canary_start", "canary_end") ++
+        results.keys.filter(_.startsWith("mor_")).toSeq ++ headline ++ Seq(
         "bucketed_join", "spj_join_sql", "mview_refresh_delta",
         "mview_full_recompute", "delete_tombstone", "delete_rewrite",
         "update_delta", "update_rewrite", "index_lookup", "index_full_filter",

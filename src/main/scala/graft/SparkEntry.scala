@@ -626,7 +626,13 @@ object SparkEntry {
       // the SAME MOR flow on a DECIMAL(12,2) price column — drives the
       // columnar merge's decimal slice path (BatchMerge copyColumn's
       // raw-unscaled reads) through the full write/merge/read loop
-      // against the DuckDB oracle, not just the unit suite
+      // against the DuckDB oracle, not just the unit suite. The table
+      // stays DECIMAL end-to-end; only the FINAL projection casts to
+      // double (same canonicalization pattern as q22 / multi_table_txn:
+      // IEEE division of an exact <2^53 unscaled long by 100.0 is
+      // correctly rounded on both engines, so the cast is deterministic,
+      // where decimal string/scale rendering may differ between
+      // pyarrow and DuckDB at the gate).
       val o = rd(s, d, "orders")
         .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
       val t = GraftTable.create(s, o, tmp("morupdec"),
@@ -634,7 +640,18 @@ object SparkEntry {
       t.upsert(o.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice",
           (col("o_totalprice") * 2).cast("decimal(12,2)")))
-      t.toDF
+      // Prove the decimal COLUMNAR slice path actually ran (and didn't
+      // silently fall back to the row-based merge): force one merged
+      // read and require the slice-copy gauge to move.
+      val before = graft.read.BatchMergeIterator.sliceCopiedRows.sum()
+      val merged = t.toDF
+      merged.foreach(_ => ())
+      // LongAdder gauge is JVM-local: only assert where executors share
+      // the driver JVM (local mode — the gate and every test env).
+      require(!s.sparkContext.isLocal ||
+        graft.read.BatchMergeIterator.sliceCopiedRows.sum() > before,
+        "mor_upsert_decimal: columnar decimal slice path did not execute")
+      merged.withColumn("o_totalprice", col("o_totalprice").cast("double"))
     }),
     "jdbc_catalog_mor" -> q((s, d) => {
       // the SAME MOR upsert flow with commit arbitration through a JDBC
@@ -2833,9 +2850,9 @@ object SparkEntry {
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "mor_upsert_decimal" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
-        |  CAST(CASE WHEN o_orderkey % 10 = 0
+        |  CAST(CAST(CASE WHEN o_orderkey % 10 = 0
         |    THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
-        |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DECIMAL(12,2)) AS o_totalprice,
+        |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "jdbc_catalog_mor" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

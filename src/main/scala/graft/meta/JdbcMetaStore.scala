@@ -586,21 +586,61 @@ class JdbcMetaStore(url: String) extends MetaStore {
     * a 2-row range probe into an O(partitions) pass); liveness filters as
     * point lookups over the O(changed) result instead. */
   override def partitionsChangedBetween(
-      tablePath: String, startTime: Long, endTime: Long): Seq[String] = {
-    val changed = withConn { c =>
-      val ps = c.prepareStatement(
-        "SELECT DISTINCT partition_desc FROM graft_partition_log " +
-          "WHERE table_path = ? AND ts > ? AND ts <= ?")
-      try {
-        ps.setString(1, canonical(tablePath))
-        ps.setLong(2, startTime); ps.setLong(3, endTime)
-        val rs = ps.executeQuery()
-        val b = Vector.newBuilder[String]
-        while (rs.next()) b += rs.getString(1)
-        rs.close(); b.result().sorted
-      } finally ps.close()
+      tablePath: String, startTime: Long, endTime: Long): Seq[String] =
+    withConn { c =>
+      val tp = canonical(tablePath)
+      val changed = {
+        val ps = c.prepareStatement(
+          "SELECT DISTINCT partition_desc FROM graft_partition_log " +
+            "WHERE table_path = ? AND ts > ? AND ts <= ?")
+        try {
+          ps.setString(1, tp)
+          ps.setLong(2, startTime); ps.setLong(3, endTime)
+          val rs = ps.executeQuery()
+          val b = Vector.newBuilder[String]
+          while (rs.next()) b += rs.getString(1)
+          rs.close(); b.result().sorted
+        } finally ps.close()
+      }
+      if (changed.isEmpty) changed
+      else {
+        // liveness as point probes down the head PK with ONE reused
+        // prepared statement on the SAME borrowed connection (the
+        // partitionVersionsBulk pattern) — a per-desc partitionHead call
+        // here paid a pool borrow + statement prepare each, so a new
+        // stream's first micro-batch (window spanning full history)
+        // degraded to O(all partitions) round trips
+        val hp = c.prepareStatement(
+          "SELECT version FROM graft_partition_head " +
+            "WHERE table_path = ? AND partition_desc = ?")
+        try {
+          hp.setString(1, tp)
+          changed.filter { d =>
+            hp.setString(2, d)
+            val rs = hp.executeQuery()
+            val live = rs.next() && rs.getInt(1) >= 0
+            rs.close(); live
+          }
+        } finally hp.close()
+      }
     }
-    changed.filter(d => partitionHead(tablePath, d).isDefined)
+
+  /** One indexed range scan — the tombstone analog of
+    * [[partitionsChangedBetween]] (see the trait scaladoc: strict streams
+    * need the drops that pass's live filter hides). */
+  override def droppedBetween(tablePath: String, startTime: Long,
+      endTime: Long): Seq[(String, Long)] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT DISTINCT partition_desc, ts FROM graft_partition_log " +
+        "WHERE table_path = ? AND ts > ? AND ts <= ? AND version = -1")
+    try {
+      ps.setString(1, canonical(tablePath))
+      ps.setLong(2, startTime); ps.setLong(3, endTime)
+      val rs = ps.executeQuery()
+      val b = Vector.newBuilder[(String, Long)]
+      while (rs.next()) b += ((rs.getString(1), rs.getLong(2)))
+      rs.close(); b.result().sortBy(_._2)
+    } finally ps.close()
   }
 
   /** One MAX down the (table_path, ts) index — no head join, no snapshot

@@ -101,6 +101,19 @@ trait MetaStore {
       tablePath: String, startTime: Long, endTime: Long): Seq[String] =
     listPartitionHeads(tablePath).map(_.partitionDesc)
 
+  /** Partitions whose log carries a DROP tombstone (version == -1 —
+    * dropPartition, or restoreTable on a partition created after the
+    * boundary) in (startTime, endTime], with the tombstone's commit
+    * timestamp, ascending by timestamp. [[MetaStore.lineage]] cuts history
+    * at the tombstone and [[partitionsChangedBetween]] filters to LIVE
+    * heads, so neither surfaces an in-window drop — a STRICT incremental
+    * reader (streaming source) must consult this to fail loudly with
+    * [[NonIncrementalWindowException]] instead of silently skipping the
+    * dropped partition's delivered/undelivered rows and advancing its
+    * offset past the gap. */
+  def droppedBetween(tablePath: String, startTime: Long,
+      endTime: Long): Seq[(String, Long)]
+
   /** Full version history of one partition, oldest first. */
   def partitionVersions(tablePath: String, partitionDesc: String): Seq[PartitionInfo]
 
@@ -512,6 +525,15 @@ class FileMetaStore extends MetaStore {
       .filter(l => l.timestamp > startTime && l.timestamp <= endTime)
       .map(_.partitionDesc).filter(live).distinct.toSeq.sorted
   }
+
+  /** Same one-pass shape as [[partitionsChangedBetween]], but surfacing the
+    * tombstone lines that pass deliberately hides (trait scaladoc). */
+  override def droppedBetween(tablePath: String, startTime: Long,
+      endTime: Long): Seq[(String, Long)] =
+    allVersionLines(tablePath).iterator
+      .filter(l => l.version == -1 &&
+        l.timestamp > startTime && l.timestamp <= endTime)
+      .map(l => (l.partitionDesc, l.timestamp)).toSeq.distinct.sortBy(_._2)
 
   /** Per partition keep everything newer than the boundary plus the newest
     * at-or-before line (the base of the retained lineage — may be a

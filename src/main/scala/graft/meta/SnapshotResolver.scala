@@ -121,8 +121,24 @@ class SnapshotResolver(store: MetaStore) {
       partitionDesc: String,
       startTime: Long,
       endTime: Long,
-      strict: Boolean = false): Seq[ResolvedFile] = {
-    val versions = store.partitionVersions(tablePath, partitionDesc)
+      strict: Boolean = false): Seq[ResolvedFile] =
+    incrementalFromLineage(tablePath, partitionDesc,
+      store.partitionVersions(tablePath, partitionDesc),
+      startTime, endTime, strict)
+
+  /** [[incrementalFiles]] body over a pre-fetched lineage — the bulk
+    * callers ([[incrementalFilesAll]], [[incrementalFilesForDescs]]) fetch
+    * every changed desc's lineage in ONE [[MetaStore.partitionVersionsBulk]]
+    * round instead of two point queries per desc (a new stream's first
+    * micro-batch spans full history: O(all partitions) descs). */
+  private def incrementalFromLineage(
+      tablePath: String,
+      partitionDesc: String,
+      all: Seq[PartitionInfo],
+      startTime: Long,
+      endTime: Long,
+      strict: Boolean): Seq[ResolvedFile] = {
+    val versions = all
       .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
     val nonDelta = versions.filter(v => v.commitOp == CommitOp.Update ||
       v.commitOp == CommitOp.Rewrite)
@@ -134,7 +150,6 @@ class SnapshotResolver(store: MetaStore) {
     val fresh = versions.filterNot(_.commitOp == CommitOp.Compaction)
     // New commits of each version = snapshot minus previous version's snapshot.
     val commitIds = scala.collection.mutable.LinkedHashSet[String]()
-    val all = store.partitionVersions(tablePath, partitionDesc)
     fresh.foreach { v =>
       val prev = all.filter(_.version < v.version).lastOption
         .map(_.snapshot.toSet).getOrElse(Set.empty)
@@ -165,8 +180,10 @@ class SnapshotResolver(store: MetaStore) {
     // the JDBC store — pacing a deep backlog must not point-read every
     // partition's history).
     val lines = scala.collection.mutable.ArrayBuffer[(PartitionInfo, Seq[String])]()
-    store.partitionsChangedBetween(tablePath, startTime, endTime).foreach { desc =>
-      val all = store.partitionVersions(tablePath, desc)
+    val changed = store.partitionsChangedBetween(tablePath, startTime, endTime)
+    val changedLineages = store.partitionVersionsBulk(tablePath, changed)
+    changed.foreach { desc =>
+      val all = changedLineages.getOrElse(desc, Nil)
       all.filter(v => v.timestamp > startTime && v.timestamp <= endTime)
         .foreach { v =>
           val newIds =
@@ -197,22 +214,46 @@ class SnapshotResolver(store: MetaStore) {
       startTime: Long,
       endTime: Long,
       partitionPred: String => Boolean = _ => true,
-      strict: Boolean = false): Seq[ResolvedFile] =
+      strict: Boolean = false): Seq[ResolvedFile] = {
+    // a DROP tombstone (dropPartition, or restoreTable on a partition born
+    // after the boundary) anywhere PAST startTime is invisible below:
+    // lineage cuts history at it and partitionsChangedBetween filters to
+    // live heads — a strict stream would silently skip the partition's
+    // rows and advance its offset past the gap. The probe deliberately
+    // ignores endTime: a tombstone committed AFTER the window (a restore
+    // landing between offset resolution and file planning — the in-flight
+    // micro-batch race) cuts the in-window lineage just the same, so
+    // serving (start, end] is already impossible. Fail loudly (same
+    // contract as the non-delta-commit check in incrementalFiles); a
+    // re-pinned stream (readStartTime >= boundary) never sees it.
+    if (strict)
+      store.droppedBetween(tablePath, startTime, Long.MaxValue)
+        .find(t => partitionPred(t._1))
+        .foreach { case (desc, ts) =>
+          throw new NonIncrementalWindowException(tablePath, desc, ts) }
     // only partitions with commits in the window can contribute (or carry
     // a non-delta boundary) — a micro-batch on a 100k-partition table
-    // resolves O(changed) partitions, not O(all)
-    store.partitionsChangedBetween(tablePath, startTime, endTime)
+    // resolves O(changed) partitions, not O(all); their lineages come back
+    // in one bulk round
+    val descs = store.partitionsChangedBetween(tablePath, startTime, endTime)
       .filter(partitionPred)
-      .flatMap(desc =>
-        incrementalFiles(tablePath, desc, startTime, endTime, strict))
+    val lineages = store.partitionVersionsBulk(tablePath, descs)
+    descs.flatMap(desc => incrementalFromLineage(tablePath, desc,
+      lineages.getOrElse(desc, Nil), startTime, endTime, strict))
+  }
 
   /** Incremental analog of [[currentFilesForDescs]]: per-desc resolution
-    * without a head listing (incrementalFiles is already per-desc). */
+    * without a head listing, all lineages in one bulk round (a dead or
+    * never-existing desc resolves to an empty lineage and contributes
+    * nothing — the explicit per-desc liveness probe this replaces paid a
+    * point query per desc for the same answer). */
   def incrementalFilesForDescs(
       tablePath: String,
       startTime: Long,
       endTime: Long,
-      descs: Seq[String]): Seq[ResolvedFile] =
-    descs.filter(d => store.partitionHead(tablePath, d).isDefined)
-      .flatMap(d => incrementalFiles(tablePath, d, startTime, endTime))
+      descs: Seq[String]): Seq[ResolvedFile] = {
+    val lineages = store.partitionVersionsBulk(tablePath, descs)
+    descs.flatMap(d => incrementalFromLineage(tablePath, d,
+      lineages.getOrElse(d, Nil), startTime, endTime, strict = false))
+  }
 }

@@ -220,14 +220,19 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * is no longer listable (same contract as the reference's
     * cleanMetaUptoTime). */
   def history: Seq[(Int, Long, String, Int, Int)] = {
-    val lines = partitions.flatMap(p =>
-      store.partitionVersions(tablePath, p.partitionDesc))
+    // every lineage in ONE bulk round — the per-partition point query this
+    // replaces (plus a second one per VERSION LINE for the added-file
+    // count) made DESCRIBE HISTORY O(lines x partitions) database
+    // round-trips on a wide table
+    val byDesc = store.partitionVersionsBulk(tablePath,
+      partitions.map(_.partitionDesc))
+    val lines = byDesc.values.flatten.toSeq
     lines.groupBy(_.timestamp).toSeq.sortBy(_._1).zipWithIndex.map {
       case ((ts, vs), i) =>
         // files added by this commit = snapshot minus the previous version's
         // snapshot, per partition (head count alone would double-count)
         val added = vs.map { v =>
-          val prev = store.partitionVersions(tablePath, v.partitionDesc)
+          val prev = byDesc.getOrElse(v.partitionDesc, Nil)
             .filter(_.version < v.version).lastOption
             .map(_.snapshot.toSet).getOrElse(Set.empty[String])
           v.snapshot.count(!prev.contains(_))
@@ -262,11 +267,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * runs per incremental refresh, so it must not point-read every
     * partition's history on a wide table. */
   def commitOpsBetween(startTime: Long, endTime: Long): Set[String] =
-    store.partitionsChangedBetween(tablePath, startTime, endTime)
-      .flatMap(desc =>
-        store.partitionVersions(tablePath, desc)
-          .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
-          .map(_.commitOp)).toSet
+    store.partitionVersionsBulk(tablePath,
+        store.partitionsChangedBetween(tablePath, startTime, endTime))
+      .valuesIterator.flatten
+      .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
+      .map(_.commitOp).toSet
 
   /** SHALLOW CLONE: a new table at `targetPath` whose commits REFERENCE
     * this table's data files — a metadata-only snapshot copy (O(files),
@@ -372,8 +377,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         props + (GraftTable.ClonesProp -> keep.mkString("\n"))
       }
     alive.flatMap { p =>
-      store.retainedVersions(p, 0L)
-        .flatMap(pi => resolver.filesAt(p, pi)).map(_.file.path)
+      resolver.filesAtMany(p, store.retainedVersions(p, 0L)).map(_.file.path)
     }.toSet
   }
 
@@ -1492,8 +1496,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     // registered shallow clones keep their referenced files alive: a
     // source-side vacuum must never break a clone (clone -> source vacuum
     // -> clone still reads)
-    val live = store.retainedVersions(tablePath, cutoff)
-      .flatMap(pi => resolver.filesAt(tablePath, pi)).map(_.file.path).toSet ++
+    // one chunked commit fetch for ALL retained versions (filesAtMany) —
+    // a filesAt per version paid a getCommits round per retained line
+    val live = resolver
+      .filesAtMany(tablePath, store.retainedVersions(tablePath, cutoff))
+      .map(_.file.path).toSet ++
       cloneReferencedFiles()
     val dataDir = java.nio.file.Paths.get(tablePath, "data")
     if (!java.nio.file.Files.exists(dataDir)) return 0L
@@ -1658,12 +1665,10 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     // version — a snapshotAt(T) for T in (boundary, next commit) resolves
     // to that boundary version, so its files must survive; only files
     // exclusively owned by strictly-older versions are deletable
-    val retained = (newV ++ oldV.lastOption)
-      .flatMap(pi => resolver.filesAt(tablePath, pi))
+    val retained = resolver.filesAtMany(tablePath, newV ++ oldV.lastOption)
       .map(_.file.path).toSet ++
       cloneReferencedFiles() // registered clones keep their files (see vacuum)
-    val old = oldV.dropRight(1)
-      .flatMap(pi => resolver.filesAt(tablePath, pi))
+    val old = resolver.filesAtMany(tablePath, oldV.dropRight(1))
       .map(_.file.path).distinct
     var deleted = 0L
     old.filterNot(retained).foreach { p =>

@@ -356,30 +356,37 @@ object TransactionalWrite {
     // mid-plan for another, silently dropping that write to the
     // driver-side stats fallback.
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    SessionConfGuard.acquire(spark, tsKey, "TIMESTAMP_MICROS")
-    // min/max stats are read inside the WRITE TASKS at task commit (footer
-    // page-cache hot on the writing executor, zero driver IO) — the commit
-    // protocol ships them back in the task commit messages
     val protoKey = "spark.sql.sources.commitProtocolClass"
-    val statsSpec = FileStatsCollector.specFor(table, df.schema)
-    statsSpec.foreach { sp =>
-      StatsCommitProtocol.register(commitDir.getAbsolutePath, sp)
-      SessionConfGuard.acquire(spark, protoKey, classOf[StatsCommitProtocol].getName)
-    }
     // taking the stats in the finally (not after it) guarantees the
     // `pending` spec registration is cleared even when the write job
     // fails or aborts — a long-lived driver with repeated failed writes
-    // must not accumulate registrations
+    // must not accumulate registrations. Both acquires happen INSIDE the
+    // try with per-hold flags: if specFor/register/the second acquire
+    // throws, only the holds actually taken are released — an unguarded
+    // acquire before the try would leak its refcount forever (and a blind
+    // release in the finally would steal another writer's hold).
     var taskStats = Map.empty[String, String]
+    var tsHeld = false
+    var protoHeld = false
+    var statsRegistered = false
     try {
+      SessionConfGuard.acquire(spark, tsKey, "TIMESTAMP_MICROS")
+      tsHeld = true
+      // min/max stats are read inside the WRITE TASKS at task commit
+      // (footer page-cache hot on the writing executor, zero driver IO) —
+      // the commit protocol ships them back in the task commit messages
+      FileStatsCollector.specFor(table, df.schema).foreach { sp =>
+        StatsCommitProtocol.register(commitDir.getAbsolutePath, sp)
+        statsRegistered = true
+        SessionConfGuard.acquire(spark, protoKey, classOf[StatsCommitProtocol].getName)
+        protoHeld = true
+      }
       (if (partDirCols.nonEmpty) writer.partitionBy(partDirCols: _*) else writer)
         .parquet(commitDir.getAbsolutePath)
     } finally {
-      SessionConfGuard.release(spark, tsKey)
-      if (statsSpec.isDefined) {
-        SessionConfGuard.release(spark, protoKey)
-        taskStats = StatsCommitProtocol.take(commitDir.getAbsolutePath)
-      }
+      if (tsHeld) SessionConfGuard.release(spark, tsKey)
+      if (protoHeld) SessionConfGuard.release(spark, protoKey)
+      if (statsRegistered) taskStats = StatsCommitProtocol.take(commitDir.getAbsolutePath)
     }
 
     postWriteHook()

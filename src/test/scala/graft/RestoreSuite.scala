@@ -222,6 +222,117 @@ class RestoreSuite extends SparkFixture {
     }
   }
 
+  test("strict incremental reads fail loudly when a partition was dropped " +
+    "in — or cut by a tombstone after — the window") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, src, path,
+        rangeColumns = Seq("g"), hashColumns = Seq("id"), bucketNum = 2)
+      val ts0 = t.lastCommitTs
+      Thread.sleep(5)
+      t.upsert(src.withColumn("v", col("v") + 1)) // deltas in-window
+      val ts1 = t.lastCommitTs
+      Thread.sleep(5)
+      t.dropPartition("g=g1")
+      val dropTs = t.lastCommitTs
+
+      // window covering the drop: strict throws and names the partition
+      val e1 = intercept[graft.meta.NonIncrementalWindowException] {
+        t.incremental(ts0, dropTs, strict = true).count()
+      }
+      assert(e1.partitionDesc == "g=g1" && e1.boundaryTs == dropTs)
+
+      // IN-FLIGHT RACE (a restore/drop landing between a micro-batch's
+      // offset resolution and its file planning): the window END precedes
+      // the tombstone, but the tombstone has already cut g=g1's in-window
+      // lineage — strict must throw, never serve a partial window
+      intercept[graft.meta.NonIncrementalWindowException] {
+        t.incremental(ts0, ts1, strict = true).count()
+      }
+
+      // a strict reader scoped AWAY from the dropped partition is unaffected
+      assert(t.incremental(ts0, ts1, _ == "g=g0", strict = true).count() > 0)
+
+      // non-strict keeps the batch abort-to-empty semantics: the dropped
+      // partition contributes nothing, live partitions still deliver
+      val inc = t.incremental(ts0, ts1)
+      assert(inc.filter(col("g") === "g1").isEmpty)
+      assert(inc.filter(col("g") =!= "g1").count() > 0)
+
+      // a reader re-pinned past the boundary resumes clean delivery
+      Thread.sleep(5)
+      t.upsert(src.filter(col("g") === "g0").withColumn("v", col("v") + 2))
+      assert(t.incremental(dropTs, Long.MaxValue, strict = true).count() > 0)
+    }
+  }
+
+  test("restore tombstones of born-after partitions surface in " +
+    "droppedBetween identically on file and jdbc stores") {
+    withTempPath { pathA => withTempPath { pathB =>
+      val jdbc = new JdbcMetaStore("jdbc:derby:memory:droppeddb;create=true")
+      val stores: Seq[(MetaStore, String)] =
+        Seq((new FileMetaStore, pathA), (jdbc, pathB))
+      val results = stores.map { case (store, path) =>
+        val a = src.filter(col("g") === "g0")
+        val t = GraftTable.create(spark, a, path,
+          rangeColumns = Seq("g"), hashColumns = Seq("id"), bucketNum = 2,
+          store = store)
+        val ts1 = t.lastCommitTs
+        Thread.sleep(5)
+        t.upsert(src.filter(col("g") === "g1")) // born after the boundary
+        Thread.sleep(5)
+        t.restoreToTimestamp(ts1) // tombstones g=g1
+        val restoreTs = t.lastCommitTs
+        val dropped = store.droppedBetween(path, ts1, Long.MaxValue)
+        assert(dropped.map(_._1) == Seq("g=g1"), s"dropped=$dropped")
+        assert(dropped.head._2 == restoreTs)
+        // nothing tombstoned before the upsert window opened
+        assert(store.droppedBetween(path, restoreTs, Long.MaxValue).isEmpty)
+        val e = intercept[graft.meta.NonIncrementalWindowException] {
+          t.incremental(ts1, restoreTs, strict = true).count()
+        }
+        (dropped.map(_._1), e.partitionDesc)
+      }
+      assert(results(0) == results(1), "file/jdbc droppedBetween parity")
+      jdbc.dropTable(pathB)
+    }}
+  }
+
+  test("dropPartition aborts a running incremental stream LOUDLY instead " +
+    "of silently skipping the dropped partition's window") {
+    withTempPath { path =>
+      withTempPath { out =>
+        withTempPath { ckpt =>
+          import org.apache.spark.sql.streaming.Trigger
+          val t = GraftTable.create(spark,
+            Seq((1L, "g0", "a"), (2L, "g1", "b")).toDF("id", "g", "v"), path,
+            rangeColumns = Seq("g"), hashColumns = Seq("id"), bucketNum = 1)
+          def run() = {
+            val q = spark.readStream.format("graft").load(path)
+              .writeStream.format("graft")
+              .option("path", s"$out/d")
+              .option("hashPartitions", "id").option("hashBucketNum", "1")
+              .option("checkpointLocation", s"$ckpt/q")
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination(120000)
+            q
+          }
+          run()
+          assert(spark.read.format("graft").load(s"$out/d").count() == 2)
+          // rows land in g=g1 then the partition is dropped: the stream's
+          // next window can neither deliver nor retract them
+          t.upsert(Seq((3L, "g1", "c")).toDF("id", "g", "v"))
+          t.dropPartition("g=g1")
+          val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            run()
+          }
+          val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+          assert(msg.contains("non-delta commit") && msg.contains("readStartTime"),
+            s"expected the strict-window error, got: $msg")
+        }
+      }
+    }
+  }
+
   test("restore aborts a running incremental stream LOUDLY with re-pin " +
     "guidance; readStartTime past the boundary resumes delivery") {
     withTempPath { path =>
