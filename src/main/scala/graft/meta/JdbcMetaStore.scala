@@ -72,8 +72,19 @@ class JdbcMetaStore(url: String) extends MetaStore {
   private def withConn[T](f: Connection => T): T = {
     val c = borrow()
     var ok = false
-    try { val r = f(c); ok = true; r }
-    finally {
+    try {
+      val r = f(c); ok = true; r
+    } catch {
+      // autocommit READS hit lock timeouts too: Derby escalates when a
+      // concurrent writer's transaction holds X-locks on head/log rows the
+      // read scans (the concurrency suite reproduces it under 6 writers).
+      // Reads are idempotent, so surface the same retryable signal the
+      // write path uses — callers' withRetry loops re-run the whole
+      // read/stage/commit attempt.
+      case s: SQLException if isContention(s) =>
+        throw new MetaRerunException(s"catalog read contention: ${s.getMessage}",
+          cause = s)
+    } finally {
       if (ok) pool.offer(c)
       else try c.close() catch { case _: Throwable => () }
     }
@@ -185,7 +196,10 @@ class JdbcMetaStore(url: String) extends MetaStore {
        table_path VARCHAR(1000) NOT NULL,
        query_id VARCHAR(300) NOT NULL,
        max_batch BIGINT NOT NULL,
-       PRIMARY KEY (table_path, query_id))""")
+       PRIMARY KEY (table_path, query_id))""",
+    """CREATE TABLE graft_namespace (
+       namespace VARCHAR(500) NOT NULL PRIMARY KEY,
+       domain VARCHAR(200) NOT NULL)""")
 
   locally {
     // Run EVERY CREATE unconditionally, relying on the "already exists"
@@ -337,12 +351,78 @@ class JdbcMetaStore(url: String) extends MetaStore {
   }
 
   // ---------------------------------------------------------------- tables
+  // -------------------------------------------------- domain authorization
+  // Mirrors the reference's PG row-level security at the store API (see
+  // [[AuthContext]]): foreign-domain tables are INVISIBLE (getTableInfo
+  // None, mutations behave as not-found), namespaces carry domains, and
+  // only admins manage them. Cost on the hot path is one ConcurrentHashMap
+  // hit: tablePath -> domain is cached (a table's domain is set at create
+  // and recomputed on updateTableInfo).
+  private val domainCache = new ConcurrentHashMap[String, String]()
+
+  private def domainOf(info: TableInfo): String =
+    info.properties.getOrElse(TableInfo.DomainProp, AuthContext.PublicDomain)
+
+  /** Raw (unauthorized) info read by CANONICAL path. */
+  private def rawTableInfo(tp: String): Option[TableInfo] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT info FROM graft_table_info WHERE table_path = ?")
+    try {
+      ps.setString(1, tp)
+      val rs = ps.executeQuery()
+      val r = if (rs.next()) Some(jread[TableInfo](rs.getString(1))) else None
+      rs.close(); r
+    } finally ps.close()
+  }
+
+  /** True when the caller may see/write `tp` (absent tables are "visible":
+    * the op then takes its normal not-found path, which is also what a
+    * hidden table reports — the two are indistinguishable by design). */
+  private def visibleTo(caller: AuthContext, tp: String): Boolean = {
+    val d = Option(domainCache.get(tp)).orElse(
+      rawTableInfo(tp).map { i =>
+        val dd = domainOf(i); domainCache.put(tp, dd); dd
+      })
+    d.forall(AuthContext.canAccess(caller, _))
+  }
+
+  /** Gate for ops on an existing table: a foreign-domain table reports
+    * exactly like a missing one ("cannot be found" in the reference). */
+  private def requireVisible(tp: String, original: String): Unit =
+    if (!visibleTo(AuthContext.current, tp))
+      throw new IllegalArgumentException(s"no graft table at $original")
+
   override def createTable(info: TableInfo): Unit = {
-    val tp = canonical(info.tablePath)
+    val caller = AuthContext.current
+    // table creation under a registered namespace inherits its domain and
+    // requires the namespace to be visible (reference: cross-domain CREATE
+    // fails with NoSuchNamespaceException)
+    val nsDomain = info.shortName
+      .map(n => n.split('.').dropRight(1).mkString("."))
+      .filter(_.nonEmpty).flatMap(rawNamespaceDomain)
+    nsDomain.foreach { d =>
+      if (!AuthContext.canAccess(caller, d))
+        throw new IllegalArgumentException(
+          s"no such namespace for table ${info.shortName.get}")
+    }
+    val stamped = info.properties.get(TableInfo.DomainProp) match {
+      case Some(d) =>
+        if (!AuthContext.canAccess(caller, d))
+          throw new PermissionDeniedException(
+            s"new table violates row-level security policy: domain '$d' " +
+              s"is not caller domain '${caller.domain}'")
+        info
+      case None =>
+        val d = nsDomain.getOrElse(caller.domain)
+        if (d == AuthContext.PublicDomain) info // zero-footprint single-tenant
+        else info.copy(properties =
+          info.properties + (TableInfo.DomainProp -> d))
+    }
+    val tp = canonical(stamped.tablePath)
     try withTx { c =>
       val ps = c.prepareStatement(
         "INSERT INTO graft_table_info (table_path, rev, info) VALUES (?,0,?)")
-      try { ps.setString(1, tp); ps.setString(2, jwrite(info)); ps.executeUpdate() }
+      try { ps.setString(1, tp); ps.setString(2, jwrite(stamped)); ps.executeUpdate() }
       finally ps.close()
       val sq = c.prepareStatement(
         "INSERT INTO graft_seq (table_path, next_seq, last_ts) VALUES (?,0,0)")
@@ -352,27 +432,103 @@ class JdbcMetaStore(url: String) extends MetaStore {
         throw new IllegalArgumentException(
           s"graft table already exists at ${info.tablePath}")
     }
+    domainCache.put(tp, domainOf(stamped))
   }
 
-  override def getTableInfo(tablePath: String): Option[TableInfo] = withConn { c =>
+  override def getTableInfo(tablePath: String): Option[TableInfo] = {
+    val tp = canonical(tablePath)
+    rawTableInfo(tp).filter { i =>
+      val d = domainOf(i)
+      domainCache.put(tp, d)
+      AuthContext.canAccess(AuthContext.current, d)
+    }
+  }
+
+  override def updateTableInfo(info: TableInfo): Unit = {
+    val tp = canonical(info.tablePath)
+    requireVisible(tp, info.tablePath)
+    withTx { c =>
+      val ps = c.prepareStatement(
+        "UPDATE graft_table_info SET info = ?, rev = rev + 1 WHERE table_path = ?")
+      try {
+        ps.setString(1, jwrite(info)); ps.setString(2, tp)
+        if (ps.executeUpdate() != 1)
+          throw new IllegalArgumentException(s"no graft table at ${info.tablePath}")
+      } finally ps.close()
+    }
+    domainCache.put(tp, domainOf(info))
+  }
+
+  // ----------------------------------------------------------- namespaces
+  private def rawNamespaceDomain(ns: String): Option[String] = withConn { c =>
     val ps = c.prepareStatement(
-      "SELECT info FROM graft_table_info WHERE table_path = ?")
+      "SELECT domain FROM graft_namespace WHERE namespace = ?")
     try {
-      ps.setString(1, canonical(tablePath))
+      ps.setString(1, ns)
       val rs = ps.executeQuery()
-      val r = if (rs.next()) Some(jread[TableInfo](rs.getString(1))) else None
+      val r = if (rs.next()) Some(rs.getString(1)) else None
       rs.close(); r
     } finally ps.close()
   }
 
-  override def updateTableInfo(info: TableInfo): Unit = withTx { c =>
+  /** Register `namespace` under the caller's domain. Admin-only (the
+    * reference's role split: ordinary users get "permission denied for
+    * table namespace"); re-creating a visible namespace is idempotent,
+    * a name held by ANOTHER domain raises the RLS violation. */
+  def createNamespace(namespace: String): Unit = {
+    val caller = AuthContext.current
+    if (!caller.admin)
+      throw new PermissionDeniedException(
+        s"permission denied for table namespace: user '${caller.user}' is " +
+          "not an admin of its domain")
+    withConn { c =>
+      val ps = c.prepareStatement(
+        "INSERT INTO graft_namespace (namespace, domain) VALUES (?,?)")
+      try { ps.setString(1, namespace); ps.setString(2, caller.domain); ps.executeUpdate(); () }
+      catch {
+        case e: SQLException if isDuplicate(e) =>
+          if (!rawNamespaceDomain(namespace)
+              .exists(AuthContext.canAccess(caller, _)))
+            throw new PermissionDeniedException(
+              s"new namespace violates row-level security policy: '$namespace'")
+      } finally ps.close()
+    }
+  }
+
+  /** The namespace's domain — None when absent OR hidden from the caller
+    * (indistinguishable, like table visibility). */
+  def namespaceDomain(namespace: String): Option[String] =
+    rawNamespaceDomain(namespace)
+      .filter(AuthContext.canAccess(AuthContext.current, _))
+
+  /** Namespaces visible to the caller (own domain + public). */
+  def listNamespaces(): Seq[String] = withConn { c =>
+    val caller = AuthContext.current
     val ps = c.prepareStatement(
-      "UPDATE graft_table_info SET info = ?, rev = rev + 1 WHERE table_path = ?")
+      "SELECT namespace, domain FROM graft_namespace ORDER BY namespace")
     try {
-      ps.setString(1, jwrite(info)); ps.setString(2, canonical(info.tablePath))
-      if (ps.executeUpdate() != 1)
-        throw new IllegalArgumentException(s"no graft table at ${info.tablePath}")
+      val rs = ps.executeQuery()
+      val b = Vector.newBuilder[String]
+      while (rs.next())
+        if (AuthContext.canAccess(caller, rs.getString(2))) b += rs.getString(1)
+      rs.close(); b.result()
     } finally ps.close()
+  }
+
+  /** Admin-only; a hidden namespace reports as absent. */
+  def dropNamespace(namespace: String): Unit = {
+    val caller = AuthContext.current
+    if (!caller.admin)
+      throw new PermissionDeniedException(
+        s"permission denied for table namespace: user '${caller.user}' is " +
+          "not an admin of its domain")
+    if (namespaceDomain(namespace).isEmpty)
+      throw new IllegalArgumentException(s"no such namespace: $namespace")
+    withConn { c =>
+      val ps = c.prepareStatement(
+        "DELETE FROM graft_namespace WHERE namespace = ?")
+      try { ps.setString(1, namespace); ps.executeUpdate(); () } finally ps.close()
+    }
   }
 
   override def updateProperties(tablePath: String)(
@@ -419,6 +575,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
       commits: Seq[DataCommitInfo],
       expectedVersions: Map[String, Int]): Unit = {
     val tp = canonical(tablePath)
+    requireVisible(tp, tablePath)
     withTx { c =>
       lockTable(c, tp)
       commitLocked(c, tp, commits, expectedVersions)
@@ -439,6 +596,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
       .sortBy(_._1)
     require(es.map(_._1).distinct.size == es.size,
       "commitMany: same table twice (merge its commits into one entry)")
+    es.foreach { case (tp, orig, _, _) => requireVisible(tp, orig) }
     withTx { c =>
       es.foreach { case (tp, _, _, _) => lockTable(c, tp) }
       es.foreach { case (tp, orig, cs, ev) =>
@@ -729,6 +887,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
   override def rollbackPartition(tablePath: String, desc: String,
       toVersion: Int): Unit = {
     val tp = canonical(tablePath)
+    requireVisible(tp, tablePath)
     withTx { c =>
       lockTable(c, tp)
       val target = MetaStore.lineage(logRows(c, tp, Some(desc)))
@@ -744,6 +903,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
 
   override def restoreTable(tablePath: String, asOfTs: Long): Seq[PartitionInfo] = {
     val tp = canonical(tablePath)
+    requireVisible(tp, tablePath)
     withTx { c =>
       lockTable(c, tp)
       val appends = MetaStore.restoreAppends(logRows(c, tp, None), asOfTs)
@@ -762,6 +922,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
 
   override def dropPartition(tablePath: String, desc: String): Unit = {
     val tp = canonical(tablePath)
+    requireVisible(tp, tablePath)
     withTx { c =>
       lockTable(c, tp)
       val (seq, ts) = allocate(c, tp, 1)
@@ -773,6 +934,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
 
   override def dropTable(tablePath: String): Unit = {
     val tp = canonical(tablePath)
+    requireVisible(tp, tablePath)
     withTx { c =>
       Seq("graft_partition_log", "graft_partition_head", "graft_commit_info",
         "graft_stream_batch", "graft_table_info", "graft_seq").foreach { t =>
@@ -781,6 +943,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
       }
     }
     commitCache.keySet().removeIf(_.startsWith(tp + "\u0000"))
+    domainCache.remove(tp) // a later re-create may land in another domain
   }
 
   // ------------------------------------------------------------- streaming
@@ -878,5 +1041,6 @@ class JdbcMetaStore(url: String) extends MetaStore {
   override def invalidateCache(tablePath: String): Unit = {
     val tp = canonical(tablePath)
     commitCache.keySet().removeIf(_.startsWith(tp + "\u0000"))
+    domainCache.remove(tp)
   }
 }

@@ -242,7 +242,21 @@ class FileMetaStore extends MetaStore {
       finally { if (lock != null) lock.release(); raf.close() }
     }
 
+  /** The file store has no identity arbitration (its lock is a driver-local
+    * file lock, its rows have no row-level security) — a caller logged into
+    * a non-public domain would get NO isolation here, so refuse loudly
+    * instead of silently granting everything. */
+  private def checkSingleUser(): Unit = {
+    val a = AuthContext.current
+    if (!a.isPublic)
+      throw new UnsupportedOperationException(
+        s"FileMetaStore is a single-user store and cannot enforce domain " +
+          s"'${a.domain}' for user '${a.user}': domain-scoped access " +
+          "control requires the JDBC catalog (-Dgraft.meta.uri=jdbc:...)")
+  }
+
   override def createTable(info: TableInfo): Unit = withFileLock(info.tablePath) {
+    checkSingleUser()
     val p = tableInfoPath(info.tablePath)
     if (Files.exists(p))
       throw new IllegalStateException(s"graft table already exists at ${info.tablePath}")
@@ -251,6 +265,7 @@ class FileMetaStore extends MetaStore {
   }
 
   override def getTableInfo(tablePath: String): Option[TableInfo] = {
+    checkSingleUser()
     val p = tableInfoPath(tablePath)
     if (!Files.exists(p)) None
     else {

@@ -102,6 +102,11 @@ object TableInfo {
   val MergeModeProp = "graft.merge.mode"
   /** Reference: `skip_merge_on_read` (LakeSoulUtils.scala:232). */
   val SkipMergeOnReadProp = "graft.skipMergeOnRead"
+  /** Owning domain for catalog authorization ([[AuthContext]]); absent =
+    * "public" (shared). Stamped by [[JdbcMetaStore.createTable]] from the
+    * caller's identity; the reference keeps the same fact in its PG
+    * `domain` columns guarded by row-level security. */
+  val DomainProp = "graft.domain"
   /** Per-column merge operators, e.g. "sum" -> "sum_all". */
   def mergeOpProp(col: String): String = s"graft.mergeop.$col"
   /** Root partition desc for tables without range partitions; reference uses

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.{AuthContext, JdbcMetaStore, PermissionDeniedException, TableInfo}
+import graft.tables.GraftTable
+
+/** Domain-scoped catalog authorization, mirroring the reference's
+  * RBACOperationSuite grant/deny cases (lakesoul-spark/src/test/scala/com/
+  * dmetasoul/lakesoul/meta/RBACOperationSuite.scala — there enforced by PG
+  * roles + row-level security, here by [[JdbcMetaStore]]'s store-level
+  * checks since PostgreSQL is unreachable in this environment):
+  *   - testDifferentDomain: another domain's namespaces/tables are
+  *     INVISIBLE ("cannot be found"), creation under them fails, the RLS
+  *     policy blocks claiming their names;
+  *   - testDifferentRole: ordinary users CRUD tables inside their domain
+  *     but get "permission denied for table namespace" on namespace
+  *     management;
+  *   - public stays shared (the single-tenant default every other suite
+  *     runs under);
+  *   - the FILE store refuses non-public identities loudly — it has no
+  *     arbitration to back an access-control promise. */
+class RbacSuite extends SparkFixture {
+  import spark.implicits._
+
+  private val admin1 = AuthContext("admin1", "domain1", admin = true)
+  private val admin2 = AuthContext("admin2", "domain2", admin = true)
+  private val user1 = AuthContext("user1", "domain1", admin = false)
+
+  private def rows = (1 to 20).map(i => (i.toLong, i * 10)).toDF("id", "v")
+
+  private def freshStore(tag: String) = new JdbcMetaStore(
+    s"jdbc:derby:memory:rbac$tag${java.lang.Long.toHexString(System.nanoTime())};create=true")
+
+  test("cross-domain tables are invisible; same-domain users keep full CRUD") {
+    withTempPath { path =>
+      val store = freshStore("t1")
+      AuthContext.as(admin1) {
+        val t = GraftTable.create(spark, rows, path,
+          hashColumns = Seq("id"), bucketNum = 2, store = store)
+        t.upsert(rows.withColumn("v", col("v") + 1))
+        assert(t.toDF.count() == 20)
+        assert(store.getTableInfo(path).exists(
+          _.properties.get(TableInfo.DomainProp).contains("domain1")))
+      }
+      // another DOMAIN: the table reports exactly like a missing one
+      AuthContext.as(admin2) {
+        assert(store.getTableInfo(path).isEmpty)
+        val e = intercept[Exception] {
+          GraftTable.forPath(spark, path, store = store).toDF.count()
+        }
+        assert(e.getMessage.contains("no graft table"), e.getMessage)
+        intercept[IllegalArgumentException](store.dropTable(path))
+        intercept[IllegalArgumentException](store.restoreTable(path, 0L))
+        intercept[IllegalArgumentException](
+          store.commit(path, Nil, Map.empty))
+      }
+      // an ORDINARY USER of the owning domain reads and writes freely
+      AuthContext.as(user1) {
+        val t = GraftTable.forPath(spark, path, store = store)
+        t.upsert(rows.filter(col("id") % 2 === 0)
+          .withColumn("v", col("v") * 5))
+        assert(t.toDF.count() == 20)
+        t.deleteTombstone(col("id") > 15)
+        assert(t.toDF.count() == 15)
+      }
+      // and the owner still sees the user's writes
+      AuthContext.as(admin1) {
+        assert(GraftTable.forPath(spark, path, store = store).toDF.count() == 15)
+      }
+    }
+  }
+
+  test("public tables stay shared across every identity") {
+    withTempPath { path =>
+      val store = freshStore("t2")
+      // created under the default public context — no domain stamp at all
+      val t = GraftTable.create(spark, rows, path,
+        hashColumns = Seq("id"), bucketNum = 2, store = store)
+      assert(store.getTableInfo(path).exists(
+        !_.properties.contains(TableInfo.DomainProp)))
+      AuthContext.as(admin2) {
+        val h = GraftTable.forPath(spark, path, store = store)
+        h.upsert(rows.withColumn("v", col("v") + 7))
+        assert(h.toDF.count() == 20)
+      }
+      assert(t.toDF.count() == 20)
+    }
+  }
+
+  test("namespace management is admin-only and domain-visible") {
+    val store = freshStore("t3")
+    AuthContext.as(admin1)(store.createNamespace("database1"))
+    AuthContext.as(user1) {
+      // users see their domain's namespaces but cannot manage them
+      assert(store.listNamespaces() == Seq("database1"))
+      val e1 = intercept[PermissionDeniedException](
+        store.createNamespace("database3"))
+      assert(e1.getMessage.contains("permission denied for table namespace"))
+      intercept[PermissionDeniedException](store.dropNamespace("database1"))
+    }
+    AuthContext.as(admin2) {
+      // another domain: database1 is invisible, its NAME is still protected
+      assert(store.listNamespaces().isEmpty)
+      assert(store.namespaceDomain("database1").isEmpty)
+      val e2 = intercept[PermissionDeniedException](
+        store.createNamespace("database1"))
+      assert(e2.getMessage.contains("row-level security"))
+      intercept[IllegalArgumentException](store.dropNamespace("database1"))
+      store.createNamespace("database2")
+      assert(store.listNamespaces() == Seq("database2"))
+    }
+    // idempotent same-domain re-create; drop removes
+    AuthContext.as(admin1) {
+      store.createNamespace("database1")
+      store.dropNamespace("database1")
+      assert(store.listNamespaces().isEmpty)
+    }
+  }
+
+  test("table creation under a foreign namespace fails as no-such-namespace") {
+    val store = freshStore("t4")
+    AuthContext.as(admin1)(store.createNamespace("database1"))
+    val info = TableInfo("tid-rbac-1", "/tmp/rbac-ns-t1",
+      rows.schema.json, Nil, Seq("id"), 2, Map.empty,
+      shortName = Some("database1.table3"))
+    AuthContext.as(admin2) {
+      val e = intercept[IllegalArgumentException](store.createTable(info))
+      assert(e.getMessage.contains("no such namespace"), e.getMessage)
+    }
+    // the owning domain's USER can create under it — and the table
+    // inherits the namespace's domain
+    AuthContext.as(user1) {
+      store.createTable(info)
+      assert(store.getTableInfo("/tmp/rbac-ns-t1").exists(
+        _.properties.get(TableInfo.DomainProp).contains("domain1")))
+    }
+    AuthContext.as(admin2) {
+      assert(store.getTableInfo("/tmp/rbac-ns-t1").isEmpty)
+    }
+    AuthContext.as(admin1)(store.dropTable("/tmp/rbac-ns-t1"))
+  }
+
+  test("explicitly claiming a foreign domain on create violates the policy") {
+    val store = freshStore("t5")
+    val info = TableInfo("tid-rbac-2", "/tmp/rbac-claim-t1",
+      rows.schema.json, Nil, Seq("id"), 2,
+      Map(TableInfo.DomainProp -> "domain2"), None)
+    AuthContext.as(admin1) {
+      val e = intercept[PermissionDeniedException](store.createTable(info))
+      assert(e.getMessage.contains("row-level security"))
+    }
+  }
+
+  test("the file store refuses non-public identities loudly") {
+    withTempPath { path =>
+      AuthContext.as(admin1) {
+        val e = intercept[UnsupportedOperationException] {
+          GraftTable.create(spark, rows, path,
+            hashColumns = Seq("id"), bucketNum = 2)
+        }
+        assert(e.getMessage.contains("single-user"), e.getMessage)
+      }
+      // back to public: everything works again
+      assert(GraftTable.create(spark, rows, path,
+        hashColumns = Seq("id"), bucketNum = 2).toDF.count() == 20)
+    }
+  }
+}
