@@ -51,13 +51,19 @@ object Bench {
     // timed at bench START and END and published in the summary. Any
     // reader comparing rounds can normalize: if canary_start/canary_end
     // moved 2x vs the previous round, so did everything else on that host.
-    def canary(): Double = {
+    def canary(): Double = try {
       def once = time {
+        // XOR, not multiply: ANSI mode (Spark 4 default) throws on the
+        // long overflow a 1e9-row product sum is guaranteed to hit; the
+        // XOR terms stay < 2^32 so the sum fits a long with headroom
         spark.range(0L, 1000000000L, 1L, 128)
-          .selectExpr("sum(id * 2654435761)").collect()
+          .selectExpr("sum(id ^ 2654435761)").collect()
       }
       once // untimed JIT warm
       Seq.fill(3)(once).sorted.apply(1)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] canary failed: ${e.getMessage}")
+      -1.0
     }
 
     val headline = Seq(

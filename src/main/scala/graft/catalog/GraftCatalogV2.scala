@@ -293,10 +293,28 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
 
   // --------------------------------------------------------- namespaces
 
+  /** The store namespace DDL consults for domain authorization. The name
+    * REGISTRY stays the warehouse TSV ([[GraftCatalog]]); on a JDBC
+    * deployment (`-Dgraft.meta.uri=jdbc:...`) the store additionally
+    * enforces the reference's RBAC semantics — admin-only namespace
+    * management, per-domain visibility ([[graft.meta.AuthContext]]).
+    * Overridable for tests (the process-wide default is a lazy val). */
+  protected def metaStore: graft.meta.MetaStore = graft.meta.MetaStore.default
+
+  private def jdbcStore: Option[graft.meta.JdbcMetaStore] =
+    metaStore match {
+      case j: graft.meta.JdbcMetaStore => Some(j)
+      case _ => None
+    }
+
   override def listNamespaces(): Array[Array[String]] =
     (GraftCatalog.listNamespaces(spark).map(Array(_)) ++
       GraftCatalog.listAll(spark).keys.map(_.split('.').dropRight(1)))
-      .map(_.toSeq).toSet.filter(_.nonEmpty).map(_.toArray).toArray
+      .map(_.toSeq).toSet.filter(_.nonEmpty)
+      // a namespace registered under a foreign domain is INVISIBLE
+      // (reference: RLS hides its catalog rows)
+      .filter(ns => jdbcStore.forall(_.namespaceVisible(ns.mkString("."))))
+      .map(_.toArray).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -311,8 +329,13 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
   }
 
   override def createNamespace(
-      namespace: Array[String], metadata: JMap[String, String]): Unit =
+      namespace: Array[String], metadata: JMap[String, String]): Unit = {
+    // JDBC deployments authorize FIRST (admin-only; a name held by another
+    // domain raises the RLS violation) so a denied create never half-lands
+    // in the TSV registry
+    jdbcStore.foreach(_.createNamespace(namespace.mkString(".")))
     GraftCatalog.registerNamespace(spark, namespace.mkString("."))
+  }
 
   override def alterNamespace(
       namespace: Array[String], changes: NamespaceChange*): Unit =
@@ -320,9 +343,18 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val ns = namespace.mkString(".")
+    jdbcStore.foreach { j =>
+      if (!j.namespaceVisible(ns)) throw new NoSuchNamespaceException(namespace)
+    }
     val tables = GraftCatalog.listTables(spark, ns)
     if (tables.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace $ns is not empty")
+    // authorize the registry drop BEFORE touching tables (admin-only; a
+    // TSV-only name — never registered in the store — has no domain row);
+    // the not-empty guard ran first so a refused cascade leaves both
+    // registries untouched
+    jdbcStore.foreach(j =>
+      if (j.namespaceDomain(ns).isDefined) j.dropNamespace(ns))
     tables.foreach { full =>
       val parts = full.split('.')
       dropTable(Identifier.of(parts.dropRight(1), parts.last))

@@ -501,6 +501,13 @@ class JdbcMetaStore(url: String) extends MetaStore {
     rawNamespaceDomain(namespace)
       .filter(AuthContext.canAccess(AuthContext.current, _))
 
+  /** False ONLY when the namespace is registered under a domain the caller
+    * cannot access (an unregistered name is visible — the TSV name registry
+    * can hold namespaces that never passed through this store). */
+  def namespaceVisible(namespace: String): Boolean =
+    rawNamespaceDomain(namespace)
+      .forall(AuthContext.canAccess(AuthContext.current, _))
+
   /** Namespaces visible to the caller (own domain + public). */
   def listNamespaces(): Seq[String] = withConn { c =>
     val caller = AuthContext.current

@@ -25,9 +25,23 @@ object StreamWidthProbe {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100000)
-    val store = new JdbcMetaStore("jdbc:derby:memory:streamwidth;create=true")
+    // args(1): jdbc (default) | file | both — the file store must hold the
+    // same O(changed) shapes (its one-pass cached-log overrides), so the
+    // probe runs on either backend
+    val which = args.lift(1).filterNot(_ == "debug").getOrElse("jdbc")
+    val debug = args.contains("debug")
+    if (which == "jdbc" || which == "both")
+      run(new JdbcMetaStore("jdbc:derby:memory:streamwidth;create=true"),
+        "/tmp/streamwidth_t", n, debug, "jdbc")
+    if (which == "file" || which == "both") {
+      val dir = java.nio.file.Files.createTempDirectory("streamwidth-file-")
+      run(new graft.meta.FileMetaStore, dir.toString, n, debug, "file")
+    }
+  }
+
+  private def run(store: MetaStore, tp: String, n: Int,
+      debugFlag: Boolean, label: String): Unit = {
     val resolver = new SnapshotResolver(store)
-    val tp = "/tmp/streamwidth_t"
     store.createTable(graft.meta.TableInfo(
       tableId = java.util.UUID.randomUUID().toString, tablePath = tp,
       schemaJson = """{"type":"struct","fields":[]}""",
@@ -54,7 +68,7 @@ object StreamWidthProbe {
         made += m
       }
     }
-    println(f"[streamwidth] $n partitions synthesized in ${synthMs / 1000}%.1f s")
+    println(f"[streamwidth:$label] $n partitions synthesized in ${synthMs / 1000}%.1f s")
 
     val ts1 = store.maxCommitTs(tp)
     commitOne("p=s0000007") // the trigger's delta: ONE changed partition
@@ -63,7 +77,7 @@ object StreamWidthProbe {
     def bench(what: String, reps: Int, warm: Boolean = true)(body: => Any): Unit = {
       if (warm) body
       val ms = (1 to reps).map(_ => timeMs(body)._2).min
-      println(f"[streamwidth] $what: $ms%.1f ms")
+      println(f"[streamwidth:$label] $what: $ms%.1f ms")
     }
 
     // trigger poll: newest commit ts
@@ -83,7 +97,7 @@ object StreamWidthProbe {
     bench("commitBatches over 1-commit window", 5) {
       resolver.commitBatches(tp, ts1, ts2)
     }
-    if (args.lift(1).contains("debug")) {
+    if (debugFlag) {
       val descs = store.listPartitionHeads(tp).map(_.partitionDesc)
       bench("debug: listPartitionHeads", 1, warm = false) { descs.size }
       var lineages: Map[String, Seq[graft.meta.PartitionInfo]] = Map.empty
@@ -110,6 +124,30 @@ object StreamWidthProbe {
       store.listPartitionHeads(tp)
         .flatMap(pi => resolver.versionUptoTime(tp, pi.partitionDesc, ts2))
         .size
+    }
+    // mview / secondary-index refresh guard: which ops landed in-window?
+    // (GraftTable.commitOpsBetween shape — changed descs, bulk lineages)
+    bench("commitOpsBetween over 1-commit window (refresh guard)", 5) {
+      store.partitionVersionsBulk(tp,
+          store.partitionsChangedBetween(tp, ts1, ts2))
+        .valuesIterator.flatten
+        .filter(v => v.timestamp > ts1 && v.timestamp <= ts2)
+        .map(_.commitOp).toSet
+    }
+    // strict-stream drop gate: one indexed range scan, empty here
+    bench("droppedBetween over open window (strict gate)", 5) {
+      require(store.droppedBetween(tp, ts1, Long.MaxValue).isEmpty)
+    }
+    // vacuum liveness set: retained versions + ONE chunked commit fetch
+    // (GraftTable.vacuum shape; a getCommits round per retained line before)
+    bench("vacuum liveness set (retainedVersions + filesAtMany)", 2) {
+      val live = resolver.filesAtMany(tp, store.retainedVersions(tp, 0L))
+      require(live.size >= n, s"expected >= $n live files, got ${live.size}")
+    }
+    // DESCRIBE HISTORY metadata half: every lineage in one bulk round
+    bench("history lineages (partitionVersionsBulk over all descs)", 2) {
+      store.partitionVersionsBulk(tp,
+        store.listPartitionHeads(tp).map(_.partitionDesc)).size
     }
     store.dropTable(tp)
   }

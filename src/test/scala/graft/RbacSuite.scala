@@ -152,6 +152,42 @@ class RbacSuite extends SparkFixture {
     }
   }
 
+  test("SQL namespace DDL enforces RBAC when the catalog runs on a JDBC store") {
+    val store = freshStore("t6")
+    val prevWh = spark.conf.getOption("spark.graft.warehouse")
+    try {
+      val cat = new graft.catalog.GraftCatalogV2 {
+        override protected def metaStore: graft.meta.MetaStore = store
+      }
+      cat.initialize("rbac_cat",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("warehouse",
+            java.nio.file.Files.createTempDirectory("rbacwh-").toString)))
+      val none = java.util.Map.of[String, String]()
+      AuthContext.as(admin1)(cat.createNamespace(Array("db1"), none))
+      AuthContext.as(user1) {
+        // visible to the domain's users, but management is admin-only
+        assert(cat.listNamespaces().map(_.mkString(".")).contains("db1"))
+        intercept[PermissionDeniedException](cat.createNamespace(Array("db9"), none))
+        intercept[PermissionDeniedException](cat.dropNamespace(Array("db1"), cascade = false))
+      }
+      AuthContext.as(admin2) {
+        // foreign domain: invisible, name protected, drop reports absent
+        assert(!cat.listNamespaces().map(_.mkString(".")).contains("db1"))
+        intercept[PermissionDeniedException](cat.createNamespace(Array("db1"), none))
+        intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException](
+          cat.dropNamespace(Array("db1"), cascade = false))
+      }
+      AuthContext.as(admin1) {
+        assert(cat.dropNamespace(Array("db1"), cascade = false))
+        assert(!cat.listNamespaces().map(_.mkString(".")).contains("db1"))
+      }
+    } finally prevWh match {
+      case Some(w) => spark.conf.set("spark.graft.warehouse", w)
+      case None => spark.conf.unset("spark.graft.warehouse")
+    }
+  }
+
   test("the file store refuses non-public identities loudly") {
     withTempPath { path =>
       AuthContext.as(admin1) {
