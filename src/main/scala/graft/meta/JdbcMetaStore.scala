@@ -790,6 +790,20 @@ class JdbcMetaStore(url: String) extends MetaStore {
       }
     }
 
+  /** One DISTINCT scan down the (table_path, ts) index. */
+  override def commitTimestamps(tablePath: String): Seq[Long] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT DISTINCT ts FROM graft_partition_log WHERE table_path = ? " +
+        "ORDER BY ts")
+    try {
+      ps.setString(1, canonical(tablePath))
+      val rs = ps.executeQuery()
+      val b = Vector.newBuilder[Long]
+      while (rs.next()) b += rs.getLong(1)
+      rs.close(); b.result()
+    } finally ps.close()
+  }
+
   /** One indexed range scan — the tombstone analog of
     * [[partitionsChangedBetween]] (see the trait scaladoc: strict streams
     * need the drops that pass's live filter hides). */
@@ -936,6 +950,23 @@ class JdbcMetaStore(url: String) extends MetaStore {
       val pi = PartitionInfo(desc, -1, Nil, CommitOp.Update, ts)
       insertLogRow(c, tp, seq, pi)
       upsertHead(c, tp, pi, seq)
+    }
+  }
+
+  /** ONE transaction + ONE shared ts for the whole sweep (crash-atomic,
+    * O(1) commits instead of O(descs)). */
+  override def dropPartitions(tablePath: String, descs: Seq[String]): Unit = {
+    if (descs.isEmpty) return
+    val tp = canonical(tablePath)
+    requireVisible(tp, tablePath)
+    withTx { c =>
+      lockTable(c, tp)
+      val (seq0, ts) = allocate(c, tp, descs.size)
+      descs.zipWithIndex.foreach { case (d, i) =>
+        val pi = PartitionInfo(d, -1, Nil, CommitOp.Update, ts)
+        insertLogRow(c, tp, seq0 + i, pi)
+        upsertHead(c, tp, pi, seq0 + i)
+      }
     }
   }
 

@@ -101,6 +101,13 @@ trait MetaStore {
       tablePath: String, startTime: Long, endTime: Long): Seq[String] =
     listPartitionHeads(tablePath).map(_.partitionDesc)
 
+  /** Distinct commit timestamps in the log, ascending — the table-level
+    * commit boundaries (every publish stamps ONE shared ts). Serves SQL
+    * `VERSION AS OF v` resolution without materializing lineages: on a
+    * wide table the full [[partitionVersionsBulk]] the history listing
+    * needs costs seconds, where this is one indexed DISTINCT scan. */
+  def commitTimestamps(tablePath: String): Seq[Long]
+
   /** Partitions whose log carries a DROP tombstone (version == -1 —
     * dropPartition, or restoreTable on a partition created after the
     * boundary) in (startTime, endTime], with the tombstone's commit
@@ -154,6 +161,14 @@ trait MetaStore {
 
   def dropTable(tablePath: String): Unit
   def dropPartition(tablePath: String, partitionDesc: String): Unit
+
+  /** Drop MANY partitions as ONE commit (single log append / database
+    * transaction, one shared timestamp like every publish): a partition-TTL
+    * sweep can expire thousands at once — per-desc drops cost one commit
+    * each and leave a crash window with half the sweep applied. Stores
+    * override; this default keeps correctness, not atomicity. */
+  def dropPartitions(tablePath: String, descs: Seq[String]): Unit =
+    descs.foreach(dropPartition(tablePath, _))
 
   /** Streaming sink exactly-once bookkeeping (LakeSoulSink.scala:46-49). */
   def getMaxBatchId(tablePath: String, queryId: String): Long
@@ -541,6 +556,10 @@ class FileMetaStore extends MetaStore {
       .map(_.partitionDesc).filter(live).distinct.toSeq.sorted
   }
 
+  override def commitTimestamps(tablePath: String): Seq[Long] =
+    allVersionLines(tablePath).iterator.map(_.timestamp)
+      .toSeq.distinct.sorted
+
   /** Same one-pass shape as [[partitionsChangedBetween]], but surfacing the
     * tombstone lines that pass deliberately hides (trait scaladoc). */
   override def droppedBetween(tablePath: String, startTime: Long,
@@ -647,6 +666,14 @@ class FileMetaStore extends MetaStore {
     withFileLock(tablePath) {
       appendVersions(tablePath,
         Seq(PartitionInfo(desc, -1, Nil, CommitOp.Update, nextTs())))
+    }
+
+  /** ONE lock + ONE append + ONE shared ts for the whole sweep. */
+  override def dropPartitions(tablePath: String, descs: Seq[String]): Unit =
+    if (descs.nonEmpty) withFileLock(tablePath) {
+      val ts = nextTs()
+      appendVersions(tablePath,
+        descs.map(d => PartitionInfo(d, -1, Nil, CommitOp.Update, ts)))
     }
 
   override def getMaxBatchId(tablePath: String, queryId: String): Long = {

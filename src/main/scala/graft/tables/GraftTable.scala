@@ -243,12 +243,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   }
 
   /** Commit timestamp (ms) of 1-based table version `v` — the boundary SQL
-    * `VERSION AS OF v` reads at. */
+    * `VERSION AS OF v` reads at. Resolved from the distinct-ts log scan
+    * ([[graft.meta.MetaStore.commitTimestamps]]), NOT the full history
+    * listing: on a 100k-partition table the lineages history materializes
+    * cost ~2 s of planning tax per VERSION AS OF query, the ts list ~ms. */
   def timestampOfVersion(v: Int): Long = {
-    val h = history
-    require(v >= 1 && v <= h.length,
-      s"version $v out of range [1, ${h.length}] for $tablePath")
-    h(v - 1)._2
+    val ts = store.commitTimestamps(tablePath)
+    require(v >= 1 && v <= ts.length,
+      s"version $v out of range [1, ${ts.length}] for $tablePath")
+    ts(v - 1)
   }
 
   /** Latest commit timestamp (for snapshot/incremental boundaries) —
@@ -1546,7 +1549,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       case Some(days) =>
         val cutoff = nowMs - days.toLong * 24 * 3600 * 1000
         val expired = partitions.filter(_.timestamp < cutoff).map(_.partitionDesc)
-        expired.foreach(dropPartition)
+        // one commit for the whole sweep: crash-atomic and O(1) commits
+        // where a per-desc loop paid one transaction per expired partition
+        store.dropPartitions(tablePath, expired)
         expired
     }
 

@@ -146,6 +146,34 @@ class JdbcMetaStoreSuite extends SparkFixture {
     }
   }
 
+  test("commitTimestamps and bulk dropPartitions agree across stores") {
+    withTempPath { path =>
+      val results = Seq(new FileMetaStore, freshStore("bulk")).map { s =>
+        s.createTable(ti(path))
+        s.commit(path, Seq(commitOf("a", CommitOp.Append, 0),
+          commitOf("b", CommitOp.Append, 0),
+          commitOf("c", CommitOp.Append, 0)), Map.empty)
+        s.commit(path, Seq(commitOf("b", CommitOp.Merge, 1)), Map("b" -> 0))
+        // distinct ascending table-level boundaries: create is meta-only,
+        // so exactly the two data commits
+        val ts = s.commitTimestamps(path)
+        assert(ts.size == 2 && ts == ts.sorted && ts.distinct == ts, s"ts=$ts")
+        // one sweep, ONE commit: both drops share a timestamp and the
+        // strict-gate probe sees both tombstones
+        s.dropPartitions(path, Seq("a", "c"))
+        val dropped = s.droppedBetween(path, ts.last, Long.MaxValue)
+        assert(dropped.map(_._1).sorted == Seq("a", "c"), s"dropped=$dropped")
+        assert(dropped.map(_._2).distinct.size == 1, "drops must share one ts")
+        assert(s.commitTimestamps(path).size == 3)
+        val heads = s.listPartitionHeads(path).map(_.partitionDesc)
+        s.dropTable(path)
+        (heads, dropped.map(_._1).sorted)
+      }
+      assert(results(0) == results(1), "file/jdbc bulk-drop parity")
+      assert(results(0)._1 == Seq("b"))
+    }
+  }
+
   test("stale expectedVersions raises MetaRerunException; retry lands") {
     withTempPath { path =>
       val s = freshStore("cas")
