@@ -653,6 +653,41 @@ object SparkEntry {
         "mor_upsert_decimal: columnar decimal slice path did not execute")
       merged.withColumn("o_totalprice", col("o_totalprice").cast("double"))
     }),
+    "rbac_mor_upsert" -> q((s, d) => {
+      // DOMAIN RBAC end-to-end (reference RBACOperationSuite semantics,
+      // enforced at the JDBC store API since PG row-level security is
+      // unreachable here): a domain1 admin creates the table; a domain2
+      // admin must find it INVISIBLE (and mutations refused as not-found);
+      // a domain1 ORDINARY USER then runs the standard MOR upsert and the
+      // final read — so the gate row proves both the denial and the grant
+      // sides, and the merged result still matches the plain-SQL oracle.
+      import graft.meta.AuthContext
+      val store = new graft.meta.JdbcMetaStore(
+        s"jdbc:derby:memory:rbacgate${java.lang.Long.toHexString(System.nanoTime())};create=true")
+      val o = rd(s, d, "orders")
+      val path = tmp("rbacmor")
+      AuthContext.as(AuthContext("admin1", "domain1", admin = true)) {
+        GraftTable.create(s, o, path,
+          hashColumns = Seq("o_orderkey"), bucketNum = 4, store = store)
+      }
+      AuthContext.as(AuthContext("admin2", "domain2", admin = true)) {
+        require(store.getTableInfo(path).isEmpty,
+          "rbac: cross-domain table must be invisible")
+        val denied =
+          try { store.dropTable(path); false }
+          catch { case _: IllegalArgumentException => true }
+        require(denied, "rbac: cross-domain drop must report not-found")
+      }
+      AuthContext.as(AuthContext("user1", "domain1", admin = false)) {
+        val t = GraftTable.forPath(s, path, store = store)
+        t.upsert(o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+        // eager file resolution INSIDE the identity scope: the returned
+        // frame scans a fixed file set, so later execution (the gate's
+        // parquet dump) needs no further authorized store access
+        t.toDF(_ => true)
+      }
+    }),
     "jdbc_catalog_mor" -> q((s, d) => {
       // the SAME MOR upsert flow with commit arbitration through a JDBC
       // database (Derby in-memory here; PostgreSQL on a real cluster) —
@@ -2855,6 +2890,10 @@ object SparkEntry {
         |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "jdbc_catalog_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "rbac_mor_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
