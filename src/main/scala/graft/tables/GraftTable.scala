@@ -2045,7 +2045,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val t = info
     val cur = graft.util.SchemaUtil.fromJson(t.schemaJson)
     val known = cur.fieldNames.toSet
-    val added = incoming.fields.filterNot(f => known.contains(f.name))
+    // a CASE-VARIANT of a known column is the same column under the Spark
+    // default spark.sql.caseSensitive=false (normalize renames it before
+    // the write) — evolving it as a new field would split the column in two
+    val caseSensitive =
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+    val knownLc = cur.fieldNames.map(_.toLowerCase).toSet
+    val added = incoming.fields
+      .filterNot(f => known.contains(f.name) ||
+        (!caseSensitive && knownLc.contains(f.name.toLowerCase)))
       .map(f => StructField(f.name, f.dataType, nullable = true))
     if (added.nonEmpty)
       store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields ++ added).json))
@@ -2088,6 +2096,32 @@ object GraftTable {
     * a registered clone still references. */
   val ClonesProp = "graft.clones"
 
+  /** Resolve requested partition/key columns against the data's field
+    * names, case-insensitively when the session is (the Spark default —
+    * reference CaseSensitivitySuite accepts `rangePartitions=key` for
+    * column `Key`). Returns the SCHEMA's canonical names; ambiguity under
+    * case-insensitive resolution and absence both fail loudly. */
+  private def resolveColumns(fieldNames: Seq[String], requested: Seq[String],
+      what: String): Seq[String] = {
+    val caseSensitive =
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+    requested.map { c =>
+      fieldNames.find(_ == c).getOrElse {
+        if (caseSensitive)
+          throw new IllegalArgumentException(
+            s"$what columns not in data: $c")
+        else fieldNames.filter(_.equalsIgnoreCase(c)) match {
+          case Seq(one) => one
+          case Seq() => throw new IllegalArgumentException(
+            s"$what columns not in data: $c")
+          case many => throw new IllegalArgumentException(
+            s"$what column '$c' is ambiguous under case-insensitive " +
+              s"resolution: ${many.mkString(", ")}")
+        }
+      }
+    }
+  }
+
 
   /** Create a table from an initial DataFrame (cf. LakeSoulTable create +
     * write, SURVEY.md §7.3). */
@@ -2101,14 +2135,14 @@ object GraftTable {
       properties: Map[String, String] = Map.empty,
       store: MetaStore = MetaStore.default): GraftTable = {
     val tp = graft.util.PathUtil.local(tablePath)
-    val missing = (rangeColumns ++ hashColumns).filterNot(df.columns.contains)
-    require(missing.isEmpty, s"partition columns not in data: ${missing.mkString(", ")}")
+    val range = resolveColumns(df.columns, rangeColumns, "partition")
+    val hash = resolveColumns(df.columns, hashColumns, "partition")
     // PK columns are forced non-nullable (ImplicitMetadataOperation.scala:106-113)
     val schema = StructType(df.schema.fields.map(f =>
-      if (hashColumns.contains(f.name)) f.copy(nullable = false) else f))
+      if (hash.contains(f.name)) f.copy(nullable = false) else f))
     store.createTable(TableInfo(
       MetaStore.newCommitId(), new java.io.File(tp).getCanonicalPath,
-      schema.json, rangeColumns, hashColumns, bucketNum, properties))
+      schema.json, range, hash, bucketNum, properties))
     val t = new GraftTable(spark, tp, store)
     t.append(df)
     t
@@ -2126,13 +2160,13 @@ object GraftTable {
       properties: Map[String, String] = Map.empty,
       store: MetaStore = MetaStore.default): GraftTable = {
     val tp = graft.util.PathUtil.local(tablePath)
-    val missing = (rangeColumns ++ hashColumns).filterNot(schema.fieldNames.contains)
-    require(missing.isEmpty, s"partition columns not in schema: ${missing.mkString(", ")}")
+    val range = resolveColumns(schema.fieldNames, rangeColumns, "partition")
+    val hash = resolveColumns(schema.fieldNames, hashColumns, "partition")
     val s = StructType(schema.fields.map(f =>
-      if (hashColumns.contains(f.name)) f.copy(nullable = false) else f))
+      if (hash.contains(f.name)) f.copy(nullable = false) else f))
     store.createTable(TableInfo(
       MetaStore.newCommitId(), new java.io.File(tp).getCanonicalPath,
-      s.json, rangeColumns, hashColumns, bucketNum, properties))
+      s.json, range, hash, bucketNum, properties))
     new GraftTable(spark, tp, store)
   }
 

@@ -113,9 +113,26 @@ object TransactionalWrite {
       case _ => a == b
     }
 
-  def normalize(table: TableInfo, df: DataFrame,
+  def normalize(table: TableInfo, dfIn: DataFrame,
       ingestion: Boolean = true): DataFrame = {
     val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
+    // CASE-INSENSITIVE batch resolution (reference CaseSensitivitySuite:
+    // under the Spark default spark.sql.caseSensitive=false a batch naming
+    // `Key` for schema column `key` must write that column, not evolve a
+    // new one): rename case-variant batch columns to the schema's
+    // canonical names. Exact matches win; a schema whose own fields
+    // collide case-insensitively keeps those names un-renameable.
+    val df = if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis) dfIn
+    else {
+      val exact = schema.fieldNames.toSet
+      val canonical = schema.fieldNames.groupBy(_.toLowerCase)
+        .collect { case (lc, Array(one)) => lc -> one }
+      dfIn.columns.foldLeft(dfIn) { (d, c) =>
+        if (exact.contains(c)) d
+        else canonical.get(c.toLowerCase)
+          .map(n => d.withColumnRenamed(c, n)).getOrElse(d)
+      }
+    }
     val present = df.columns.toSet
     val keep = schema.fields.filter(f => present.contains(f.name))
     val missing = (table.rangeColumns ++ table.hashColumns).filterNot(present.contains)
