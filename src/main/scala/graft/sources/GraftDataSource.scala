@@ -68,7 +68,11 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       val props = parameters.view.filterKeys(_.startsWith("graft.")).toMap
       GraftTable.create(spark, data, path, range, hash, buckets, props)
     } else {
-      val t = GraftTable.forPath(spark, path)
+      val t0 = GraftTable.forPath(spark, path)
+      // .option("mergeSchema", true|false): per-write override of the
+      // additive-schema-merge gate (reference MERGE_SCHEMA_OPTION)
+      val t = parameters.get("mergeSchema")
+        .map(v => t0.withMergeSchema(v.toBoolean)).getOrElse(t0)
       mode match {
         case SaveMode.Append =>
           if (t.info.hasPrimaryKey) t.upsert(data) else t.append(data)

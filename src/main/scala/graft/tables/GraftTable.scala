@@ -2055,8 +2055,40 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       .filterNot(f => known.contains(f.name) ||
         (!caseSensitive && knownLc.contains(f.name.toLowerCase)))
       .map(f => StructField(f.name, f.dataType, nullable = true))
-    if (added.nonEmpty)
+    if (added.nonEmpty) {
+      // Schema-merge GATE (reference SchemaEnforcementSuite /
+      // LakeSoulOptions.MERGE_SCHEMA_OPTION semantics): precedence is the
+      // per-handle writer option (`.option("mergeSchema", ...)` on the
+      // DSv1 writer), then the table property, then the session conf.
+      // DEFAULT here is true — earlier rounds documented additive
+      // evolution as this engine's default (the reference defaults to
+      // reject); set either knob to false to get the reference's strict
+      // behavior, where a typo'd batch column fails the write instead of
+      // silently splitting the table.
+      val allow = mergeSchemaOverride
+        .orElse(t.properties.get(GraftTable.AutoMergeProp).map(_.toBoolean))
+        .getOrElse(spark.conf.getOption(GraftTable.AutoMergeConf)
+          .forall(_.toBoolean))
+      if (!allow) throw new IllegalArgumentException(
+        s"batch adds columns not in the table schema " +
+          s"(${added.map(_.name).mkString(", ")}) and schema merging is " +
+          s"disabled: drop them, or enable mergeSchema " +
+          s"(writer .option(\"mergeSchema\",\"true\"), table property " +
+          s"${GraftTable.AutoMergeProp}, or ${GraftTable.AutoMergeConf})")
       store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields ++ added).json))
+    }
+  }
+
+  /** Per-handle writer override for the schema-merge gate (DSv1
+    * `.option("mergeSchema", ...)`); None = property/conf decide. */
+  private var mergeSchemaOverride: Option[Boolean] = None
+
+  /** A handle whose writes allow (true) or reject (false) additive schema
+    * changes regardless of table property / session conf. */
+  def withMergeSchema(enabled: Boolean): GraftTable = {
+    val t = new GraftTable(spark, tablePath, store)
+    t.mergeSchemaOverride = Some(enabled)
+    t
   }
 
   private def withRetry[T](body: => T): T = {
@@ -2095,6 +2127,12 @@ object GraftTable {
     * table ([[GraftTable.cloneTo]]); the table's cleaners keep every file
     * a registered clone still references. */
   val ClonesProp = "graft.clones"
+
+  /** Table property gating additive schema merge on write ("false" =
+    * reject new columns, the reference's default). */
+  val AutoMergeProp = "graft.schema.autoMerge"
+  /** Session-conf form of [[AutoMergeProp]]. */
+  val AutoMergeConf = "spark.graft.schema.autoMerge"
 
   /** Resolve requested partition/key columns against the data's field
     * names, case-insensitively when the session is (the Spark default —
