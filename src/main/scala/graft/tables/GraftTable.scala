@@ -504,6 +504,17 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     }
   }
 
+  /** Reference-parity overload (`LakeSoulTable.upsert(source, condition)`,
+    * LakeSoulTable.scala:256): `condition` is a SQL predicate scoping the
+    * upsert to matching partitions — the reference prunes TARGET partitions
+    * with it (UpsertCommand.scala:105); in this engine's delta-upsert model
+    * the batch itself determines the touched partitions, so scoping the
+    * SOURCE rows by the same predicate yields the identical visible state.
+    * Empty condition = plain upsert. */
+  def upsert(df: DataFrame, condition: String): Unit =
+    if (condition == null || condition.trim.isEmpty) upsert(df)
+    else upsert(df.filter(expr(condition)))
+
   /** Write (but do NOT publish) the delta-upsert data files for `df` and
     * return this table's [[graft.meta.MetaStore.commitMany]] entry — the
     * staging half of [[GraftTransaction.upsertAll]]. The files are

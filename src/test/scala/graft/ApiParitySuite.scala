@@ -30,6 +30,21 @@ class ApiParitySuite extends SparkFixture {
     }
   }
 
+  test("upsert(source, condition) scopes the upsert like the reference") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("id", "part", "v"),
+        path, rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      // batch touches both partitions; the condition limits it to p1
+      t.upsert(Seq((1, "p1", 11), (3, "p2", 99)).toDF("id", "part", "v"),
+        "part = 'p1'")
+      assertRows(t.toDF.select("id", "v"), Seq("[1,11]", "[2,20]", "[3,30]"))
+      // empty condition = plain upsert
+      t.upsert(Seq((3, "p2", 99)).toDF("id", "part", "v"), "")
+      assertRows(t.toDF.select("id", "v"), Seq("[1,11]", "[2,20]", "[3,99]"))
+    }
+  }
+
   test("time-based rollbackPartition resolves the version at-or-before") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
