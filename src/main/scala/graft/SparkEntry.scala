@@ -653,6 +653,32 @@ object SparkEntry {
         "mor_upsert_decimal: columnar decimal slice path did not execute")
       merged.withColumn("o_totalprice", col("o_totalprice").cast("double"))
     }),
+    "delta_join_maintain" -> q((s, d) => {
+      // DELTA JOIN (J2+J3 end-to-end, reference DeltaJoinSuite): a
+      // materialized orders⋈customer join table is maintained INCREMENTALLY
+      // — a dim-side delta routes through upsertOnJoinKey (partial rows:
+      // untouched columns fall through to older runs on read), a fact-side
+      // delta enriches against the dim's current state through
+      // joinWithTablesAndUpsert — and must equal the recomputed join.
+      val o = rd(s, d, "orders")
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .select("o_orderkey", "c_custkey", "o_totalprice")
+      val c = rd(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val right = GraftTable.create(s, c, tmp("djr"),
+        hashColumns = Seq("c_custkey"), bucketNum = 4)
+      val jt = GraftTable.create(s, o.join(c, Seq("c_custkey"), "left_outer"),
+        tmp("djj"), hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      val deltaRight = c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 500)
+      val deltaLeft = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      right.upsert(deltaRight)
+      jt.upsertOnJoinKey(deltaRight, Seq("c_custkey"))
+      jt.joinWithTablesAndUpsert(deltaLeft, Seq(right))
+      jt.toDF.select(col("o_orderkey"), col("c_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("c_name"), col("c_acctbal").cast("double").as("c_acctbal"))
+    }),
     "rbac_mor_upsert" -> q((s, d) => {
       // DOMAIN RBAC end-to-end (reference RBACOperationSuite semantics,
       // enforced at the JDBC store API since PG row-level security is
@@ -2897,6 +2923,16 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "delta_join_maintain" ->
+      """WITH c2 AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer),
+        |o2 AS (SELECT o_orderkey, o_custkey AS c_custkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, c_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM o2 LEFT JOIN c2 USING (c_custkey)""".stripMargin,
     "multi_table_txn" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2

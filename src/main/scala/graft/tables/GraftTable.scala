@@ -1242,29 +1242,72 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     GraftRead.read(spark, t, files).filter(pred)
   }
 
-  /** Upsert a delta keyed by non-PK columns (J2, upsertOnJoinKey,
-    * LakeSoulTableOperations.scala:91-111): enrich the delta with the
-    * table's PK/partition columns through a broadcast join, then upsert. */
-  def upsertOnJoinKey(deltaDF: DataFrame, joinKeys: Seq[String]): Unit = {
+  /** Maintain a materialized JOIN table against a DIM-side delta (J2,
+    * upsertOnJoinKey, LakeSoulTableOperations.scala:91-111): select this
+    * join table's (joinKey, PK/partition) mapping, inner-join the
+    * broadcast delta on the join key to route the new dim values to the
+    * affected join-table keys, and upsert. `partitionDesc` (reference
+    * `Seq("range1=1", ...)`) scopes the mapping to listed partitions;
+    * `condition` passes through to [[upsert]]. */
+  def upsertOnJoinKey(deltaDF: DataFrame, joinKeys: Seq[String],
+      partitionDesc: Seq[String] = Nil, condition: String = ""): Unit = {
     val t = info
     require(t.hasPrimaryKey, "upsertOnJoinKey requires a primary-key table")
+    val unknown = joinKeys.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"join keys not in the table: ${unknown.mkString(", ")}")
     val keyCols = (t.hashColumns ++ t.rangeColumns).distinct
       .filterNot(joinKeys.contains)
-    val mapping = toDF.select((joinKeys ++ keyCols).distinct.map(col): _*)
-    upsert(mapping.join(broadcast(deltaDF), joinKeys, "inner"))
+    val mapping0 = toDF.select((joinKeys ++ keyCols).distinct.map(col): _*)
+    val mapping = if (partitionDesc.isEmpty) mapping0
+      else mapping0.filter(expr(partitionDesc.mkString(" and ")))
+    upsert(mapping.join(broadcast(deltaDF), joinKeys, "inner"), condition)
   }
 
-  /** Upsert one delta into several dimension tables at once (J3,
+  /** Maintain a materialized JOIN table against a FACT-side delta (J3,
     * joinWithTablePathsAndUpsert, LakeSoulTableOperations.scala:113-167):
-    * for each dim table, project the delta onto the dim's schema via a
-    * broadcast join on that table's hash columns and upsert. */
-  def joinWithTablesAndUpsert(deltaDF: DataFrame, dims: Seq[GraftTable]): Unit =
-    dims.foreach { dim =>
-      val di = dim.info
-      val dimCols = dim.schema.fieldNames.filter(deltaDF.columns.contains)
-      dim.upsert(broadcast(deltaDF.select(dimCols.map(col): _*))
-        .join(dim.toDF.select(di.hashColumns.map(col): _*), di.hashColumns, "inner"))
+    * for each dimension table, LEFT-OUTER-join the broadcast delta with
+    * the dim's CURRENT state on the dim's hash columns (delta rows with no
+    * dim match keep null dim columns, exactly like the original join) and
+    * upsert the enriched rows into THIS join table. `partitionFilters`
+    * scopes each dim read (one `Seq("range1=1", ...)` per dim, reference
+    * `tablePartitionDesc`). */
+  def joinWithTablesAndUpsert(deltaLeftDF: DataFrame, dims: Seq[GraftTable],
+      partitionFilters: Seq[Seq[String]] = Nil,
+      condition: String = ""): Unit = {
+    val filters = if (partitionFilters.isEmpty) dims.map(_ => Seq.empty[String])
+      else partitionFilters
+    require(filters.length == dims.length,
+      s"got ${dims.length} tables but ${filters.length} partition filters")
+    dims.zip(filters).foreach { case (dim, f) =>
+      val hashCols = dim.info.hashColumns
+      val missing = hashCols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"dim hash columns not in the join table: ${missing.mkString(", ")}")
+      val dimDF = if (f.isEmpty) dim.toDF
+        else dim.toDF.filter(expr(f.mkString(" and ")))
+      upsert(broadcast(deltaLeftDF).join(dimDF, hashCols, "left_outer"),
+        condition)
     }
+  }
+
+  /** Path/name conveniences matching the reference's exact entry points
+    * (`joinWithTablePathsAndUpsert` / `joinWithTableNamesAndUpsert`). */
+  def joinWithTablePathsAndUpsert(deltaLeftDF: DataFrame,
+      tablePaths: Seq[String],
+      partitionFilters: Seq[Seq[String]] = Nil,
+      condition: String = ""): Unit =
+    joinWithTablesAndUpsert(deltaLeftDF,
+      tablePaths.map(p => GraftTable.forPath(spark, p, store)),
+      partitionFilters, condition)
+
+  def joinWithTableNamesAndUpsert(deltaLeftDF: DataFrame,
+      tableNames: Seq[String],
+      partitionFilters: Seq[Seq[String]] = Nil,
+      condition: String = ""): Unit =
+    joinWithTablesAndUpsert(deltaLeftDF,
+      tableNames.map(n => GraftTable.forName(spark, n, store)),
+      partitionFilters, condition)
 
   /** Shuffle-free equi-join with another table bucketed on the same PK
     * (J4 delta join — see [[graft.read.BucketedJoin]]). */

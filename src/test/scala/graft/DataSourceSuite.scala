@@ -345,18 +345,38 @@ class DataSourceSuite extends SparkFixture {
     }
   }
 
-  test("joinWithTablesAndUpsert fans a delta into dimension tables") {
-    withTempPath { p1 =>
-      withTempPath { p2 =>
-        val d1 = GraftTable.create(spark,
-          Seq((1L, "x")).toDF("id", "a"), p1, hashColumns = Seq("id"), bucketNum = 1)
-        val d2 = GraftTable.create(spark,
-          Seq((1L, "y"), (9L, "z")).toDF("id", "b"), p2,
-          hashColumns = Seq("id"), bucketNum = 1)
-        val delta = Seq((1L, "x2", "y2")).toDF("id", "a", "b")
-        d1.joinWithTablesAndUpsert(delta, Seq(d1, d2))
-        assertRows(d1.toDF, Seq("[1,x2]"))
-        assertRows(d2.toDF, Seq("[1,y2]", "[9,z]"))
+  test("delta join: upsertOnJoinKey + joinWithTablesAndUpsert keep a " +
+    "materialized join table equal to the recomputed join (reference " +
+    "DeltaJoinSuite shape)") {
+    withTempPath { pl =>
+      withTempPath { pr =>
+        withTempPath { pj =>
+          val left0 = Seq((1L, "a", "v1-1"), (2L, "b", "v1-2"), (3L, "c", "v1-3"))
+            .toDF("hash_left", "hash_right", "v1")
+          val right0 = Seq(("a", "v2-a"), ("b", "v2-b"), ("c", "v2-c"))
+            .toDF("hash_right", "v2")
+          val left = GraftTable.create(spark, left0, pl,
+            hashColumns = Seq("hash_left"), bucketNum = 2)
+          val right = GraftTable.create(spark, right0, pr,
+            hashColumns = Seq("hash_right"), bucketNum = 2)
+          val join = GraftTable.create(spark,
+            left.toDF.join(right.toDF, Seq("hash_right"), "left_outer"), pj,
+            hashColumns = Seq("hash_left"), bucketNum = 2)
+          // deltas land in the base tables...
+          val deltaLeft = Seq((3L, "c", "v1-31"), (4L, "d", "v1-4"), (5L, "e", "v1-5"))
+            .toDF("hash_left", "hash_right", "v1")
+          val deltaRight = Seq(("c", "v2-c1"), ("d", "v2-d"), ("f", "v2-f"))
+            .toDF("hash_right", "v2")
+          left.upsert(deltaLeft)
+          right.upsert(deltaRight)
+          // ...and the JOIN table folds them in incrementally: the
+          // dim-side delta routes through the join key, the fact-side
+          // delta enriches against the dim's current state
+          join.upsertOnJoinKey(deltaRight, Seq("hash_right"))
+          join.joinWithTablePathsAndUpsert(deltaLeft, Seq(pr))
+          assertSameRows(join.toDF,
+            left.toDF.join(right.toDF, Seq("hash_right"), "left_outer"))
+        }
       }
     }
   }
