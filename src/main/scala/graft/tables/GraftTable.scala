@@ -105,6 +105,17 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     GraftRead.read(spark, t, files, requiredColumns = requiredColumns)
   }
 
+  /** One partition pinned at a specific PARTITION version number
+    * (reference `forPath(path, partitionDesc, partitionVersion)`,
+    * LakeSoulTable.scala:683 / SnapshotManagement(p, desc, version)). */
+  def snapshotAtPartitionVersion(partitionDesc: String, version: Int): DataFrame = {
+    val pi = store.partitionVersions(tablePath, partitionDesc)
+      .find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version $version for partition '$partitionDesc' of $tablePath"))
+    GraftRead.read(spark, info, resolver.filesAt(tablePath, pi))
+  }
+
   /** Time travel (C1 forPathSnapshot): state as of `endTime` (ms). */
   def snapshotAt(endTime: Long, partitionPred: String => Boolean = _ => true): DataFrame =
     GraftRead.read(spark, info, resolver.filesUptoTime(tablePath, endTime, partitionPred))
@@ -2304,6 +2315,13 @@ object GraftTable {
   /** Snapshot read handle pinned at-or-before `endTime`, optionally scoped
     * to one partition (reference `forPathSnapshot`,
     * LakeSoulTable.scala:642-660). */
+  /** Reference parity: `forPath(path, partitionDesc, partitionVersion)` —
+    * one partition at a pinned partition-version number. */
+  def forPathPartitionVersion(spark: SparkSession, tablePath: String,
+      partitionDesc: String, partitionVersion: Int): DataFrame =
+    forPath(spark, tablePath)
+      .snapshotAtPartitionVersion(partitionDesc, partitionVersion)
+
   def forPathSnapshot(spark: SparkSession, tablePath: String, endTime: Long,
       partitionDesc: String = ""): DataFrame = {
     val t = forPath(spark, tablePath)

@@ -30,6 +30,26 @@ class ApiParitySuite extends SparkFixture {
     }
   }
 
+  test("forPathPartitionVersion reads one partition at a pinned version") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "p1", 10), (2, "p2", 20)).toDF("id", "part", "v"), path,
+        rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      t.upsert(Seq((1, "p1", 11)).toDF("id", "part", "v"))
+      t.upsert(Seq((1, "p1", 12)).toDF("id", "part", "v"))
+      // p1 versions: 0 (create), 1, 2 — pin each
+      assertRows(GraftTable.forPathPartitionVersion(spark, path, "part=p1", 0)
+        .select("id", "v"), Seq("[1,10]"))
+      assertRows(GraftTable.forPathPartitionVersion(spark, path, "part=p1", 1)
+        .select("id", "v"), Seq("[1,11]"))
+      assertRows(t.snapshotAtPartitionVersion("part=p1", 2)
+        .select("id", "v"), Seq("[1,12]"))
+      val e = intercept[IllegalArgumentException](
+        t.snapshotAtPartitionVersion("part=p1", 9))
+      assert(e.getMessage.contains("no version"), e.getMessage)
+    }
+  }
+
   test("upsert(source, condition) scopes the upsert like the reference") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
