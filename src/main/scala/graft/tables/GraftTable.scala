@@ -1039,6 +1039,19 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def compaction(partitionPred: String => Boolean = _ => true): Unit =
     compaction(CompactionOptions(), partitionPred)
 
+  /** Reference-parity condition-string form
+    * (`LakeSoulTable.compaction("range=1", ...)`, LakeSoulTable.scala:315):
+    * the SQL predicate is evaluated over the RANGE columns against the
+    * tiny in-memory partition-values frame, never against data files. */
+  def compaction(condition: String): Unit = compaction(condition, CompactionOptions())
+
+  def compaction(condition: String, opts: CompactionOptions): Unit =
+    if (condition == null || condition.trim.isEmpty) compaction(opts, _ => true)
+    else {
+      val matched = partitionsMatching(expr(condition))
+      compaction(opts, d => matched.contains(d))
+    }
+
   /** Compaction with the reference's knobs (C6/C7,
     * CompactionCommand.scala:40+, LakeSoulTable.scala:314-523):
     *  - fileNumLimit: only compact partitions with more than N sorted runs

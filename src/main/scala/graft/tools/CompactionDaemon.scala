@@ -112,7 +112,7 @@ class CompactionDaemon(
         val rebucketed = t.autoRebucket().isDefined // no-op without the prop
         val acted =
           if (due.nonEmpty && !rebucketed) {
-            t.compaction(CompactionOptions(), due.contains)
+            t.compaction(CompactionOptions(), d => due.contains(d))
             true
           } else rebucketed
         // Fast-path bookkeeping. Record lastSeen ONLY for a quiet sweep

@@ -30,6 +30,20 @@ class ApiParitySuite extends SparkFixture {
     }
   }
 
+  test("compaction(condition) scopes to matching range partitions") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "p1", 10), (2, "p2", 20)).toDF("id", "part", "v"), path,
+        rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      t.upsert(Seq((1, "p1", 11), (2, "p2", 21)).toDF("id", "part", "v"))
+      t.compaction("part = 'p1'")
+      val runs = t.partitions.map(p => p.partitionDesc -> p.snapshot.size).toMap
+      assert(runs("part=p1") == 1, s"p1 should be compacted: $runs")
+      assert(runs("part=p2") == 2, s"p2 must be untouched: $runs")
+      assertRows(t.toDF.select("id", "v"), Seq("[1,11]", "[2,21]"))
+    }
+  }
+
   test("forPathPartitionVersion reads one partition at a pinned version") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
