@@ -138,6 +138,22 @@ class SnapshotResolver(store: MetaStore) {
       startTime: Long,
       endTime: Long,
       strict: Boolean): Seq[ResolvedFile] = {
+    val ids = incrementalCommitIds(tablePath, partitionDesc, all,
+      startTime, endTime, strict)
+    assembleIncremental(partitionDesc, ids,
+      store.getCommits(tablePath, ids))
+  }
+
+  /** Plan half of [[incrementalFromLineage]]: the ordered NEW commit ids a
+    * partition delivers over the window — no commit JSON touched, so bulk
+    * callers can fetch every desc's commits in ONE chunked round. */
+  private def incrementalCommitIds(
+      tablePath: String,
+      partitionDesc: String,
+      all: Seq[PartitionInfo],
+      startTime: Long,
+      endTime: Long,
+      strict: Boolean): Seq[String] = {
     val versions = all
       .filter(v => v.timestamp > startTime && v.timestamp <= endTime)
     val nonDelta = versions.filter(v => v.commitOp == CommitOp.Update ||
@@ -155,12 +171,15 @@ class SnapshotResolver(store: MetaStore) {
         .map(_.snapshot.toSet).getOrElse(Set.empty)
       v.snapshot.filterNot(prev).foreach(commitIds += _)
     }
-    val commits = store.getCommits(tablePath, commitIds.toSeq)
-    commitIds.toSeq.zipWithIndex.flatMap { case (cid, ordinal) =>
+    commitIds.toSeq
+  }
+
+  private def assembleIncremental(partitionDesc: String, ids: Seq[String],
+      commits: Map[String, DataCommitInfo]): Seq[ResolvedFile] =
+    ids.zipWithIndex.flatMap { case (cid, ordinal) =>
       commits(cid).files.filter(_.fileOp == "add")
         .map(f => ResolvedFile(f, ordinal, partitionDesc))
     }
-  }
 
   /** Distinct commit timestamps in (startTime, endTime], ascending, each
     * with the number of data files that slice of history adds — the
@@ -234,12 +253,16 @@ class SnapshotResolver(store: MetaStore) {
     // only partitions with commits in the window can contribute (or carry
     // a non-delta boundary) — a micro-batch on a 100k-partition table
     // resolves O(changed) partitions, not O(all); their lineages come back
-    // in one bulk round
+    // in one bulk round and their commit JSON in ONE chunked fetch (a
+    // getCommits round per desc made a wide catch-up batch O(descs) trips)
     val descs = store.partitionsChangedBetween(tablePath, startTime, endTime)
       .filter(partitionPred)
     val lineages = store.partitionVersionsBulk(tablePath, descs)
-    descs.flatMap(desc => incrementalFromLineage(tablePath, desc,
-      lineages.getOrElse(desc, Nil), startTime, endTime, strict))
+    val plans = descs.map(d => d -> incrementalCommitIds(tablePath, d,
+      lineages.getOrElse(d, Nil), startTime, endTime, strict))
+    val commits = store.getCommits(tablePath,
+      plans.iterator.flatMap(_._2).toSeq.distinct)
+    plans.flatMap { case (d, ids) => assembleIncremental(d, ids, commits) }
   }
 
   /** Incremental analog of [[currentFilesForDescs]]: per-desc resolution
@@ -253,7 +276,10 @@ class SnapshotResolver(store: MetaStore) {
       endTime: Long,
       descs: Seq[String]): Seq[ResolvedFile] = {
     val lineages = store.partitionVersionsBulk(tablePath, descs)
-    descs.flatMap(d => incrementalFromLineage(tablePath, d,
+    val plans = descs.map(d => d -> incrementalCommitIds(tablePath, d,
       lineages.getOrElse(d, Nil), startTime, endTime, strict = false))
+    val commits = store.getCommits(tablePath,
+      plans.iterator.flatMap(_._2).toSeq.distinct)
+    plans.flatMap { case (d, ids) => assembleIncremental(d, ids, commits) }
   }
 }
