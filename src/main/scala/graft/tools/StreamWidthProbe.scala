@@ -125,6 +125,14 @@ object StreamWidthProbe {
         .flatMap(pi => resolver.versionUptoTime(tp, pi.partitionDesc, ts2))
         .size
     }
+    // CATCH-UP batch: a brand-new stream's first window spans full history
+    // — every partition is "changed", so this is the worst-case planning
+    // shape (bulk lineage + ONE chunked commit fetch; a getCommits round
+    // per desc here was O(all partitions) store trips)
+    bench("incrementalFilesAll catch-up over FULL history", 2) {
+      val fs = resolver.incrementalFilesAll(tp, 0L, ts2)
+      require(fs.size >= n, s"expected >= $n files, got ${fs.size}")
+    }
     // mview / secondary-index refresh guard: which ops landed in-window?
     // (GraftTable.commitOpsBetween shape — changed descs, bulk lineages)
     bench("commitOpsBetween over 1-commit window (refresh guard)", 5) {
