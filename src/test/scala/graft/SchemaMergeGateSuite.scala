@@ -52,6 +52,43 @@ class SchemaMergeGateSuite extends SparkFixture {
     }
   }
 
+  test("a streaming micro-batch with new columns fails loudly when the " +
+    "gate is closed (reference: reject schema changes - streaming)") {
+    withTempPath { dir =>
+      import org.apache.spark.sql.streaming.Trigger
+      val src = GraftTable.create(spark,
+        Seq((1L, "a", "x")).toDF("id", "v", "extra"), s"$dir/src",
+        hashColumns = Seq("id"), bucketNum = 1)
+      // sink starts NARROWER than the source will deliver
+      GraftTable.create(spark, Seq((0L, "z")).toDF("id", "v"), s"$dir/out",
+        hashColumns = Seq("id"), bucketNum = 1)
+      spark.conf.set(GraftTable.AutoMergeConf, "false")
+      try {
+        def run() = {
+          val q = spark.readStream.format("graft").load(s"$dir/src")
+            .writeStream.format("graft")
+            .option("path", s"$dir/out")
+            .option("checkpointLocation", s"$dir/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(120000)
+        }
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          run()
+        }
+        val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+        assert(msg.contains("mergeSchema"), s"expected the gate error, got: $msg")
+        assert(GraftTable.forPath(spark, s"$dir/out").schema.fieldNames.toSeq
+          == Seq("id", "v"), "sink schema must not move")
+        // opening the gate lets the SAME stream land and evolve the sink
+        spark.conf.set(GraftTable.AutoMergeConf, "true")
+        run()
+        val out = GraftTable.forPath(spark, s"$dir/out")
+        assert(out.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+        assert(out.toDF.count() == 2)
+      } finally spark.conf.unset(GraftTable.AutoMergeConf)
+    }
+  }
+
   test("writer option mergeSchema=false rejects even with the open default") {
     withTempPath { path =>
       base.write.format("graft")
