@@ -207,12 +207,28 @@ class JdbcMetaStore(url: String) extends MetaStore {
     // presence had a bootstrap race: a second host connecting while the
     // first is mid-DDL would see graft_table_info, skip the rest, and fail
     // on the still-missing tables.
+    //
+    // BOUNDED CONTENTION RETRY: a store connecting while other connections
+    // hold in-flight commit transactions can hit dictionary-lock timeouts
+    // on the (redundant) CREATEs — Derby's DDL waits on locks the data
+    // transactions hold, times out (40XL1), and a constructor has no
+    // caller-side retry loop to absorb it (the 6-writer concurrency suite
+    // reproduced this as a rare flake). Each statement retries briefly;
+    // contention here is transient by construction (commits finish in ms).
     withConn { c =>
       ddl.foreach { stmt =>
-        val s = c.createStatement()
-        try s.execute(stmt)
-        catch { case e: SQLException if existsAlready(e) => () }
-        finally s.close()
+        var attempts = 0
+        var done = false
+        while (!done) {
+          val s = c.createStatement()
+          try { s.execute(stmt); done = true }
+          catch {
+            case e: SQLException if existsAlready(e) => done = true
+            case e: SQLException if isContention(e) && attempts < 20 =>
+              attempts += 1
+              Thread.sleep(50L * math.min(attempts, 5))
+          } finally s.close()
+        }
       }
     }
   }

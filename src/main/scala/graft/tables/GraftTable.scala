@@ -507,12 +507,13 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * commit it as a new sorted run — zero read of existing data
     * (UpsertCommand.scala:98-102). Readers merge on read. New columns are
     * auto-added to the table schema (additive evolution). */
-  def upsert(df: DataFrame): Unit = {
+  def upsert(df: DataFrame): Unit = withRetry {
+    // preamble INSIDE the retry: its store reads can surface transient
+    // catalog contention (MetaRerunException) under concurrent writers,
+    // and mergeSchema's additive update is idempotent across attempts
     require(info.hasPrimaryKey, "upsert requires a primary-key (hash-partitioned) table")
     mergeSchema(df.schema)
-    withRetry {
-      publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge))
-    }
+    publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge))
   }
 
   /** Reference-parity overload (`LakeSoulTable.upsert(source, condition)`,
