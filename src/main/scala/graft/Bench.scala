@@ -499,8 +499,15 @@ object Bench {
         "q1_graft", "q3_graft", "q5_graft", "q18_graft")
     val summary = scala.collection.mutable.LinkedHashMap[String, Double]()
     summaryKeys.distinct.foreach(k => results.get(k).foreach(summary(k) = _))
+    // self-describing total: the artifact names the entries the `value`
+    // sums, so a reader never has to guess why sum(queries) != value (the
+    // `queries` map also carries diagnostics the total deliberately
+    // excludes — min/median twins, cold runs, canaries)
+    val totalEntries = totalKeys.toSeq.sorted
+      .filter(k => results.get(k).exists(_ >= 0))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(summary)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_entries":$totalEntries,"queries":${jsonMap(summary)},"sf":"$sfDir"}"""
     require(line.length < 2048, s"final bench line must stay compact, got ${line.length}")
     println(line)
     spark.stop()

@@ -81,6 +81,25 @@ object Demo {
     println(s"clause-merge inserted = ${
       t.toDF.filter(col("o_orderstatus") === "M").count()} (expect 3)")
 
+    // nested-struct-field UPDATE (r12): pack a struct, update one leaf,
+    // siblings must survive and a conflicting path must be rejected
+    {
+      val npath = java.nio.file.Files.createTempDirectory("graft-demo-nested-").toString
+      val nt = GraftTable.create(spark,
+        t.toDF.limit(50).select(col("o_orderkey"),
+          struct(col("o_custkey").as("a"), col("o_orderstatus").as("b")).as("st")),
+        npath, hashColumns = Seq("o_orderkey"), bucketNum = 2)
+      nt.update(col("o_orderkey") % 2 === 0, Map("st.a" -> lit(-7L)))
+      println(s"nested update: a=-7 rows = ${
+        nt.toDF.filter(col("st.a") === -7L).count()} (expect ~25, even keys); " +
+        s"siblings intact = ${nt.toDF.filter(col("st.b").isNull).count() == 0}")
+      val conflict = try { nt.update(lit(true),
+        Map("st" -> lit(null), "st.a" -> lit(1L))); "NOT REJECTED" }
+      catch { case e: UnsupportedOperationException => "rejected (expected)" }
+      println(s"conflicting SET st + st.a: $conflict")
+      nt.dropTable()
+    }
+
     t.delete(col("o_orderstatus") === "F")
     println(s"rows after delete F = ${t.toDF.count()}")
     t.compaction()

@@ -653,6 +653,53 @@ object SparkEntry {
         "mor_upsert_decimal: columnar decimal slice path did not execute")
       merged.withColumn("o_totalprice", col("o_totalprice").cast("double"))
     }),
+    "mor_upsert_nested" -> q((s, d) => {
+      // NESTED TYPES through MOR at fixture scale (M1/MergeLogic contract,
+      // reference v2/merge/parquet/batch/MergeLogic.scala:20-39): an
+      // array<bigint>, a map<string,bigint> and a two-level struct ride 10
+      // OVERLAPPING upserts (keys in the same o_orderkey%4 class are
+      // re-upserted 2-3 times, last writer wins) and the merged nested
+      // values are oracled AS nested values — arrays/structs hash directly;
+      // the map is emitted as sorted entries (array<struct<key,value>>)
+      // because pyarrow and DuckDB disagree on raw-map pandas rendering.
+      val o = rd(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      def enrich(df: DataFrame, i: Int): DataFrame = df
+        .withColumn("arr", array(col("o_orderkey") + i, col("o_custkey")))
+        .withColumn("m", map(lit("ck"), col("o_custkey") + i,
+          lit("ok"), col("o_orderkey")))
+        .withColumn("st", struct(
+          (col("o_orderkey") % 100 + i).cast("int").as("a"),
+          col("o_orderstatus").as("b"),
+          struct((col("o_custkey") + i).as("x")).as("inner")))
+      val t = GraftTable.create(s, enrich(o, 0), tmp("mornest"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      for (i <- 1 to 10)
+        t.upsert(enrich(
+          o.filter((col("o_orderkey") % 4 === i % 4) &&
+            (col("o_custkey") % 3 === 0)), i))
+      t.toDF.select(col("o_orderkey"), col("arr"),
+        array_sort(map_entries(col("m"))).as("ments"), col("st"))
+    }),
+    "update_nested" -> q((s, d) => {
+      // NESTED-STRUCT-FIELD UPDATE (C3 + reference
+      // UpdateExpressionsSupport.scala:39-108) end-to-end: partial leaf
+      // SETs (`st.a`, `st.inner.x`) rebuild only the touched leaves, in
+      // DELTA mode so the updated rows land as a MOR run the read must
+      // merge — nested values through write + merge + oracle, not a unit
+      // assertion.
+      val o = rd(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .withColumn("st", struct(col("o_custkey").as("a"),
+          col("o_orderstatus").as("b"),
+          struct((col("o_orderkey") % 100).as("x")).as("inner")))
+      val t = GraftTable.create(s, o, tmp("updnest"),
+        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      t.setProperties(Map("graft.update.mode" -> "delta"))
+      t.update(col("o_orderkey") % 7 === 0,
+        Map("st.a" -> (col("st.a") + 1000L), "st.inner.x" -> lit(-1L)))
+      t.toDF.select("o_orderkey", "st")
+    }),
     "delta_join_maintain" -> q((s, d) => {
       // DELTA JOIN (J2+J3 end-to-end, reference DeltaJoinSuite): a
       // materialized orders⋈customer join table is maintained INCREMENTALLY
@@ -2915,6 +2962,29 @@ object SparkEntry {
         |    THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
         |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    // final marker per o_orderkey%4 class: updates run i=1..10 on class
+    // i%4 (custkey%3=0 rows only), so the last hit is {0:8, 1:9, 2:10,
+    // 3:7}; untouched rows keep the i=0 base enrichment
+    "mor_upsert_nested" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_custkey % 3 = 0 THEN
+        |      CASE o_orderkey % 4 WHEN 0 THEN 8 WHEN 1 THEN 9 WHEN 2 THEN 10 ELSE 7 END
+        |    ELSE 0 END AS i
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  [o_orderkey + i, o_custkey] AS arr,
+        |  [{'key': 'ck', 'value': o_custkey + i}, {'key': 'ok', 'value': o_orderkey}] AS ments,
+        |  {'a': (o_orderkey % 100 + i)::INT, 'b': o_orderstatus,
+        |   'inner': {'x': o_custkey + i}} AS st
+        |FROM m""".stripMargin,
+    "update_nested" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0
+        |    THEN {'a': o_custkey + 1000, 'b': o_orderstatus, 'inner': {'x': -1::BIGINT}}
+        |    ELSE {'a': o_custkey, 'b': o_orderstatus, 'inner': {'x': o_orderkey % 100}}
+        |  END AS st
+        |FROM orders""".stripMargin,
     "jdbc_catalog_mor" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,

@@ -349,17 +349,19 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
     val tables = GraftCatalog.listTables(spark, ns)
     if (tables.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace $ns is not empty")
-    // authorize the registry drop BEFORE touching tables (admin-only; a
-    // TSV-only name — never registered in the store — has no domain row);
-    // the not-empty guard ran first so a refused cascade leaves both
-    // registries untouched
-    jdbcStore.foreach(j =>
-      if (j.namespaceDomain(ns).isDefined) j.dropNamespace(ns))
+    // authorize BEFORE touching tables (admin-only; a TSV-only name —
+    // never registered in the store — has no domain row), but delete the
+    // store's domain row LAST: if a cascading table drop throws (e.g. a
+    // table whose domain diverged from the namespace's), the namespace
+    // must remain registered and protected, not half-dropped and open
+    val registered = jdbcStore.exists(j => j.namespaceDomain(ns).isDefined)
+    if (registered) jdbcStore.foreach(_.requireNamespaceAdmin(ns))
     tables.foreach { full =>
       val parts = full.split('.')
       dropTable(Identifier.of(parts.dropRight(1), parts.last))
     }
     GraftCatalog.dropNamespace(spark, ns)
+    if (registered) jdbcStore.foreach(_.dropNamespace(ns))
     true
   }
 

@@ -538,8 +538,10 @@ class JdbcMetaStore(url: String) extends MetaStore {
     } finally ps.close()
   }
 
-  /** Admin-only; a hidden namespace reports as absent. */
-  def dropNamespace(namespace: String): Unit = {
+  /** The authorization half of [[dropNamespace]], separated so a cascading
+    * catalog drop can verify permission BEFORE touching tables, yet delete
+    * the domain row LAST (a half-dropped namespace must stay protected). */
+  def requireNamespaceAdmin(namespace: String): Unit = {
     val caller = AuthContext.current
     if (!caller.admin)
       throw new PermissionDeniedException(
@@ -547,6 +549,11 @@ class JdbcMetaStore(url: String) extends MetaStore {
           "not an admin of its domain")
     if (namespaceDomain(namespace).isEmpty)
       throw new IllegalArgumentException(s"no such namespace: $namespace")
+  }
+
+  /** Admin-only; a hidden namespace reports as absent. */
+  def dropNamespace(namespace: String): Unit = {
+    requireNamespaceAdmin(namespace)
     withConn { c =>
       val ps = c.prepareStatement(
         "DELETE FROM graft_namespace WHERE namespace = ?")
@@ -557,6 +564,10 @@ class JdbcMetaStore(url: String) extends MetaStore {
   override def updateProperties(tablePath: String)(
       f: Map[String, String] => Map[String, String]): Unit = {
     val tp = canonical(tablePath)
+    // same RLS gate as every other mutation: a foreign-domain table must
+    // not be property-mutable (graft.domain itself lives in properties, so
+    // an ungated write here would let a foreign caller seize ownership)
+    requireVisible(tp, tablePath)
     var done = false
     while (!done) {
       // optimistic CAS on rev — a racing property writer costs a re-read,
@@ -584,6 +595,10 @@ class JdbcMetaStore(url: String) extends MetaStore {
           ps.executeUpdate() == 1
         } finally ps.close()
       }
+      // f may change graft.domain — keep visibility decisions fresh for
+      // long-lived stores (the cache is only a hint; a stale entry here
+      // would gate future ops on the OLD domain)
+      if (done) domainCache.put(tp, domainOf(updated))
     }
   }
 
@@ -806,6 +821,12 @@ class JdbcMetaStore(url: String) extends MetaStore {
       }
     }
 
+  /** One seq-ordered scan of the table's log — see the trait scaladoc
+    * (history's numbering source; runs once per DESCRIBE HISTORY, not on
+    * any hot path). */
+  override def rawVersionLines(tablePath: String): Seq[PartitionInfo] =
+    withConn { c => logRows(c, canonical(tablePath), None) }
+
   /** One DISTINCT scan down the (table_path, ts) index. */
   override def commitTimestamps(tablePath: String): Seq[Long] = withConn { c =>
     val ps = c.prepareStatement(
@@ -1001,7 +1022,8 @@ class JdbcMetaStore(url: String) extends MetaStore {
   }
 
   // ------------------------------------------------------------- streaming
-  override def getMaxBatchId(tablePath: String, queryId: String): Long =
+  override def getMaxBatchId(tablePath: String, queryId: String): Long = {
+    requireVisible(canonical(tablePath), tablePath)
     withConn { c =>
       val ps = c.prepareStatement(
         "SELECT max_batch FROM graft_stream_batch " +
@@ -1013,10 +1035,12 @@ class JdbcMetaStore(url: String) extends MetaStore {
         rs.close(); r
       } finally ps.close()
     }
+  }
 
   override def recordBatchId(tablePath: String, queryId: String,
       batchId: Long): Unit = {
     val tp = canonical(tablePath)
+    requireVisible(tp, tablePath)
     try withTx { c =>
       val up = c.prepareStatement(
         "UPDATE graft_stream_batch SET max_batch = ? " +

@@ -108,6 +108,15 @@ trait MetaStore {
     * needs costs seconds, where this is one indexed DISTINCT scan. */
   def commitTimestamps(tablePath: String): Seq[Long]
 
+  /** EVERY retained log line, log order, NO tombstone cut — the raw
+    * commit boundaries. DESCRIBE HISTORY numbers these, and
+    * [[commitTimestamps]] (the `VERSION AS OF` resolver) is exactly their
+    * distinct-ts projection, so the two can never disagree on what
+    * "version v" means — including across dropPartition/restoreTable,
+    * whose tombstone/replay commits are real boundaries both surfaces
+    * must count. */
+  def rawVersionLines(tablePath: String): Seq[PartitionInfo]
+
   /** Partitions whose log carries a DROP tombstone (version == -1 —
     * dropPartition, or restoreTable on a partition created after the
     * boundary) in (startTime, endTime], with the tombstone's commit
@@ -559,6 +568,9 @@ class FileMetaStore extends MetaStore {
   override def commitTimestamps(tablePath: String): Seq[Long] =
     allVersionLines(tablePath).iterator.map(_.timestamp)
       .toSeq.distinct.sorted
+
+  override def rawVersionLines(tablePath: String): Seq[PartitionInfo] =
+    allVersionLines(tablePath)
 
   /** Same one-pass shape as [[partitionsChangedBetween]], but surfacing the
     * tombstone lines that pass deliberately hides (trait scaladoc). */

@@ -59,9 +59,20 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       data: DataFrame): BaseRelation = {
     val path = pathOf(parameters)
     val spark = sqlContext.sparkSession
+    // DSv1 `.partitionBy(cols)` arrives encoded under Spark's
+    // __partition_columns option — the reference treats it as the range
+    // spec, with an explicit rangePartitions option taking priority when
+    // both are given (schema/CaseSensitivitySuite.scala:90-111)
+    val byPartitionBy = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+      .getOrElse(Nil)
     if (!GraftTable.exists(path)) {
-      val range = parameters.get("rangePartitions").toSeq
+      val byOption = parameters.get("rangePartitions").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val range = if (byOption.nonEmpty) byOption else byPartitionBy
       val hash = parameters.get("hashPartitions").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       val buckets = parameters.getOrElse("hashBucketNum", "4").toInt
@@ -69,6 +80,18 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       GraftTable.create(spark, data, path, range, hash, buckets, props)
     } else {
       val t0 = GraftTable.forPath(spark, path)
+      // a partitionBy against an EXISTING table must name its range spec —
+      // resolved case-insensitively like every partition option (the
+      // reference's option resolution is mode-independent); a different
+      // layout fails loudly instead of silently writing rows the table's
+      // partition pruning would file under the wrong scheme
+      if (byPartitionBy.nonEmpty) {
+        val canon = t0.info.rangeColumns
+        require(byPartitionBy.length == canon.length &&
+          byPartitionBy.zip(canon).forall { case (r, c) => r.equalsIgnoreCase(c) },
+          s"partitionBy(${byPartitionBy.mkString(",")}) does not match the " +
+            s"table's range columns (${canon.mkString(",")}) at $path")
+      }
       // .option("mergeSchema", true|false): per-write override of the
       // additive-schema-merge gate (reference MERGE_SCHEMA_OPTION)
       val t = parameters.get("mergeSchema")

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression, GetStructField}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -45,14 +45,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u: UpdateTable if u.resolved && graftPath(u.table).isDefined =>
       GraftSqlUpdateCommand(graftPath(u.table).get,
-        u.assignments.map { a =>
-          val name = a.key match {
-            case ar: AttributeReference => ar.name
-            case other => throw new UnsupportedOperationException(
-              s"UPDATE of nested field $other is not supported")
-          }
-          name -> a.value
-        }, u.condition)
+        u.assignments.map(a => assignPath(a.key) -> a.value), u.condition)
 
     case d: DeleteFromTable if d.resolved && graftPath(d.table).isDefined =>
       GraftSqlDeleteCommand(graftPath(d.table).get, Option(d.condition))
@@ -74,6 +67,18 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         buildClausesCommand(graftTableV2(m.targetTable).get, m)
 
     case _ => plan
+  }
+
+  /** SET key → column path: a bare attribute is a top-level column, a
+    * GetStructField chain (`SET s.a.b = ...`) is a nested struct path —
+    * [[graft.tables.GraftTable.updatePaths]] rebuilds only the touched
+    * leaf (reference UpdateExpressionsSupport.scala:39-108). Non-struct
+    * extraction (array element / map key) stays unsupported, loudly. */
+  private def assignPath(key: Expression): Seq[String] = key match {
+    case ar: AttributeReference => Seq(ar.name)
+    case g: GetStructField => assignPath(g.child) :+ g.extractFieldName
+    case other => throw new UnsupportedOperationException(
+      s"UPDATE of nested field $other is not supported (struct fields only)")
   }
 
   // Spark's assignment alignment wraps the source attribute in Cast /
@@ -217,12 +222,12 @@ private object DmlExpr {
 
 case class GraftSqlUpdateCommand(
     path: String,
-    assignments: Seq[(String, Expression)],
+    assignments: Seq[(Seq[String], Expression)],
     condition: Option[Expression]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftTable.forPath(spark, path)
-    t.update(condition.map(DmlExpr.toColumn).getOrElse(lit(true)),
-      assignments.map { case (n, v) => n -> DmlExpr.toColumn(v) }.toMap)
+    t.updatePaths(condition.map(DmlExpr.toColumn).getOrElse(lit(true)),
+      assignments.map { case (p, v) => p -> DmlExpr.toColumn(v) })
     Nil
   }
 }

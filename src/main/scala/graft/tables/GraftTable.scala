@@ -231,25 +231,29 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * is no longer listable (same contract as the reference's
     * cleanMetaUptoTime). */
   def history: Seq[(Int, Long, String, Int, Int)] = {
-    // every lineage in ONE bulk round — the per-partition point query this
-    // replaces (plus a second one per VERSION LINE for the added-file
-    // count) made DESCRIBE HISTORY O(lines x partitions) database
-    // round-trips on a wide table
-    val byDesc = store.partitionVersionsBulk(tablePath,
-      partitions.map(_.partitionDesc))
-    val lines = byDesc.values.flatten.toSeq
-    lines.groupBy(_.timestamp).toSeq.sortBy(_._1).zipWithIndex.map {
+    // RAW log lines, one round — the same source commitTimestamps (the
+    // `VERSION AS OF v` resolver) projects, so history row v and version v
+    // can never diverge. The lineage-cut view this replaced hid
+    // dropPartition/restore commits (and pre-drop commits whose ts no live
+    // partition shared), shifting the 1-based numbering away from the
+    // boundaries time travel actually reads.
+    val lines = store.rawVersionLines(tablePath)
+    // files added by this commit = snapshot minus the partition's PREVIOUS
+    // line in LOG order (head count alone would double-count; version
+    // order is wrong across restore, which replays an older version as a
+    // new line)
+    val prevSnap = scala.collection.mutable.HashMap.empty[String, Set[String]]
+    val enriched = lines.map { v =>
+      val prev = prevSnap.getOrElse(v.partitionDesc, Set.empty[String])
+      prevSnap(v.partitionDesc) = v.snapshot.toSet
+      (v, v.snapshot.count(!prev.contains(_)))
+    }
+    enriched.groupBy(_._1.timestamp).toSeq.sortBy(_._1).zipWithIndex.map {
       case ((ts, vs), i) =>
-        // files added by this commit = snapshot minus the previous version's
-        // snapshot, per partition (head count alone would double-count)
-        val added = vs.map { v =>
-          val prev = byDesc.getOrElse(v.partitionDesc, Nil)
-            .filter(_.version < v.version).lastOption
-            .map(_.snapshot.toSet).getOrElse(Set.empty[String])
-          v.snapshot.count(!prev.contains(_))
-        }.sum
-        (i + 1, ts, vs.map(_.commitOp).distinct.sorted.mkString("+"),
-          vs.size, added)
+        val ops = vs.map { case (v, _) =>
+          if (v.version == -1) "drop" else v.commitOp
+        }.distinct.sorted.mkString("+")
+        (i + 1, ts, ops, vs.size, vs.map(_._2).sum)
     }
   }
 
@@ -518,14 +522,44 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   /** Reference-parity overload (`LakeSoulTable.upsert(source, condition)`,
     * LakeSoulTable.scala:256): `condition` is a SQL predicate scoping the
-    * upsert to matching partitions — the reference prunes TARGET partitions
-    * with it (UpsertCommand.scala:105); in this engine's delta-upsert model
-    * the batch itself determines the touched partitions, so scoping the
-    * SOURCE rows by the same predicate yields the identical visible state.
-    * Empty condition = plain upsert. */
+    * upsert to matching partitions — the reference keeps only the conjuncts
+    * that reference range-partition columns exclusively and drops the rest
+    * (UpsertCommand.scala:105-108 filters to `targetOnlyPredicates`); in
+    * this engine's delta-upsert model the batch itself determines the
+    * touched partitions, so filtering the SOURCE rows by the range-column
+    * conjuncts yields the identical visible state (range columns are
+    * mandatory batch columns). Conjuncts on other batch columns are applied
+    * too — a documented tightening over the reference, which silently drops
+    * them. A conjunct on a TARGET column the (possibly partial) batch does
+    * not carry is scoping-inert like in the reference, not an analysis
+    * error; one referencing a column the table does not have at all still
+    * fails loudly. Empty condition = plain upsert. */
   def upsert(df: DataFrame, condition: String): Unit =
     if (condition == null || condition.trim.isEmpty) upsert(df)
-    else upsert(df.filter(expr(condition)))
+    else {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => CUA}
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression => CExpr}
+      val res = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
+      val srcCols = df.columns.toSeq
+      val tblCols = schema.fieldNames.toSeq
+      def conjuncts(e: CExpr): Seq[CExpr] = e match {
+        case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+        case o => Seq(o)
+      }
+      val kept = conjuncts(
+        spark.sessionState.sqlParser.parseExpression(condition)).filter { c =>
+        val refs = c.collect { case a: CUA => a.nameParts.head }.toSet
+        refs.foreach { r =>
+          require(tblCols.exists(res(_, r)) || srcCols.exists(res(_, r)),
+            s"upsert condition references unknown column '$r' " +
+              s"(table columns: ${tblCols.mkString(", ")})")
+        }
+        refs.forall(r => srcCols.exists(res(_, r)))
+      }
+      upsert(kept.reduceOption(CAnd)
+        .map(e => df.filter(org.apache.spark.sql.graft.StreamShim.columnOf(e)))
+        .getOrElse(df))
+    }
 
   /** Write (but do NOT publish) the delta-upsert data files for `df` and
     * return this table's [[graft.meta.MetaStore.commitMany]] entry — the
@@ -553,9 +587,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   private[tables] def stageUpdateDelta(cond: Column,
       set: Map[String, Column]): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
     val t = info
-    requireDeltaUpdatable(t, set)
+    val topSet = normalizeSet(
+      set.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v })
+    requireDeltaUpdatable(t, topSet)
     val heads = headsNow
-    stagedEntry(heads, deltaUpdateCommits(t, cond, set))
+    stagedEntry(heads, deltaUpdateCommits(t, cond, topSet))
   }
 
   private def stagedEntry(heads: Map[String, Int],
@@ -626,9 +662,21 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * conjuncts of the predicate prune candidate partitions on METADATA; a
     * full primary-key equality narrows to ONE bucket's files — only the
     * targeted files are read, rewritten and swapped (del+add commit), so a
-    * 1-row update of a PK table no longer rewrites the whole table. */
-  def update(cond: Column, set: Map[String, Column]): Unit = withRetry {
+    * 1-row update of a PK table no longer rewrites the whole table.
+    *
+    * SET keys may be NESTED struct paths (`"s.a" -> lit(1)` rewrites leaf
+    * `a` of struct column `s`, leaving its siblings intact — reference
+    * UpdateExpressionsSupport.scala:39-108 semantics, see [[NestedUpdate]]);
+    * unknown columns and conflicting paths (`s` + `s.a`) fail loudly
+    * instead of writing a flat backtick-named column. */
+  def update(cond: Column, set: Map[String, Column]): Unit =
+    updatePaths(cond,
+      set.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v })
+
+  private[graft] def updatePaths(
+      cond: Column, ops: Seq[(Seq[String], Column)]): Unit = withRetry {
     val t = info
+    val set = normalizeSet(ops)
     val bad = set.keySet.intersect((t.rangeColumns ++ t.hashColumns).toSet)
     require(bad.isEmpty, s"cannot update partition/primary-key columns: $bad")
     val heads = headsNow
@@ -641,10 +689,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       deltaUpdate(t, heads, cond, set)
     } else rewriteFiles(targetFiles(cond), heads) { df =>
       set.foldLeft(df) { case (d, (c, expr)) =>
-        d.withColumn(c, when(cond, expr).otherwise(col(c)))
+        d.withColumn(c, when(cond, expr).otherwise(col(s"`${c.replace("`", "``")}`")))
       }
     }
   }
+
+  /** Rewrite possibly-nested SET paths into top-level column replacements
+    * (validated; struct leaves rebuilt) — the one normalization every
+    * update flavor (API, SQL, delta, marker) funnels through. */
+  private def normalizeSet(
+      ops: Seq[(Seq[String], Column)]): Map[String, Column] =
+    NestedUpdate.toTopLevelSet(schema, ops,
+      spark.sessionState.conf.caseSensitiveAnalysis)
 
   /** UPDATE as an O(matched-rows) DELTA run (beyond-ref; the companion to
     * [[deleteTombstone]]): instead of rewriting every targeted file, read
@@ -660,8 +716,10 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * streaming consumers receive the updated rows instead of aborting. */
   def updateDelta(cond: Column, set: Map[String, Column]): Unit = withRetry {
     val t = info
-    requireDeltaUpdatable(t, set)
-    deltaUpdate(t, headsNow, cond, set)
+    val topSet = normalizeSet(
+      set.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v })
+    requireDeltaUpdatable(t, topSet)
+    deltaUpdate(t, headsNow, cond, topSet)
   }
 
   private def requireDeltaUpdatable(
@@ -938,13 +996,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * graft.update.mode=delta. */
   def updateMarker(cond: Column, set: Map[String, Column]): Unit = withRetry {
     val t = info
+    val topSet = normalizeSet(
+      set.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v })
     require(t.cdcColumn.isDefined,
       "updateMarker requires a CDC table (plain PK tables: updateDelta)")
-    require(!set.contains(t.cdcColumn.get), "cannot SET the CDC marker column")
-    require(deltaUpdateOpsOk(t, set.keySet),
+    require(!topSet.contains(t.cdcColumn.get), "cannot SET the CDC marker column")
+    require(deltaUpdateOpsOk(t, topSet.keySet),
       "marker update requires use_last-family merge operators " +
         "(the re-written row must overwrite)")
-    markerUpdate(t, headsNow, cond, set)
+    markerUpdate(t, headsNow, cond, topSet)
   }
 
   private def markerUpdate(t: TableInfo, heads: Map[String, Int],

@@ -74,17 +74,24 @@ object StreamShim {
         Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    // NULLABLE-relaxed request: a partial upsert batch legally omits table
+    // columns — including NON-NULLABLE ones (file_exist_cols fall-through
+    // supplies them from older runs at merge time) — and the vectorized
+    // reader refuses to null-fill a missing column it believes is required
+    // (VectorizedParquetRecordReader.checkColumn). Decode-side nullability
+    // is dynamic anyway; the scan's declared schema keeps the table's.
+    val readSchema = schema.asNullable
     // VECTORIZED decode whenever the schema allows it: the reader then yields
     // ColumnarBatch objects (erased to InternalRow) that the merge flattens
     // into row VIEWS — columnar decode speed without a row materialization,
     // the same shape the reference gets from its Arrow-native merge reader
     // (sorted_stream_merger.rs). Row mode only for nested/unsupported types.
-    val batched = fmt.supportBatch(spark, schema)
+    val batched = fmt.supportBatch(spark, readSchema)
     fmt.buildReaderWithPartitionValues(
       spark,
-      dataSchema = schema,
+      dataSchema = readSchema,
       partitionSchema = new org.apache.spark.sql.types.StructType(),
-      requiredSchema = schema,
+      requiredSchema = readSchema,
       filters = filters,
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> batched.toString),

@@ -79,6 +79,24 @@ class ApiParitySuite extends SparkFixture {
     }
   }
 
+  test("upsert(source, condition) on a TARGET-only column is scoping-inert, unknown columns fail") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "p1", 10, 5), (2, "p1", 20, 6)).toDF("id", "part", "v", "w"),
+        path, rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      // the partial batch has no `w`; the reference drops non-range
+      // conjuncts from scoping rather than erroring (UpsertCommand
+      // targetOnlyPredicates filter) — the range conjunct still applies
+      t.upsert(Seq((1, "p1", 11), (2, "p2", 99)).toDF("id", "part", "v"),
+        "part = 'p1' AND w > 0")
+      assertRows(t.toDF.select("id", "v", "w"), Seq("[1,11,5]", "[2,20,6]"))
+      // a column neither side knows is a loud error, not silence
+      val e = intercept[IllegalArgumentException](
+        t.upsert(Seq((1, "p1", 12)).toDF("id", "part", "v"), "nope = 1"))
+      assert(e.getMessage.contains("unknown column"), e.getMessage)
+    }
+  }
+
   test("time-based rollbackPartition resolves the version at-or-before") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,

@@ -43,6 +43,58 @@ class CaseSensitivitySuite extends SparkFixture {
     }
   }
 
+  test("DSv1 partitionBy sets the range spec; rangePartitions wins when both given") {
+    // reference schema/CaseSensitivitySuite.scala:69-111: partitionBy ==
+    // rangePartitions, explicit option has priority
+    withTempPath { path =>
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("Key", "grp", "v")
+        .write.format("graft").partitionBy("GRP")
+        .option("hashPartitions", "key").option("hashBucketNum", "2")
+        .save(path)
+      val t = GraftTable.forPath(spark, path)
+      assert(t.info.rangeColumns == Seq("grp"), t.info.rangeColumns)
+    }
+    withTempPath { path =>
+      Seq((1L, "a", "x", 10)).toDF("Key", "grp", "other", "v")
+        .write.format("graft")
+        .option("rangePartitions", "grp").partitionBy("other")
+        .option("hashPartitions", "key").option("hashBucketNum", "2")
+        .save(path)
+      assert(GraftTable.forPath(spark, path).info.rangeColumns == Seq("grp"))
+    }
+  }
+
+  test("case-variant partitionBy against an EXISTING table, both session modes") {
+    for (cs <- Seq("true", "false")) withTempPath { path =>
+      val prev = spark.conf.get("spark.sql.caseSensitive")
+      spark.conf.set("spark.sql.caseSensitive", cs)
+      try {
+        Seq((1L, "a", 10)).toDF("id", "grp", "v").write.format("graft")
+          .option("rangePartitions", "grp")
+          .option("hashPartitions", "id").option("hashBucketNum", "2")
+          .save(path)
+        // a case-variant partitionBy OPTION must resolve to the existing
+        // range spec (partition-OPTION resolution is session-mode-
+        // independent, like the reference's) — not fail, not fork a second
+        // layout. Batch COLUMN resolution stays mode-dependent (C18), so
+        // the data columns here match the schema exactly.
+        Seq((2L, "b", 20)).toDF("id", "grp", "v").write.format("graft")
+          .mode("append").partitionBy("GRP").save(path)
+        val t = GraftTable.forPath(spark, path)
+        assert(t.info.rangeColumns == Seq("grp"))
+        assert(t.schema.fieldNames.toSeq == Seq("id", "grp", "v"),
+          s"mode=$cs: ${t.schema.fieldNames.toSeq}")
+        assert(t.toDF.filter(col("grp") === "b").count() == 1)
+        // a partitionBy naming a DIFFERENT layout fails loudly
+        val e = intercept[IllegalArgumentException] {
+          Seq((3L, "c", 30)).toDF("id", "grp", "v").write.format("graft")
+            .mode("append").partitionBy("v").save(path)
+        }
+        assert(e.getMessage.contains("does not match"), e.getMessage)
+      } finally spark.conf.set("spark.sql.caseSensitive", prev)
+    }
+  }
+
   test("unknown partition columns still fail loudly") {
     withTempPath { path =>
       val e = intercept[IllegalArgumentException] {

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.tables.GraftTable
+
+/** Nested-struct-field UPDATE (C3 + reference
+  * UpdateExpressionsSupport.scala:39-108): partial leaf updates rebuild
+  * only the touched struct leaf, conflicting/unknown paths fail loudly,
+  * and the rewrite survives write + MOR merge. Mirrors the reference's
+  * nested UpdateSuiteBase cases including sibling-conflict rejection. */
+class NestedUpdateSuite extends SparkFixture {
+  import spark.implicits._
+
+  private val structType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType),
+    StructField("st", StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("b", StringType),
+      StructField("inner", StructType(Seq(
+        StructField("x", LongType),
+        StructField("y", StringType)))))))))
+
+  private def mkTable(path: String): GraftTable = {
+    val rows = Seq(
+      Row(1L, "r1", Row(10, "b1", Row(100L, "y1"))),
+      Row(2L, "r2", Row(20, "b2", Row(200L, "y2"))),
+      Row(3L, "r3", null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), structType)
+    GraftTable.create(spark, df, path, hashColumns = Seq("id"), bucketNum = 1)
+  }
+
+  private def fetch(t: GraftTable): Map[Long, Row] =
+    t.toDF.collect().map(r => r.getLong(0) -> r).toMap
+
+  test("API: nested leaf update keeps siblings and other rows intact") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      t.update($"id" === 1L, Map("st.a" -> lit(11)))
+      val m = fetch(t)
+      assert(m(1L).getStruct(2) == Row(11, "b1", Row(100L, "y1")), m(1L))
+      assert(m(2L).getStruct(2) == Row(20, "b2", Row(200L, "y2")), m(2L))
+      assert(m(3L).getStruct(2) == null, m(3L))
+    }
+  }
+
+  test("API: deep path + sibling leaf in one statement") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      t.update($"id" === 2L,
+        Map("st.inner.x" -> lit(999L), "st.b" -> lit("B2")))
+      val m = fetch(t)
+      assert(m(2L).getStruct(2) == Row(20, "B2", Row(999L, "y2")), m(2L))
+      assert(m(1L).getStruct(2) == Row(10, "b1", Row(100L, "y1")), m(1L))
+    }
+  }
+
+  test("API: updating a leaf of a NULL struct rebuilds it (reference CreateNamedStruct semantics)") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      t.update($"id" === 3L, Map("st.a" -> lit(33)))
+      val m = fetch(t)
+      assert(m(3L).getStruct(2) == Row(33, null, null), m(3L))
+    }
+  }
+
+  test("API: nested SET value may read current nested values") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      t.update($"id" === 1L, Map("st.a" -> (col("st.a") + 5)))
+      assert(fetch(t)(1L).getStruct(2) == Row(15, "b1", Row(100L, "y1")))
+    }
+  }
+
+  test("SQL: UPDATE SET s.a through the DSv2 catalog") {
+    withTempPath { wh =>
+      spark.conf.set("spark.sql.catalog.graft_nu", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse", wh)
+      val rows = Seq(
+        Row(1L, "r1", Row(10, "b1", Row(100L, "y1"))),
+        Row(2L, "r2", Row(20, "b2", Row(200L, "y2"))))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), structType)
+        .createOrReplaceTempView("nu_src")
+      spark.sql("CREATE TABLE graft_nu.nu.t " +
+        "PARTITIONED BY (bucket(2, id)) AS SELECT * FROM nu_src")
+      spark.sql("UPDATE graft_nu.nu.t SET st.inner.y = 'Y1', v = 'R1' WHERE id = 1")
+      val m = spark.table("graft_nu.nu.t").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(m(1L).getString(1) == "R1", m(1L))
+      assert(m(1L).getStruct(2) == Row(10, "b1", Row(100L, "Y1")), m(1L))
+      assert(m(2L).getStruct(2) == Row(20, "b2", Row(200L, "y2")), m(2L))
+      // conflicting nested SQL SET paths are rejected like the API's
+      val e = intercept[Exception](spark.sql(
+        "UPDATE graft_nu.nu.t SET st.inner = named_struct('x', 0L, 'y', ''), st.inner.x = 1 WHERE id = 1"))
+      assert(e.getMessage.toLowerCase.contains("conflict"), e.getMessage)
+      spark.sql("DROP TABLE graft_nu.nu.t")
+    }
+  }
+
+  test("conflicting paths are rejected (s + s.a, s.a + s.a.b)") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      val e1 = intercept[UnsupportedOperationException](
+        t.update($"id" === 1L, Map(
+          "st" -> struct(lit(1).as("a"), lit("z").as("b"),
+            struct(lit(0L).as("x"), lit("").as("y")).as("inner")),
+          "st.a" -> lit(2))))
+      assert(e1.getMessage.contains("conflicting"), e1.getMessage)
+      val e2 = intercept[UnsupportedOperationException](
+        t.update($"id" === 1L,
+          Map("st.inner" -> lit(null), "st.inner.x" -> lit(1L))))
+      assert(e2.getMessage.contains("conflicting"), e2.getMessage)
+    }
+  }
+
+  test("unknown top-level and nested names fail loudly (no flat backtick column)") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      val e1 = intercept[IllegalArgumentException](
+        t.update($"id" === 1L, Map("nope.a" -> lit(1))))
+      assert(e1.getMessage.contains("not found"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        t.update($"id" === 1L, Map("st.nope" -> lit(1))))
+      assert(e2.getMessage.contains("st.nope"), e2.getMessage)
+      // schema unchanged — the old behavior wrote a flat `st.a`-named column
+      assert(t.schema.fieldNames.toSeq == Seq("id", "v", "st"))
+    }
+  }
+
+  test("descending into a non-struct column is rejected") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      val e = intercept[UnsupportedOperationException](
+        t.update($"id" === 1L, Map("v.x" -> lit(1))))
+      assert(e.getMessage.contains("non-struct"), e.getMessage)
+    }
+  }
+
+  test("case-insensitive nested resolution (C18 contract)") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      t.update($"id" === 1L, Map("ST.A" -> lit(77)))
+      assert(fetch(t)(1L).getStruct(2) == Row(77, "b1", Row(100L, "y1")))
+    }
+  }
+
+  test("nested SET under graft.update.mode=delta routes as a whole-struct delta") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      t.setProperties(Map("graft.update.mode" -> "delta"))
+      val before = t.history.size
+      t.update($"id" === 2L, Map("st.b" -> lit("delta!")))
+      val m = fetch(t)
+      assert(m(2L).getStruct(2) == Row(20, "delta!", Row(200L, "y2")), m(2L))
+      // a delta update ADDS one run (no del+add rewrite; setProperties is
+      // meta-only and writes no commit)
+      assert(t.history.size == before + 1,
+        s"history grew by ${t.history.size - before}")
+      t.compaction()
+      assert(fetch(t)(2L).getStruct(2) == Row(20, "delta!", Row(200L, "y2")))
+    }
+  }
+
+  test("updateExpr accepts dotted paths") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      t.updateExpr("id = 1", Map("st.a" -> "st.a * 2"))
+      assert(fetch(t)(1L).getStruct(2) == Row(20, "b1", Row(100L, "y1")))
+    }
+  }
+}

@@ -188,6 +188,127 @@ class RbacSuite extends SparkFixture {
     }
   }
 
+  test("property: RBAC x multi-table txn x restore x strict streams under 100 random schedules") {
+    // META-LEVEL model check (no Spark jobs — the invariants live in the
+    // catalog): each schedule drives a random interleaving of cross-table
+    // commitMany transactions (marker commits to tables A and B), restores
+    // of A, and foreign-identity commit attempts, while two concurrent
+    // observers run throughout:
+    //   - the FOREIGN observer (domain2) must never see either table, in
+    //     any intermediate state — invisibility is not eventually
+    //     consistent;
+    //   - the DOMAIN observer reads A's head snapshot then B's: every
+    //     txn marker visible in A (read FIRST) must already be in B —
+    //     a half-committed cross-table transaction would break the subset
+    //     (restores only ever run against A, which shrinks the left side
+    //     and can never mask a violation).
+    // After the writer finishes, a strict incremental window crossing any
+    // state-changing restore must abort with NonIncrementalWindowException
+    // (the streaming source's re-pin contract), and a foreign commit
+    // attempt must have left NO marker in either table.
+    import graft.meta.{CommitOp, DataCommitInfo, DataFileInfo, MetaRerunException, MetaStore, SnapshotResolver, TableInfo => TI}
+    val rnd = new scala.util.Random(20260815)
+    val store = freshStore("prop")
+    val resolver = new SnapshotResolver(store)
+    // Derby under concurrent readers/writers surfaces transient 40* lock
+    // states as MetaRerunException (absorbed by withRetry on real paths);
+    // the test's raw store calls absorb them the same way
+    def retry[T](body: => T): T = {
+      var last: Throwable = null
+      for (_ <- 0 until 200) {
+        try return body
+        catch { case e: MetaRerunException => last = e; Thread.sleep(2) }
+      }
+      throw last
+    }
+    def ti(path: String) = TI(
+      tableId = java.util.UUID.randomUUID().toString, tablePath = path,
+      schemaJson = """{"type":"struct","fields":[]}""",
+      rangeColumns = Nil, hashColumns = Seq("id"), bucketNum = 2,
+      properties = Map.empty, shortName = None)
+    def marker(tag: String) = DataCommitInfo(MetaStore.newCommitId(), "a",
+      Seq(DataFileInfo(s"/f/$tag.parquet", "add", 10L, 0)),
+      CommitOp.Merge, 0L)
+    def headSnapshot(path: String): Set[String] =
+      retry(store.partitionVersions(path, "a")).lastOption
+        .map(_.snapshot.toSet).getOrElse(Set.empty)
+    def headVersion(path: String): Int =
+      retry(store.partitionVersions(path, "a")).lastOption.map(_.version).getOrElse(-1)
+
+    for (sched <- 1 to 100) {
+      val pa = s"/prop/$sched/a"; val pb = s"/prop/$sched/b"
+      AuthContext.as(admin1) {
+        store.createTable(ti(pa)); store.createTable(ti(pb))
+      }
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val foreignObserver = new Thread(() => AuthContext.as(admin2) {
+        while (!stop.get()) {
+          if (retry(store.getTableInfo(pa)).isDefined ||
+              retry(store.getTableInfo(pb)).isDefined)
+            violations.add(s"sched $sched: foreign domain saw a table")
+          try { retry(store.commit(pa, Seq(marker("foreign-observer")),
+              Map("a" -> headVersion(pa))))
+            violations.add(s"sched $sched: foreign commit succeeded") }
+          catch { case _: IllegalArgumentException => () }
+          Thread.sleep(1)
+        }
+      })
+      val domainObserver = new Thread(() => AuthContext.as(user1) {
+        while (!stop.get()) {
+          val sa = headSnapshot(pa) // A FIRST — see invariant note above
+          val sb = headSnapshot(pb)
+          val missing = sa.filterNot(sb)
+          if (missing.nonEmpty)
+            violations.add(s"sched $sched: half-committed txn visible: $missing")
+        }
+      })
+      foreignObserver.start(); domainObserver.start()
+
+      var restoredAfter = List.empty[Long] // pre-restore boundaries of state-changing restores
+      try AuthContext.as(if (rnd.nextBoolean()) admin1 else user1) {
+        for (op <- 0 until 4 + rnd.nextInt(5)) rnd.nextInt(10) match {
+          case r if r <= 5 => // cross-table txn: one marker to BOTH tables
+            val m = MetaStore.newCommitId()
+            val c = marker(s"txn-$sched-$op")
+            retry(store.commitMany(Seq(
+              (pa, Seq(c.copy(commitId = m)), Map("a" -> headVersion(pa))),
+              (pb, Seq(c.copy(commitId = m)), Map("a" -> headVersion(pb))))))
+          case 6 | 7 => // restore A to a random earlier boundary
+            val before = retry(store.maxCommitTs(pa))
+            if (before > 0 && AuthContext.current.admin) {
+              val tsList = retry(store.commitTimestamps(pa))
+              val asOf = tsList(rnd.nextInt(tsList.size))
+              if (retry(store.restoreTable(pa, asOf)).nonEmpty)
+                restoredAfter ::= asOf
+            }
+          case _ => // foreign txn attempt: must fail atomically (no marker in EITHER table)
+            val m = MetaStore.newCommitId()
+            val c = marker(s"foreign-$sched-$op")
+            val (va, vb) = (headVersion(pa), headVersion(pb))
+            AuthContext.as(admin2) {
+              intercept[IllegalArgumentException](retry(store.commitMany(Seq(
+                (pa, Seq(c.copy(commitId = m)), Map("a" -> va)),
+                (pb, Seq(c.copy(commitId = m)), Map("a" -> vb))))))
+            }
+            assert(!headSnapshot(pa).contains(m) && !headSnapshot(pb).contains(m),
+              s"sched $sched: foreign commit left a marker")
+        }
+      } finally {
+        stop.set(true); foreignObserver.join(10000); domainObserver.join(10000)
+      }
+      assert(violations.isEmpty, violations.toArray.mkString("; "))
+      // strict stream crossing a state-changing restore ALWAYS aborts
+      restoredAfter.foreach { asOf =>
+        AuthContext.as(user1) {
+          intercept[graft.meta.NonIncrementalWindowException](
+            resolver.incrementalFiles(pa, "a", asOf,
+              retry(store.maxCommitTs(pa)), strict = true))
+        }
+      }
+    }
+  }
+
   test("the file store refuses non-public identities loudly") {
     withTempPath { path =>
       AuthContext.as(admin1) {
