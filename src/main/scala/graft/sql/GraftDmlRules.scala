@@ -160,13 +160,13 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // aligns UPDATE assignments to the full schema, padding untouched columns
     // with no-op copies that would otherwise trip the PK-assignment guard
     def assigns(as: Seq[Assignment]): Seq[(String, Expression)] = as.flatMap { a =>
-      val name = a.key match {
-        case ar: AttributeReference => ar.name
-        case other => throw new UnsupportedOperationException(
-          s"MERGE assignment to nested field $other is not supported")
-      }
+      // nested assignment (SET s.a = ...) → dotted clause key; GraftTable
+      // rebuilds the touched leaf over the merge frame's target side
+      val path = assignPath(a.key)
+      val name = graft.tables.NestedUpdate.encodePath(path)
       unwrap(a.value) match {
-        case ar: AttributeReference if tIds(ar.exprId) && ar.name == name => None
+        case ar: AttributeReference
+            if path.size == 1 && tIds(ar.exprId) && ar.name == path.head => None
         case _ => Some(name -> qualify(a.value))
       }
     }

@@ -1443,8 +1443,21 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         t0.hashColumns.filterNot(onKeys.contains).mkString(", "))
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE INTO needs at least one WHEN clause")
+    // nested SET paths (`"st.a" -> ...`) rebuild the touched leaf from the
+    // TARGET side of the merge frame — same contract as UPDATE's nested
+    // keys (see [[NestedUpdate]]); after normalization every key is a
+    // top-level schema column, so the guards and the per-column output
+    // projection below stay unchanged
+    def normSet(m: Map[String, Column]): Map[String, Column] =
+      NestedUpdate.toTopLevelSet(schema,
+        m.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v },
+        spark.sessionState.conf.caseSensitiveAnalysis,
+        n => GraftMerge.target(n))
+    val matchedN = matched.map(c => c.copy(set = c.set.map(normSet)))
+    val notMatchedBySourceN =
+      notMatchedBySource.map(c => c.copy(set = c.set.map(normSet)))
     val frozen = (t0.rangeColumns ++ t0.hashColumns).toSet
-    val badAssign = (matched ++ notMatchedBySource)
+    val badAssign = (matchedN ++ notMatchedBySourceN)
       .flatMap(_.set.toSeq.flatMap(_.keySet)).toSet.intersect(frozen)
     require(badAssign.isEmpty,
       s"cannot update partition/primary-key columns: ${badAssign.mkString(", ")}")
@@ -1484,8 +1497,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
       // delete-clause action ids (matched i / not-matched-by-source 2000+i)
       val deleteActions: Seq[Int] =
-        matched.zipWithIndex.collect { case (c, i) if c.set.isEmpty => i } ++
-          notMatchedBySource.zipWithIndex.collect {
+        matchedN.zipWithIndex.collect { case (c, i) if c.set.isEmpty => i } ++
+          notMatchedBySourceN.zipWithIndex.collect {
             case (c, i) if c.set.isEmpty => 2000 + i
           }
 
@@ -1499,9 +1512,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         val tP = coalesce(col(s"${GraftMerge.TargetAlias}._g_t_present"), lit(false))
         val sP = coalesce(col(s"${GraftMerge.SourceAlias}._g_s_present"), lit(false))
         val action =
-          when(tP && sP, actionChain(matched.map(_.condition), 0, KeepTarget))
+          when(tP && sP, actionChain(matchedN.map(_.condition), 0, KeepTarget))
             .when(sP && !tP, actionChain(notMatched.map(_.condition), 1000, Drop))
-            .otherwise(actionChain(notMatchedBySource.map(_.condition), 2000, KeepTarget))
+            .otherwise(actionChain(notMatchedBySourceN.map(_.condition), 2000, KeepTarget))
         joined.withColumn("_g_action", action)
       }
 
@@ -1510,13 +1523,13 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       def projectOut(frame: DataFrame): DataFrame = {
         val outExprs = outCols.map { c =>
           val cases: Seq[(Int, Column)] =
-            matched.zipWithIndex.collect {
+            matchedN.zipWithIndex.collect {
               case (cl, i) if cl.set.exists(_.contains(c)) => (i, cl.set.get(c))
             } ++
               notMatched.zipWithIndex.map { case (cl, j) =>
                 (1000 + j, cl.values.getOrElse(c, lit(null)))
               } ++
-              notMatchedBySource.zipWithIndex.collect {
+              notMatchedBySourceN.zipWithIndex.collect {
                 case (cl, i) if cl.set.exists(_.contains(c)) => (2000 + i, cl.set.get(c))
               }
           val e = cases.foldLeft(null: Column) { case (acc, (id, v)) =>
@@ -1536,7 +1549,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
       val deltaMode =
         t.properties.get(TableInfo.MergeModeProp).contains("delta") &&
-          deltaMergeEligible(t, matched, notMatchedBySource)
+          deltaMergeEligible(t, matchedN, notMatchedBySourceN)
 
       if (files.isEmpty) {
         // nothing to rewrite — only NOT MATCHED inserts can produce rows;

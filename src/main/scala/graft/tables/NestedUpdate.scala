@@ -44,10 +44,28 @@ private[graft] object NestedUpdate {
     * rebuild of their top-level column. Validation (unknown names, prefix
     * conflicts, non-struct descent) happens here so every caller — API
     * `update`, SQL UPDATE, delta/marker variants — enforces one contract. */
+  /** Encode a parsed path back into one dotted key (backtick-quoting parts
+    * that contain dots/backticks) — the inverse of [[parsePath]], used to
+    * carry nested MERGE assignment paths through string-keyed clause maps. */
+  def encodePath(parts: Seq[String]): String =
+    parts.map { p =>
+      if (p.contains(".") || p.contains("`")) s"`${p.replace("`", "``")}`" else p
+    }.mkString(".")
+
   def toTopLevelSet(
       schema: StructType,
       ops: Seq[(Seq[String], Column)],
-      caseSensitive: Boolean): Map[String, Column] = {
+      caseSensitive: Boolean): Map[String, Column] =
+    toTopLevelSet(schema, ops, caseSensitive, topCol)
+
+  /** `base` resolves a TOP-LEVEL column name to the Column the rebuild
+    * reads untouched fields from — `col(name)` for UPDATE over the table's
+    * own frame, `GraftMerge.target(name)` inside a MERGE join frame. */
+  def toTopLevelSet(
+      schema: StructType,
+      ops: Seq[(Seq[String], Column)],
+      caseSensitive: Boolean,
+      base: String => Column): Map[String, Column] = {
     val res = resolver(caseSensitive)
     require(ops.nonEmpty, "UPDATE requires at least one SET assignment")
     ops.foreach(o => require(o._1.nonEmpty, "empty SET column path"))
@@ -66,7 +84,7 @@ private[graft] object NestedUpdate {
         val rebuilt = group.find(_._1.size == 1) match {
           case Some((_, v)) => castTo(v, field.dataType)
           case None =>
-            applyOps(topCol(field.name), field.dataType,
+            applyOps(base(field.name), field.dataType,
               group.map { case (p, v) => (p.tail, v) }, Seq(field.name), res)
         }
         field.name -> rebuilt

@@ -164,6 +164,75 @@ class NestedUpdateSuite extends SparkFixture {
     }
   }
 
+  test("API MERGE INTO clauses accept nested SET paths") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      import graft.tables.{GraftMerge, MergeMatchedClause}
+      val src = Seq((1L, 111), (9L, 999)).toDF("k", "newa")
+      t.mergeIntoClauses(src, Map("id" -> "k"),
+        matched = Seq(MergeMatchedClause(None,
+          Some(Map("st.a" -> GraftMerge.source("newa"))))),
+        notMatched = Nil)
+      val m = fetch(t)
+      // matched row: only leaf a rewritten; unmatched source key dropped
+      assert(m(1L).getStruct(2) == Row(111, "b1", Row(100L, "y1")), m(1L))
+      assert(m(2L).getStruct(2) == Row(20, "b2", Row(200L, "y2")), m(2L))
+      assert(!m.contains(9L))
+      // conflicting nested paths rejected in merge clauses too
+      val e = intercept[UnsupportedOperationException](
+        t.mergeIntoClauses(src, Map("id" -> "k"),
+          matched = Seq(MergeMatchedClause(None, Some(Map(
+            "st.inner" -> lit(null), "st.inner.x" -> lit(1L))))),
+          notMatched = Nil))
+      assert(e.getMessage.contains("conflicting"), e.getMessage)
+    }
+  }
+
+  test("SQL MERGE INTO accepts nested SET paths") {
+    withTempPath { wh =>
+      spark.conf.set("spark.sql.catalog.graft_nm", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse", wh)
+      val rows = Seq(
+        Row(1L, "r1", Row(10, "b1", Row(100L, "y1"))),
+        Row(2L, "r2", Row(20, "b2", Row(200L, "y2"))))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), structType)
+        .createOrReplaceTempView("nm_src")
+      spark.sql("CREATE TABLE graft_nm.nm.t " +
+        "PARTITIONED BY (bucket(2, id)) AS SELECT * FROM nm_src")
+      Seq((1L, 555L)).toDF("k", "nx").createOrReplaceTempView("nm_delta")
+      spark.sql("""MERGE INTO graft_nm.nm.t t USING nm_delta s ON t.id = s.k
+        WHEN MATCHED THEN UPDATE SET t.st.inner.x = s.nx""")
+      val m = spark.table("graft_nm.nm.t").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(m(1L).getStruct(2) == Row(10, "b1", Row(555L, "y1")), m(1L))
+      assert(m(2L).getStruct(2) == Row(20, "b2", Row(200L, "y2")), m(2L))
+      spark.sql("DROP TABLE graft_nm.nm.t")
+    }
+  }
+
+  test("reference UpdateSuiteBase nested matrix: null subtree, named_struct, cast, no-match, nested WHERE") {
+    withTempPath { path =>
+      val t = mkTable(path)
+      // condition referencing a NESTED field prunes/filters correctly
+      t.update(col("st.inner.y") === "y2", Map("st.b" -> lit("hit")))
+      assert(fetch(t)(2L).getStruct(2) == Row(20, "hit", Row(200L, "y2")))
+      assert(fetch(t)(1L).getStruct(2) == Row(10, "b1", Row(100L, "y1")))
+      // no-match condition: table unchanged
+      t.update(col("id") === 99L, Map("st.a" -> lit(0)))
+      assert(fetch(t)(1L).getStruct(2) == Row(10, "b1", Row(100L, "y1")))
+      // set a STRUCT subtree to null (reference: a.c = null)
+      t.update(col("id") === 1L, Map("st.inner" -> lit(null)))
+      assert(fetch(t)(1L).getStruct(2) == Row(10, "b1", null))
+      // set a struct subtree with named_struct, siblings intact
+      t.update(col("id") === 1L,
+        Map("st.inner" -> struct(lit(7L).as("x"), lit("n").as("y"))))
+      assert(fetch(t)(1L).getStruct(2) == Row(10, "b1", Row(7L, "n")))
+      // string value castable into the int leaf (reference: a.g = '-1')
+      t.update(col("id") === 1L, Map("st.a" -> lit("-1")))
+      assert(fetch(t)(1L).getStruct(2) == Row(-1, "b1", Row(7L, "n")))
+    }
+  }
+
   test("updateExpr accepts dotted paths") {
     withTempPath { path =>
       val t = mkTable(path)
