@@ -41,7 +41,10 @@ object ScaleFactorProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
+      // heap comes from build.sbt's -Xmx via SPARK_DRIVER_MEM (a
+      // spark.driver.memory conf here would be a no-op in an already-forked
+      // local JVM); factor>=100 needs SPARK_DRIVER_MEM=48g — the default 8g
+      // OOMs dedup_keep_best's 32-thread shuffle buffers at 500k docs
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
