@@ -1474,6 +1474,29 @@ object SparkEntry {
         "VALUES (s.k, 'merged', 0, s.delta, s.seg)")
       s.sql("SELECT * FROM graft_cat.vfy.cust_mc")
     }),
+    "merge_nested" -> q((s, d) => {
+      // SQL MERGE INTO with a NESTED SET path (reference
+      // PreprocessTableUpsert rides the same UpdateExpressionsSupport walk
+      // as UPDATE): only leaf st.a of matched rows is rebuilt — sibling
+      // leaves and unmatched rows byte-identical — oracled as nested values
+      v2(s)
+      val o = rd(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .withColumn("st", struct(col("o_custkey").as("a"),
+          col("o_orderstatus").as("b"),
+          struct((col("o_orderkey") % 100).as("x")).as("inner")))
+      o.createOrReplaceTempView("v2_src_merge_nested")
+      o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_custkey") * 2).as("na"))
+        .createOrReplaceTempView("v2_delta_merge_nested")
+      s.sql("CREATE TABLE graft_cat.vfy.merge_nested " +
+        "PARTITIONED BY (bucket(4, o_orderkey)) " +
+        "AS SELECT * FROM v2_src_merge_nested")
+      s.sql("MERGE INTO graft_cat.vfy.merge_nested t " +
+        "USING v2_delta_merge_nested s ON t.o_orderkey = s.k " +
+        "WHEN MATCHED THEN UPDATE SET t.st.a = s.na")
+      s.sql("SELECT o_orderkey, st FROM graft_cat.vfy.merge_nested")
+    }),
     "asof_join" -> q((s, d) => {
       // point-in-time alignment: each click event picks up the most recent
       // preceding error event of the same user — ONE window over one keys
@@ -2982,6 +3005,13 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 7 = 0
         |    THEN {'a': o_custkey + 1000, 'b': o_orderstatus, 'inner': {'x': -1::BIGINT}}
+        |    ELSE {'a': o_custkey, 'b': o_orderstatus, 'inner': {'x': o_orderkey % 100}}
+        |  END AS st
+        |FROM orders""".stripMargin,
+    "merge_nested" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0
+        |    THEN {'a': o_custkey * 2, 'b': o_orderstatus, 'inner': {'x': o_orderkey % 100}}
         |    ELSE {'a': o_custkey, 'b': o_orderstatus, 'inner': {'x': o_orderkey % 100}}
         |  END AS st
         |FROM orders""".stripMargin,
