@@ -440,7 +440,25 @@ class GraftScan(
     else dataFilters.filter(_.references.forall(keyCols.contains))
   }
 
-  override def readSchema(): StructType = schema
+  /** A column absent from >=1 contributing file can surface NULL after
+    * the fall-through merge even when the table schema declares it NOT
+    * NULL — a key first written by a partial batch has no older run to
+    * fall to. Report such columns nullable: under the declared non-null
+    * schema, codegen skips isNullAt and reads the null slot as garbage 0.
+    * (Runtime filtering only SHRINKS `files`, so the construction-time
+    * relaxation stays conservative-correct.) */
+  private val reportedSchema: StructType = {
+    val missingSomewhere: Set[String] = filesIn.iterator.flatMap { f =>
+      val mask = BucketMergeRead.presentMask(schema, f.file.existCols)
+      schema.fields.iterator.zip(mask.iterator)
+        .collect { case (fl, false) => fl.name }
+    }.toSet
+    if (missingSomewhere.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      if (missingSomewhere.contains(f.name)) f.copy(nullable = true) else f))
+  }
+
+  override def readSchema(): StructType = reportedSchema
 
   override def toBatch: Batch = this
 

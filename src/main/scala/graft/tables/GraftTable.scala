@@ -1904,6 +1904,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val t = info
     val cur = schema
     require(!cur.fieldNames.contains(name), s"column '$name' already exists")
+    // files written before the column existed read it as NULL — a NOT NULL
+    // claim on such a column would make codegen skip the null check and
+    // surface garbage zeros (same contract as updateColumnNullability)
+    require(nullable, s"cannot ADD a NOT NULL column '$name': existing " +
+      "files read it as null (add it nullable, backfill, then it still " +
+      "must stay nullable — merge-on-read cannot promise NOT NULL)")
     var f = StructField(name, dataType, nullable)
     comment.foreach(c => f = f.withComment(c))
     store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields :+ f).json))
@@ -2313,6 +2319,33 @@ object GraftTable {
   }
 
 
+  /** Stored-schema nullability is the MERGE-ON-READ contract, not the
+    * batch's (reference ImplicitMetadataOperation.scala:106-113): hash/PK
+    * columns are forced NOT NULL (present and non-null in every run by
+    * construction), every other column is stored NULLABLE — a partial
+    * upsert may omit it, and a key first written by such a batch reads it
+    * as null (there is no older run to fall through to). Keeping a batch's
+    * nullable=false claim would make codegen skip isNullAt on exactly that
+    * slot and read garbage 0 — a real bug ModelCheckSuite caught in r12. */
+  private def normalizeNullability(schema: StructType,
+      hash: Seq[String]): StructType =
+    StructType(schema.fields.map { f =>
+      if (hash.contains(f.name)) f.copy(nullable = false)
+      else f.copy(dataType = nullableType(f.dataType), nullable = true)
+    })
+
+  private def nullableType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = nullableType(at.elementType), containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = nullableType(mt.keyType),
+        valueType = nullableType(mt.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Create a table from an initial DataFrame (cf. LakeSoulTable create +
     * write, SURVEY.md §7.3). */
   def create(
@@ -2327,9 +2360,7 @@ object GraftTable {
     val tp = graft.util.PathUtil.local(tablePath)
     val range = resolveColumns(df.columns, rangeColumns, "partition")
     val hash = resolveColumns(df.columns, hashColumns, "partition")
-    // PK columns are forced non-nullable (ImplicitMetadataOperation.scala:106-113)
-    val schema = StructType(df.schema.fields.map(f =>
-      if (hash.contains(f.name)) f.copy(nullable = false) else f))
+    val schema = normalizeNullability(df.schema, hash)
     store.createTable(TableInfo(
       MetaStore.newCommitId(), new java.io.File(tp).getCanonicalPath,
       schema.json, range, hash, bucketNum, properties))
@@ -2352,8 +2383,7 @@ object GraftTable {
     val tp = graft.util.PathUtil.local(tablePath)
     val range = resolveColumns(schema.fieldNames, rangeColumns, "partition")
     val hash = resolveColumns(schema.fieldNames, hashColumns, "partition")
-    val s = StructType(schema.fields.map(f =>
-      if (hash.contains(f.name)) f.copy(nullable = false) else f))
+    val s = normalizeNullability(schema, hash)
     store.createTable(TableInfo(
       MetaStore.newCommitId(), new java.io.File(tp).getCanonicalPath,
       s.json, range, hash, bucketNum, properties))

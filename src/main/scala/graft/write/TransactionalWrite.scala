@@ -229,7 +229,10 @@ object TransactionalWrite {
           "column nullable at table creation to store nulls)")))
     val userChecks = table.properties.collect {
       case (k, v) if k.startsWith("graft.check.") =>
-        assert_true(expr(v), lit(s"check constraint violated: $k = '$v'"))
+        // ANSI CHECK semantics (Delta's too): NULL satisfies — only a row
+        // where the predicate is definitely FALSE violates
+        assert_true(coalesce(expr(v), lit(true)),
+          lit(s"check constraint violated: $k = '$v'"))
     }
     val checks = pkChecks ++ schemaChecks ++ userChecks
     if (checks.isEmpty) df

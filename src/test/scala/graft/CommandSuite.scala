@@ -151,15 +151,14 @@ class CommandSuite extends SparkFixture {
       assert(e2.getMessage.contains("positive_v")
         || e2.getCause != null && e2.getCause.getMessage.contains("positive_v"))
       assertRows(t.toDF, Seq("[1,10]"))
-      // schema-level NOT NULL: v was created non-nullable (primitive
-      // encoder) — upserting a NULL must fail loudly, not silently
-      // materialize 0 through the merge reader's unsafe projection
-      val e3 = intercept[Exception] {
-        t.upsert(Seq((Some(3), None: Option[Int])).toDF("id", "v"))
-      }
-      assert(e3.getMessage.contains("NOT NULL")
-        || e3.getCause != null && e3.getCause.getMessage.contains("NOT NULL"))
-      assertRows(t.toDF, Seq("[1,10]"))
+      // non-key nullability is NORMALIZED at create (reference
+      // ImplicitMetadataOperation.scala:106-113): v arrived non-nullable
+      // from the primitive encoder but is STORED nullable — partial
+      // batches may omit it and a NULL stores as a real null (never the
+      // garbage 0 a false NOT NULL claim would let codegen read)
+      assert(t.schema("v").nullable && !t.schema("id").nullable, t.schema)
+      t.upsert(Seq((Some(3), None: Option[Int])).toDF("id", "v"))
+      assertRows(t.toDF, Seq("[1,10]", "[3,null]"))
     }
   }
 

@@ -138,6 +138,113 @@ class ModelCheckSuite extends SparkFixture {
     }
   }
 
+  test("random nested-struct x partial-batch x nested-update sequences vs column model") {
+    // the r12 surfaces under one randomized harness: a NON-NULLABLE int
+    // column and a two-leaf struct ride full upserts, PARTIAL upserts
+    // (random column subsets — including dropping the non-nullable column,
+    // the decode shape that was a real r12 bug), nested leaf updates,
+    // deletes, and compactions; the model tracks per-COLUMN values so
+    // file_exist_cols fall-through is checked leaf by leaf
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    case class V(w: Option[Int], v: Option[String],
+        stA: Option[Int], stB: Option[String], stSet: Boolean)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("w", IntegerType, nullable = false),
+      StructField("v", StringType),
+      StructField("st", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType))))))
+    def df(rows: Seq[Row], cols: Seq[String]) = {
+      val sub = StructType(cols.map(c => schema(c)))
+      val proj = rows.map(r => Row.fromSeq(cols.map {
+        case "id" => r.get(0); case "w" => r.get(1)
+        case "v" => r.get(2); case "st" => r.get(3)
+      }))
+      spark.createDataFrame(spark.sparkContext.parallelize(proj, 2), sub)
+    }
+    def read(t: GraftTable): Map[Long, V] =
+      t.toDF.select("id", "w", "v", "st").collect().map { r =>
+        val st = if (r.isNullAt(3)) null else r.getStruct(3)
+        r.getLong(0) -> V(
+          if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          Option(r.getString(2)),
+          Option(st).flatMap(s => if (s.isNullAt(0)) None else Some(s.getInt(0))),
+          Option(st).flatMap(s => Option(s.getString(1))),
+          st != null)
+      }.toMap
+
+    val rnd = new scala.util.Random(777)
+    for (round <- 1 to 4) {
+      withTempPath { path =>
+        val keys = 0 until (8 + rnd.nextInt(20))
+        def fullRow(k: Int) = Row(k.toLong, rnd.nextInt(100),
+          s"v${rnd.nextInt(9)}", Row(rnd.nextInt(100), s"b${rnd.nextInt(9)}"))
+        val init = keys.map(fullRow)
+        val t = GraftTable.create(spark, df(init, schema.fieldNames.toSeq),
+          path, hashColumns = Seq("id"), bucketNum = 1 + rnd.nextInt(3))
+        var model: Map[Long, V] = init.map(r => r.getLong(0) -> V(
+          Some(r.getInt(1)), Some(r.getString(2)),
+          Some(r.getStruct(3).getInt(0)), Some(r.getStruct(3).getString(1)),
+          stSet = true)).toMap
+
+        for (_ <- 0 until 5 + rnd.nextInt(4)) {
+          rnd.nextInt(6) match {
+            case 0 => // full upsert of a random key subset
+              val b = rnd.shuffle(keys.toList).take(1 + rnd.nextInt(keys.size))
+                .map(fullRow)
+              t.upsert(df(b, schema.fieldNames.toSeq))
+              model ++= b.map(r => r.getLong(0) -> V(Some(r.getInt(1)),
+                Some(r.getString(2)), Some(r.getStruct(3).getInt(0)),
+                Some(r.getStruct(3).getString(1)), stSet = true))
+            case 1 => // PARTIAL upsert: random non-key column subset
+              val cols = "id" +: rnd.shuffle(List("w", "v", "st"))
+                .take(1 + rnd.nextInt(3))
+              val b = rnd.shuffle(keys.toList).take(1 + rnd.nextInt(keys.size))
+                .map(fullRow)
+              t.upsert(df(b, cols))
+              model = model ++ b.map { r =>
+                val k = r.getLong(0)
+                val old = model.getOrElse(k, V(None, None, None, None, stSet = false))
+                k -> V(
+                  if (cols.contains("w")) Some(r.getInt(1)) else old.w,
+                  if (cols.contains("v")) Some(r.getString(2)) else old.v,
+                  if (cols.contains("st")) Some(r.getStruct(3).getInt(0)) else old.stA,
+                  if (cols.contains("st")) Some(r.getStruct(3).getString(1)) else old.stB,
+                  if (cols.contains("st")) true else old.stSet)
+              }
+            case 2 => // nested leaf update over a w-predicate
+              val cut = rnd.nextInt(100)
+              val nv = rnd.nextInt(1000)
+              t.update(col("w") >= cut, Map("st.a" -> lit(nv)))
+              model = model.map { case (k, m) =>
+                // CreateNamedStruct rebuild: a matched NULL struct becomes
+                // non-null with the updated leaf and null sibling
+                k -> (if (m.w.exists(_ >= cut))
+                  m.copy(stA = Some(nv), stSet = true) else m)
+              }
+            case 3 => // top-level + nested leaf in ONE statement
+              val cut = rnd.nextInt(100)
+              t.update(col("w") >= cut,
+                Map("v" -> lit("upd"), "st.b" -> lit("nb")))
+              model = model.map { case (k, m) =>
+                k -> (if (m.w.exists(_ >= cut))
+                  m.copy(v = Some("upd"), stB = Some("nb"), stSet = true) else m)
+              }
+            case 4 => // predicate delete (null w rows never match)
+              val cut = rnd.nextInt(100)
+              t.delete(col("w") < cut)
+              model = model.filter { case (_, m) => !m.w.exists(_ < cut) }
+            case 5 =>
+              t.compaction()
+          }
+          assert(read(t) == model, s"round $round after op")
+        }
+        assert(t.validate() == Nil, s"round $round: validate")
+      }
+    }
+  }
+
   test("random upserts vs sum_all / use_last_not_null merge-op model") {
     val rnd = new scala.util.Random(7)
     for (round <- 1 to 3) {
