@@ -163,8 +163,8 @@ class ModelCheckSuite extends SparkFixture {
       }))
       spark.createDataFrame(spark.sparkContext.parallelize(proj, 2), sub)
     }
-    def read(t: GraftTable): Map[Long, V] =
-      t.toDF.select("id", "w", "v", "st").collect().map { r =>
+    def readDf(d: org.apache.spark.sql.DataFrame): Map[Long, V] =
+      d.select("id", "w", "v", "st").collect().map { r =>
         val st = if (r.isNullAt(3)) null else r.getStruct(3)
         r.getLong(0) -> V(
           if (r.isNullAt(1)) None else Some(r.getInt(1)),
@@ -187,9 +187,10 @@ class ModelCheckSuite extends SparkFixture {
           Some(r.getInt(1)), Some(r.getString(2)),
           Some(r.getStruct(3).getInt(0)), Some(r.getStruct(3).getString(1)),
           stSet = true)).toMap
+        var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 5 + rnd.nextInt(4)) {
-          rnd.nextInt(6) match {
+          rnd.nextInt(7) match {
             case 0 => // full upsert of a random key subset
               val b = rnd.shuffle(keys.toList).take(1 + rnd.nextInt(keys.size))
                 .map(fullRow)
@@ -237,9 +238,20 @@ class ModelCheckSuite extends SparkFixture {
               model = model.filter { case (_, m) => !m.w.exists(_ < cut) }
             case 5 =>
               t.compaction()
+            case 6 => // whole-table RESTORE to a random earlier boundary:
+              // the partial-column fall-through state must roll back
+              // EXACTLY (presence is per-run, and restore swaps run sets)
+              val (ts, m) = snapshots(rnd.nextInt(snapshots.size))
+              t.restoreToTimestamp(ts)
+              model = m
           }
-          assert(read(t) == model, s"round $round after op")
+          Thread.sleep(2) // distinct commit boundaries for restore targets
+          snapshots :+= t.lastCommitTs -> model
+          assert(readDf(t.toDF) == model, s"round $round after op")
         }
+        // every recorded boundary still reads exactly through time travel
+        val (sts, sm) = snapshots(rnd.nextInt(snapshots.size))
+        assert(readDf(t.snapshotAt(sts)) == sm, s"round $round: snapshot @$sts")
         assert(t.validate() == Nil, s"round $round: validate")
       }
     }
