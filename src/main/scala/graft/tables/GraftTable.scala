@@ -52,6 +52,30 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     else toDF(_ => true)
   }
 
+  /** Reference accessor parity (LakeSoulTable.scala): `data`/`path` and
+    * `as`/`alias` — the aliased handle changes only what `toDF`/`data`
+    * return; every table operation still targets the same path. */
+  def data: DataFrame = toDF
+  def path: String = tablePath
+  def as(aliasName: String): GraftTable = {
+    val self = this
+    new GraftTable(spark, tablePath, store) {
+      override def toDF: DataFrame = self.toDF.as(aliasName)
+    }
+  }
+  def alias(aliasName: String): GraftTable = as(aliasName)
+  /** Reference `truncateTable` (LakeSoulTable.scala): metadata-only expiry
+    * of every partition — the no-predicate [[delete()]]. */
+  def truncateTable(): Unit = delete()
+
+  /** Reference `onlySaveOnceCompaction` (LakeSoulTable.scala:535-538):
+    * when set, compaction SKIPS partitions already at a single run instead
+    * of re-saving their bytes. Fluent, like the TTL setters. */
+  def onlySaveOnceCompaction(value: Boolean): GraftTable = {
+    setProperties(Map(GraftTable.OnlyOnceCompactionProp -> value.toString))
+    this
+  }
+
   def toDF(partitionPred: String => Boolean): DataFrame =
     GraftRead.read(spark, info, resolver.currentFiles(tablePath, partitionPred))
 
@@ -1100,6 +1124,30 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   def compaction(partitionPred: String => Boolean = _ => true): Unit =
     compaction(CompactionOptions(), partitionPred)
 
+  /** Reference-parity surface (`LakeSoulTable.newCompaction`,
+    * LakeSoulTable.scala:344-352): string-sized fileSizeLimit ("128MB"),
+    * optional re-bucketing, and cleanOldCompaction (delete the targeted
+    * partitions' files superseded by this compaction — time travel to
+    * versions before it is gone afterwards, same trade as the reference's
+    * flag). Hive sync args are not part of this engine. */
+  def newCompaction(conditionStr: String = "",
+      cleanOldCompaction: Boolean = false,
+      fileNumLimit: Option[Int] = None,
+      fileSizeLimit: Option[String] = None,
+      newBucketNum: Option[Int] = None): Unit = {
+    val opts = CompactionOptions(fileNumLimit,
+      fileSizeLimit.map(GraftTable.parseByteSize), newBucketNum)
+    compaction(Option(conditionStr).getOrElse(""), opts)
+    if (cleanOldCompaction) {
+      val boundary = lastCommitTs
+      val targeted =
+        if (conditionStr == null || conditionStr.trim.isEmpty)
+          partitions.map(_.partitionDesc)
+        else partitionsMatching(expr(conditionStr)).toSeq
+      targeted.foreach(cleanupPartitionData(_, boundary))
+    }
+  }
+
   /** Reference-parity condition-string form
     * (`LakeSoulTable.compaction("range=1", ...)`, LakeSoulTable.scala:315):
     * the SQL predicate is evaluated over the RANGE columns against the
@@ -1126,8 +1174,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val t0 = info
     val heads = headsNow // attempt-start heads: CAS catches interleavers
     val candidates = partitions.filter(p => partitionPred(p.partitionDesc))
+    // graft.compaction.onlyOnce (reference onlySaveOnceCompaction): skip
+    // partitions already at one run — their bytes were saved by a previous
+    // compaction and a re-save rewrites them for nothing. Opt-in: the
+    // default full compaction still rewrites single-run CDC partitions to
+    // drop delete markers (M8).
+    val onlyOnce =
+      t0.properties.get(GraftTable.OnlyOnceCompactionProp).contains("true")
     val descs = candidates
       .filter(p => opts.fileNumLimit.forall(n => p.snapshot.size >= n))
+      .filter(p => !onlyOnce || p.snapshot.size > 1)
       .map(_.partitionDesc).toSet
     if (descs.nonEmpty) {
       // re-bucketing updates bucketNum BEFORE the rewrite so writeFiles
@@ -2280,6 +2336,31 @@ object GraftTable {
   /** Replication cursor ([[GraftTable.replicateFrom]]): the source commit
     * timestamp this replica has applied up to. */
   val ReplicaCursorProp = "graft.replica.cursor"
+
+  /** Compaction skips single-run partitions when "true"
+    * ([[GraftTable.onlySaveOnceCompaction]]). */
+  val OnlyOnceCompactionProp = "graft.compaction.onlyOnce"
+
+  /** "128MB"/"1g"/"4096" → bytes (reference DBUtil.parseMemoryExpression
+    * shape; binary units). */
+  private[tables] def parseByteSize(s: String): Long = {
+    val t = s.trim.toUpperCase
+    val (num, mult) =
+      if (t.endsWith("KB") || t.endsWith("K")) (t.stripSuffix("KB").stripSuffix("K"), 1L << 10)
+      else if (t.endsWith("MB") || t.endsWith("M")) (t.stripSuffix("MB").stripSuffix("M"), 1L << 20)
+      else if (t.endsWith("GB") || t.endsWith("G")) (t.stripSuffix("GB").stripSuffix("G"), 1L << 30)
+      else if (t.endsWith("B")) (t.stripSuffix("B"), 1L)
+      else (t, 1L)
+    (num.trim.toDouble * mult).toLong
+  }
+
+  /** Reference `LakeSoulTable.registerMergeOperator` (LakeSoulTable.scala:
+    * 761-766): mount a no-arg [[graft.mergeop.MergeOp]] class under an
+    * explicit function name. The SparkSession is accepted for signature
+    * parity; registration is process-wide. */
+  def registerMergeOperator(spark: SparkSession, className: String,
+      funName: String): Unit =
+    graft.mergeop.MergeOps.register(funName, className)
 
   /** Newline-separated target paths of shallow clones taken from this
     * table ([[GraftTable.cloneTo]]); the table's cleaners keep every file

@@ -79,6 +79,64 @@ class ApiParitySuite extends SparkFixture {
     }
   }
 
+  test("reference accessor/alias parity: data/path/as/alias/truncateTable/registerMergeOperator") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      assert(t.path == t.tablePath)
+      assert(t.data.collect().length == 1)
+      // aliased handle: toDF carries the alias, operations hit the table
+      val al = t.as("x")
+      assert(al.toDF.select(col("x.v")).head.getString(0) == "a")
+      al.upsert(Seq((2, "b")).toDF("id", "v"))
+      assert(t.toDF.count() == 2)
+      assert(t.alias("y").toDF.select(col("y.id")).count() == 2)
+      t.truncateTable()
+      assert(t.toDF.count() == 0)
+      // companion registration by class name (signature parity)
+      GraftTable.registerMergeOperator(spark,
+        classOf[ParityMinOp].getName, "pp_min")
+      assert(graft.mergeop.MergeOps.forName("pp_min").name == "pp_min")
+    }
+  }
+
+  test("newCompaction: string size limit, cleanOldCompaction deletes superseded files") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, 1)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      (2 to 5).foreach(i => t.upsert(Seq((i, i)).toDF("id", "v")))
+      assert(t.partitions.map(_.snapshot.size).max == 5)
+      val filesBefore = new java.io.File(path).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      t.newCompaction(fileSizeLimit = Some("1GB"), cleanOldCompaction = true)
+      assert(t.partitions.map(_.snapshot.size).max == 1)
+      assertRows(t.toDF.select("id", "v"),
+        (1 to 5).map(i => s"[$i,$i]"))
+      // superseded delta files physically deleted
+      def countParquet(d: java.io.File): Int =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) Seq(countParquet(f)) else
+            Seq(if (f.getName.endsWith(".parquet")) 1 else 0)).sum
+      assert(countParquet(new java.io.File(path)) < filesBefore + 5,
+        "cleanOldCompaction must delete superseded files")
+    }
+  }
+
+  test("onlySaveOnceCompaction skips single-run partitions on re-compaction") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark, Seq((1, 1)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.upsert(Seq((2, 2)).toDF("id", "v"))
+      t.onlySaveOnceCompaction(true)
+      t.compaction()
+      val versionsAfterFirst = t.history.size
+      t.compaction() // single-run now: must be a no-op commit-wise
+      assert(t.history.size == versionsAfterFirst,
+        "re-compaction of a single-run partition must not re-save")
+      assertRows(t.toDF.select("id", "v"), Seq("[1,1]", "[2,2]"))
+    }
+  }
+
   test("upsert(source, condition) on a TARGET-only column is scoping-inert, unknown columns fail") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
