@@ -79,6 +79,38 @@ class RestoreSuite extends SparkFixture {
     }
   }
 
+  test("history and VERSION AS OF stay aligned across dropPartition and restore (r12 ADVICE)") {
+    withTempPath { path =>
+      import org.apache.spark.sql.functions.lit
+      val t = GraftTable.create(spark,
+        Seq((1L, "p1", 10), (2L, "p2", 20)).toDF("id", "part", "v"), path,
+        rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      Thread.sleep(3)
+      // a commit touching ONLY the partition that will be dropped — the
+      // boundary the lineage-cut numbering used to lose
+      t.upsert(Seq((2L, "p2", 21)).toDF("id", "part", "v"))
+      Thread.sleep(3)
+      t.dropPartition("part=p2")
+      Thread.sleep(3)
+      t.upsert(Seq((1L, "p1", 11)).toDF("id", "part", "v"))
+      val hist = t.history
+      // every raw commit boundary is a history row: create, p2-only
+      // upsert, DROP (visible, op labeled), p1 upsert
+      assert(hist.size == 4, hist)
+      assert(hist(2)._3.contains("drop"), s"drop commit must appear: $hist")
+      // the VERSION AS OF resolver numbers the SAME boundaries
+      assert(hist.indices.forall(i => t.timestampOfVersion(i + 1) == hist(i)._2),
+        "timestampOfVersion and history must agree on every boundary")
+      // v2 = after the p2-only upsert: restoring there RESURRECTS p2
+      t.restoreToVersion(2)
+      assertRows(t.toDF.select("id", "v"), Seq("[1,10]", "[2,21]"))
+      // and the restore added boundaries; numbering keeps extending
+      val hist2 = t.history
+      assert(hist2.size > 4)
+      assert(hist2.indices.forall(i => t.timestampOfVersion(i + 1) == hist2(i)._2))
+    }
+  }
+
   test("file and jdbc stores restore identically on the same op script") {
     withTempPath { pathA => withTempPath { pathB =>
       val jdbc = new JdbcMetaStore("jdbc:derby:memory:restoredb;create=true")
