@@ -233,6 +233,17 @@ class NestedUpdateSuite extends SparkFixture {
     }
   }
 
+  test("parsePath/encodePath round-trip on adversarial names") {
+    import graft.tables.NestedUpdate._
+    val cases = Seq(
+      Seq("a"), Seq("a", "b"), Seq("a.b"), Seq("a.b", "c"),
+      Seq("we`ird", "x"), Seq("a", "b.c.d"), Seq("UPPER", "mIxEd"))
+    cases.foreach { p =>
+      assert(parsePath(encodePath(p)) == p,
+        s"$p -> ${encodePath(p)} -> ${parsePath(encodePath(p))}")
+    }
+  }
+
   test("updateExpr accepts dotted paths") {
     withTempPath { path =>
       val t = mkTable(path)
