@@ -246,7 +246,12 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested add-column unsupported")
-        t.addColumn(add.fieldNames()(0), add.dataType())
+        // pass the user's nullability through: ADD COLUMN ... NOT NULL must
+        // hit GraftTable.addColumn's loud rejection (existing files read
+        // the new column as null), never silently downgrade to nullable
+        t.addColumn(add.fieldNames()(0), add.dataType(),
+          nullable = add.isNullable,
+          comment = Option(add.comment()))
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

@@ -49,7 +49,7 @@ object GraftRead {
     val fullSchema = graft.util.SchemaUtil.fromJson(table.schemaJson)
     // column pruning (F1): scan only requested columns + merge keys + the
     // CDC marker; extra service columns are dropped at the end
-    val schema = requiredColumns match {
+    val pruned = requiredColumns match {
       case None => fullSchema
       case Some(req) =>
         val need = (table.rangeColumns ++ table.hashColumns ++
@@ -58,7 +58,21 @@ object GraftRead {
     }
     val outputCols = requiredColumns.getOrElse(fullSchema.fieldNames.toSeq)
     if (files.isEmpty)
-      return emptyDF(spark, schema).select(outputCols.map(col): _*)
+      return emptyDF(spark, pruned).select(outputCols.map(col): _*)
+    // a column absent from >=1 contributing file can surface NULL after the
+    // fall-through merge even under a stored NOT NULL claim (tables created
+    // before r12's nullability normalization): report it nullable here like
+    // the DSv2 scan (GraftScan.reportedSchema), else codegen over this
+    // frame skips isNullAt and reads the null slot as garbage 0
+    val missing: Set[String] = files.iterator.flatMap { f =>
+      val mask = BucketMergeRead.presentMask(pruned, f.file.existCols)
+      pruned.fields.iterator.zip(mask.iterator)
+        .collect { case (fl, false) => fl.name }
+    }.toSet
+    val schema =
+      if (missing.isEmpty) pruned
+      else StructType(pruned.fields.map(f =>
+        if (missing.contains(f.name)) f.copy(nullable = true) else f))
 
     val skipMerge = table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
     val hasTombs = files.exists(f => Tombstone.isTombstone(f.file))

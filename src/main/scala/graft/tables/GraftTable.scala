@@ -611,8 +611,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   private[tables] def stageUpdateDelta(cond: Column,
       set: Map[String, Column]): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
     val t = info
-    val topSet = normalizeSet(
-      set.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v })
+    val topSet = normalizeSet(set)
     requireDeltaUpdatable(t, topSet)
     val heads = headsNow
     stagedEntry(heads, deltaUpdateCommits(t, cond, topSet))
@@ -726,6 +725,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     NestedUpdate.toTopLevelSet(schema, ops,
       spark.sessionState.conf.caseSensitiveAnalysis)
 
+  /** [[normalizeSet]] over string keys (dotted = nested path). */
+  private def normalizeSet(set: Map[String, Column]): Map[String, Column] =
+    normalizeSet(set.toSeq.map { case (k, v) =>
+      NestedUpdate.parsePath(k) -> v })
+
   /** UPDATE as an O(matched-rows) DELTA run (beyond-ref; the companion to
     * [[deleteTombstone]]): instead of rewriting every targeted file, read
     * the matching rows (pruned), apply the SET expressions, and commit the
@@ -740,8 +744,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * streaming consumers receive the updated rows instead of aborting. */
   def updateDelta(cond: Column, set: Map[String, Column]): Unit = withRetry {
     val t = info
-    val topSet = normalizeSet(
-      set.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v })
+    val topSet = normalizeSet(set)
     requireDeltaUpdatable(t, topSet)
     deltaUpdate(t, headsNow, cond, topSet)
   }
@@ -1020,8 +1023,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * graft.update.mode=delta. */
   def updateMarker(cond: Column, set: Map[String, Column]): Unit = withRetry {
     val t = info
-    val topSet = normalizeSet(
-      set.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v })
+    val topSet = normalizeSet(set)
     require(t.cdcColumn.isDefined,
       "updateMarker requires a CDC table (plain PK tables: updateDelta)")
     require(!topSet.contains(t.cdcColumn.get), "cannot SET the CDC marker column")
@@ -1137,14 +1139,20 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       newBucketNum: Option[Int] = None): Unit = {
     val opts = CompactionOptions(fileNumLimit,
       fileSizeLimit.map(GraftTable.parseByteSize), newBucketNum)
-    compaction(Option(conditionStr).getOrElse(""), opts)
-    if (cleanOldCompaction) {
-      val boundary = lastCommitTs
-      val targeted =
-        if (conditionStr == null || conditionStr.trim.isEmpty)
-          partitions.map(_.partitionDesc)
-        else partitionsMatching(expr(conditionStr)).toSeq
-      targeted.foreach(cleanupPartitionData(_, boundary))
+    val pred: String => Boolean =
+      if (conditionStr == null || conditionStr.trim.isEmpty) _ => true
+      else {
+        val matched = partitionsMatching(expr(conditionStr))
+        d => matched.contains(d)
+      }
+    // clean ONLY the partitions this pass actually rewrote, each at ITS
+    // OWN head boundary — a table-wide later timestamp would also destroy
+    // the time-travel history of partitions the filters skipped, or of
+    // partitions a concurrent writer committed to after us
+    val rewritten = compactionRun(opts, pred)
+    if (cleanOldCompaction && rewritten.nonEmpty) {
+      val heads = partitions.filter(p => rewritten.contains(p.partitionDesc))
+      heads.foreach(p => cleanupPartitionData(p.partitionDesc, p.timestamp))
     }
   }
 
@@ -1170,7 +1178,14 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     *  - newBucketNum: re-bucket the table while compacting (re-bucketing
     *    compaction, LakeSoulTable.scala:516-522). */
   def compaction(opts: CompactionOptions,
-      partitionPred: String => Boolean): Unit = withRetry {
+      partitionPred: String => Boolean): Unit =
+    compactionRun(opts, partitionPred)
+
+  /** [[compaction]] body, returning the descs whose runs were actually
+    * REWRITTEN this pass (skipped-by-filter partitions excluded) — the
+    * scope [[newCompaction]]'s cleanOldCompaction may clean. */
+  private def compactionRun(opts: CompactionOptions,
+      partitionPred: String => Boolean): Set[String] = withRetry {
     val t0 = info
     val heads = headsNow // attempt-start heads: CAS catches interleavers
     val candidates = partitions.filter(p => partitionPred(p.partitionDesc))
@@ -1257,7 +1272,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           publish(withDels ++ leftover, heads)
         }
       }
-    }
+      merge.map(_.partitionDesc).toSet
+    } else Set.empty[String]
   }
 
   /** Re-cluster a NON-PK table by sort columns: every partition is
@@ -1504,8 +1520,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     // keys (see [[NestedUpdate]]); after normalization every key is a
     // top-level schema column, so the guards and the per-column output
     // projection below stay unchanged
+    // an empty map stays empty: Spark's assignment alignment can elide
+    // EVERY assignment of a clause as a self-copy (SET v = t.v), and an
+    // empty update clause is a legal keep-target no-op, not an error
     def normSet(m: Map[String, Column]): Map[String, Column] =
-      NestedUpdate.toTopLevelSet(schema,
+      if (m.isEmpty) m
+      else NestedUpdate.toTopLevelSet(schema,
         m.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v },
         spark.sessionState.conf.caseSensitiveAnalysis,
         n => GraftMerge.target(n))

@@ -122,6 +122,35 @@ class ApiParitySuite extends SparkFixture {
     }
   }
 
+  test("cleanOldCompaction never touches partitions the pass skipped") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1L, "p1", 1), (2L, "p2", 2)).toDF("id", "part", "v"), path,
+        rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      // p1 gets a deep backlog; p2 only a single rewrite (old file
+      // superseded — history cleanOldCompaction must NOT destroy)
+      (1 to 4).foreach(i => t.upsert(Seq((1L, "p1", i * 10)).toDF("id", "part", "v")))
+      t.update(col("id") === 2L, Map("v" -> lit(99)))
+      val p2PreTs = t.history.map(_._2).max
+      Thread.sleep(3)
+      // fileNumLimit=4: p1 (5 runs) compacts, p2 (2 versions, 1-run head) skipped
+      t.newCompaction(fileNumLimit = Some(4), cleanOldCompaction = true)
+      val runs = t.partitions.map(p => p.partitionDesc -> p.snapshot.size).toMap
+      assert(runs("part=p1") == 1, runs)
+      // p2's pre-update version must still time-travel (its old file alive)
+      val old2 = t.snapshotAt(p2PreTs).filter(col("id") === 2L)
+        .select("v").head.getInt(0)
+      assert(old2 == 99, "boundary check") // head at that ts
+      assert(t.toDF.count() == 2)
+      // and the FULL history of p2 before the update is intact
+      val hist = t.history
+      val preUpdateTs = hist(hist.size - 3)._2 // before update + compaction
+      assert(t.snapshotAt(preUpdateTs).filter(col("id") === 2L)
+        .select("v").head.getInt(0) == 2,
+        "cleanOldCompaction deleted a skipped partition's history")
+    }
+  }
+
   test("onlySaveOnceCompaction skips single-run partitions on re-compaction") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1, 1)).toDF("id", "v"), path,

@@ -32,6 +32,13 @@ class CatalogV2Suite extends SparkFixture {
       assert(spark.sql("SHOW TABLES IN graft_cat.ns1").count() == 1)
       spark.sql("ALTER TABLE graft_cat.ns1.t ADD COLUMN extra INT")
       assertRows(spark.sql("SELECT * FROM graft_cat.ns1.t"), Seq("[9,z,null]"))
+      // ADD COLUMN ... NOT NULL is rejected LOUDLY through SQL too — the
+      // user's constraint must never be silently downgraded to nullable
+      // (old files read the new column as null)
+      val eNN = intercept[Exception](
+        spark.sql("ALTER TABLE graft_cat.ns1.t ADD COLUMN nn INT NOT NULL"))
+      assert(eNN.getMessage.contains("NOT NULL"), eNN.getMessage)
+      assert(!spark.table("graft_cat.ns1.t").columns.contains("nn"))
       spark.sql("DROP TABLE graft_cat.ns1.t")
       assert(spark.sql("SHOW TABLES IN graft_cat.ns1").count() == 0)
     }

@@ -233,6 +233,26 @@ class NestedUpdateSuite extends SparkFixture {
     }
   }
 
+  test("MERGE whose UPDATE is entirely self-assignments is a legal no-op clause") {
+    withTempPath { wh =>
+      spark.conf.set("spark.sql.catalog.graft_ns", "graft.catalog.GraftCatalogV2")
+      spark.conf.set("spark.graft.warehouse", wh)
+      Seq((1L, 10), (2L, 20)).toDF("id", "v").createOrReplaceTempView("ns_src")
+      spark.sql("CREATE TABLE graft_ns.ns.t " +
+        "PARTITIONED BY (bucket(2, id)) AS SELECT * FROM ns_src")
+      Seq((2L, 99), (3L, 30)).toDF("k", "nv").createOrReplaceTempView("ns_delta")
+      // Spark's alignment elides SET v = t.v into an EMPTY assignment set:
+      // the clause must act as keep-target, not throw
+      spark.sql("""MERGE INTO graft_ns.ns.t t USING ns_delta s ON t.id = s.k
+        WHEN MATCHED THEN UPDATE SET v = t.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.k, s.nv)""")
+      val got = spark.table("graft_ns.ns.t").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 10), (2L, 20), (3L, 30)), got)
+      spark.sql("DROP TABLE graft_ns.ns.t")
+    }
+  }
+
   test("parsePath/encodePath round-trip on adversarial names") {
     import graft.tables.NestedUpdate._
     val cases = Seq(
