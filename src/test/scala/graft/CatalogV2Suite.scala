@@ -44,6 +44,42 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("SQL VERSION AS OF stays aligned with CALL graft.history across drop_partition + restore") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      Seq((1L, "p1", 10), (2L, "p2", 20)).toDF("id", "part", "v")
+        .createOrReplaceTempView("ttd_src")
+      spark.sql("CREATE TABLE graft_cat.ttd.t " +
+        "PARTITIONED BY (part, bucket(2, id)) AS SELECT * FROM ttd_src")
+      Thread.sleep(3)
+      spark.sql("INSERT INTO graft_cat.ttd.t VALUES (2, 'p2', 21)")
+      Thread.sleep(3)
+      spark.sql("CALL graft.drop_partition(table_name => 'ttd.t', " +
+        "partition_desc => 'part=p2')")
+      Thread.sleep(3)
+      spark.sql("INSERT INTO graft_cat.ttd.t VALUES (1, 'p1', 11)")
+      val hist = spark.sql("CALL graft.history(table_name => 'ttd.t')").collect()
+      // 4 boundaries, the drop visible as its own row
+      assert(hist.length == 4, hist.mkString(", "))
+      // a DROPPED partition's history is cut retroactively: every boundary
+      // reads p1 only (restore — not time travel — resurrects the data)
+      assertRows(spark.sql(
+        "SELECT id, v FROM graft_cat.ttd.t VERSION AS OF 2 WHERE id = 2"),
+        Seq())
+      // merged head at the last boundary: id=1 last-writer-wins
+      assertRows(spark.sql(
+        "SELECT id, v FROM graft_cat.ttd.t VERSION AS OF 4"),
+        Seq("[1,11]"))
+      // restore TO the pre-drop boundary (version 2) resurrects p2's state
+      spark.sql("CALL graft.restore(table_name => 'ttd.t', version => '2')")
+      assertRows(spark.sql(
+        "SELECT id, v FROM graft_cat.ttd.t ORDER BY id"),
+        Seq("[1,10]", "[2,21]"))
+      spark.sql("DROP TABLE graft_cat.ttd.t")
+    }
+  }
+
   test("INSERT OVERWRITE PARTITION: static filter, dynamic mode, replaceWhere") {
     withTempPath { wh =>
       useCatalog(wh)
