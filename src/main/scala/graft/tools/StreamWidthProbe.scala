@@ -157,6 +157,11 @@ object StreamWidthProbe {
       store.partitionVersionsBulk(tp,
         store.listPartitionHeads(tp).map(_.partitionDesc)).size
     }
+    // r12: DESCRIBE HISTORY numbers from the RAW log in one seq-ordered
+    // scan (rawVersionLines) — no per-desc probes at all
+    bench("history raw boundaries (rawVersionLines, one scan)", 2) {
+      require(store.rawVersionLines(tp).size >= n)
+    }
     store.dropTable(tp)
   }
 }
