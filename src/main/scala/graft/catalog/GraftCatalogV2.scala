@@ -252,6 +252,15 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
         t.addColumn(add.fieldNames()(0), add.dataType(),
           nullable = add.isNullable,
           comment = Option(add.comment()))
+        // honor FIRST/AFTER rather than silently appending at the end
+        Option(add.position()).foreach {
+          case _: TableChange.First =>
+            t.updateColumnPosition(add.fieldNames()(0), None)
+          case a: TableChange.After =>
+            t.updateColumnPosition(add.fieldNames()(0), Some(a.column()))
+          case other => throw new UnsupportedOperationException(
+            s"ADD COLUMN position $other")
+        }
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

@@ -56,6 +56,27 @@ object BucketMergeRead {
       schema.fields.map(f => have.contains(f.name))
     }
 
+  /** Mark columns absent from >=1 contributing file NULLABLE: the
+    * fall-through merge surfaces NULL for them on keys first written by a
+    * partial batch (no older run to fall to), and a false NOT NULL claim
+    * makes codegen skip isNullAt and read the null slot as garbage 0
+    * (pre-r12 tables; new tables store non-key columns nullable). Shared
+    * by the DSv2 scan and the library read so the two paths can never
+    * drift. Deduped by distinct existCols string — O(distinct masks), not
+    * O(files x columns), on wide many-file tables. */
+  def relaxMissing(schema: StructType,
+      files: Seq[graft.meta.ResolvedFile]): StructType = {
+    val missing: Set[String] = files.iterator.map(_.file.existCols)
+      .distinct.flatMap { ec =>
+        val mask = presentMask(schema, ec)
+        schema.fields.iterator.zip(mask.iterator)
+          .collect { case (fl, false) => fl.name }
+      }.toSet
+    if (missing.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      if (missing.contains(f.name)) f.copy(nullable = true) else f))
+  }
+
   def supports(table: TableInfo, schema: StructType, files: Seq[ResolvedFile]): Boolean =
     table.hasPrimaryKey &&
       files.forall(f => f.file.bucketId >= 0 && f.file.bucketId < table.bucketNum) &&

@@ -59,20 +59,10 @@ object GraftRead {
     val outputCols = requiredColumns.getOrElse(fullSchema.fieldNames.toSeq)
     if (files.isEmpty)
       return emptyDF(spark, pruned).select(outputCols.map(col): _*)
-    // a column absent from >=1 contributing file can surface NULL after the
-    // fall-through merge even under a stored NOT NULL claim (tables created
-    // before r12's nullability normalization): report it nullable here like
-    // the DSv2 scan (GraftScan.reportedSchema), else codegen over this
-    // frame skips isNullAt and reads the null slot as garbage 0
-    val missing: Set[String] = files.iterator.flatMap { f =>
-      val mask = BucketMergeRead.presentMask(pruned, f.file.existCols)
-      pruned.fields.iterator.zip(mask.iterator)
-        .collect { case (fl, false) => fl.name }
-    }.toSet
-    val schema =
-      if (missing.isEmpty) pruned
-      else StructType(pruned.fields.map(f =>
-        if (missing.contains(f.name)) f.copy(nullable = true) else f))
+    // pre-r12 tables can claim NOT NULL on columns a contributing file
+    // lacks — relax like the DSv2 scan does (shared helper; see
+    // BucketMergeRead.relaxMissing for the garbage-0 codegen hazard)
+    val schema = BucketMergeRead.relaxMissing(pruned, files)
 
     val skipMerge = table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
     val hasTombs = files.exists(f => Tombstone.isTombstone(f.file))

@@ -447,16 +447,8 @@ class GraftScan(
     * schema, codegen skips isNullAt and reads the null slot as garbage 0.
     * (Runtime filtering only SHRINKS `files`, so the construction-time
     * relaxation stays conservative-correct.) */
-  private val reportedSchema: StructType = {
-    val missingSomewhere: Set[String] = filesIn.iterator.flatMap { f =>
-      val mask = BucketMergeRead.presentMask(schema, f.file.existCols)
-      schema.fields.iterator.zip(mask.iterator)
-        .collect { case (fl, false) => fl.name }
-    }.toSet
-    if (missingSomewhere.isEmpty) schema
-    else StructType(schema.fields.map(f =>
-      if (missingSomewhere.contains(f.name)) f.copy(nullable = true) else f))
-  }
+  private val reportedSchema: StructType =
+    BucketMergeRead.relaxMissing(schema, filesIn)
 
   override def readSchema(): StructType = reportedSchema
 

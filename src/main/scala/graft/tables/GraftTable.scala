@@ -1145,14 +1145,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         val matched = partitionsMatching(expr(conditionStr))
         d => matched.contains(d)
       }
-    // clean ONLY the partitions this pass actually rewrote, each at ITS
-    // OWN head boundary — a table-wide later timestamp would also destroy
-    // the time-travel history of partitions the filters skipped, or of
-    // partitions a concurrent writer committed to after us
-    val rewritten = compactionRun(opts, pred)
-    if (cleanOldCompaction && rewritten.nonEmpty) {
-      val heads = partitions.filter(p => rewritten.contains(p.partitionDesc))
-      heads.foreach(p => cleanupPartitionData(p.partitionDesc, p.timestamp))
+    // clean ONLY the partitions this pass actually rewrote, each at the
+    // boundary of THIS PASS'S OWN commit (located by commit id in the
+    // lineage) — a later head timestamp would let a concurrent rewrite
+    // landing between our publish and the cleanup widen the boundary and
+    // delete this pass's own compacted files
+    val published = compactionRun(opts, pred)
+    if (cleanOldCompaction) published.foreach { case (desc, cids) =>
+      store.partitionVersions(tablePath, desc)
+        .find(_.snapshot.exists(cids.contains))
+        .foreach(v => cleanupPartitionData(desc, v.timestamp))
     }
   }
 
@@ -1181,29 +1183,50 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       partitionPred: String => Boolean): Unit =
     compactionRun(opts, partitionPred)
 
-  /** [[compaction]] body, returning the descs whose runs were actually
-    * REWRITTEN this pass (skipped-by-filter partitions excluded) — the
-    * scope [[newCompaction]]'s cleanOldCompaction may clean. */
+  /** [[compaction]] body, returning desc -> the COMMIT IDS this pass
+    * published for it (skipped-by-filter partitions absent) — the scope
+    * [[newCompaction]]'s cleanOldCompaction may clean, identified by OUR
+    * commit ids so a concurrent later rewrite can never widen the cleanup
+    * boundary past this pass's own version. */
   private def compactionRun(opts: CompactionOptions,
-      partitionPred: String => Boolean): Set[String] = withRetry {
+      partitionPred: String => Boolean): Map[String, Set[String]] = withRetry {
     val t0 = info
     val heads = headsNow // attempt-start heads: CAS catches interleavers
-    val candidates = partitions.filter(p => partitionPred(p.partitionDesc))
+    val live = partitions
+    val candidates = live.filter(p => partitionPred(p.partitionDesc))
+    // re-bucketing must cover the WHOLE table: a partition left at the old
+    // bucket count cannot merge with deltas bucketed under the new one
+    // (keys land in different per-bucket groups — duplicate/resurrected
+    // rows; reproduced in RebucketMixSuite), so a scoped re-bucket is
+    // refused loudly rather than silently planting that state
+    opts.newBucketNum.filter(_ != t0.bucketNum).foreach { _ =>
+      require(candidates.size == live.size,
+        "re-bucketing compaction must cover every partition: drop the " +
+          "condition/partition filter (old-bucket files cannot merge with " +
+          "new-bucket deltas)")
+    }
     // graft.compaction.onlyOnce (reference onlySaveOnceCompaction): skip
     // partitions already at one run — their bytes were saved by a previous
     // compaction and a re-save rewrites them for nothing. Opt-in: the
     // default full compaction still rewrites single-run CDC partitions to
-    // drop delete markers (M8).
-    val onlyOnce =
+    // drop delete markers (M8). NEVER under re-bucketing: a skipped
+    // partition would keep files at the OLD bucket count after bucketNum
+    // updates, and mixed bucket ids break the key-disjoint read dispatch
+    // (same exemption the fileSizeLimit carry-over takes below).
+    val onlyOnce = opts.newBucketNum.isEmpty &&
       t0.properties.get(GraftTable.OnlyOnceCompactionProp).contains("true")
+    // fileNumLimit is likewise ignored under re-bucketing (a skipped
+    // partition's old-bucket files would coexist with the new bucketNum)
     val descs = candidates
-      .filter(p => opts.fileNumLimit.forall(n => p.snapshot.size >= n))
+      .filter(p => opts.newBucketNum.nonEmpty ||
+        opts.fileNumLimit.forall(n => p.snapshot.size >= n))
       .filter(p => !onlyOnce || p.snapshot.size > 1)
       .map(_.partitionDesc).toSet
     if (descs.nonEmpty) {
       // re-bucketing updates bucketNum BEFORE the rewrite so writeFiles
       // places rows with the new bucket count; readers use per-file bucket
       // ids from the path so old files stay readable until expired
+      var published = Map.empty[String, Set[String]]
       val t = opts.newBucketNum match {
         case Some(n) if n != t0.bucketNum =>
           val updated = t0.copy(bucketNum = n)
@@ -1255,6 +1278,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             spark, t, compacted, CommitOp.Compaction, skipPreMerge = true)
           publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc),
             CommitOp.Compaction), heads)
+          published = commits.groupBy(_.partitionDesc)
+            .view.mapValues(_.map(_.commitId).toSet).toMap
         } else {
           // PARTIAL (leveled) compaction: publish the merged small runs as a
           // new sorted run + `del` ops for the files it replaces — large
@@ -1270,10 +1295,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             .map(d => DataCommitInfo(MetaStore.newCommitId(), d,
               delsByDesc(d), CommitOp.Merge, 0L))
           publish(withDels ++ leftover, heads)
+          published = (withDels ++ leftover).groupBy(_.partitionDesc)
+            .view.mapValues(_.map(_.commitId).toSet).toMap
         }
       }
-      merge.map(_.partitionDesc).toSet
-    } else Set.empty[String]
+      published
+    } else Map.empty[String, Set[String]]
   }
 
   /** Re-cluster a NON-PK table by sort columns: every partition is

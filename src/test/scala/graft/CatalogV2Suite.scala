@@ -39,6 +39,13 @@ class CatalogV2Suite extends SparkFixture {
         spark.sql("ALTER TABLE graft_cat.ns1.t ADD COLUMN nn INT NOT NULL"))
       assert(eNN.getMessage.contains("NOT NULL"), eNN.getMessage)
       assert(!spark.table("graft_cat.ns1.t").columns.contains("nn"))
+      // FIRST/AFTER positions are honored, not silently appended at the end
+      spark.sql("ALTER TABLE graft_cat.ns1.t ADD COLUMN mid INT AFTER id")
+      assert(spark.table("graft_cat.ns1.t").columns.toSeq ==
+        Seq("id", "mid", "v", "extra"))
+      spark.sql("ALTER TABLE graft_cat.ns1.t ADD COLUMN hd INT FIRST")
+      assert(spark.table("graft_cat.ns1.t").columns.toSeq ==
+        Seq("hd", "id", "mid", "v", "extra"))
       spark.sql("DROP TABLE graft_cat.ns1.t")
       assert(spark.sql("SHOW TABLES IN graft_cat.ns1").count() == 0)
     }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.tables.{CompactionOptions, GraftTable}
+
+/** Re-bucketing safety: a partition left at the OLD bucket count cannot
+  * merge with deltas bucketed under the new one (keys land in different
+  * per-bucket groups — duplicate/resurrected rows), so a scoped re-bucket
+  * is refused loudly, and a whole-table re-bucket keeps every key
+  * merge-correct through later upserts and compactions. */
+class RebucketMixSuite extends SparkFixture {
+  import spark.implicits._
+
+  test("condition-scoped re-bucketing is rejected loudly") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 20).map(i => (i.toLong, s"p${i % 2}", i)).toDF("id", "part", "v"),
+        path, rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      val e = intercept[IllegalArgumentException](
+        t.compaction("part = 'p0'", CompactionOptions(newBucketNum = Some(4))))
+      assert(e.getMessage.contains("every partition"), e.getMessage)
+      assert(t.info.bucketNum == 1, "a refused re-bucket must not change bucketNum")
+      // same-bucketNum "re-bucket" stays a plain scoped compaction
+      t.compaction("part = 'p0'", CompactionOptions(newBucketNum = Some(1)))
+      assert(t.toDF.count() == 20)
+    }
+  }
+
+  test("whole-table re-bucketing: later upserts into every partition still merge") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 20).map(i => (i.toLong, s"p${i % 2}", i)).toDF("id", "part", "v"),
+        path, rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      t.upsert((1 to 20).filter(_ % 2 == 0)
+        .map(i => (i.toLong, s"p${i % 2}", i * 10)).toDF("id", "part", "v"))
+      t.compaction(CompactionOptions(newBucketNum = Some(4)), _ => true)
+      assert(t.info.bucketNum == 4)
+      // upsert AFTER the bucket change: same key must merge, never duplicate
+      t.upsert(Seq((1L, "p1", 999)).toDF("id", "part", "v"))
+      assert(t.toDF.filter($"id" === 1L).select("v")
+        .collect().map(_.getInt(0)).toSeq == Seq(999))
+      t.compaction()
+      assert(t.toDF.filter($"id" === 1L).select("v")
+        .collect().map(_.getInt(0)).toSeq == Seq(999))
+      assert(t.toDF.count() == 20)
+    }
+  }
+}
