@@ -43,9 +43,33 @@ object SparkEntry {
     s.conf.set("spark.graft.warehouse", tmp("v2wh"))
   }
 
-  /** Every query self-registers the graft function library (idempotent). */
+  /** Every query self-registers the graft function library (idempotent)
+    * and has its output schema checked against the gate contract. */
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, d) => { GraftFunctions.register(s); f(s, d) }
+    (s, d) => { GraftFunctions.register(s); requireGateSortable(f(s, d)) }
+
+  /** Gate contract: the driver's comparator pandas-`sort_values` the RAW
+    * result frame before hashing, and a struct/array/map cell arrives as a
+    * dict/ndarray — unhashable, the whole row errors regardless of
+    * correctness (reproduced round 12 on mor_upsert_nested /
+    * update_nested / merge_nested). Nested values may flow through
+    * write/merge/update freely INSIDE a query; the final projection must
+    * flatten them to scalar leaves. Enforced here so the failure surfaces
+    * in `sbt test` (every suite that calls `queries`) and in Verify,
+    * instead of at the driver. */
+  private[graft] def requireGateSortable(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val nested = df.schema.fields.collect {
+      case fd if fd.dataType.isInstanceOf[StructType] ||
+        fd.dataType.isInstanceOf[ArrayType] ||
+        fd.dataType.isInstanceOf[MapType] =>
+        s"${fd.name}: ${fd.dataType.simpleString}"
+    }
+    require(nested.isEmpty,
+      "gate output must be all-scalar (driver comparator cannot sort " +
+        s"nested pandas cells); flatten: ${nested.mkString(", ")}")
+    df
+  }
 
   /** When set (see [[graftVariant]]), TPC-H table reads route through the
     * graft-format tables instead of raw parquet — the whole q1-q22 suite
@@ -658,10 +682,11 @@ object SparkEntry {
       // reference v2/merge/parquet/batch/MergeLogic.scala:20-39): an
       // array<bigint>, a map<string,bigint> and a two-level struct ride 10
       // OVERLAPPING upserts (keys in the same o_orderkey%4 class are
-      // re-upserted 2-3 times, last writer wins) and the merged nested
-      // values are oracled AS nested values — arrays/structs hash directly;
-      // the map is emitted as sorted entries (array<struct<key,value>>)
-      // because pyarrow and DuckDB disagree on raw-map pandas rendering.
+      // re-upserted 2-3 times, last writer wins). The nested values flow
+      // through write + MOR merge intact; ONLY the final projection
+      // flattens each leaf to a scalar column — the driver's comparator
+      // pandas-sorts raw cells and cannot hash dict/ndarray values, so a
+      // gate row's output schema must be atomic-only (see q() guard).
       val o = rd(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
       def enrich(df: DataFrame, i: Int): DataFrame = df
@@ -678,8 +703,11 @@ object SparkEntry {
         t.upsert(enrich(
           o.filter((col("o_orderkey") % 4 === i % 4) &&
             (col("o_custkey") % 3 === 0)), i))
-      t.toDF.select(col("o_orderkey"), col("arr"),
-        array_sort(map_entries(col("m"))).as("ments"), col("st"))
+      t.toDF.select(col("o_orderkey"),
+        col("arr").getItem(0).as("arr_0"), col("arr").getItem(1).as("arr_1"),
+        col("m").getItem("ck").as("m_ck"), col("m").getItem("ok").as("m_ok"),
+        col("st.a").as("st_a"), col("st.b").as("st_b"),
+        col("st.inner.x").as("st_inner_x"))
     }),
     "update_nested" -> q((s, d) => {
       // NESTED-STRUCT-FIELD UPDATE (C3 + reference
@@ -698,7 +726,8 @@ object SparkEntry {
       t.setProperties(Map("graft.update.mode" -> "delta"))
       t.update(col("o_orderkey") % 7 === 0,
         Map("st.a" -> (col("st.a") + 1000L), "st.inner.x" -> lit(-1L)))
-      t.toDF.select("o_orderkey", "st")
+      t.toDF.select(col("o_orderkey"), col("st.a").as("st_a"),
+        col("st.b").as("st_b"), col("st.inner.x").as("st_inner_x"))
     }),
     "delta_join_maintain" -> q((s, d) => {
       // DELTA JOIN (J2+J3 end-to-end, reference DeltaJoinSuite): a
@@ -1495,7 +1524,8 @@ object SparkEntry {
       s.sql("MERGE INTO graft_cat.vfy.merge_nested t " +
         "USING v2_delta_merge_nested s ON t.o_orderkey = s.k " +
         "WHEN MATCHED THEN UPDATE SET t.st.a = s.na")
-      s.sql("SELECT o_orderkey, st FROM graft_cat.vfy.merge_nested")
+      s.sql("SELECT o_orderkey, st.a AS st_a, st.b AS st_b, " +
+        "st.inner.x AS st_inner_x FROM graft_cat.vfy.merge_nested")
     }),
     "asof_join" -> q((s, d) => {
       // point-in-time alignment: each click event picks up the most recent
@@ -2996,24 +3026,22 @@ object SparkEntry {
         |    ELSE 0 END AS i
         |  FROM orders)
         |SELECT o_orderkey,
-        |  [o_orderkey + i, o_custkey] AS arr,
-        |  [{'key': 'ck', 'value': o_custkey + i}, {'key': 'ok', 'value': o_orderkey}] AS ments,
-        |  {'a': (o_orderkey % 100 + i)::INT, 'b': o_orderstatus,
-        |   'inner': {'x': o_custkey + i}} AS st
+        |  o_orderkey + i AS arr_0, o_custkey AS arr_1,
+        |  o_custkey + i AS m_ck, o_orderkey AS m_ok,
+        |  (o_orderkey % 100 + i)::INT AS st_a, o_orderstatus AS st_b,
+        |  o_custkey + i AS st_inner_x
         |FROM m""".stripMargin,
     "update_nested" ->
       """SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 7 = 0
-        |    THEN {'a': o_custkey + 1000, 'b': o_orderstatus, 'inner': {'x': -1::BIGINT}}
-        |    ELSE {'a': o_custkey, 'b': o_orderstatus, 'inner': {'x': o_orderkey % 100}}
-        |  END AS st
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000 ELSE o_custkey END AS st_a,
+        |  o_orderstatus AS st_b,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE o_orderkey % 100 END AS st_inner_x
         |FROM orders""".stripMargin,
     "merge_nested" ->
       """SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 5 = 0
-        |    THEN {'a': o_custkey * 2, 'b': o_orderstatus, 'inner': {'x': o_orderkey % 100}}
-        |    ELSE {'a': o_custkey, 'b': o_orderstatus, 'inner': {'x': o_orderkey % 100}}
-        |  END AS st
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_custkey * 2 ELSE o_custkey END AS st_a,
+        |  o_orderstatus AS st_b, o_orderkey % 100 AS st_inner_x
         |FROM orders""".stripMargin,
     "jdbc_catalog_mor" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

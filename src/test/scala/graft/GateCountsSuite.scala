@@ -35,3 +35,34 @@ class GateCountsSuite extends AnyFunSuite {
     assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).toSeq.sorted}")
   }
 }
+
+/** Pins the gate-output contract: the driver's comparator pandas-sorts the
+  * RAW result frame and dies on dict/ndarray cells, so every
+  * `SparkEntry.queries` projection must be all-scalar. The `q()` wrapper
+  * enforces it at query-build time; this suite proves the guard trips
+  * (a nested top-level column fails here instead of at the driver).
+  */
+class GateSchemaSuite extends SparkFixture {
+  import org.apache.spark.sql.functions._
+
+  test("requireGateSortable rejects struct/array/map top-level columns") {
+    val base = spark.range(3).select(col("id"), struct(col("id").as("a")).as("st"))
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.requireGateSortable(base)
+    }
+    assert(e.getMessage.contains("st: struct<a:bigint>"))
+    intercept[IllegalArgumentException] {
+      SparkEntry.requireGateSortable(
+        spark.range(3).select(array(col("id")).as("arr")))
+    }
+    intercept[IllegalArgumentException] {
+      SparkEntry.requireGateSortable(
+        spark.range(3).select(map(lit("k"), col("id")).as("m")))
+    }
+    // scalars (incl. date/timestamp/decimal/binary) pass through
+    val ok = spark.range(3).select(col("id"), col("id").cast("string").as("s"),
+      col("id").cast("decimal(10,2)").as("dec"),
+      col("id").cast("timestamp").as("ts"))
+    assert(SparkEntry.requireGateSortable(ok) eq ok)
+  }
+}
