@@ -554,10 +554,19 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * conjuncts yields the identical visible state (range columns are
     * mandatory batch columns). Conjuncts on other batch columns are applied
     * too — a documented tightening over the reference, which silently drops
-    * them. A conjunct on a TARGET column the (possibly partial) batch does
+    * them (see README "Divergences from the reference"). A conjunct on a
+    * TARGET column the (possibly partial) batch does
     * not carry is scoping-inert like in the reference, not an analysis
     * error; one referencing a column the table does not have at all still
-    * fails loudly. Empty condition = plain upsert. */
+    * fails loudly. Reference parity guard
+    * (UpsertCommand.scala:110-115 / upsertConditionNotFoundException): a
+    * RANGE-PARTITIONED table requires at least one conjunct over range
+    * columns only — a condition that scopes nothing partition-wise is
+    * almost always a mis-aimed full-table upsert; set
+    * `spark.graft.allowFullTableUpsert=true` (the reference's
+    * ALLOW_FULL_TABLE_UPSERT) to permit it. Empty condition = plain
+    * upsert (reference: condition is an Option, None never hits the
+    * guard). */
   def upsert(df: DataFrame, condition: String): Unit =
     if (condition == null || condition.trim.isEmpty) upsert(df)
     else {
@@ -570,14 +579,31 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
         case o => Seq(o)
       }
-      val kept = conjuncts(
-        spark.sessionState.sqlParser.parseExpression(condition)).filter { c =>
-        val refs = c.collect { case a: CUA => a.nameParts.head }.toSet
-        refs.foreach { r =>
+      val all = conjuncts(
+        spark.sessionState.sqlParser.parseExpression(condition))
+      all.foreach { c =>
+        c.collect { case a: CUA => a.nameParts.head }.toSet.foreach { r =>
           require(tblCols.exists(res(_, r)) || srcCols.exists(res(_, r)),
             s"upsert condition references unknown column '$r' " +
               s"(table columns: ${tblCols.mkString(", ")})")
         }
+      }
+      val rangeCols = info.rangeColumns
+      if (rangeCols.nonEmpty &&
+        !spark.conf.getOption("spark.graft.allowFullTableUpsert")
+          .exists(_.toBoolean)) {
+        val hasRangeConjunct = all.exists { c =>
+          val refs = c.collect { case a: CUA => a.nameParts.head }.toSet
+          refs.nonEmpty && refs.forall(r => rangeCols.exists(res(_, r)))
+        }
+        require(hasRangeConjunct,
+          "upsert condition on a range-partitioned table must contain at " +
+            s"least one conjunct over range columns (${rangeCols.mkString(", ")}) " +
+            "only — it scopes no partitions as written; set " +
+            "spark.graft.allowFullTableUpsert=true to allow a full-table upsert")
+      }
+      val kept = all.filter { c =>
+        val refs = c.collect { case a: CUA => a.nameParts.head }.toSet
         refs.forall(r => srcCols.exists(res(_, r)))
       }
       upsert(kept.reduceOption(CAnd)

@@ -184,6 +184,35 @@ class ApiParitySuite extends SparkFixture {
     }
   }
 
+  test("upsert(source, condition) with no range conjunct is rejected on a partitioned table") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        Seq((1, "p1", 10), (2, "p2", 20)).toDF("id", "part", "v"),
+        path, rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 1)
+      // reference UpsertCommand.scala:110-115: partitioned table + no
+      // range-only conjunct -> upsertConditionNotFoundException unless
+      // ALLOW_FULL_TABLE_UPSERT; `v > 0` scopes no partitions
+      val e = intercept[IllegalArgumentException](
+        t.upsert(Seq((1, "p1", 11)).toDF("id", "part", "v"), "v > 0"))
+      assert(e.getMessage.contains("allowFullTableUpsert"), e.getMessage)
+      // a mixed condition carries a range conjunct -> allowed
+      t.upsert(Seq((1, "p1", 11), (2, "p2", 99)).toDF("id", "part", "v"),
+        "part = 'p1' AND v > 0")
+      assertRows(t.toDF.select("id", "v"), Seq("[1,11]", "[2,20]"))
+      // the conf opens the escape hatch (reference ALLOW_FULL_TABLE_UPSERT)
+      spark.conf.set("spark.graft.allowFullTableUpsert", "true")
+      try {
+        t.upsert(Seq((2, "p2", 88)).toDF("id", "part", "v"), "v > 0")
+        assertRows(t.toDF.select("id", "v"), Seq("[1,11]", "[2,88]"))
+      } finally spark.conf.unset("spark.graft.allowFullTableUpsert")
+      // an UNpartitioned table never needs the guard
+      val u = GraftTable.create(spark, Seq((1, 10)).toDF("id", "v"),
+        path + "-u", hashColumns = Seq("id"), bucketNum = 1)
+      u.upsert(Seq((1, 11)).toDF("id", "v"), "v > 0")
+      assertRows(u.toDF, Seq("[1,11]"))
+    }
+  }
+
   test("time-based rollbackPartition resolves the version at-or-before") {
     withTempPath { path =>
       val t = GraftTable.create(spark, Seq((1, "a")).toDF("id", "v"), path,
