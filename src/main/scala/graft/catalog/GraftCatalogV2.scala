@@ -249,18 +249,19 @@ class GraftCatalogV2 extends TableCatalog with SupportsNamespaces
         // pass the user's nullability through: ADD COLUMN ... NOT NULL must
         // hit GraftTable.addColumn's loud rejection (existing files read
         // the new column as null), never silently downgrade to nullable
-        t.addColumn(add.fieldNames()(0), add.dataType(),
-          nullable = add.isNullable,
-          comment = Option(add.comment()))
-        // honor FIRST/AFTER rather than silently appending at the end
-        Option(add.position()).foreach {
-          case _: TableChange.First =>
-            t.updateColumnPosition(add.fieldNames()(0), None)
-          case a: TableChange.After =>
-            t.updateColumnPosition(add.fieldNames()(0), Some(a.column()))
+        // FIRST/AFTER threads into the SAME schema commit as the add — a
+        // second updateColumnPosition commit would let a failure or
+        // concurrent reader between the two observe the column at the end
+        val pos = Option(add.position()).map {
+          case _: TableChange.First => None
+          case a: TableChange.After => Some(a.column())
           case other => throw new UnsupportedOperationException(
             s"ADD COLUMN position $other")
         }
+        t.addColumn(add.fieldNames()(0), add.dataType(),
+          nullable = add.isNullable,
+          comment = Option(add.comment()),
+          position = pos)
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

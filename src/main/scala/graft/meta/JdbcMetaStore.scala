@@ -372,9 +372,25 @@ class JdbcMetaStore(url: String) extends MetaStore {
   // [[AuthContext]]): foreign-domain tables are INVISIBLE (getTableInfo
   // None, mutations behave as not-found), namespaces carry domains, and
   // only admins manage them. Cost on the hot path is one ConcurrentHashMap
-  // hit: tablePath -> domain is cached (a table's domain is set at create
-  // and recomputed on updateTableInfo).
-  private val domainCache = new ConcurrentHashMap[String, String]()
+  // hit: tablePath -> (domain, cachedAtMs) is cached (a table's domain is
+  // set at create and recomputed on updateTableInfo) with a bounded TTL —
+  // a FOREIGN JVM's domain handoff (updateTableInfo in another process
+  // refreshes only ITS cache) is observed here within the TTL window
+  // instead of never. Same-JVM writes still refresh immediately.
+  private val domainCache = new ConcurrentHashMap[String, (String, Long)]()
+
+  /** Max staleness of a cached domain (ms); tests shrink it to force
+    * cross-store observation, 0 disables caching entirely. */
+  private val domainTtlMs: Long =
+    sys.props.get("graft.meta.domainCacheTtlMs").map(_.toLong).getOrElse(30000L)
+
+  private def cacheDomain(tp: String, d: String): Unit =
+    domainCache.put(tp, (d, System.currentTimeMillis()))
+
+  private def cachedDomain(tp: String): Option[String] =
+    Option(domainCache.get(tp)).collect {
+      case (d, at) if System.currentTimeMillis() - at < domainTtlMs => d
+    }
 
   private def domainOf(info: TableInfo): String =
     info.properties.getOrElse(TableInfo.DomainProp, AuthContext.PublicDomain)
@@ -395,9 +411,9 @@ class JdbcMetaStore(url: String) extends MetaStore {
     * the op then takes its normal not-found path, which is also what a
     * hidden table reports — the two are indistinguishable by design). */
   private def visibleTo(caller: AuthContext, tp: String): Boolean = {
-    val d = Option(domainCache.get(tp)).orElse(
+    val d = cachedDomain(tp).orElse(
       rawTableInfo(tp).map { i =>
-        val dd = domainOf(i); domainCache.put(tp, dd); dd
+        val dd = domainOf(i); cacheDomain(tp, dd); dd
       })
     d.forall(AuthContext.canAccess(caller, _))
   }
@@ -448,14 +464,14 @@ class JdbcMetaStore(url: String) extends MetaStore {
         throw new IllegalArgumentException(
           s"graft table already exists at ${info.tablePath}")
     }
-    domainCache.put(tp, domainOf(stamped))
+    cacheDomain(tp, domainOf(stamped))
   }
 
   override def getTableInfo(tablePath: String): Option[TableInfo] = {
     val tp = canonical(tablePath)
     rawTableInfo(tp).filter { i =>
       val d = domainOf(i)
-      domainCache.put(tp, d)
+      cacheDomain(tp, d)
       AuthContext.canAccess(AuthContext.current, d)
     }
   }
@@ -472,7 +488,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
           throw new IllegalArgumentException(s"no graft table at ${info.tablePath}")
       } finally ps.close()
     }
-    domainCache.put(tp, domainOf(info))
+    cacheDomain(tp, domainOf(info))
   }
 
   // ----------------------------------------------------------- namespaces
@@ -598,7 +614,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
       // f may change graft.domain — keep visibility decisions fresh for
       // long-lived stores (the cache is only a hint; a stale entry here
       // would gate future ops on the OLD domain)
-      if (done) domainCache.put(tp, domainOf(updated))
+      if (done) cacheDomain(tp, domainOf(updated))
     }
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.meta._
+import graft.util.SchemaUtil.qcol
 import graft.write.TransactionalWrite
 
 /** Snapshot + merge-on-read scan (SURVEY.md §2.1 S1-S9, §2.2).
@@ -58,7 +59,7 @@ object GraftRead {
     }
     val outputCols = requiredColumns.getOrElse(fullSchema.fieldNames.toSeq)
     if (files.isEmpty)
-      return emptyDF(spark, pruned).select(outputCols.map(col): _*)
+      return emptyDF(spark, pruned).select(outputCols.map(qcol): _*)
     // pre-r12 tables can claim NOT NULL on columns a contributing file
     // lacks — relax like the DSv2 scan does (shared helper; see
     // BucketMergeRead.relaxMissing for the garbage-0 codegen hazard)
@@ -106,8 +107,8 @@ object GraftRead {
         else Some(mergeRead(spark, table, schema, fs))
       }
     val df = (plain, merged) match {
-      case (Some(p), Some(m)) => p.select(schema.fieldNames.map(col).toSeq: _*)
-        .union(m.select(schema.fieldNames.map(col).toSeq: _*))
+      case (Some(p), Some(m)) => p.select(schema.fieldNames.map(qcol).toSeq: _*)
+        .union(m.select(schema.fieldNames.map(qcol).toSeq: _*))
       case (Some(p), None) => p
       case (None, Some(m)) => m
       case (None, None) => emptyDF(spark, schema)
@@ -118,7 +119,7 @@ object GraftRead {
       case Some(cdc) if !keepCdcRows => df.filter(col(cdc) =!= "delete")
       case _ => df
     }
-    visible.select(outputCols.map(col).toSeq: _*)
+    visible.select(outputCols.map(qcol).toSeq: _*)
   }
 
   private def mergeRead(
@@ -151,14 +152,14 @@ object GraftRead {
     val keys = (table.rangeColumns ++ table.hashColumns).distinct
     val valueFields = schema.fields.filterNot(f => keys.contains(f.name))
     if (valueFields.isEmpty) {
-      union.select(keys.map(col): _*).distinct()
+      union.select(keys.map(qcol): _*).distinct()
     } else {
       val aggs = valueFields.map { f =>
         val present = col("_g_exist").isNull || array_contains(col("_g_exist"), f.name)
         TransactionalWrite.mergeOpFor(table, f.name)
-          .agg(col(f.name), col("_g_ver"), present, f.dataType).as(f.name)
+          .agg(qcol(f.name), col("_g_ver"), present, f.dataType).as(f.name)
       }
-      union.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+      union.groupBy(keys.map(qcol): _*).agg(aggs.head, aggs.tail.toSeq: _*)
     }
   }
 }

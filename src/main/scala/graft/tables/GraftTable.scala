@@ -261,9 +261,13 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     // dropPartition/restore commits (and pre-drop commits whose ts no live
     // partition shared), shifting the 1-based numbering away from the
     // boundaries time travel actually reads.
-    val lines = store.rawVersionLines(tablePath)
+    // stable-sorted by timestamp (ties keep log order) so the added-file
+    // attribution below walks lines in the SAME order the display groups
+    // them — raw log order alone would misattribute added counts if
+    // same-partition commits ever landed with non-monotonic timestamps
+    val lines = store.rawVersionLines(tablePath).sortBy(_.timestamp)
     // files added by this commit = snapshot minus the partition's PREVIOUS
-    // line in LOG order (head count alone would double-count; version
+    // line in display order (head count alone would double-count; version
     // order is wrong across restore, which replays an older version as a
     // new line)
     val prevSnap = scala.collection.mutable.HashMap.empty[String, Set[String]]
@@ -582,7 +586,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       val all = conjuncts(
         spark.sessionState.sqlParser.parseExpression(condition))
       all.foreach { c =>
-        c.collect { case a: CUA => a.nameParts.head }.toSet.foreach { r =>
+        c.collect { case a: CUA => a.nameParts.head }.toSet.foreach { r: String =>
           require(tblCols.exists(res(_, r)) || srcCols.exists(res(_, r)),
             s"upsert condition references unknown column '$r' " +
               s"(table columns: ${tblCols.mkString(", ")})")
@@ -1326,7 +1330,17 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         }
       }
       published
-    } else Map.empty[String, Set[String]]
+    } else {
+      // no live partitions (under re-bucketing descs == all live descs:
+      // the whole-table require above plus the ignored run filters) — the
+      // bucketNum update must still land, or newCompaction(newBucketNum=N)
+      // on an empty/truncated table reports success while the table keeps
+      // the old bucket count and the next write buckets under it
+      opts.newBucketNum.filter(_ != t0.bucketNum).foreach { n =>
+        store.updateTableInfo(t0.copy(bucketNum = n))
+      }
+      Map.empty[String, Set[String]]
+    }
   }
 
   /** Re-cluster a NON-PK table by sort columns: every partition is
@@ -1581,7 +1595,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       else NestedUpdate.toTopLevelSet(schema,
         m.toSeq.map { case (k, v) => NestedUpdate.parsePath(k) -> v },
         spark.sessionState.conf.caseSensitiveAnalysis,
-        n => GraftMerge.target(n))
+        n => GraftMerge.targetTop(n))
     val matchedN = matched.map(c => c.copy(set = c.set.map(normSet)))
     val notMatchedBySourceN =
       notMatchedBySource.map(c => c.copy(set = c.set.map(normSet)))
@@ -1635,7 +1649,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       def withActions(target: DataFrame): DataFrame = {
         val tgt = target.withColumn("_g_t_present", lit(true)).alias(GraftMerge.TargetAlias)
         val joinCond = t.hashColumns.map { c =>
-          GraftMerge.target(c) === GraftMerge.source(onKeys(c)).cast(sch(c).dataType)
+          GraftMerge.targetTop(c) ===
+            GraftMerge.sourceTop(onKeys(c)).cast(sch(c).dataType)
         }.reduce(_ && _)
         val joined = tgt.join(src, joinCond, "full_outer")
         val tP = coalesce(col(s"${GraftMerge.TargetAlias}._g_t_present"), lit(false))
@@ -1665,8 +1680,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             if (acc == null) when(col("_g_action") === id, v)
             else acc.when(col("_g_action") === id, v)
           }
-          val full = if (e == null) GraftMerge.target(c)
-            else e.otherwise(GraftMerge.target(c))
+          val full = if (e == null) GraftMerge.targetTop(c)
+            else e.otherwise(GraftMerge.targetTop(c))
           full.cast(sch(c).dataType).as(c)
         }
         frame.select(outExprs: _*)
@@ -1727,7 +1742,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
               val keyCols = (t.rangeColumns ++ t.hashColumns).distinct
               val delRows = tombstoneProjection(
                 frame.filter(col("_g_action").isin(deleteActions: _*)),
-                sch, keyCols, GraftMerge.target)
+                sch, keyCols, GraftMerge.targetTop)
               TransactionalWrite.writeFiles(spark, t, delRows,
                 CommitOp.Rewrite, tombstone = true)
             }
@@ -2027,9 +2042,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   // ------------------------------------------------------------------- DDL
 
   /** ALTER TABLE ADD COLUMN (C12, alterTableCommands.scala:48-310) —
-    * additive only; existing files read the new column as null. */
+    * additive only; existing files read the new column as null.
+    * `position`: `None` appends at the end, `Some(None)` is FIRST,
+    * `Some(Some(after))` is AFTER `after` — threaded here so ADD COLUMN
+    * ... FIRST/AFTER is ONE schema commit (a separate
+    * updateColumnPosition call would let a failure or concurrent reader
+    * between the two commits observe the column appended at the end). */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
-      nullable: Boolean = true, comment: Option[String] = None): Unit = {
+      nullable: Boolean = true, comment: Option[String] = None,
+      position: Option[Option[String]] = None): Unit = {
     val t = info
     val cur = schema
     require(!cur.fieldNames.contains(name), s"column '$name' already exists")
@@ -2041,7 +2062,14 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       "must stay nullable — merge-on-read cannot promise NOT NULL)")
     var f = StructField(name, dataType, nullable)
     comment.foreach(c => f = f.withComment(c))
-    store.updateTableInfo(t.copy(schemaJson = StructType(cur.fields :+ f).json))
+    val fields = position match {
+      case None => cur.fields :+ f
+      case Some(None) => f +: cur.fields
+      case Some(Some(a)) =>
+        require(cur.fieldNames.contains(a), s"no column '$a' to position after")
+        cur.fields.flatMap(g => if (g.name == a) Seq(g, f) else Seq(g))
+    }
+    store.updateTableInfo(t.copy(schemaJson = StructType(fields).json))
   }
 
   /** ALTER TABLE ALTER COLUMN ... COMMENT (C12). */

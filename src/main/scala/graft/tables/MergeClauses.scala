@@ -18,13 +18,28 @@ object GraftMerge {
   val TargetAlias = "_g_target"
   val SourceAlias = "_g_source"
 
-  /** Column of the current table row inside clause expressions. */
+  /** Column of the current table row inside clause expressions. `name`
+    * may be a nested path (`"st.a"`); quote a literal-dot column yourself
+    * (`` "`a.b`" ``) — or use [[targetTop]] for a top-level name. */
   def target(name: String): Column =
     org.apache.spark.sql.functions.col(s"$TargetAlias.$name")
 
-  /** Column of the source row inside clause expressions. */
+  /** Column of the source row inside clause expressions (see [[target]]
+    * for path semantics). */
   def source(name: String): Column =
     org.apache.spark.sql.functions.col(s"$SourceAlias.$name")
+
+  /** TOP-LEVEL table column by exact name — backtick-quoted so a column
+    * whose name contains a literal dot is not re-parsed as nesting. The
+    * internal merge rebuild uses this wherever it iterates schema field
+    * names (mirrors NestedUpdate.topCol on the UPDATE side). */
+  private[graft] def targetTop(name: String): Column =
+    org.apache.spark.sql.functions.col(
+      s"$TargetAlias.`${name.replace("`", "``")}`")
+
+  private[graft] def sourceTop(name: String): Column =
+    org.apache.spark.sql.functions.col(
+      s"$SourceAlias.`${name.replace("`", "``")}`")
 }
 
 /** WHEN MATCHED (or WHEN NOT MATCHED BY SOURCE) clause:

@@ -146,11 +146,14 @@ object TransactionalWrite {
     // whose struct fields are named differently still gets the renaming
     // cast the table schema requires.
     val inTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // backtick-quoted so a column name containing a literal dot is not
+    // re-parsed as struct navigation
+    val q = graft.util.SchemaUtil.qcol _
     val normalized =
       df.select(keep.map { f =>
         if (sameTypeIgnoreNullability(inTypes(f.name), f.dataType))
-          col(f.name).as(f.name)
-        else col(f.name).cast(f.dataType).as(f.name)
+          q(f.name).as(f.name)
+        else q(f.name).cast(f.dataType).as(f.name)
       }.toSeq: _*)
     // expectations gate NEW data entering the table (ingestion commits
     // only): a maintenance rewrite or compaction re-running them would
@@ -214,7 +217,7 @@ object TransactionalWrite {
     * failing the job on the first violating row. */
   private def enforceInvariants(table: TableInfo, df: DataFrame): DataFrame = {
     val pkChecks = table.hashColumns.filter(df.columns.contains).map(c =>
-      assert_true(col(c).isNotNull,
+      assert_true(graft.util.SchemaUtil.qcol(c).isNotNull,
         lit(s"primary-key column '$c' must not be null")))
     // schema-level NOT NULL (any field the table schema declares
     // non-nullable): without this, a NULL written into a non-nullable
@@ -224,7 +227,7 @@ object TransactionalWrite {
     val schemaChecks = graft.util.SchemaUtil.fromJson(table.schemaJson)
       .filter(f => !f.nullable && df.columns.contains(f.name) &&
         !table.hashColumns.contains(f.name))
-      .map(f => assert_true(col(f.name).isNotNull,
+      .map(f => assert_true(graft.util.SchemaUtil.qcol(f.name).isNotNull,
         lit(s"NOT NULL column '${f.name}' received a null (declare the " +
           "column nullable at table creation to store nulls)")))
     val userChecks = table.properties.collect {
@@ -254,22 +257,23 @@ object TransactionalWrite {
     * partition index IS the bucket id. One shuffle replaces the previous
     * groupBy-then-repartition pair. */
   def preMerge(table: TableInfo, df: DataFrame): DataFrame = {
+    val q = graft.util.SchemaUtil.qcol _
     val keys = (table.rangeColumns ++ table.hashColumns).filter(df.columns.contains)
     val schema = graft.util.SchemaUtil.fromJson(table.schemaJson)
     // materialized in a Project (non-deterministic exprs may not sit inside
     // an aggregate); partition-major order stands in for input row order
     val seq = df
-      .repartition(table.bucketNum, table.hashColumns.map(col): _*)
+      .repartition(table.bucketNum, table.hashColumns.map(q): _*)
       .withColumn("_g_seq", monotonically_increasing_id())
     val aggs = df.schema.fields.filterNot(f => keys.contains(f.name)).map { f =>
       val dt = schema(f.name).dataType
       mergeOpFor(table, f.name)
-        .intraBatchAgg(col(f.name), col("_g_seq"), lit(true), dt).as(f.name)
+        .intraBatchAgg(q(f.name), col("_g_seq"), lit(true), dt).as(f.name)
     }
     if (aggs.isEmpty) seq.drop("_g_seq").dropDuplicates(keys)
     else {
-      val merged = seq.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
-      merged.select(df.columns.map(col).toSeq: _*) // restore column order
+      val merged = seq.groupBy(keys.map(q): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+      merged.select(df.columns.map(q).toSeq: _*) // restore column order
     }
   }
 
@@ -313,15 +317,16 @@ object TransactionalWrite {
     // Duplicate range values into string-typed directory columns with the
     // reference's null/empty sentinels (TransactionalWrite.scala:188-203).
     val rangeDirCols = table.rangeColumns.map { c =>
-      val s = col(c).cast("string")
+      val rc = graft.util.SchemaUtil.qcol(c)
+      val s = rc.cast("string")
       (RangePrefix + c,
-        when(col(c).isNull, NullSentinel).when(s === "", EmptySentinel).otherwise(s))
+        when(rc.isNull, NullSentinel).when(s === "", EmptySentinel).otherwise(s))
     }
     var out = rangeDirCols.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
 
     val partDirCols: Seq[String] =
       if (table.hasPrimaryKey) {
-        val pk = table.hashColumns.map(col)
+        val pk = table.hashColumns.map(graft.util.SchemaUtil.qcol)
         val bucketed = out.withColumn(BucketCol, bucketIdExpr(pk, table.bucketNum))
         // after preMerge the data is already HashPartitioning(pk, bucketNum)
         // (partition index == bucket id); only re-shuffle when the batch
@@ -337,7 +342,8 @@ object TransactionalWrite {
         // batch; per-(desc, bucket) pk order — the actual contract — is
         // identical either way.
         out = placed.sortWithinPartitions(
-          (rangeDirCols.map(c => col(c._1)) ++ Seq(col(BucketCol)) ++ pk): _*)
+          (rangeDirCols.map(c => graft.util.SchemaUtil.qcol(c._1)) ++
+            Seq(col(BucketCol)) ++ pk): _*)
         rangeDirCols.map(_._1) :+ BucketCol
       } else {
         // non-PK clustering (GraftTable.cluster): per-task sort on
@@ -346,7 +352,8 @@ object TransactionalWrite {
         // cluster-column suffix survives into the files
         if (clusterCols.nonEmpty)
           out = out.sortWithinPartitions(
-            (rangeDirCols.map(c => col(c._1)) ++ clusterCols.map(col)): _*)
+            (rangeDirCols.map(c => graft.util.SchemaUtil.qcol(c._1)) ++
+              clusterCols.map(graft.util.SchemaUtil.qcol)): _*)
         rangeDirCols.map(_._1)
       }
 

@@ -188,6 +188,33 @@ class NestedUpdateSuite extends SparkFixture {
     }
   }
 
+  test("MERGE carries and rebuilds literal-dot column names (backtick-quoted target base)") {
+    withTempPath { path =>
+      import graft.tables.{GraftMerge, MergeMatchedClause}
+      // top-level columns whose NAMES contain a literal dot: "a.b" (scalar,
+      // only carried) and "s.t" (struct, rebuilt from a nested SET via a
+      // backtick path). The merge rebuild base must quote the name or both
+      // re-parse as nesting inside the _g_target alias and misresolve.
+      val sch = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("a.b", IntegerType),
+        StructField("s.t", StructType(Seq(
+          StructField("x", LongType), StructField("y", StringType))))))
+      val rows = Seq(Row(1L, 10, Row(100L, "y1")), Row(2L, 20, Row(200L, "y2")))
+      val t = GraftTable.create(spark,
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch),
+        path, hashColumns = Seq("id"), bucketNum = 1)
+      val src = Seq((1L, 555L)).toDF("k", "nx")
+      t.mergeIntoClauses(src, Map("id" -> "k"),
+        matched = Seq(MergeMatchedClause(None,
+          Some(Map("`s.t`.x" -> GraftMerge.source("nx"))))),
+        notMatched = Nil)
+      val m = fetch(t)
+      assert(m(1L).getInt(1) == 10 && m(1L).getStruct(2) == Row(555L, "y1"), m(1L))
+      assert(m(2L).getInt(1) == 20 && m(2L).getStruct(2) == Row(200L, "y2"), m(2L))
+    }
+  }
+
   test("SQL MERGE INTO accepts nested SET paths") {
     withTempPath { wh =>
       spark.conf.set("spark.sql.catalog.graft_nm", "graft.catalog.GraftCatalogV2")

@@ -309,6 +309,54 @@ class RbacSuite extends SparkFixture {
     }
   }
 
+  test("a second store instance observes a domain handoff within the TTL window") {
+    withTempPath { path =>
+      // two store INSTANCES over the same database stand in for two JVMs:
+      // each has its own domainCache, so a handoff committed through one is
+      // visible to the other only when its cached entry expires (same-JVM
+      // writes refresh immediately; a foreign JVM's can only age out)
+      val url = s"jdbc:derby:memory:rbacttl${java.lang.Long.toHexString(System.nanoTime())};create=true"
+      val prev = sys.props.get("graft.meta.domainCacheTtlMs")
+      sys.props("graft.meta.domainCacheTtlMs") = "2000"
+      try {
+        val a = new JdbcMetaStore(url)
+        val b = new JdbcMetaStore(url)
+        AuthContext.as(admin1) {
+          GraftTable.create(spark, rows, path,
+            hashColumns = Seq("id"), bucketNum = 2, store = a)
+        }
+        // warm B's cache with domain1: admin2's mutation is denied as
+        // not-found (and the denial path caches the raw-read domain)
+        AuthContext.as(admin2) {
+          intercept[IllegalArgumentException](b.commit(path, Nil, Map.empty))
+        }
+        // handoff through A: the owning admin moves the table to domain2
+        AuthContext.as(admin1) {
+          val i = a.getTableInfo(path).get
+          a.updateTableInfo(i.copy(properties =
+            i.properties + (TableInfo.DomainProp -> "domain2")))
+        }
+        // same-JVM refresh: A itself sees the new domain immediately —
+        // admin1 lost the table through A without any TTL wait
+        AuthContext.as(admin1) {
+          intercept[IllegalArgumentException](a.commit(path, Nil, Map.empty))
+        }
+        // B's cache is stale for at most the TTL; past it the new owner's
+        // mutation goes through and the old owner's is denied
+        Thread.sleep(2300)
+        AuthContext.as(admin2) { b.commit(path, Nil, Map.empty) }
+        AuthContext.as(admin1) {
+          intercept[IllegalArgumentException](b.commit(path, Nil, Map.empty))
+        }
+      } finally {
+        prev match {
+          case Some(v) => sys.props("graft.meta.domainCacheTtlMs") = v
+          case None => sys.props.remove("graft.meta.domainCacheTtlMs")
+        }
+      }
+    }
+  }
+
   test("the file store refuses non-public identities loudly") {
     withTempPath { path =>
       AuthContext.as(admin1) {

@@ -25,6 +25,26 @@ class RebucketMixSuite extends SparkFixture {
     }
   }
 
+  test("re-bucketing a table with no live partitions still updates bucketNum") {
+    withTempPath { path =>
+      import org.apache.spark.sql.types._
+      val sch = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", IntegerType)))
+      val t = GraftTable.createEmpty(spark, sch, path,
+        hashColumns = Seq("id"), bucketNum = 1)
+      t.compaction(CompactionOptions(newBucketNum = Some(4)), _ => true)
+      assert(t.info.bucketNum == 4,
+        "empty-table re-bucket must not silently keep the old bucket count")
+      // the next write buckets under the NEW count and still merges
+      t.upsert((1 to 8).map(i => (i.toLong, i)).toDF("id", "v"))
+      t.upsert(Seq((3L, 333)).toDF("id", "v"))
+      assert(t.toDF.count() == 8)
+      assert(t.toDF.filter($"id" === 3L).select("v")
+        .collect().map(_.getInt(0)).toSeq == Seq(333))
+    }
+  }
+
   test("whole-table re-bucketing: later upserts into every partition still merge") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
