@@ -1141,13 +1141,25 @@ object SparkEntry {
       // bump), an overwriting upsert, and a DELETE between refreshes; each
       // refresh folds the row-level change feed with signed weights
       // (+post/-pre), so the view stays exact where insert-only views
-      // must throw — groups whose rows all left VANISH at read
+      // must throw — groups whose rows all left VANISH at read. The source
+      // runs the delta-DML scale path (update.mode=delta / delete.mode=
+      // tombstone): UPDATE lands as an O(matched) upsert delta, DELETE as
+      // a key-only tombstone run — write cost per mutation is O(changed
+      // rows), not O(touched files), and the refresh diffs fold those runs
+      // through the same zero-shuffle bucket kernel
       import graft.pipeline.MaterializedView
       import graft.pipeline.MaterializedView.Measure
       val o = rd(s, d, "orders")
       val srcPath = tmp("mmsrc"); val viewPath = tmp("mmview")
+      // size buckets to the data (parquet metadata count, no scan): every
+      // write/diff task maps 1:1 to a bucket, so an undersized bucketNum
+      // serializes the whole lifecycle — ~100k rows/bucket keeps the
+      // fixture at 4 buckets and a 100x replica at full-core parallelism
+      val buckets = math.max(4L, math.min(32L, o.count() / 100000L)).toInt
       val src = GraftTable.create(s, o, srcPath,
-        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+        hashColumns = Seq("o_orderkey"), bucketNum = buckets,
+        properties = Map("graft.update.mode" -> "delta",
+          "graft.delete.mode" -> "tombstone"))
       MaterializedView.create(s, srcPath, viewPath,
         keys = Seq("o_orderstatus"),
         measures = Seq(

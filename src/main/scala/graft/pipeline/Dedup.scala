@@ -361,8 +361,13 @@ object Dedup {
           array_distinct(TextAnalysis.wordShinglesOf(col("_g_ts"), k)),
           s => GraftFunctions.xx64(s)).as("_g_hs0"))
       // consumed twice (demotion stats, then the reorder): shingle the
-      // corpus once, not twice
-      .localCheckpoint()
+      // corpus once, not twice. SERIALIZED storage: this is corpus-sized
+      // (every doc's shingle-hash array) — the default deserialized unroll
+      // (MemoryStore.putIteratorAsValues) across 32 concurrent cache tasks
+      // OOMs an 8g heap at 500k docs, while the serialized unroll reserves
+      // incrementally and degrades to disk
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // top-N most frequent shingles -> driver (demoteN rows, centroid-sized;
     // TakeOrdered, never a full sort), most frequent first; the reorder
     // itself is one codegen'd pass with an O(1) per-token rank lookup
@@ -383,7 +388,10 @@ object Dedup {
     val pref = ordered.select(col("_g_id"), sz.as("_g_sz"),
       posexplode(slice(col("_g_hs"), lit(1), greatest(prefLen, lit(0))))
         .as(Seq("_g_pos", "_g_tok")))
-      .localCheckpoint()
+      // corpus-sized (one row per prefix token): serialized + spillable,
+      // same OOM rationale as hs0 above
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val a = pref.select(col("_g_id").as("id_a"), col("_g_tok"),
       col("_g_sz").as("_g_sza"), col("_g_pos").as("_g_pa"))
     val b = pref.select(col("_g_id").as("id_b"), col("_g_tok"),

@@ -278,8 +278,41 @@ object BucketMergeRead {
             BoundedMerge.iterator(readFn, g.runs.map(_._1).toIndexedSeq,
               g.runs.map(_._2).toArray, g.runs.map(_._3).toArray,
               keyIdxArr, keyTypesArr, merges, cap)
-          new SnapshotDiffIterator(mk(og), mk(ng), keyComps, fieldComps,
-            dts, proj)
+          def pq(r: (Seq[PartitionedFile], Array[Boolean], Boolean)) =
+            MergeReaderGauge.tracked(
+              r._1.iterator.flatMap(pf => flattenRows(readFn(pf))))
+          // DELTA-SHAPE fast path: when the old snapshot's runs are a strict
+          // PREFIX of the new's (the incremental-refresh / delta-DML window:
+          // every commit only ADDED runs), the shared runs are read ONCE —
+          // the merged old stream feeds the diff's old side AND, through a
+          // small tee, stands in as run 0 of the new-side merge. Exact by
+          // the same left-fold-prefix argument BoundedMerge's spill
+          // pre-merge relies on (fold(shared) then fold the delta runs on
+          // top IS the full fold), including delta tombstone runs (their
+          // deletion applies in the final merge). Gated on a uniform old
+          // mask so the pre-merged contribution's column-presence stays
+          // exact (same condition BoundedMerge groups on), and on the delta
+          // run count fitting the open-reader budget (run 0 is the tee, so
+          // cap-1 parquet runs remain).
+          def runSigOf(r: (Seq[PartitionedFile], Array[Boolean], Boolean)) =
+            (r._1.map(_.filePath.toString).sorted, r._2.toSeq, r._3)
+          val deltaShape = og.runs.nonEmpty && ng.runs.size > og.runs.size &&
+            og.runs.map(runSigOf) == ng.runs.take(og.runs.size).map(runSigOf) &&
+            og.runs.forall(r => java.util.Arrays.equals(r._2, og.runs.head._2)) &&
+            (ng.runs.size - og.runs.size) <= (cap - 1)
+          if (deltaShape) {
+            val (oldSide, sharedAsRun) = TeeIterator.split(mk(og))
+            val deltaRuns = ng.runs.drop(og.runs.size)
+            val newIt = new KWayMergeIterator(
+              (sharedAsRun +: deltaRuns.map(pq)).toIndexedSeq,
+              keyIdxArr, keyTypesArr, merges, merges.length,
+              (og.runs.head._2 +: deltaRuns.map(_._2)).toArray,
+              (false +: deltaRuns.map(_._3)).toArray)
+            new SnapshotDiffIterator(oldSide, newIt, keyComps, fieldComps,
+              dts, proj)
+          } else
+            new SnapshotDiffIterator(mk(og), mk(ng), keyComps, fieldComps,
+              dts, proj)
         }
       }
   }
@@ -438,6 +471,35 @@ private[read] class SnapshotDiffIterator(
     val r = ready
     ready = null
     r
+  }
+}
+
+/** Split one key-sorted row stream into two independent iterators for the
+  * delta-shape snapshot diff: the two consumers (the diff's old side and
+  * the new-side merge's run 0) advance in near-lockstep, so the shared
+  * buffer holds only the few rows one side is ahead by. Rows are COPIED on
+  * pull — the upstream merge reuses reader buffers, and the two sides hold
+  * their current row across each other's advances. Single-threaded pull
+  * contract (both sides are driven by the one diff task). */
+private[read] object TeeIterator {
+  def split(src: Iterator[InternalRow])
+      : (Iterator[InternalRow], Iterator[InternalRow]) = {
+    val qa = new java.util.ArrayDeque[InternalRow]()
+    val qb = new java.util.ArrayDeque[InternalRow]()
+    def pull(): Boolean =
+      if (src.hasNext) {
+        val r = src.next().copy()
+        qa.addLast(r); qb.addLast(r); true
+      } else false
+    def side(q: java.util.ArrayDeque[InternalRow]): Iterator[InternalRow] =
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = !q.isEmpty || pull()
+        override def next(): InternalRow = {
+          if (q.isEmpty && !pull()) throw new NoSuchElementException
+          q.pollFirst()
+        }
+      }
+    (side(qa), side(qb))
   }
 }
 

@@ -135,6 +135,34 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("delta-shape diff (old runs a prefix of new) matches the join-based diff") {
+    withTempPath { dir =>
+      // old snapshot [A]; window adds an upsert delta (update + insert), a
+      // tombstone delete run, and a second upsert that REVIVES a tombstoned
+      // key — new snapshot [A, B, T, C] triggers the shared-run tee path
+      // (old is a strict prefix); the join-based diff is the oracle
+      val t = mkTable(dir)
+      val ts0 = t.lastCommitTs
+      t.upsert(Seq((5L, "up5", 999L), (101L, "new101", 1L)).toDF("k", "v", "n"))
+      t.deleteTombstone($"k" === 7L || $"k" === 8L)
+      t.upsert(Seq((7L, "back7", 2L)).toDF("k", "v", "n"))
+      val ts1 = t.lastCommitTs
+      val kernel = t.diff(ts0, ts1)
+        .select("k", "v", "n", "_change_type").collect()
+        .map(_.toString).sorted.toSeq
+      val join = graft.tables.GraftTable.forPath(spark, dir)
+        .diffViaJoin(ts0, ts1)
+        .select("k", "v", "n", "_change_type").collect()
+        .map(_.toString).sorted.toSeq
+      assert(kernel == join, s"kernel=$kernel\njoin=$join")
+      // the expected shape: 5 updated (pre+post), 101 inserted, 8 deleted,
+      // 7 updated (deleted then revived nets to an update)
+      assert(kernel.exists(_.contains("update_postimage")) &&
+        kernel.exists(_.contains("insert")) &&
+        kernel.exists(_.contains("delete")))
+    }
+  }
+
   test("diff across divergent partition histories splits mixed ordinals") {
     // table_diff rendition of the divergent-history hazard: after an upsert
     // touching only r=1 and a tombstone delete hitting only r=2, ordinal 1
