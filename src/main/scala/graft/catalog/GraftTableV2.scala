@@ -40,9 +40,9 @@ class GraftTableV2(spark: SparkSession, val table: GraftTable, ident: String,
 
   override def partitioning(): Array[Transform] = {
     val ti = table.info
-    val ranges = ti.rangeColumns.map(Expressions.identity)
+    val ranges = ti.rangeColumns.map(graft.util.SchemaUtil.qidentity)
     val bucket =
-      if (ti.hasPrimaryKey) Seq(Expressions.bucket(ti.bucketNum, ti.hashColumns: _*))
+      if (ti.hasPrimaryKey) Seq(graft.util.SchemaUtil.qbucket(ti.bucketNum, ti.hashColumns))
       else Nil
     (ranges ++ bucket).toArray
   }

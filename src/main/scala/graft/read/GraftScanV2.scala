@@ -416,7 +416,7 @@ class GraftScan(
   // filtering and storage-partitioned joins don't regress.
 
   override def filterAttributes(): Array[NamedReference] =
-    schema.fieldNames.map(Expressions.column)
+    schema.fieldNames.map(graft.util.SchemaUtil.qref)
 
   override def filter(runtimeFilters: Array[Filter]): Unit = {
     files = StatsSkipping.prune(info,
@@ -515,7 +515,7 @@ class GraftScan(
   override def outputPartitioning(): Partitioning =
     if (bucketMergeable && pkBucket.isEmpty)
       new KeyGroupedPartitioning(
-        Array(Expressions.bucket(info.bucketNum, info.hashColumns: _*)),
+        Array(graft.util.SchemaUtil.qbucket(info.bucketNum, info.hashColumns)),
         info.bucketNum)
     else new UnknownPartitioning(planInputPartitions().length)
 
@@ -528,7 +528,7 @@ class GraftScan(
   override def outputOrdering(): Array[connector.expressions.SortOrder] =
     if (bucketMergeable)
       (info.rangeColumns ++ info.hashColumns).map(c =>
-        Expressions.sort(Expressions.column(c),
+        Expressions.sort(graft.util.SchemaUtil.qref(c),
           connector.expressions.SortDirection.ASCENDING)).toArray
     else Array.empty
 

@@ -49,20 +49,20 @@ class GraftStreamingWrite(
   private def hasPk = hashCols.nonEmpty
 
   override def requiredDistribution(): Distribution = {
-    val cluster = rangeCols.map(Expressions.identity) ++
-      (if (hasPk) Seq(Expressions.bucket(bucketNum, hashCols: _*)) else Nil)
+    val cluster = rangeCols.map(graft.util.SchemaUtil.qidentity) ++
+      (if (hasPk) Seq(graft.util.SchemaUtil.qbucket(bucketNum, hashCols)) else Nil)
     if (cluster.isEmpty) Distributions.unspecified()
     else Distributions.clustered(cluster.toArray)
   }
 
   override def requiredOrdering(): Array[SortOrder] = {
     val orders = rangeCols.map(c =>
-      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)) ++
+      Expressions.sort(graft.util.SchemaUtil.qidentity(c), SortDirection.ASCENDING)) ++
       (if (hasPk)
-        Expressions.sort(Expressions.bucket(bucketNum, hashCols: _*),
+        Expressions.sort(graft.util.SchemaUtil.qbucket(bucketNum, hashCols),
           SortDirection.ASCENDING) +:
           hashCols.map(c =>
-            Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+            Expressions.sort(graft.util.SchemaUtil.qidentity(c), SortDirection.ASCENDING))
       else Nil)
     orders.toArray
   }

@@ -224,8 +224,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val pks = info.hashColumns
     val cols = schema.fieldNames.toSeq
     def pack(df: DataFrame, as: String): DataFrame = df.select(
-      struct(pks.map(col): _*).as("_gk"),
-      struct(cols.map(col): _*).as(as))
+      struct(pks.map(graft.util.SchemaUtil.qcol): _*).as("_gk"),
+      struct(cols.map(graft.util.SchemaUtil.qcol): _*).as(as))
     val j = pack(snapshotAt(startTime), "_gb")
       .join(pack(snapshotAt(endTime), "_ga"), Seq("_gk"), "full_outer")
     // unchanged rows explode a NULL (zero output rows); updates emit
@@ -852,7 +852,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // cached feed) instead of silently losing the reinsert.
         val dup = cached
           .filter(col(ct).isin("insert", "update_postimage", "delete"))
-          .groupBy(keyCols.map(col): _*).count()
+          .groupBy(keyCols.map(graft.util.SchemaUtil.qcol): _*).count()
           .filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,
           s"applyChanges batch carries multiple effective events for key " +
@@ -862,7 +862,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             "them in order)")
         val ups = cached
           .filter(col(ct).isin("insert", "update_postimage"))
-          .select(dataCols.map(col): _*)
+          .select(dataCols.map(graft.util.SchemaUtil.qcol): _*)
         val upCommits = TransactionalWrite.writeFiles(spark, t, ups,
           CommitOp.Merge, internal = true)
         val dels = cached.filter(col(ct) === "delete")
@@ -1391,10 +1391,10 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         if (zorder && cols.length > 1) {
           val zv = graft.operators.ZOrder.zvalue(df, cols)
           df.withColumn("__g_zv", zv)
-            .repartitionByRange(n, (t.rangeColumns.map(col) :+ col("__g_zv")): _*)
+            .repartitionByRange(n, (t.rangeColumns.map(graft.util.SchemaUtil.qcol) :+ col("__g_zv")): _*)
             .drop("__g_zv")
         } else {
-          val keys = (t.rangeColumns ++ cols).distinct.map(col)
+          val keys = (t.rangeColumns ++ cols).distinct.map(graft.util.SchemaUtil.qcol)
           df.repartitionByRange(n, keys: _*)
         }
       val commits = TransactionalWrite.writeFiles(
@@ -1482,7 +1482,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       s"join keys not in the table: ${unknown.mkString(", ")}")
     val keyCols = (t.hashColumns ++ t.rangeColumns).distinct
       .filterNot(joinKeys.contains)
-    val mapping0 = toDF.select((joinKeys ++ keyCols).distinct.map(col): _*)
+    val mapping0 = toDF.select((joinKeys ++ keyCols).distinct.map(graft.util.SchemaUtil.qcol): _*)
     val mapping = if (partitionDesc.isEmpty) mapping0
       else mapping0.filter(expr(partitionDesc.mkString(" and ")))
     upsert(mapping.join(broadcast(deltaDF), joinKeys, "inner"), condition)

@@ -129,6 +129,23 @@ object StreamShim {
     new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       .supportBatch(spark, schema)
   }
+
+  // EXACT (non-parsing) DSv2 connector references: the public
+  // Expressions.column/bucket/identity helpers parse their string args, so
+  // a column name containing a literal dot becomes a nested path and fails
+  // V2ExpressionUtils.resolveRef at plan time. FieldReference and
+  // LogicalExpressions are private[sql] — hence these shims.
+  import org.apache.spark.sql.connector.expressions.{FieldReference,
+    LogicalExpressions, NamedReference, Transform}
+
+  def exactRef(name: String): NamedReference = FieldReference(Seq(name))
+
+  def exactBucket(n: Int, cols: Seq[String]): Transform =
+    LogicalExpressions.bucket(n,
+      cols.map(c => FieldReference(Seq(c)): NamedReference).toArray)
+
+  def exactIdentity(name: String): Transform =
+    LogicalExpressions.identity(FieldReference(Seq(name)))
 }
 
 /** Serializable handle around Spark's parquet OutputWriterFactory (see

@@ -215,6 +215,41 @@ class NestedUpdateSuite extends SparkFixture {
     }
   }
 
+  test("literal-dot column names survive the full lifecycle (upsert/update/delete/diff/compaction)") {
+    withTempPath { path =>
+      // a literal-dot PRIMARY KEY plus a literal-dot data column pushes the
+      // quoting through every internal schema-name iteration: pre-merge
+      // repartition/groupBy, write sort, merged-read projection, the
+      // change-feed pack, and the rewrite paths
+      val sch = StructType(Seq(
+        StructField("pk.id", LongType, nullable = false),
+        StructField("a.b", IntegerType),
+        StructField("v", StringType)))
+      def df(rows: Seq[Row]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), sch)
+      val t = GraftTable.create(spark,
+        df(Seq(Row(1L, 10, "r1"), Row(2L, 20, "r2"), Row(3L, 30, "r3"))),
+        path, hashColumns = Seq("pk.id"), bucketNum = 2)
+      val ts0 = t.lastCommitTs
+      t.upsert(df(Seq(Row(2L, 22, "r2b"), Row(4L, 40, "r4"))))
+      t.update(col("`a.b`") >= 30, Map("v" -> lit("big")))
+      t.delete(col("`pk.id`") === 1L)
+      val got = t.toDF.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == Set((2L, 22, "r2b"), (3L, 30, "big"), (4L, 40, "big")), got)
+      // change feed over the window (exercises the diff pack/emit paths)
+      val d = t.diff(ts0, t.lastCommitTs)
+      val types = d.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(types.getOrElse("insert", 0L) == 1L &&
+        types.getOrElse("delete", 0L) == 1L &&
+        types.getOrElse("update_postimage", 0L) >= 2L, types)
+      t.compaction()
+      assert(t.toDF.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2))).toSet == got)
+    }
+  }
+
   test("SQL MERGE INTO accepts nested SET paths") {
     withTempPath { wh =>
       spark.conf.set("spark.sql.catalog.graft_nm", "graft.catalog.GraftCatalogV2")
