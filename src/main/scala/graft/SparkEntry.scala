@@ -640,8 +640,13 @@ object SparkEntry {
     // ------------------------------------------------ table-format operators (graft)
     "mor_upsert" -> q((s, d) => {
       val o = rd(s, d, "orders")
+      // buckets sized to the data (~100k rows/bucket, parquet metadata
+      // count): bucketNum is the write/merge task parallelism, so a fixed
+      // small count serializes the 100x replica onto a few cores (same
+      // sizing rationale as mview_mutable)
+      val buckets = math.max(4L, math.min(32L, o.count() / 100000L)).toInt
       val t = GraftTable.create(s, o, tmp("morup"),
-        hashColumns = Seq("o_orderkey"), bucketNum = 4)
+        hashColumns = Seq("o_orderkey"), bucketNum = buckets)
       t.upsert(o.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2))
       t.toDF

@@ -31,8 +31,10 @@ object Dedup {
     val h = GraftFunctions.xx64(normText(col(textCol)))
     df.withColumn("_g_h", h)
       .groupBy(col("_g_h"))
-      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("_g_row"))
-      .select(df.columns.map(c => col(s"_g_row.$c")): _*)
+      .agg(min_by(struct(df.columns.map(graft.util.SchemaUtil.qcol): _*),
+        graft.util.SchemaUtil.qcol(idCol)).as("_g_row"))
+      .select(df.columns.map(c =>
+        col(s"_g_row.`${c.replace("`", "``")}`")): _*)
   }
 
   /** Incremental exact dedup of a NEW batch against an existing corpus: keep
@@ -288,8 +290,10 @@ object Dedup {
           array_distinct(TextAnalysis.wordShinglesOf(col("_g_ts"), k)),
           s => GraftFunctions.xx64(s))).as("_g_sh"))
       // feeds TWO broadcast builds (id_a side, id_b side): shingle the
-      // candidate docs once
-      .localCheckpoint()
+      // candidate docs once — serialized + spillable, candidate-doc-sized
+      // (same heap rationale as the corpus caches in jaccardCandidates)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // broadcast the shingle arrays (candidate docs only — the same
     // bounded-cardinality assumption as the broadcast(ids) semi-join
     // above): the pair stream then never shuffles the wide array rows,
@@ -353,7 +357,27 @@ object Dedup {
       textCol: String,
       threshold: Double,
       k: Int = 3,
-      demoteN: Int = 4096): DataFrame = {
+      demoteN: Int = 4096): DataFrame =
+    jaccardCandidatesCleanable(df, idCol, textCol, threshold, k, demoteN)._1
+
+  /** [[jaccardCandidates]] plus a cleanup thunk releasing the two
+    * corpus-sized intermediate caches (shingle arrays, exploded prefixes).
+    * Callers that MATERIALIZE the candidate pipeline (an eager checkpoint
+    * of the verified pairs) must invoke it — consecutive large dedup jobs
+    * in one session otherwise accumulate dead cache blocks until the
+    * executor heap is storage-pinned (the second 100x probe OOM: the
+    * blocks of query N-1 were still unrolled while query N aggregated).
+    * The caches keep their lineage (persist, not checkpoint), so a
+    * post-cleanup re-consumption of the returned frame stays CORRECT —
+    * it just recomputes. */
+  private[pipeline] def jaccardCandidatesCleanable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3,
+      demoteN: Int = 4096): (DataFrame, () => Unit) = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val hs0 = df
       .select(col(idCol).as("_g_id"), tokens(col(textCol)).as("_g_ts"))
       .select(col("_g_id"),
@@ -366,11 +390,11 @@ object Dedup {
       // (MemoryStore.putIteratorAsValues) across 32 concurrent cache tasks
       // OOMs an 8g heap at 500k docs, while the serialized unroll reserves
       // incrementally and degrades to disk
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(ser)
     // top-N most frequent shingles -> driver (demoteN rows, centroid-sized;
     // TakeOrdered, never a full sort), most frequent first; the reorder
-    // itself is one codegen'd pass with an O(1) per-token rank lookup
+    // itself is one codegen'd pass with an O(1) per-token rank lookup —
+    // this collect also MATERIALIZES hs0's cache
     val demoted: Array[Long] = hs0
       .select(explode(col("_g_hs0")).as("_g_tok"))
       .groupBy("_g_tok").agg(count(lit(1)).as("_g_n"))
@@ -383,15 +407,13 @@ object Dedup {
     val sz = size(col("_g_hs"))
     val prefLen = (sz - ceil(sz * lit(threshold)) + 1).cast("int")
     // the prefix stream feeds BOTH sides of the self-join: materialize it
-    // once (and truncate the df-count + reorder lineage) or the whole
-    // upstream — two groupBys over every shingle — executes twice
+    // once (the count below) or the whole upstream — two groupBys over
+    // every shingle — executes twice. Serialized + spillable like hs0.
     val pref = ordered.select(col("_g_id"), sz.as("_g_sz"),
       posexplode(slice(col("_g_hs"), lit(1), greatest(prefLen, lit(0))))
         .as(Seq("_g_pos", "_g_tok")))
-      // corpus-sized (one row per prefix token): serialized + spillable,
-      // same OOM rationale as hs0 above
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(ser)
+    pref.count()
     val a = pref.select(col("_g_id").as("id_a"), col("_g_tok"),
       col("_g_sz").as("_g_sza"), col("_g_pos").as("_g_pa"))
     val b = pref.select(col("_g_id").as("id_b"), col("_g_tok"),
@@ -405,11 +427,12 @@ object Dedup {
       least(col("_g_sza") - col("_g_pa") - 1, col("_g_szb") - col("_g_pb") - 1)
     val alpha = (lit(threshold / (1 + threshold)) *
       (col("_g_sza") + col("_g_szb")).cast("double")) - lit(1e-9)
-    a.join(b, "_g_tok")
+    val cands = a.join(b, "_g_tok")
       .filter(col("id_a") < col("id_b"))
       .filter(minSz + lit(1e-9) >= lit(threshold) * maxSz)
       .filter(ubound.cast("double") >= alpha)
       .select("id_a", "id_b").distinct()
+    (cands, () => { hs0.unpersist(); pref.unpersist(); () })
   }
 
   /** Prefix-filtered + exactly verified near-dup pairs at Jaccard >= t —
@@ -419,14 +442,20 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      k: Int = 3): DataFrame =
-    jaccardVerify(jaccardCandidates(df, idCol, textCol, threshold, k),
-      df, idCol, textCol, k)
+      k: Int = 3): DataFrame = {
+    val (cands, done) =
+      jaccardCandidatesCleanable(df, idCol, textCol, threshold, k)
+    val out = jaccardVerify(cands, df, idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
       // the verified pair set is tiny and every caller consumes it more
       // than once (components' edge build + a rollup or election join):
       // materialize it so the candidate+verify pipeline runs exactly once
       .localCheckpoint()
+    // the eager checkpoint above ran the whole pipeline — release the
+    // corpus-sized intermediates NOW instead of at context-cleaner whim
+    done()
+    out
+  }
 
   // ---------------------------------------------------------------- simhash
 

@@ -408,7 +408,8 @@ object MaterializedView {
     } ++ measures.collect { case Measure(n, e, "sum") =>
       sum(when(expr(e).isNotNull, w).otherwise(0L)).cast("long").as(nnCol(n))
     } :+ sum(w).cast("long").as(RowsCol)
-    delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    delta.groupBy(keys.map(graft.util.SchemaUtil.qcol): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   private def partial(delta: DataFrame, keys: Seq[String],
@@ -417,7 +418,8 @@ object MaterializedView {
     // runs, so the view total matches SQL SUM exactly (NULL only when the
     // group never saw a non-null value)
     val aggs = measures.map(_.partialAgg)
-    delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    delta.groupBy(keys.map(graft.util.SchemaUtil.qcol): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   // ------------------------------------------------ transparent rewrite

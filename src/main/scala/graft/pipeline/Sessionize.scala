@@ -24,7 +24,8 @@ object Sessionize {
       tsCol: String,
       gap: Long): DataFrame = {
     require(keys.nonEmpty, "sessionize needs at least one key column")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val w = Window.partitionBy(keys.map(graft.util.SchemaUtil.qcol): _*)
+      .orderBy(graft.util.SchemaUtil.qcol(tsCol))
     val isBreak = when(
       col(tsCol) - lag(col(tsCol), 1).over(w) > gap, 1L).otherwise(0L)
     events.withColumn("session_seq",
@@ -39,7 +40,7 @@ object Sessionize {
       tsCol: String,
       gap: Long): DataFrame =
     assign(events, keys, tsCol, gap)
-      .groupBy((keys.map(col) :+ col("session_seq")): _*)
+      .groupBy((keys.map(graft.util.SchemaUtil.qcol) :+ col("session_seq")): _*)
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))

@@ -50,7 +50,8 @@ object TrainingSet {
     // 1. quality gate (map-only)
     val flagged = TextAnalysis.gopherFilter(docs, textCol, cfg.minTokens)
     val keep = cfg.qualityPred.getOrElse(col("keep"))
-    val quality = flagged.filter(keep).select(docs.columns.map(col): _*)
+    val quality = flagged.filter(keep)
+      .select(docs.columns.map(graft.util.SchemaUtil.qcol): _*)
 
     // 2. exact dedup (one 8-byte-hash shuffle)
     val exact = Dedup.exact(quality, idCol, textCol)
@@ -128,7 +129,8 @@ object TrainingSet {
         val spark = batch.sparkSession
         val flagged = TextAnalysis.gopherFilter(batch, textCol, cfg.minTokens)
         val keep = cfg.qualityPred.getOrElse(col("keep"))
-        val quality = flagged.filter(keep).select(batch.columns.map(col): _*)
+        val quality = flagged.filter(keep)
+          .select(batch.columns.map(graft.util.SchemaUtil.qcol): _*)
         val exact = Dedup.exact(quality, idCol, textCol)
         val clean = testSet match {
           case Some(ts) => Decontaminate.decontaminate(
