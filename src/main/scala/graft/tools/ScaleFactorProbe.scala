@@ -43,8 +43,9 @@ object ScaleFactorProbe {
       .config("spark.ui.enabled", "false")
       // heap comes from build.sbt's -Xmx via SPARK_DRIVER_MEM (a
       // spark.driver.memory conf here would be a no-op in an already-forked
-      // local JVM); factor>=100 needs SPARK_DRIVER_MEM=48g — the default 8g
-      // OOMs dedup_keep_best's 32-thread shuffle buffers at 500k docs
+      // local JVM). The DEFAULT 8g now survives the full 100x matrix: the
+      // dedup pipeline's corpus-sized caches unroll serialized and are
+      // released between jobs (r13; previously needed 48g)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
