@@ -268,6 +268,27 @@ class PipelineSuite extends SparkFixture {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("jaccard pair build releases its corpus-sized caches (consecutive jobs don't accumulate)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(300)
+    def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds
+    // three consecutive pipelines — the 100x-probe shape whose accumulated
+    // dead blocks OOM'd the third job before the explicit release
+    (1 to 3).foreach { _ =>
+      Dedup.jaccardNearDupPairs(docs, "doc_id", "text", threshold = 0.5).count()
+    }
+    // each run leaves up to three TINY localCheckpoints behind (verified
+    // pairs, candidate pairs, candidate shingles — context-cleaner-owned),
+    // but the two CORPUS-SIZED persists per run must be gone
+    // deterministically: 3 runs x 3 small <= 9; a release regression adds
+    // 3 runs x 2 corpus caches on top and trips the bound
+    val growth = cachedRdds - before
+    assert(growth <= 9,
+      s"persistent RDD count grew by $growth after 3 dedup runs — " +
+        "corpus-sized dedup intermediates are no longer released")
+  }
+
   test("jaccard verify past the broadcast cap falls back to shuffled " +
     "joins with identical pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
