@@ -358,7 +358,14 @@ object Dedup {
       threshold: Double,
       k: Int = 3,
       demoteN: Int = 4096): DataFrame =
-    jaccardCandidatesCleanable(df, idCol, textCol, threshold, k, demoteN)._1
+    // checkpoint = true: the PUBLIC form hands the caller a frame whose
+    // intermediate caches it cannot release (the cleanup thunk stays
+    // internal), so they must be context-cleaner-owned localCheckpoints —
+    // GC reclaims them with the frame. The persist+explicit-release pair
+    // is reserved for jaccardNearDupPairs, which knows when the pipeline
+    // has fully materialized.
+    jaccardCandidatesCleanable(df, idCol, textCol, threshold, k, demoteN,
+      checkpoint = true)._1
 
   /** [[jaccardCandidates]] plus a cleanup thunk releasing the two
     * corpus-sized intermediate caches (shingle arrays, exploded prefixes).
@@ -376,9 +383,14 @@ object Dedup {
       textCol: String,
       threshold: Double,
       k: Int = 3,
-      demoteN: Int = 4096): (DataFrame, () => Unit) = {
+      demoteN: Int = 4096,
+      checkpoint: Boolean = false): (DataFrame, () => Unit) = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val hs0 = df
+    // checkpoint = cleaner-owned (public API, see jaccardCandidates);
+    // persist = explicitly released by the returned thunk
+    def pin(d: DataFrame): DataFrame =
+      if (checkpoint) d.localCheckpoint(true, ser) else d.persist(ser)
+    val hs0 = pin(df
       .select(col(idCol).as("_g_id"), tokens(col(textCol)).as("_g_ts"))
       .select(col("_g_id"),
         transform(
@@ -390,7 +402,7 @@ object Dedup {
       // (MemoryStore.putIteratorAsValues) across 32 concurrent cache tasks
       // OOMs an 8g heap at 500k docs, while the serialized unroll reserves
       // incrementally and degrades to disk
-      .persist(ser)
+      )
     // top-N most frequent shingles -> driver (demoteN rows, centroid-sized;
     // TakeOrdered, never a full sort), most frequent first; the reorder
     // itself is one codegen'd pass with an O(1) per-token rank lookup —
@@ -409,11 +421,10 @@ object Dedup {
     // the prefix stream feeds BOTH sides of the self-join: materialize it
     // once (the count below) or the whole upstream — two groupBys over
     // every shingle — executes twice. Serialized + spillable like hs0.
-    val pref = ordered.select(col("_g_id"), sz.as("_g_sz"),
+    val pref = pin(ordered.select(col("_g_id"), sz.as("_g_sz"),
       posexplode(slice(col("_g_hs"), lit(1), greatest(prefLen, lit(0))))
-        .as(Seq("_g_pos", "_g_tok")))
-      .persist(ser)
-    pref.count()
+        .as(Seq("_g_pos", "_g_tok"))))
+    if (!checkpoint) pref.count() // localCheckpoint is already eager
     val a = pref.select(col("_g_id").as("id_a"), col("_g_tok"),
       col("_g_sz").as("_g_sza"), col("_g_pos").as("_g_pa"))
     val b = pref.select(col("_g_id").as("id_b"), col("_g_tok"),
@@ -432,7 +443,7 @@ object Dedup {
       .filter(minSz + lit(1e-9) >= lit(threshold) * maxSz)
       .filter(ubound.cast("double") >= alpha)
       .select("id_a", "id_b").distinct()
-    (cands, () => { hs0.unpersist(); pref.unpersist(); () })
+    (cands, () => if (!checkpoint) { hs0.unpersist(); pref.unpersist(); () })
   }
 
   /** Prefix-filtered + exactly verified near-dup pairs at Jaccard >= t —
@@ -445,16 +456,19 @@ object Dedup {
       k: Int = 3): DataFrame = {
     val (cands, done) =
       jaccardCandidatesCleanable(df, idCol, textCol, threshold, k)
-    val out = jaccardVerify(cands, df, idCol, textCol, k)
-      .filter(col("jaccard") >= threshold)
-      // the verified pair set is tiny and every caller consumes it more
-      // than once (components' edge build + a rollup or election join):
-      // materialize it so the candidate+verify pipeline runs exactly once
-      .localCheckpoint()
-    // the eager checkpoint above ran the whole pipeline — release the
-    // corpus-sized intermediates NOW instead of at context-cleaner whim
-    done()
-    out
+    try {
+      val out = jaccardVerify(cands, df, idCol, textCol, k)
+        .filter(col("jaccard") >= threshold)
+        // the verified pair set is tiny and every caller consumes it more
+        // than once (components' edge build + a rollup or election join):
+        // materialize it so the candidate+verify pipeline runs exactly once
+        .localCheckpoint()
+      out
+    } finally
+      // the eager checkpoint ran the whole pipeline (or it threw) — either
+      // way release the corpus-sized intermediates NOW, not at
+      // context-cleaner whim; a failed job must not pin the next one's heap
+      done()
   }
 
   // ---------------------------------------------------------------- simhash

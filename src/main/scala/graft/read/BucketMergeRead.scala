@@ -288,18 +288,24 @@ object BucketMergeRead {
           // small tee, stands in as run 0 of the new-side merge. Exact by
           // the same left-fold-prefix argument BoundedMerge's spill
           // pre-merge relies on (fold(shared) then fold the delta runs on
-          // top IS the full fold), including delta tombstone runs (their
-          // deletion applies in the final merge). Gated on a uniform old
-          // mask so the pre-merged contribution's column-presence stays
-          // exact (same condition BoundedMerge groups on), and on the delta
-          // run count fitting the open-reader budget (run 0 is the tee, so
-          // cap-1 parquet runs remain).
+          // top IS the full fold). Gated on a uniform old mask so the
+          // pre-merged contribution's column-presence stays exact (same
+          // condition BoundedMerge groups on), on the delta run count
+          // fitting the open-reader budget (run 0 is the tee, so cap-1
+          // parquet runs remain), and on NO TOMBSTONE delta runs: the
+          // new-side merge drains tombstoned shared keys without emitting,
+          // so a tombstone deleting a long key range would pile the whole
+          // drained stretch into the tee's old-side buffer — the lockstep
+          // bound the tee depends on only holds when every consumed shared
+          // key produces an output row. Tombstone windows fall back to the
+          // exact two-merge path below.
           def runSigOf(r: (Seq[PartitionedFile], Array[Boolean], Boolean)) =
             (r._1.map(_.filePath.toString).sorted, r._2.toSeq, r._3)
           val deltaShape = og.runs.nonEmpty && ng.runs.size > og.runs.size &&
             og.runs.map(runSigOf) == ng.runs.take(og.runs.size).map(runSigOf) &&
             og.runs.forall(r => java.util.Arrays.equals(r._2, og.runs.head._2)) &&
-            (ng.runs.size - og.runs.size) <= (cap - 1)
+            (ng.runs.size - og.runs.size) <= (cap - 1) &&
+            ng.runs.drop(og.runs.size).forall(!_._3)
           if (deltaShape) {
             val (oldSide, sharedAsRun) = TeeIterator.split(mk(og))
             val deltaRuns = ng.runs.drop(og.runs.size)

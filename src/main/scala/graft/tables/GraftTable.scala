@@ -242,7 +242,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         struct(col("_ga").as("r"), lit("update_postimage").as("t"))))
       .otherwise(lit(null).cast(noChange))
     j.select(explode(change).as("_gc"))
-      .select((cols.map(c => col(s"_gc.r.$c")) :+
+      .select((cols.map(c =>
+        col(s"_gc.r.`${c.replace("`", "``")}`").as(c)) :+
         col("_gc.t").as(ct)): _*)
   }
 
@@ -1337,7 +1338,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // on an empty/truncated table reports success while the table keeps
       // the old bucket count and the next write buckets under it
       opts.newBucketNum.filter(_ != t0.bucketNum).foreach { n =>
-        store.updateTableInfo(t0.copy(bucketNum = n))
+        store.updateTableInfo(info.copy(bucketNum = n))
+        // concurrency guard standing in for the non-empty path's publish
+        // CAS: a writer that read the OLD bucketNum may have committed the
+        // table's first files while we updated metadata — mixed bucket
+        // counts duplicate keys (RebucketMixSuite), so revert and retry;
+        // the retry sees live partitions and takes the rewriting path
+        if (partitions.nonEmpty) {
+          store.updateTableInfo(info.copy(bucketNum = t0.bucketNum))
+          throw new graft.meta.MetaRerunException(
+            "concurrent first write landed during an empty-table " +
+              "re-bucket; retrying as a rewriting re-bucket")
+        }
       }
       Map.empty[String, Set[String]]
     }
@@ -1617,7 +1629,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           // expression the write side uses, so this is exact; result size is
           // bounded by bucketNum (a tiny driver collect even at 100 TB)
           val keyCols = t.hashColumns.map(c =>
-            col(onKeys(c)).cast(sch(c).dataType))
+            graft.util.SchemaUtil.qcol(onKeys(c)).cast(sch(c).dataType))
           val ids = source
             .select(TransactionalWrite.bucketIdExpr(keyCols, t.bucketNum).as("b"))
             .distinct().collect().map(_.getInt(0)).toSet

@@ -135,12 +135,36 @@ class TombstoneSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("delta-shape diff (old runs a prefix of new) matches the join-based diff") {
+  test("delta-shape diff: upsert-only window rides the shared-run tee and matches the join-based diff") {
+    withTempPath { dir =>
+      // old snapshot [A]; window adds two upsert delta runs (updates +
+      // inserts, NO tombstones) — the shape the tee fast path serves; the
+      // join-based diff is the oracle
+      val t = mkTable(dir)
+      val ts0 = t.lastCommitTs
+      t.upsert(Seq((5L, "up5", 999L), (101L, "new101", 1L)).toDF("k", "v", "n"))
+      t.upsert(Seq((5L, "up5b", 998L), (9L, "up9", 90L)).toDF("k", "v", "n"))
+      val ts1 = t.lastCommitTs
+      val kernel = t.diff(ts0, ts1)
+        .select("k", "v", "n", "_change_type").collect()
+        .map(_.toString).sorted.toSeq
+      val join = graft.tables.GraftTable.forPath(spark, dir)
+        .diffViaJoin(ts0, ts1)
+        .select("k", "v", "n", "_change_type").collect()
+        .map(_.toString).sorted.toSeq
+      assert(kernel == join, s"kernel=$kernel\njoin=$join")
+      assert(kernel.count(_.contains("insert")) == 1 &&
+        kernel.count(_.contains("update_postimage")) == 2, kernel)
+    }
+  }
+
+  test("delta-shape diff with tombstone deltas (tee-ineligible window) matches the join-based diff") {
     withTempPath { dir =>
       // old snapshot [A]; window adds an upsert delta (update + insert), a
       // tombstone delete run, and a second upsert that REVIVES a tombstoned
-      // key — new snapshot [A, B, T, C] triggers the shared-run tee path
-      // (old is a strict prefix); the join-based diff is the oracle
+      // key — new snapshot [A, B, T, C]: the tombstone run makes the window
+      // tee-INELIGIBLE (merged-out keys would pile into the tee buffer), so
+      // this covers the exact two-merge fallback; the join diff is the oracle
       val t = mkTable(dir)
       val ts0 = t.lastCommitTs
       t.upsert(Seq((5L, "up5", 999L), (101L, "new101", 1L)).toDF("k", "v", "n"))
