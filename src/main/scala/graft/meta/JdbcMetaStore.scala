@@ -384,16 +384,33 @@ class JdbcMetaStore(url: String) extends MetaStore {
   private val domainTtlMs: Long =
     sys.props.get("graft.meta.domainCacheTtlMs").map(_.toLong).getOrElse(30000L)
 
+  // TTL expiry on the MONOTONIC clock (ADVICE r13): currentTimeMillis can
+  // jump backwards under NTP step/slew, silently extending the
+  // access-control staleness window past the configured bound; nanoTime
+  // cannot. The cached timestamp is nanos since JVM start.
   private def cacheDomain(tp: String, d: String): Unit =
-    domainCache.put(tp, (d, System.currentTimeMillis()))
+    domainCache.put(tp, (d, System.nanoTime()))
 
   private def cachedDomain(tp: String): Option[String] =
     Option(domainCache.get(tp)).collect {
-      case (d, at) if System.currentTimeMillis() - at < domainTtlMs => d
+      case (d, at) if System.nanoTime() - at < domainTtlMs * 1000000L => d
     }
 
   private def domainOf(info: TableInfo): String =
     info.properties.getOrElse(TableInfo.DomainProp, AuthContext.PublicDomain)
+
+  /** Raw info read on a CALLER-HELD connection (inside a tx holding the
+    * table lock — the in-tx twin of [[rawTableInfo]]). */
+  private def rawInfoIn(c: Connection, tp: String): Option[TableInfo] = {
+    val ps = c.prepareStatement(
+      "SELECT info FROM graft_table_info WHERE table_path = ?")
+    try {
+      ps.setString(1, tp)
+      val rs = ps.executeQuery()
+      val r = if (rs.next()) Some(jread[TableInfo](rs.getString(1))) else None
+      rs.close(); r
+    } finally ps.close()
+  }
 
   /** Raw (unauthorized) info read by CANONICAL path. */
   private def rawTableInfo(tp: String): Option[TableInfo] = withConn { c =>
@@ -410,8 +427,9 @@ class JdbcMetaStore(url: String) extends MetaStore {
   /** True when the caller may see/write `tp` (absent tables are "visible":
     * the op then takes its normal not-found path, which is also what a
     * hidden table reports — the two are indistinguishable by design). */
-  private def visibleTo(caller: AuthContext, tp: String): Boolean = {
-    val d = cachedDomain(tp).orElse(
+  private def visibleTo(
+      caller: AuthContext, tp: String, fresh: Boolean = false): Boolean = {
+    val d = (if (fresh) None else cachedDomain(tp)).orElse(
       rawTableInfo(tp).map { i =>
         val dd = domainOf(i); cacheDomain(tp, dd); dd
       })
@@ -419,9 +437,15 @@ class JdbcMetaStore(url: String) extends MetaStore {
   }
 
   /** Gate for ops on an existing table: a foreign-domain table reports
-    * exactly like a missing one ("cannot be found" in the reference). */
-  private def requireVisible(tp: String, original: String): Unit =
-    if (!visibleTo(AuthContext.current, tp))
+    * exactly like a missing one ("cannot be found" in the reference).
+    * `fresh = true` bypasses the domain cache (ADVICE r13): DATA-mutation
+    * entry points re-validate against the stored row so a cross-JVM domain
+    * revocation is honored immediately on writes — the TTL staleness
+    * window applies only to reads. One extra SELECT per commit, noise
+    * against the commit transaction's existing round trips. */
+  private def requireVisible(
+      tp: String, original: String, fresh: Boolean = false): Unit =
+    if (!visibleTo(AuthContext.current, tp, fresh))
       throw new IllegalArgumentException(s"no graft table at $original")
 
   override def createTable(info: TableInfo): Unit = {
@@ -627,12 +651,53 @@ class JdbcMetaStore(url: String) extends MetaStore {
   override def commit(
       tablePath: String,
       commits: Seq[DataCommitInfo],
-      expectedVersions: Map[String, Int]): Unit = {
+      expectedVersions: Map[String, Int],
+      expectedBucketNum: Option[Int]): Unit = {
     val tp = canonical(tablePath)
-    requireVisible(tp, tablePath)
+    requireVisible(tp, tablePath, fresh = true)
     withTx { c =>
       lockTable(c, tp)
+      // writer-side re-bucket CAS (MetaStore.commit scaladoc): read the
+      // info row on the SAME connection after taking the table lock so it
+      // serializes against rebucketIfNoPartitions
+      expectedBucketNum.foreach { exp =>
+        val cur = rawInfoIn(c, tp).map(_.bucketNum)
+        if (!cur.contains(exp))
+          throw new MetaRerunException(
+            s"table bucketNum moved: files written under $exp, table now " +
+              s"at ${cur.getOrElse(-1)} (concurrent re-bucket) — rerun")
+      }
       commitLocked(c, tp, commits, expectedVersions)
+    }
+  }
+
+  override def rebucketIfNoPartitions(
+      tablePath: String, newBucketNum: Int): Boolean = {
+    val tp = canonical(tablePath)
+    requireVisible(tp, tablePath, fresh = true)
+    withTx { c =>
+      lockTable(c, tp)
+      val ps = c.prepareStatement(
+        "SELECT COUNT(*) FROM graft_partition_head " +
+          "WHERE table_path = ? AND version >= 0")
+      val live = try {
+        ps.setString(1, tp)
+        val rs = ps.executeQuery()
+        rs.next(); val n = rs.getLong(1); rs.close(); n
+      } finally ps.close()
+      if (live > 0) false
+      else {
+        val t = rawInfoIn(c, tp).getOrElse(
+          throw new IllegalArgumentException(s"no graft table at $tablePath"))
+        val up = c.prepareStatement(
+          "UPDATE graft_table_info SET info = ?, rev = rev + 1 " +
+            "WHERE table_path = ?")
+        try {
+          up.setString(1, jwrite(t.copy(bucketNum = newBucketNum)))
+          up.setString(2, tp)
+          up.executeUpdate() == 1
+        } finally up.close()
+      }
     }
   }
 
@@ -650,7 +715,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
       .sortBy(_._1)
     require(es.map(_._1).distinct.size == es.size,
       "commitMany: same table twice (merge its commits into one entry)")
-    es.foreach { case (tp, orig, _, _) => requireVisible(tp, orig) }
+    es.foreach { case (tp, orig, _, _) => requireVisible(tp, orig, fresh = true) }
     withTx { c =>
       es.foreach { case (tp, _, _, _) => lockTable(c, tp) }
       es.foreach { case (tp, orig, cs, ev) =>

@@ -47,11 +47,30 @@ trait MetaStore {
   /** Atomically publish `commits` (one per touched partition), bumping each
     * partition's version. `expectedVersions` maps partitionDesc -> version the
     * writer read (-1 = partition did not exist); a mismatch at publish time
-    * raises [[MetaRerunException]]. */
+    * raises [[MetaRerunException]].
+    *
+    * `expectedBucketNum` (when set) is verified against the table's CURRENT
+    * bucketNum inside the same critical section — the writer-side half of
+    * the empty-table re-bucket CAS (ADVICE r13): a first write that
+    * bucketed its files under a bucket count that [[rebucketIfNoPartitions]]
+    * has since changed must rerun (mixed bucket counts duplicate PKs), and
+    * the partition-version CAS alone cannot catch it because brand-new
+    * partitions carry expected version -1. */
   def commit(
       tablePath: String,
       commits: Seq[DataCommitInfo],
-      expectedVersions: Map[String, Int]): Unit
+      expectedVersions: Map[String, Int],
+      expectedBucketNum: Option[Int] = None): Unit
+
+  /** Atomically set `bucketNum` iff the table still has NO partitions —
+    * the metadata-only re-bucket of an empty/truncated table. Runs under
+    * the same per-table critical section as [[commit]], which closes the
+    * TOCTOU window a read-check-update sequence leaves: either this lands
+    * first (and a racing first write's `expectedBucketNum` check fails and
+    * reruns against the new count), or the write lands first (and this
+    * returns false, telling the caller to retry as a rewriting re-bucket).
+    * Returns true iff the update was applied. */
+  def rebucketIfNoPartitions(tablePath: String, newBucketNum: Int): Boolean
 
   /** Head (latest) version of every partition. */
   def listPartitionHeads(tablePath: String): Seq[PartitionInfo]
@@ -310,6 +329,19 @@ class FileMetaStore extends MetaStore {
     infoCache.remove(canonical(info.tablePath))
   }
 
+  override def rebucketIfNoPartitions(
+      tablePath: String, newBucketNum: Int): Boolean = withFileLock(tablePath) {
+    if (headMap(tablePath).nonEmpty) false
+    else {
+      val t = getTableInfo(tablePath).getOrElse(
+        throw new IllegalArgumentException(s"no graft table at $tablePath"))
+      Files.writeString(tableInfoPath(tablePath),
+        jwrite(t.copy(bucketNum = newBucketNum)))
+      infoCache.remove(canonical(tablePath))
+      true
+    }
+  }
+
   /** Read + modify + write under ONE file lock (the trait default's
     * read-then-update is not atomic across processes). Writes the file
     * directly — a nested updateTableInfo would re-acquire the same
@@ -327,7 +359,18 @@ class FileMetaStore extends MetaStore {
   override def commit(
       tablePath: String,
       commits: Seq[DataCommitInfo],
-      expectedVersions: Map[String, Int]): Unit = withFileLock(tablePath) {
+      expectedVersions: Map[String, Int],
+      expectedBucketNum: Option[Int]): Unit = withFileLock(tablePath) {
+    // writer-side re-bucket CAS (trait scaladoc): the bucket count these
+    // files were written under must still be the table's — checked inside
+    // the lock so it serializes against rebucketIfNoPartitions
+    expectedBucketNum.foreach { exp =>
+      val cur = getTableInfo(tablePath).map(_.bucketNum)
+      if (!cur.contains(exp))
+        throw new MetaRerunException(
+          s"table bucketNum moved: files written under $exp, table now at " +
+            s"${cur.getOrElse(-1)} (concurrent re-bucket) — rerun the write")
+    }
     val heads = headMap(tablePath)
     // CAS: every touched partition must still be at the version the writer saw.
     commits.foreach { c =>

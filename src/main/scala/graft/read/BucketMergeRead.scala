@@ -40,6 +40,18 @@ import graft.write.TransactionalWrite
   */
 object BucketMergeRead {
 
+  /** Test toggle: force the exact two-merge diff path even for windows the
+    * delta-shape gate would accept. Captured at PLAN time (outside the RDD
+    * closure) so it serializes with the task and behaves identically in
+    * distributed mode. The ModelCheck diff property routes each randomized
+    * window through both paths and asserts equal output. */
+  @volatile private[graft] var forceExactDiffPath: Boolean = false
+
+  /** Test gauge: fast-path windows taken since last reset (guards the
+    * both-paths property against vacuously passing on fallback-only data). */
+  private[graft] val deltaShapeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** One run of one bucket: files sorted by partition desc + the run's
     * physical-column presence mask over the read schema (schema evolution:
     * files written before a column existed mark it absent — absent is NOT
@@ -265,6 +277,7 @@ object BucketMergeRead {
     val merges = fieldMerges(table, schema)
     val dts = schema.fields.map(_.dataType)
     val cap = BoundedMerge.cap(spark, schema)
+    val forceExact = forceExactDiffPath
     spark.sparkContext
       .parallelize(pairs, math.max(1, pairs.size))
       .mapPartitions { it =>
@@ -301,12 +314,14 @@ object BucketMergeRead {
           // exact two-merge path below.
           def runSigOf(r: (Seq[PartitionedFile], Array[Boolean], Boolean)) =
             (r._1.map(_.filePath.toString).sorted, r._2.toSeq, r._3)
-          val deltaShape = og.runs.nonEmpty && ng.runs.size > og.runs.size &&
+          val deltaShape = !forceExact &&
+            og.runs.nonEmpty && ng.runs.size > og.runs.size &&
             og.runs.map(runSigOf) == ng.runs.take(og.runs.size).map(runSigOf) &&
             og.runs.forall(r => java.util.Arrays.equals(r._2, og.runs.head._2)) &&
             (ng.runs.size - og.runs.size) <= (cap - 1) &&
             ng.runs.drop(og.runs.size).forall(!_._3)
           if (deltaShape) {
+            deltaShapeCount.incrementAndGet()
             val (oldSide, sharedAsRun) = TeeIterator.split(mk(og))
             val deltaRuns = ng.runs.drop(og.runs.size)
             val newIt = new KWayMergeIterator(
@@ -487,15 +502,41 @@ private[read] class SnapshotDiffIterator(
   * pull — the upstream merge reuses reader buffers, and the two sides hold
   * their current row across each other's advances. Single-threaded pull
   * contract (both sides are driven by the one diff task). */
-private[read] object TeeIterator {
+private[graft] object TeeIterator {
+  /** Defensive depth bound (ADVICE r13): the lockstep argument that keeps
+    * the queues small rests on the CALLER's delta-shape gate (no tombstone
+    * delta runs — every consumed shared key emits an output row). If a
+    * future edit lets one side lag arbitrarily, the failure mode without a
+    * bound is a silent executor OOM at scale; with it, a loud error naming
+    * the invariant. 64k rows is ~3 orders of magnitude above the observed
+    * lockstep depth (single digits) and a few MB at most. */
+  private[read] val MaxDepth = 1 << 16
+
+  /** Test gauge: max queue depth observed across all tees in this JVM
+    * (meaningful in local mode, where executors share the JVM). The
+    * ModelCheck diff property pins the lockstep bound with it — a future
+    * edit that breaks lockstep fails that assertion in sbt long before it
+    * could reach the MaxDepth tripwire at scale. */
+  private[graft] val maxObservedDepth =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def split(src: Iterator[InternalRow])
       : (Iterator[InternalRow], Iterator[InternalRow]) = {
     val qa = new java.util.ArrayDeque[InternalRow]()
     val qb = new java.util.ArrayDeque[InternalRow]()
     def pull(): Boolean =
       if (src.hasNext) {
+        if (qa.size >= MaxDepth || qb.size >= MaxDepth)
+          throw new IllegalStateException(
+            s"TeeIterator consumer lag exceeded $MaxDepth rows: the " +
+              "delta-shape diff's lockstep invariant is broken (a gate " +
+              "regression let one side of the tee run ahead); falling " +
+              "back to the two-merge diff path is required for this window")
         val r = src.next().copy()
-        qa.addLast(r); qb.addLast(r); true
+        qa.addLast(r); qb.addLast(r)
+        maxObservedDepth.getAndAccumulate(
+          math.max(qa.size, qb.size), Math.max(_, _))
+        true
       } else false
     def side(q: java.util.ArrayDeque[InternalRow]): Iterator[InternalRow] =
       new Iterator[InternalRow] {

@@ -471,15 +471,19 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
 
   /** Plain append (INSERT INTO). */
   def append(df: DataFrame): Unit = withRetry {
-    publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Append))
+    val t = info
+    publish(TransactionalWrite.writeFiles(spark, t, df, CommitOp.Append),
+      headsNow, bucketGuard(t))
   }
 
   /** Overwrite the whole table (INSERT OVERWRITE): new data replaces every
     * existing partition; untouched old partitions are expired. */
   def overwrite(df: DataFrame): Unit = withRetry {
-    val commits = TransactionalWrite.writeFiles(spark, info, df, CommitOp.Update)
+    val t = info
+    val commits = TransactionalWrite.writeFiles(spark, t, df, CommitOp.Update)
     publish(commits ++ expireCommitsFor(
-      partitions.map(_.partitionDesc).toSet -- commits.map(_.partitionDesc)))
+      partitions.map(_.partitionDesc).toSet -- commits.map(_.partitionDesc)),
+      headsNow, bucketGuard(t))
   }
 
   /** Filtered overwrite (replaceWhere): atomically replace the partitions
@@ -499,7 +503,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         .cast("boolean"), lit(true)))
     val commits = TransactionalWrite.writeFiles(spark, t, checked, CommitOp.Update)
     publish(commits ++ expireCommitsFor(
-      partitionsMatching(partitionCond) -- commits.map(_.partitionDesc)))
+      partitionsMatching(partitionCond) -- commits.map(_.partitionDesc)),
+      headsNow, bucketGuard(t))
   }
 
   /** Dynamic partition overwrite (partitionOverwriteMode=dynamic): replace
@@ -507,7 +512,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * untouched. The Update commit itself supersedes each touched
     * partition's head, so this is one write job + one meta publish. */
   def overwriteDynamic(df: DataFrame): Unit = withRetry {
-    publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Update))
+    val t = info
+    publish(TransactionalWrite.writeFiles(spark, t, df, CommitOp.Update),
+      headsNow, bucketGuard(t))
   }
 
   /** Publish one streaming micro-batch of executor-written files (the DSv2
@@ -546,7 +553,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     // and mergeSchema's additive update is idempotent across attempts
     require(info.hasPrimaryKey, "upsert requires a primary-key (hash-partitioned) table")
     mergeSchema(df.schema)
-    publish(TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge))
+    val t = info
+    publish(TransactionalWrite.writeFiles(spark, t, df, CommitOp.Merge),
+      headsNow, bucketGuard(t))
   }
 
   /** Reference-parity overload (`LakeSoulTable.upsert(source, condition)`,
@@ -693,7 +702,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       val src = partitionCond.map(df.filter).getOrElse(df)
       if (files.isEmpty) {
         // empty target: the batch IS the rewritten state
-        publish(TransactionalWrite.writeFiles(spark, t, src, CommitOp.Merge), heads)
+        publish(TransactionalWrite.writeFiles(spark, t, src, CommitOp.Merge),
+          heads, bucketGuard(t))
       } else {
         val keys = t.rangeColumns ++ t.hashColumns
         val srcCols = src.columns.toSet
@@ -1338,18 +1348,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // on an empty/truncated table reports success while the table keeps
       // the old bucket count and the next write buckets under it
       opts.newBucketNum.filter(_ != t0.bucketNum).foreach { n =>
-        store.updateTableInfo(info.copy(bucketNum = n))
-        // concurrency guard standing in for the non-empty path's publish
-        // CAS: a writer that read the OLD bucketNum may have committed the
-        // table's first files while we updated metadata — mixed bucket
-        // counts duplicate keys (RebucketMixSuite), so revert and retry;
-        // the retry sees live partitions and takes the rewriting path
-        if (partitions.nonEmpty) {
-          store.updateTableInfo(info.copy(bucketNum = t0.bucketNum))
+        // ATOMIC empty-table re-bucket (ADVICE r13 — the read-check-update
+        // sequence here was a TOCTOU): the store checks no-partitions and
+        // updates bucketNum inside the same critical section commit() uses,
+        // and data commits carry an expectedBucketNum CAS — so either this
+        // lands first (a racing first write reruns under the new count) or
+        // the write lands first (this returns false and the retry takes
+        // the rewriting path). Mixed bucket counts (RebucketMixSuite's
+        // duplicate-key state) can no longer be planted by any interleave.
+        if (!store.rebucketIfNoPartitions(tablePath, n))
           throw new graft.meta.MetaRerunException(
             "concurrent first write landed during an empty-table " +
               "re-bucket; retrying as a rewriting re-bucket")
-        }
       }
       Map.empty[String, Set[String]]
     }
@@ -1714,7 +1724,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
         // every produced row is a NOT MATCHED insert: expectations gate
         val inserted = TransactionalWrite.gateIngestion(t, applyClauses(emptyTarget))
-        publish(TransactionalWrite.writeFiles(spark, t, inserted, CommitOp.Rewrite), heads)
+        publish(TransactionalWrite.writeFiles(spark, t, inserted, CommitOp.Rewrite),
+          heads, bucketGuard(t))
       } else if (deltaMode) {
         // DELTA MERGE (beyond-ref; the MERGE companion of updateDelta /
         // deleteTombstone): only the rows a clause actually touched are
@@ -2360,12 +2371,23 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     publish(commits, headsNow)
 
   private def publish(commits: Seq[DataCommitInfo],
-      heads: Map[String, Int]): Unit = {
+      heads: Map[String, Int],
+      expectedBucket: Option[Int] = None): Unit = {
     if (commits.isEmpty) return
     val expected = commits.map(c =>
       c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap
-    store.commit(tablePath, commits, expected)
+    store.commit(tablePath, commits, expected, expectedBucket)
   }
+
+  /** Writer-side half of the empty-table re-bucket CAS: commits of
+    * PK-BUCKETED data carry the bucket count the files were written under,
+    * verified at publish inside the store's critical section. Brand-new
+    * partitions commit with expected version -1, so without this a first
+    * write racing [[MetaStore.rebucketIfNoPartitions]] could land
+    * old-bucket files under the new bucketNum (RebucketMixSuite's
+    * duplicate-key state) with no CAS to catch it. */
+  private def bucketGuard(t: TableInfo): Option[Int] =
+    if (t.hasPrimaryKey) Some(t.bucketNum) else None
 
   /** Additive schema merge on upsert (ImplicitMetadataOperation.scala:116-178). */
   private def mergeSchema(incoming: StructType): Unit = {

@@ -306,4 +306,37 @@ class JdbcMetaStoreSuite extends SparkFixture {
     assert(a.getTableInfo("/boot/t").isDefined)
     b.dropTable("/boot/t")
   }
+
+  test("empty-table re-bucket CAS closes both interleaves on both stores") {
+    // ADVICE r13: the empty-table re-bucket was a best-effort TOCTOU. The
+    // protocol now serializes both halves under the store's per-table
+    // critical section: rebucketIfNoPartitions refuses once a write landed,
+    // and commit(expectedBucketNum) reruns a write whose files were
+    // bucketed under a count a re-bucket has since changed.
+    withTempPath { path =>
+      Seq(new FileMetaStore, freshStore("rebucket")).foreach { s =>
+        s.createTable(ti(path)) // bucketNum = 2
+        // interleave A: re-bucket lands first -> the racing first write
+        // (files bucketed under the OLD count) must rerun, landing nothing
+        assert(s.rebucketIfNoPartitions(path, 8))
+        assert(s.getTableInfo(path).get.bucketNum == 8)
+        val stale = intercept[MetaRerunException] {
+          s.commit(path, Seq(commitOf("a", CommitOp.Append, 0)),
+            Map("a" -> -1), expectedBucketNum = Some(2))
+        }
+        assert(stale.getMessage.contains("bucketNum moved"), stale.getMessage)
+        assert(s.listPartitionHeads(path).isEmpty,
+          "a bucket-stale commit must not land partitions")
+        // the rerun re-reads bucketNum=8 and commits cleanly
+        s.commit(path, Seq(commitOf("a", CommitOp.Append, 1)),
+          Map("a" -> -1), expectedBucketNum = Some(8))
+        assert(s.listPartitionHeads(path).map(_.partitionDesc) == Seq("a"))
+        // interleave B: a write landed first -> the metadata-only re-bucket
+        // refuses (caller retries as a rewriting re-bucket)
+        assert(!s.rebucketIfNoPartitions(path, 16))
+        assert(s.getTableInfo(path).get.bucketNum == 8)
+        s.dropTable(path)
+      }
+    }
+  }
 }

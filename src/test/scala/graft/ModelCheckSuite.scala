@@ -291,6 +291,110 @@ class ModelCheckSuite extends SparkFixture {
     }
   }
 
+  test("snapshot-diff tee fast path == exact two-merge path on randomized windows") {
+    // ADVICE r13: the delta-shape diff's boundedness rests on a lockstep
+    // argument — pin it. Randomized delta-only histories (duplicate keys
+    // across delta runs, partial-column upserts for mask variation,
+    // tombstone deletes for the fallback gate, revival of deleted keys);
+    // every sampled (tsA, tsB) window runs through BOTH the tee fast path
+    // (default) and the exact two-merge path (forceExactDiffPath), asserting
+    // identical output AND a small max tee queue depth — a lockstep-breaking
+    // future edit fails here in sbt, not as an executor OOM at 100 TB.
+    import graft.read.{BucketMergeRead, TeeIterator}
+    val rnd = new scala.util.Random(20260816)
+    var fastWindowsTotal = 0
+    var depthMax = 0
+    for (round <- 1 to 3) {
+      withTempPath { path =>
+        val keys = 0 until (30 + rnd.nextInt(40))
+        def fullBatch() =
+          rnd.shuffle(keys.toList).take(1 + rnd.nextInt(keys.size))
+            .map(k => (k.toLong, rnd.nextInt(1000).toLong, s"t${rnd.nextInt(5)}"))
+        val init = fullBatch()
+        val t = GraftTable.create(spark, init.toDF("id", "v", "tag"), path,
+          hashColumns = Seq("id"), bucketNum = 1 + rnd.nextInt(3))
+        var model = init.map { case (k, v, g) => k -> (v, Option(g)) }.toMap
+        var snapshots = Vector(t.lastCommitTs -> model)
+        var deleted = Set.empty[Long]
+
+        for (_ <- 0 until 6 + rnd.nextInt(4)) {
+          rnd.nextInt(6) match {
+            case 0 | 1 => // full upsert — duplicate keys across delta runs
+              val b = fullBatch()
+              t.upsert(b.toDF("id", "v", "tag"))
+              model ++= b.map { case (k, v, g) => k -> (v, Option(g)) }
+            case 2 => // PARTIAL upsert (id, v only): per-run mask variation
+              val b = fullBatch().map { case (k, v, _) => (k, v) }
+              t.upsert(b.toDF("id", "v"))
+              model = model ++ b.map { case (k, v) =>
+                k -> (v, model.get(k).flatMap(_._2))
+              }
+            case 3 => // delta update: adds a data run, no rewrite
+              val cut = rnd.nextInt(1000)
+              t.updateDelta(col("v") >= cut, Map("tag" -> lit("du")))
+              model = model.map { case (k, (v, g)) =>
+                k -> (v, if (v >= cut) Some("du") else g)
+              }
+            case 4 => // tombstone delete: the fast path's fallback gate
+              val cut = rnd.nextInt(300)
+              t.deleteTombstone(col("v") < cut)
+              val cutKeys = model.collect { case (k, (v, _)) if v < cut => k }
+              deleted ++= cutKeys
+              model --= cutKeys
+            case 5 => // REVIVAL: re-upsert previously-deleted keys
+              val back = rnd.shuffle(deleted.toList).take(deleted.size / 2)
+              if (back.nonEmpty) {
+                val b = back.map(k => (k, rnd.nextInt(1000).toLong, "rev"))
+                t.upsert(b.toDF("id", "v", "tag"))
+                model ++= b.map { case (k, v, g) => k -> (v, Option(g)) }
+                deleted --= back
+              }
+          }
+          Thread.sleep(2)
+          snapshots :+= t.lastCommitTs -> model
+        }
+
+        def diffSet(tsA: Long, tsB: Long): Set[(Long, Long, Option[String], String)] =
+          t.diff(tsA, tsB).select("id", "v", "tag", "_change_type")
+            .as[(Long, Long, Option[String], String)].collect().toSet
+
+        for (_ <- 0 until 4) {
+          val Seq(ia, ib) =
+            Seq(rnd.nextInt(snapshots.size), rnd.nextInt(snapshots.size)).sorted
+          val (tsA, mA) = snapshots(ia)
+          val (tsB, mB) = snapshots(ib)
+          BucketMergeRead.deltaShapeCount.set(0)
+          TeeIterator.maxObservedDepth.set(0)
+          val fast = diffSet(tsA, tsB)
+          val fastWindows = BucketMergeRead.deltaShapeCount.get()
+          val depth = TeeIterator.maxObservedDepth.get()
+          BucketMergeRead.forceExactDiffPath = true
+          val exact = try diffSet(tsA, tsB)
+            finally BucketMergeRead.forceExactDiffPath = false
+          assert(fast == exact,
+            s"round $round: tee path vs exact path diverge on diff($tsA, $tsB)")
+          // and both must equal the model delta
+          val expDiff: Set[(Long, Long, Option[String], String)] =
+            (mB.keySet -- mA.keySet).map(k => (k, mB(k)._1, mB(k)._2, "insert")) ++
+            (mA.keySet -- mB.keySet).map(k => (k, mA(k)._1, mA(k)._2, "delete")) ++
+            (mA.keySet & mB.keySet).filter(k => mA(k) != mB(k)).flatMap(k => Seq(
+              (k, mA(k)._1, mA(k)._2, "update_preimage"),
+              (k, mB(k)._1, mB(k)._2, "update_postimage")))
+          assert(fast == expDiff, s"round $round: diff($tsA, $tsB) vs model")
+          if (fastWindows > 0) {
+            fastWindowsTotal += fastWindows
+            depthMax = math.max(depthMax, depth)
+            assert(depth <= 64,
+              s"round $round: tee queue depth $depth breaks the lockstep bound")
+          }
+        }
+      }
+    }
+    assert(fastWindowsTotal > 0,
+      "property is vacuous: no sampled window took the delta-shape fast path")
+    info(s"fast-path windows exercised: $fastWindowsTotal, max tee depth: $depthMax")
+  }
+
   test("crash between data-file write and meta publish: invisible, valid, sweepable") {
     import graft.write.TransactionalWrite
     withTempPath { path =>
