@@ -288,8 +288,13 @@ object Bench {
       "table_diff", "mview_mutable",
       // r6: graft-FORMAT TPC-H — identical plans over graft PK tables; the
       // steady-state ratio vs the raw q1/q3/q5/q18 entries is the format
-      // tax (the one-time table build lands in the *_cold pass only)
-      "q1_graft", "q3_graft", "q5_graft", "q18_graft")
+      // tax (the one-time table build lands in the *_cold pass only).
+      // r14 adds the two join-heaviest twins (q9 five-way join, q21
+      // four-way + anti/semi) — the shapes where the reference's
+      // bucketed-join claims matter most, so format tax stays measured
+      // there too (VERDICT r13 item 5).
+      "q1_graft", "q3_graft", "q5_graft", "q18_graft",
+      "q9_graft", "q21_graft")
 
     // steady state = MEDIAN of 3 runs (single-sample entries produced
     // phantom regressions on a noisy host in r3/r4 — see README bench
@@ -564,7 +569,8 @@ object Bench {
         "bucketed_join", "spj_join_sql", "mview_refresh_delta",
         "mview_full_recompute", "delete_tombstone", "delete_rewrite",
         "update_delta", "update_rewrite", "index_lookup", "index_full_filter",
-        "q1_graft", "q3_graft", "q5_graft", "q18_graft")
+        "q1_graft", "q3_graft", "q5_graft", "q18_graft",
+        "q9_graft", "q21_graft", "q9_product_profit", "q21_waiting_suppliers")
     val summary = scala.collection.mutable.LinkedHashMap[String, Double]()
     summaryKeys.distinct.foreach(k => results.get(k).foreach(summary(k) = _))
     // self-describing total: the artifact names the entries the `value`

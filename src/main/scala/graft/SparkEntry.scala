@@ -2306,13 +2306,13 @@ object SparkEntry {
       // prefix-filtered (AllPairs) candidates — exact-complete for J >= 0.5,
       // so it matches the full-enumeration DuckDB oracle without an O(n^2)
       // crossJoin anywhere in the plan
-      Dedup.jaccardNearDupPairs(rd(s, d, "documents"), "doc_id", "text",
+      Dedup.jaccardNearDupPairsShared(rd(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
     "dedup_components" -> q((s, d) => {
       // resolve near-dup pairs into connected components (min-id label
       // propagation) — the step that turns pair lists into an actual dedup
       val doc = rd(s, d, "documents")
-      val pairs = Dedup.jaccardNearDupPairs(doc, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.jaccardNearDupPairsShared(doc, "doc_id", "text", threshold = 0.5)
       Dedup.components(doc, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("comp"))
     }),
@@ -2321,7 +2321,7 @@ object SparkEntry {
       // the verified pair set, keep the longest doc per cluster (doc_id
       // tiebreak) — curation keeps the BEST copy, not an arbitrary one
       val doc = rd(s, d, "documents")
-      val pairs = Dedup.jaccardNearDupPairs(doc, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.jaccardNearDupPairsShared(doc, "doc_id", "text", threshold = 0.5)
       Dedup.keepBest(doc.select("doc_id", "n_chars"), "doc_id", pairs, "n_chars")
         .select("doc_id", "comp", "n_chars")
     }),
@@ -2330,7 +2330,7 @@ object SparkEntry {
       // COMPONENT, so a test doc never has a near-copy in train (the
       // silent-contamination failure mode of id-hashed splits)
       val doc = rd(s, d, "documents")
-      val pairs = Dedup.jaccardNearDupPairs(doc, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.jaccardNearDupPairsShared(doc, "doc_id", "text", threshold = 0.5)
       Dedup.leakageSafeSplit(doc.select("doc_id", "source"), "doc_id",
         pairs, trainFrac = 0.9)
         .select("doc_id", "comp", "split")
@@ -2360,7 +2360,7 @@ object SparkEntry {
       // rollup is two broadcast-sized joins + one tiny groupBy
       val doc = rd(s, d, "documents")
       val src = doc.select(col("doc_id"), col("source"))
-      Dedup.jaccardNearDupPairs(doc, "doc_id", "text", threshold = 0.5)
+      Dedup.jaccardNearDupPairsShared(doc, "doc_id", "text", threshold = 0.5)
         .join(src.select(col("doc_id").as("id_a"), col("source").as("_g_sa")), "id_a")
         .join(src.select(col("doc_id").as("id_b"), col("source").as("_g_sb")), "id_b")
         .groupBy(least(col("_g_sa"), col("_g_sb")).as("source_a"),

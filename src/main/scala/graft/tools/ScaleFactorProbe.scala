@@ -52,22 +52,28 @@ object ScaleFactorProbe {
     val bigDir = ProbeTmp.dir("graft-sfprobe-")
     synthesize(spark, sfDir, bigDir, factor)
 
-    def medianOf3(body: => Unit): Double = {
-      val ts = Seq.fill(3) {
+    def samples3(body: => Unit): Seq[Double] =
+      Seq.fill(3) {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1)
-    }
+      }
 
-    println(f"%nentry | sf0.1 (s) | sf1 (s) | ratio (linear=$factor%d)")
+    // Per entry: steady-state MEDIAN at both scales (the repeated-analysis
+    // regime — with the r14 shared near-dup pair memo this excludes the
+    // one-time pair materialization, exactly as a production session
+    // would) AND the FIRST big-scale sample, which carries that one-time
+    // derivation — the data-proportional pipeline cost the median would
+    // otherwise hide. Both published so the scaling signal names its
+    // regime instead of flattering itself.
+    println(f"%nentry | sf0.1 (s) | sf1 (s) | ratio (linear=$factor%d) | sf1 first (s)")
     val ratios = names.flatMap { name =>
       val fn = graft.SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warm the plan (codegen/JIT, not data)
-        val small = medianOf3 { fn(spark, sfDir).count() }
-        val big = medianOf3 { fn(spark, bigDir).count() }
+        val small = samples3 { fn(spark, sfDir).count() }.sorted.apply(1)
+        val bigSamples = samples3 { fn(spark, bigDir).count() }
+        val big = bigSamples.sorted.apply(1)
         val r = big / small
-        println(f"$name%-22s | $small%9.2f | $big%7.2f | ${r}%5.1fx")
+        println(f"$name%-22s | $small%9.2f | $big%7.2f | ${r}%5.1fx | ${bigSamples.head}%7.2f")
         Some(name -> r)
       } catch {
         case e: Throwable =>
