@@ -504,8 +504,14 @@ object Dedup {
       threshold: Double,
       k: Int = 3): DataFrame = sharedPairs.synchronized {
     val sc = df.sparkSession.sparkContext
+    // canonicalized plan text does NOT name the scanned files (a
+    // LogicalRelation prints as `Relation[cols] parquet`, path elided) —
+    // two corpora in different directories canonicalize identically, so
+    // the key must also carry the concrete input files or a big-corpus
+    // caller would silently get the small corpus's pairs
     val key = s"${sc.applicationId}|$idCol|$textCol|$threshold|$k|" +
-      df.queryExecution.logical.canonicalized.toString
+      df.queryExecution.logical.canonicalized.toString + "|" +
+      df.inputFiles.sorted.mkString(",")
     val hit = sharedPairs.get(key)
     if (hit != null) hit
     else {

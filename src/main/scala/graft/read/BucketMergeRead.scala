@@ -534,8 +534,13 @@ private[graft] object TeeIterator {
               "back to the two-merge diff path is required for this window")
         val r = src.next().copy()
         qa.addLast(r); qb.addLast(r)
-        maxObservedDepth.getAndAccumulate(
-          math.max(qa.size, qb.size), Math.max(_, _))
+        // volatile-read guard: the CAS (cross-core cacheline bounce under
+        // many concurrent diff tasks) fires only when the max grows — in
+        // the lockstep steady state (depth ~1) this is a read of a
+        // read-shared line, not a write
+        val d = math.max(qa.size, qb.size)
+        if (d > maxObservedDepth.get())
+          maxObservedDepth.getAndAccumulate(d, Math.max(_, _))
         true
       } else false
     def side(q: java.util.ArrayDeque[InternalRow]): Iterator[InternalRow] =

@@ -289,6 +289,39 @@ class PipelineSuite extends SparkFixture {
         "corpus-sized dedup intermediates are no longer released")
   }
 
+  test("shared pair memo: hit on the same corpus, never across directories") {
+    // the r14 memo keys on canonicalized-plan + INPUT FILES: a canonicalized
+    // LogicalRelation elides the path, so two same-shaped corpora in
+    // different directories would otherwise collide and the big corpus
+    // would silently get the small one's pairs (caught by the 100x probe's
+    // first-sample column)
+    withTempPath { dirA =>
+      withTempPath { dirB =>
+        val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        Seq((1L, base), (2L, base.replace("kappa", "lambda")),
+          (3L, "unrelated words entirely other content here now"))
+          .toDF("doc_id", "text").write.parquet(s"$dirA/d.parquet")
+        // same schema/shape, DIFFERENT duplicate structure: no near-dups
+        Seq((1L, "one two three four five six seven eight nine ten"),
+          (2L, "cold warm hot cool mild damp dry wet icy snowy"),
+          (3L, "red blue green yellow purple orange pink black white gray"))
+          .toDF("doc_id", "text").write.parquet(s"$dirB/d.parquet")
+        def pairsOf(dir: String) = Dedup.jaccardNearDupPairsShared(
+          spark.read.parquet(s"$dir/d.parquet"), "doc_id", "text",
+          threshold = 0.5)
+        val a1 = pairsOf(dirA)
+        val a2 = pairsOf(dirA)
+        assert(a1 eq a2, "same corpus + params must hit the memo")
+        val b = pairsOf(dirB).collect()
+        assert(b.isEmpty,
+          s"different directory must MISS the memo (got dirA's pairs? " +
+            s"${b.mkString(",")})")
+        assert(a1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+          Seq((1L, 2L)))
+      }
+    }
+  }
+
   test("jaccard verify past the broadcast cap falls back to shuffled " +
     "joins with identical pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
