@@ -94,25 +94,43 @@ object Bench {
     // interleave after EVERY headline entry. The endpoint canaries bound
     // the run; the mini-canary localizes a stall to the entry it actually
     // hit — r13 proved endpoint canaries alone can't certify the middle of
-    // a run. Baseline = median of 5 on the freshly-warmed JVM.
-    def miniCanary(): Double = time {
-      spark.range(0L, 100000000L, 1L, 32)
-        .selectExpr("sum(id ^ 2654435761)").collect()
+    // a run. The baseline is the RUNNING MINIMUM of every mini-canary
+    // sample: a startup median would be poisoned by a loaded launch window
+    // (observed: a run whose first canary read 2.7x its own later quiet
+    // samples — a fixed startup baseline silently de-sensitizes the guard
+    // exactly when the early regime entries are the ones being inflated),
+    // while the min only tightens as quiet windows appear. Entries'
+    // adjacent canary samples are recorded and RE-evaluated against the
+    // final minimum at end of run, so a slow start still gets annotated.
+    var miniMin = Double.MaxValue
+    val canaryAt = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def miniCanary(): Double = {
+      val t = time {
+        spark.range(0L, 100000000L, 1L, 32)
+          .selectExpr("sum(id ^ 2654435761)").collect()
+      }
+      miniMin = math.min(miniMin, t)
+      t
     }
     miniCanary() // untimed JIT warm
-    val miniBase = Seq.fill(5)(miniCanary()).sorted.apply(2)
-    results("canary_mini_base") = miniBase
+    Seq.fill(4)(miniCanary()) // seed the running min
+    results("canary_mini_base") = miniMin
+
+    def canaryDrifted(mc: Double): Boolean =
+      mc > 2 * miniMin && mc - miniMin > 0.05
 
     // One-shot mutation entries (init write, compaction, the DELETE/UPDATE
     // pairs) change table state and can't be re-measured — for those the
     // guard can only ANNOTATE: if the mini-canary adjacent to the entry
-    // drifted >2x off baseline, the name lands in stalled_entries so a
-    // reader discounts that sample instead of reading it as a regression.
+    // drifted >2x off the (running-min) baseline, the name lands in
+    // stalled_entries so a reader discounts that sample instead of reading
+    // it as a regression.
     def flagIfStalled(name: String): Unit = {
       val mc = miniCanary()
-      if (miniBase > 0 && mc > 2 * miniBase && mc - miniBase > 0.05) {
+      canaryAt(name) = mc
+      if (canaryDrifted(mc)) {
         System.err.println(
-          f"[bench] $name one-shot stall-flagged: canary=$mc%.3f base=$miniBase%.3f")
+          f"[bench] $name one-shot stall-flagged: canary=$mc%.3f min=$miniMin%.3f")
         stalledEntries += name
       }
     }
@@ -159,6 +177,7 @@ object Bench {
       }
       val upsertTimes = (1 to 10).map(_ => time { t.upsert(batch) })
       results("mor_upsert_10x") = 10 * median(upsertTimes)
+      flagIfStalled("mor_upsert_10x")
       // the min-based twin: under SUSTAINED contention (not a single
       // stall) the median inflates with the host while the min tracks the
       // quietest window — publishing both lets a reader separate "code
@@ -206,6 +225,7 @@ object Bench {
       }
       results("mor_upsert_cadenced_10x") =
         10 * median(cadUpserts.toSeq) + 2 * cadCompactions.min
+      flagIfStalled("mor_upsert_cadenced_10x")
       // ADVICE r10: the r9->r10 estimator change (2-sample median -> 3-sample
       // min on the compaction term) was a one-sided step; publish the
       // median-based twin for at least one round so gate comparisons
@@ -328,12 +348,13 @@ object Bench {
       try {
         var steady = medianOf3 { fn(spark, sfDir).count() }
         val mc = miniCanary()
+        canaryAt(name) = mc
         val coldT = cold(name)
         if ((coldT > 0 && steady > 3 * coldT && steady - coldT > 0.5) ||
-            (miniBase > 0 && mc > 2 * miniBase && mc - miniBase > 0.05)) {
+            canaryDrifted(mc)) {
           val re = Seq.fill(3)(time { fn(spark, sfDir).count() }).min
           System.err.println(f"[bench] $name stall-flagged: steady=$steady%.3f" +
-            f" cold=$coldT%.3f canary=$mc%.3f/base=$miniBase%.3f remeasured=$re%.3f")
+            f" cold=$coldT%.3f canary=$mc%.3f/min=$miniMin%.3f remeasured=$re%.3f")
           steady = math.min(steady, re)
           stalledEntries += name
         }
@@ -552,6 +573,21 @@ object Bench {
     // numbers + the scenario-entry numbers — kept well under 2 KB so a
     // tail capture always holds the whole line.
     results("canary_end") = canary()
+    // END PASS: the running-min baseline only tightens over the run, so an
+    // entry measured during a loaded LAUNCH window (before any quiet sample
+    // existed) may have passed its entry-time check against an inflated
+    // baseline — re-evaluate every recorded adjacent canary against the
+    // FINAL minimum and annotate retroactively (annotation only: re-running
+    // here would measure a different table state for the one-shot entries,
+    // and the re-measurable ones already self-healed at entry time).
+    canaryAt.foreach { case (name, mc) =>
+      if (canaryDrifted(mc) && !stalledEntries.contains(name)) {
+        System.err.println(
+          f"[bench] $name retro-flagged: canary=$mc%.3f final-min=$miniMin%.3f")
+        stalledEntries += name
+      }
+    }
+    results("canary_mini_base") = miniMin // publish the FINAL baseline
     val stalledAll = stalledEntries.distinct
     val stalledJson = stalledAll.map("\"" + _ + "\"").mkString("[", ",", "]")
     // summary twin capped at 8 names (+ a count) so a pathologically

@@ -709,7 +709,8 @@ class JdbcMetaStore(url: String) extends MetaStore {
     * canonical-path order (total order -> no deadlocks between concurrent
     * multi-table writers holding overlapping table sets). */
   override def commitMany(
-      entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
+      entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])],
+      expectedBucketNums: Map[String, Int]): Unit = {
     if (entries.isEmpty) return
     val es = entries.map { case (p, cs, ev) => (canonical(p), p, cs, ev) }
       .sortBy(_._1)
@@ -719,6 +720,19 @@ class JdbcMetaStore(url: String) extends MetaStore {
     withTx { c =>
       es.foreach { case (tp, _, _, _) => lockTable(c, tp) }
       es.foreach { case (tp, orig, cs, ev) =>
+        // same writer-side re-bucket CAS as single-table commit, checked
+        // per table after ALL locks are held (the staged files were
+        // bucketed at stage time; a conflicting entry names its table so
+        // the transaction retry re-stages just that one)
+        expectedBucketNums.get(orig).orElse(expectedBucketNums.get(tp))
+          .foreach { exp =>
+            val cur = rawInfoIn(c, tp).map(_.bucketNum)
+            if (!cur.contains(exp))
+              throw new MetaRerunException(
+                s"table bucketNum moved: files staged under $exp, table " +
+                  s"now at ${cur.getOrElse(-1)} (concurrent re-bucket)",
+                Some(orig))
+          }
         try commitLocked(c, tp, cs, ev)
         catch {
           // name the losing table (by the caller's path) so the retry can

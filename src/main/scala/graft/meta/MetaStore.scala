@@ -165,10 +165,12 @@ trait MetaStore {
     * single entry to [[commit]] and refuses more (the file store's
     * per-table logs cannot make two tables' commits crash-atomic). */
   def commitMany(
-      entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit =
+      entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])],
+      expectedBucketNums: Map[String, Int] = Map.empty): Unit =
     entries match {
       case Seq() => ()
-      case Seq((tp, commits, expected)) => commit(tp, commits, expected)
+      case Seq((tp, commits, expected)) =>
+        commit(tp, commits, expected, expectedBucketNums.get(tp))
       case _ => throw new UnsupportedOperationException(
         "multi-table atomic commit requires a transactional catalog " +
           "(JdbcMetaStore; select with -Dgraft.meta.uri=jdbc:...)")

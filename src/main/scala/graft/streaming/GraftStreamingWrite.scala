@@ -77,7 +77,8 @@ class GraftStreamingWrite(
       case m: GraftStreamCommitMessage => m.files
     }.flatten
     GraftTable.forPath(SparkSession.active, tablePath)
-      .commitStreamBatch(queryId, epochId, files, truncate)
+      .commitStreamBatch(queryId, epochId, files, truncate,
+        writtenBucketNum = if (hasPk) Some(bucketNum) else None)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -523,7 +523,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * epoch is a no-op; `truncate` = complete-mode semantics (the batch
     * replaces the table). */
   def commitStreamBatch(queryId: String, batchId: Long,
-      files: Seq[(String, DataFileInfo)], truncate: Boolean): Unit = withRetry {
+      files: Seq[(String, DataFileInfo)], truncate: Boolean,
+      writtenBucketNum: Option[Int] = None): Unit = withRetry {
     if (batchId <= store.getMaxBatchId(tablePath, queryId)) return
     val t = info
     val commitId = MetaStore.newCommitId()
@@ -539,7 +540,23 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       if (truncate) adds ++ expireCommitsFor(
         partitions.map(_.partitionDesc).toSet -- adds.map(_.partitionDesc))
       else adds
-    publish(commits)
+    // executor-written files were bucketed at PLAN time — the guard must
+    // carry THAT count, not a commit-time re-read (which would trivially
+    // match). A bucket-CAS failure cannot be healed by retrying this
+    // commit (the files are already written under the old count), so it
+    // converts to a terminal error: the streaming engine fails the batch,
+    // and the restarted query re-plans against the new bucketNum and
+    // replays the epoch (batchId was never recorded — exactly-once holds).
+    val guard = writtenBucketNum.filter(_ => t.hasPrimaryKey)
+    try publish(commits, headsNow, guard)
+    catch {
+      case e: graft.meta.MetaRerunException
+          if guard.isDefined && e.getMessage.contains("bucketNum moved") =>
+        throw new IllegalStateException(
+          s"micro-batch $batchId was planned under bucketNum ${guard.get} " +
+            "but the table was re-bucketed concurrently; restart the " +
+            "streaming query to re-plan", e)
+    }
     store.recordBatchId(tablePath, queryId, batchId)
   }
 
@@ -630,37 +647,40 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * staging half of [[GraftTransaction.upsertAll]]. The files are
     * invisible until the entry is committed; an abandoned stage leaves
     * only orphan files for vacuum. */
-  private[tables] def stageUpsert(df: DataFrame): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
+  private[tables] def stageUpsert(df: DataFrame): StagedEntry = {
     require(info.hasPrimaryKey, "upsert requires a primary-key (hash-partitioned) table")
     mergeSchema(df.schema)
+    val t = info
     stagedEntry(headsNow,
-      TransactionalWrite.writeFiles(spark, info, df, CommitOp.Merge))
+      TransactionalWrite.writeFiles(spark, t, df, CommitOp.Merge),
+      bucketGuard(t))
   }
 
   /** Stage (write, do NOT publish) a tombstone DELETE — the transaction
     * counterpart of [[deleteTombstone]], same eligibility rules. */
-  private[tables] def stageDeleteTombstone(cond: Column): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
+  private[tables] def stageDeleteTombstone(cond: Column): StagedEntry = {
     val t = info
     requireTombstoneDeletable(t)
     val heads = headsNow
-    stagedEntry(heads, tombstoneDeleteCommits(t, cond))
+    stagedEntry(heads, tombstoneDeleteCommits(t, cond), bucketGuard(t))
   }
 
   /** Stage (write, do NOT publish) a delta UPDATE — the transaction
     * counterpart of [[updateDelta]], same eligibility rules. */
   private[tables] def stageUpdateDelta(cond: Column,
-      set: Map[String, Column]): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) = {
+      set: Map[String, Column]): StagedEntry = {
     val t = info
     val topSet = normalizeSet(set)
     requireDeltaUpdatable(t, topSet)
     val heads = headsNow
-    stagedEntry(heads, deltaUpdateCommits(t, cond, topSet))
+    stagedEntry(heads, deltaUpdateCommits(t, cond, topSet), bucketGuard(t))
   }
 
   private def stagedEntry(heads: Map[String, Int],
-      commits: Seq[graft.meta.DataCommitInfo]): (String, Seq[graft.meta.DataCommitInfo], Map[String, Int]) =
-    (tablePath, commits, commits.map(c =>
-      c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap)
+      commits: Seq[graft.meta.DataCommitInfo],
+      bucket: Option[Int]): StagedEntry =
+    StagedEntry(tablePath, commits, commits.map(c =>
+      c.partitionDesc -> heads.getOrElse(c.partitionDesc, -1)).toMap, bucket)
 
   /** Current-head expectations for already-staged commits — ONLY safe for
     * base-independent stagings (pure delta upserts, which commute with

@@ -32,6 +32,16 @@ import graft.meta.{DataCommitInfo, MetaRerunException}
   * Scale: the data writes are ordinary per-table Spark jobs (cluster-wide,
   * no extra shuffle); the transaction itself touches O(partitions) catalog
   * rows, never data. */
+/** One staged (written, not yet published) table entry of a multi-table
+  * transaction: the commitMany entry plus the bucket count the delta files
+  * were written under — the writer-side re-bucket CAS, same contract as
+  * [[graft.meta.MetaStore.commit]]'s expectedBucketNum. */
+private[tables] case class StagedEntry(
+    tablePath: String,
+    commits: Seq[DataCommitInfo],
+    expected: Map[String, Int],
+    writtenBucketNum: Option[Int])
+
 object GraftTransaction {
 
   private val MaxAttempts = 8
@@ -43,7 +53,7 @@ object GraftTransaction {
     * [[graft.meta.MetaStore.commitMany]] entry. */
   sealed trait TxOp {
     def table: GraftTable
-    private[tables] def stage(): (String, Seq[DataCommitInfo], Map[String, Int])
+    private[tables] def stage(): StagedEntry
   }
 
   /** Delta upsert of `df` into a PK `table` (see [[GraftTable.upsert]]). */
@@ -88,31 +98,39 @@ object GraftTransaction {
     val byTable: Seq[(String, Seq[TxOp])] =
       ops.groupBy(_.table.tablePath).toSeq.sortBy(_._1)
 
-    def stageTable(tableOps: Seq[TxOp]): (String, Seq[DataCommitInfo], Map[String, Int]) = {
+    def stageTable(tableOps: Seq[TxOp]): StagedEntry = {
       val entries = tableOps.map(_.stage())
-      val path = entries.head._1
+      val path = entries.head.tablePath
       // all ops staged against the same attempt-start snapshot: if a
       // concurrent writer moved a partition BETWEEN two stage() calls the
       // expected versions disagree — surface it as the CAS conflict it is
       // rather than committing a torn expectation
-      val expected = entries.flatMap(_._3)
+      val expected = entries.flatMap(_.expected)
       val merged = expected.groupBy(_._1).map { case (d, vs) =>
         if (vs.map(_._2).distinct.size > 1)
           throw new MetaRerunException(
             s"partition '$d' moved between stagings", Some(path))
         d -> vs.head._2
       }
-      (path, entries.flatMap(_._2), merged)
+      // a re-bucket between two stage() calls is the same torn state
+      if (entries.map(_.writtenBucketNum).distinct.size > 1)
+        throw new MetaRerunException(
+          "table re-bucketed between stagings", Some(path))
+      StagedEntry(path, entries.flatMap(_.commits), merged,
+        entries.head.writtenBucketNum)
     }
 
-    val staged = scala.collection.mutable.LinkedHashMap[String, (String, Seq[DataCommitInfo], Map[String, Int])]()
+    val staged = scala.collection.mutable.LinkedHashMap[String, StagedEntry]()
     var toStage = byTable // tables whose files need (re)writing this attempt
     var attempts = 0
     while (true) {
       try {
         toStage.foreach { case (p, tableOps) => staged(p) = stageTable(tableOps) }
         toStage = Nil
-        store.commitMany(staged.values.filter(_._2.nonEmpty).toSeq)
+        val live = staged.values.filter(_.commits.nonEmpty).toSeq
+        store.commitMany(
+          live.map(e => (e.tablePath, e.commits, e.expected)),
+          live.flatMap(e => e.writtenBucketNum.map(e.tablePath -> _)).toMap)
         return
       } catch {
         case e: MetaRerunException if attempts < MaxAttempts =>
@@ -140,9 +158,9 @@ object GraftTransaction {
             byTable.filterNot { case (p, _) => restaging.contains(p) }
               .foreach { case (p, tableOps) =>
                 if (tableOps.forall(_.isInstanceOf[TxUpsert]))
-                  staged.get(p).foreach { case (path, commits, _) =>
-                    staged(p) = (path, commits,
-                      tableOps.head.table.refreshedExpectations(commits))
+                  staged.get(p).foreach { e =>
+                    staged(p) = e.copy(expected =
+                      tableOps.head.table.refreshedExpectations(e.commits))
                   }
                 else mustRestage += ((p, tableOps))
               }

@@ -153,12 +153,13 @@ class GraftTransactionSuite extends SparkFixture {
       class FailOnce(url: String) extends JdbcMetaStore(url) {
         @volatile var induced = 0
         override def commitMany(
-            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
+            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])],
+            expectedBucketNums: Map[String, Int]): Unit = {
           if (induced == 0 && entries.size > 1) {
             induced += 1
             throw new MetaRerunException("induced conflict", Some(pb))
           }
-          super.commitMany(entries)
+          super.commitMany(entries, expectedBucketNums)
         }
       }
       val s = new FailOnce("jdbc:derby:memory:txn7;create=true")
@@ -225,9 +226,10 @@ class GraftTransactionSuite extends SparkFixture {
       class CrashAtPublish(url: String) extends JdbcMetaStore(url) {
         @volatile var crash = false
         override def commitMany(
-            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
+            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])],
+            expectedBucketNums: Map[String, Int]): Unit = {
           if (crash) throw new RuntimeException("injected crash at publish")
-          super.commitMany(entries)
+          super.commitMany(entries, expectedBucketNums)
         }
       }
       val s = new CrashAtPublish("jdbc:derby:memory:txn9;create=true")
@@ -370,9 +372,10 @@ class GraftTransactionSuite extends SparkFixture {
       class CrashingStore(url: String) extends JdbcMetaStore(url) {
         @volatile var crash = false
         override def commitMany(
-            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])]): Unit = {
+            entries: Seq[(String, Seq[DataCommitInfo], Map[String, Int])],
+            expectedBucketNums: Map[String, Int]): Unit = {
           if (crash) throw new RuntimeException("injected crash at publish")
-          super.commitMany(entries)
+          super.commitMany(entries, expectedBucketNums)
         }
       }
       val s = new CrashingStore("jdbc:derby:memory:txn12;create=true")
