@@ -45,6 +45,30 @@ class RebucketMixSuite extends SparkFixture {
     }
   }
 
+  test("stream-batch commit with a stale plan-time bucketNum fails terminally") {
+    // the streaming sink's files are bucketed at PLAN time; a concurrent
+    // re-bucket cannot be healed by retrying the commit (the files exist),
+    // so the bucket CAS converts to a terminal error that forces a stream
+    // restart + re-plan — and the unrecorded batchId keeps exactly-once
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 10).map(i => (i.toLong, i)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val rf = t.liveFiles.head
+      val files = Seq((rf.partitionDesc, rf.file))
+      val e = intercept[IllegalStateException] {
+        t.commitStreamBatch("qx", 1, files, truncate = false,
+          writtenBucketNum = Some(99))
+      }
+      assert(e.getMessage.contains("re-plan"), e.getMessage)
+      // the failed epoch was never recorded: the replay with the CORRECT
+      // plan-time count lands (same keys re-merge to the same 10 rows)
+      t.commitStreamBatch("qx", 1, files, truncate = false,
+        writtenBucketNum = Some(2))
+      assert(t.toDF.count() == 10)
+    }
+  }
+
   test("whole-table re-bucketing: later upserts into every partition still merge") {
     withTempPath { path =>
       val t = GraftTable.create(spark,
