@@ -116,8 +116,33 @@ object Bench {
     Seq.fill(4)(miniCanary()) // seed the running min
     results("canary_mini_base") = miniMin
 
+    // HOST STABILIZATION: every observed fresh-JVM run starts its first
+    // ~1-2 minutes slow (canary_start reads 3-4x the same run's
+    // canary_end — CPU-governor ramp + cold page cache), and the MOR
+    // regime deliberately runs FIRST (quiet-JVM argument), so the
+    // baseline-comparable numbers were landing inside the ramp window
+    // (observed: mor_upsert_10x 8.6 s in the ramp vs ~5.9 s min-twin same
+    // run). Spin the mini-canary until 3 consecutive samples sit within
+    // 1.5x of the running min (120 s cap) — the spinning itself ramps the
+    // governor; on an already-warm host this exits in ~4 samples.
+    locally {
+      val t0 = System.nanoTime()
+      var streak = 0
+      while (streak < 3 && (System.nanoTime() - t0) / 1e9 < 120) {
+        val s = miniCanary()
+        streak = if (s < 1.5 * miniMin + 0.02) streak + 1 else 0
+      }
+      results("canary_stable") = miniCanary()
+    }
+
+    // Drift = a canary sample several times the floor AND at least a
+    // quarter second over it: the stalls worth annotating inflate entries
+    // 15-25x (seconds), while a post-query GC excursion pushes a ~50 ms
+    // canary to ~100-200 ms — flagging those buried the real signal under
+    // false positives (a quiet-host run flagged 11 entries at the 2x
+    // threshold; published values were fine, the LIST was noise).
     def canaryDrifted(mc: Double): Boolean =
-      mc > 2 * miniMin && mc - miniMin > 0.05
+      mc > 3 * miniMin && mc - miniMin > 0.25
 
     // One-shot mutation entries (init write, compaction, the DELETE/UPDATE
     // pairs) change table state and can't be re-measured — for those the
@@ -353,10 +378,16 @@ object Bench {
         if ((coldT > 0 && steady > 3 * coldT && steady - coldT > 0.5) ||
             canaryDrifted(mc)) {
           val re = Seq.fill(3)(time { fn(spark, sfDir).count() }).min
-          System.err.println(f"[bench] $name stall-flagged: steady=$steady%.3f" +
-            f" cold=$coldT%.3f canary=$mc%.3f/min=$miniMin%.3f remeasured=$re%.3f")
+          // record the name only when the re-measure CONFIRMED the stall
+          // (materially moved the number) — a suspicion the re-measure
+          // refutes publishes the same value and should not pollute the
+          // annotation list
+          if (steady > 1.2 * re) {
+            System.err.println(f"[bench] $name stall-flagged: steady=$steady%.3f" +
+              f" cold=$coldT%.3f canary=$mc%.3f/min=$miniMin%.3f remeasured=$re%.3f")
+            stalledEntries += name
+          }
           steady = math.min(steady, re)
-          stalledEntries += name
         }
         results(name) = steady
       } catch { case e: Throwable =>
@@ -600,7 +631,7 @@ object Bench {
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val summaryKeys: Seq[String] =
-      Seq("canary_start", "canary_end", "canary_mini_base") ++
+      Seq("canary_start", "canary_end", "canary_mini_base", "canary_stable") ++
         results.keys.filter(_.startsWith("mor_")).toSeq ++ headline ++ Seq(
         "bucketed_join", "spj_join_sql", "mview_refresh_delta",
         "mview_full_recompute", "delete_tombstone", "delete_rewrite",
