@@ -135,12 +135,19 @@ object Bench {
       results("canary_stable") = miniCanary()
     }
 
-    // Drift = a canary sample several times the floor AND at least a
-    // quarter second over it: the stalls worth annotating inflate entries
-    // 15-25x (seconds), while a post-query GC excursion pushes a ~50 ms
-    // canary to ~100-200 ms — flagging those buried the real signal under
-    // false positives (a quiet-host run flagged 11 entries at the 2x
-    // threshold; published values were fine, the LIST was noise).
+    // TWO sensitivities. `canarySuspicious` (2x + 50 ms) triggers a
+    // RE-MEASURE in the headline loop — re-measuring is cheap and
+    // self-limiting because an entry is only LISTED when the re-measure
+    // confirms (materially moves) the number, so liberal suspicion heals
+    // moderate pulsed-load inflation (validation: median published ratio
+    // 0.98x under 50%-duty stress) without polluting the annotations.
+    // `canaryDrifted` (3x + 250 ms) gates the paths that can only ANNOTATE
+    // (one-shot mutations, the end-of-run retro pass): a post-query GC
+    // excursion pushes a ~50 ms canary to ~100-200 ms, and flagging those
+    // buried the real 15-25x stall signal under false positives (11
+    // flags on a quiet host at the loose threshold).
+    def canarySuspicious(mc: Double): Boolean =
+      mc > 2 * miniMin && mc - miniMin > 0.05
     def canaryDrifted(mc: Double): Boolean =
       mc > 3 * miniMin && mc - miniMin > 0.25
 
@@ -376,7 +383,7 @@ object Bench {
         canaryAt(name) = mc
         val coldT = cold(name)
         if ((coldT > 0 && steady > 3 * coldT && steady - coldT > 0.5) ||
-            canaryDrifted(mc)) {
+            canarySuspicious(mc)) {
           val re = Seq.fill(3)(time { fn(spark, sfDir).count() }).min
           // record the name only when the re-measure CONFIRMED the stall
           // (materially moved the number) — a suspicion the re-measure

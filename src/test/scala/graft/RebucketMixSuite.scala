@@ -45,6 +45,52 @@ class RebucketMixSuite extends SparkFixture {
     }
   }
 
+  test("empty-table re-bucket racing a first write: every interleave converges") {
+    // end-to-end twin of the store-level CAS test: one thread re-buckets a
+    // just-created empty PK table while another lands its first upsert.
+    // Whichever wins, the loser's CAS fires and its retry converges —
+    // bucketNum ends at the target, the data is complete, and a follow-up
+    // upsert of the same keys MERGES (the duplicate-key mixed-bucket state
+    // this race used to be able to plant can no longer exist).
+    import java.util.concurrent.CountDownLatch
+    for (round <- 1 to 6) {
+      withTempPath { path =>
+        import org.apache.spark.sql.types._
+        val sch = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", IntegerType)))
+        val t = GraftTable.createEmpty(spark, sch, path,
+          hashColumns = Seq("id"), bucketNum = 1)
+        val start = new CountDownLatch(1)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        def thread(body: => Unit) = {
+          val th = new Thread(() => {
+            start.await()
+            try body catch { case e: Throwable => errs.add(e) }
+          })
+          th.start(); th
+        }
+        val writer = thread {
+          t.upsert((1 to 32).map(i => (i.toLong, i)).toDF("id", "v"))
+        }
+        val rebucketer = thread {
+          t.compaction(CompactionOptions(newBucketNum = Some(4)), _ => true)
+        }
+        start.countDown()
+        writer.join(120000); rebucketer.join(120000)
+        assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+        assert(t.info.bucketNum == 4, s"round $round: bucketNum")
+        assert(t.toDF.count() == 32, s"round $round: first write complete")
+        // the mixed-bucket failure mode: a same-key upsert must MERGE
+        t.upsert((1 to 32).map(i => (i.toLong, i * 100)).toDF("id", "v"))
+        assert(t.toDF.count() == 32, s"round $round: no duplicate keys")
+        assert(t.toDF.filter($"id" === 7L).select("v")
+          .collect().map(_.getInt(0)).toSeq == Seq(700), s"round $round: merged")
+        assert(t.validate() == Nil, s"round $round: fsck")
+      }
+    }
+  }
+
   test("stream-batch commit with a stale plan-time bucketNum fails terminally") {
     // the streaming sink's files are bucketed at PLAN time; a concurrent
     // re-bucket cannot be healed by retrying the commit (the files exist),
