@@ -225,18 +225,31 @@ object BucketMergeRead {
       table: TableInfo,
       schema: StructType,
       oldFiles: Seq[ResolvedFile],
-      newFiles: Seq[ResolvedFile]): DataFrame = {
+      newFiles: Seq[ResolvedFile],
+      bucketMerged: Boolean = false): DataFrame = {
     val outSchema = schema.add("_change_type", StringType)
     org.apache.spark.sql.graft.StreamShim.dfFromInternalRows(
-      spark, diffRdd(spark, table, schema, oldFiles, newFiles), outSchema)
+      spark,
+      diffRdd(spark, table, schema, oldFiles, newFiles, bucketMerged),
+      outSchema)
   }
 
+  /** `bucketMerged = true` pairs the snapshots per PARTITION with all
+    * buckets k-way-merged into one global key order on each side, instead
+    * of the default per-(partition, bucket) pairing. Required when the
+    * diff window contains a RE-BUCKET: bucket-id pairing assumes the
+    * key->bucket mapping is stable across the window, and a changed
+    * bucketNum moves every key to a different bucket — the per-bucket diff
+    * then fabricates a delete+insert pair for every UNCHANGED key (caught
+    * by the ModelCheck re-bucket op). Costs bucket-level diff parallelism
+    * for exactly those windows, never the common case. */
   def diffRdd(
       spark: SparkSession,
       table: TableInfo,
       schema: StructType,
       oldFiles: Seq[ResolvedFile],
-      newFiles: Seq[ResolvedFile])
+      newFiles: Seq[ResolvedFile],
+      bucketMerged: Boolean = false)
     : org.apache.spark.rdd.RDD[InternalRow] = {
     val readFn = org.apache.spark.sql.graft.StreamShim.parquetReadFunction(spark, schema)
     // one diff task per TOUCHED (partition, bucket): a pair whose ordered
@@ -244,23 +257,41 @@ object BucketMergeRead {
     // it is skipped without reading a byte — an append-only window over a
     // partitioned table diffs only the touched partitions' buckets
     // (O(changed data), not O(table))
-    def byPB(fs: Seq[ResolvedFile]) = fs.groupBy(f => (f.partitionDesc, f.file.bucketId))
+    def byPB(fs: Seq[ResolvedFile]) =
+      if (bucketMerged) fs.groupBy(f => (f.partitionDesc, -1))
+      else fs.groupBy(f => (f.partitionDesc, f.file.bucketId))
     def runSig(fs: Seq[ResolvedFile]) = fs.groupBy(_.commitOrdinal)
       .toSeq.sortBy(_._1).map(_._2.map(_.file.path).sorted)
+    def toPf(run: Seq[ResolvedFile]) = run.map { f =>
+      PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
+        0L, f.file.size)
+    }
     // run split via orderedRuns, NOT a bare commitOrdinal groupBy: ordinals
     // are per-partition, so a same-ordinal group may mix a tombstone commit
     // with a data commit (or two schema-evolution states) across divergent
     // partition histories. byPB keys by partitionDesc first, which makes
     // single-partition groups today — but orderedRuns is the invariant, not
     // an accident of the caller's grouping.
+    //
+    // bucketMerged: a run must stay KEY-SORTED for the k-way merge, and a
+    // commit's files concatenated across buckets are not — so each
+    // (commit, bucket) subgroup becomes its own run, ordered by commit
+    // ordinal first (merge precedence = run index; the rewrite that
+    // changed the mapping is itself the later commit, so last-wins stays
+    // exact even where old- and new-mapping runs overlap in key space).
     def runsOf(fs: Seq[ResolvedFile])
         : Seq[(Seq[PartitionedFile], Array[Boolean], Boolean)] =
-      orderedRuns(table, schema, fs).map { case (run, mask, tomb) =>
-        (run.map { f =>
-          PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.file.path),
-            0L, f.file.size)
-        }, mask, tomb)
-      }
+      if (bucketMerged)
+        fs.groupBy(f => (f.commitOrdinal, f.file.bucketId)).toSeq.sortBy(_._1)
+          .flatMap { case (_, sub) =>
+            orderedRuns(table, schema, sub).map { case (run, mask, tomb) =>
+              (toPf(run), mask, tomb)
+            }
+          }
+      else
+        orderedRuns(table, schema, fs).map { case (run, mask, tomb) =>
+          (toPf(run), mask, tomb)
+        }
     val oldBy = byPB(oldFiles); val newBy = byPB(newFiles)
     val pairs: Seq[(BucketGroup, BucketGroup)] =
       (oldBy.keySet ++ newBy.keySet).toSeq.sorted

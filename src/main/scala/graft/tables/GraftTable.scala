@@ -208,7 +208,9 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         if (graft.read.BucketMergeRead.supports(info, schema, oldFiles) &&
             graft.read.BucketMergeRead.supports(info, schema, newFiles))
           return graft.read.BucketMergeRead.diffRead(
-            spark, info, schema, oldFiles, newFiles)
+            spark, info, schema, oldFiles, newFiles,
+            bucketMerged =
+              GraftTable.rebucketOverlaps(info.properties, startTime, endTime))
         // fallback (custom agg-only merge ops): full-outer PK join of the
         // two merged snapshots
         diffViaJoin(startTime, endTime)
@@ -1288,6 +1290,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // places rows with the new bucket count; readers use per-file bucket
       // ids from the path so old files stay readable until expired
       var published = Map.empty[String, Set[String]]
+      val rebucketT0 = opts.newBucketNum
+        .filter(_ != t0.bucketNum).map(_ => System.currentTimeMillis())
       val t = opts.newBucketNum match {
         case Some(n) if n != t0.bucketNum =>
           val updated = t0.copy(bucketNum = n)
@@ -1360,6 +1364,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             .view.mapValues(_.map(_.commitId).toSet).toMap
         }
       }
+      // a completed rewriting re-bucket changed the key->bucket mapping:
+      // record the wall-clock interval so diff() windows spanning it pair
+      // snapshots per PARTITION instead of per bucket (see
+      // BucketMergeRead.diffRdd bucketMerged)
+      rebucketT0.foreach(ts0 => GraftTable.recordRebucketInterval(
+        store, tablePath, ts0, System.currentTimeMillis()))
       published
     } else {
       // no live partitions (under re-bucketing descs == all live descs:
@@ -1376,10 +1386,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // the write lands first (this returns false and the retry takes
         // the rewriting path). Mixed bucket counts (RebucketMixSuite's
         // duplicate-key state) can no longer be planted by any interleave.
+        val ts0 = System.currentTimeMillis()
         if (!store.rebucketIfNoPartitions(tablePath, n))
           throw new graft.meta.MetaRerunException(
             "concurrent first write landed during an empty-table " +
               "re-bucket; retrying as a rewriting re-bucket")
+        // the table is empty NOW, but a diff window may span from data
+        // that existed before a truncate/drop to data written after this
+        // re-bucket — record the mapping change for those windows too
+        GraftTable.recordRebucketInterval(
+          store, tablePath, ts0, System.currentTimeMillis())
       }
       Map.empty[String, Set[String]]
     }
@@ -2495,6 +2511,32 @@ object GraftTable {
   /** Compaction skips single-run partitions when "true"
     * ([[GraftTable.onlySaveOnceCompaction]]). */
   val OnlyOnceCompactionProp = "graft.compaction.onlyOnce"
+
+  /** Wall-clock intervals ("start:end,..." ms, newest last, pruned to the
+    * last 64) during which a re-bucket changed the key->bucket mapping.
+    * [[GraftTable.diff]] windows overlapping one must pair the snapshots
+    * per PARTITION — bucket ids are not comparable across a mapping
+    * change ([[graft.read.BucketMergeRead.diffRdd]] bucketMerged). */
+  val RebucketIntervalsProp = "graft.rebucket.intervals"
+
+  private[tables] def recordRebucketInterval(store: graft.meta.MetaStore,
+      tablePath: String, ts0: Long, ts1: Long): Unit =
+    store.updateProperties(tablePath) { p =>
+      val prev = p.get(RebucketIntervalsProp)
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      p + (RebucketIntervalsProp -> (prev :+ s"$ts0:$ts1")
+        .takeRight(64).mkString(","))
+    }
+
+  private[tables] def rebucketOverlaps(props: Map[String, String],
+      tsA: Long, tsB: Long): Boolean =
+    props.get(RebucketIntervalsProp).exists(_.split(",").exists { iv =>
+      val parts = iv.split(":")
+      // 1 s cushion each side: commit timestamps are store-stamped
+      // (monotonic bump) and may drift slightly off the recorder's clock
+      parts.length == 2 && tsA < parts(1).toLong + 1000 &&
+        tsB >= parts(0).toLong - 1000
+    })
 
   /** "128MB"/"1g"/"4096" → bytes (reference DBUtil.parseMemoryExpression
     * shape; binary units). */

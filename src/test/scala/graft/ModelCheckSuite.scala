@@ -36,7 +36,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 4 + rnd.nextInt(5)) {
-          rnd.nextInt(8) match {
+          rnd.nextInt(9) match {
             case 0 | 1 => // upsert (unique PKs per batch — the format contract)
               val b = batch()
               t.upsert(b.toDF("id", "v", "tag"))
@@ -69,6 +69,11 @@ class ModelCheckSuite extends SparkFixture {
               model = model.map { case (k, (v, g)) =>
                 k -> (v, if (v >= cut) "du" else g)
               }
+            case 8 => // whole-table RE-BUCKET (r14: the bucket-CAS paths):
+              // a full rewrite under a new bucket count must never change
+              // the merged result, and every later op merges under it
+              t.compaction(graft.tables.CompactionOptions(
+                newBucketNum = Some(1 + rnd.nextInt(4))), _ => true)
           }
           Thread.sleep(2) // distinct commit timestamps for time travel
           snapshots :+= t.lastCommitTs -> model
