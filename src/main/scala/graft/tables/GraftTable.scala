@@ -1369,7 +1369,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // snapshots per PARTITION instead of per bucket (see
       // BucketMergeRead.diffRdd bucketMerged)
       rebucketT0.foreach(ts0 => GraftTable.recordRebucketInterval(
-        store, tablePath, ts0, System.currentTimeMillis()))
+        store, tablePath, ts0, System.currentTimeMillis(),
+        t0.bucketNum, t.bucketNum))
       published
     } else {
       // no live partitions (under re-bucketing descs == all live descs:
@@ -1395,7 +1396,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // that existed before a truncate/drop to data written after this
         // re-bucket — record the mapping change for those windows too
         GraftTable.recordRebucketInterval(
-          store, tablePath, ts0, System.currentTimeMillis())
+          store, tablePath, ts0, System.currentTimeMillis(), t0.bucketNum, n)
       }
       Map.empty[String, Set[String]]
     }
@@ -2038,9 +2039,24 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     deleted
   }
 
-  /** Roll a partition head back to an old version (C10). */
-  def rollbackPartition(partitionDesc: String, toVersion: Int): Unit =
+  /** Roll a partition head back to an old version (C10). Refused when a
+    * re-bucket lies between that version and now: the version's files
+    * were bucketed under a different key->bucket mapping than the rest of
+    * the table, and a PER-PARTITION rollback cannot also move the
+    * table-level bucketNum without breaking every other partition — use
+    * whole-table [[restore]], which restores the count too. */
+  def rollbackPartition(partitionDesc: String, toVersion: Int): Unit = {
+    val t = info
+    store.partitionVersions(tablePath, partitionDesc)
+      .find(_.version == toVersion).map(_.timestamp).foreach { ts =>
+        require(
+          GraftTable.bucketNumAt(ts, t.properties, t.bucketNum) == t.bucketNum,
+          s"rollbackPartition($partitionDesc, v$toVersion) crosses a " +
+            "re-bucket boundary: that version's files use a different " +
+            "bucket count; use whole-table restore instead")
+      }
     store.rollbackPartition(tablePath, partitionDesc, toVersion)
+  }
 
   /** Time-based rollback (reference LakeSoulTable.scala:574-585): resolve
     * the newest version at-or-before `toTime` (`yyyy-MM-dd HH:mm:ss`,
@@ -2089,8 +2105,24 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   /** [[restore]] with an epoch-millis boundary (inclusive — the same
     * boundary `snapshotAt` reads, so `restore(ts)` makes `toDF` return
     * exactly what `snapshotAt(ts)` returned before it). */
-  def restoreToTimestamp(ms: Long): Seq[String] =
-    store.restoreTable(tablePath, ms).map(_.partitionDesc)
+  def restoreToTimestamp(ms: Long): Seq[String] = {
+    val t = info
+    // restoring across a re-bucket must also restore the bucket COUNT:
+    // the repointed files carry the mapping in effect at the boundary,
+    // and the next upsert buckets under info.bucketNum — a mismatch
+    // splits the same key across merge groups (duplicate rows; pinned in
+    // RebucketMixSuite). The event log reconstructs the value at `ms`.
+    val target = GraftTable.bucketNumAt(ms, t.properties, t.bucketNum)
+    val ts0 = System.currentTimeMillis()
+    val moved = store.restoreTable(tablePath, ms).map(_.partitionDesc)
+    if (target != t.bucketNum) {
+      store.updateTableInfo(info.copy(bucketNum = target))
+      // the restore is itself a mapping change for diff windows
+      GraftTable.recordRebucketInterval(store, tablePath, ts0,
+        System.currentTimeMillis(), t.bucketNum, target)
+    }
+    moved
+  }
 
   /** [[restore]] to a 1-based table-level commit version — the same
     * numbering `history`, `CALL graft.history` and SQL `VERSION AS OF`
@@ -2512,31 +2544,52 @@ object GraftTable {
     * ([[GraftTable.onlySaveOnceCompaction]]). */
   val OnlyOnceCompactionProp = "graft.compaction.onlyOnce"
 
-  /** Wall-clock intervals ("start:end,..." ms, newest last, pruned to the
-    * last 64) during which a re-bucket changed the key->bucket mapping.
-    * [[GraftTable.diff]] windows overlapping one must pair the snapshots
-    * per PARTITION — bucket ids are not comparable across a mapping
-    * change ([[graft.read.BucketMergeRead.diffRdd]] bucketMerged). */
+  /** Wall-clock key->bucket MAPPING-CHANGE events
+    * ("start:end:oldN:newN,..." ms, oldest first, pruned to the last 256 —
+    * one entry per re-bucket or bucket-reverting restore; a massive
+    * rewrite op, so the list stays tiny). Two consumers:
+    * [[GraftTable.diff]] windows overlapping an event pair the snapshots
+    * per PARTITION (bucket ids are not comparable across a mapping change
+    * — [[graft.read.BucketMergeRead.diffRdd]] bucketMerged), and
+    * [[GraftTable.restoreToTimestamp]] replays the event log to restore
+    * the bucketNum in effect at the target boundary (RESTORE pointing
+    * old-mapping files under a new bucketNum would plant the
+    * duplicate-key state RebucketMixSuite pins). */
   val RebucketIntervalsProp = "graft.rebucket.intervals"
 
   private[tables] def recordRebucketInterval(store: graft.meta.MetaStore,
-      tablePath: String, ts0: Long, ts1: Long): Unit =
+      tablePath: String, ts0: Long, ts1: Long, oldN: Int, newN: Int): Unit =
     store.updateProperties(tablePath) { p =>
       val prev = p.get(RebucketIntervalsProp)
         .map(_.split(",").toSeq).getOrElse(Nil)
-      p + (RebucketIntervalsProp -> (prev :+ s"$ts0:$ts1")
-        .takeRight(64).mkString(","))
+      p + (RebucketIntervalsProp -> (prev :+ s"$ts0:$ts1:$oldN:$newN")
+        .takeRight(256).mkString(","))
     }
+
+  private def intervalsOf(props: Map[String, String]): Seq[Array[String]] =
+    props.get(RebucketIntervalsProp)
+      .map(_.split(",").toSeq.map(_.split(":"))).getOrElse(Nil)
 
   private[tables] def rebucketOverlaps(props: Map[String, String],
       tsA: Long, tsB: Long): Boolean =
-    props.get(RebucketIntervalsProp).exists(_.split(",").exists { iv =>
-      val parts = iv.split(":")
+    intervalsOf(props).exists { parts =>
       // 1 s cushion each side: commit timestamps are store-stamped
       // (monotonic bump) and may drift slightly off the recorder's clock
-      parts.length == 2 && tsA < parts(1).toLong + 1000 &&
+      parts.length >= 2 && tsA < parts(1).toLong + 1000 &&
         tsB >= parts(0).toLong - 1000
-    })
+    }
+
+  /** bucketNum in effect at wall-clock `ts`, replayed from the recorded
+    * mapping-change events: the value at `ts` is the OLD count of the
+    * first event starting after `ts`, else the current count. Exact at
+    * commit boundaries (the targets restore/time-travel resolve to);
+    * inside an event's own [start, end] window the commit may land either
+    * side — millisecond ambiguity that `validate()` catches if ever hit. */
+  private[tables] def bucketNumAt(ts: Long,
+      props: Map[String, String], current: Int): Int =
+    intervalsOf(props)
+      .filter(_.length >= 4).sortBy(_(0).toLong)
+      .find(_(0).toLong > ts).map(_(2).toInt).getOrElse(current)
 
   /** "128MB"/"1g"/"4096" → bytes (reference DBUtil.parseMemoryExpression
     * shape; binary units). */

@@ -1,0 +1,66 @@
+package graft
+
+import graft.tables.{CompactionOptions, GraftTable}
+
+/** RESTORE x re-bucket interplay (found by extending the ModelCheck op mix
+  * with re-bucket, r14): repointing a table to old-mapping files while
+  * info.bucketNum keeps the new count splits the same key across merge
+  * groups — the next upsert duplicates it. The bucketNum must travel with
+  * the restore, reconstructed from the mapping-change event log
+  * (GraftTable.RebucketIntervalsProp), and a PER-PARTITION rollback across
+  * a mapping change is refused (it cannot move the table-level count). */
+class RestoreRebucketSuite extends SparkFixture {
+  import spark.implicits._
+
+  test("whole-table restore across a re-bucket restores the bucket count too") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 32).map(i => (i.toLong, i)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      Thread.sleep(3)
+      val tsBefore = t.lastCommitTs
+      t.compaction(CompactionOptions(newBucketNum = Some(4)), _ => true)
+      Thread.sleep(3)
+      val tsAfter = t.lastCommitTs
+      assert(t.info.bucketNum == 4)
+
+      // BACK across the re-bucket: count follows the restored files
+      t.restoreToTimestamp(tsBefore)
+      assert(t.info.bucketNum == 2, "restore must revert the bucket count")
+      t.upsert(Seq((7L, 700)).toDF("id", "v"))
+      assert(t.toDF.count() == 32, "same key must merge, not duplicate")
+      assert(t.toDF.filter($"id" === 7L).select("v")
+        .collect().map(_.getInt(0)).toSeq == Seq(700))
+      assert(t.validate() == Nil)
+
+      // FORWARD again (undo the restore): count follows forward too.
+      // The upsert + restore above are themselves mapping-relevant
+      // history; the event log replays through all of it.
+      t.restoreToTimestamp(tsAfter)
+      assert(t.info.bucketNum == 4, "re-restore must re-apply the count")
+      t.upsert(Seq((7L, 777)).toDF("id", "v"))
+      assert(t.toDF.count() == 32)
+      assert(t.toDF.filter($"id" === 7L).select("v")
+        .collect().map(_.getInt(0)).toSeq == Seq(777))
+      assert(t.validate() == Nil)
+    }
+  }
+
+  test("per-partition rollback across a re-bucket is refused loudly") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 20).map(i => (i.toLong, s"p${i % 2}", i)).toDF("id", "part", "v"),
+        path, rangeColumns = Seq("part"), hashColumns = Seq("id"), bucketNum = 2)
+      Thread.sleep(3)
+      t.compaction(CompactionOptions(newBucketNum = Some(4)), _ => true)
+      // version 0 of the partition predates the re-bucket
+      val e = intercept[IllegalArgumentException](
+        t.rollbackPartition("part=p0", 0))
+      assert(e.getMessage.contains("re-bucket boundary"), e.getMessage)
+      // rolling back to a post-re-bucket version still works
+      val head = t.partitions.find(_.partitionDesc == "part=p0").get.version
+      t.rollbackPartition("part=p0", head) // no-op-ish, must not throw
+      assert(t.toDF.count() == 20)
+    }
+  }
+}
