@@ -36,7 +36,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 4 + rnd.nextInt(5)) {
-          rnd.nextInt(9) match {
+          rnd.nextInt(10) match {
             case 0 | 1 => // upsert (unique PKs per batch — the format contract)
               val b = batch()
               t.upsert(b.toDF("id", "v", "tag"))
@@ -74,6 +74,12 @@ class ModelCheckSuite extends SparkFixture {
               // the merged result, and every later op merges under it
               t.compaction(graft.tables.CompactionOptions(
                 newBucketNum = Some(1 + rnd.nextInt(4))), _ => true)
+            case 9 => // whole-table RESTORE to a random earlier boundary —
+              // interleaved with case 8 this drives the restore x
+              // re-bucket mapping replay (RestoreRebucketSuite's bugs)
+              val (ts, m) = snapshots(rnd.nextInt(snapshots.size))
+              t.restoreToTimestamp(ts)
+              model = m
           }
           Thread.sleep(2) // distinct commit timestamps for time travel
           snapshots :+= t.lastCommitTs -> model
