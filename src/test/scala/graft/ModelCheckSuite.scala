@@ -36,7 +36,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 4 + rnd.nextInt(5)) {
-          rnd.nextInt(10) match {
+          rnd.nextInt(11) match {
             case 0 | 1 => // upsert (unique PKs per batch — the format contract)
               val b = batch()
               t.upsert(b.toDF("id", "v", "tag"))
@@ -80,6 +80,10 @@ class ModelCheckSuite extends SparkFixture {
               val (ts, m) = snapshots(rnd.nextInt(snapshots.size))
               t.restoreToTimestamp(ts)
               model = m
+            case 10 => // TRUNCATE — the empty-table state interleaved with
+              // re-bucket (metadata-only path) and restore across the gap
+              t.truncateTable()
+              model = Map.empty
           }
           Thread.sleep(2) // distinct commit timestamps for time travel
           snapshots :+= t.lastCommitTs -> model
