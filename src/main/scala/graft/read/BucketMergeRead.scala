@@ -177,6 +177,55 @@ object BucketMergeRead {
     org.apache.spark.sql.graft.StreamShim.dfFromInternalRows(
       spark, readRdd(spark, table, schema, files), schema)
 
+  /** Merged rows of a file set whose runs STRADDLE a key->bucket mapping
+    * change (an incremental/change-feed window spanning a re-bucket —
+    * GraftTable.rebucketOverlaps): per-bucket dispatch is key-disjoint
+    * only under a single mapping, so here ONE task per range partition
+    * k-way-merges every (commit, bucket) subgroup as its own key-sorted
+    * run, ordered by commit ordinal — last-writer-wins stays exact even
+    * where old- and new-mapping runs overlap in key space. Without this,
+    * a key's pre-re-bucket row (old bucket) and post-re-bucket row (new
+    * bucket) land in different merge groups and BOTH surface (caught by
+    * the CDC model check: the change feed double-delivered straddling
+    * keys). */
+  def readCrossBucket(
+      spark: SparkSession,
+      table: TableInfo,
+      schema: StructType,
+      files: Seq[ResolvedFile]): DataFrame = {
+    val readFn = org.apache.spark.sql.graft.StreamShim.parquetReadFunction(spark, schema)
+    val groups = files.groupBy(_.partitionDesc).toSeq.sortBy(_._1)
+      .map { case (_, fs) =>
+        val runs = fs.groupBy(f => (f.commitOrdinal, f.file.bucketId))
+          .toSeq.sortBy(_._1)
+          .flatMap { case (_, sub) =>
+            orderedRuns(table, schema, sub).map { case (run, mask, tomb) =>
+              (run.map { f =>
+                PartitionedFile(InternalRow.empty,
+                  SparkPath.fromPathString(f.file.path), 0L, f.file.size)
+              }, mask, tomb)
+            }
+          }
+        BucketGroup(-1, runs)
+      }
+    val keyIdxArr = (table.rangeColumns ++ table.hashColumns)
+      .map(schema.fieldIndex).toArray
+    val keyTypesArr = keyIdxArr.map(schema.fields(_).dataType)
+    val merges = fieldMerges(table, schema)
+    val cap = BoundedMerge.cap(spark, schema)
+    val rdd = spark.sparkContext
+      .parallelize(groups, math.max(1, groups.size))
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(schema.fields.map(_.dataType))
+        it.flatMap { g =>
+          BoundedMerge.iterator(readFn, g.runs.map(_._1).toIndexedSeq,
+            g.runs.map(_._2).toArray, g.runs.map(_._3).toArray,
+            keyIdxArr, keyTypesArr, merges, cap).map(proj)
+        }
+      }
+    org.apache.spark.sql.graft.StreamShim.dfFromInternalRows(spark, rdd, schema)
+  }
+
   /** The merged rows as an RDD whose partition index == bucket id (the
     * basis for co-located bucketed joins, SURVEY.md §2.4 J4). */
   def readRdd(

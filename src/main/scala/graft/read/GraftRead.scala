@@ -46,7 +46,8 @@ object GraftRead {
       table: TableInfo,
       files: Seq[ResolvedFile],
       keepCdcRows: Boolean = false,
-      requiredColumns: Option[Seq[String]] = None): DataFrame = {
+      requiredColumns: Option[Seq[String]] = None,
+      crossBucketMerge: Boolean = false): DataFrame = {
     val fullSchema = graft.util.SchemaUtil.fromJson(table.schemaJson)
     // column pruning (F1): scan only requested columns + merge keys + the
     // CDC marker; extra service columns are dropped at the end
@@ -80,6 +81,23 @@ object GraftRead {
     // onto the row-at-a-time merge path. Tombstone runs force the merge
     // path (they are deletion markers, not data — a plain scan would
     // surface their key-only rows).
+    // crossBucketMerge (incremental windows spanning a re-bucket): the
+    // bucket-granularity dispatch below is key-disjoint only under ONE
+    // key->bucket mapping — a straddling file set must merge per
+    // PARTITION with per-(commit,bucket) runs in one global key order
+    // (BucketMergeRead.readCrossBucket), no plain-scan split at all
+    if (crossBucketMerge && table.hasPrimaryKey && !skipMerge) {
+      val df0 =
+        if (BucketMergeRead.supports(table, schema, files))
+          BucketMergeRead.readCrossBucket(spark, table, schema, files)
+        else mergeRead(spark, table, schema, files) // PK-agg: bucket-agnostic
+      val vis0 = table.cdcColumn match {
+        case Some(cdc) if !keepCdcRows => df0.filter(col(cdc) =!= "delete")
+        case _ => df0
+      }
+      return vis0.select(outputCols.map(qcol).toSeq: _*)
+    }
+
     val byGroup = files.groupBy(f => (f.partitionDesc, f.file.bucketId))
     val (multiRun, singleRun) =
       if (!table.hasPrimaryKey || skipMerge)

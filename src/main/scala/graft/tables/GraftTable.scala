@@ -155,17 +155,28 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * batch semantics' silent abort-to-empty. */
   def incremental(startTime: Long, endTime: Long,
       partitionPred: String => Boolean = _ => true,
-      strict: Boolean = false): DataFrame =
-    GraftRead.read(spark, info,
+      strict: Boolean = false): DataFrame = {
+    val t = info
+    GraftRead.read(spark, t,
       resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred,
         strict = strict),
-      keepCdcRows = true)
+      keepCdcRows = true,
+      // a window spanning a re-bucket delivers runs from BOTH mappings:
+      // the per-bucket merge dispatch would double-surface straddling
+      // keys (CdcModelCheckSuite) — merge per partition instead
+      crossBucketMerge =
+        GraftTable.rebucketOverlaps(t.properties, startTime, endTime))
+  }
 
   def incrementalForDescs(startTime: Long, endTime: Long,
-      descs: Seq[String]): DataFrame =
-    GraftRead.read(spark, info,
+      descs: Seq[String]): DataFrame = {
+    val t = info
+    GraftRead.read(spark, t,
       resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs),
-      keepCdcRows = true)
+      keepCdcRows = true,
+      crossBucketMerge =
+        GraftTable.rebucketOverlaps(t.properties, startTime, endTime))
+  }
 
   /** Row-level change feed over (startTime, endTime] — the CDF shape
     * (Delta's `table_changes`, Iceberg's changelog scan; beyond the
