@@ -187,7 +187,15 @@ object BucketMergeRead {
     * a key's pre-re-bucket row (old bucket) and post-re-bucket row (new
     * bucket) land in different merge groups and BOTH surface (caught by
     * the CDC model check: the change feed double-delivered straddling
-    * keys). */
+    * keys).
+    *
+    * Scale note: parallelism here is per RANGE PARTITION — on an
+    * unpartitioned table a re-bucket-spanning window merges in one task.
+    * That is the price of exactly one maintenance event inside exactly
+    * that window (re-buckets are rare, whole-table rewrites); consumers
+    * that cannot afford it should advance their cursor past the re-bucket
+    * boundary (two windows, each mapping-consistent, each fully
+    * bucket-parallel) — which is also what a strict stream re-pin does. */
   def readCrossBucket(
       spark: SparkSession,
       table: TableInfo,
