@@ -205,7 +205,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 5 + rnd.nextInt(4)) {
-          rnd.nextInt(7) match {
+          rnd.nextInt(8) match {
             case 0 => // full upsert of a random key subset
               val b = rnd.shuffle(keys.toList).take(1 + rnd.nextInt(keys.size))
                 .map(fullRow)
@@ -259,6 +259,11 @@ class ModelCheckSuite extends SparkFixture {
               val (ts, m) = snapshots(rnd.nextInt(snapshots.size))
               t.restoreToTimestamp(ts)
               model = m
+            case 7 => // whole-table RE-BUCKET: per-run column presence and
+              // nested values must survive the mapping rewrite, and the
+              // restore op above must replay the count across it
+              t.compaction(graft.tables.CompactionOptions(
+                newBucketNum = Some(1 + rnd.nextInt(4))), _ => true)
           }
           Thread.sleep(2) // distinct commit boundaries for restore targets
           snapshots :+= t.lastCommitTs -> model
