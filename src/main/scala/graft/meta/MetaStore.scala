@@ -3,7 +3,7 @@ package graft.meta
 import java.io.{File, RandomAccessFile}
 import java.nio.channels.FileLock
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
@@ -300,13 +300,29 @@ class FileMetaStore extends MetaStore {
           "control requires the JDBC catalog (-Dgraft.meta.uri=jdbc:...)")
   }
 
+  /** ATOMIC info-file replace: `Files.writeString` truncates in place, and
+    * getTableInfo is deliberately lock-free — a concurrent reader could
+    * observe an empty/partial JSON (seen as a jackson end-of-input in the
+    * re-bucket race property). Write-to-temp + atomic rename means readers
+    * always see the old or the new content, never a torn one. */
+  private def writeInfoAtomic(p: Path, content: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + "." +
+      UUID.randomUUID().toString + ".tmp")
+    Files.writeString(tmp, content)
+    try Files.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   override def createTable(info: TableInfo): Unit = withFileLock(info.tablePath) {
     checkSingleUser()
     val p = tableInfoPath(info.tablePath)
     if (Files.exists(p))
       throw new IllegalStateException(s"graft table already exists at ${info.tablePath}")
     Files.createDirectories(commitsDir(info.tablePath))
-    Files.writeString(p, jwrite(info))
+    writeInfoAtomic(p, jwrite(info))
   }
 
   override def getTableInfo(tablePath: String): Option[TableInfo] = {
@@ -327,7 +343,7 @@ class FileMetaStore extends MetaStore {
   }
 
   override def updateTableInfo(info: TableInfo): Unit = withFileLock(info.tablePath) {
-    Files.writeString(tableInfoPath(info.tablePath), jwrite(info))
+    writeInfoAtomic(tableInfoPath(info.tablePath), jwrite(info))
     infoCache.remove(canonical(info.tablePath))
   }
 
@@ -337,7 +353,7 @@ class FileMetaStore extends MetaStore {
     else {
       val t = getTableInfo(tablePath).getOrElse(
         throw new IllegalArgumentException(s"no graft table at $tablePath"))
-      Files.writeString(tableInfoPath(tablePath),
+      writeInfoAtomic(tableInfoPath(tablePath),
         jwrite(t.copy(bucketNum = newBucketNum)))
       infoCache.remove(canonical(tablePath))
       true
@@ -354,7 +370,7 @@ class FileMetaStore extends MetaStore {
       val p = tableInfoPath(tablePath)
       require(Files.exists(p), s"no graft table at $tablePath")
       val t = jread[TableInfo](Files.readString(p))
-      Files.writeString(p, jwrite(t.copy(properties = f(t.properties))))
+      writeInfoAtomic(p, jwrite(t.copy(properties = f(t.properties))))
       infoCache.remove(canonical(tablePath))
     }
 
