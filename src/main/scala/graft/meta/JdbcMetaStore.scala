@@ -602,7 +602,12 @@ class JdbcMetaStore(url: String) extends MetaStore {
   }
 
   override def updateProperties(tablePath: String)(
-      f: Map[String, String] => Map[String, String]): Unit = {
+      f: Map[String, String] => Map[String, String]): Unit =
+    updateInfo(tablePath)(t => t.copy(properties = f(t.properties)))
+
+  /** Atomic RMW of the whole info row (rev-guarded CAS loop, same shape
+    * as the property path it generalizes). */
+  override def updateInfo(tablePath: String)(f: TableInfo => TableInfo): Unit = {
     val tp = canonical(tablePath)
     // same RLS gate as every other mutation: a foreign-domain table must
     // not be property-mutable (graft.domain itself lives in properties, so
@@ -624,7 +629,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
         } finally ps.close()
       }
       val (rev, t) = cur
-      val updated = t.copy(properties = f(t.properties))
+      val updated = f(t)
       done = withTx { c =>
         val ps = c.prepareStatement(
           "UPDATE graft_table_info SET info = ?, rev = ? " +
@@ -665,7 +670,8 @@ class JdbcMetaStore(url: String) extends MetaStore {
         if (!cur.contains(exp))
           throw new MetaRerunException(
             s"table bucketNum moved: files written under $exp, table now " +
-              s"at ${cur.getOrElse(-1)} (concurrent re-bucket) — rerun")
+              s"at ${cur.getOrElse(-1)} (concurrent re-bucket) — rerun",
+            bucketConflict = true)
       }
       commitLocked(c, tp, commits, expectedVersions)
     }
@@ -692,8 +698,14 @@ class JdbcMetaStore(url: String) extends MetaStore {
         val up = c.prepareStatement(
           "UPDATE graft_table_info SET info = ?, rev = rev + 1 " +
             "WHERE table_path = ?")
+        // the mapping-change event lands in the SAME row write as the
+        // flip: diff windows spanning a truncate -> re-bucket -> rewrite
+        // sequence need the recorded boundary even though no files moved
+        val ts = System.currentTimeMillis()
         try {
-          up.setString(1, jwrite(t.copy(bucketNum = newBucketNum)))
+          up.setString(1, jwrite(t.copy(bucketNum = newBucketNum,
+            properties = RebucketLog.appendClosed(t.properties, ts, ts,
+              t.bucketNum, newBucketNum))))
           up.setString(2, tp)
           up.executeUpdate() == 1
         } finally up.close()
@@ -731,7 +743,7 @@ class JdbcMetaStore(url: String) extends MetaStore {
               throw new MetaRerunException(
                 s"table bucketNum moved: files staged under $exp, table " +
                   s"now at ${cur.getOrElse(-1)} (concurrent re-bucket)",
-                Some(orig))
+                Some(orig), bucketConflict = true)
           }
         try commitLocked(c, tp, cs, ev)
         catch {
@@ -1054,22 +1066,39 @@ class JdbcMetaStore(url: String) extends MetaStore {
     }
   }
 
-  override def restoreTable(tablePath: String, asOfTs: Long): Seq[PartitionInfo] = {
+  override def restoreTable(tablePath: String, asOfTs: Long,
+      infoUpdate: Option[TableInfo => TableInfo] = None): Seq[PartitionInfo] = {
     val tp = canonical(tablePath)
     requireVisible(tp, tablePath)
     withTx { c =>
       lockTable(c, tp)
       val appends = MetaStore.restoreAppends(logRows(c, tp, None), asOfTs)
-      if (appends.isEmpty) Nil
-      else {
-        val (seq0, ts) = allocate(c, tp, appends.size)
-        appends.zipWithIndex.map { case (pi0, i) =>
-          val pi = pi0.copy(timestamp = ts)
-          insertLogRow(c, tp, seq0 + i, pi)
-          upsertHead(c, tp, pi, seq0 + i)
-          pi
+      val out =
+        if (appends.isEmpty) Nil
+        else {
+          val (seq0, ts) = allocate(c, tp, appends.size)
+          appends.zipWithIndex.map { case (pi0, i) =>
+            val pi = pi0.copy(timestamp = ts)
+            insertLogRow(c, tp, seq0 + i, pi)
+            upsertHead(c, tp, pi, seq0 + i)
+            pi
+          }
         }
+      // info flip in the SAME transaction as the repointing (trait
+      // scaladoc): the table lock is held, so the plain rev bump cannot
+      // race another writer
+      infoUpdate.foreach { f =>
+        val t = rawInfoIn(c, tp).getOrElse(
+          throw new IllegalArgumentException(s"no graft table at $tablePath"))
+        val up = c.prepareStatement(
+          "UPDATE graft_table_info SET info = ?, rev = rev + 1 " +
+            "WHERE table_path = ?")
+        try {
+          up.setString(1, jwrite(f(t))); up.setString(2, tp)
+          up.executeUpdate()
+        } finally up.close()
       }
+      out
     }
   }
 

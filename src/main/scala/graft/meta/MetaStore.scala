@@ -23,7 +23,14 @@ class MetaRerunException(msg: String,
     /** Underlying store error, kept when a rewrap renames the conflict —
       * retry-exhaustion reports must distinguish a real CAS race from an
       * unexpected database failure. */
-    cause: Throwable = null) extends RuntimeException(msg, cause)
+    cause: Throwable = null,
+    /** True when the conflict is the writer-side re-bucket CAS (the
+      * table's bucketNum moved under files already written): retrying the
+      * SAME commit can never succeed — the caller must re-stage the write
+      * under the new count (or, for a planned streaming batch, fail the
+      * batch so the restarted query re-plans). Typed so callers never
+      * match on message text (two stores word it independently). */
+    val bucketConflict: Boolean = false) extends RuntimeException(msg, cause)
 
 /** Metadata store API — the same five logical tables as the reference's
   * PostgreSQL catalog (SURVEY.md §1.1), behind a trait so other backends can
@@ -38,10 +45,18 @@ trait MetaStore {
     * vacuum's lazy prune, two clones registering at once) must not lose
     * updates the way read-then-updateTableInfo does. */
   def updateProperties(tablePath: String)(
-      f: Map[String, String] => Map[String, String]): Unit = {
+      f: Map[String, String] => Map[String, String]): Unit =
+    updateInfo(tablePath)(t => t.copy(properties = f(t.properties)))
+
+  /** ATOMIC read-modify-write of the WHOLE table info (the generalization
+    * of [[updateProperties]] to fields like bucketNum): `f` sees the
+    * freshest info under the store's table lock / CAS, so flips that must
+    * pair with a property write — a re-bucket's count + its mapping-change
+    * marker — land as ONE visible transition. */
+  def updateInfo(tablePath: String)(f: TableInfo => TableInfo): Unit = {
     val t = getTableInfo(tablePath).getOrElse(throw new IllegalArgumentException(
       s"no graft table at $tablePath"))
-    updateTableInfo(t.copy(properties = f(t.properties)))
+    updateTableInfo(f(t))
   }
 
   /** Atomically publish `commits` (one per touched partition), bumping each
@@ -186,8 +201,17 @@ trait MetaStore {
     * drop tombstone; partitions already at their boundary content append
     * nothing (idempotent). Metadata-only (O(partitions), no data IO); the
     * restore is itself a commit — undoable by another restore, by version
-    * or timestamp. Returns the appended lines. */
-  def restoreTable(tablePath: String, asOfTs: Long): Seq[PartitionInfo]
+    * or timestamp. Returns the appended lines.
+    *
+    * `infoUpdate` (when set) is applied to the table info INSIDE the same
+    * critical section as the head repointing: a restore that crosses a
+    * re-bucket must flip bucketNum back WITH the restore — done as two
+    * calls, a concurrent PK writer between them writes files under the
+    * pre-restore count, passes its expectedBucketNum commit CAS (info not
+    * yet flipped), and the late flip plants the mixed-bucket
+    * duplicate-key state the commit CAS protocol exists to prevent. */
+  def restoreTable(tablePath: String, asOfTs: Long,
+      infoUpdate: Option[TableInfo => TableInfo] = None): Seq[PartitionInfo]
 
   def dropTable(tablePath: String): Unit
   def dropPartition(tablePath: String, partitionDesc: String): Unit
@@ -351,14 +375,41 @@ class FileMetaStore extends MetaStore {
       tablePath: String, newBucketNum: Int): Boolean = withFileLock(tablePath) {
     if (headMap(tablePath).nonEmpty) false
     else {
-      val t = getTableInfo(tablePath).getOrElse(
+      // read the info FILE directly (not the mtime+size-validated cache):
+      // a same-length rewrite within the cached read's millisecond would
+      // serve stale info here, resurrecting old properties or bucketNum
+      val t = rawInfo(tablePath).getOrElse(
         throw new IllegalArgumentException(s"no graft table at $tablePath"))
+      // record the mapping-change event in the SAME write as the flip: a
+      // diff window may span from data that existed before a
+      // truncate/drop to data written after this re-bucket
+      val ts = System.currentTimeMillis()
       writeInfoAtomic(tableInfoPath(tablePath),
-        jwrite(t.copy(bucketNum = newBucketNum)))
+        jwrite(t.copy(bucketNum = newBucketNum, properties =
+          RebucketLog.appendClosed(t.properties, ts, ts,
+            t.bucketNum, newBucketNum))))
       infoCache.remove(canonical(tablePath))
       true
     }
   }
+
+  /** Uncached info read — for decisions made UNDER the file lock, where
+    * the (mtime, size) cache validation is not collision-proof (a
+    * same-length JSON rewrite inside one millisecond revalidates stale). */
+  private def rawInfo(tablePath: String): Option[TableInfo] = {
+    val p = tableInfoPath(tablePath)
+    if (!Files.exists(p)) None else Some(jread[TableInfo](Files.readString(p)))
+  }
+
+  /** Read + modify + write the WHOLE info under ONE file lock (see
+    * [[updateProperties]]). */
+  override def updateInfo(tablePath: String)(f: TableInfo => TableInfo): Unit =
+    withFileLock(tablePath) {
+      val t = rawInfo(tablePath).getOrElse(
+        throw new IllegalArgumentException(s"no graft table at $tablePath"))
+      writeInfoAtomic(tableInfoPath(tablePath), jwrite(f(t)))
+      infoCache.remove(canonical(tablePath))
+    }
 
   /** Read + modify + write under ONE file lock (the trait default's
     * read-then-update is not atomic across processes). Writes the file
@@ -383,11 +434,15 @@ class FileMetaStore extends MetaStore {
     // files were written under must still be the table's — checked inside
     // the lock so it serializes against rebucketIfNoPartitions
     expectedBucketNum.foreach { exp =>
-      val cur = getTableInfo(tablePath).map(_.bucketNum)
+      // uncached read: the commit-side CAS must see the freshest count (a
+      // second store instance's (mtime, size) cache can revalidate a
+      // same-length re-bucket rewrite landing in the same millisecond)
+      val cur = rawInfo(tablePath).map(_.bucketNum)
       if (!cur.contains(exp))
         throw new MetaRerunException(
           s"table bucketNum moved: files written under $exp, table now at " +
-            s"${cur.getOrElse(-1)} (concurrent re-bucket) — rerun the write")
+            s"${cur.getOrElse(-1)} (concurrent re-bucket) — rerun the write",
+          bucketConflict = true)
     }
     val heads = headMap(tablePath)
     // CAS: every touched partition must still be at the version the writer saw.
@@ -711,7 +766,8 @@ class FileMetaStore extends MetaStore {
       appendVersions(tablePath, Seq(target.copy(timestamp = nextTs())))
     }
 
-  override def restoreTable(tablePath: String, asOfTs: Long): Seq[PartitionInfo] =
+  override def restoreTable(tablePath: String, asOfTs: Long,
+      infoUpdate: Option[TableInfo => TableInfo] = None): Seq[PartitionInfo] =
     withFileLock(tablePath) {
       // ONE commit timestamp for every appended line (like commit()): time
       // travel must never resolve a boundary INSIDE the restore
@@ -719,6 +775,15 @@ class FileMetaStore extends MetaStore {
       val appends = MetaStore.restoreAppends(allVersionLines(tablePath), asOfTs)
         .map(_.copy(timestamp = ts))
       if (appends.nonEmpty) appendVersions(tablePath, appends)
+      // same critical section as the repointing (see trait scaladoc): a
+      // bucket-restoring flip must not open a window for a stale-count
+      // writer between the two
+      infoUpdate.foreach { f =>
+        val t = rawInfo(tablePath).getOrElse(
+          throw new IllegalArgumentException(s"no graft table at $tablePath"))
+        writeInfoAtomic(tableInfoPath(tablePath), jwrite(f(t)))
+        infoCache.remove(canonical(tablePath))
+      }
       appends
     }
 

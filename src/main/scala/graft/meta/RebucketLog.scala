@@ -1,0 +1,124 @@
+package graft.meta
+
+/** Wall-clock log of key->bucket MAPPING-CHANGE events, stored in the
+  * table properties as `"ts0:ts1:oldN:newN,..."` (ms, oldest first) — one
+  * entry per re-bucket or bucket-reverting restore. A rewrite still in
+  * flight carries `ts1 = "open"`: the marker is written ATOMICALLY WITH
+  * the bucketNum flip (before any file is rewritten) and closed when the
+  * rewrite publishes, so a crash between the two can never leave a
+  * re-bucketed table with no recorded interval — readers see the open
+  * marker and treat every window past ts0 as mapping-ambiguous until a
+  * completed re-bucket closes it (conservative: cross-bucket merge, never
+  * a double-surfaced key).
+  *
+  * Consumers: incremental/diff windows overlapping an event must not pair
+  * merge groups per bucket id (ids are not comparable across a mapping
+  * change — GraftTable splits the window at the boundary or falls back to
+  * the cross-bucket merge), and restore replays the log to recover the
+  * bucketNum in effect at its target boundary.
+  *
+  * The log keeps the newest [[MaxEvents]] entries; when pruning drops an
+  * event the horizon property records the dropped boundary, and restores
+  * older than it are REFUSED ([[GraftTable.restoreToTimestamp]]) — past
+  * the horizon [[bucketNumAt]] could silently return the wrong count. */
+object RebucketLog {
+
+  /** Table property holding the event list. */
+  val Prop = "graft.rebucket.intervals"
+
+  /** Newest pruned event boundary (ms): bucket history BEFORE this
+    * timestamp is no longer reconstructible. Absent until the first
+    * prune; re-buckets are rare whole-table rewrites, so 256 retained
+    * events make the horizon effectively unreachable in practice. */
+  val HorizonProp = "graft.rebucket.horizon"
+
+  val MaxEvents = 256
+
+  private val OpenMark = "open"
+
+  /** (ts0, ts1, oldN, newN); ts1 = Long.MaxValue for an open marker. */
+  private[meta] def parse(props: Map[String, String]): Seq[(Long, Long, Int, Int)] =
+    props.get(Prop).map(_.split(",").toSeq.map(_.split(":"))
+      .collect { case p if p.length >= 4 =>
+        (p(0).toLong,
+          if (p(1) == OpenMark) Long.MaxValue else p(1).toLong,
+          p(2).toInt, p(3).toInt)
+      }).getOrElse(Nil)
+
+  private def render(es: Seq[(Long, Long, Int, Int)]): String =
+    es.map { case (a, b, o, n) =>
+      s"$a:${if (b == Long.MaxValue) OpenMark else b.toString}:$o:$n"
+    }.mkString(",")
+
+  private def put(props: Map[String, String],
+      es: Seq[(Long, Long, Int, Int)]): Map[String, String] = {
+    // never prune an OPEN marker: it is the only record that the table may
+    // hold mixed-mapping files until a re-bucket completes
+    val (overflow, kept) =
+      if (es.size <= MaxEvents) (Nil, es)
+      else {
+        val closed = es.filter(_._2 != Long.MaxValue)
+        val open = es.filter(_._2 == Long.MaxValue)
+        val dropN = es.size - MaxEvents
+        val dropped = closed.take(dropN)
+        (dropped, (closed.drop(dropN) ++ open).sortBy(_._1))
+      }
+    val horizon = (props.get(HorizonProp).map(_.toLong).toSeq ++
+      overflow.map(_._2)).maxOption
+    props + (Prop -> render(kept)) ++
+      horizon.map(h => HorizonProp -> h.toString)
+  }
+
+  /** Append an OPEN in-progress marker (atomic with the bucketNum flip). */
+  def appendOpen(props: Map[String, String], ts0: Long,
+      oldN: Int, newN: Int): Map[String, String] =
+    put(props, parse(props) :+ ((ts0, Long.MaxValue, oldN, newN)))
+
+  /** Append a completed event (metadata-only re-buckets and restores). */
+  def appendClosed(props: Map[String, String], ts0: Long, ts1: Long,
+      oldN: Int, newN: Int): Map[String, String] =
+    put(props, parse(props) :+ ((ts0, ts1, oldN, newN)))
+
+  /** Close every open marker at `ts1` — called when a re-bucket rewrite
+    * has published ALL partitions, which also makes any marker left open
+    * by an earlier crashed attempt moot: the table is mapping-consistent
+    * from `ts1` on. */
+  def close(props: Map[String, String], ts1: Long): Map[String, String] =
+    put(props, parse(props).map {
+      case (a, b, o, n) if b == Long.MaxValue => (a, ts1, o, n)
+      case e => e
+    })
+
+  /** Does (tsA, tsB] overlap any mapping-change event? 1 s cushion each
+    * side: commit timestamps are store-stamped (monotonic bump) and may
+    * drift slightly off the recorder's clock. An open marker overlaps
+    * every window reaching past its start. */
+  def overlaps(props: Map[String, String], tsA: Long, tsB: Long): Boolean =
+    parse(props).exists { case (ts0, ts1, _, _) =>
+      tsA < (if (ts1 == Long.MaxValue) Long.MaxValue else ts1 + 1000) &&
+        tsB >= ts0 - 1000
+    }
+
+  /** The events overlapping (tsA, tsB] under the same cushion. */
+  def overlapping(props: Map[String, String], tsA: Long,
+      tsB: Long): Seq[(Long, Long, Int, Int)] =
+    parse(props).filter { case (ts0, ts1, _, _) =>
+      tsA < (if (ts1 == Long.MaxValue) Long.MaxValue else ts1 + 1000) &&
+        tsB >= ts0 - 1000
+    }
+
+  /** bucketNum in effect at wall-clock `ts`, replayed from the recorded
+    * events: the value at `ts` is the OLD count of the first event
+    * starting after `ts`, else the current count. Exact at commit
+    * boundaries (the targets restore/time-travel resolve to); inside an
+    * event's own [start, end] window the commit may land either side —
+    * millisecond ambiguity that `validate()` catches if ever hit. Callers
+    * resolving targets BEFORE [[horizon]] must refuse instead (the answer
+    * here would be the oldest retained event's count, not the truth). */
+  def bucketNumAt(ts: Long, props: Map[String, String], current: Int): Int =
+    parse(props).sortBy(_._1).find(_._1 > ts).map(_._3).getOrElse(current)
+
+  /** Pruned-history boundary, if pruning has ever happened. */
+  def horizon(props: Map[String, String]): Option[Long] =
+    props.get(HorizonProp).map(_.toLong)
+}

@@ -496,14 +496,30 @@ object Dedup {
 
   /** [[jaccardNearDupPairs]] memoized per (input plan, params) — see
     * [[sharedPairs]]. Use from read-only analyses over a stable corpus
-    * frame; mutating pipelines should call [[jaccardNearDupPairs]]. */
+    * frame; mutating pipelines should call [[jaccardNearDupPairs]].
+    *
+    * SOUNDNESS of the key rests on the input files being IMMUTABLE for
+    * the memo's lifetime: graft data files are (commits add files, never
+    * rewrite them in place), and so are the gate's parquet fixtures — but
+    * a raw-parquet corpus OVERWRITTEN IN PLACE between calls keeps its
+    * plan text and (often) its file list, and would be served the stale
+    * pair set. Pass `refresh = true` after any in-place rewrite to
+    * recompute and re-memoize. Non-file-backed inputs (in-memory
+    * LocalRelations, views over them) are NEVER memoized: `inputFiles` is
+    * empty and a LocalRelation's canonicalized plan truncates row data,
+    * so two different in-memory corpora of the same schema could collide
+    * on the key — they fall through to [[jaccardNearDupPairs]]. */
   def jaccardNearDupPairsShared(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      k: Int = 3): DataFrame = sharedPairs.synchronized {
+      k: Int = 3,
+      refresh: Boolean = false): DataFrame = sharedPairs.synchronized {
     val sc = df.sparkSession.sparkContext
+    val files = df.inputFiles
+    if (files.isEmpty)
+      return jaccardNearDupPairs(df, idCol, textCol, threshold, k)
     // canonicalized plan text does NOT name the scanned files (a
     // LogicalRelation prints as `Relation[cols] parquet`, path elided) —
     // two corpora in different directories canonicalize identically, so
@@ -511,8 +527,8 @@ object Dedup {
     // caller would silently get the small corpus's pairs
     val key = s"${sc.applicationId}|$idCol|$textCol|$threshold|$k|" +
       df.queryExecution.logical.canonicalized.toString + "|" +
-      df.inputFiles.sorted.mkString(",")
-    val hit = sharedPairs.get(key)
+      files.sorted.mkString(",")
+    val hit = if (refresh) null else sharedPairs.get(key)
     if (hit != null) hit
     else {
       val pairs = jaccardNearDupPairs(df, idCol, textCol, threshold, k)

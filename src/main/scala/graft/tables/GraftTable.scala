@@ -563,8 +563,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val guard = writtenBucketNum.filter(_ => t.hasPrimaryKey)
     try publish(commits, headsNow, guard)
     catch {
-      case e: graft.meta.MetaRerunException
-          if guard.isDefined && e.getMessage.contains("bucketNum moved") =>
+      case e: graft.meta.MetaRerunException if guard.isDefined && e.bucketConflict =>
         throw new IllegalStateException(
           s"micro-batch $batchId was planned under bucketNum ${guard.get} " +
             "but the table was re-bucketed concurrently; restart the " +
@@ -1299,14 +1298,24 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     if (descs.nonEmpty) {
       // re-bucketing updates bucketNum BEFORE the rewrite so writeFiles
       // places rows with the new bucket count; readers use per-file bucket
-      // ids from the path so old files stay readable until expired
+      // ids from the path so old files stay readable until expired. The
+      // flip carries an OPEN mapping-change marker in the SAME info write
+      // (RebucketLog): recording the interval only after the rewrite
+      // published left a crash window in which a re-bucketed table had no
+      // recorded event — incremental/diff readers resolving that window
+      // would pair merge groups per bucket id across two mappings
+      // (double-surfaced keys / fabricated delete+insert pairs). The open
+      // marker flags every window past ts0 as mapping-ambiguous until the
+      // publish below closes it.
       var published = Map.empty[String, Set[String]]
       val rebucketT0 = opts.newBucketNum
         .filter(_ != t0.bucketNum).map(_ => System.currentTimeMillis())
       val t = opts.newBucketNum match {
         case Some(n) if n != t0.bucketNum =>
-          val updated = t0.copy(bucketNum = n)
-          store.updateTableInfo(updated); updated
+          store.updateInfo(tablePath)(cur => cur.copy(bucketNum = n,
+            properties = graft.meta.RebucketLog.appendOpen(
+              cur.properties, rebucketT0.get, cur.bucketNum, n)))
+          info // re-read: keep any concurrent property updates visible
         case _ => t0
       }
       val all = resolver.currentFiles(tablePath, descs.contains)
@@ -1375,13 +1384,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             .view.mapValues(_.map(_.commitId).toSet).toMap
         }
       }
-      // a completed rewriting re-bucket changed the key->bucket mapping:
-      // record the wall-clock interval so diff() windows spanning it pair
-      // snapshots per PARTITION instead of per bucket (see
-      // BucketMergeRead.diffRdd bucketMerged)
-      rebucketT0.foreach(ts0 => GraftTable.recordRebucketInterval(
-        store, tablePath, ts0, System.currentTimeMillis(),
-        t0.bucketNum, t.bucketNum))
+      // the rewrite published every partition under the new mapping: CLOSE
+      // the open marker (and any marker a crashed earlier attempt left
+      // open — the table is mapping-consistent from here on), bounding the
+      // interval diff/incremental windows must treat as cross-bucket
+      rebucketT0.foreach(_ => store.updateProperties(tablePath)(
+        graft.meta.RebucketLog.close(_, System.currentTimeMillis())))
       published
     } else {
       // no live partitions (under re-bucketing descs == all live descs:
@@ -1398,16 +1406,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // the write lands first (this returns false and the retry takes
         // the rewriting path). Mixed bucket counts (RebucketMixSuite's
         // duplicate-key state) can no longer be planted by any interleave.
-        val ts0 = System.currentTimeMillis()
+        // the store records the mapping-change event in the SAME critical
+        // section as the flip (a diff window may span from data that
+        // existed before a truncate/drop to data written after this
+        // re-bucket; recording it separately left a crash window with no
+        // recorded event)
         if (!store.rebucketIfNoPartitions(tablePath, n))
           throw new graft.meta.MetaRerunException(
             "concurrent first write landed during an empty-table " +
               "re-bucket; retrying as a rewriting re-bucket")
-        // the table is empty NOW, but a diff window may span from data
-        // that existed before a truncate/drop to data written after this
-        // re-bucket — record the mapping change for those windows too
-        GraftTable.recordRebucketInterval(
-          store, tablePath, ts0, System.currentTimeMillis(), t0.bucketNum, n)
       }
       Map.empty[String, Set[String]]
     }
@@ -2060,6 +2067,11 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     val t = info
     store.partitionVersions(tablePath, partitionDesc)
       .find(_.version == toVersion).map(_.timestamp).foreach { ts =>
+        graft.meta.RebucketLog.horizon(t.properties).filter(ts < _).foreach(
+          h => throw new IllegalArgumentException(
+            s"rollbackPartition($partitionDesc, v$toVersion) targets a " +
+              s"version older than the retained re-bucket event horizon " +
+              s"$h: whether it crosses a re-bucket is no longer decidable"))
         require(
           GraftTable.bucketNumAt(ts, t.properties, t.bucketNum) == t.bucketNum,
           s"rollbackPartition($partitionDesc, v$toVersion) crosses a " +
@@ -2117,22 +2129,34 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * boundary `snapshotAt` reads, so `restore(ts)` makes `toDF` return
     * exactly what `snapshotAt(ts)` returned before it). */
   def restoreToTimestamp(ms: Long): Seq[String] = {
-    val t = info
+    import graft.meta.RebucketLog
+    // past the event-log prune horizon the bucket count at `ms` is not
+    // reconstructible — restoring there could repoint old-mapping files
+    // under a silently-wrong count (the duplicate-key state RebucketMix
+    // pins). Unreachable in practice (256 retained re-bucket events).
+    RebucketLog.horizon(info.properties).filter(ms < _).foreach(h =>
+      throw new IllegalArgumentException(
+        s"restore target $ms predates the retained re-bucket event " +
+          s"horizon $h: the bucket count in effect then is no longer " +
+          "recorded; restore to a boundary at or after the horizon"))
     // restoring across a re-bucket must also restore the bucket COUNT:
     // the repointed files carry the mapping in effect at the boundary,
     // and the next upsert buckets under info.bucketNum — a mismatch
     // splits the same key across merge groups (duplicate rows; pinned in
-    // RebucketMixSuite). The event log reconstructs the value at `ms`.
-    val target = GraftTable.bucketNumAt(ms, t.properties, t.bucketNum)
-    val ts0 = System.currentTimeMillis()
-    val moved = store.restoreTable(tablePath, ms).map(_.partitionDesc)
-    if (target != t.bucketNum) {
-      store.updateTableInfo(info.copy(bucketNum = target))
-      // the restore is itself a mapping change for diff windows
-      GraftTable.recordRebucketInterval(store, tablePath, ts0,
-        System.currentTimeMillis(), t.bucketNum, target)
-    }
-    moved
+    // RebucketMixSuite). The count is resolved and flipped INSIDE the
+    // store's restore critical section: a two-call flip let a concurrent
+    // PK writer commit old-count files between them, its expectedBucketNum
+    // CAS passing against the not-yet-flipped info.
+    store.restoreTable(tablePath, ms, infoUpdate = Some { cur =>
+      val target = RebucketLog.bucketNumAt(ms, cur.properties, cur.bucketNum)
+      if (target == cur.bucketNum) cur
+      else {
+        // the restore is itself a mapping change for diff windows
+        val ts = System.currentTimeMillis()
+        cur.copy(bucketNum = target, properties = RebucketLog.appendClosed(
+          cur.properties, ts, ts, cur.bucketNum, target))
+      }
+    }).map(_.partitionDesc)
   }
 
   /** [[restore]] to a 1-based table-level commit version — the same
@@ -2566,41 +2590,15 @@ object GraftTable {
     * the bucketNum in effect at the target boundary (RESTORE pointing
     * old-mapping files under a new bucketNum would plant the
     * duplicate-key state RebucketMixSuite pins). */
-  val RebucketIntervalsProp = "graft.rebucket.intervals"
-
-  private[tables] def recordRebucketInterval(store: graft.meta.MetaStore,
-      tablePath: String, ts0: Long, ts1: Long, oldN: Int, newN: Int): Unit =
-    store.updateProperties(tablePath) { p =>
-      val prev = p.get(RebucketIntervalsProp)
-        .map(_.split(",").toSeq).getOrElse(Nil)
-      p + (RebucketIntervalsProp -> (prev :+ s"$ts0:$ts1:$oldN:$newN")
-        .takeRight(256).mkString(","))
-    }
-
-  private def intervalsOf(props: Map[String, String]): Seq[Array[String]] =
-    props.get(RebucketIntervalsProp)
-      .map(_.split(",").toSeq.map(_.split(":"))).getOrElse(Nil)
+  val RebucketIntervalsProp: String = graft.meta.RebucketLog.Prop
 
   private[tables] def rebucketOverlaps(props: Map[String, String],
       tsA: Long, tsB: Long): Boolean =
-    intervalsOf(props).exists { parts =>
-      // 1 s cushion each side: commit timestamps are store-stamped
-      // (monotonic bump) and may drift slightly off the recorder's clock
-      parts.length >= 2 && tsA < parts(1).toLong + 1000 &&
-        tsB >= parts(0).toLong - 1000
-    }
+    graft.meta.RebucketLog.overlaps(props, tsA, tsB)
 
-  /** bucketNum in effect at wall-clock `ts`, replayed from the recorded
-    * mapping-change events: the value at `ts` is the OLD count of the
-    * first event starting after `ts`, else the current count. Exact at
-    * commit boundaries (the targets restore/time-travel resolve to);
-    * inside an event's own [start, end] window the commit may land either
-    * side — millisecond ambiguity that `validate()` catches if ever hit. */
   private[tables] def bucketNumAt(ts: Long,
       props: Map[String, String], current: Int): Int =
-    intervalsOf(props)
-      .filter(_.length >= 4).sortBy(_(0).toLong)
-      .find(_(0).toLong > ts).map(_(2).toInt).getOrElse(current)
+    graft.meta.RebucketLog.bucketNumAt(ts, props, current)
 
   /** "128MB"/"1g"/"4096" → bytes (reference DBUtil.parseMemoryExpression
     * shape; binary units). */

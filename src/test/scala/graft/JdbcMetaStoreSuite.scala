@@ -324,7 +324,8 @@ class JdbcMetaStoreSuite extends SparkFixture {
           s.commit(path, Seq(commitOf("a", CommitOp.Append, 0)),
             Map("a" -> -1), expectedBucketNum = Some(2))
         }
-        assert(stale.getMessage.contains("bucketNum moved"), stale.getMessage)
+        assert(stale.bucketConflict, // typed discriminator, not message text
+          s"bucket-CAS conflicts must carry bucketConflict=true: $stale")
         assert(s.listPartitionHeads(path).isEmpty,
           "a bucket-stale commit must not land partitions")
         // the rerun re-reads bucketNum=8 and commits cleanly

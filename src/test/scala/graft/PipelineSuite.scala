@@ -322,6 +322,41 @@ class PipelineSuite extends SparkFixture {
     }
   }
 
+  test("shared pair memo: refresh recomputes after an in-place overwrite; " +
+    "non-file-backed inputs bypass the memo") {
+    // the memo key rests on file immutability — an in-place rewrite keeps
+    // plan text and file list, so without refresh the stale pairs would be
+    // served (documented escape hatch)
+    withTempPath { dir =>
+      val p = s"$dir/d.parquet"
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      Seq((1L, base), (2L, base.replace("kappa", "lambda")))
+        .toDF("doc_id", "text").write.parquet(p)
+      def pairs(refresh: Boolean) = Dedup.jaccardNearDupPairsShared(
+        spark.read.parquet(p), "doc_id", "text", threshold = 0.5,
+        refresh = refresh)
+      assert(pairs(refresh = false).count() == 1)
+      // overwrite IN PLACE with a no-duplicate corpus of the same shape
+      Seq((1L, "one two three four five six seven eight nine ten"),
+        (2L, "red blue green yellow purple orange pink black white gray"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+      val refreshed = pairs(refresh = true)
+      assert(refreshed.count() == 0,
+        "refresh=true must recompute against the overwritten corpus")
+      assert(pairs(refresh = false) eq refreshed,
+        "refresh must RE-memoize the recomputed frame")
+    }
+    // in-memory corpora: inputFiles is empty and LocalRelation plan text
+    // truncates row data — two different corpora would collide on the key,
+    // so the memo must be bypassed entirely
+    val memA = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    val a = Dedup.jaccardNearDupPairsShared(memA, "doc_id", "text", 0.5)
+    val a2 = Dedup.jaccardNearDupPairsShared(memA, "doc_id", "text", 0.5)
+    assert(a.count() == 1)
+    assert(!(a eq a2), "non-file-backed inputs must not be memoized")
+  }
+
   test("jaccard verify past the broadcast cap falls back to shuffled " +
     "joins with identical pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
