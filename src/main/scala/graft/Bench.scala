@@ -275,6 +275,50 @@ object Bench {
       System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")
     }
 
+    // r15 (VERDICT item 5): the re-bucket-straddling window read. Before
+    // the cursor split this path merged in ONE task per range partition
+    // (one task total on this unpartitioned table) and no bench entry
+    // exercised it — a regression there was invisible. History: init ->
+    // upsert -> re-bucket -> upsert, then an incremental window spanning
+    // all three. The untimed sleeps step the commits past the re-bucket
+    // clock cushion so the planner can cut (the production shape: a
+    // consumer's cursor lags a re-bucket by more than a second). The
+    // `_plain` twin times the same-shape window on a no-re-bucket table —
+    // post-split the two should sit near each other.
+    try {
+      def min3(body: => Unit): Double = Seq.fill(3)(time(body)).min
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val batch = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      batch.cache().count()
+      val rdir = graft.tools.ProbeTmp.dir("graft-bench-rebucket-")
+      val rt = GraftTable.create(spark, orders, rdir,
+        hashColumns = Seq("o_orderkey"), bucketNum = math.max(2, cpus.toInt / 2))
+      val rStart = rt.lastCommitTs
+      rt.upsert(batch)
+      Thread.sleep(1200)
+      rt.compaction(graft.tables.CompactionOptions(
+        newBucketNum = Some(cpus.toInt)), _ => true)
+      Thread.sleep(1200)
+      rt.upsert(batch.withColumn("o_totalprice", col("o_totalprice") + 2))
+      val rEnd = rt.lastCommitTs
+      results("rebucket_window_read") =
+        min3 { rt.incremental(rStart, rEnd).count() }
+      flagIfStalled("rebucket_window_read")
+      val pdir = graft.tools.ProbeTmp.dir("graft-bench-rebucket-plain-")
+      val pt = GraftTable.create(spark, orders, pdir,
+        hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+      val pStart = pt.lastCommitTs
+      pt.upsert(batch)
+      pt.upsert(batch.withColumn("o_totalprice", col("o_totalprice") + 2))
+      results("rebucket_window_read_plain") =
+        min3 { pt.incremental(pStart, pt.lastCommitTs).count() }
+      flagIfStalled("rebucket_window_read_plain")
+      batch.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] rebucket window scenario failed: ${e.getMessage}")
+    }
+
     // untimed STREAMING warmup — AFTER the MOR regime, BEFORE the headline
     // queries. The first streaming query in a JVM pays Structured
     // Streaming's machinery once (micro-batch thread, checkpoint/commit
@@ -638,19 +682,40 @@ object Bench {
     // stalled host can't push the final line past the driver's 2 KB cap
     val stalledSummaryJson = stalledAll.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = f"""{"metric":"detail","queries":${jsonMap(results)},"queries_cold":${jsonMap(cold)},"stalled_entries":$stalledJson,"sf":"$sfDir"}"""
+    // r15 (VERDICT item 2): drift-normalized twins. Every published second
+    // divided by this run's own quiet-floor canary (canary_stable — the
+    // stabilized ~25 ms probe, falling back to the running-min mini-canary
+    // baseline) turns entries into host-independent multiples: a
+    // round-over-round delta in the NORMALIZED number is code, a delta
+    // only in the raw number is host. The FULL normalized map lives here
+    // in the detail line + bench_detail.json (the final summary line is
+    // capped at 2000 chars by the driver's tail capture, so it carries
+    // the divisor + normalized total and the reader derives per-entry
+    // values as queries[k]/normalize_by).
+    val normBy = results.get("canary_stable")
+      .orElse(if (miniMin > 0 && miniMin != Double.MaxValue) Some(miniMin) else None)
+      .getOrElse(-1.0)
+    val normalized = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (normBy > 0) results.foreach { case (k, v) =>
+      if (v >= 0 && !k.startsWith("canary")) normalized(k) = v / normBy
+    }
+    val detail = f"""{"metric":"detail","queries":${jsonMap(results)},"queries_cold":${jsonMap(cold)},"normalize_by":$normBy%.4f,"queries_normalized":${jsonMap(normalized)},"stalled_entries":$stalledJson,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val summaryKeys: Seq[String] =
       Seq("canary_start", "canary_end", "canary_mini_base", "canary_stable") ++
-        results.keys.filter(_.startsWith("mor_")).toSeq ++ headline ++ Seq(
+        // the r10 estimator-transition twin has re-baselined long since;
+        // it stays in the detail line but no longer spends summary budget
+        results.keys.filter(k => k.startsWith("mor_") &&
+          k != "mor_upsert_cadenced_10x_med").toSeq ++ headline ++ Seq(
         "bucketed_join", "spj_join_sql", "mview_refresh_delta",
         "mview_full_recompute", "delete_tombstone", "delete_rewrite",
         "update_delta", "update_rewrite", "index_lookup", "index_full_filter",
         "q1_graft", "q3_graft", "q5_graft", "q18_graft",
-        "q9_graft", "q21_graft", "q9_product_profit", "q21_waiting_suppliers")
+        "q9_graft", "q21_graft", "q9_product_profit", "q21_waiting_suppliers",
+        "rebucket_window_read", "rebucket_window_read_plain")
     val summary = scala.collection.mutable.LinkedHashMap[String, Double]()
     summaryKeys.distinct.foreach(k => results.get(k).foreach(summary(k) = _))
     // self-describing total: the artifact names the entries the `value`
@@ -672,9 +737,13 @@ object Bench {
         val s = canaryAt.values.toSeq.sorted
         s(s.size / 2) / miniMin
       } else -1.0
+    // host-independent headline: total over this run's own quiet floor —
+    // diff THIS across rounds (README gate contract); the raw total moves
+    // with the host, the normalized one only with the code
+    val totalNorm = if (normBy > 0) total / normBy else -1.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_entries":$totalEntries,"host_drift":$hostDrift%.1f,"stalled_count":${stalledAll.size},"stalled_entries":$stalledSummaryJson,"queries":${jsonMap(summary)},"sf":"$sfDir"}"""
-    require(line.length < 2048, s"final bench line must stay compact, got ${line.length}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_entries":$totalEntries,"host_drift":$hostDrift%.1f,"normalize_by":$normBy%.4f,"total_normalized":$totalNorm%.1f,"stalled_count":${stalledAll.size},"stalled_entries":$stalledSummaryJson,"queries":${jsonMap(summary)},"sf":"$sfDir"}"""
+    require(line.length < 1990, s"final bench line must stay compact, got ${line.length}")
     println(line)
     spark.stop()
   }

@@ -36,6 +36,13 @@ object RebucketLog {
 
   private val OpenMark = "open"
 
+  /** Clock cushion (ms) applied around every event when deciding overlap /
+    * ambiguity: commit timestamps are store-stamped (monotonic bump) and
+    * may drift slightly off the event recorder's clock. Test hook — suites
+    * that build multi-epoch histories in milliseconds shrink it; real
+    * deployments keep the 1 s default. */
+  @volatile var cushionMs: Long = 1000L
+
   /** (ts0, ts1, oldN, newN); ts1 = Long.MaxValue for an open marker. */
   private[meta] def parse(props: Map[String, String]): Seq[(Long, Long, Int, Int)] =
     props.get(Prop).map(_.split(",").toSeq.map(_.split(":"))
@@ -89,22 +96,21 @@ object RebucketLog {
       case e => e
     })
 
-  /** Does (tsA, tsB] overlap any mapping-change event? 1 s cushion each
-    * side: commit timestamps are store-stamped (monotonic bump) and may
-    * drift slightly off the recorder's clock. An open marker overlaps
-    * every window reaching past its start. */
+  /** Does (tsA, tsB] overlap any mapping-change event? [[cushionMs]]
+    * cushion each side. An open marker overlaps every window reaching
+    * past its start. */
   def overlaps(props: Map[String, String], tsA: Long, tsB: Long): Boolean =
     parse(props).exists { case (ts0, ts1, _, _) =>
-      tsA < (if (ts1 == Long.MaxValue) Long.MaxValue else ts1 + 1000) &&
-        tsB >= ts0 - 1000
+      tsA < (if (ts1 == Long.MaxValue) Long.MaxValue else ts1 + cushionMs) &&
+        tsB >= ts0 - cushionMs
     }
 
   /** The events overlapping (tsA, tsB] under the same cushion. */
   def overlapping(props: Map[String, String], tsA: Long,
       tsB: Long): Seq[(Long, Long, Int, Int)] =
     parse(props).filter { case (ts0, ts1, _, _) =>
-      tsA < (if (ts1 == Long.MaxValue) Long.MaxValue else ts1 + 1000) &&
-        tsB >= ts0 - 1000
+      tsA < (if (ts1 == Long.MaxValue) Long.MaxValue else ts1 + cushionMs) &&
+        tsB >= ts0 - cushionMs
     }
 
   /** bucketNum in effect at wall-clock `ts`, replayed from the recorded

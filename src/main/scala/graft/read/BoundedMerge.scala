@@ -162,6 +162,43 @@ object BoundedMerge {
       bounded.map(_.mask).toArray, bounded.map(_.tomb).toArray)
   }
 
+  /** [[iterator]] with one SYNTHETIC run prepended as the OLDEST: the
+    * shuffled old-epoch stream of a re-bucket-split window read
+    * ([[BucketMergeRead.readSplitWindow]]). The synthetic run is already
+    * key-sorted (runId-sub-sorted for equal keys) and carries per-row
+    * (mask, tombstone) metadata via `synMeta` — its rows come from many
+    * original runs, so static per-run flags cannot describe it.
+    * `synMaybeTomb` must be true when ANY origin run was a tombstone (it
+    * gates the merge's tombstone-aware scan). The file runs get the same
+    * open-reader bound as [[iterator]]. */
+  def iteratorWithSyntheticOldest(
+      synthetic: Iterator[InternalRow],
+      synMeta: graft.read.RowRunMeta,
+      synMaybeTomb: Boolean,
+      readFn: PartitionedFile => Iterator[InternalRow],
+      runFiles: IndexedSeq[Seq[PartitionedFile]],
+      masks: Array[Array[Boolean]],
+      tombs: Array[Boolean],
+      keyIdx: Array[Int],
+      keyTypes: Array[DataType],
+      merges: Array[FieldMerge],
+      capIn: Int): Iterator[InternalRow] = {
+    val nFields = merges.length
+    val bounded = sources(readFn, runFiles, masks, tombs, keyIdx, keyTypes,
+      merges, capIn)
+    val fileIters = bounded.map { s =>
+      if (s.isParquet) MergeReaderGauge.tracked(
+        s.files.iterator.flatMap(pf => BucketMergeRead.flattenRows(readFn(pf))))
+      else readSpill(s.spill, nFields)
+    }
+    new KWayMergeIterator(
+      synthetic +: fileIters,
+      keyIdx, keyTypes, merges, nFields,
+      (Array.fill(nFields)(true) +: bounded.map(_.mask)).toArray,
+      (synMaybeTomb +: bounded.map(_.tomb)).toArray,
+      rowMeta = (synMeta +: bounded.map(_ => null: graft.read.RowRunMeta)).toArray)
+  }
+
   /** Length-prefixed LZ4 UnsafeRow stream; -1 sentinel terminates. */
   private def writeSpill(rows: Iterator[InternalRow],
       dts: Array[DataType]): File = {

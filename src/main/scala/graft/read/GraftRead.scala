@@ -30,6 +30,12 @@ import graft.write.TransactionalWrite
   */
 object GraftRead {
 
+  /** Test toggle: route every multi-epoch window through the cross-bucket
+    * one-task-per-partition merge instead of the cursor split — the
+    * equivalence ORACLE of SplitWindowSuite / CdcModelCheckSuite (the two
+    * paths must agree row-for-row on any history). Plan-time only. */
+  @volatile private[graft] var forceCrossBucketRead = false
+
   def emptyDF(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
@@ -136,6 +142,67 @@ object GraftRead {
       // auto-hide delete tombstones (ProcessCDCTableMergeOnRead.scala:17-66)
       case Some(cdc) if !keepCdcRows => df.filter(col(cdc) =!= "delete")
       case _ => df
+    }
+    visible.select(outputCols.map(qcol).toSeq: _*)
+  }
+
+  /** Read a window RESOLVED PER MAPPING-CONSISTENT SUB-WINDOW (epoch):
+    * `epochs` = (bucketNum, files) oldest -> newest, the last being the
+    * final mapping (GraftTable cuts the window at recorded re-bucket
+    * boundaries). A single live epoch takes the NORMAL bucket-dispatch
+    * read under that epoch's count — fully parallel, zero shuffle; multi-
+    * epoch windows take the cursor-split merge (BucketMergeRead
+    * .readSplitWindow — bucket-parallel sides, one delta-only shuffle);
+    * anything the split kernel can't serve (custom agg-only merge ops,
+    * skip-merge, bucket ids inconsistent with their epoch's count) falls
+    * back to [[read]]'s cross-bucket one-task-per-partition merge. */
+  def readSplitEpochs(
+      spark: SparkSession,
+      table: TableInfo,
+      epochs: Seq[(Int, Seq[ResolvedFile])],
+      keepCdcRows: Boolean = false,
+      requiredColumns: Option[Seq[String]] = None): DataFrame = {
+    val live = epochs.filter(_._2.nonEmpty)
+    if (live.size <= 1) {
+      val (n, fs) = live.headOption.getOrElse((table.bucketNum, Seq.empty[ResolvedFile]))
+      return read(spark, table.copy(bucketNum = n), fs, keepCdcRows,
+        requiredColumns)
+    }
+    // commit ordinals restart at 0 per sub-window resolution: REBASE them
+    // into one global sequence before any whole-window use — the
+    // cross-bucket fallback groups runs by ordinal, and an epoch-1/epoch-2
+    // ordinal collision would concatenate runs from different epochs into
+    // one, folding same-key rows in file order instead of commit order
+    val allFiles = {
+      var base = 0
+      live.flatMap { case (_, fs) =>
+        val out = fs.map(f => f.copy(commitOrdinal = f.commitOrdinal + base))
+        base += fs.iterator.map(_.commitOrdinal).max + 1
+        out
+      }
+    }
+    val fullSchema = graft.util.SchemaUtil.fromJson(table.schemaJson)
+    val pruned = requiredColumns match {
+      case None => fullSchema
+      case Some(req) =>
+        val need = (table.rangeColumns ++ table.hashColumns ++
+          table.cdcColumn.toSeq ++ req).toSet
+        StructType(fullSchema.fields.filter(f => need.contains(f.name)))
+    }
+    val outputCols = requiredColumns.getOrElse(fullSchema.fieldNames.toSeq)
+    val schema = BucketMergeRead.relaxMissing(pruned, allFiles)
+    val skipMerge = table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
+    val splitOk = table.hasPrimaryKey && !skipMerge &&
+      live.forall { case (n, fs) =>
+        BucketMergeRead.supports(table.copy(bucketNum = n), schema, fs) }
+    if (!splitOk || forceCrossBucketRead)
+      return read(spark, table, allFiles, keepCdcRows, requiredColumns,
+        crossBucketMerge = true)
+    val df0 = BucketMergeRead.readSplitWindow(spark,
+      table.copy(bucketNum = live.last._1), schema, live)
+    val visible = table.cdcColumn match {
+      case Some(cdc) if !keepCdcRows => df0.filter(col(cdc) =!= "delete")
+      case _ => df0
     }
     visible.select(outputCols.map(qcol).toSeq: _*)
   }

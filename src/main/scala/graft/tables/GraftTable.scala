@@ -157,25 +157,118 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       partitionPred: String => Boolean = _ => true,
       strict: Boolean = false): DataFrame = {
     val t = info
-    GraftRead.read(spark, t,
-      resolver.incrementalFilesAll(tablePath, startTime, endTime, partitionPred,
-        strict = strict),
-      keepCdcRows = true,
-      // a window spanning a re-bucket delivers runs from BOTH mappings:
-      // the per-bucket merge dispatch would double-surface straddling
-      // keys (CdcModelCheckSuite) — merge per partition instead
-      crossBucketMerge =
-        GraftTable.rebucketOverlaps(t.properties, startTime, endTime))
+    if (!GraftTable.rebucketOverlaps(t.properties, startTime, endTime))
+      return GraftRead.read(spark, t,
+        resolver.incrementalFilesAll(tablePath, startTime, endTime,
+          partitionPred, strict = strict),
+        keepCdcRows = true)
+    // a window spanning a re-bucket delivers runs from BOTH mappings: the
+    // per-bucket merge dispatch would double-surface straddling keys
+    // (CdcModelCheckSuite). Cut the window at the recorded boundaries into
+    // mapping-consistent sub-windows (each fully bucket-parallel, composed
+    // by one delta-only shuffle) when possible; else merge per partition
+    incrementalSplit(t, startTime, endTime, partitionPred,
+      (a, b, pred) => resolver.incrementalFilesAll(tablePath, a, b, pred,
+        strict = strict))
   }
 
   def incrementalForDescs(startTime: Long, endTime: Long,
       descs: Seq[String]): DataFrame = {
     val t = info
-    GraftRead.read(spark, t,
-      resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs),
-      keepCdcRows = true,
-      crossBucketMerge =
-        GraftTable.rebucketOverlaps(t.properties, startTime, endTime))
+    if (!GraftTable.rebucketOverlaps(t.properties, startTime, endTime))
+      return GraftRead.read(spark, t,
+        resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs),
+        keepCdcRows = true)
+    val dset = descs.toSet
+    incrementalSplit(t, startTime, endTime, dset.contains,
+      (a, b, pred) => resolver.incrementalFilesForDescs(tablePath, a, b,
+        descs.filter(pred)))
+  }
+
+  /** Incremental read over a window that OVERLAPS a recorded re-bucket:
+    * cut at the event boundaries (planEpochWindows) and read per epoch —
+    * every side fully bucket-parallel (GraftRead.readSplitEpochs /
+    * BucketMergeRead.readSplitWindow) — or, when the window cannot be cut,
+    * fall back to the cross-bucket one-task-per-partition merge. */
+  private def incrementalSplit(t: TableInfo, start: Long, end: Long,
+      partitionPred: String => Boolean,
+      resolve: (Long, Long, String => Boolean) => Seq[ResolvedFile]): DataFrame =
+    planEpochWindows(t.properties, start, end) match {
+      case None =>
+        GraftRead.read(spark, t, resolve(start, end, partitionPred),
+          keepCdcRows = true, crossBucketMerge = true)
+      case Some(epochWindows) =>
+        // whole-window per-partition abort must survive the cut: a
+        // partition with a non-delta (Update/Rewrite) commit ANYWHERE in
+        // (start, end] delivers nothing from the whole window, but each
+        // sub-resolution only aborts within its OWN sub-window — resolving
+        // per epoch without this mask would leak the other sub-windows'
+        // files for that partition. (Strict mode needs no mask: every
+        // sub-resolution THROWS on the non-delta commit, same as the
+        // whole-window call.)
+        val abort: Set[String] = {
+          val descs = store.partitionsChangedBetween(tablePath, start, end)
+            .filter(partitionPred)
+          store.partitionVersionsBulk(tablePath, descs).collect {
+            case (d, vs) if vs.exists(v => v.timestamp > start &&
+              v.timestamp <= end && (v.commitOp == CommitOp.Update ||
+                v.commitOp == CommitOp.Rewrite)) => d
+          }.toSet
+        }
+        val pred2 = (d: String) => partitionPred(d) && !abort.contains(d)
+        GraftRead.readSplitEpochs(spark, t,
+          epochWindows.map { case (n, a, b) => (n, resolve(a, b, pred2)) },
+          keepCdcRows = true)
+    }
+
+  /** Cut (start, end] at recorded re-bucket boundaries into mapping-
+    * consistent sub-windows — Some((bucketNum, from, to), oldest -> newest,
+    * contiguous, covering the window) when every overlapping event can be
+    * cut around; None when the window is genuinely ambiguous: an OPEN
+    * in-progress marker (crashed or running re-bucket), a non-compaction
+    * commit inside an event's clock-cushion zone (the flip lands somewhere
+    * inside — the commit could carry either mapping), or events too close
+    * to separate. Those fall back to readCrossBucket's conservative
+    * one-task-per-partition merge. */
+  private def planEpochWindows(props: Map[String, String],
+      start: Long, end: Long): Option[Seq[(Int, Long, Long)]] = {
+    val cu = RebucketLog.cushionMs
+    val events = RebucketLog.overlapping(props, start, end).sortBy(_._1)
+    if (events.exists(_._2 == Long.MaxValue)) return None // in progress
+    val separated = events.sliding(2).forall {
+      case Seq((_, e1, _, _), (s2, _, _, _)) => s2 - cu > e1 + cu
+      case _ => true
+    }
+    if (!separated) return None
+    // ambiguity probe: a NON-compaction commit inside an event's cushion
+    // zone could have landed either side of the bucketNum flip
+    val ambiguous = events.exists { case (ts0, ts1, _, _) =>
+      val (z0, z1) = (ts0 - cu, ts1 + cu)
+      val descs = store.partitionsChangedBetween(tablePath, z0, z1)
+      store.partitionVersionsBulk(tablePath, descs).values.flatten.exists(v =>
+        v.timestamp > z0 && v.timestamp <= z1 &&
+          v.commitOp != CommitOp.Compaction)
+    }
+    if (ambiguous) return None
+    // cut points: one per event whose zone lies STRICTLY inside the window
+    // (edge-overlapping events leave every in-window delta on one side and
+    // need no cut — the per-epoch mapping evaluation below covers them)
+    val cuts = events.collect { case (ts0, ts1, _, _)
+      if start < ts0 - cu && end > ts1 + cu => (ts0, ts1 + cu) }
+    val current = info.bucketNum
+    // an event overlapping the window's END leaves the final sub-window's
+    // deltas BEFORE its zone — evaluate the mapping there, not at `end`
+    val terminal = events.find { case (ts0, ts1, _, _) =>
+      end > ts0 - cu && end <= ts1 + cu }
+    val bounds = start +: cuts.map(_._2) :+ end
+    if (bounds.sliding(2).exists { case Seq(a, b) => a >= b; case _ => false })
+      return None // defensive: cut points must strictly increase
+    Some(bounds.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+      val evalTs =
+        if (i < cuts.size) cuts(i)._1 - cu - 1 // just before the cut event
+        else terminal.map(_._1 - cu - 1).getOrElse(end)
+      (RebucketLog.bucketNumAt(evalTs, props, current), a, b)
+    })
   }
 
   /** Row-level change feed over (startTime, endTime] — the CDF shape
@@ -211,21 +304,155 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       case None =>
         require(info.hasPrimaryKey,
           s"diff requires a primary-key or CDC table: $tablePath")
-        // scale path: both snapshots share the bucket layout, so the diff
-        // runs as one task per bucket walking two loser-tree merges in
-        // lockstep — ZERO shuffle (the join below shuffles both snapshots)
-        val oldFiles = resolver.filesUptoTime(tablePath, startTime)
-        val newFiles = resolver.filesUptoTime(tablePath, endTime)
-        if (graft.read.BucketMergeRead.supports(info, schema, oldFiles) &&
-            graft.read.BucketMergeRead.supports(info, schema, newFiles))
-          return graft.read.BucketMergeRead.diffRead(
-            spark, info, schema, oldFiles, newFiles,
-            bucketMerged =
-              GraftTable.rebucketOverlaps(info.properties, startTime, endTime))
-        // fallback (custom agg-only merge ops): full-outer PK join of the
-        // two merged snapshots
-        diffViaJoin(startTime, endTime)
+        val t = info
+        if (!GraftTable.rebucketOverlaps(t.properties, startTime, endTime)) {
+          // scale path: both snapshots share the bucket layout, so the
+          // diff runs as one task per bucket walking two loser-tree merges
+          // in lockstep — ZERO shuffle (diffViaJoin shuffles both
+          // snapshots; it remains only for custom agg-only merge ops)
+          val oldFiles = resolver.filesUptoTime(tablePath, startTime)
+          val newFiles = resolver.filesUptoTime(tablePath, endTime)
+          if (graft.read.BucketMergeRead.supports(t, schema, oldFiles) &&
+              graft.read.BucketMergeRead.supports(t, schema, newFiles))
+            return graft.read.BucketMergeRead.diffRead(
+              spark, t, schema, oldFiles, newFiles)
+          return diffViaJoin(startTime, endTime)
+        }
+        // the window crosses a re-bucket: bucket-id snapshot pairing would
+        // fabricate a delete+insert pair for every unchanged key. SEGMENT
+        // the window at the event boundaries when possible — the re-bucket
+        // is a pure rewrite (snapshot DATA identical on both sides of its
+        // zone, enforced by planEpochWindows' ambiguity probe), so
+        // diff(start, end) == compose(diff per same-mapping segment), each
+        // segment zero-shuffle per-bucket parallel and the composition
+        // touching DELTAS only. Unsegmentable windows fall back to the
+        // per-partition bucket-merged pairing.
+        diffSegments(t.properties, startTime, endTime)
+          .filter(_ => !GraftTable.forceBucketMergedDiff) // test oracle
+          .map(_.map { case (a, b) => diffSegment(t, a, b) })
+          .filter(_.forall(_.nonEmpty))
+          .map(parts => composeDiffs(parts.flatten))
+          .getOrElse(diffFallback(t, startTime, endTime))
     }
+  }
+
+  /** Same-mapping snapshot points cutting (start, end] around each
+    * re-bucket event: (start, e1.ts0-1000], [e1.ts1+1000, e2.ts0-1000],
+    * ..., [em.ts1+1000, end]. Valid because each event's cushion zone
+    * contains ONLY compaction commits (checked) — the data at a zone's two
+    * edges is identical, so the zone contributes no changes and skipping
+    * it loses nothing. None when any overlapping event is open, not
+    * strictly inside the window (an endpoint lands in a zone — that
+    * snapshot's mapping is ambiguous), zones collide, or a zone holds a
+    * non-compaction commit. */
+  private def diffSegments(props: Map[String, String],
+      start: Long, end: Long): Option[Seq[(Long, Long)]] = {
+    val cu = RebucketLog.cushionMs
+    val events = RebucketLog.overlapping(props, start, end).sortBy(_._1)
+    if (events.exists(_._2 == Long.MaxValue)) return None
+    if (events.exists { case (ts0, ts1, _, _) =>
+        !(start < ts0 - cu && end > ts1 + cu) }) return None
+    val separated = events.sliding(2).forall {
+      case Seq((_, e1, _, _), (s2, _, _, _)) => s2 - cu > e1 + cu
+      case _ => true
+    }
+    if (!separated) return None
+    val ambiguous = events.exists { case (ts0, ts1, _, _) =>
+      val (z0, z1) = (ts0 - cu, ts1 + cu)
+      val descs = store.partitionsChangedBetween(tablePath, z0, z1)
+      store.partitionVersionsBulk(tablePath, descs).values.flatten.exists(v =>
+        v.timestamp > z0 && v.timestamp <= z1 &&
+          v.commitOp != CommitOp.Compaction)
+    }
+    if (ambiguous) return None
+    val pts = start +: events.flatMap { case (ts0, ts1, _, _) =>
+      Seq(ts0 - cu, ts1 + cu) } :+ end
+    Some(pts.grouped(2).map { case Seq(a, b) => (a, b) }.toSeq)
+  }
+
+  /** Zero-shuffle per-bucket diff of one same-mapping segment; None when
+    * the segment's snapshots don't fit one bucket layout after all
+    * (defensive) or the merge ops need the aggregate fallback. */
+  private def diffSegment(t: TableInfo, a: Long, b: Long): Option[DataFrame] = {
+    val na = RebucketLog.bucketNumAt(a, t.properties, t.bucketNum)
+    val nb = RebucketLog.bucketNumAt(b, t.properties, t.bucketNum)
+    if (na != nb) return None
+    val ts = t.copy(bucketNum = na)
+    val of = resolver.filesUptoTime(tablePath, a)
+    val nf = resolver.filesUptoTime(tablePath, b)
+    if (graft.read.BucketMergeRead.supports(ts, schema, of) &&
+        graft.read.BucketMergeRead.supports(ts, schema, nf))
+      Some(graft.read.BucketMergeRead.diffRead(spark, ts, schema, of, nf))
+    else None
+  }
+
+  /** Cross-re-bucket diff fallback: per-partition bucket-merged snapshot
+    * pairing when the merge ops allow it (bucket ids are ignored, so it
+    * serves down-buckets too — stale ids only made the per-bucket gate
+    * refuse), else the join form. */
+  private def diffFallback(t: TableInfo, start: Long, end: Long): DataFrame = {
+    val oldFiles = resolver.filesUptoTime(tablePath, start)
+    val newFiles = resolver.filesUptoTime(tablePath, end)
+    val ok = graft.read.BucketMergeRead.opsSupported(t, schema) &&
+      (oldFiles.iterator ++ newFiles.iterator).forall(_.file.bucketId >= 0)
+    if (ok) graft.read.BucketMergeRead.diffRead(spark, t, schema,
+      oldFiles, newFiles, bucketMerged = true)
+    else diffViaJoin(start, end)
+  }
+
+  /** Compose consecutive change feeds — d1 over (s0, s1], d2 over
+    * (s1, s2], ... — into the exact feed over (s0, sN]: per key, the
+    * window PREIMAGE is the first feed that saw the key's (its snapshot
+    * state at s0; later feeds' preimages equal earlier feeds' postimages
+    * by construction), the window POSTIMAGE the last feed's, and equal
+    * pre/post elide (A -> B -> A nets to no change — exactly what a
+    * direct two-snapshot diff reports). Every shuffle here is over CHANGE
+    * ROWS only — never a snapshot. */
+  private def composeDiffs(parts: Seq[DataFrame]): DataFrame = {
+    val ct = "_change_type"
+    // the full merge identity: range columns lead (a hash key may repeat
+    // across range partitions; the per-bucket diff kernel compares the
+    // same composite key)
+    val pks = (info.rangeColumns ++ info.hashColumns).distinct
+    val qc = graft.util.SchemaUtil.qcol _
+    val cols = schema.fieldNames.toSeq
+    // one row per key: (_pre struct?, _post struct?, _in=true)
+    def shaped(d: DataFrame): DataFrame =
+      d.groupBy(pks.map(qc): _*).agg(
+        first(when(col(ct).isin("delete", "update_preimage"),
+          struct(cols.map(qc): _*)), ignoreNulls = true).as("_pre"),
+        first(when(col(ct).isin("insert", "update_postimage"),
+          struct(cols.map(qc): _*)), ignoreNulls = true).as("_post"))
+        .withColumn("_in", lit(true))
+    def compose(l: DataFrame, r: DataFrame): DataFrame = {
+      val lx = l.select((pks.map(qc) :+ col("_pre").as("_lp") :+
+        col("_post").as("_lq") :+ col("_in").as("_li")): _*)
+      val rx = r.select((pks.map(qc) :+ col("_pre").as("_rp") :+
+        col("_post").as("_rq") :+ col("_in").as("_ri")): _*)
+      lx.join(rx, pks, "full_outer").select((pks.map(qc) :+
+        when(coalesce(col("_li"), lit(false)), col("_lp"))
+          .otherwise(col("_rp")).as("_pre") :+
+        when(coalesce(col("_ri"), lit(false)), col("_rq"))
+          .otherwise(col("_lq")).as("_post") :+
+        lit(true).as("_in")): _*)
+    }
+    val folded = parts.map(shaped).reduceLeft(compose)
+    val noChange = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("r", StructType(schema.fields)),
+      StructField("t", org.apache.spark.sql.types.StringType))))
+    val change = when(col("_pre").isNull && col("_post").isNotNull,
+        array(struct(col("_post").as("r"), lit("insert").as("t"))))
+      .when(col("_post").isNull && col("_pre").isNotNull,
+        array(struct(col("_pre").as("r"), lit("delete").as("t"))))
+      .when(col("_pre").isNotNull && col("_post").isNotNull &&
+          !(col("_pre") <=> col("_post")),
+        array(struct(col("_pre").as("r"), lit("update_preimage").as("t")),
+          struct(col("_post").as("r"), lit("update_postimage").as("t"))))
+      .otherwise(lit(null).cast(noChange))
+    folded.select(explode(change).as("_gc"))
+      .select((cols.map(c =>
+        col(s"_gc.r.`${c.replace("`", "``")}`").as(c)) :+
+        col("_gc.t").as(ct)): _*)
   }
 
   /** Join-based CDF form — the fallback [[diff]] uses when the bucket
@@ -2571,6 +2798,12 @@ case class CompactionOptions(
     newBucketNum: Option[Int] = None)
 
 object GraftTable {
+  /** Test toggle: route cross-re-bucket diffs through the per-partition
+    * bucket-merged pairing instead of the segment composition — the
+    * equivalence ORACLE of SplitWindowSuite (the two forms must agree on
+    * any history). Plan-time only. */
+  @volatile private[graft] var forceBucketMergedDiff = false
+
   /** Replication cursor ([[GraftTable.replicateFrom]]): the source commit
     * timestamp this replica has applied up to. */
   val ReplicaCursorProp = "graft.replica.cursor"

@@ -15,6 +15,42 @@ import graft.tables.GraftTable
 class CdcModelCheckSuite extends SparkFixture {
   import spark.implicits._
 
+  // shrink the re-bucket clock cushion so millisecond-scale histories can
+  // actually be CUT by the split planner (with the production 1 s cushion
+  // every window here would conservatively fall back to the cross-bucket
+  // merge and the equivalence below would compare the oracle to itself)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.meta.RebucketLog.cushionMs = 5L
+  }
+  override def afterAll(): Unit = {
+    graft.meta.RebucketLog.cushionMs = 1000L
+    super.afterAll()
+  }
+
+  /** r15: the cursor-split read must be ROW-IDENTICAL to the cross-bucket
+    * one-task merge on every window of every random history — the split is
+    * a parallelism optimization, never a semantics change. */
+  private def assertSplitEqualsCross(t: GraftTable, start: Long, end: Long,
+      ctx: => String): Unit = {
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    graft.read.GraftRead.forceCrossBucketRead = false
+    GraftTable.forceBucketMergedDiff = false
+    val splitInc = rows(t.incremental(start, end))
+    val splitDiff = rows(t.diff(start, end))
+    graft.read.GraftRead.forceCrossBucketRead = true
+    GraftTable.forceBucketMergedDiff = true
+    try {
+      assert(rows(t.incremental(start, end)) == splitInc,
+        s"incremental split vs cross diverged; $ctx")
+      assert(rows(t.diff(start, end)) == splitDiff,
+        s"diff split vs cross diverged; $ctx")
+    } finally {
+      graft.read.GraftRead.forceCrossBucketRead = false
+      GraftTable.forceBucketMergedDiff = false
+    }
+  }
+
   private def visible(df: DataFrame): Map[Long, String] =
     df.select("id", "data", "op").as[(Long, String, String)]
       .collect().map { case (k, v, op) =>
@@ -74,12 +110,21 @@ class CdcModelCheckSuite extends SparkFixture {
               model = m
               restored = true
           }
-          Thread.sleep(2)
+          Thread.sleep(16) // > 3x the shrunk cushion: ops land zone-free
           snapshots :+= t.lastCommitTs -> model
           val exp = model.collect { case (k, (v, true)) => k -> v }
           assert(visible(t.toDF) == exp, s"round $round after op")
         }
         assert(t.validate() == Nil, s"round $round: validate")
+        // every recorded boundary -> head window, under BOTH read paths:
+        // the cursor split must byte-equal the cross-bucket merge on the
+        // same random re-bucket/restore history (r15)
+        val head = t.lastCommitTs
+        (Seq(0L) ++ snapshots.map(_._1).distinct.takeRight(3)).distinct
+          .foreach { b =>
+            assertSplitEqualsCross(t, b, head,
+              s"round $round window ($b, $head]; ops=\n${opLog.mkString("\n")}")
+          }
         // time travel replays a random boundary (visible rows only)
         val (sts, sm) = snapshots(rnd.nextInt(snapshots.size))
         val sexp = sm.collect { case (k, (v, true)) => k -> v }

@@ -36,7 +36,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 4 + rnd.nextInt(5)) {
-          rnd.nextInt(11) match {
+          rnd.nextInt(12) match {
             case 0 | 1 => // upsert (unique PKs per batch — the format contract)
               val b = batch()
               t.upsert(b.toDF("id", "v", "tag"))
@@ -84,6 +84,25 @@ class ModelCheckSuite extends SparkFixture {
               // re-bucket (metadata-only path) and restore across the gap
               t.truncateTable()
               model = Map.empty
+            case 11 => // VACUUM/TTL sweep (r15): interleaved with restores'
+              // repointed heads, tombstone runs, re-bucket discard lists
+              // and compaction-superseded files — no file any RETAINED
+              // version references may be deleted, and time travel to
+              // every retained boundary must still read green. The model
+              // prunes its snapshot list to the sweep's retention window
+              // (vacuum also prunes version history, so older boundaries
+              // are no longer contractually readable or restorable).
+              val keepFrom = snapshots(rnd.nextInt(snapshots.size))._1
+              t.vacuum(math.max(0L, System.currentTimeMillis() - keepFrom))
+              // versions AT keepFrom survive as each partition's boundary
+              // base; strictly older ones may be gone
+              val kept = snapshots.filter(_._1 >= keepFrom)
+              snapshots = if (kept.isEmpty) Vector(snapshots.last) else kept
+              // immediate invariant: a random retained boundary reads
+              // exactly its model state right after the sweep
+              val (vts, vm) = snapshots(rnd.nextInt(snapshots.size))
+              assert(readState(t.snapshotAt(vts)) == vm,
+                s"vacuum deleted a file a retained version (@$vts) references")
           }
           Thread.sleep(2) // distinct commit timestamps for time travel
           snapshots :+= t.lastCommitTs -> model
