@@ -337,12 +337,19 @@ object BucketMergeRead {
         }.toIndexedSeq
       }.toArray
     val outTypes = schema.fields.map(_.dataType)
+    // broadcast, not closure-capture: the closure would serialize EVERY
+    // bucket's file metadata into EVERY task (O(window files) per task —
+    // real weight on a 100 TB table's wide window); a broadcast ships one
+    // copy per executor
+    val nativeB = spark.sparkContext.broadcast(nativeByBucket)
+    val synMetaB = spark.sparkContext.broadcast((synMasks, synTombs))
     val rdd = sorted.mapPartitionsWithIndex { (b, it) =>
-      val native = nativeByBucket(b)
+      val native = nativeB.value(b)
+      val (sm, st) = synMetaB.value
       val proj = UnsafeProjection.create(outTypes)
       BoundedMerge.iteratorWithSyntheticOldest(
         it.map(_._1: InternalRow),
-        new RowRunMeta(synMasks, synTombs, nFields), synMaybeTomb,
+        new RowRunMeta(sm, st, nFields), synMaybeTomb,
         readFn, native.map(_._1), native.map(_._2).toArray,
         native.map(_._3).toArray, keyIdxArr, keyTypesArr, merges, cap
       ).map(proj)

@@ -35,8 +35,13 @@ class ModelCheckSuite extends SparkFixture {
         var model = init.map { case (k, v, g) => k -> (v, g) }.toMap
         var snapshots = Vector(t.lastCommitTs -> model)
 
+        // shallow clones taken mid-history: each pins the source state at
+        // its moment; vacuum/restore/re-bucket on the SOURCE must never
+        // break them (the clone-reference registry keeps their files)
+        val clones = scala.collection.mutable.ArrayBuffer[
+          (graft.tables.GraftTable, Map[Long, (Long, String)])]()
         for (_ <- 0 until 4 + rnd.nextInt(5)) {
-          rnd.nextInt(12) match {
+          rnd.nextInt(13) match {
             case 0 | 1 => // upsert (unique PKs per batch — the format contract)
               val b = batch()
               t.upsert(b.toDF("id", "v", "tag"))
@@ -103,6 +108,12 @@ class ModelCheckSuite extends SparkFixture {
               val (vts, vm) = snapshots(rnd.nextInt(snapshots.size))
               assert(readState(t.snapshotAt(vts)) == vm,
                 s"vacuum deleted a file a retained version (@$vts) references")
+            case 12 => // SHALLOW CLONE of the current state: registers its
+              // referenced files against the source's cleaners — the
+              // vacuum op above must keep them alive even when the
+              // source's own retention window has moved past them
+              if (clones.size < 2)
+                clones += ((t.cloneTo(s"$path-clone${clones.size}"), model))
           }
           Thread.sleep(2) // distinct commit timestamps for time travel
           snapshots :+= t.lastCommitTs -> model
@@ -111,6 +122,21 @@ class ModelCheckSuite extends SparkFixture {
         assert(readState(t.toDF) == model, s"round $round: final state")
         // format invariants hold after ANY op sequence (fsck)
         assert(t.validate() == Nil, s"round $round: validate")
+        // every clone still reads exactly the state it pinned, whatever
+        // vacuums/restores/re-buckets/truncates hit the source after it
+        clones.zipWithIndex.foreach { case ((c, m), i) =>
+          assert(readState(c.toDF) == m,
+            s"round $round: clone $i diverged from its pinned state")
+          c.dropTable()
+        }
+        // clone dirs are siblings of the temp path — clean them up
+        clones.indices.foreach { i =>
+          def rec(x: java.io.File): Unit = {
+            if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rec))
+            x.delete()
+          }
+          rec(new java.io.File(s"$path-clone$i"))
+        }
         val (ts, expected) = snapshots(rnd.nextInt(snapshots.size))
         assert(readState(t.snapshotAt(ts)) == expected,
           s"round $round: snapshot @$ts")
