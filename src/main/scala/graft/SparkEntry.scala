@@ -1916,6 +1916,31 @@ object SparkEntry {
       t.upsert(o.filter(col("o_orderstatus") === "F"))
       t.incremental(ts1, t.lastCommitTs)
     }),
+    "rebucket_incremental_read" -> q((s, d) => {
+      // r15: an incremental window SPANNING a re-bucket — the cursor-split
+      // read (GraftRead.readSplitEpochs / BucketMergeRead.readSplitWindow):
+      // epoch-1 delta under the old 4-bucket mapping, epoch-2 under the
+      // new 8-bucket one, composed per key with last-writer-wins. The
+      // sleeps step each commit past the re-bucket clock cushion so the
+      // planner CUTS instead of taking the cross-bucket fallback (both are
+      // correct; this row pins the split path end-to-end under the
+      // driver's DuckDB oracle).
+      val o = rd(s, d, "orders")
+      val t = GraftTable.create(s, o.filter(col("o_orderstatus") === "O"),
+        tmp("rbincr"), hashColumns = Seq("o_orderkey"), bucketNum = 4)
+      val ts1 = t.lastCommitTs
+      Thread.sleep(1100)
+      t.upsert(o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      Thread.sleep(1100)
+      t.compaction(graft.tables.CompactionOptions(newBucketNum = Some(8)),
+        _ => true)
+      Thread.sleep(1100)
+      t.upsert(o.filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      t.incremental(ts1, t.lastCommitTs)
+    }),
     "table_diff" -> q((s, d) => {
       // row-level change feed (CDF — Delta's table_changes shape, beyond
       // the reference's file-level incremental read): exact
@@ -3425,6 +3450,12 @@ object SparkEntry {
     "time_travel" -> "SELECT * FROM orders",
     "restore_read" -> "SELECT * FROM orders",
     "incremental_read" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "rebucket_incremental_read" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 3 " +
+        "ELSE o_totalprice * 2 END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderstatus = 'F'"),
     // CDF replay: the closed form of (base %3<>0) + upsert(%5=0, price*2)
     // + delete(%7=0 AND %5<>0) — inserts are the upserted keys absent from
     // the base, updates emit pre+post, deletes the pre-image

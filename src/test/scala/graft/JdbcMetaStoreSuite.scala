@@ -357,14 +357,20 @@ class JdbcMetaStoreSuite extends SparkFixture {
     // phase 1: commits + info RMWs only -> STRONG check (every acknowledged
     // commit is in the log); phase 2 adds whole-table restores -> the
     // structural checks (a restore legitimately cuts later commits out of
-    // the current lineage, so ack-subset no longer holds by design)
-    storm(withRestores = false)
-    storm(withRestores = true)
+    // the current lineage, so ack-subset no longer holds by design).
+    // BOTH stores: the JDBC store's lock-timeout/deadlock -> rerun paths
+    // AND the file store's mutex+FileLock critical sections must converge
+    // to the same linearizable log shape
+    storm("jdbc", db => freshStore(db), withRestores = false)
+    storm("jdbc", db => freshStore(db), withRestores = true)
+    storm("file", _ => new FileMetaStore, withRestores = false)
+    storm("file", _ => new FileMetaStore, withRestores = true)
   }
 
-  private def storm(withRestores: Boolean): Unit = {
+  private def storm(kind: String, mk: String => MetaStore,
+      withRestores: Boolean): Unit = {
     withTempPath { path =>
-      val s = freshStore(s"storm$withRestores")
+      val s = mk(s"storm$kind$withRestores")
       s.createTable(ti(path))
       val nThreads = 16
       val opsPerThread = 13 // ~208 ops total
@@ -423,7 +429,7 @@ class JdbcMetaStoreSuite extends SparkFixture {
       assert(pool.awaitTermination(300, TimeUnit.SECONDS), "storm timed out")
       assert(failures.isEmpty,
         failures.toArray.map(_.toString).mkString("\n"))
-      println(s"[storm restores=$withRestores] " +
+      println(s"[storm $kind restores=$withRestores] " +
         s"${nThreads * opsPerThread} ops acknowledged, " +
         s"${reruns.get()} CAS/contention reruns")
       // ---- structural linearizability of the resulting log ----
