@@ -167,7 +167,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     // (CdcModelCheckSuite). Cut the window at the recorded boundaries into
     // mapping-consistent sub-windows (each fully bucket-parallel, composed
     // by one delta-only shuffle) when possible; else merge per partition
-    incrementalSplit(t, startTime, endTime, partitionPred,
+    incrementalSplit(t, startTime, endTime, partitionPred, strict,
       (a, b, pred) => resolver.incrementalFilesAll(tablePath, a, b, pred,
         strict = strict))
   }
@@ -180,7 +180,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         resolver.incrementalFilesForDescs(tablePath, startTime, endTime, descs),
         keepCdcRows = true)
     val dset = descs.toSet
-    incrementalSplit(t, startTime, endTime, dset.contains,
+    incrementalSplit(t, startTime, endTime, dset.contains, strict = false,
       (a, b, pred) => resolver.incrementalFilesForDescs(tablePath, a, b,
         descs.filter(pred)))
   }
@@ -191,7 +191,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * BucketMergeRead.readSplitWindow) — or, when the window cannot be cut,
     * fall back to the cross-bucket one-task-per-partition merge. */
   private def incrementalSplit(t: TableInfo, start: Long, end: Long,
-      partitionPred: String => Boolean,
+      partitionPred: String => Boolean, strict: Boolean,
       resolve: (Long, Long, String => Boolean) => Seq[ResolvedFile]): DataFrame =
     planEpochWindows(t.properties, start, end) match {
       case None =>
@@ -203,10 +203,12 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // (start, end] delivers nothing from the whole window, but each
         // sub-resolution only aborts within its OWN sub-window — resolving
         // per epoch without this mask would leak the other sub-windows'
-        // files for that partition. (Strict mode needs no mask: every
-        // sub-resolution THROWS on the non-delta commit, same as the
-        // whole-window call.)
-        val abort: Set[String] = {
+        // files for that partition. Strict mode must NOT mask: masking
+        // would HIDE the partition from the sub-resolutions and silently
+        // skip where the whole-window contract is to THROW
+        // NonIncrementalWindowException — the unmasked sub-window holding
+        // the non-delta commit raises it exactly like the one-call form.
+        val abort: Set[String] = if (strict) Set.empty else {
           val descs = store.partitionsChangedBetween(tablePath, start, end)
             .filter(partitionPred)
           store.partitionVersionsBulk(tablePath, descs).collect {

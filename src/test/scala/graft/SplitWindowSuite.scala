@@ -232,6 +232,25 @@ class SplitWindowSuite extends SparkFixture {
     }
   }
 
+  test("strict incremental across a re-bucket still THROWS on a non-delta " +
+    "commit (the abort mask must not hide it from the sub-windows)") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 8).map(i => (i.toLong, s"a$i")).toDF("id", "data"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      val t0 = t.lastCommitTs
+      tick()
+      t.upsert(Seq((9L, "x")).toDF("id", "data"))
+      tick()
+      t.compaction(CompactionOptions(newBucketNum = Some(4)), _ => true)
+      tick()
+      t.deleteTombstone($"id" === 3L) // Rewrite commit inside the window
+      intercept[graft.meta.NonIncrementalWindowException] {
+        t.incremental(t0, t.lastCommitTs, strict = true).collect()
+      }
+    }
+  }
+
   test("diff across a re-bucket: segment composition elides A->B->A and " +
     "nets insert+delete to nothing") {
     withTempPath { path =>
