@@ -291,14 +291,18 @@ object Bench {
       val batch = orders.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1)
       batch.cache().count()
+      // old != new ALWAYS (a 2-cpu host would otherwise make the
+      // "re-bucket" a no-op and this entry silently measure a plain
+      // window — a vacuous regression canary)
+      val newB = math.max(4, cpus.toInt)
       val rdir = graft.tools.ProbeTmp.dir("graft-bench-rebucket-")
       val rt = GraftTable.create(spark, orders, rdir,
-        hashColumns = Seq("o_orderkey"), bucketNum = math.max(2, cpus.toInt / 2))
+        hashColumns = Seq("o_orderkey"), bucketNum = newB / 2)
       val rStart = rt.lastCommitTs
       rt.upsert(batch)
       Thread.sleep(1200)
       rt.compaction(graft.tables.CompactionOptions(
-        newBucketNum = Some(cpus.toInt)), _ => true)
+        newBucketNum = Some(newB)), _ => true)
       Thread.sleep(1200)
       rt.upsert(batch.withColumn("o_totalprice", col("o_totalprice") + 2))
       val rEnd = rt.lastCommitTs
@@ -307,7 +311,7 @@ object Bench {
       flagIfStalled("rebucket_window_read")
       val pdir = graft.tools.ProbeTmp.dir("graft-bench-rebucket-plain-")
       val pt = GraftTable.create(spark, orders, pdir,
-        hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+        hashColumns = Seq("o_orderkey"), bucketNum = newB)
       val pStart = pt.lastCommitTs
       pt.upsert(batch)
       pt.upsert(batch.withColumn("o_totalprice", col("o_totalprice") + 2))

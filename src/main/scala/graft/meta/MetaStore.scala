@@ -411,25 +411,29 @@ class FileMetaStore extends MetaStore {
       infoCache.remove(canonical(tablePath))
     }
 
-  /** Read + modify + write under ONE file lock (the trait default's
-    * read-then-update is not atomic across processes). Writes the file
-    * directly — a nested updateTableInfo would re-acquire the same
-    * FileLock (OverlappingFileLockException). */
+  /** One critical-section body only: the property RMW is [[updateInfo]]
+    * restricted to properties (a second hand-rolled lock/read/write copy
+    * here already missed one hardening — the uncached rawInfo read). */
   override def updateProperties(tablePath: String)(
       f: Map[String, String] => Map[String, String]): Unit =
-    withFileLock(tablePath) {
-      val p = tableInfoPath(tablePath)
-      require(Files.exists(p), s"no graft table at $tablePath")
-      val t = jread[TableInfo](Files.readString(p))
-      writeInfoAtomic(p, jwrite(t.copy(properties = f(t.properties))))
-      infoCache.remove(canonical(tablePath))
-    }
+    updateInfo(tablePath)(t => t.copy(properties = f(t.properties)))
 
   override def commit(
       tablePath: String,
       commits: Seq[DataCommitInfo],
       expectedVersions: Map[String, Int],
       expectedBucketNum: Option[Int]): Unit = withFileLock(tablePath) {
+    // an unfinished restore (crash between its head repointing and its
+    // bucket-count flip) makes the count this commit bucketed under
+    // unresolvable — refuse loudly; re-running the restore recovers
+    rawInfo(tablePath).map(_.properties)
+      .flatMap(_.get(MetaStore.RestorePendingProp)).foreach { pts =>
+        throw new IllegalStateException(
+          s"a whole-table restore (to $pts) on $tablePath is incomplete " +
+            "(interrupted between head repointing and the bucket-count " +
+            s"flip); re-run restoreToTimestamp($pts) to complete it " +
+            "before writing")
+      }
     // writer-side re-bucket CAS (trait scaladoc): the bucket count these
     // files were written under must still be the table's — checked inside
     // the lock so it serializes against rebucketIfNoPartitions
@@ -769,6 +773,24 @@ class FileMetaStore extends MetaStore {
   override def restoreTable(tablePath: String, asOfTs: Long,
       infoUpdate: Option[TableInfo => TableInfo] = None): Seq[PartitionInfo] =
     withFileLock(tablePath) {
+      def info(): TableInfo = rawInfo(tablePath).getOrElse(
+        throw new IllegalArgumentException(s"no graft table at $tablePath"))
+      // the repointing and the info flip are two FILES — not crash-atomic
+      // together even under the lock. Bracket the pair with the
+      // RESTORE-PENDING marker (its own atomic write, BEFORE the heads
+      // move): a crash between the writes leaves the marker set, which
+      // (a) blocks writers loudly — see commit() — instead of letting one
+      // bucket files under a count the unfinished flip was about to
+      // change, and (b) routes readers onto the mapping-agnostic
+      // cross-bucket paths. Re-running the restore is the recovery: the
+      // re-appends are no-ops against already-repointed heads and the
+      // flip + marker clear complete the pair.
+      infoUpdate.foreach { _ =>
+        writeInfoAtomic(tableInfoPath(tablePath), jwrite(
+          info().copy(properties = info().properties +
+            (MetaStore.RestorePendingProp -> asOfTs.toString))))
+        infoCache.remove(canonical(tablePath))
+      }
       // ONE commit timestamp for every appended line (like commit()): time
       // travel must never resolve a boundary INSIDE the restore
       val ts = nextTs()
@@ -779,9 +801,9 @@ class FileMetaStore extends MetaStore {
       // bucket-restoring flip must not open a window for a stale-count
       // writer between the two
       infoUpdate.foreach { f =>
-        val t = rawInfo(tablePath).getOrElse(
-          throw new IllegalArgumentException(s"no graft table at $tablePath"))
-        writeInfoAtomic(tableInfoPath(tablePath), jwrite(f(t)))
+        val cur = info()
+        writeInfoAtomic(tableInfoPath(tablePath), jwrite(f(
+          cur.copy(properties = cur.properties - MetaStore.RestorePendingProp))))
         infoCache.remove(canonical(tablePath))
       }
       appends
@@ -877,6 +899,16 @@ object MetaStore {
     sys.props.get("graft.meta.uri").filter(_.startsWith("jdbc:"))
       .map(new JdbcMetaStore(_)).getOrElse(new FileMetaStore)
   def newCommitId(): String = UUID.randomUUID().toString
+
+  /** Table property bracketing a file-store restore whose head repointing
+    * and info flip are two separate file writes (the JDBC store does both
+    * in one transaction and never sets this): present = a restore may
+    * have crashed between them. Writers REFUSE while it is set (a commit
+    * could bucket under the wrong count) and readers treat the table as
+    * mapping-ambiguous (RebucketLog.overlaps / GraftTable.cuttableWindow
+    * route to the mapping-agnostic cross-bucket paths); re-running the
+    * restore completes the pair and clears it. */
+  val RestorePendingProp = "graft.restore.pending"
 
   /** Version-log retention contract, shared by every store so log pruning
     * and vacuum liveness can never disagree: per partition keep everything

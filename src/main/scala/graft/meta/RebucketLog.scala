@@ -98,12 +98,23 @@ object RebucketLog {
 
   /** Does (tsA, tsB] overlap any mapping-change event? [[cushionMs]]
     * cushion each side. An open marker overlaps every window reaching
-    * past its start. */
+    * past its start, and a window starting BEFORE the prune horizon
+    * conservatively overlaps too: an event may have existed there that
+    * the log no longer records, and treating such a window as
+    * single-mapping would pair merge groups per bucket id across unknown
+    * mappings (duplicate keys) — the mapping-agnostic cross-bucket path
+    * costs parallelism, never correctness. */
   def overlaps(props: Map[String, String], tsA: Long, tsB: Long): Boolean =
-    parse(props).exists { case (ts0, ts1, _, _) =>
-      tsA < (if (ts1 == Long.MaxValue) Long.MaxValue else ts1 + cushionMs) &&
-        tsB >= ts0 - cushionMs
-    }
+    horizon(props).exists(tsA < _) ||
+      // an unfinished file-store restore (MetaStore.RestorePendingProp):
+      // heads may already carry the restored mapping while the count/event
+      // flip is missing — every window is mapping-ambiguous until the
+      // re-run completes it
+      props.contains(MetaStore.RestorePendingProp) ||
+      parse(props).exists { case (ts0, ts1, _, _) =>
+        tsA < (if (ts1 == Long.MaxValue) Long.MaxValue else ts1 + cushionMs) &&
+          tsB >= ts0 - cushionMs
+      }
 
   /** The events overlapping (tsA, tsB] under the same cushion. */
   def overlapping(props: Map[String, String], tsA: Long,

@@ -193,11 +193,14 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   private def incrementalSplit(t: TableInfo, start: Long, end: Long,
       partitionPred: String => Boolean, strict: Boolean,
       resolve: (Long, Long, String => Boolean) => Seq[ResolvedFile]): DataFrame =
-    planEpochWindows(t.properties, start, end) match {
+    cuttableWindow(t, start, end)
+      .flatMap { case (events, lineages) =>
+        epochWindowsFrom(t, start, end, events).map((_, lineages)) }
+      match {
       case None =>
         GraftRead.read(spark, t, resolve(start, end, partitionPred),
           keepCdcRows = true, crossBucketMerge = true)
-      case Some(epochWindows) =>
+      case Some((epochWindows, lineages)) =>
         // whole-window per-partition abort must survive the cut: a
         // partition with a non-delta (Update/Rewrite) commit ANYWHERE in
         // (start, end] delivers nothing from the whole window, but each
@@ -208,58 +211,74 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // skip where the whole-window contract is to THROW
         // NonIncrementalWindowException — the unmasked sub-window holding
         // the non-delta commit raises it exactly like the one-call form.
-        val abort: Set[String] = if (strict) Set.empty else {
-          val descs = store.partitionsChangedBetween(tablePath, start, end)
-            .filter(partitionPred)
-          store.partitionVersionsBulk(tablePath, descs).collect {
-            case (d, vs) if vs.exists(v => v.timestamp > start &&
-              v.timestamp <= end && (v.commitOp == CommitOp.Update ||
-                v.commitOp == CommitOp.Rewrite)) => d
+        // The lineages were already fetched by the cuttability probe.
+        val abort: Set[String] = if (strict) Set.empty else
+          lineages.collect {
+            case (d, vs) if partitionPred(d) && vs.exists(v =>
+              v.timestamp > start && v.timestamp <= end &&
+                (v.commitOp == CommitOp.Update ||
+                  v.commitOp == CommitOp.Rewrite)) => d
           }.toSet
-        }
         val pred2 = (d: String) => partitionPred(d) && !abort.contains(d)
         GraftRead.readSplitEpochs(spark, t,
           epochWindows.map { case (n, a, b) => (n, resolve(a, b, pred2)) },
           keepCdcRows = true)
     }
 
-  /** Cut (start, end] at recorded re-bucket boundaries into mapping-
-    * consistent sub-windows — Some((bucketNum, from, to), oldest -> newest,
-    * contiguous, covering the window) when every overlapping event can be
-    * cut around; None when the window is genuinely ambiguous: an OPEN
-    * in-progress marker (crashed or running re-bucket), a non-compaction
-    * commit inside an event's clock-cushion zone (the flip lands somewhere
-    * inside — the commit could carry either mapping), or events too close
-    * to separate. Those fall back to readCrossBucket's conservative
-    * one-task-per-partition merge. */
-  private def planEpochWindows(props: Map[String, String],
-      start: Long, end: Long): Option[Seq[(Int, Long, Long)]] = {
+  /** Shared cuttability analysis of (start, end] against `t`'s recorded
+    * mapping-change events: Some((events, lineages)) when the window MAY
+    * be cut around every overlapping event — all events closed, their
+    * cushion zones pairwise separated, the window not reaching past the
+    * event-log prune horizon, and no non-compaction commit inside any
+    * zone (the bucketNum flip lands somewhere inside, so such a commit
+    * could carry either mapping). ONE store fetch covers every zone AND
+    * the whole window, and the fetched lineages are returned so callers
+    * (the incremental abort mask) never re-query. None -> the window is
+    * genuinely ambiguous; callers fall back to the cross-bucket merge /
+    * bucket-merged diff pairing, which are mapping-agnostic. Evaluated
+    * against the CALLER's TableInfo snapshot — mixing the caller's
+    * properties with a fresh info.bucketNum under a concurrent re-bucket
+    * would pair old-epoch files with the wrong final mapping. */
+  private def cuttableWindow(t: TableInfo, start: Long, end: Long)
+      : Option[(Seq[(Long, Long, Int, Int)],
+                Map[String, Seq[PartitionInfo]])] = {
     val cu = RebucketLog.cushionMs
-    val events = RebucketLog.overlapping(props, start, end).sortBy(_._1)
+    // past the prune horizon an event may have existed that the log no
+    // longer records — neither cutting nor plain per-bucket dispatch is
+    // safe there (RebucketLog scaladoc contract); likewise under an
+    // unfinished file-store restore the mapping is unresolvable
+    if (RebucketLog.horizon(t.properties).exists(start < _)) return None
+    if (t.properties.contains(MetaStore.RestorePendingProp)) return None
+    val events = RebucketLog.overlapping(t.properties, start, end).sortBy(_._1)
     if (events.exists(_._2 == Long.MaxValue)) return None // in progress
     val separated = events.sliding(2).forall {
       case Seq((_, e1, _, _), (s2, _, _, _)) => s2 - cu > e1 + cu
       case _ => true
     }
     if (!separated) return None
-    // ambiguity probe: a NON-compaction commit inside an event's cushion
-    // zone could have landed either side of the bucketNum flip
+    val f0 = (start +: events.map(_._1 - cu)).min
+    val f1 = (end +: events.map(_._2 + cu)).max
+    val descs = store.partitionsChangedBetween(tablePath, f0, f1)
+    val lineages = store.partitionVersionsBulk(tablePath, descs)
     val ambiguous = events.exists { case (ts0, ts1, _, _) =>
-      val (z0, z1) = (ts0 - cu, ts1 + cu)
-      val descs = store.partitionsChangedBetween(tablePath, z0, z1)
-      store.partitionVersionsBulk(tablePath, descs).values.flatten.exists(v =>
-        v.timestamp > z0 && v.timestamp <= z1 &&
+      lineages.values.flatten.exists(v =>
+        v.timestamp > ts0 - cu && v.timestamp <= ts1 + cu &&
           v.commitOp != CommitOp.Compaction)
     }
-    if (ambiguous) return None
-    // cut points: one per event whose zone lies STRICTLY inside the window
-    // (edge-overlapping events leave every in-window delta on one side and
-    // need no cut — the per-epoch mapping evaluation below covers them)
+    if (ambiguous) None else Some((events, lineages))
+  }
+
+  /** Cut (start, end] at the (pre-validated) events into mapping-
+    * consistent sub-windows: (bucketNum, from, to) oldest -> newest,
+    * contiguous, covering the window. Edge-overlapping events leave every
+    * in-window delta on one side and need no cut; the per-epoch mapping
+    * is evaluated just before each cut event's zone (or at `end`, unless
+    * a terminal event overlaps it). */
+  private def epochWindowsFrom(t: TableInfo, start: Long, end: Long,
+      events: Seq[(Long, Long, Int, Int)]): Option[Seq[(Int, Long, Long)]] = {
+    val cu = RebucketLog.cushionMs
     val cuts = events.collect { case (ts0, ts1, _, _)
       if start < ts0 - cu && end > ts1 + cu => (ts0, ts1 + cu) }
-    val current = info.bucketNum
-    // an event overlapping the window's END leaves the final sub-window's
-    // deltas BEFORE its zone — evaluate the mapping there, not at `end`
     val terminal = events.find { case (ts0, ts1, _, _) =>
       end > ts0 - cu && end <= ts1 + cu }
     val bounds = start +: cuts.map(_._2) :+ end
@@ -269,7 +288,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       val evalTs =
         if (i < cuts.size) cuts(i)._1 - cu - 1 // just before the cut event
         else terminal.map(_._1 - cu - 1).getOrElse(end)
-      (RebucketLog.bucketNumAt(evalTs, props, current), a, b)
+      (RebucketLog.bucketNumAt(evalTs, t.properties, t.bucketNum), a, b)
     })
   }
 
@@ -329,7 +348,7 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         // segment zero-shuffle per-bucket parallel and the composition
         // touching DELTAS only. Unsegmentable windows fall back to the
         // per-partition bucket-merged pairing.
-        diffSegments(t.properties, startTime, endTime)
+        diffSegments(t, startTime, endTime)
           .filter(_ => !GraftTable.forceBucketMergedDiff) // test oracle
           .map(_.map { case (a, b) => diffSegment(t, a, b) })
           .filter(_.forall(_.nonEmpty))
@@ -347,29 +366,20 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * strictly inside the window (an endpoint lands in a zone — that
     * snapshot's mapping is ambiguous), zones collide, or a zone holds a
     * non-compaction commit. */
-  private def diffSegments(props: Map[String, String],
+  private def diffSegments(t: TableInfo,
       start: Long, end: Long): Option[Seq[(Long, Long)]] = {
     val cu = RebucketLog.cushionMs
-    val events = RebucketLog.overlapping(props, start, end).sortBy(_._1)
-    if (events.exists(_._2 == Long.MaxValue)) return None
-    if (events.exists { case (ts0, ts1, _, _) =>
-        !(start < ts0 - cu && end > ts1 + cu) }) return None
-    val separated = events.sliding(2).forall {
-      case Seq((_, e1, _, _), (s2, _, _, _)) => s2 - cu > e1 + cu
-      case _ => true
+    cuttableWindow(t, start, end).flatMap { case (events, _) =>
+      // a diff can only cut around events lying STRICTLY inside: an
+      // endpoint inside a zone leaves that snapshot's mapping ambiguous
+      if (events.exists { case (ts0, ts1, _, _) =>
+          !(start < ts0 - cu && end > ts1 + cu) }) None
+      else {
+        val pts = start +: events.flatMap { case (ts0, ts1, _, _) =>
+          Seq(ts0 - cu, ts1 + cu) } :+ end
+        Some(pts.grouped(2).map { case Seq(a, b) => (a, b) }.toSeq)
+      }
     }
-    if (!separated) return None
-    val ambiguous = events.exists { case (ts0, ts1, _, _) =>
-      val (z0, z1) = (ts0 - cu, ts1 + cu)
-      val descs = store.partitionsChangedBetween(tablePath, z0, z1)
-      store.partitionVersionsBulk(tablePath, descs).values.flatten.exists(v =>
-        v.timestamp > z0 && v.timestamp <= z1 &&
-          v.commitOp != CommitOp.Compaction)
-    }
-    if (ambiguous) return None
-    val pts = start +: events.flatMap { case (ts0, ts1, _, _) =>
-      Seq(ts0 - cu, ts1 + cu) } :+ end
-    Some(pts.grouped(2).map { case Seq(a, b) => (a, b) }.toSeq)
   }
 
   /** Zero-shuffle per-bucket diff of one same-mapping segment; None when

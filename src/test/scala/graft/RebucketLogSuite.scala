@@ -57,6 +57,18 @@ class RebucketLogSuite extends AnyFunSuite {
       s"horizon must cover the dropped events (got $h)")
   }
 
+  test("windows reaching past the prune horizon or under a pending restore " +
+    "are conservatively mapping-ambiguous") {
+    val horizoned = Map(RebucketLog.HorizonProp -> "5000")
+    assert(RebucketLog.overlaps(horizoned, 1000L, 9000L),
+      "a window starting before the horizon may span a pruned event")
+    assert(!RebucketLog.overlaps(horizoned, 6000L, 9000L),
+      "a window fully past the horizon with no events is single-mapping")
+    val pending = Map(graft.meta.MetaStore.RestorePendingProp -> "1234")
+    assert(RebucketLog.overlaps(pending, 999999L, 9999999L),
+      "an unfinished restore makes every window mapping-ambiguous")
+  }
+
   test("legacy closed-format strings parse unchanged") {
     val props = Map(RebucketLog.Prop -> "100:200:4:8,300:400:8:2")
     assert(RebucketLog.bucketNumAt(50L, props, current = 2) == 4)

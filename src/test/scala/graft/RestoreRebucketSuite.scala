@@ -63,4 +63,39 @@ class RestoreRebucketSuite extends SparkFixture {
       assert(t.toDF.count() == 20)
     }
   }
+
+  test("an UNFINISHED file-store restore (crash between head repointing " +
+    "and the count flip) blocks writers loudly and recovers by re-running") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 16).map(i => (i.toLong, i)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      Thread.sleep(3)
+      val tsBefore = t.lastCommitTs
+      t.compaction(CompactionOptions(newBucketNum = Some(4)), _ => true)
+      Thread.sleep(3)
+      // simulate the crash state the two-file protocol brackets: heads
+      // conceptually mid-restore, RESTORE-PENDING marker set, flip missing
+      graft.meta.MetaStore.default.updateProperties(path)(_ +
+        (graft.meta.MetaStore.RestorePendingProp -> tsBefore.toString))
+      val e = intercept[IllegalStateException] {
+        t.upsert(Seq((3L, 333)).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("restore") &&
+        e.getMessage.contains("incomplete"), e.getMessage)
+      // readers stay conservative (mapping-ambiguous), never wrong
+      assert(t.toDF.count() == 16)
+      assert(t.incremental(0L, t.lastCommitTs).count() >= 0) // cross path
+      // recovery: re-run the restore — it completes the pair, clears the
+      // marker, reverts the count, and writes flow again
+      t.restoreToTimestamp(tsBefore)
+      assert(!t.info.properties.contains(
+        graft.meta.MetaStore.RestorePendingProp))
+      assert(t.info.bucketNum == 2)
+      t.upsert(Seq((3L, 333)).toDF("id", "v"))
+      assert(t.toDF.filter($"id" === 3L).select("v")
+        .collect().map(_.getInt(0)).toSeq == Seq(333))
+      assert(t.validate() == Nil)
+    }
+  }
 }
