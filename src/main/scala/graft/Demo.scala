@@ -384,6 +384,12 @@ object Demo {
       val parts = win.rdd.getNumPartitions
       println(s"rebucket-straddling incremental rows = $n (expect 300), " +
         s"merge parallelism = $parts (expect 8 = new bucketNum)")
+      // DOWN-re-bucket with pending deltas + a tombstone run: the rewrite
+      // reads old-mapping files whose ids exceed the new count (r15 fix)
+      rb.deleteTombstone(col("o_orderkey") <= 10)
+      rb.compaction(graft.tables.CompactionOptions(newBucketNum = Some(2)), _ => true)
+      println(s"after DOWN-rebucket 8->2 with tombstones: rows = ${rb.toDF.count()}" +
+        s" (expect ${300 - orders.limit(300).filter(col("o_orderkey") <= 10).count()})")
     }
 
     // error-path probes

@@ -93,9 +93,16 @@ object GraftRead {
     // PARTITION with per-(commit,bucket) runs in one global key order
     // (BucketMergeRead.readCrossBucket), no plain-scan split at all
     if (crossBucketMerge && table.hasPrimaryKey && !skipMerge) {
+      // the cross merge groups per (commit, bucket id) and never consults
+      // table.bucketNum — widen the supports gate's id bound the same way
+      // the merged branch below does (a cross window whose old epoch used
+      // a LARGER count than current carries ids >= bucketNum)
+      val maxId = files.iterator.map(_.file.bucketId).max
+      val tm = if (maxId >= table.bucketNum)
+        table.copy(bucketNum = maxId + 1) else table
       val df0 =
-        if (BucketMergeRead.supports(table, schema, files))
-          BucketMergeRead.readCrossBucket(spark, table, schema, files)
+        if (BucketMergeRead.supports(tm, schema, files))
+          BucketMergeRead.readCrossBucket(spark, tm, schema, files)
         else mergeRead(spark, table, schema, files) // PK-agg: bucket-agnostic
       val vis0 = table.cdcColumn match {
         case Some(cdc) if !keepCdcRows => df0.filter(col(cdc) =!= "delete")
@@ -123,11 +130,25 @@ object GraftRead {
         val fs = multiRun.values.flatten.toSeq
         val bucketMergeOn =
           !table.properties.get("graft.bucketMergeRead").contains("false")
+        // bucket ids may legitimately EXCEED table.bucketNum mid
+        // DOWN-re-bucket: the count flips before the rewrite, so a
+        // snapshot read (and the rewrite's own read) sees old-mapping
+        // files under the new, smaller count. The ids only drive
+        // GROUPING here — this read's dispatch already assumes the file
+        // set is mapping-consistent (cross-mapping sets route through
+        // crossBucketMerge above) — so widen the grouping count to cover
+        // the observed ids instead of falling to the aggregate path
+        // (which cannot serve tombstone runs and pays a shuffle; found
+        // by the r15 soak: down-re-bucket x tombstones crashed the
+        // rewrite's own read).
+        val maxId = fs.iterator.map(_.file.bucketId).max
+        val tm = if (maxId >= table.bucketNum)
+          table.copy(bucketNum = maxId + 1) else table
         // prefer the shuffle-free bucket-aligned k-way merge (M1) — handles
         // schema evolution in-merge; the aggregate-based fallback covers
         // custom merge operators only
-        if (bucketMergeOn && BucketMergeRead.supports(table, schema, fs))
-          Some(BucketMergeRead.read(spark, table, schema, fs))
+        if (bucketMergeOn && BucketMergeRead.supports(tm, schema, fs))
+          Some(BucketMergeRead.read(spark, tm, schema, fs))
         else Some(mergeRead(spark, table, schema, fs))
       }
     val df = (plain, merged) match {

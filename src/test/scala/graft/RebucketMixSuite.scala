@@ -134,4 +134,37 @@ class RebucketMixSuite extends SparkFixture {
       assert(t.toDF.count() == 20)
     }
   }
+
+  test("DOWN-re-bucket of a table carrying tombstone runs rewrites cleanly " +
+    "and stays exact (r15 soak find)") {
+    // The count flips BEFORE the rewrite, so the rewrite's own read (and
+    // any concurrent snapshot read) sees old-mapping files whose bucket
+    // ids EXCEED the new, smaller count. The id bound in the k-way-merge
+    // gate used to reject them, dropping the read to the aggregate
+    // fallback — which cannot serve tombstone runs (crash) and pays a
+    // shuffle even when it can. The grouping count now widens to the
+    // observed ids (the set is mapping-consistent, so raw-id grouping is
+    // exact).
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 40).map(i => (i.toLong, s"a$i")).toDF("id", "data"), path,
+        hashColumns = Seq("id"), bucketNum = 6)
+      t.upsert((1 to 10).map(i => (i.toLong, s"b$i")).toDF("id", "data"))
+      t.deleteTombstone($"id" <= 5L) // tombstone runs present
+      // 6 -> 2: every live file's id (0..5) exceeds the new count mid-op
+      t.compaction(CompactionOptions(newBucketNum = Some(2)), _ => true)
+      assert(t.toDF.count() == 35)
+      assert(t.toDF.filter($"id" === 7L).select("data")
+        .as[String].collect().toSeq == Seq("b7"))
+      assert(t.info.bucketNum == 2)
+      assert(t.liveFiles.forall(_.file.bucketId < 2))
+      assert(t.validate() == Nil)
+      // post-re-bucket writes merge under the new mapping
+      t.upsert(Seq((7L, "c7"), (2L, "revived")).toDF("id", "data"))
+      assert(t.toDF.count() == 36)
+      assert(t.toDF.filter($"id" === 7L).select("data")
+        .as[String].collect().toSeq == Seq("c7"))
+      assert(t.validate() == Nil)
+    }
+  }
 }
