@@ -232,6 +232,45 @@ class SplitWindowSuite extends SparkFixture {
     }
   }
 
+  test("RANGE-PARTITIONED tables across re-buckets: split equals cross, " +
+    "including partition-pruned windows and a dropped partition") {
+    val rnd = new scala.util.Random(909)
+    for (round <- 1 to 2) {
+      withTempPath { path =>
+        val nParts = 2 + round
+        val keys = 0 until 24
+        def part(k: Int) = s"p${k % nParts}"
+        val init = keys.map(k => (k.toLong, part(k), s"v$k", "insert"))
+        val t = GraftTable.create(spark,
+          init.toDF("id", "part", "data", "op"), path,
+          rangeColumns = Seq("part"), hashColumns = Seq("id"),
+          bucketNum = 2,
+          properties = Map(TableInfo.CdcColumnProp -> "op"))
+        val t0 = t.lastCommitTs
+        tick()
+        t.upsert(keys.filter(_ % 2 == 0).map(k =>
+          (k.toLong, part(k), s"w$k", "insert")).toDF("id", "part", "data", "op"))
+        tick()
+        t.compaction(CompactionOptions(newBucketNum = Some(3 + round)), _ => true)
+        tick()
+        // partition-scoped delta: only p0 moves in the new epoch
+        t.upsert(keys.filter(k => k % nParts == 0).map(k =>
+          (k.toLong, part(k), s"x$k", "insert")).toDF("id", "part", "data", "op"))
+        tick()
+        t.dropPartition(s"part=p${nParts - 1}")
+        val head = t.lastCommitTs
+        bothWays(s"round $round partitioned incremental") {
+          t.incremental(t0, head)
+        }
+        bothWays(s"round $round partitioned diff")(t.diff(t0, head))
+        bothWays(s"round $round partition-pruned incremental") {
+          t.incremental(t0, head, partitionPred = _ == "part=p0")
+        }
+        assert(t.validate() == Nil)
+      }
+    }
+  }
+
   test("strict incremental across a re-bucket still THROWS on a non-delta " +
     "commit (the abort mask must not hide it from the sub-windows)") {
     withTempPath { path =>
