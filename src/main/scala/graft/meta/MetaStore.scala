@@ -426,8 +426,14 @@ class FileMetaStore extends MetaStore {
     // an unfinished restore (crash between its head repointing and its
     // bucket-count flip) makes the count this commit bucketed under
     // unresolvable — refuse loudly; re-running the restore recovers
-    rawInfo(tablePath).map(_.properties)
-      .flatMap(_.get(MetaStore.RestorePendingProp)).foreach { pts =>
+    // ONE uncached info read serves both guards below: the commit-side
+    // decisions must see the freshest state (a second store instance's
+    // (mtime, size) cache can revalidate a same-length re-bucket rewrite
+    // landing in the same millisecond)
+    val freshInfo = rawInfo(tablePath)
+    freshInfo.map(_.properties)
+      .flatMap(_.get(MetaStore.RestorePendingProp)).foreach { pv =>
+        val pts = pv.split(":").head
         throw new IllegalStateException(
           s"a whole-table restore (to $pts) on $tablePath is incomplete " +
             "(interrupted between head repointing and the bucket-count " +
@@ -438,10 +444,7 @@ class FileMetaStore extends MetaStore {
     // files were written under must still be the table's — checked inside
     // the lock so it serializes against rebucketIfNoPartitions
     expectedBucketNum.foreach { exp =>
-      // uncached read: the commit-side CAS must see the freshest count (a
-      // second store instance's (mtime, size) cache can revalidate a
-      // same-length re-bucket rewrite landing in the same millisecond)
-      val cur = rawInfo(tablePath).map(_.bucketNum)
+      val cur = freshInfo.map(_.bucketNum)
       if (!cur.contains(exp))
         throw new MetaRerunException(
           s"table bucketNum moved: files written under $exp, table now at " +
@@ -786,9 +789,22 @@ class FileMetaStore extends MetaStore {
       // re-appends are no-ops against already-repointed heads and the
       // flip + marker clear complete the pair.
       infoUpdate.foreach { _ =>
+        val cur = info()
+        // value = "asOfTs:wallClock". The wall clock is the RECOVERY
+        // anchor: if this run crashes after the heads move, the re-run's
+        // infoUpdate records the mapping-change event FROM this instant —
+        // stamping it at recovery time instead would leave the
+        // crash-to-recovery gap (heads already restored-mapping) with no
+        // recorded event once the marker clears, and a diff window over
+        // the gap would pair buckets across two mappings. An unfinished
+        // marker from an EARLIER crash keeps ITS anchor (min) so the
+        // eventual event covers the oldest possible head movement.
+        val anchor = cur.properties.get(MetaStore.RestorePendingProp)
+          .flatMap(_.split(":").lift(1)).map(_.toLong)
+          .getOrElse(System.currentTimeMillis())
         writeInfoAtomic(tableInfoPath(tablePath), jwrite(
-          info().copy(properties = info().properties +
-            (MetaStore.RestorePendingProp -> asOfTs.toString))))
+          cur.copy(properties = cur.properties +
+            (MetaStore.RestorePendingProp -> s"$asOfTs:$anchor"))))
         infoCache.remove(canonical(tablePath))
       }
       // ONE commit timestamp for every appended line (like commit()): time
@@ -799,11 +815,14 @@ class FileMetaStore extends MetaStore {
       if (appends.nonEmpty) appendVersions(tablePath, appends)
       // same critical section as the repointing (see trait scaladoc): a
       // bucket-restoring flip must not open a window for a stale-count
-      // writer between the two
+      // writer between the two. `f` runs with the pending marker still
+      // visible (it reads the recovery anchor from it); the marker is
+      // stripped from f's RESULT so completion clears it atomically with
+      // the flip.
       infoUpdate.foreach { f =>
-        val cur = info()
-        writeInfoAtomic(tableInfoPath(tablePath), jwrite(f(
-          cur.copy(properties = cur.properties - MetaStore.RestorePendingProp))))
+        val updated = f(info())
+        writeInfoAtomic(tableInfoPath(tablePath), jwrite(updated.copy(
+          properties = updated.properties - MetaStore.RestorePendingProp)))
         infoCache.remove(canonical(tablePath))
       }
       appends

@@ -138,4 +138,10 @@ object RebucketLog {
   /** Pruned-history boundary, if pruning has ever happened. */
   def horizon(props: Map[String, String]): Option[Long] =
     props.get(HorizonProp).map(_.toLong)
+
+  /** An OPEN in-progress marker present? (A re-bucket rewrite is running
+    * or crashed mid-way — file bucket ids and info.bucketNum may describe
+    * different mappings until a completed re-bucket closes it.) */
+  def hasOpen(props: Map[String, String]): Boolean =
+    parse(props).exists(_._2 == Long.MaxValue)
 }

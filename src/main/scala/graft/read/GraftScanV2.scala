@@ -425,9 +425,36 @@ class GraftScan(
     plannedCache = null // partition plan derives from `files` — recompute
   }
 
+  /** Bucket count for MERGE GROUPING, widened to the observed ids: mid
+    * DOWN-re-bucket (the count flips under an open marker before the
+    * rewrite) a snapshot legally carries old-mapping files whose ids
+    * exceed info.bucketNum — grouping by raw id stays exact for any
+    * mapping-consistent set, and rejecting them dropped concurrent SQL
+    * reads to the plain branch, which cannot serve tombstone runs
+    * (r15 soak find, library-path twin in GraftRead.read). */
+  private val mergeBucketNum =
+    if (filesIn.isEmpty) info.bucketNum
+    else math.max(info.bucketNum, filesIn.iterator.map(_.file.bucketId).max + 1)
+
   private val bucketMergeable =
-    info.hasPrimaryKey && BucketMergeRead.supports(info, schema, files) &&
+    info.hasPrimaryKey && BucketMergeRead.supports(
+      info.copy(bucketNum = mergeBucketNum), schema, files) &&
       !info.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
+
+  /** The ID-DERIVED optimizations — the single-bucket point prune (M6)
+    * and the reported KeyGroupedPartitioning (SPJ) — are valid only when
+    * the files' key->bucket mapping IS info.bucketNum's mapping. Mid
+    * re-bucket (open marker: the count flips before the rewrite) or mid
+    * crashed-restore recovery, files still carry the PREVIOUS mapping:
+    * pruning by the new count would miss the key's actual bucket, and
+    * SPJ would pair partitions of two different mappings (silently wrong
+    * join). Merge correctness is mapping-agnostic and stays on. */
+  private val mappingSettled =
+    !graft.meta.RebucketLog.hasOpen(info.properties) &&
+      !info.properties.contains(graft.meta.MetaStore.RestorePendingProp) &&
+      filesIn.forall(_.file.bucketId < info.bucketNum)
+
+  private val pkBucketEff: Option[Int] = if (mappingSettled) pkBucket else None
 
   private val multiRun =
     files.groupBy(_.partitionDesc).values.exists(_.map(_.commitOrdinal).distinct.size > 1)
@@ -513,7 +540,7 @@ class GraftScan(
       GraftDriverMetric("graftFilesSkipped", (filesIn.size - files.size).toLong))
 
   override def outputPartitioning(): Partitioning =
-    if (bucketMergeable && pkBucket.isEmpty)
+    if (bucketMergeable && mappingSettled && pkBucketEff.isEmpty)
       new KeyGroupedPartitioning(
         Array(graft.util.SchemaUtil.qbucket(info.bucketNum, info.hashColumns)),
         info.bucketNum)
@@ -551,7 +578,7 @@ class GraftScan(
       // run split/order delegated to BucketMergeRead.orderedRuns: commit
       // ordinals are per-partition, so same-ordinal groups split by
       // (mask, tombstone) signature when partition histories diverge
-      val buckets = pkBucket.map(Seq(_)).getOrElse(0 until info.bucketNum)
+      val buckets = pkBucketEff.map(Seq(_)).getOrElse(0 until mergeBucketNum)
       buckets.map { b =>
         val mine = files.filter(_.file.bucketId == b)
         val runs = BucketMergeRead.orderedRuns(info, schema, mine).map {
@@ -726,23 +753,47 @@ class GraftMicroBatchStream(
     // reader's silent abort-to-empty would advance the offset past the
     // boundary and lose the window forever
     val files = table.incrementalFiles(s, e, strict = true)
+    def toSpec(rs: Seq[(Seq[graft.meta.ResolvedFile], Array[Boolean], Boolean)])
+        : Array[GraftRunSpec] =
+      rs.map { case (fs, mask, tomb) =>
+        GraftRunSpec(fs.map(f =>
+          PartitionedFile(InternalRow.empty,
+            SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
+          mask, tomb)
+      }.toArray
     if (!info.hasPrimaryKey)
       files.map(f => GraftFilePartition(
         PartitionedFile(InternalRow.empty,
           SparkPath.fromPathString(f.file.path), 0L, f.file.size),
         BucketMergeRead.presentMask(schema, f.file.existCols)): InputPartition).toArray
-    else {
-      (0 until info.bucketNum).map { b =>
-      val mine = files.filter(_.file.bucketId == b)
-      val runs = BucketMergeRead.orderedRuns(info, schema, mine).map {
-        case (fs, mask, tomb) =>
-          GraftRunSpec(fs.map(f =>
-            PartitionedFile(InternalRow.empty,
-              SparkPath.fromPathString(f.file.path), 0L, f.file.size)).toArray,
-            mask, tomb)
+    else if (graft.meta.RebucketLog.overlaps(info.properties, s, e)) {
+      // the window spans a key->bucket MAPPING change: per-bucket dispatch
+      // is key-disjoint only under one mapping — a straddling key's old-
+      // and new-mapping rows would land in different merge tasks and BOTH
+      // surface. Merge per RANGE PARTITION instead, every (commit, bucket)
+      // subgroup its own key-sorted run in commit order (readCrossBucket's
+      // grouping, through the same k-way partition reader). Boundary
+      // batches are rare and delta-sized, so the per-partition parallelism
+      // is acceptable where a silent duplicate is not.
+      files.groupBy(_.partitionDesc).toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((_, fs), i) =>
+          val runs = fs.groupBy(f => (f.commitOrdinal, f.file.bucketId))
+            .toSeq.sortBy(_._1)
+            .flatMap { case (_, sub) =>
+              BucketMergeRead.orderedRuns(info, schema, sub) }
+          GraftBucketPartition(i, toSpec(runs)): InputPartition
+        }.toArray
+    } else {
+      // single mapping — but its count may EXCEED info.bucketNum (a window
+      // entirely before an in-flight down-re-bucket): group by the
+      // OBSERVED ids, never silently drop files past the flipped count
+      val n = math.max(info.bucketNum,
+        files.iterator.map(_.file.bucketId).foldLeft(-1)(math.max) + 1)
+      (0 until n).map { b =>
+        val mine = files.filter(_.file.bucketId == b)
+        GraftBucketPartition(b,
+          toSpec(BucketMergeRead.orderedRuns(info, schema, mine))): InputPartition
       }.toArray
-      GraftBucketPartition(b, runs): InputPartition
-    }.toArray
     }
   }
 

@@ -239,7 +239,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * against the CALLER's TableInfo snapshot — mixing the caller's
     * properties with a fresh info.bucketNum under a concurrent re-bucket
     * would pair old-epoch files with the wrong final mapping. */
-  private def cuttableWindow(t: TableInfo, start: Long, end: Long)
+  private def cuttableWindow(t: TableInfo, start: Long, end: Long,
+      fetchWholeWindow: Boolean = true)
       : Option[(Seq[(Long, Long, Int, Int)],
                 Map[String, Seq[PartitionInfo]])] = {
     val cu = RebucketLog.cushionMs
@@ -256,8 +257,16 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       case _ => true
     }
     if (!separated) return None
-    val f0 = (start +: events.map(_._1 - cu)).min
-    val f1 = (end +: events.map(_._2 + cu)).max
+    // incremental callers reuse the lineages for their whole-window abort
+    // mask; diff needs only the event zones — fetching a wide window's
+    // changed-partition lineages for it would be O(window) meta I/O spent
+    // on an O(zones) question
+    val (f0, f1) =
+      if (fetchWholeWindow)
+        ((start +: events.map(_._1 - cu)).min,
+          (end +: events.map(_._2 + cu)).max)
+      else if (events.isEmpty) return Some((events, Map.empty))
+      else (events.map(_._1 - cu).min, events.map(_._2 + cu).max)
     val descs = store.partitionsChangedBetween(tablePath, f0, f1)
     val lineages = store.partitionVersionsBulk(tablePath, descs)
     val ambiguous = events.exists { case (ts0, ts1, _, _) =>
@@ -330,13 +339,21 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           // scale path: both snapshots share the bucket layout, so the
           // diff runs as one task per bucket walking two loser-tree merges
           // in lockstep — ZERO shuffle (diffViaJoin shuffles both
-          // snapshots; it remains only for custom agg-only merge ops)
+          // snapshots; it remains only for custom agg-only merge ops).
+          // Widen the id bound like GraftRead.read: a window entirely
+          // BEFORE an in-flight down-re-bucket carries old-mapping ids
+          // that exceed the already-flipped count — raw-id pairing stays
+          // exact (no mapping change inside the window), and without the
+          // widening every such diff paid diffViaJoin's double shuffle.
           val oldFiles = resolver.filesUptoTime(tablePath, startTime)
           val newFiles = resolver.filesUptoTime(tablePath, endTime)
-          if (graft.read.BucketMergeRead.supports(t, schema, oldFiles) &&
-              graft.read.BucketMergeRead.supports(t, schema, newFiles))
+          val maxId = (oldFiles.iterator ++ newFiles.iterator)
+            .map(_.file.bucketId).foldLeft(-1)(math.max)
+          val tw = if (maxId >= t.bucketNum) t.copy(bucketNum = maxId + 1) else t
+          if (graft.read.BucketMergeRead.supports(tw, schema, oldFiles) &&
+              graft.read.BucketMergeRead.supports(tw, schema, newFiles))
             return graft.read.BucketMergeRead.diffRead(
-              spark, t, schema, oldFiles, newFiles)
+              spark, tw, schema, oldFiles, newFiles)
           return diffViaJoin(startTime, endTime)
         }
         // the window crosses a re-bucket: bucket-id snapshot pairing would
@@ -369,7 +386,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
   private def diffSegments(t: TableInfo,
       start: Long, end: Long): Option[Seq[(Long, Long)]] = {
     val cu = RebucketLog.cushionMs
-    cuttableWindow(t, start, end).flatMap { case (events, _) =>
+    cuttableWindow(t, start, end, fetchWholeWindow = false)
+      .flatMap { case (events, _) =>
       // a diff can only cut around events lying STRICTLY inside: an
       // endpoint inside a zone leaves that snapshot's mapping ambiguous
       if (events.exists { case (ts0, ts1, _, _) =>
@@ -2390,10 +2408,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       val target = RebucketLog.bucketNumAt(ms, cur.properties, cur.bucketNum)
       if (target == cur.bucketNum) cur
       else {
-        // the restore is itself a mapping change for diff windows
-        val ts = System.currentTimeMillis()
+        // the restore is itself a mapping change for diff windows. The
+        // event STARTS at the pending marker's anchor (the file store sets
+        // it before the heads move): after a crash-and-re-run, the heads
+        // carried the restored mapping from the CRASHED attempt on — an
+        // event stamped only at recovery time would leave that gap
+        // unrecorded once the marker clears.
+        val ts0 = cur.properties.get(MetaStore.RestorePendingProp)
+          .flatMap(_.split(":").lift(1)).map(_.toLong)
+          .getOrElse(System.currentTimeMillis())
         cur.copy(bucketNum = target, properties = RebucketLog.appendClosed(
-          cur.properties, ts, ts, cur.bucketNum, target))
+          cur.properties, ts0, System.currentTimeMillis(),
+          cur.bucketNum, target))
       }
     }).map(_.partitionDesc)
   }

@@ -258,6 +258,69 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
+  test("DSv2 streaming: a micro-batch window spanning a RE-BUCKET merges " +
+    "straddling keys once (r15 — per-partition cross grouping)") {
+    withTempPath { wh =>
+      withTempPath { ckpt =>
+        useCatalog(wh)
+        import spark.implicits._
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+          .createOrReplaceTempView("rbs_src")
+        spark.sql("CREATE TABLE graft_cat.rbs.t PARTITIONED BY (bucket(2, id)) " +
+          "AS SELECT * FROM rbs_src")
+        // history BEFORE the stream starts: delta -> re-bucket -> delta,
+        // so the FIRST micro-batch window (0, head] spans the mapping
+        // change. Per-bucket dispatch would deliver BOTH of a straddling
+        // key's rows (old- and new-mapping runs in different merge tasks).
+        spark.sql("INSERT INTO graft_cat.rbs.t VALUES (2, 'b2'), (4, 'd')")
+        spark.sql("CALL graft.compaction(table_name => 'rbs.t', " +
+          "new_bucket_num => '5')")
+        spark.sql("INSERT INTO graft_cat.rbs.t VALUES (2, 'b3'), (5, 'e')")
+        val q = spark.readStream.table("graft_cat.rbs.t")
+          .writeStream.format("memory").queryName("v2_rb_stream")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          q.processAllAvailable()
+          // key 2 was written in both epochs: exactly ONE row, last value
+          assertRows(spark.table("v2_rb_stream"),
+            Seq("[1,a]", "[2,b3]", "[3,c]", "[4,d]", "[5,e]"))
+        } finally q.stop()
+      }
+    }
+  }
+
+  test("mid re-bucket (open marker): SQL point lookups scan every bucket " +
+    "instead of pruning by the already-flipped count (r15)") {
+    withTempPath { wh =>
+      useCatalog(wh)
+      import spark.implicits._
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("mid_src")
+      spark.sql("CREATE TABLE graft_cat.mid.t PARTITIONED BY (bucket(2, id)) " +
+        "AS SELECT * FROM mid_src")
+      // simulate the exact mid-rewrite state the re-bucket path creates:
+      // bucketNum flipped (2 -> 5) under an OPEN marker, files still
+      // carrying the old mapping. The M6 single-bucket prune computed
+      // pmod(hash, 5) and read ONLY that bucket — most keys' actual files
+      // live in a different (old-mapping) bucket and vanished from point
+      // lookups until the rewrite finished.
+      graft.meta.MetaStore.default.updateInfo(s"$wh/mid/t") { t =>
+        t.copy(bucketNum = 5, properties = graft.meta.RebucketLog.appendOpen(
+          t.properties, System.currentTimeMillis(), 2, 5))
+      }
+      spark.sql("REFRESH TABLE graft_cat.mid.t")
+      (1 to 20).foreach { k =>
+        val got = spark.sql(s"SELECT v FROM graft_cat.mid.t WHERE id = $k")
+          .as[String].collect().toSeq
+        assert(got == Seq(s"v$k"),
+          s"point lookup id=$k mid-re-bucket returned $got")
+      }
+      // full scans stay exact too (merge grouping is mapping-agnostic)
+      assert(spark.table("graft_cat.mid.t").count() == 20)
+    }
+  }
+
   test("streaming admission control paces the backlog by commits and files") {
     withTempPath { wh =>
       withTempPath { ckpt =>

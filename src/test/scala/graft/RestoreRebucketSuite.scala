@@ -75,9 +75,11 @@ class RestoreRebucketSuite extends SparkFixture {
       t.compaction(CompactionOptions(newBucketNum = Some(4)), _ => true)
       Thread.sleep(3)
       // simulate the crash state the two-file protocol brackets: heads
-      // conceptually mid-restore, RESTORE-PENDING marker set, flip missing
+      // conceptually mid-restore, RESTORE-PENDING marker set (carrying the
+      // crashed attempt's wall-clock anchor), flip missing
+      val crashAnchor = System.currentTimeMillis() - 60000 // "crashed a minute ago"
       graft.meta.MetaStore.default.updateProperties(path)(_ +
-        (graft.meta.MetaStore.RestorePendingProp -> tsBefore.toString))
+        (graft.meta.MetaStore.RestorePendingProp -> s"$tsBefore:$crashAnchor"))
       val e = intercept[IllegalStateException] {
         t.upsert(Seq((3L, 333)).toDF("id", "v"))
       }
@@ -92,6 +94,14 @@ class RestoreRebucketSuite extends SparkFixture {
       assert(!t.info.properties.contains(
         graft.meta.MetaStore.RestorePendingProp))
       assert(t.info.bucketNum == 2)
+      // the recovery's mapping-change event must START at the crashed
+      // attempt's anchor: the heads carried the restored mapping from the
+      // crash on, and an event stamped only at recovery time would leave
+      // that gap unrecorded once the marker cleared (a diff window over it
+      // would pair buckets across two mappings)
+      val events = t.info.properties(GraftTable.RebucketIntervalsProp)
+      assert(events.split(",").exists(_.startsWith(s"$crashAnchor:")),
+        s"recovered event must span from the crash anchor: $events")
       t.upsert(Seq((3L, 333)).toDF("id", "v"))
       assert(t.toDF.filter($"id" === 3L).select("v")
         .collect().map(_.getInt(0)).toSeq == Seq(333))
