@@ -788,24 +788,36 @@ class FileMetaStore extends MetaStore {
       // cross-bucket paths. Re-running the restore is the recovery: the
       // re-appends are no-ops against already-repointed heads and the
       // flip + marker clear complete the pair.
-      infoUpdate.foreach { _ =>
+      infoUpdate.foreach { f =>
         val cur = info()
-        // value = "asOfTs:wallClock". The wall clock is the RECOVERY
-        // anchor: if this run crashes after the heads move, the re-run's
-        // infoUpdate records the mapping-change event FROM this instant —
-        // stamping it at recovery time instead would leave the
-        // crash-to-recovery gap (heads already restored-mapping) with no
-        // recorded event once the marker clears, and a diff window over
-        // the gap would pair buckets across two mappings. An unfinished
-        // marker from an EARLIER crash keeps ITS anchor (min) so the
-        // eventual event covers the oldest possible head movement.
-        val anchor = cur.properties.get(MetaStore.RestorePendingProp)
-          .flatMap(_.split(":").lift(1)).map(_.toLong)
-          .getOrElse(System.currentTimeMillis())
-        writeInfoAtomic(tableInfoPath(tablePath), jwrite(
-          cur.copy(properties = cur.properties +
-            (MetaStore.RestorePendingProp -> s"$asOfTs:$anchor"))))
-        infoCache.remove(canonical(tablePath))
+        // Dry-run the update against the CURRENT info to learn whether it
+        // flips the bucket count. A bucket-neutral restore creates no
+        // mapping ambiguity — same count, same key->bucket mapping — so it
+        // skips the marker entirely: setting it unconditionally opened a
+        // crash window in which ALL writers refuse (commit() blocks on the
+        // marker) until someone manually re-ran the restore, for a restore
+        // that never needed the protection. Stable decision: everything f
+        // reads (info fields, the event log) is fixed for the duration of
+        // this lock, so the dry-run verdict matches the real run below.
+        val flips = f(cur).bucketNum != cur.bucketNum
+        if (flips) {
+          // value = "asOfTs:wallClock". The wall clock is the RECOVERY
+          // anchor: if this run crashes after the heads move, the re-run's
+          // infoUpdate records the mapping-change event FROM this instant —
+          // stamping it at recovery time instead would leave the
+          // crash-to-recovery gap (heads already restored-mapping) with no
+          // recorded event once the marker clears, and a diff window over
+          // the gap would pair buckets across two mappings. An unfinished
+          // marker from an EARLIER crash keeps ITS anchor (min) so the
+          // eventual event covers the oldest possible head movement.
+          val anchor = cur.properties.get(MetaStore.RestorePendingProp)
+            .flatMap(_.split(":").lift(1)).map(_.toLong)
+            .getOrElse(System.currentTimeMillis())
+          writeInfoAtomic(tableInfoPath(tablePath), jwrite(
+            cur.copy(properties = cur.properties +
+              (MetaStore.RestorePendingProp -> s"$asOfTs:$anchor"))))
+          infoCache.remove(canonical(tablePath))
+        }
       }
       // ONE commit timestamp for every appended line (like commit()): time
       // travel must never resolve a boundary INSIDE the restore

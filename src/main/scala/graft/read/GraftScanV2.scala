@@ -345,7 +345,13 @@ class GraftScanBuilder(
       requiredSchema.fieldNames).toSet
     val readSchema = StructType(fullSchema.fields.filter(f => need.contains(f.name)))
     // same read options as format("graft"): snapshot / incremental reads
-    // (spark.read.option("readtype", ...).table("graft_cat.ns.t"))
+    // (spark.read.option("readtype", ...).table("graft_cat.ns.t")).
+    // The RESOLVED time window is normalized back into the scan options:
+    // GraftScan's mapping-consistency gates (crossBucketWindow /
+    // mappingCurrentAtRead) need concrete boundaries, and an absent
+    // readendtime here defaults to lastCommitTs — a value only the builder
+    // can resolve.
+    var scanOpts = options
     val (files, keepCdc) = options.getOrElse("readtype", "full") match {
       case "snapshot" =>
         (exactDescs match {
@@ -358,6 +364,8 @@ class GraftScanBuilder(
         val st = options.getOrElse("readstarttime", "0").toLong
         val et = options.get("readendtime").map(_.toLong)
           .getOrElse(table.lastCommitTs)
+        scanOpts = options +
+          ("readstarttime" -> st.toString, "readendtime" -> et.toString)
         (exactDescs match {
           case Some(ds) => table.incrementalFilesForDescs(st, et, ds)
           case None => table.incrementalFiles(st, et, partPred)
@@ -368,7 +376,7 @@ class GraftScanBuilder(
       }, false)
     }
     new GraftScan(spark, info, readSchema, files, dataFilters, pkBucket, keepCdc,
-      options)
+      scanOpts)
   }
 }
 
@@ -441,18 +449,56 @@ class GraftScan(
       info.copy(bucketNum = mergeBucketNum), schema, files) &&
       !info.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
 
+  /** A readtype=incremental window spanning a key->bucket MAPPING change:
+    * per-bucket dispatch is key-disjoint only under ONE mapping — a
+    * straddling key's old- and new-mapping rows carry different raw bucket
+    * ids, land in different merge tasks, and BOTH surface (duplicate
+    * keys). The micro-batch stream and the library incremental read both
+    * guard on RebucketLog.overlaps; this DSv2 batch sibling must too —
+    * computePartitions routes such windows to the same per-range-partition
+    * cross-bucket grouping the stream uses. (The mergeBucketNum widening
+    * above stays valid: grouping by raw id is only used when the window
+    * is mapping-consistent.) */
+  private val crossBucketWindow: Boolean =
+    info.hasPrimaryKey && scanOptions.get("readtype").contains("incremental") && {
+      val st = scanOptions.getOrElse("readstarttime", "0").toLong
+      val et = scanOptions.get("readendtime").map(_.toLong).getOrElse(Long.MaxValue)
+      graft.meta.RebucketLog.overlaps(info.properties, st, et)
+    }
+
+  /** Time-bounded reads (snapshot time travel, incremental windows)
+    * resolve files under the mapping IN EFFECT AT `readendtime` — a
+    * re-bucket completed AFTER that boundary leaves info.bucketNum
+    * describing a different mapping even though every file id is < the
+    * current count (an up-re-bucket makes old ids look in-range). The
+    * id-derived optimizations must compare against the mapping at the
+    * read boundary, not just the current state. */
+  private val mappingCurrentAtRead: Boolean =
+    scanOptions.get("readtype") match {
+      case Some("snapshot") | Some("incremental") =>
+        scanOptions.get("readendtime").map(_.toLong) match {
+          case Some(et) =>
+            !graft.meta.RebucketLog.overlaps(info.properties, et, Long.MaxValue)
+          case None => true // unresolved end = current state
+        }
+      case _ => true
+    }
+
   /** The ID-DERIVED optimizations — the single-bucket point prune (M6)
     * and the reported KeyGroupedPartitioning (SPJ) — are valid only when
     * the files' key->bucket mapping IS info.bucketNum's mapping. Mid
-    * re-bucket (open marker: the count flips before the rewrite) or mid
-    * crashed-restore recovery, files still carry the PREVIOUS mapping:
-    * pruning by the new count would miss the key's actual bucket, and
-    * SPJ would pair partitions of two different mappings (silently wrong
-    * join). Merge correctness is mapping-agnostic and stays on. */
+    * re-bucket (open marker: the count flips before the rewrite), mid
+    * crashed-restore recovery, or reading a time-travel/incremental
+    * boundary that predates a completed re-bucket, files carry a
+    * DIFFERENT mapping: pruning by the new count would miss the key's
+    * actual bucket, and SPJ would pair partitions of two different
+    * mappings (silently wrong join). Merge correctness is
+    * mapping-agnostic and stays on. */
   private val mappingSettled =
     !graft.meta.RebucketLog.hasOpen(info.properties) &&
       !info.properties.contains(graft.meta.MetaStore.RestorePendingProp) &&
-      filesIn.forall(_.file.bucketId < info.bucketNum)
+      filesIn.forall(_.file.bucketId < info.bucketNum) &&
+      mappingCurrentAtRead && !crossBucketWindow
 
   private val pkBucketEff: Option[Int] = if (mappingSettled) pkBucket else None
 
@@ -574,7 +620,28 @@ class GraftScan(
   }
 
   private def computePartitions(): Array[InputPartition] =
-    if (bucketMergeable) {
+    if (bucketMergeable && crossBucketWindow) {
+      // re-bucket-straddling incremental window: merge per RANGE PARTITION
+      // (mapping-agnostic — partitions are key-disjoint by range columns),
+      // every (commit, bucket) subgroup its own key-sorted run in commit
+      // order. Mirrors GraftMicroBatchStream.planInputPartitions exactly;
+      // boundary windows are rare and delta-sized, so the per-partition
+      // parallelism is acceptable where a silent duplicate is not.
+      files.groupBy(_.partitionDesc).toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((_, fs), i) =>
+          val runs = fs.groupBy(f => (f.commitOrdinal, f.file.bucketId))
+            .toSeq.sortBy(_._1)
+            .flatMap { case (_, sub) =>
+              BucketMergeRead.orderedRuns(info, schema, sub) }
+            .map { case (rfs, mask, tomb) =>
+              GraftRunSpec(rfs.map(f =>
+                PartitionedFile(InternalRow.empty,
+                  SparkPath.fromPathString(f.file.path), 0L, f.file.size))
+                .toArray, mask, tomb)
+            }
+          GraftBucketPartition(i, runs.toArray): InputPartition
+        }.toArray
+    } else if (bucketMergeable) {
       // run split/order delegated to BucketMergeRead.orderedRuns: commit
       // ordinals are per-partition, so same-ordinal groups split by
       // (mask, tombstone) signature when partition histories diverge
