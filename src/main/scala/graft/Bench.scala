@@ -170,6 +170,39 @@ object Bench {
       }
     }
 
+    // SANDWICHED one-shot (r16, VERDICT item 1a): the after-only sample
+    // missed stalls confined to the op itself — r15's artifact published
+    // mor_compaction at 4.94 s (real: 1.34 s) with a clean after-canary.
+    // Sampling min-of-2 on BOTH sides halves the blind window: a stall
+    // long enough to multiply a multi-second op leaks into one side far
+    // more often than it fits exactly inside the timed region.
+    def oneShot(name: String)(body: => Unit): Double = {
+      val before = math.min(miniCanary(), miniCanary())
+      val v = time(body)
+      val after = math.min(miniCanary(), miniCanary())
+      results(name) = v
+      canaryAt(name) = math.max(before, after) // either side drifted -> flag
+      if (canaryDrifted(before) || canaryDrifted(after)) {
+        System.err.println(f"[bench] $name one-shot stall-flagged: " +
+          f"before=$before%.3f after=$after%.3f min=$miniMin%.3f")
+        stalledEntries += name
+      }
+      v
+    }
+
+    // Spread flag (r16, VERDICT item 1c): when a min/median-of-N entry's
+    // own samples span >2x (and >250 ms absolute), SOMETHING perturbed the
+    // window even if every adjacent canary looked clean — r15's
+    // mor_read_cadenced carried a 4x stall across all three samples.
+    // Annotation only; the robust estimator still publishes.
+    def flagIfSpread(name: String, samples: Seq[Double]): Unit =
+      if (samples.nonEmpty && samples.max > 2 * samples.min &&
+          samples.max - samples.min > 0.25 && !stalledEntries.contains(name)) {
+        System.err.println(f"[bench] $name sample-spread-flagged: " +
+          s"samples=${samples.map(s => f"$s%.3f").mkString(",")}")
+        stalledEntries += name
+      }
+
     // MOR scenario FIRST (2.2.0-blog shape; BASELINE.md's only quantified
     // comparable): init N rows -> 10 upserts of N/5 -> MOR read ->
     // compaction -> compacted read -> compaction-cadence regime. Runs in a
@@ -192,10 +225,20 @@ object Bench {
       }
       val dir = graft.tools.ProbeTmp.dir("graft-bench-")
       var t: GraftTable = null
-      results("mor_write_init") = time {
-        t = GraftTable.create(spark, orders, dir,
-          hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
-      }
+      // min-of-2 over twin creates (r16 item 1b generalized): one-shot
+      // mutations CAN be duplicated — the twin's table is discarded, the
+      // min heals a stall confined to either sample
+      val initSamples = Seq(
+        time {
+          t = GraftTable.create(spark, orders, dir,
+            hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+        },
+        time {
+          GraftTable.create(spark, orders,
+            graft.tools.ProbeTmp.dir("graft-bench-init2-"),
+            hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+        })
+      results("mor_write_init") = initSamples.min
       flagIfStalled("mor_write_init")
       val batch = orders.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
@@ -224,14 +267,32 @@ object Bench {
       // time — and r5 saw a stall span 2 of 3 samples, so the median still
       // published an 11 s number for a 0.8 s query; the min is the robust
       // estimator of the true steady-state cost under one-sided noise)
-      def min3(body: => Unit): Double =
-        Seq.fill(3)(time(body)).min
+      def min3(name: String)(body: => Unit): Double = {
+        val ts = Seq.fill(3)(time(body))
+        flagIfSpread(name, ts) // all-3-high stalls defeat the min silently
+        ts.min
+      }
+      // TWIN table at the identical pre-compaction state, prepared untimed
+      // (r16, VERDICT item 1b): r15's artifact published mor_compaction at
+      // 4.94 s for a 1.34 s op with clean canaries — min-of-2 over twin
+      // states heals a stall confined to either sample
+      val t2 = GraftTable.create(spark, orders,
+        graft.tools.ProbeTmp.dir("graft-bench-twin-"),
+        hashColumns = Seq("o_orderkey"), bucketNum = cpus.toInt)
+      (1 to 10).foreach(_ => t2.upsert(batch))
       results("mor_read_10_deltas_cold") = time { t.toDF.count() }
-      results("mor_read_10_deltas") = min3 { t.toDF.count() }
-      results("mor_compaction") = time { t.compaction() }
-      flagIfStalled("mor_compaction")
+      results("mor_read_10_deltas") = min3("mor_read_10_deltas") { t.toDF.count() }
+      locally {
+        val before = math.min(miniCanary(), miniCanary())
+        val cSamples = Seq(time { t.compaction() }, time { t2.compaction() })
+        val after = math.min(miniCanary(), miniCanary())
+        results("mor_compaction") = cSamples.min
+        canaryAt("mor_compaction") = math.max(before, after)
+        if (canaryDrifted(before) || canaryDrifted(after))
+          stalledEntries += "mor_compaction"
+      }
       results("mor_read_compacted_cold") = time { t.toDF.count() }
-      results("mor_read_compacted") = min3 { t.toDF.count() }
+      results("mor_read_compacted") = min3("mor_read_compacted") { t.toDF.count() }
       // compaction-CADENCE regime — the reference's actual operating mode:
       // upserts with compaction every 4th, then steady-state reads carrying
       // the average pending-delta load. The cadence drives LEVELED
@@ -269,7 +330,7 @@ object Bench {
         10 * median(cadUpserts.toSeq) + 2 * median(cadCompactions.toSeq)
       // cadenced read vs mor_read_compacted is the published MOR-degradation
       // ratio (BASELINE.md bar: <= ~15% under pending deltas)
-      results("mor_read_cadenced") = min3 { t.toDF.count() }
+      results("mor_read_cadenced") = min3("mor_read_cadenced") { t.toDF.count() }
       batch.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mor scenario failed: ${e.getMessage}")
@@ -286,7 +347,11 @@ object Bench {
     // `_plain` twin times the same-shape window on a no-re-bucket table —
     // post-split the two should sit near each other.
     try {
-      def min3(body: => Unit): Double = Seq.fill(3)(time(body)).min
+      def min3(name: String)(body: => Unit): Double = {
+        val ts = Seq.fill(3)(time(body))
+        flagIfSpread(name, ts)
+        ts.min
+      }
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val batch = orders.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1)
@@ -307,7 +372,7 @@ object Bench {
       rt.upsert(batch.withColumn("o_totalprice", col("o_totalprice") + 2))
       val rEnd = rt.lastCommitTs
       results("rebucket_window_read") =
-        min3 { rt.incremental(rStart, rEnd).count() }
+        min3("rebucket_window_read") { rt.incremental(rStart, rEnd).count() }
       flagIfStalled("rebucket_window_read")
       val pdir = graft.tools.ProbeTmp.dir("graft-bench-rebucket-plain-")
       val pt = GraftTable.create(spark, orders, pdir,
@@ -316,7 +381,8 @@ object Bench {
       pt.upsert(batch)
       pt.upsert(batch.withColumn("o_totalprice", col("o_totalprice") + 2))
       results("rebucket_window_read_plain") =
-        min3 { pt.incremental(pStart, pt.lastCommitTs).count() }
+        min3("rebucket_window_read_plain") {
+          pt.incremental(pStart, pt.lastCommitTs).count() }
       flagIfStalled("rebucket_window_read_plain")
       batch.unpersist()
     } catch { case e: Throwable =>
@@ -594,22 +660,18 @@ object Bench {
           Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
       }
       val tt = freshTable("deltomb")
-      results("delete_tombstone") = time { tt.deleteTombstone(pred) }
-      flagIfStalled("delete_tombstone")
+      oneShot("delete_tombstone") { tt.deleteTombstone(pred) }
       results("delete_tombstone_read") = medianOf3 { tt.toDF.count() }
       val tr = freshTable("delrw")
-      results("delete_rewrite") = time { tr.delete(pred) }
-      flagIfStalled("delete_rewrite")
+      oneShot("delete_rewrite") { tr.delete(pred) }
       results("delete_rewrite_read") = medianOf3 { tr.toDF.count() }
       // UPDATE modes, same shape: delta run vs copy-on-write rewrite
       val uset = Map("o_totalprice" -> (col("o_totalprice") * 1.1))
       val ud = freshTable("upddelta")
-      results("update_delta") = time { ud.updateDelta(pred, uset) }
-      flagIfStalled("update_delta")
+      oneShot("update_delta") { ud.updateDelta(pred, uset) }
       results("update_delta_read") = medianOf3 { ud.toDF.count() }
       val ur = freshTable("updrw")
-      results("update_rewrite") = time { ur.update(pred, uset) }
-      flagIfStalled("update_rewrite")
+      oneShot("update_rewrite") { ur.update(pred, uset) }
       results("update_rewrite_read") = medianOf3 { ur.toDF.count() }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] delete scenario failed: ${e.getMessage}")
@@ -686,30 +748,53 @@ object Bench {
     // stalled host can't push the final line past the driver's 2 KB cap
     val stalledSummaryJson = stalledAll.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // r15 (VERDICT item 2): drift-normalized twins. Every published second
-    // divided by this run's own quiet-floor canary (canary_stable — the
-    // stabilized ~25 ms probe, falling back to the running-min mini-canary
-    // baseline) turns entries into host-independent multiples: a
-    // round-over-round delta in the NORMALIZED number is code, a delta
-    // only in the raw number is host. The FULL normalized map lives here
-    // in the detail line + bench_detail.json (the final summary line is
-    // capped at 2000 chars by the driver's tail capture, so it carries
-    // the divisor + normalized total and the reader derives per-entry
-    // values as queries[k]/normalize_by).
-    val normBy = results.get("canary_stable")
-      .orElse(if (miniMin > 0 && miniMin != Double.MaxValue) Some(miniMin) else None)
-      .getOrElse(-1.0)
+    // r15 (VERDICT item 2) + r16 hardening: drift-normalized twins. Every
+    // published second is divided by a host-speed divisor to make entries
+    // host-independent multiples: a round-over-round delta in the
+    // NORMALIZED number is code, a delta only in the raw number is host.
+    // r15 used ONE ~25 ms probe (canary_stable) as the divisor and two
+    // same-code runs measured it at 0.098 vs 0.171 — the "stable" number
+    // was noisier than the totals it divided. r16: the divisor is the
+    // MEDIAN of every interleaved per-entry mini-canary over the whole run
+    // (dozens of samples spanning the same wall window as the entries),
+    // and its p25/p75 spread is published so a reader can see divisor
+    // confidence before trusting a normalized delta.
+    val miniSamples = canaryAt.values.toSeq.sorted
+    def pct(p: Double): Double =
+      if (miniSamples.isEmpty) -1.0
+      else miniSamples(math.min(miniSamples.size - 1,
+        (p * miniSamples.size).toInt))
+    val normBy =
+      if (miniSamples.nonEmpty) pct(0.5)
+      else results.get("canary_stable")
+        .orElse(if (miniMin > 0 && miniMin != Double.MaxValue) Some(miniMin)
+          else None)
+        .getOrElse(-1.0)
+    results("canary_p25") = pct(0.25)
+    results("canary_p75") = pct(0.75)
     val normalized = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (normBy > 0) results.foreach { case (k, v) =>
       if (v >= 0 && !k.startsWith("canary")) normalized(k) = v / normBy
     }
     val detail = f"""{"metric":"detail","queries":${jsonMap(results)},"queries_cold":${jsonMap(cold)},"normalize_by":$normBy%.4f,"queries_normalized":${jsonMap(normalized)},"stalled_entries":$stalledJson,"sf":"$sfDir"}"""
     println(detail)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      detail.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // r16 (VERDICT item 8): bench_detail.json was clobbered by any later
+    // run (including the judge's), losing the round's full per-entry map.
+    // Write a stamped sibling too — round-stamped when the driver exports
+    // SPARK_GRAFT_ROUND, else wall-clock-stamped — so every run's detail
+    // survives side by side.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        detail.getBytes("UTF-8"))
+      val stamp = sys.env.get("SPARK_GRAFT_ROUND").map("r" + _)
+        .getOrElse(System.currentTimeMillis().toString)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_detail_$stamp.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     val summaryKeys: Seq[String] =
-      Seq("canary_start", "canary_end", "canary_mini_base", "canary_stable") ++
+      Seq("canary_start", "canary_end", "canary_mini_base", "canary_stable",
+        "canary_p25", "canary_p75") ++
         // the r10 estimator-transition twin has re-baselined long since;
         // it stays in the detail line but no longer spends summary budget
         results.keys.filter(k => k.startsWith("mor_") &&

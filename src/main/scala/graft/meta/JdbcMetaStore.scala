@@ -647,6 +647,32 @@ class JdbcMetaStore(url: String) extends MetaStore {
     }
   }
 
+  /** Flip-timestamp variant: ONE transaction holding the table lock —
+    * `allocate(c, tp, 0)` both yields the flip boundary and persists it as
+    * `last_ts`, so every earlier commit is ≤ the previous last_ts < ts0
+    * and every later commit allocates > ts0, across processes (the DB's
+    * persisted sequence is the clock). */
+  override def updateInfoAtFlip(tablePath: String)(
+      f: (TableInfo, Long) => TableInfo): Unit = {
+    val tp = canonical(tablePath)
+    requireVisible(tp, tablePath)
+    withTx { c =>
+      lockTable(c, tp)
+      val (_, ts0) = allocate(c, tp, 0)
+      val t = rawInfoIn(c, tp).getOrElse(
+        throw new IllegalArgumentException(s"no graft table at $tablePath"))
+      val updated = f(t, ts0)
+      val up = c.prepareStatement(
+        "UPDATE graft_table_info SET info = ?, rev = rev + 1 " +
+          "WHERE table_path = ?")
+      try {
+        up.setString(1, jwrite(updated)); up.setString(2, tp)
+        up.executeUpdate()
+      } finally up.close()
+      cacheDomain(tp, domainOf(updated))
+    }
+  }
+
   // ---------------------------------------------------------------- commit
   /** One transaction, JDBC-BATCHED: a commit touching N partitions costs a
     * constant number of statement round trips (lock + seq + 2 reads + 4
@@ -700,8 +726,9 @@ class JdbcMetaStore(url: String) extends MetaStore {
             "WHERE table_path = ?")
         // the mapping-change event lands in the SAME row write as the
         // flip: diff windows spanning a truncate -> re-bucket -> rewrite
-        // sequence need the recorded boundary even though no files moved
-        val ts = System.currentTimeMillis()
+        // sequence need the recorded boundary even though no files moved.
+        // Boundary from the persisted sequence (exact epoch replay).
+        val ts = allocate(c, tp, 0)._2
         try {
           up.setString(1, jwrite(t.copy(bucketNum = newBucketNum,
             properties = RebucketLog.appendClosed(t.properties, ts, ts,

@@ -59,6 +59,17 @@ trait MetaStore {
     updateTableInfo(f(t))
   }
 
+  /** [[updateInfo]] with a FLIP TIMESTAMP: `f` additionally receives a
+    * timestamp on the store's own commit clock, allocated inside the same
+    * critical section data commits use, STRICTLY GREATER than every commit
+    * timestamp already stamped for this table and STRICTLY SMALLER than
+    * any future one. Mapping-change markers record it as their boundary
+    * (RebucketLog event ts0), which makes per-commit epoch replay
+    * ([[RebucketLog.epochsOf]]) an EXACT happened-before comparison — no
+    * clock cushion, no ambiguity for commits landing milliseconds around
+    * the flip. */
+  def updateInfoAtFlip(tablePath: String)(f: (TableInfo, Long) => TableInfo): Unit
+
   /** Atomically publish `commits` (one per touched partition), bumping each
     * partition's version. `expectedVersions` maps partitionDesc -> version the
     * writer read (-1 = partition did not exist); a mismatch at publish time
@@ -302,6 +313,39 @@ class FileMetaStore extends MetaStore {
     lastTs = math.max(System.currentTimeMillis(), lastTs + 1); lastTs
   }
 
+  /** [[nextTs]] bumped strictly past `floor` — used where the allocated
+    * timestamp must order after PERSISTED table state another process may
+    * have stamped (this instance's `lastTs` only covers its own
+    * allocations): data commits bump past the table's newest head line AND
+    * newest recorded flip boundary; flips bump past the heads. Together
+    * they make commit-vs-flip timestamp order a true happened-before
+    * order across store instances (the exactness epoch replay needs).
+    * Callers hold the table's file lock. */
+  private def nextTsPast(floor: Long): Long = synchronized {
+    lastTs = math.max(math.max(System.currentTimeMillis(), lastTs + 1),
+      floor + 1)
+    lastTs
+  }
+
+  /** Newest persisted timestamp for the table: head lines + recorded
+    * mapping-event boundaries. Under the file lock. */
+  private def persistedTsFloor(tablePath: String): Long = {
+    val headsMax = headMap(tablePath).values
+      .foldLeft(0L)((m, p) => math.max(m, p.timestamp))
+    val boundsMax = rawInfo(tablePath)
+      .map(t => RebucketLog.maxBoundary(t.properties)).getOrElse(0L)
+    math.max(headsMax, boundsMax)
+  }
+
+  override def updateInfoAtFlip(tablePath: String)(
+      f: (TableInfo, Long) => TableInfo): Unit = withFileLock(tablePath) {
+    val t = rawInfo(tablePath).getOrElse(
+      throw new IllegalArgumentException(s"no graft table at $tablePath"))
+    val ts0 = nextTsPast(persistedTsFloor(tablePath))
+    writeInfoAtomic(tableInfoPath(tablePath), jwrite(f(t, ts0)))
+    infoCache.remove(canonical(tablePath))
+  }
+
   private def withFileLock[T](tablePath: String)(body: => T): T =
     lockFor(tablePath).synchronized {
       Files.createDirectories(metaDir(tablePath))
@@ -382,8 +426,9 @@ class FileMetaStore extends MetaStore {
         throw new IllegalArgumentException(s"no graft table at $tablePath"))
       // record the mapping-change event in the SAME write as the flip: a
       // diff window may span from data that existed before a
-      // truncate/drop to data written after this re-bucket
-      val ts = System.currentTimeMillis()
+      // truncate/drop to data written after this re-bucket. Boundary on
+      // the store's commit clock (exact epoch replay).
+      val ts = nextTsPast(persistedTsFloor(tablePath))
       writeInfoAtomic(tableInfoPath(tablePath),
         jwrite(t.copy(bucketNum = newBucketNum, properties =
           RebucketLog.appendClosed(t.properties, ts, ts,
@@ -460,7 +505,12 @@ class FileMetaStore extends MetaStore {
         throw new MetaRerunException(
           s"partition '${c.partitionDesc}' moved: expected v$exp, found v$cur")
     }
-    val ts = nextTs()
+    // strictly after every persisted head line AND recorded flip boundary
+    // (possibly stamped by ANOTHER process): commit-vs-flip timestamp
+    // order must be happened-before order for exact epoch replay
+    val ts = nextTsPast(math.max(
+      heads.values.foldLeft(0L)((m, p) => math.max(m, p.timestamp)),
+      freshInfo.map(t => RebucketLog.maxBoundary(t.properties)).getOrElse(0L)))
     // fold sequentially so ONE atomic call may carry several commits for the
     // same partition (e.g. a MERGE publishing an update delta plus a
     // tombstone run): each commit extends the running head, not the
@@ -812,7 +862,7 @@ class FileMetaStore extends MetaStore {
           // eventual event covers the oldest possible head movement.
           val anchor = cur.properties.get(MetaStore.RestorePendingProp)
             .flatMap(_.split(":").lift(1)).map(_.toLong)
-            .getOrElse(System.currentTimeMillis())
+            .getOrElse(nextTsPast(persistedTsFloor(tablePath)))
           writeInfoAtomic(tableInfoPath(tablePath), jwrite(
             cur.copy(properties = cur.properties +
               (MetaStore.RestorePendingProp -> s"$asOfTs:$anchor"))))
@@ -821,7 +871,7 @@ class FileMetaStore extends MetaStore {
       }
       // ONE commit timestamp for every appended line (like commit()): time
       // travel must never resolve a boundary INSIDE the restore
-      val ts = nextTs()
+      val ts = nextTsPast(persistedTsFloor(tablePath))
       val appends = MetaStore.restoreAppends(allVersionLines(tablePath), asOfTs)
         .map(_.copy(timestamp = ts))
       if (appends.nonEmpty) appendVersions(tablePath, appends)

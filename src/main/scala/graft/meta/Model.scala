@@ -115,5 +115,10 @@ object TableInfo {
 }
 
 /** Resolved view of a partition version: files with their commit ordinal
-  * (position of their commit in the snapshot — lower = older write). */
-case class ResolvedFile(file: DataFileInfo, commitOrdinal: Int, partitionDesc: String)
+  * (position of their commit in the snapshot — lower = older write).
+  * `commitTs` is the producing commit's store timestamp (ms) when the
+  * resolver knows it, else 0 ("unknown"): readers use it to decide which
+  * side of a re-bucket MAPPING boundary a file's rows were bucketed under
+  * — 0 must be treated as mapping-ambiguous, never as "old". */
+case class ResolvedFile(file: DataFileInfo, commitOrdinal: Int,
+    partitionDesc: String, commitTs: Long = 0L)

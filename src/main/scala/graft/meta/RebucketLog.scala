@@ -139,9 +139,90 @@ object RebucketLog {
   def horizon(props: Map[String, String]): Option[Long] =
     props.get(HorizonProp).map(_.toLong)
 
+  /** Newest recorded event boundary (flip ts0 / close ts1) — the floor a
+    * store's commit-timestamp allocator must stay strictly above so that
+    * commit-vs-flip timestamp order IS happened-before order. */
+  def maxBoundary(props: Map[String, String]): Long =
+    parse(props).foldLeft(0L) { case (m, (a, b, _, _)) =>
+      math.max(m, if (b == Long.MaxValue) a else math.max(a, b))
+    }
+
   /** An OPEN in-progress marker present? (A re-bucket rewrite is running
     * or crashed mid-way — file bucket ids and info.bucketNum may describe
     * different mappings until a completed re-bucket closes it.) */
   def hasOpen(props: Map[String, String]): Boolean =
     parse(props).exists(_._2 == Long.MaxValue)
+
+  /** Cut a resolved file set at the recorded FLIP boundaries into
+    * mapping-consistent EPOCHS, oldest first:
+    *
+    *  - `Some(Seq((count, files)))` of size 1 — the whole set shares one
+    *    key->bucket mapping (possibly ≠ `current`: time travel before a
+    *    completed re-bucket, or a snapshot mid down-re-bucket). Grouping
+    *    merge runs by raw bucket id is exact for such a set.
+    *  - size ≥ 2 — the set SPANS a flip (mid/crashed re-bucket with
+    *    post-flip writes, straddling incremental windows): per-bucket
+    *    dispatch would double-surface straddling keys; read per epoch
+    *    (cursor split) or cross-bucket.
+    *  - `None` — mapping-AMBIGUOUS: an unfinished restore is pending, a
+    *    file's commit timestamp is unknown (0), within [[cushionMs]] of a
+    *    flip, or at/under the prune horizon. Only the mapping-agnostic
+    *    cross-bucket merge is safe.
+    *
+    * Why per-commit replay is sound: the count changes at an event's ts0
+    * — a FLIP TIMESTAMP allocated on the store's own commit clock inside
+    * the commit critical section ([[MetaStore.updateInfoAtFlip]]), so
+    * commit-vs-flip timestamp order IS happened-before order; every data
+    * commit's bucket count is CAS-verified against the live count inside
+    * that same critical section — so a commit stamped ts was bucketed
+    * under [[bucketNumAt]](ts), exactly. Restores repoint heads to files
+    * whose OWN timestamps replay to the restored mapping (the restore
+    * records a closed event), so the rule survives arbitrary
+    * restore/re-bucket interleavings. A commit timestamp EQUAL to a
+    * boundary (only possible for pre-exactness restore anchors) is
+    * defensively ambiguous. */
+  def epochsOf(props: Map[String, String], current: Int,
+      files: Seq[ResolvedFile]): Option[Seq[(Int, Seq[ResolvedFile])]] = {
+    if (props.contains(MetaStore.RestorePendingProp)) return None
+    val events = parse(props)
+    if (events.isEmpty || files.isEmpty)
+      return Some(Seq(current -> files))
+    val bounds = events.map(_._1).sorted
+    val hz = horizon(props)
+    def segment(ts: Long): Option[Int] =
+      if (ts <= 0) None // unknown provenance
+      else if (hz.exists(ts <= _)) None // history not reconstructible
+      else if (bounds.contains(ts)) None // boundary tie: cannot order
+      else Some(bounds.count(_ < ts))
+    val segs = scala.collection.mutable.SortedMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[ResolvedFile]]
+    files.foreach { f =>
+      segment(f.commitTs) match {
+        case None => return None
+        case Some(s) =>
+          segs.getOrElseUpdate(s,
+            scala.collection.mutable.ArrayBuffer.empty[ResolvedFile]) += f
+      }
+    }
+    val raw = segs.values.toSeq.map(fs =>
+      (bucketNumAt(fs.head.commitTs, props, current), fs.toSeq))
+    // ADJACENT segments with the same count share the mapping (it is
+    // pmod(hash(pk), n) — nothing else): coalesce them so a flip-and-revert
+    // history (re-bucket, then restore back) doesn't force a needless
+    // split. Non-adjacent equal counts stay separate (a different-count
+    // segment between them holds the keys under another mapping).
+    Some(raw.foldLeft(Vector.empty[(Int, Seq[ResolvedFile])]) {
+      case (acc :+ ((n, fs)), (n2, fs2)) if n == n2 => acc :+ ((n, fs ++ fs2))
+      case (acc, seg) => acc :+ seg
+    })
+  }
+
+  /** The set carries ONE mapping and it is the CURRENT count's — the
+    * precondition for every id-derived optimization (single-bucket point
+    * prune, reported KeyGroupedPartitioning / storage-partitioned joins,
+    * bucket-paired diffs and joins). */
+  def settledAt(props: Map[String, String], current: Int,
+      files: Seq[ResolvedFile]): Boolean =
+    epochsOf(props, current, files)
+      .exists(es => es.size <= 1 && es.forall(_._1 == current))
 }

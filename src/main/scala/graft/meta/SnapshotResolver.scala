@@ -45,7 +45,7 @@ class SnapshotResolver(store: MetaStore) {
           case "del" => deleted += f.path
           case "add" =>
             if (!deleted.contains(f.path))
-              out += ResolvedFile(f, ordinal, pi.partitionDesc)
+              out += ResolvedFile(f, ordinal, pi.partitionDesc, c.timestamp)
           case other => throw new IllegalArgumentException(s"bad fileOp $other")
         }
       }
@@ -177,8 +177,9 @@ class SnapshotResolver(store: MetaStore) {
   private def assembleIncremental(partitionDesc: String, ids: Seq[String],
       commits: Map[String, DataCommitInfo]): Seq[ResolvedFile] =
     ids.zipWithIndex.flatMap { case (cid, ordinal) =>
-      commits(cid).files.filter(_.fileOp == "add")
-        .map(f => ResolvedFile(f, ordinal, partitionDesc))
+      val c = commits(cid)
+      c.files.filter(_.fileOp == "add")
+        .map(f => ResolvedFile(f, ordinal, partitionDesc, c.timestamp))
     }
 
   /** Distinct commit timestamps in (startTime, endTime], ascending, each

@@ -98,6 +98,18 @@ object BucketedJoin {
     require(BucketMergeRead.supports(li, ls, lFiles)
       && BucketMergeRead.supports(ri, rs, rFiles),
       "bucketedJoin requires bucket-merge-readable tables (no schema drift)")
+    // bucket-index pairing assumes BOTH sides' files were hashed under the
+    // CURRENT count's mapping: mid re-bucket (open marker / crashed
+    // attempt) or mid restore recovery a side can carry another mapping —
+    // pairing would join different key sets per index (silently wrong)
+    Seq(("left", li, lFiles), ("right", ri, rFiles)).foreach {
+      case (side, ti, fs) =>
+        require(graft.meta.RebucketLog.settledAt(ti.properties, ti.bucketNum, fs),
+          s"bucketedJoin: the $side table's key->bucket mapping is not " +
+            "settled (re-bucket in progress, a crashed re-bucket's open " +
+            "marker, or an unfinished restore); finish or repair() it, or " +
+            "use a regular join until it completes")
+    }
 
     val spark = left.spark
     val lRdd = BucketMergeRead.readRdd(spark, li, ls, lFiles)

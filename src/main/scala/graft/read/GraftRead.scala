@@ -78,6 +78,26 @@ object GraftRead {
       "table has tombstone delete runs but the read cannot merge " +
         "(skip_merge_on_read / no primary key); run full compaction() to " +
         "materialize the deletes first")
+
+    // MAPPING-CONSISTENCY gate (every merged read, central): mid re-bucket
+    // (open marker: the count flips before the rewrite) a snapshot can mix
+    // files bucketed under TWO key->bucket mappings — the per-(partition,
+    // bucket) dispatch below is key-disjoint only under one mapping, so a
+    // straddling key's old- and new-mapping rows would land in different
+    // groups and BOTH surface (and a compaction reading that way BAKES the
+    // duplicates in: its write skips dedup by contract). Cut the set at
+    // the recorded flip boundaries: cleanly mixed -> the cursor-split read
+    // (bucket-parallel sides, one delta-only shuffle); ambiguous (pending
+    // restore, unknown/cushioned commit ts) -> the mapping-agnostic
+    // cross-bucket merge.
+    val crossForMapping =
+      if (!table.hasPrimaryKey || skipMerge || crossBucketMerge) false
+      else RebucketLog.epochsOf(table.properties, table.bucketNum, files) match {
+        case Some(es) if es.size >= 2 =>
+          return readSplitEpochs(spark, table, es, keepCdcRows, requiredColumns)
+        case Some(_) => false // one mapping: raw-id grouping is exact
+        case None => true
+      }
     // split by (range partition, bucket): only groups with >1 sorted run
     // pay the merge; single-run groups — the bulk of a regularly-compacted
     // table, plus every bucket a small delta did NOT touch — stream through
@@ -92,7 +112,7 @@ object GraftRead {
     // key->bucket mapping — a straddling file set must merge per
     // PARTITION with per-(commit,bucket) runs in one global key order
     // (BucketMergeRead.readCrossBucket), no plain-scan split at all
-    if (crossBucketMerge && table.hasPrimaryKey && !skipMerge) {
+    if ((crossBucketMerge || crossForMapping) && table.hasPrimaryKey && !skipMerge) {
       // the cross merge groups per (commit, bucket id) and never consults
       // table.bucketNum — widen the supports gate's id bound the same way
       // the merged branch below does (a cross window whose old epoch used

@@ -449,56 +449,36 @@ class GraftScan(
       info.copy(bucketNum = mergeBucketNum), schema, files) &&
       !info.properties.get(TableInfo.SkipMergeOnReadProp).contains("true")
 
-  /** A readtype=incremental window spanning a key->bucket MAPPING change:
-    * per-bucket dispatch is key-disjoint only under ONE mapping — a
-    * straddling key's old- and new-mapping rows carry different raw bucket
-    * ids, land in different merge tasks, and BOTH surface (duplicate
-    * keys). The micro-batch stream and the library incremental read both
-    * guard on RebucketLog.overlaps; this DSv2 batch sibling must too —
-    * computePartitions routes such windows to the same per-range-partition
-    * cross-bucket grouping the stream uses. (The mergeBucketNum widening
-    * above stays valid: grouping by raw id is only used when the window
-    * is mapping-consistent.) */
-  private val crossBucketWindow: Boolean =
-    info.hasPrimaryKey && scanOptions.get("readtype").contains("incremental") && {
-      val st = scanOptions.getOrElse("readstarttime", "0").toLong
-      val et = scanOptions.get("readendtime").map(_.toLong).getOrElse(Long.MaxValue)
-      graft.meta.RebucketLog.overlaps(info.properties, st, et)
-    }
+  /** Mapping-consistency of the planned file set, from the event log and
+    * per-file commit timestamps ([[graft.meta.RebucketLog.epochsOf]]):
+    * `Some(single)` = one key->bucket mapping (raw-id merge grouping is
+    * exact, whatever the count); multi/None = the set spans a flip
+    * boundary (straddling incremental window, mid/crashed re-bucket with
+    * post-flip writes) or is ambiguous — per-bucket dispatch would
+    * double-surface straddling keys. The DSv2 scan cannot compose the
+    * library's cursor-split shuffle, so [[computePartitions]] routes such
+    * sets to the per-range-partition cross-bucket grouping (the same one
+    * the micro-batch stream uses for straddling batches). */
+  private val epochsOpt
+      : Option[Seq[(Int, Seq[graft.meta.ResolvedFile])]] =
+    if (!info.hasPrimaryKey) Some(Seq(info.bucketNum -> filesIn))
+    else graft.meta.RebucketLog.epochsOf(info.properties, info.bucketNum, filesIn)
 
-  /** Time-bounded reads (snapshot time travel, incremental windows)
-    * resolve files under the mapping IN EFFECT AT `readendtime` — a
-    * re-bucket completed AFTER that boundary leaves info.bucketNum
-    * describing a different mapping even though every file id is < the
-    * current count (an up-re-bucket makes old ids look in-range). The
-    * id-derived optimizations must compare against the mapping at the
-    * read boundary, not just the current state. */
-  private val mappingCurrentAtRead: Boolean =
-    scanOptions.get("readtype") match {
-      case Some("snapshot") | Some("incremental") =>
-        scanOptions.get("readendtime").map(_.toLong) match {
-          case Some(et) =>
-            !graft.meta.RebucketLog.overlaps(info.properties, et, Long.MaxValue)
-          case None => true // unresolved end = current state
-        }
-      case _ => true
-    }
+  private val crossBucketNeeded: Boolean =
+    info.hasPrimaryKey && !epochsOpt.exists(_.size <= 1)
 
   /** The ID-DERIVED optimizations — the single-bucket point prune (M6)
     * and the reported KeyGroupedPartitioning (SPJ) — are valid only when
-    * the files' key->bucket mapping IS info.bucketNum's mapping. Mid
-    * re-bucket (open marker: the count flips before the rewrite), mid
-    * crashed-restore recovery, or reading a time-travel/incremental
+    * the files' single mapping IS the CURRENT count's: mid re-bucket,
+    * mid crashed-restore recovery, or reading a time-travel/incremental
     * boundary that predates a completed re-bucket, files carry a
-    * DIFFERENT mapping: pruning by the new count would miss the key's
-    * actual bucket, and SPJ would pair partitions of two different
+    * DIFFERENT mapping — pruning by the current count would miss the
+    * key's actual bucket, and SPJ would pair partitions of two different
     * mappings (silently wrong join). Merge correctness is
     * mapping-agnostic and stays on. */
   private val mappingSettled =
-    !graft.meta.RebucketLog.hasOpen(info.properties) &&
-      !info.properties.contains(graft.meta.MetaStore.RestorePendingProp) &&
-      filesIn.forall(_.file.bucketId < info.bucketNum) &&
-      mappingCurrentAtRead && !crossBucketWindow
+    graft.meta.RebucketLog.settledAt(info.properties, info.bucketNum, filesIn) &&
+      filesIn.forall(_.file.bucketId < info.bucketNum)
 
   private val pkBucketEff: Option[Int] = if (mappingSettled) pkBucket else None
 
@@ -620,13 +600,15 @@ class GraftScan(
   }
 
   private def computePartitions(): Array[InputPartition] =
-    if (bucketMergeable && crossBucketWindow) {
-      // re-bucket-straddling incremental window: merge per RANGE PARTITION
-      // (mapping-agnostic — partitions are key-disjoint by range columns),
-      // every (commit, bucket) subgroup its own key-sorted run in commit
-      // order. Mirrors GraftMicroBatchStream.planInputPartitions exactly;
-      // boundary windows are rare and delta-sized, so the per-partition
-      // parallelism is acceptable where a silent duplicate is not.
+    if (bucketMergeable && crossBucketNeeded) {
+      // flip-spanning or mapping-ambiguous file set (straddling
+      // incremental window, mid/crashed re-bucket snapshot): merge per
+      // RANGE PARTITION (mapping-agnostic — partitions are key-disjoint
+      // by range columns), every (commit, bucket) subgroup its own
+      // key-sorted run in commit order. Mirrors
+      // GraftMicroBatchStream.planInputPartitions exactly; such states
+      // are rare and transient, so the per-partition parallelism is
+      // acceptable where a silent duplicate is not.
       files.groupBy(_.partitionDesc).toSeq.sortBy(_._1).zipWithIndex
         .map { case ((_, fs), i) =>
           val runs = fs.groupBy(f => (f.commitOrdinal, f.file.bucketId))

@@ -180,6 +180,11 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case "vacuum" =>
         val n = tableOf(spark).vacuum(args.getOrElse("retain_ms", "0").toLong)
         s"deleted $n files"
+      case "repair" =>
+        // roll forward interrupted maintenance: an unfinished restore's
+        // pending marker (writers blocked) or a crashed re-bucket's open
+        // mapping marker (reads conservative) — see GraftTable.repair
+        if (tableOf(spark).repair()) "repaired" else "nothing to repair"
       case "drop_partition" =>
         tableOf(spark).dropPartition(args("partition_desc")); "dropped"
       case "cluster" =>

@@ -1565,13 +1565,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // marker flags every window past ts0 as mapping-ambiguous until the
       // publish below closes it.
       var published = Map.empty[String, Set[String]]
-      val rebucketT0 = opts.newBucketNum
-        .filter(_ != t0.bucketNum).map(_ => System.currentTimeMillis())
+      val isRebucket = opts.newBucketNum.exists(_ != t0.bucketNum)
       val t = opts.newBucketNum match {
         case Some(n) if n != t0.bucketNum =>
-          store.updateInfo(tablePath)(cur => cur.copy(bucketNum = n,
-            properties = graft.meta.RebucketLog.appendOpen(
-              cur.properties, rebucketT0.get, cur.bucketNum, n)))
+          // flip boundary allocated on the STORE'S COMMIT CLOCK inside the
+          // critical section (updateInfoAtFlip): strictly after every
+          // already-stamped commit, strictly before any future one — the
+          // exactness per-commit epoch replay (RebucketLog.epochsOf) needs
+          // to classify files around the flip with no clock cushion
+          store.updateInfoAtFlip(tablePath)((cur, ts0) =>
+            cur.copy(bucketNum = n,
+              properties = graft.meta.RebucketLog.appendOpen(
+                cur.properties, ts0, cur.bucketNum, n)))
           info // re-read: keep any concurrent property updates visible
         case _ => t0
       }
@@ -1644,9 +1649,20 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       // the rewrite published every partition under the new mapping: CLOSE
       // the open marker (and any marker a crashed earlier attempt left
       // open — the table is mapping-consistent from here on), bounding the
-      // interval diff/incremental windows must treat as cross-bucket
-      rebucketT0.foreach(_ => store.updateProperties(tablePath)(
-        graft.meta.RebucketLog.close(_, System.currentTimeMillis())))
+      // interval diff/incremental windows must treat as cross-bucket.
+      // A plain FULL whole-table compaction closes orphaned markers too:
+      // it leaves every partition a single run bucketed under the current
+      // count, which is exactly the consistency a re-bucket's own publish
+      // establishes — this is the roll-forward [[repair]] relies on (a
+      // crashed re-bucket otherwise keeps the id-derived optimizations off
+      // and every snapshot on the conservative split/cross paths forever).
+      val fullWholeTable = keep.isEmpty && !onlyOnce &&
+        descs.size == live.size && candidates.size == live.size &&
+        opts.fileNumLimit.isEmpty
+      if (isRebucket ||
+          (fullWholeTable && graft.meta.RebucketLog.hasOpen(info.properties)))
+        store.updateProperties(tablePath)(
+          graft.meta.RebucketLog.close(_, System.currentTimeMillis()))
       published
     } else {
       // no live partitions (under re-bucketing descs == all live descs:
@@ -2429,6 +2445,35 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
     * use. */
   def restoreToVersion(v: Int): Seq[String] =
     restoreToTimestamp(timestampOfVersion(v))
+
+  /** Roll forward interrupted maintenance (SQL: `CALL graft.repair`).
+    * Two crash states leave a table loudly-or-slowly degraded until an
+    * operator intervenes; this is the one-call intervention:
+    *
+    *  - an unfinished whole-table RESTORE (file store, crash between head
+    *    repointing and the bucket-count flip): writers refuse with the
+    *    pending marker's guidance — re-runs the recorded restore, which
+    *    completes the pair and clears the marker;
+    *  - a crashed RE-BUCKET's open mapping marker: reads stay correct but
+    *    conservative (id-derived point pruning and storage-partitioned
+    *    joins off, flip-spanning windows on the split/cross paths) until a
+    *    completed whole-table rewrite closes it — runs a full whole-table
+    *    compaction, which rewrites every partition under the current count
+    *    and closes the marker.
+    *
+    * Idempotent; returns true when something needed repair. */
+  def repair(): Boolean = {
+    var did = false
+    info.properties.get(MetaStore.RestorePendingProp).foreach { v =>
+      restoreToTimestamp(v.split(":").head.toLong)
+      did = true
+    }
+    if (graft.meta.RebucketLog.hasOpen(info.properties)) {
+      compaction()
+      did = true
+    }
+    did
+  }
 
   // ------------------------------------------------------------------- DDL
 

@@ -62,11 +62,26 @@ object Validator {
     val bucketNum = info.bucketNum
     val hasPk = info.hasPrimaryKey
 
+    // bucket-PLACEMENT must be checked against the count a file's rows
+    // were actually hashed under — mid/crashed re-bucket (open marker) the
+    // snapshot legally mixes mappings, and checking every row against
+    // info.bucketNum would flag correct old-mapping files. Epoch replay
+    // (RebucketLog.epochsOf) assigns each file its mapping; an ambiguous
+    // set skips the placement check (order/duplicate/tombstone checks are
+    // mapping-agnostic and always run).
+    val epochCountOf: Map[String, Int] =
+      graft.meta.RebucketLog.epochsOf(info.properties, bucketNum, files) match {
+        case Some(es) =>
+          es.flatMap { case (n, fs) => fs.map(_.file.path -> n) }.toMap
+        case None => Map.empty
+      }
+
     // one spec per (partition, bucket, run): files in the merge's concat
     // order + the run's tombstone flag + expected footer row count
     val runOrd = graft.util.DescOrder.runFileOrdering(info, schema)
     case class RunSpec(desc: String, bucket: Int, ordinal: Int,
-        files: Seq[(String, Long, Option[Long])], tomb: Boolean)
+        files: Seq[(String, Long, Option[Long])], tomb: Boolean,
+        mapN: Int) // bucket count the run's rows were hashed under; 0 = unknown
     val specs = files
       .groupBy(f => (f.partitionDesc, f.file.bucketId, f.commitOrdinal))
       .toSeq.map { case ((desc, b, ord), fs) =>
@@ -75,7 +90,8 @@ object Validator {
             (f.file.path, f.file.size,
               FileStats.rowCount(FileStats.decode(f.file.stats)))
           },
-          Tombstone.isTombstone(fs.head.file))
+          Tombstone.isTombstone(fs.head.file),
+          epochCountOf.getOrElse(fs.head.file.path, 0))
       }
 
     val found = spark.sparkContext
@@ -84,7 +100,7 @@ object Validator {
         val out = scala.collection.mutable.ArrayBuffer[String]()
         val keyComps = RowComp.makeComps(keyIdx, keyTypes)
         val hash =
-          if (hasPk && spec.bucket >= 0)
+          if (hasPk && spec.bucket >= 0 && spec.mapN > 0)
             Some(new Murmur3Hash(pkIdx.zip(pkTypes).map { case (i, dt) =>
               BoundReference(i, dt, nullable = true)
             }.toSeq, 42))
@@ -109,7 +125,7 @@ object Validator {
                   s"duplicate primary key within the run in $path"
             }
             hash.foreach { h =>
-              val b = ((h.eval(row).asInstanceOf[Int] % bucketNum) + bucketNum) % bucketNum
+              val b = ((h.eval(row).asInstanceOf[Int] % spec.mapN) + spec.mapN) % spec.mapN
               if (b != spec.bucket)
                 out += s"run (${spec.desc}, b${spec.bucket}, r${spec.ordinal}): " +
                   s"row hashes to bucket $b but lives in ${spec.bucket} ($path)"

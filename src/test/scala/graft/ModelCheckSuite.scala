@@ -250,7 +250,7 @@ class ModelCheckSuite extends SparkFixture {
         var snapshots = Vector(t.lastCommitTs -> model)
 
         for (_ <- 0 until 5 + rnd.nextInt(4)) {
-          rnd.nextInt(8) match {
+          rnd.nextInt(9) match {
             case 0 => // full upsert of a random key subset
               val b = rnd.shuffle(keys.toList).take(1 + rnd.nextInt(keys.size))
                 .map(fullRow)
@@ -309,6 +309,20 @@ class ModelCheckSuite extends SparkFixture {
               // restore op above must replay the count across it
               t.compaction(graft.tables.CompactionOptions(
                 newBucketNum = Some(1 + rnd.nextInt(4))), _ => true)
+            case 8 => // CRASHED RE-BUCKET (r16 find): flip + open marker,
+              // NO rewrite — exactly what compactionRun leaves if it dies
+              // after updateInfoAtFlip. Every later op (upserts layering
+              // the NEW mapping on the old base, deletes, compactions that
+              // must not bake duplicates, restores across the dangling
+              // marker) runs against the mixed state; the model is
+              // unchanged (the flip moves no data), so the per-op read
+              // assertion below IS the no-duplicate/no-loss check.
+              val newN = 1 + rnd.nextInt(4)
+              if (newN != t.info.bucketNum)
+                graft.meta.MetaStore.default.updateInfoAtFlip(path)((cur, ts0) =>
+                  cur.copy(bucketNum = newN,
+                    properties = graft.meta.RebucketLog.appendOpen(
+                      cur.properties, ts0, cur.bucketNum, newN)))
           }
           Thread.sleep(2) // distinct commit boundaries for restore targets
           snapshots :+= t.lastCommitTs -> model
