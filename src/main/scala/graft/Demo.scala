@@ -392,6 +392,32 @@ object Demo {
         s" (expect ${300 - orders.limit(300).filter(col("o_orderkey") <= 10).count()})")
     }
 
+    // r16: a streaming BACKFILL whose window spans a re-bucket — the
+    // candidate batch is cut at the flip boundary, so the catch-up runs as
+    // two mapping-consistent bucket-parallel batches instead of one
+    // cross-grouped single-task batch
+    locally {
+      val sb = GraftTable.create(spark, orders.limit(200)
+        .select(col("o_orderkey"), col("o_totalprice")), s"$dir/sb_t",
+        hashColumns = Seq("o_orderkey"), bucketNum = 2)
+      Thread.sleep(50)
+      sb.compaction(graft.tables.CompactionOptions(newBucketNum = Some(4)), _ => true)
+      Thread.sleep(50)
+      sb.upsert(orders.limit(100).select(col("o_orderkey"),
+        (col("o_totalprice") + 5).as("o_totalprice")))
+      graft.catalog.GraftCatalog.register(spark, "demo.sb", s"$dir/sb_t")
+      val q = spark.readStream.table("graft_cat.demo.sb")
+        .writeStream.format("memory").queryName("demo_sb")
+        .option("checkpointLocation", s"$dir/sb_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      println(s"rebucket backfill batches = ${batches.mkString("+")} " +
+        s"(expect 200+100: cut at the flip), total = ${
+          spark.table("demo_sb").count()} (expect 300)")
+    }
+
     // error-path probes
     try { GraftTable.create(spark, orders, s"$dir/orders_t") }
     catch { case e: Exception => println(s"probe double-create -> ${e.getMessage}") }

@@ -135,6 +135,24 @@ object RebucketLog {
   def bucketNumAt(ts: Long, props: Map[String, String], current: Int): Int =
     parse(props).sortBy(_._1).find(_._1 > ts).map(_._3).getOrElse(current)
 
+  /** Clamp a streaming batch's candidate END offset so the batch window
+    * (s, end] never SPANS a flip boundary when a cut exists: the first
+    * flip ts0 strictly inside the window cuts it at `ts0 - 1` — every
+    * commit at-or-before the cut replays to the pre-flip mapping, every
+    * commit after it to the post-flip one (flip timestamps are allocated
+    * on the store's own commit clock, [[MetaStore.updateInfoAtFlip]], so
+    * the comparison is exact, no cushion). Each side is then a
+    * mapping-consistent micro-batch that plans per-bucket-parallel
+    * instead of the one-task-per-range-partition cross grouping — the
+    * difference between a parallel catch-up and a single-task cliff when
+    * a stream restarts from a checkpoint taken before a re-bucket.
+    * Progress: only boundaries strictly ABOVE `s` cut, so the offset
+    * always advances. */
+  def clampAtFlip(props: Map[String, String], s: Long, candidate: Long): Long =
+    parse(props).iterator.map(_._1 - 1)
+      .filter(b => b > s && b < candidate)
+      .minOption.getOrElse(candidate)
+
   /** Pruned-history boundary, if pruning has ever happened. */
   def horizon(props: Map[String, String]): Option[Long] =
     props.get(HorizonProp).map(_.toLong)

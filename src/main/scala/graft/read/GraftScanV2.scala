@@ -762,17 +762,28 @@ class GraftMicroBatchStream(
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** Candidate end offsets are CUT at re-bucket flip boundaries
+    * ([[graft.meta.RebucketLog.clampAtFlip]]): a batch window spanning a
+    * flip can only be merged per range partition (one task each — fine
+    * for a live delta-sized boundary batch, a cliff for a catch-up batch
+    * after a restart from a pre-re-bucket checkpoint). Cutting makes each
+    * side mapping-consistent, so [[planInputPartitions]] dispatches it
+    * per-bucket-parallel under that side's own mapping. */
+  private def flipClamp(s: Long, candidate: Long): Long =
+    graft.meta.RebucketLog.clampAtFlip(
+      table.info.properties, s, candidate)
+
   override def latestOffset(start: VOffset, limit: ReadLimit): VOffset = {
     val s = start.asInstanceOf[GraftStreamOffset].ts
     val newest = availableNowCap.getOrElse(table.lastCommitTs)
     if (newest <= s || StreamPacing.unpaced(maxCommitsPerTrigger,
         maxFilesPerTrigger, maxBytesPerTrigger))
-      return GraftStreamOffset(math.max(s, newest))
+      return GraftStreamOffset(flipClamp(s, math.max(s, newest)))
     val batches = table.commitBatches(s, newest, // ascending commit boundaries
       StreamPacing.boundaryCap(maxCommitsPerTrigger, maxFilesPerTrigger))
-    if (batches.isEmpty) return GraftStreamOffset(newest)
-    GraftStreamOffset(StreamPacing.boundedEnd(batches, s,
-      maxCommitsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger))
+    if (batches.isEmpty) return GraftStreamOffset(flipClamp(s, newest))
+    GraftStreamOffset(flipClamp(s, StreamPacing.boundedEnd(batches, s,
+      maxCommitsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger)))
   }
 
   /** Without admission control Spark calls this form. */
@@ -801,7 +812,13 @@ class GraftMicroBatchStream(
     // batch's end must fail the query with re-pin guidance — the batch
     // reader's silent abort-to-empty would advance the offset past the
     // boundary and lose the window forever
-    val files = table.incrementalFiles(s, e, strict = true)
+    // FRESH table info for the mapping replay: a re-bucket may flip after
+    // the scan was constructed, and epoch assignment must see its event
+    // (the construction-time `info` stays authoritative for schema/keys/
+    // merge ops, which re-buckets never change)
+    val live = table
+    val liveInfo = live.info
+    val files = live.incrementalFiles(s, e, strict = true)
     def toSpec(rs: Seq[(Seq[graft.meta.ResolvedFile], Array[Boolean], Boolean)])
         : Array[GraftRunSpec] =
       rs.map { case (fs, mask, tomb) =>
@@ -815,34 +832,44 @@ class GraftMicroBatchStream(
         PartitionedFile(InternalRow.empty,
           SparkPath.fromPathString(f.file.path), 0L, f.file.size),
         BucketMergeRead.presentMask(schema, f.file.existCols)): InputPartition).toArray
-    else if (graft.meta.RebucketLog.overlaps(info.properties, s, e)) {
-      // the window spans a key->bucket MAPPING change: per-bucket dispatch
-      // is key-disjoint only under one mapping — a straddling key's old-
-      // and new-mapping rows would land in different merge tasks and BOTH
-      // surface. Merge per RANGE PARTITION instead, every (commit, bucket)
-      // subgroup its own key-sorted run in commit order (readCrossBucket's
-      // grouping, through the same k-way partition reader). Boundary
-      // batches are rare and delta-sized, so the per-partition parallelism
-      // is acceptable where a silent duplicate is not.
-      files.groupBy(_.partitionDesc).toSeq.sortBy(_._1).zipWithIndex
-        .map { case ((_, fs), i) =>
-          val runs = fs.groupBy(f => (f.commitOrdinal, f.file.bucketId))
-            .toSeq.sortBy(_._1)
-            .flatMap { case (_, sub) =>
-              BucketMergeRead.orderedRuns(info, schema, sub) }
-          GraftBucketPartition(i, toSpec(runs)): InputPartition
+    else graft.meta.RebucketLog.epochsOf(liveInfo.properties,
+        liveInfo.bucketNum, files) match {
+      case Some(epochs) if epochs.size <= 1 =>
+        // mapping-consistent batch (the common case — latestOffset cuts
+        // candidate windows at flip boundaries): per-bucket dispatch under
+        // the EPOCH's own count (which may differ from info.bucketNum: the
+        // pre-flip side of a cut batch, or a window entirely before an
+        // in-flight down-re-bucket), widened to the observed ids so a file
+        // past a flipped-down count is never silently dropped
+        val n = math.max(
+          epochs.headOption.map(_._1).getOrElse(liveInfo.bucketNum),
+          files.iterator.map(_.file.bucketId).foldLeft(-1)(math.max) + 1)
+        (0 until n).map { b =>
+          val mine = files.filter(_.file.bucketId == b)
+          GraftBucketPartition(b,
+            toSpec(BucketMergeRead.orderedRuns(info, schema, mine))): InputPartition
         }.toArray
-    } else {
-      // single mapping — but its count may EXCEED info.bucketNum (a window
-      // entirely before an in-flight down-re-bucket): group by the
-      // OBSERVED ids, never silently drop files past the flipped count
-      val n = math.max(info.bucketNum,
-        files.iterator.map(_.file.bucketId).foldLeft(-1)(math.max) + 1)
-      (0 until n).map { b =>
-        val mine = files.filter(_.file.bucketId == b)
-        GraftBucketPartition(b,
-          toSpec(BucketMergeRead.orderedRuns(info, schema, mine))): InputPartition
-      }.toArray
+      case _ =>
+        // the window spans a key->bucket MAPPING change, or is
+        // mapping-ambiguous (open marker, unknown commit provenance,
+        // pre-horizon): per-bucket dispatch is key-disjoint only under one
+        // mapping — a straddling key's old- and new-mapping rows would
+        // land in different merge tasks and BOTH surface. Merge per RANGE
+        // PARTITION instead, every (commit, bucket) subgroup its own
+        // key-sorted run in commit order (readCrossBucket's grouping,
+        // through the same k-way partition reader). Reachable only from a
+        // checkpoint committed ACROSS a flip before clamping existed, or
+        // under an open/ambiguous marker where no cut is sound — rare and
+        // transient, so the per-partition parallelism is acceptable where
+        // a silent duplicate is not.
+        files.groupBy(_.partitionDesc).toSeq.sortBy(_._1).zipWithIndex
+          .map { case ((_, fs), i) =>
+            val runs = fs.groupBy(f => (f.commitOrdinal, f.file.bucketId))
+              .toSeq.sortBy(_._1)
+              .flatMap { case (_, sub) =>
+                BucketMergeRead.orderedRuns(info, schema, sub) }
+            GraftBucketPartition(i, toSpec(runs)): InputPartition
+          }.toArray
     }
   }
 

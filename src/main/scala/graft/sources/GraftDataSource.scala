@@ -349,12 +349,22 @@ class GraftStreamSource(
     if (newest <= 0L) return null // nothing committed yet
     val s = math.max(handedOut,
       Option(start).map(_.json.trim.toLong).getOrElse(startTime))
-    if (newest <= s || StreamPacing.unpaced(maxCommits, maxFiles, maxBytes))
-      return LongOffset(math.max(s, newest))
+    // cut candidate windows at re-bucket flip boundaries: each side is
+    // then mapping-consistent, so the batch reads bucket-parallel under
+    // its own mapping instead of paying the cursor-split shuffle (or, for
+    // diff mode, the per-partition bucket-merged pairing) — matters for a
+    // catch-up batch after a restart from a pre-re-bucket checkpoint
+    def clamp(cand: Long): Long =
+      graft.meta.RebucketLog.clampAtFlip(table.info.properties, s, cand)
+    if (newest <= s || StreamPacing.unpaced(maxCommits, maxFiles, maxBytes)) {
+      val end = clamp(math.max(s, newest))
+      handedOut = math.max(handedOut, end)
+      return LongOffset(end)
+    }
     val batches = table.commitBatches(s, newest,
       StreamPacing.boundaryCap(maxCommits, maxFiles))
-    val end = if (batches.isEmpty) newest
-      else StreamPacing.boundedEnd(batches, s, maxCommits, maxFiles, maxBytes)
+    val end = clamp(if (batches.isEmpty) newest
+      else StreamPacing.boundedEnd(batches, s, maxCommits, maxFiles, maxBytes))
     handedOut = end
     LongOffset(end)
   }

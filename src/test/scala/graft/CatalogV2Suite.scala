@@ -258,8 +258,8 @@ class CatalogV2Suite extends SparkFixture {
     }
   }
 
-  test("DSv2 streaming: a micro-batch window spanning a RE-BUCKET merges " +
-    "straddling keys once (r15 — per-partition cross grouping)") {
+  test("DSv2 streaming: a backlog spanning a RE-BUCKET is cut at the flip " +
+    "boundary into mapping-consistent batches (r16 — flip clamp)") {
     withTempPath { wh =>
       withTempPath { ckpt =>
         useCatalog(wh)
@@ -269,9 +269,12 @@ class CatalogV2Suite extends SparkFixture {
         spark.sql("CREATE TABLE graft_cat.rbs.t PARTITIONED BY (bucket(2, id)) " +
           "AS SELECT * FROM rbs_src")
         // history BEFORE the stream starts: delta -> re-bucket -> delta,
-        // so the FIRST micro-batch window (0, head] spans the mapping
-        // change. Per-bucket dispatch would deliver BOTH of a straddling
-        // key's rows (old- and new-mapping runs in different merge tasks).
+        // so the candidate first window (0, head] spans the mapping
+        // change. latestOffset cuts it at the flip boundary: each side is
+        // mapping-consistent and plans per-bucket-parallel, and the
+        // straddling key arrives as one delta PER SIDE (the same thing
+        // commit-paced batching would deliver) — never both of its rows
+        // inside one merged batch (the pre-r15 duplicate).
         spark.sql("INSERT INTO graft_cat.rbs.t VALUES (2, 'b2'), (4, 'd')")
         spark.sql("CALL graft.compaction(table_name => 'rbs.t', " +
           "new_bucket_num => '5')")
@@ -282,9 +285,10 @@ class CatalogV2Suite extends SparkFixture {
           .start()
         try {
           q.processAllAvailable()
-          // key 2 was written in both epochs: exactly ONE row, last value
+          // pre-flip batch merges CTAS + first insert (key 2 once, b2);
+          // post-flip batch delivers the second insert's delta (b3)
           assertRows(spark.table("v2_rb_stream"),
-            Seq("[1,a]", "[2,b3]", "[3,c]", "[4,d]", "[5,e]"))
+            Seq("[1,a]", "[2,b2]", "[2,b3]", "[3,c]", "[4,d]", "[5,e]"))
         } finally q.stop()
       }
     }

@@ -55,8 +55,12 @@ class SplitWindowSuite extends SparkFixture {
   }
 
   test("random histories: incremental + diff across re-buckets are " +
-    "byte-equal between the split and cross-bucket paths") {
+    "byte-equal between the split and cross-bucket paths (multi-event " +
+    "windows common — readSplitWindow accepts N epochs, so the soak must " +
+    "routinely hand it 2-3 mixed up/down flips per window)") {
     val rnd = new scala.util.Random(1515)
+    var windowsChecked = 0
+    var windowsMultiEvent = 0
     for (round <- 1 to 3) {
       // alternate CDC and plain-PK (tombstone-delete) tables
       val cdc = round % 2 == 1
@@ -68,8 +72,8 @@ class SplitWindowSuite extends SparkFixture {
           hashColumns = Seq("id"), bucketNum = 1 + rnd.nextInt(3),
           properties = props)
         var boundaries = Vector(0L, t.lastCommitTs)
-        for (_ <- 0 until 6 + rnd.nextInt(4)) {
-          rnd.nextInt(5) match {
+        for (_ <- 0 until 8 + rnd.nextInt(4)) {
+          rnd.nextInt(6) match {
             case 0 | 1 =>
               val b = rnd.shuffle(keys.toList).take(1 + rnd.nextInt(keys.size))
                 .map { k =>
@@ -83,11 +87,13 @@ class SplitWindowSuite extends SparkFixture {
                 if (del.nonEmpty)
                   t.deleteTombstone($"id".isin(del.map(_._1): _*))
               }
-            case 2 => // re-bucket: THE event under test
+            case 2 | 3 => // re-bucket: THE event under test — weighted so
+              // most full-history windows span SEVERAL flips (mixed
+              // up/down: the new count is drawn independently each time)
               t.compaction(CompactionOptions(
                 newBucketNum = Some(1 + rnd.nextInt(5))), _ => true)
-            case 3 => t.compaction()
-            case 4 => // schema evolution mid-history: absent-column masks
+            case 4 => t.compaction()
+            case 5 => // schema evolution mid-history: absent-column masks
               // must survive the split's synthetic-run transport
               val k = keys(rnd.nextInt(keys.size)).toLong
               t.upsert(Seq((k, s"w${rnd.nextInt(9)}", "insert",
@@ -103,6 +109,10 @@ class SplitWindowSuite extends SparkFixture {
           (a, head)
         }
         windows.distinct.foreach { case (a, b) =>
+          windowsChecked += 1
+          if (graft.meta.RebucketLog.overlapping(
+              t.info.properties, a, b).size >= 2)
+            windowsMultiEvent += 1
           bothWays(s"round $round incremental($a,$b) cdc=$cdc") {
             t.incremental(a, b)
           }
@@ -111,6 +121,12 @@ class SplitWindowSuite extends SparkFixture {
         assert(t.validate() == Nil)
       }
     }
+    // the soak only earns its name if multi-flip windows are COMMON —
+    // guard the generator itself against drifting back to 0-1 events
+    assert(windowsMultiEvent * 5 >= windowsChecked,
+      s"only $windowsMultiEvent of $windowsChecked checked windows spanned " +
+        ">=2 re-bucket events; the generator no longer exercises the " +
+        "multi-epoch split")
   }
 
   test("sum_all operator state (null poison) survives the epoch boundary") {
