@@ -612,9 +612,19 @@ object SparkEntry {
       // no self-join (a grouped-facts + join form computed the big
       // join⋈aggregate subtree twice; plan-audited).
       import org.apache.spark.sql.expressions.Window
+      // ONE exchange for the groupBy+window pair (r16, guide §2.4): the
+      // aggregate keys (l_orderkey, l_suppkey) and the window partition
+      // (l_orderkey) are compatibly keyed — establishing
+      // HashPartitioning(l_orderkey) once satisfies both (the aggregate's
+      // clustered distribution accepts any partitioning on a subset of its
+      // keys), where the natural plan paid a (l_orderkey, l_suppkey)
+      // exchange for the aggregate and a second l_orderkey exchange for
+      // the window. No explicit partition count, so AQE still sizes it.
+      // Probe: 1.30 -> 1.00 s med, identical results (exceptAll).
       val ls = rd(s, d, "lineitem")
         .join(rd(s, d, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0)).as("late"))

@@ -556,7 +556,13 @@ object Dedup {
       maxDist: Int = 3,
       maxBucket: Int = 200,
       sigOf: Column => Column = simhashOf): DataFrame = {
+    // the signature subtree is consumed THREE times (banding, then the
+    // id_a / id_b verify joins) and the projections differ, so exchange
+    // reuse never kicks in — without materialization the signature kernel
+    // (md5-hashed shingle folds) recomputes 3x (r16: the same lesson
+    // jaccardVerify already encodes; probe: dedup_simhash ~0.95 s -> ~0.55 s)
     val sig = df.select(col(idCol).as("_g_id"), sigOf(col(textCol)).as("_g_sim"))
+      .localCheckpoint()
     val banded = sig.select(col("_g_id"), posexplode(
       array((0 until 4).map(i =>
         shiftrightunsigned(col("_g_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -581,7 +587,11 @@ object Dedup {
       sigCol: String,
       maxDist: Int = 3,
       maxBucket: Int = 200): DataFrame = {
+    // same 3x-consumption shape as simhashNearDupPairs: the input is often
+    // itself a computed signature (sign-bit binarized embeddings) whose
+    // subtree would re-run per consumer
     val sig = df.select(col(idCol).as("_g_id"), col(sigCol).as("_g_sim"))
+      .localCheckpoint()
     val banded = sig.select(col("_g_id"), posexplode(
       array((0 until 4).map(i =>
         shiftrightunsigned(col("_g_sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -47,6 +47,41 @@ object GraftRead {
   /** Read the given resolved file set as a merged DataFrame.
     * @param keepCdcRows when true (incremental/streaming reads), CDC `delete`
     *                    marker rows are kept (F6 exemption). */
+  /** True when [[read]]`(table, files)` is GUARANTEED to dispatch every
+    * file through the bucket k-way merge — one Spark partition per
+    * (partitionDesc, bucketId) group, rows in key order — with no
+    * plain-scan union (whose file packing/splitting can slice or combine
+    * groups arbitrarily) and no aggregate fallback (which shuffles).
+    * Callers that rewrite the read verbatim (compaction) may then skip
+    * their bucket re-shuffle on the write side
+    * ([[graft.write.TransactionalWrite.writeFiles]] inputBucketAligned) —
+    * at 100 TB that shuffle is a second full pass of the table over the
+    * network. MUST mirror [[read]]'s dispatch exactly; the pinned
+    * zero-shuffle compaction test fails if the two drift. */
+  def groupAlignedRead(table: TableInfo, files: Seq[ResolvedFile]): Boolean = {
+    if (!table.hasPrimaryKey || files.isEmpty) return false
+    if (table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true"))
+      return false
+    if (table.properties.get("graft.bucketMergeRead").contains("false"))
+      return false
+    // mixed/ambiguous mappings route to the split/cross paths (per-range-
+    // partition tasks — NOT per-bucket)
+    if (!RebucketLog.epochsOf(table.properties, table.bucketNum, files)
+        .exists(_.size <= 1)) return false
+    // any single-run no-tombstone group takes the plain vectorized scan,
+    // whose partitions are file-split/pack units, not groups
+    val allMerged = files.groupBy(f => (f.partitionDesc, f.file.bucketId))
+      .values.forall(fs => fs.map(_.commitOrdinal).distinct.size > 1 ||
+        fs.exists(f => Tombstone.isTombstone(f.file)))
+    if (!allMerged) return false
+    val fullSchema = graft.util.SchemaUtil.fromJson(table.schemaJson)
+    val schema = BucketMergeRead.relaxMissing(fullSchema, files)
+    val maxId = files.iterator.map(_.file.bucketId).max
+    val tm = if (maxId >= table.bucketNum)
+      table.copy(bucketNum = maxId + 1) else table
+    BucketMergeRead.supports(tm, schema, files)
+  }
+
   def read(
       spark: SparkSession,
       table: TableInfo,

@@ -1611,6 +1611,15 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
       }
       if (merge.nonEmpty) {
         val current = GraftRead.read(spark, t, merge, keepCdcRows = true)
+        // zero-shuffle compaction (r16): when the read dispatches every
+        // group through the bucket merge (one task per (partition, bucket),
+        // key-ordered), the write can keep that placement instead of
+        // re-shuffling the whole table by bucket id — never under
+        // re-bucketing (rows genuinely move to new buckets). The CDC
+        // rewrite below is a narrow map (filter + withColumn), so the
+        // alignment survives it.
+        val aligned = opts.newBucketNum.forall(_ == t0.bucketNum) &&
+          GraftRead.groupAlignedRead(t, merge)
         if (keep.isEmpty) {
           // FULL compaction: one run replaces the partition snapshot;
           // CDC markers are rewritten (M8)
@@ -1622,7 +1631,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
             case None => current
           }
           val commits = TransactionalWrite.writeFiles(
-            spark, t, compacted, CommitOp.Compaction, skipPreMerge = true)
+            spark, t, compacted, CommitOp.Compaction, skipPreMerge = true,
+            inputBucketAligned = aligned)
           publish(commits ++ expireCommitsFor(descs -- commits.map(_.partitionDesc),
             CommitOp.Compaction), heads)
           published = commits.groupBy(_.partitionDesc)
@@ -1633,7 +1643,8 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           // carried-over runs stay in place and still merge-on-read with the
           // new run (the reference's discard-file list, CompactBucketIO).
           val commits = TransactionalWrite.writeFiles(
-            spark, t, current, CommitOp.Merge, skipPreMerge = true)
+            spark, t, current, CommitOp.Merge, skipPreMerge = true,
+            inputBucketAligned = aligned)
           val delsByDesc = merge.groupBy(_.partitionDesc)
             .view.mapValues(_.map(f => f.file.copy(fileOp = "del"))).toMap
           val withDels = commits.map(c =>

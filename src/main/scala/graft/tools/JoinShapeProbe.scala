@@ -163,6 +163,31 @@ object JoinShapeProbe {
         .orderBy("n_name")
     }
 
+    // q21: groupBy (l_orderkey, l_suppkey) then window by l_orderkey = two
+    // exchanges keyed compatibly — establish HashPartitioning(l_orderkey)
+    // once and both reuse it (guide §2.4)
+    def q21(shared: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val joined = rd("lineitem")
+        .join(rd("orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+      val pre = if (shared) joined.repartition(col("l_orderkey")) else joined
+      val ls = pre.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0)).as("late"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      ls.withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("late")).over(w))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .join(rd("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(rd("nation").filter(col("n_name") === "NATION_1"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "q3_asis" -> (() => q3Asis()),
       "q3_factstream" -> (() => q3FactStream()),
@@ -171,7 +196,9 @@ object JoinShapeProbe {
       "q5_asis" -> (() => q5Asis()),
       "q5_factstream" -> (() => q5FactStream()),
       "q5_shj" -> (() => q5Shj()),
-      "q5_shj2" -> (() => q5Shj2()))
+      "q5_shj2" -> (() => q5Shj2()),
+      "q21_asis" -> (() => q21(false)),
+      "q21_shared" -> (() => q21(true)))
     variants.foreach { case (_, f) => f().count() } // warm all (codegen + JIT)
     // ROUND-ROBIN interleaving: host speed drifts minute-to-minute, so
     // consecutive per-variant loops bias whichever ran in a slow window
@@ -194,6 +221,7 @@ object JoinShapeProbe {
     println(s"[jsp] q5 equal: ${same(q5Asis(), q5FactStream())}")
     println(s"[jsp] q3 shj2 equal: ${same(q3Asis(), q3Shj2())}")
     println(s"[jsp] q5 shj2 equal: ${same(q5Asis(), q5Shj2())}")
+    println(s"[jsp] q21 shared equal: ${same(q21(false), q21(true))}")
     spark.stop()
   }
 }

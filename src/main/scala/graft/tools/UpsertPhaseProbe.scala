@@ -29,12 +29,20 @@ object UpsertPhaseProbe {
 
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     @volatile var jobSpans = List.empty[(Long, Long)] // (start, end) ns-ish ms
+    @volatile var stages = List.empty[(String, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobStarts.put(js.jobId, js.time)
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val s = jobStarts.getOrDefault(je.jobId, je.time)
         jobSpans = (s, je.time) :: jobSpans
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        stages = (i.name.takeWhile(_ != '(').trim + "#" + i.numTasks,
+          i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L),
+          i.taskMetrics.executorRunTime) :: stages
       }
     })
 
@@ -54,9 +62,9 @@ object UpsertPhaseProbe {
     batch.cache().count()
 
     (1 to n).foreach { i =>
-      // second half of the loop: AQE off — is stage-wise execution taxing
-      // a 2-stage 30k-row write?
-      if (i == n / 2 + 1) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // A/B halves: first snappy, then zstd (the new default)
+      if (i == 1) spark.conf.set("spark.graft.write.codec", "snappy")
+      if (i == n / 2 + 1) spark.conf.set("spark.graft.write.codec", "zstd")
       jobSpans = Nil
       val t0 = System.nanoTime()
       t.upsert(batch)
@@ -73,6 +81,10 @@ object UpsertPhaseProbe {
       val jobMs = merged.map { case (s, e) => e - s }.sum
       println(f"[upp] upsert $i%2d wall=$wall%.3f jobs=${jobMs / 1e3}%.3f " +
         f"driver=${wall - jobMs / 1e3}%.3f njobs=${spans.size}")
+      stages.reverse.foreach { case (n, s, e, rt) =>
+        println(f"[upp]    stage $n wall=${(e - s) / 1e3}%.3f taskSum=${rt / 1e3}%.3f")
+      }
+      stages = Nil
     }
     spark.stop()
   }

@@ -287,7 +287,8 @@ object TransactionalWrite {
       skipPreMerge: Boolean = false,
       clusterCols: Seq[String] = Nil,
       tombstone: Boolean = false,
-      internal: Boolean = false): Seq[DataCommitInfo] = {
+      internal: Boolean = false,
+      inputBucketAligned: Boolean = false): Seq[DataCommitInfo] = {
     val commitId = MetaStore.newCommitId()
     // tombstone runs are key-only deletion markers built from rows the
     // table already admitted: full schema with non-key columns null, so
@@ -330,9 +331,20 @@ object TransactionalWrite {
         val bucketed = out.withColumn(BucketCol, bucketIdExpr(pk, table.bucketNum))
         // after preMerge the data is already HashPartitioning(pk, bucketNum)
         // (partition index == bucket id); only re-shuffle when the batch
-        // bypassed preMerge (update/compaction rewrites)
+        // bypassed preMerge (update/compaction rewrites) AND the caller
+        // cannot attest per-(partition, bucket) alignment. With
+        // inputBucketAligned (r16: compaction over an all-merge-path read,
+        // GraftRead.groupAlignedRead) every input partition holds exactly
+        // one (desc, bucket) group in key order, so the repartition would
+        // move every row of the table to the partition it is already in —
+        // at 100 TB a full-table shuffle paid for nothing. Correctness
+        // contract: a (desc, bucket) group split across TWO tasks would
+        // write two same-run files whose pk ranges interleave (breaking
+        // the sorted-run invariant the k-way merge reads by), so the flag
+        // is only ever set when the read guarantees group-aligned input.
         val placed =
-          if (skipPreMerge) bucketed.repartition(table.bucketNum, col(BucketCol))
+          if (skipPreMerge && !inputBucketAligned)
+            bucketed.repartition(table.bucketNum, col(BucketCol))
           else bucketed
         // sort-on-write by (range-DIR cols, bucket, pk) — the format's
         // sorted-run contract (LakeSoulFileWriter.scala:125-141). Sorting on
@@ -359,6 +371,13 @@ object TransactionalWrite {
 
     val commitDir = new File(new File(table.tablePath, "data"), commitId)
     var writer = out.write.mode("errorifexists")
+    // zstd data files (guide §6: smaller than snappy at similar read
+    // speed; r16 WriteCostProbe also measured the snappy ENCODER as the
+    // slower one on this write shape — 1.37 s vs 0.95 s of task time per
+    // 32-bucket commit). Conf-able for deployments that standardize on
+    // another codec; per-table override via the same Spark option space.
+    writer = writer.option("compression",
+      spark.conf.getOption("spark.graft.write.codec").getOrElse("zstd"))
     // size-capped rolling writer (S15, LakeSoulFileWriter.scala:96-141):
     // files roll at N records; rolled parts sort after each other by path
     // suffix, so per-run pk order is preserved across the splits
@@ -406,7 +425,10 @@ object TransactionalWrite {
     // refcounted guard; only the value "false" is ever acquired, so
     // concurrent writers can never conflict.
     val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeInert = {
+    // escape hatch (and A/B probe switch): spark.graft.write.skipAqeWhenInert
+    val aqeInert = spark.conf
+      .getOption("spark.graft.write.skipAqeWhenInert")
+      .forall(_.toBoolean) && {
       import org.apache.spark.sql.catalyst.expressions.PlanExpression
       import org.apache.spark.sql.catalyst.plans.logical._
       !dfIn.queryExecution.analyzed.exists {
