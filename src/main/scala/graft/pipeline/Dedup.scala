@@ -84,9 +84,14 @@ object Dedup {
             array_join(slice(col("_g_t"), i * w + 1, lit(w)), " ").as("p")))).as("_g_c"))
       .select(col("_g_doc"), col("_g_c.ci").as("_g_ci"), col("_g_c.p").as("_g_p"))
       .withColumn("_g_h", GraftFunctions.xx64(col("_g_p")))
-    val keepers = chunks.groupBy("_g_h")
-      .agg(min(struct(col("_g_doc"), col("_g_ci"))).as("_g_k"))
-    chunks.join(keepers, Seq("_g_h"))
+    // keeper election as ONE window pass over the hash (r16, guide §2.4):
+    // the groupBy-then-join-back form computed the chunk pipeline twice
+    // and shuffled it twice (once into the aggregate, once into the join);
+    // min(struct) over a hash-partitioned window elects the identical
+    // corpus-first occurrence with one shuffle and one pass
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("_g_h")
+    chunks
+      .withColumn("_g_k", min(struct(col("_g_doc"), col("_g_ci"))).over(byHash))
       .filter(struct(col("_g_doc"), col("_g_ci")) === col("_g_k"))
       .groupBy(col("_g_doc"))
       .agg(
@@ -115,12 +120,18 @@ object Dedup {
       .select(col(idCol).as("_g_doc"),
         posexplode(TextAnalysis.wordShinglesOf(col("_g_t"), w)).as(Seq("_g_pos", "_g_gram")))
       .select(col("_g_doc"), col("_g_pos"), GraftFunctions.xx64(col("_g_gram")).as("_g_h"))
-    val dup = wins.groupBy("_g_h")
-      .agg(count(lit(1)).as("_g_n"),
-        min(struct(col("_g_doc"), col("_g_pos"))).as("_g_first"))
+    // ONE window pass over the hash (r16, guide §2.4): the previous
+    // groupBy-then-join-back recomputed the tokenize+shingle+hash pipeline
+    // twice and shuffled the corpus-sized window stream twice; count +
+    // min(struct) over a hash-partitioned window yields the identical
+    // (>= 2 occurrences, corpus-first) facts with one shuffle, one pass
+    // (probe: dedup_substring ~1.9 s -> ~1.2 s steady at sf0.1)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("_g_h")
+    wins
+      .withColumn("_g_n", count(lit(1)).over(byHash))
+      .withColumn("_g_first", min(struct(col("_g_doc"), col("_g_pos"))).over(byHash))
       .filter(col("_g_n") >= 2)
-      .select("_g_h", "_g_first")
-    wins.join(dup, Seq("_g_h")).select("_g_doc", "_g_pos", "_g_first")
+      .select("_g_doc", "_g_pos", "_g_first")
   }
 
   /** Maximal duplicated token spans — the ExactSubstr dedup of Lee et al.,
@@ -174,8 +185,10 @@ object Dedup {
   /** (keeper, dup) pairs removed by exact dedup. */
   def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withH = df.select(col(idCol), GraftFunctions.xx64(normText(col(textCol))).as("_g_h"))
-    val keeper = withH.groupBy("_g_h").agg(min(idCol).as("keep_id"))
-    withH.join(keeper, "_g_h")
+    // one window pass, not groupBy+join-back (same rewrite as
+    // duplicatedWindows: one shuffle, hash pipeline computed once)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("_g_h")
+    withH.withColumn("keep_id", min(col(idCol)).over(byHash))
       .filter(col(idCol) > col("keep_id"))
       .select(col("keep_id"), col(idCol).as("dup_id"))
   }
