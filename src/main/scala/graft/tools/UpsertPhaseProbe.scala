@@ -62,9 +62,6 @@ object UpsertPhaseProbe {
     batch.cache().count()
 
     (1 to n).foreach { i =>
-      // A/B halves: first snappy, then zstd (the new default)
-      if (i == 1) spark.conf.set("spark.graft.write.codec", "snappy")
-      if (i == n / 2 + 1) spark.conf.set("spark.graft.write.codec", "zstd")
       jobSpans = Nil
       val t0 = System.nanoTime()
       t.upsert(batch)
