@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.tables.GraftTable
 
 /** r16 A/B: the bench's MOR regime (create -> 10 upserts -> read ->
-  * compaction) with the inert-write AQE skip ON vs OFF, alternating
-  * whole regimes so host drift hits both arms. Prints per-arm medians.
+  * compaction), two arms alternated whole-regime so host drift hits both.
+  * Arm "on" = shipped config; arm "off" = task-side footer stats disabled
+  * (graft.stats.enabled=false) — measures the stats share of the
+  * per-commit cost (~5% of an upsert; earlier revisions of this probe
+  * A/B'd the inert-write AQE skip the same way, ~10%).
   *
   * Usage: runMain graft.tools.MorRegimeProbe [rounds]
   */
@@ -46,13 +49,16 @@ object MorRegimeProbe {
     val res = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     (1 to rounds).foreach { _ =>
+      // arms: "on" = shipped config; "off" = task-side footer stats
+      // disabled (graft.stats.enabled=false) — measures the stats share
+      // of the per-commit cost
       Seq("on", "off").foreach { arm =>
-        spark.conf.set("spark.graft.write.skipAqeWhenInert",
-          (arm == "on").toString)
         val createT = time {
           val t = GraftTable.create(spark, orders,
             ProbeTmp.dir(s"graft-mrp-$arm-"),
-            hashColumns = Seq("o_orderkey"), bucketNum = cpus)
+            hashColumns = Seq("o_orderkey"), bucketNum = cpus,
+            properties = if (arm == "off")
+              Map("graft.stats.enabled" -> "false") else Map.empty)
           res(s"upsert_med_$arm") =
             median((1 to 10).map(_ => time(t.upsert(batch)))) :: res(s"upsert_med_$arm")
           res(s"read_$arm") = time(t.toDF.count()) :: res(s"read_$arm")
