@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // pass engine-conf overrides (-Dspark.graft.*) through to forked
+  // test/run JVMs — SparkConf loads spark.* system properties, so this
+  // lets a dev A/B a graft conf inside the real suites
+  sys.props.toSeq.collect {
+    case (k, v) if k.startsWith("spark.graft.") => s"-D$k=$v"
+  }

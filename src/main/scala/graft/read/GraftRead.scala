@@ -47,48 +47,37 @@ object GraftRead {
   /** Read the given resolved file set as a merged DataFrame.
     * @param keepCdcRows when true (incremental/streaming reads), CDC `delete`
     *                    marker rows are kept (F6 exemption). */
-  /** True when [[read]]`(table, files)` is GUARANTEED to dispatch every
-    * file through the bucket k-way merge — one Spark partition per
-    * (partitionDesc, bucketId) group, rows in key order — with no
-    * plain-scan union (whose file packing/splitting can slice or combine
-    * groups arbitrarily) and no aggregate fallback (which shuffles).
-    * Callers that rewrite the read verbatim (compaction) may then skip
-    * their bucket re-shuffle on the write side
-    * ([[graft.write.TransactionalWrite.writeFiles]] inputBucketAligned) —
-    * at 100 TB that shuffle is a second full pass of the table over the
-    * network. MUST mirror [[read]]'s dispatch exactly; the pinned
-    * zero-shuffle compaction test fails if the two drift. */
-  def groupAlignedRead(table: TableInfo, files: Seq[ResolvedFile]): Boolean = {
-    if (!table.hasPrimaryKey || files.isEmpty) return false
-    if (table.properties.get(TableInfo.SkipMergeOnReadProp).contains("true"))
-      return false
-    if (table.properties.get("graft.bucketMergeRead").contains("false"))
-      return false
-    // mixed/ambiguous mappings route to the split/cross paths (per-range-
-    // partition tasks — NOT per-bucket)
-    if (!RebucketLog.epochsOf(table.properties, table.bucketNum, files)
-        .exists(_.size <= 1)) return false
-    // any single-run no-tombstone group takes the plain vectorized scan,
-    // whose partitions are file-split/pack units, not groups
-    val allMerged = files.groupBy(f => (f.partitionDesc, f.file.bucketId))
-      .values.forall(fs => fs.map(_.commitOrdinal).distinct.size > 1 ||
-        fs.exists(f => Tombstone.isTombstone(f.file)))
-    if (!allMerged) return false
-    val fullSchema = graft.util.SchemaUtil.fromJson(table.schemaJson)
-    val schema = BucketMergeRead.relaxMissing(fullSchema, files)
-    val maxId = files.iterator.map(_.file.bucketId).max
-    val tm = if (maxId >= table.bucketNum)
-      table.copy(bucketNum = maxId + 1) else table
-    BucketMergeRead.supports(tm, schema, files)
-  }
-
   def read(
       spark: SparkSession,
       table: TableInfo,
       files: Seq[ResolvedFile],
       keepCdcRows: Boolean = false,
       requiredColumns: Option[Seq[String]] = None,
-      crossBucketMerge: Boolean = false): DataFrame = {
+      crossBucketMerge: Boolean = false): DataFrame =
+    readTracked(spark, table, files, keepCdcRows, requiredColumns,
+      crossBucketMerge)._1
+
+  /** [[read]], additionally reporting whether the read is GROUP-ALIGNED:
+    * every file dispatched through the bucket k-way merge — no (desc,
+    * bucket) group split across tasks, one Spark partition per bucket id
+    * (spanning that bucket's range partitions), rows in key order — with
+    * no plain-scan union (whose file packing/splitting can slice or
+    * combine groups arbitrarily) and no aggregate fallback (which
+    * shuffles). Callers that rewrite the read verbatim (compaction) may
+    * then skip their bucket re-shuffle on the write side
+    * ([[graft.write.TransactionalWrite.writeFiles]] inputBucketAligned) —
+    * at 100 TB that shuffle is a second full pass of the table over the
+    * network. r17 (VERDICT r16 items 2/5): the flag is a PRODUCT of this
+    * dispatch — set true exactly on the all-groups-bucket-merged branch —
+    * replacing the hand-maintained mirror predicate (groupAlignedRead)
+    * that could silently drift from the real dispatch. */
+  def readTracked(
+      spark: SparkSession,
+      table: TableInfo,
+      files: Seq[ResolvedFile],
+      keepCdcRows: Boolean = false,
+      requiredColumns: Option[Seq[String]] = None,
+      crossBucketMerge: Boolean = false): (DataFrame, Boolean) = {
     val fullSchema = graft.util.SchemaUtil.fromJson(table.schemaJson)
     // column pruning (F1): scan only requested columns + merge keys + the
     // CDC marker; extra service columns are dropped at the end
@@ -101,7 +90,7 @@ object GraftRead {
     }
     val outputCols = requiredColumns.getOrElse(fullSchema.fieldNames.toSeq)
     if (files.isEmpty)
-      return emptyDF(spark, pruned).select(outputCols.map(qcol): _*)
+      return (emptyDF(spark, pruned).select(outputCols.map(qcol): _*), false)
     // pre-r12 tables can claim NOT NULL on columns a contributing file
     // lacks — relax like the DSv2 scan does (shared helper; see
     // BucketMergeRead.relaxMissing for the garbage-0 codegen hazard)
@@ -129,7 +118,8 @@ object GraftRead {
       if (!table.hasPrimaryKey || skipMerge || crossBucketMerge) false
       else RebucketLog.epochsOf(table.properties, table.bucketNum, files) match {
         case Some(es) if es.size >= 2 =>
-          return readSplitEpochs(spark, table, es, keepCdcRows, requiredColumns)
+          return (readSplitEpochs(spark, table, es, keepCdcRows,
+            requiredColumns), false)
         case Some(_) => false // one mapping: raw-id grouping is exact
         case None => true
       }
@@ -163,7 +153,9 @@ object GraftRead {
         case Some(cdc) if !keepCdcRows => df0.filter(col(cdc) =!= "delete")
         case _ => df0
       }
-      return vis0.select(outputCols.map(qcol).toSeq: _*)
+      // the cross-bucket merge runs one task per range partition, not per
+      // (desc, bucket) group — never group-aligned
+      return (vis0.select(outputCols.map(qcol).toSeq: _*), false)
     }
 
     val byGroup = files.groupBy(f => (f.partitionDesc, f.file.bucketId))
@@ -179,6 +171,7 @@ object GraftRead {
     val plain =
       if (plainFiles.isEmpty) None
       else Some(spark.read.schema(schema).parquet(plainFiles: _*))
+    var bucketMerged = false
     val merged =
       if (multiRun.isEmpty) None
       else {
@@ -202,9 +195,10 @@ object GraftRead {
         // prefer the shuffle-free bucket-aligned k-way merge (M1) — handles
         // schema evolution in-merge; the aggregate-based fallback covers
         // custom merge operators only
-        if (bucketMergeOn && BucketMergeRead.supports(tm, schema, fs))
+        if (bucketMergeOn && BucketMergeRead.supports(tm, schema, fs)) {
+          bucketMerged = true
           Some(BucketMergeRead.read(spark, tm, schema, fs))
-        else Some(mergeRead(spark, table, schema, fs))
+        } else Some(mergeRead(spark, table, schema, fs))
       }
     val df = (plain, merged) match {
       case (Some(p), Some(m)) => p.select(schema.fieldNames.map(qcol).toSeq: _*)
@@ -219,7 +213,11 @@ object GraftRead {
       case Some(cdc) if !keepCdcRows => df.filter(col(cdc) =!= "delete")
       case _ => df
     }
-    visible.select(outputCols.map(qcol).toSeq: _*)
+    // GROUP-ALIGNED iff every group went through the k-way bucket merge:
+    // no plain-scan union, no aggregate fallback (narrow CDC filter /
+    // column select above preserve partitioning)
+    (visible.select(outputCols.map(qcol).toSeq: _*),
+      plain.isEmpty && bucketMerged)
   }
 
   /** Read a window RESOLVED PER MAPPING-CONSISTENT SUB-WINDOW (epoch):

@@ -1610,16 +1610,18 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
         case _ => (Nil, all)
       }
       if (merge.nonEmpty) {
-        val current = GraftRead.read(spark, t, merge, keepCdcRows = true)
-        // zero-shuffle compaction (r16): when the read dispatches every
-        // group through the bucket merge (one task per (partition, bucket),
-        // key-ordered), the write can keep that placement instead of
-        // re-shuffling the whole table by bucket id — never under
-        // re-bucketing (rows genuinely move to new buckets). The CDC
-        // rewrite below is a narrow map (filter + withColumn), so the
-        // alignment survives it.
-        val aligned = opts.newBucketNum.forall(_ == t0.bucketNum) &&
-          GraftRead.groupAlignedRead(t, merge)
+        // zero-shuffle compaction (r16; attestation hardened r17): when the
+        // read dispatches every group through the bucket merge (one task
+        // per bucket, key-ordered, no group split), the write can keep that
+        // placement instead of re-shuffling the whole table by bucket id —
+        // never under re-bucketing (rows genuinely move to new buckets).
+        // The alignment flag is a PRODUCT of the read's own dispatch
+        // (GraftRead.readTracked), not a parallel predicate that could
+        // drift. The CDC rewrite below is a narrow map (filter +
+        // withColumn), so the alignment survives it.
+        val (current, readAligned) =
+          GraftRead.readTracked(spark, t, merge, keepCdcRows = true)
+        val aligned = opts.newBucketNum.forall(_ == t0.bucketNum) && readAligned
         if (keep.isEmpty) {
           // FULL compaction: one run replaces the partition snapshot;
           // CDC markers are rewritten (M8)

@@ -49,16 +49,16 @@ object MorRegimeProbe {
     val res = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     (1 to rounds).foreach { _ =>
-      // arms: "on" = shipped config; "off" = task-side footer stats
-      // disabled (graft.stats.enabled=false) — measures the stats share
-      // of the per-commit cost
+      // arms: "on" = shipped config; "off" = prepared-chain cache disabled
+      // (spark.graft.write.planCache=false) — measures the driver
+      // replanning share of the per-commit cost (r17; earlier revisions
+      // A/B'd footer stats ~5% and the inert-write AQE skip ~10%)
       Seq("on", "off").foreach { arm =>
+        spark.conf.set("spark.graft.write.planCache", (arm == "on").toString)
         val createT = time {
           val t = GraftTable.create(spark, orders,
             ProbeTmp.dir(s"graft-mrp-$arm-"),
-            hashColumns = Seq("o_orderkey"), bucketNum = cpus,
-            properties = if (arm == "off")
-              Map("graft.stats.enabled" -> "false") else Map.empty)
+            hashColumns = Seq("o_orderkey"), bucketNum = cpus)
           res(s"upsert_med_$arm") =
             median((1 to 10).map(_ => time(t.upsert(batch)))) :: res(s"upsert_med_$arm")
           res(s"read_$arm") = time(t.toDF.count()) :: res(s"read_$arm")
@@ -66,6 +66,7 @@ object MorRegimeProbe {
         }
         res(s"lifecycle_$arm") = createT :: res(s"lifecycle_$arm")
       }
+      spark.conf.unset("spark.graft.write.planCache")
     }
     res.toSeq.sortBy(_._1).foreach { case (k, ts) =>
       println(f"[mrp] $k%-18s med=${median(ts)}%.3f all=${ts.reverse.map(t => f"$t%.3f").mkString(",")}")

@@ -46,6 +46,19 @@ object UpsertPhaseProbe {
       }
     })
 
+    // Catalyst phase breakdown per executed query (analysis/optimization/
+    // planning ms from the QueryPlanningTracker)
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val ph = qe.tracker.phases.map { case (k, v) =>
+          s"$k=${v.endTimeMs - v.startTimeMs}" }.mkString(" ")
+        println(f"[upp]    qe $funcName dur=${durationNs / 1e9}%.3f $ph")
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     // warmup table (JIT the whole path, like Bench)
     locally {
@@ -63,8 +76,10 @@ object UpsertPhaseProbe {
 
     (1 to n).foreach { i =>
       jobSpans = Nil
+      val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       t.upsert(batch)
+      val w1 = System.currentTimeMillis()
       val wall = (System.nanoTime() - t0) / 1e9
       // merge overlapping job spans so concurrent jobs don't double-count
       val spans = jobSpans.sortBy(_._1)
@@ -76,8 +91,15 @@ object UpsertPhaseProbe {
         }
       }
       val jobMs = merged.map { case (s, e) => e - s }.sum
+      // driver split: preJob = upsert start -> first job submit (store read
+      // + normalize/preMerge analysis + write-plan compile); postJob = last
+      // job end -> upsert return (file listing + stats attach + meta CAS);
+      // betweenJobs = driver gaps between jobs (AQE barriers etc.)
+      val preJob = if (spans.nonEmpty) (spans.map(_._1).min - w0) / 1e3 else 0.0
+      val postJob = if (spans.nonEmpty) (w1 - spans.map(_._2).max) / 1e3 else 0.0
       println(f"[upp] upsert $i%2d wall=$wall%.3f jobs=${jobMs / 1e3}%.3f " +
-        f"driver=${wall - jobMs / 1e3}%.3f njobs=${spans.size}")
+        f"driver=${wall - jobMs / 1e3}%.3f (pre=$preJob%.3f post=$postJob%.3f) " +
+        f"njobs=${spans.size}")
       stages.reverse.foreach { case (n, s, e, rt) =>
         println(f"[upp]    stage $n wall=${(e - s) / 1e3}%.3f taskSum=${rt / 1e3}%.3f")
       }

@@ -121,6 +121,26 @@ object FileStatsCollector {
     readFileStats(in, indexed, rowCountShadowed)
   }
 
+  /** Exact footer row count (driver-side, ~1 ms on a page-cache-hot local
+    * file). Used by the flat-bucket write to drop the zero-row files
+    * FileFormatWriter creates for empty partitions; -1 on read failure
+    * (caller must then keep the file — dropping is the optimization,
+    * keeping is the safe default). */
+  private[graft] def rowCount(path: String, conf: Configuration): Long = {
+    try {
+      val local = new java.io.File(path)
+      val in =
+        if (local.isFile) {
+          val fs = new org.apache.hadoop.fs.RawLocalFileSystem()
+          fs.initialize(java.net.URI.create("file:///"), conf)
+          rawInputFile(fs, path, local.length())
+        } else HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+      val reader = ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.iterator.map(_.getRowCount).sum
+      finally reader.close()
+    } catch { case _: Exception => -1L }
+  }
+
   /** Parquet InputFile over a raw (checksum-free) local FS with a known
     * length — avoids both the .crc side reads and the status call. */
   private def rawInputFile(fs: org.apache.hadoop.fs.FileSystem, path: String,

@@ -7,11 +7,11 @@ import graft.tables.GraftTable
 /** r16 zero-shuffle compaction pin: when every (partition, bucket) group
   * reads through the bucket merge, compaction's write keeps the read's
   * per-group placement — no bucket re-shuffle (at 100 TB the removed
-  * shuffle is a second full pass of the table over the network). Guards
-  * the GraftRead.groupAlignedRead <-> read-dispatch mirror: if the two
-  * drift (a group silently routed to the plain scan while the write
-  * still skips its shuffle), either the shuffle-bytes pin or the
-  * result/row-order pins here fail. */
+  * shuffle is a second full pass of the table over the network). r17: the
+  * alignment flag is produced by GraftRead.readTracked's own dispatch (no
+  * mirror predicate to drift), but the pins stay: if a group is silently
+  * routed to the plain scan while the write still skips its shuffle,
+  * either the shuffle-bytes pin or the result/row-order pins here fail. */
 class CompactionShuffleSuite extends SparkFixture {
 
   private def shuffleBytesDuring(body: => Unit): Long = {
@@ -21,8 +21,27 @@ class CompactionShuffleSuite extends SparkFixture {
         bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
     spark.sparkContext.addSparkListener(l)
-    try { body; Thread.sleep(500) } // let stage-completed events drain
-    finally spark.sparkContext.removeSparkListener(l)
+    // drain the async listener bus deterministically before reading the
+    // counter (ADVICE r16: a fixed sleep undercounts on a loaded host,
+    // letting the sb==0 pin pass spuriously). LiveListenerBus
+    // .waitUntilEmpty is private[spark] = public in bytecode, so invoke it
+    // reflectively; fall back to polling the counter stable if the method
+    // moves.
+    try {
+      body
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable =>
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        var prev = -1L
+        while (prev != bytes.get() && System.nanoTime() < deadline) {
+          prev = bytes.get()
+          Thread.sleep(100)
+        }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
     bytes.get()
   }
 
@@ -74,12 +93,13 @@ class CompactionShuffleSuite extends SparkFixture {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val t = GraftTable.create(spark, orders, dir,
         hashColumns = Seq("o_orderkey"), bucketNum = 4)
-      // groupAlignedRead must refuse a set with single-run groups: a
-      // bucket the deltas never touched reads through the plain scan
+      // readTracked must refuse a set with single-run groups: a bucket
+      // the deltas never touched reads through the plain scan
       val tiny = orders.limit(1) // one key -> one bucket touched
       t.upsert(tiny.withColumn("o_totalprice", lit(2.0)))
       val files = t.liveFiles
-      assert(!graft.read.GraftRead.groupAlignedRead(t.info, files))
+      assert(!graft.read.GraftRead.readTracked(spark, t.info, files,
+        keepCdcRows = true)._2)
       val before = t.toDF.collect().map(_.toString).sorted.toSeq
       t.compaction()
       assert(t.toDF.collect().map(_.toString).sorted.toSeq == before)

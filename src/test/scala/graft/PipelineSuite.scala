@@ -56,6 +56,23 @@ class PipelineSuite extends SparkFixture {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("exactDupPairs groups null texts like exact() does (ADVICE r16)") {
+    // null-text docs hash to one null group: exact() keeps the min-id row
+    // and drops the rest, so exactDupPairs REPORTS those drops as pairs —
+    // the r16 window rewrite intentionally aligned the pair report with
+    // exact()'s groupBy semantics (the old join-back silently dropped
+    // null-hash rows); this pin documents that callers deleting reported
+    // dup_ids get exactly exact()'s survivor set, nulls included
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "u")).toDF("doc_id", "text")
+    val survivors = Dedup.exact(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L))
+    val pairs = Dedup.exactDupPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("passage dedup removes repeated windows, keeps first occurrence") {
     val d = Seq(
       (1L, "a b c d e f g h i j k l"), // 2 passages: [a..j], [k l]

@@ -210,15 +210,15 @@ class TableCoreSuite extends SparkFixture {
       val t = GraftTable.create(spark,
         (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), path,
         hashColumns = Seq("id"), bucketNum = 4)
-      val before = t.liveFiles.map(f => (f.file.path, f.file.size))
+      val before = t.liveFiles.map(f => (f.file.path, f.file.size, f.file.bucketId))
       t.update(col("id") === 7L, Map("v" -> lit(777.0)))
-      val after = t.liveFiles.map(f => (f.file.path, f.file.size))
-      // untouched buckets keep byte-identical file lists
+      val after = t.liveFiles.map(f => (f.file.path, f.file.size, f.file.bucketId))
+      // untouched buckets keep byte-identical file lists (bucket id from the
+      // meta, not the path — flat-bucket commits carry no __g_bucket dir)
       val bucket7 = graft.write.TransactionalWrite.bucketOf(
         spark, t.schema, Seq("id" -> 7L), 4)
-      val untouchedBefore = t.liveFiles // recompute not needed; use sets
-      val beforeOther = before.filterNot(_._1.contains(s"__g_bucket=$bucket7"))
-      val afterOther = after.filterNot(_._1.contains(s"__g_bucket=$bucket7"))
+      val beforeOther = before.filterNot(_._3 == bucket7)
+      val afterOther = after.filterNot(_._3 == bucket7)
       assert(beforeOther.toSet == afterOther.toSet,
         s"untouched buckets changed:\nbefore=$beforeOther\nafter=$afterOther")
       assert(t.toDF.filter(col("id") === 7L).head.getDouble(1) == 777.0)
