@@ -221,9 +221,16 @@ object SparkEntry {
       .groupBy(col("l_orderkey"))
       .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"))
       .filter(col("sum_qty") > 150)
-    r(s, d, "customer")
-      .join(r(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+    // r17 (guide §3.1/§3.3): SELECTIVE join first — orders against the
+    // tiny >150-qty aggregate, customer attached only to the survivors.
+    // Same rows stream off the orders scan, but non-qualifying orders
+    // stop at the first (small) build instead of passing through the
+    // customer join; inner-join reorder only (JoinShapeProbe3: med
+    // 0.805 -> 0.745 / 0.757 -> 0.672 s across two interleaved runs,
+    // exceptAll-equal both ways, oracle-pinned).
+    r(s, d, "orders")
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(r(s, d, "customer"), col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -518,13 +525,19 @@ object SparkEntry {
     }),
     "q13_cust_order_dist" -> q((s, d) => {
       // q13 analogue: the comment-exclusion predicate becomes an
-      // o_orderpriority exclusion (no o_comment column). Shape preserved:
-      // the predicate lives IN the left join, then two-level aggregation.
-      val o = rd(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      // o_orderpriority exclusion (no o_comment column). r17 (guide §2.3
+      // "aggregate before you shuffle"): orders pre-aggregate to one row
+      // per customer BEFORE the join, so the join (and at scale its
+      // exchange) carries |customers-with-orders| rows instead of
+      // |orders|; unmatched customers read c_count 0 through the
+      // coalesce, exactly what count(o_orderkey) produced over the
+      // null-extended left join (JoinShapeProbe3: med 0.375 -> 0.318 s,
+      // exceptAll-equal both ways, oracle-pinned).
+      val oc = rd(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("_g_n"))
       rd(s, d, "customer")
-        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("_g_n"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
