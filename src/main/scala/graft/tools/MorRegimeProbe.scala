@@ -6,16 +6,21 @@ import graft.tables.GraftTable
 
 /** r16 A/B: the bench's MOR regime (create -> 10 upserts -> read ->
   * compaction), two arms alternated whole-regime so host drift hits both.
-  * Arm "on" = shipped config; arm "off" = task-side footer stats disabled
-  * (graft.stats.enabled=false) — measures the stats share of the
-  * per-commit cost (~5% of an upsert; earlier revisions of this probe
-  * A/B'd the inert-write AQE skip the same way, ~10%).
+  * Arm "on" = shipped config; arm "off" = the chosen boolean engine conf
+  * forced false (default spark.graft.write.planCache; pass any
+  * spark.graft.* key as the second arg, e.g.
+  * spark.graft.write.flatBucketWrite) — measures that conf's share of the
+  * per-commit cost. Earlier revisions A/B'd footer stats (~5%) and the
+  * inert-write AQE skip (~10%) the same way.
   *
-  * Usage: runMain graft.tools.MorRegimeProbe [rounds]
+  * Usage: runMain graft.tools.MorRegimeProbe [rounds] [confKey]
   */
 object MorRegimeProbe {
   def main(args: Array[String]): Unit = {
     val rounds = if (args.nonEmpty) args(0).toInt else 3
+    // comma-separated keys are toggled together (interaction A/B)
+    val confKeys = args.lift(1).getOrElse("spark.graft.write.planCache")
+      .split(',').toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = 32
     val spark = SparkSession.builder()
@@ -49,12 +54,8 @@ object MorRegimeProbe {
     val res = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     (1 to rounds).foreach { _ =>
-      // arms: "on" = shipped config; "off" = prepared-chain cache disabled
-      // (spark.graft.write.planCache=false) — measures the driver
-      // replanning share of the per-commit cost (r17; earlier revisions
-      // A/B'd footer stats ~5% and the inert-write AQE skip ~10%)
       Seq("on", "off").foreach { arm =>
-        spark.conf.set("spark.graft.write.planCache", (arm == "on").toString)
+        confKeys.foreach(k => spark.conf.set(k, (arm == "on").toString))
         val createT = time {
           val t = GraftTable.create(spark, orders,
             ProbeTmp.dir(s"graft-mrp-$arm-"),
@@ -66,7 +67,7 @@ object MorRegimeProbe {
         }
         res(s"lifecycle_$arm") = createT :: res(s"lifecycle_$arm")
       }
-      spark.conf.unset("spark.graft.write.planCache")
+      confKeys.foreach(spark.conf.unset)
     }
     res.toSeq.sortBy(_._1).foreach { case (k, ts) =>
       println(f"[mrp] $k%-18s med=${median(ts)}%.3f all=${ts.reverse.map(t => f"$t%.3f").mkString(",")}")
