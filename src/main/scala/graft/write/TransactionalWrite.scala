@@ -40,6 +40,11 @@ object TransactionalWrite {
   /** Table property: roll output files every N records (S15). */
   val MaxRecordsPerFileProp = "graft.write.maxRecordsPerFile"
 
+  /** Table property: parquet codec for this table's data files; wins over
+    * the session conf `spark.graft.write.codec` (default zstd — a
+    * documented divergence from the reference's snappy default). */
+  val CodecProp = "graft.write.codec"
+
   /** Table property: comma-separated columns that get a parquet bloom
     * filter in every written file. Point lookups on columns whose values
     * interleave across files (min/max bounds too wide for
@@ -508,10 +513,13 @@ object TransactionalWrite {
     // zstd data files (guide §6: smaller than snappy at similar read
     // speed; r16 WriteCostProbe also measured the snappy ENCODER as the
     // slower one on this write shape — 1.37 s vs 0.95 s of task time per
-    // 32-bucket commit). Conf-able for deployments that standardize on
-    // another codec; per-table override via the same Spark option space.
+    // 32-bucket commit; documented divergence — the reference defaults to
+    // snappy). Per-table property wins over the session conf so tables
+    // interoperating with reference-written data can pin their codec.
     writer = writer.option("compression",
-      spark.conf.getOption("spark.graft.write.codec").getOrElse("zstd"))
+      table.properties.get(CodecProp)
+        .orElse(spark.conf.getOption("spark.graft.write.codec"))
+        .getOrElse("zstd"))
     // size-capped rolling writer (S15, LakeSoulFileWriter.scala:96-141):
     // files roll at N records; rolled parts sort after each other by path
     // suffix, so per-run pk order is preserved across the splits

@@ -591,6 +591,20 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("graft.write.codec table property pins the data-file codec (r17)") {
+    withTempPath { p =>
+      import spark.implicits._
+      val t = GraftTable.create(spark,
+        (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), p,
+        hashColumns = Seq("id"), bucketNum = 2,
+        properties = Map(graft.write.TransactionalWrite.CodecProp -> "snappy"))
+      assert(t.liveFiles.nonEmpty &&
+        t.liveFiles.forall(_.file.path.endsWith(".snappy.parquet")),
+        s"expected snappy files, got ${t.liveFiles.map(_.file.path)}")
+      assert(t.toDF.count() == 100)
+    }
+  }
+
   test("ALTER COLUMN comment/nullability; rename is guarded") {
     withTempPath { p =>
       import spark.implicits._
