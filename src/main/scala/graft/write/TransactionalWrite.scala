@@ -295,8 +295,9 @@ object TransactionalWrite {
     * CONSTRUCTED chain keyed on (session, batch analyzed plan, table state,
     * write flags): this memoizes plan STRUCTURE only — the chain is lazy,
     * every commit still executes it from the parquet inputs, so no data or
-    * results are ever reused (probe: driver pre-job 0.08 s -> ~0.03 s per
-    * commit; driver work is serial at any scale, guide §5). Invalidation is
+    * results are ever reused (probe: driver pre-job ~0.08-0.11 s ->
+    * ~0.05-0.08 s per commit; driver work is serial at any scale, guide
+    * §5). Invalidation is
     * by key: any schema/bucket/property/flag change is a different
     * TableInfo, and a different batch plan is a different key. Tables with
     * QUARANTINE expectations are never cached (their normalize performs an
