@@ -114,13 +114,25 @@ object GraftRead {
     // (bucket-parallel sides, one delta-only shuffle); ambiguous (pending
     // restore, unknown/cushioned commit ts) -> the mapping-agnostic
     // cross-bucket merge.
+    // r17 (code-review finding): ALIGNMENT additionally requires the file
+    // set's single mapping to BE the current one. Between a re-bucket's
+    // count flip and its rewrite (crashed re-bucket; the roll-forward is a
+    // plain full compaction) the snapshot is a single OLD-mapping epoch —
+    // raw-id grouping still reads it exactly, but a write that keeps the
+    // read's placement would stamp OLD-mapping bucket ids into a table
+    // whose current count differs, splitting keys across merge groups
+    // (duplicate pks, missed bucket-pruned point reads). Such reads stay
+    // correct but report aligned=false, so the compaction re-shuffles.
+    var mappingIsCurrent = false
     val crossForMapping =
       if (!table.hasPrimaryKey || skipMerge || crossBucketMerge) false
       else RebucketLog.epochsOf(table.properties, table.bucketNum, files) match {
         case Some(es) if es.size >= 2 =>
           return (readSplitEpochs(spark, table, es, keepCdcRows,
             requiredColumns), false)
-        case Some(_) => false // one mapping: raw-id grouping is exact
+        case Some(es) => // one mapping: raw-id grouping is exact
+          mappingIsCurrent = es.headOption.forall(_._1 == table.bucketNum)
+          false
         case None => true
       }
     // split by (range partition, bucket): only groups with >1 sorted run
@@ -213,11 +225,15 @@ object GraftRead {
       case Some(cdc) if !keepCdcRows => df.filter(col(cdc) =!= "delete")
       case _ => df
     }
-    // GROUP-ALIGNED iff every group went through the k-way bucket merge:
-    // no plain-scan union, no aggregate fallback (narrow CDC filter /
-    // column select above preserve partitioning)
+    // GROUP-ALIGNED iff every group went through the k-way bucket merge
+    // (no plain-scan union, no aggregate fallback; narrow CDC filter /
+    // column select above preserve partitioning) AND the set's single
+    // mapping is the current one (see mappingIsCurrent above) — a widened
+    // grouping count (ids >= bucketNum) can never claim alignment.
+    val maxSeenId = files.iterator.map(_.file.bucketId).max
     (visible.select(outputCols.map(qcol).toSeq: _*),
-      plain.isEmpty && bucketMerged)
+      plain.isEmpty && bucketMerged && mappingIsCurrent &&
+        maxSeenId < table.bucketNum)
   }
 
   /** Read a window RESOLVED PER MAPPING-CONSISTENT SUB-WINDOW (epoch):

@@ -1644,9 +1644,14 @@ class GraftTable(val spark: SparkSession, val tablePath: String,
           // new sorted run + `del` ops for the files it replaces — large
           // carried-over runs stay in place and still merge-on-read with the
           // new run (the reference's discard-file list, CompactBucketIO).
+          // internal = true: this rewrites ALREADY-ADMITTED rows — the
+          // ingestion-only expectation gates must not re-run here (a drop/
+          // quarantine expectation added after the rows loaded would
+          // silently delete them on the next leveled compaction; r17
+          // code-review finding, same hazard the delta-DML paths guard)
           val commits = TransactionalWrite.writeFiles(
             spark, t, current, CommitOp.Merge, skipPreMerge = true,
-            inputBucketAligned = aligned)
+            internal = true, inputBucketAligned = aligned)
           val delsByDesc = merge.groupBy(_.partitionDesc)
             .view.mapValues(_.map(f => f.file.copy(fileOp = "del"))).toMap
           val withDels = commits.map(c =>

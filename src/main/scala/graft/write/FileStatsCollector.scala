@@ -126,15 +126,20 @@ object FileStatsCollector {
     * FileFormatWriter creates for empty partitions; -1 on read failure
     * (caller must then keep the file — dropping is the optimization,
     * keeping is the safe default). */
+  // one raw local FS for the row-count probes (stateless over local files;
+  // constructing + initializing one per footer was pure churn)
+  private lazy val sharedRawFs: org.apache.hadoop.fs.FileSystem = {
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem()
+    fs.initialize(java.net.URI.create("file:///"), new Configuration())
+    fs
+  }
+
   private[graft] def rowCount(path: String, conf: Configuration): Long = {
     try {
       val local = new java.io.File(path)
       val in =
-        if (local.isFile) {
-          val fs = new org.apache.hadoop.fs.RawLocalFileSystem()
-          fs.initialize(java.net.URI.create("file:///"), conf)
-          rawInputFile(fs, path, local.length())
-        } else HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+        if (local.isFile) rawInputFile(sharedRawFs, path, local.length())
+        else HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
       val reader = ParquetFileReader.open(in)
       try reader.getFooter.getBlocks.asScala.iterator.map(_.getRowCount).sum
       finally reader.close()

@@ -484,12 +484,18 @@ object TransactionalWrite {
     }
 
     // quarantine expectations perform an eager per-batch side-effect write
-    // inside normalize — those chains must be rebuilt every commit
+    // inside normalize — those chains must be rebuilt every commit. Plans
+    // rooted in a LogicalRDD (micro-batch sinks, localCheckpoint inputs)
+    // are identity-keyed and never equal across batches: caching them is
+    // guaranteed misses that pin each batch's RDD lineage until 16 later
+    // writes evict it — skip (code-review finding).
     val cacheable = spark.conf
       .getOption("spark.graft.write.planCache").forall(_.toBoolean) &&
       !(ingestion && !tombstone && table.properties.exists { case (k, v) =>
         k.startsWith("graft.expect.") && k.endsWith(".action") && v == "quarantine"
-      })
+      }) &&
+      !dfIn.queryExecution.analyzed.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
     val chain =
       if (!cacheable) buildChain()
       else {
@@ -582,9 +588,10 @@ object TransactionalWrite {
     // LocalRelation, Range, LogicalRDD) plan no exchange by construction;
     // Project/Filter/SubqueryAlias/Union/View are narrow; everything else
     // is presumed exchange-capable. Expressions must carry no plan subquery.
-    val aqeInert = spark.conf
-      .getOption("spark.graft.write.skipAqeWhenInert")
-      .forall(_.toBoolean) && chain.inertInput
+    // uses the skipAqePref captured ONCE above (not a re-read): a
+    // concurrent conf flip between the chain build and here must not let
+    // a flat-bucket chain run with AQE on (the index==bucket invariant)
+    val aqeInert = skipAqePref && chain.inertInput
     var taskStats = Map.empty[String, String]
     var tsHeld = false
     var protoHeld = false

@@ -591,6 +591,29 @@ class CommandSuite extends SparkFixture {
     }
   }
 
+  test("leveled compaction never re-runs ingestion expectations on " +
+    "admitted rows (r17 pin)") {
+    withTempPath { p =>
+      import spark.implicits._
+      val t = GraftTable.create(spark,
+        (1 to 40).map(i => (i.toLong, i)).toDF("id", "v"), p,
+        hashColumns = Seq("id"), bucketNum = 2)
+      (1 to 4).foreach(r =>
+        t.upsert((1 to 40).map(i => (i.toLong, i + r * 100)).toDF("id", "v")))
+      // expectation added AFTER the rows loaded: an internal rewrite that
+      // re-ran it would silently delete previously-admitted rows
+      t.setProperties(Map(
+        "graft.expect.small" -> "v < 10", "graft.expect.small.action" -> "drop"))
+      t.compaction(graft.tables.CompactionOptions(
+        fileSizeLimit = Some(1024L * 1024 * 1024)), _ => true)
+      assert(t.toDF.count() == 40,
+        "leveled compaction dropped admitted rows via a later expectation")
+      // the gate still applies to NEW data
+      t.upsert(Seq((1000L, 1), (1001L, 50)).toDF("id", "v"))
+      assert(t.toDF.filter($"id" >= 1000L).count() == 1)
+    }
+  }
+
   test("graft.write.codec table property pins the data-file codec (r17)") {
     withTempPath { p =>
       import spark.implicits._

@@ -164,4 +164,40 @@ class MidMarkerReadSuite extends SparkFixture {
       assert(t.validate() == Nil)
     }
   }
+
+  test("r17 pin: full compaction after a crashed flip re-shuffles to the " +
+    "new mapping (alignment refused for a non-current single epoch)") {
+    withTempPath { path =>
+      val t = GraftTable.create(spark,
+        (1 to 64).map(i => (i.toLong, i)).toDF("id", "v"), path,
+        hashColumns = Seq("id"), bucketNum = 2)
+      // second run in every bucket so the merge read covers ALL groups —
+      // the exact precondition under which compaction may claim alignment
+      t.upsert((1 to 64).map(i => (i.toLong, i * 10)).toDF("id", "v"))
+      // crashed UP-re-bucket 2 -> 4: count flipped + open marker, no rewrite
+      forgeOpenMarker(path, 4)
+      // roll-forward: plain full compaction must RE-SHUFFLE to the new
+      // mapping (a write keeping the old-mapping placement would stamp
+      // old bucket ids into a 4-bucket table: duplicate pks after the
+      // next upsert, missed bucket-pruned point reads)
+      t.compaction()
+      assert(t.info.bucketNum == 4)
+      assert(t.liveFiles.forall(f => f.file.bucketId >= 0 && f.file.bucketId < 4),
+        s"stale bucket ids: ${t.liveFiles.map(_.file.bucketId).distinct}")
+      // bucket ids must be the CURRENT mapping's, not just in range
+      t.liveFiles.foreach { f =>
+        val ids = spark.read.parquet(f.file.path).select("id").collect().map(_.getLong(0))
+        ids.foreach { id =>
+          val want = graft.write.TransactionalWrite.bucketOf(
+            spark, t.schema, Seq("id" -> id), 4)
+          assert(want == f.file.bucketId,
+            s"id=$id in bucket ${f.file.bucketId}, current mapping says $want")
+        }
+      }
+      t.upsert((1 to 32).map(i => (i.toLong, i * 100)).toDF("id", "v"))
+      assert(t.toDF.count() == 64, "duplicate keys after roll-forward")
+      assert(t.toDF.filter($"id" === 7L).collect().map(_.getInt(1)).toSeq == Seq(700))
+      assert(t.validate() == Nil)
+    }
+  }
 }
